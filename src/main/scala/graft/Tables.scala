@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (see TESTDATA.md).
+  *
+  * Each table is one parquet file under an sf directory; at cluster scale
+  * these would be partitioned directories — the API is the same and all
+  * downstream code relies on Catalyst pushdown (filters/column pruning
+  * reach the scan), not on single-file assumptions.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table $name")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via
+    * spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench sessions);
+    * normalize it back to a proper TimestampType column here.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = apply(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            (org.apache.spark.sql.functions.col("ts") / 1000L)
+              .cast(org.apache.spark.sql.types.LongType)))
+      case _ => df
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}

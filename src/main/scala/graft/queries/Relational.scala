@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.2–2.5 applied to the
+  * fixed parquet tables): scan/filter/project, hash aggregate, equi-join
+  * (broadcast for small dims), ranking window / per-group top-k, global
+  * top-k, union+distinct (the reference's undirect pattern,
+  * datasets.py:339-352), semi/anti join (datasets.py:664-666 drop-unknown
+  * semantics), degree aggregation (generators.py:52-64).
+  *
+  * Scale notes: all joins against nation/region/customer/supplier are
+  * explicitly broadcast (dimension tables stay small at any SF); fact-side
+  * aggregates are partial+final hash aggregates; filters/projections are
+  * plain Column exprs so Catalyst pushes them into the parquet scan.
+  */
+object Relational {
+
+  // Doubles that passed through arithmetic are rounded before output so
+  // the DuckDB oracle (different summation order) hash-matches; raw
+  // column passthrough stays unrounded (bit-identical in both engines).
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    "q02_agg_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q03_join_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    "q04_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    "q05_global_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // U1 undirect pattern: union(swapped) → distinct → src<dst, on a
+    // bipartite-ish edge table derived from lineitem.
+    "q06_union_distinct" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .filter(col("src") < col("dst"))
+    }),
+
+    "q07_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    "q08_anti_join" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val li = Tables.lineitem(s, d).select(col("l_partkey").as("p_partkey"))
+      p.join(li, Seq("p_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+    }),
+
+    // A1 vertex degrees of the undirected graph from q06 (explode both
+    // endpoints → hash aggregate with map-side partial agg).
+    "q09_degrees" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+        .union(Tables.lineitem(s, d)
+          .select(col("l_partkey").as("src"), col("l_orderkey").as("dst")))
+        .distinct()
+        .filter(col("src") < col("dst"))
+      e.select(explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+    }),
+
+    "q10_distinct_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // Tumbling 1-hour window over the events stream table (batch form;
+    // streaming/EventsStream runs the identical agg via readStream).
+    "q11_events_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    }),
+
+    "q12_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") >= 50)
+    }),
+
+    // A6 Spearman rank correlation with scipy-style average tie ranks:
+    // rank = avg(row_number) over equal values, then Pearson corr.
+    "q13_spearman" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+      val rx = avg(col("rnx")).over(Window.partitionBy(col("x")))
+      val ry = avg(col("rny")).over(Window.partitionBy(col("y")))
+      li.withColumn("rnx", row_number().over(Window.orderBy(col("x"))))
+        .withColumn("rny", row_number().over(Window.orderBy(col("y"))))
+        .withColumn("rx", rx).withColumn("ry", ry)
+        .agg(round(corr(col("rx"), col("ry")), 6).as("spearman_rho"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount >= 0.05""".stripMargin,
+
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q04_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q05_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q06_union_distinct" ->
+      """SELECT DISTINCT src, dst FROM (
+        |  SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem
+        |  UNION ALL
+        |  SELECT l_partkey AS src, l_orderkey AS dst FROM lineitem)
+        |WHERE src < dst""".stripMargin,
+
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q08_anti_join" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "q09_degrees" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem
+        |    UNION ALL
+        |    SELECT l_partkey AS src, l_orderkey AS dst FROM lineitem)
+        |  WHERE src < dst)
+        |SELECT id, count(*) AS degree FROM (
+        |  SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+        |GROUP BY id""".stripMargin,
+
+    "q10_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q11_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q12_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin,
+
+    "q13_spearman" ->
+      """WITH ranked AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y,
+        |    row_number() OVER (ORDER BY l_quantity) AS rnx,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rny
+        |  FROM lineitem),
+        |tied AS (
+        |  SELECT avg(rnx) OVER (PARTITION BY x) AS rx,
+        |         avg(rny) OVER (PARTITION BY y) AS ry
+        |  FROM ranked)
+        |SELECT round(corr(rx, ry), 6) AS spearman_rho FROM tied""".stripMargin
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("every query has a runnable plan and every oracle key has a query") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle $k has no query")
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("q02 aggregates partition correctly") {
+    val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("q04 per-group top-k emits at most 3 per customer") {
+    val df = SparkEntry.queries("q04_window_topk")(spark, sf)
+    val over = df.groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(over == 0)
+  }
+
+  test("q06 undirect yields src<dst with no duplicates") {
+    val df = SparkEntry.queries("q06_union_distinct")(spark, sf).cache()
+    assert(df.filter(col("src") >= col("dst")).count() == 0)
+    assert(df.count() == df.distinct().count())
+    df.unpersist()
+  }
+
+  test("q09 degree sum equals 2x edge count") {
+    val edges = SparkEntry.queries("q06_union_distinct")(spark, sf).count()
+    val degSum = SparkEntry.queries("q09_degrees")(spark, sf)
+      .agg(sum("degree")).collect()(0).getLong(0)
+    assert(degSum == 2 * edges)
+  }
+
+  test("q13 spearman rho is in [-1, 1]") {
+    val rho = SparkEntry.queries("q13_spearman")(spark, sf)
+      .collect()(0).getAs[Double]("spearman_rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
+the matching SQL from oracle_sql.json in DuckDB against the sf tables,
+sorts columns by name and rows by value, and compares cell-by-cell
+(exact for ints/strings, tiny tolerance report for floats so we can see
+how close to a hash match we are).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = canon(con.execute(f"SELECT * FROM read_parquet({files!r})").df())
+            want = canon(con.execute(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        bad = []
+        for c in got.columns:
+            g, w = got[c], want[c]
+            if g.dtype.kind == 'f' or w.dtype.kind == 'f':
+                import numpy as np
+                ga, wa = g.astype(float).values, w.astype(float).values
+                mask = ~(np.isclose(ga, wa, rtol=0, atol=0, equal_nan=True))
+                if mask.any():
+                    exact_bad = int(mask.sum())
+                    close = np.isclose(ga, wa, rtol=1e-12, atol=1e-12, equal_nan=True)
+                    bad.append(f"{c}: {exact_bad} cells differ (within 1e-12: {int((~close).sum())==0})")
+            else:
+                if not g.astype(str).equals(w.astype(str)):
+                    bad.append(f"{c}: value mismatch")
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(bad)); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
