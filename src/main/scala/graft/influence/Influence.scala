@@ -1,0 +1,125 @@
+package graft.influence
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VecOps
+import graft.gen.Generators.hashUniform
+
+/** Influence-maximization surface (reference: influence.py).
+  *
+  * The IC simulation replaces ndlib's opaque RNG with a hash-RNG —
+  * success of an activation attempt is `xxhash64(seed, src, dst, round)`
+  * mapped to [0,1) compared against p — a documented semantic refinement
+  * (SURVEY.md §7 risk 4) that makes every simulation exactly replayable
+  * on any cluster, which the reference cannot do.
+  */
+object Influence {
+
+  /** W1 seed selection (influence.py:27-37): top-k vertices by embedding
+    * radius. TakeOrderedAndProject — no full sort materialized. */
+  def selectSeeds(pos: DataFrame, k: Int): DataFrame =
+    pos.select(col("id"), VecOps.norm(col("pos")).as("radius"))
+      .orderBy(col("radius").desc, col("id").asc)
+      .limit(k)
+
+  /** L4 Independent Cascade (influence.py:40-84) as an iterative
+    * frontier propagation: each round, active frontier nodes attempt to
+    * infect neighbors with probability p; a node activates at most once.
+    * Returns the final infected vertex set. Edges must be canonical
+    * (src<dst); propagation uses both directions.
+    *
+    * Scale: each round is frontier ⋈ edges (shuffle on id) + anti-join
+    * against infected; infected is checkpointed to truncate lineage.
+    */
+  def independentCascade(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+                         p: Double, maxRounds: Int = 100, seed: Long = 42): DataFrame = {
+    val dir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var (infected, infHandle) = graft.util.Iterate.checkpoint(
+      spark, seeds.select(col("id")).distinct())
+    var frontier = infected
+    var frontHandle = infHandle
+    var round = 0
+    var frontierCount = frontier.count()
+    while (frontierCount > 0 && round < maxRounds) {
+      val attempts = dir.join(frontier.withColumnRenamed("id", "src"), "src")
+        .filter(hashUniform(seed, col("src"), col("dst"), lit(round)) < p)
+        .select(col("dst").as("id")).distinct()
+      val (newly, newlyH) = graft.util.Iterate.checkpoint(
+        spark, attempts.join(infected, Seq("id"), "left_anti"))
+      frontierCount = newly.count()
+      val (nextInfected, nextH) = graft.util.Iterate.checkpoint(
+        spark, infected.union(newly))
+      infHandle.unpersist(blocking = false)
+      if (frontHandle ne infHandle) frontHandle.unpersist(blocking = false)
+      infected = nextInfected; infHandle = nextH
+      frontier = newly; frontHandle = newlyH
+      round += 1
+    }
+    dir.unpersist()
+    infected
+  }
+
+  /** A9 influence count (influence.py:81-84). */
+  def estimatedInfluence(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+                         p: Double, maxRounds: Int = 100, seed: Long = 42): Long =
+    independentCascade(spark, edges, seeds, p, maxRounds, seed).count()
+
+  /** L5 greedy seed selection (influence.py:87-128): k rounds of
+    * best-marginal-gain. All candidates of a round are evaluated in ONE
+    * Spark job by keying the cascade state with the candidate id —
+    * the cluster-parallel form of the reference's per-candidate loop.
+    * Candidates are capped to the top `candidatePool` by degree
+    * (the reference evaluates all n, which is O(n·k) simulations; the
+    * pool cap is the standard CELF-style practicality).
+    */
+  def greedySeeds(spark: SparkSession, edges: DataFrame, k: Int, p: Double,
+                  simRounds: Int = 50, candidatePool: Int = 64,
+                  seed: Long = 42): DataFrame = {
+    import graft.model.GraphOps
+    val dir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val candidates = GraphOps.degrees(edges)
+      .orderBy(col("degree").desc, col("id").asc).limit(candidatePool)
+      .select(col("id").as("cand")).persist()
+    candidates.count()
+
+    var chosen = Seq.empty[Long]
+    for (roundK <- 0 until k) {
+      // state: (cand, id) infected pairs — every candidate's cascade in
+      // one job; infected_0 = {cand} ∪ chosen per candidate.
+      val base = candidates.select(col("cand"), col("cand").as("id"))
+      var (infected, infH) = graft.util.Iterate.checkpoint(spark,
+        (if (chosen.isEmpty) base
+        else base.union(candidates.crossJoin(
+          spark.createDataFrame(chosen.map(Tuple1(_))).toDF("id"))))
+          .distinct())
+      var frontier = infected
+      var frontH = infH
+      var r = 0
+      var cnt = frontier.count()
+      while (cnt > 0 && r < simRounds) {
+        val attempts = dir.join(frontier.withColumnRenamed("id", "src"), "src")
+          .filter(hashUniform(seed + roundK, col("src"), col("dst"), lit(r)) < p)
+          .select(col("cand"), col("dst").as("id")).distinct()
+        val (newly, newlyH) = graft.util.Iterate.checkpoint(spark,
+          attempts.join(infected, Seq("cand", "id"), "left_anti"))
+        cnt = newly.count()
+        val (ni, niH) = graft.util.Iterate.checkpoint(spark, infected.union(newly))
+        infH.unpersist(blocking = false)
+        if (frontH ne infH) frontH.unpersist(blocking = false)
+        infected = ni; infH = niH; frontier = newly; frontH = newlyH; r += 1
+      }
+      val best = infected.groupBy("cand").count()
+        .orderBy(col("count").desc, col("cand").asc).limit(1)
+        .collect()(0).getLong(0)
+      chosen = chosen :+ best
+      infH.unpersist(blocking = false)
+      frontH.unpersist(blocking = false)
+    }
+    dir.unpersist(); candidates.unpersist()
+    spark.createDataFrame(chosen.map(Tuple1(_))).toDF("id")
+  }
+}

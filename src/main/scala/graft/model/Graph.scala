@@ -1,0 +1,91 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Undirected edge with the canonical invariant `src < dst`
+  * (reference: upper-triangle extraction, embedder_pytorch.py:237-240).
+  */
+case class Edge(src: Long, dst: Long)
+
+/** Vertex position in an n_components-dimensional embedding
+  * (reference: positions tensor, embedder_pytorch.py:324-335).
+  */
+case class VertexPos(id: Long, pos: Array[Double])
+
+/** Core graph transformations shared by readers, generators and the
+  * layout engine. All are pure DataFrame programs: Catalyst handles
+  * pushdown/pruning; every shuffle is on the vertex or edge key.
+  */
+object GraphOps {
+
+  /** Symmetrize + dedupe + canonicalize to src<dst; drops self-loops.
+    * Reference: A+A.T binarize (embedder_pytorch.py:350-352) and the
+    * undirect pipeline (datasets.py:339-352).
+    * One shuffle (distinct on the edge key).
+    */
+  def undirect(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") < col("dst"))
+      .distinct()
+  }
+
+  /** Distinct vertex ids of an edge list (datasets.py:354-356). */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+
+  /** Contiguous 0..n-1 relabeling applied to both endpoints
+    * (nx.convert_node_labels_to_integers, datasets.py:161-164).
+    * At scale the global row_number is the standard zipWithIndex-style
+    * bottleneck; n (vertex count) is orders smaller than m so a single
+    * sorted window over vertices is acceptable and the edge-side remap
+    * is two broadcast-able joins when the vertex map is small.
+    */
+  def relabel(edges: DataFrame): (DataFrame, DataFrame) = {
+    val verts = vertices(edges)
+      .withColumn("idx", row_number().over(Window.orderBy(col("id"))) - 1)
+    val m = broadcast(verts)
+    val remapped = edges
+      .join(m.withColumnRenamed("id", "src").withColumnRenamed("idx", "sidx"), "src")
+      .join(m.withColumnRenamed("id", "dst").withColumnRenamed("idx", "didx"), "dst")
+      .select(col("sidx").as("src"), col("didx").as("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+    (verts, remapped)
+  }
+
+  /** Vertex degrees of an undirected (src<dst canonical) edge list.
+    * Reference: adjacency row-sums (generators.py:52-64).
+    * explode → partial+final hash aggregate; one shuffle on id.
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+
+  /** Largest connected component via GraphX, returning the induced
+    * subgraph's edges (run_benchmarks.py:256-270). */
+  def largestComponent(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+    val rdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
+    val g = GxGraph.fromEdges(rdd, 0)
+    val cc = g.connectedComponents().vertices // (id, ccId)
+    import spark.implicits._
+    val ccDf = cc.toDF("id", "cc")
+    val top = ccDf.groupBy("cc").count().orderBy(desc("count"), asc("cc")).limit(1)
+      .select("cc")
+    val keep = broadcast(ccDf.join(broadcast(top), "cc").select("id"))
+    edges
+      .join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+      .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+      .select("src", "dst")
+  }
+
+  /** Structural invariants used across tests (mirrors
+    * tests/test_generators.py:32-57): canonical form, loop-free. */
+  def isCanonical(edges: DataFrame): Boolean =
+    edges.filter(col("src") >= col("dst")).isEmpty &&
+      edges.groupBy("src", "dst").count().filter(col("count") > 1).isEmpty
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.model.GraphOps
+import graft.gen.Generators
+import graft.linalg.EigenInit
+import graft.layout.{Layout, LayoutConfig}
+import graft.influence.Influence
+import graft.functions.VecOps
+
+/** Graph-operator surface exposed as driver-checkable queries.
+  *
+  * Exact-SQL generators (S6/S8/S12) get DuckDB oracles built from
+  * `range()`; the lineitem-derived graph feeds triangle counting and
+  * GraphX connected components (oracle = closed form on the
+  * diameter-2 supplier–nation graph). The iterative ops (eigen-init,
+  * layout, IC, PageRank) are deterministic-but-not-SQL — they appear as
+  * rows-only checks, with invariants covered in ScalaTest.
+  */
+object GraphQueries {
+
+  /** The canonical undirected test graph: lineitem order–part incidence
+    * (same construction as q06_union_distinct). */
+  def lineitemGraph(s: SparkSession, d: String): DataFrame =
+    GraphOps.undirect(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")))
+
+  /** Supplier–nation bipartite graph with disjoint id spaces. */
+  def supplierGraph(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .select(col("s_nationkey").cast("long").as("src"),
+        (col("s_suppkey") + lit(100000L)).cast("long").as("dst"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_gen_grid" -> ((s, _) => Generators.roadNetwork(s, 30, 20)),
+
+    "q15_gen_tree" -> ((s, _) => Generators.balancedTree(s, 3, 5)),
+
+    "q16_gen_caveman" -> ((s, _) => Generators.caveman(s, 5, 6)),
+
+    // Triangle count by double edge self-join on the canonical a<b<c
+    // orientation — each triangle counted exactly once; the join keys
+    // shuffle-partition by vertex so the plan scales with edge count.
+    "q17_triangles" -> ((s, d) => {
+      val e = lineitemGraph(s, d).cache()
+      val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = e.select(col("src").as("b"), col("dst").as("c"))
+      val e3 = e.select(col("src").as("a"), col("dst").as("c"))
+      e1.join(e2, "b").join(e3, Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // GraphX connected components on the supplier–nation graph; the
+    // oracle is the closed form valid for this diameter-2 topology
+    // (component label = min id = the nation key).
+    "q18_connected_components" -> ((s, d) => {
+      import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+      val rdd = supplierGraph(s, d).rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
+      val cc = GxGraph.fromEdges(rdd, 0).connectedComponents().vertices
+      s.createDataFrame(cc).toDF("id", "component")
+    }),
+
+    // Vertex degrees of the supplier graph (A1 on a second topology).
+    "q19_supplier_degrees" -> ((s, d) =>
+      GraphOps.degrees(supplierGraph(s, d))),
+
+    // ---- deterministic but non-SQL (rows-only driver check) ----
+
+    // L1 eigen-init on the 20x20 grid: smallest nontrivial eigenvectors.
+    "q20_eigen_grid" -> ((s, _) => {
+      val g = Generators.roadNetwork(s, 20, 20)
+      EigenInit.init(s, g, 400, 2, seed = 42)
+        .select(col("id"), round(VecOps.norm(col("pos")), 6).as("radius"))
+    }),
+
+    // L2/L3 full layout on a small grid; emits final radii.
+    "q21_layout_grid" -> ((s, _) => {
+      val g = Generators.roadNetwork(s, 12, 12)
+      val cfg = LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = 10,
+        sampleSize = 128, nNeighbors = 8, seed = 42)
+      val pos = Layout.run(s, g, EigenInit.init(s, g, 144, 2, seed = 42), cfg)
+      pos.select(col("id"), round(VecOps.norm(col("pos")), 6).as("radius"))
+    }),
+
+    // L4 hash-RNG independent cascade on a seeded ER graph.
+    "q22_ic_spread" -> ((s, _) => {
+      val g = Generators.erdosRenyi(s, 300, 0.02, 42)
+      import s.implicits._
+      val seeds = Seq(0L, 1L, 2L).toDF("id")
+      Influence.independentCascade(s, g, seeds, 0.3, maxRounds = 50, seed = 42)
+        .orderBy("id")
+    }),
+
+    // L6 GraphX PageRank on the supplier graph (rows-only; invariants in
+    // ScalaTest assert sum(rank)≈n and determinism).
+    "q23_pagerank" -> ((s, d) => {
+      import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+      val rdd = supplierGraph(s, d).rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
+      val pr = GxGraph.fromEdges(rdd, 0).staticPageRank(10).vertices
+      s.createDataFrame(pr).toDF("id", "rank")
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q14_gen_grid" ->
+      """SELECT src, src + 1 AS dst FROM range(600) t(src) WHERE src % 30 < 29
+        |UNION ALL
+        |SELECT src, src + 30 AS dst FROM range(600) t(src) WHERE src < 570""".stripMargin,
+
+    "q15_gen_tree" ->
+      """SELECT (dst - 1) // 3 AS src, dst FROM range(1, 364) t(dst)""".stripMargin,
+
+    "q16_gen_caveman" ->
+      """SELECT a.src, b.dst FROM range(30) a(src), range(30) b(dst)
+        |WHERE a.src < b.dst AND a.src // 6 = b.dst // 6""".stripMargin,
+
+    "q17_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem
+        |    UNION ALL
+        |    SELECT l_partkey AS src, l_orderkey AS dst FROM lineitem)
+        |  WHERE src < dst)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+
+    "q18_connected_components" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CAST(n_nationkey AS BIGINT) AS component FROM nation
+        |WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 100000 AS BIGINT),
+        |       CAST(s_nationkey AS BIGINT) FROM supplier""".stripMargin,
+
+    "q19_supplier_degrees" ->
+      """SELECT id, count(*) AS degree FROM (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS id FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey + 100000 AS BIGINT) FROM supplier)
+        |GROUP BY id""".stripMargin
+  )
+}

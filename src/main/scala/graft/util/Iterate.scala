@@ -1,0 +1,54 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Lineage control for iterative DataFrame loops (layout, subspace
+  * iteration, cascade propagation).
+  *
+  * Three failure modes shape this helper (all observed live):
+  *  - chaining raw plans grows the Dataset's logical tree exponentially
+  *    (it is a tree, not a DAG) until the driver OOMs on plan strings;
+  *  - `localCheckpoint` truncates the plan but COPIES the origin plan's
+  *    statistics onto the new LogicalRDD leaf; in a loop whose body
+  *    joins the previous state k times the estimated sizeInBytes
+  *    compounds as size^k per iteration, and after ~7 iterations
+  *    Catalyst multiplies million-digit BigIntegers during join
+  *    selection, burning minutes of driver CPU;
+  *  - `persist + count` bounds stats (InMemoryRelation reports real
+  *    bytes) but does NOT truncate the Dataset's own logical plan, so
+  *    the tree still explodes (CacheManager renders it as a string on
+  *    every cacheQuery).
+  *
+  * The RDD round-trip is the one primitive that resets BOTH the plan
+  * (fresh LogicalRDD leaf) and the statistics (bounded default). The
+  * caller unpersists the previous handle after the next state is
+  * materialized.
+  */
+object Iterate {
+
+  /** Materialize `df`, truncating lineage AND statistics. Returns the
+    * new frame plus the persisted RDD handle for later unpersist. */
+  def checkpoint(spark: SparkSession, df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    (spark.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** Run `body` for `iters` iterations starting from `init`, with
+    * materialization and previous-state cleanup each step. */
+  def loop(spark: SparkSession, init: DataFrame, iters: Int)
+          (body: (DataFrame, Int) => DataFrame): DataFrame = {
+    var (state, handle) = checkpoint(spark, init)
+    var it = 0
+    while (it < iters) {
+      val (next, nh) = checkpoint(spark, body(state, it))
+      handle.unpersist(blocking = false)
+      state = next
+      handle = nh
+      it += 1
+    }
+    state
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.Generators
+import graft.linalg.EigenInit
+import graft.layout.{Layout, LayoutConfig}
+import graft.influence.Influence
+import graft.api.GraphEm
+import graft.functions.VecOps
+
+/** Embedder/layout/influence invariants mirroring the reference's
+  * test battery (tests/test_pytorch_backend.py, test_integration.py,
+  * test_influence.py): shapes, finiteness, reproducibility, spectral
+  * properties, IC bounds and replayability. */
+class EmbeddingSpec extends SparkSpec {
+
+  private def finite(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.filter(exists(col("pos"), x => x.isNaN || x === Double.PositiveInfinity ||
+      x === Double.NegativeInfinity)).isEmpty
+
+  test("eigen init: shape (n, k), finite, deterministic") {
+    val g = Generators.roadNetwork(spark, 3, 3)
+    val p1 = EigenInit.init(spark, g, 9, 2, seed = 1)
+    assert(p1.count() == 9)
+    assert(p1.filter(size(col("pos")) =!= 2).isEmpty)
+    assert(finite(p1))
+    val p2 = EigenInit.init(spark, g, 9, 2, seed = 1)
+    assert(p1.exceptAll(p2).isEmpty)
+  }
+
+  test("eigen init: Fiedler vector of a path has exactly one sign change") {
+    // path 0-1-2-...-7 = balanced tree with r=1. The normalized-Laplacian
+    // Fiedler vector is NOT monotone along the path (the D^{1/2} weighting
+    // shrinks the endpoints), but its nodal-domain property — a single
+    // sign change — is exact.
+    val path = Generators.balancedTree(spark, 1, 7)
+    val pos = EigenInit.init(spark, path, 8, 1, seed = 2)
+    val fiedler = pos.orderBy("id").collect()
+      .map(_.getSeq[Double](1).head)
+    val changes = fiedler.sliding(2).count { case Array(a, b) => a.sign != b.sign }
+    assert(changes == 1, s"expected 1 sign change: ${fiedler.mkString(",")}")
+  }
+
+  test("eigen init: components of one eigenvector are orthogonal-ish and unit-ish") {
+    val g = Generators.roadNetwork(spark, 4, 4)
+    val pos = EigenInit.init(spark, g, 16, 3, seed = 3)
+    val dots = pos.agg(
+      sum(element_at(col("pos"), 1) * element_at(col("pos"), 2)).as("d12"),
+      sum(element_at(col("pos"), 1) * element_at(col("pos"), 1)).as("d11")).collect()(0)
+    assert(math.abs(dots.getDouble(0)) < 1e-6)
+    assert(math.abs(dots.getDouble(1) - 1.0) < 1e-6)
+  }
+
+  test("random fallback positions: shape and determinism") {
+    val p1 = EigenInit.randomPositions(spark, 20, 3, 7)
+    assert(p1.count() == 20)
+    assert(finite(p1))
+    assert(p1.exceptAll(EigenInit.randomPositions(spark, 20, 3, 7)).isEmpty)
+  }
+
+  test("layout: positions move, stay finite and normalized") {
+    val g = Generators.roadNetwork(spark, 5, 5)
+    val cfg = LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = 5,
+      sampleSize = 64, nNeighbors = 5, seed = 4)
+    val init = EigenInit.init(spark, g, 25, 2, seed = 4)
+    val out = Layout.run(spark, g, init, cfg)
+    assert(out.count() == 25)
+    assert(finite(out))
+    // A4 normalization: per-dim mean ~0, sample std ~1
+    val st = out.agg(
+      avg(element_at(col("pos"), 1)).as("m"),
+      stddev_samp(element_at(col("pos"), 1)).as("s")).collect()(0)
+    assert(math.abs(st.getDouble(0)) < 1e-6)
+    assert(math.abs(st.getDouble(1) - 1.0) < 0.01)
+    // moved from init
+    assert(out.exceptAll(init).count() > 0)
+  }
+
+  test("layout: reproducible for same seed") {
+    val g = Generators.roadNetwork(spark, 4, 4)
+    val cfg = LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = 3,
+      sampleSize = 32, nNeighbors = 4, seed = 5)
+    val a = Layout.run(spark, g, EigenInit.init(spark, g, 16, 2, seed = 5), cfg)
+    val b = Layout.run(spark, g, EigenInit.init(spark, g, 16, 2, seed = 5), cfg)
+    assert(a.exceptAll(b).isEmpty)
+  }
+
+  test("knn exact: k neighbors per query, no self-match") {
+    val g = Layout.withEdgeIds(Generators.roadNetwork(spark, 4, 4))
+    val pos = EigenInit.init(spark, g.select("src", "dst"), 16, 2, seed = 6)
+    val mids = Layout.midpoints(g, pos)
+    val knn = Layout.knnExact(Layout.sampleMidpoints(mids, 5, 1), mids, 3)
+    val counts = knn.groupBy("qid").count().select("count").distinct().collect()
+    assert(counts.length == 1 && counts(0).getLong(0) == 3)
+    assert(knn.filter(col("qid") === col("rid")).isEmpty)
+  }
+
+  test("independent cascade: p=1 floods the component, p=0 stays at seeds") {
+    val path = Generators.balancedTree(spark, 1, 4) // path of 5 nodes
+    import spark.implicits._
+    val seeds = Seq(0L).toDF("id")
+    assert(Influence.estimatedInfluence(spark, path, seeds, 1.0) == 5)
+    assert(Influence.estimatedInfluence(spark, path, seeds, 0.0) == 1)
+    val mid = Influence.estimatedInfluence(spark, path, seeds, 0.6, seed = 3)
+    assert(mid >= 1 && mid <= 5)
+    // replayable
+    assert(mid == Influence.estimatedInfluence(spark, path, seeds, 0.6, seed = 3))
+  }
+
+  test("seed selection: top-k by radius") {
+    import spark.implicits._
+    val pos = Seq((0L, Array(3.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(2.0, 2.0)), (3L, Array(0.1, 0.1))).toDF("id", "pos")
+    val seeds = Influence.selectSeeds(pos, 2).collect().map(_.getLong(0))
+    assert(seeds.toSet == Set(0L, 2L))
+  }
+
+  test("greedy seeds: finds the hub of a star") {
+    import spark.implicits._
+    // star: 0 center, 1..8 leaves
+    val star = (1 to 8).map(i => (0L, i.toLong)).toDF("src", "dst")
+    // p=1, one round: the hub reaches all 9 nodes, any leaf only 2 —
+    // a deterministic margin independent of the hash-RNG draw.
+    val picked = Influence.greedySeeds(spark, star, 1, 1.0, simRounds = 1,
+      candidatePool = 9, seed = 1).collect().map(_.getLong(0))
+    assert(picked.head == 0L)
+  }
+
+  test("end-to-end facade: grid layout, seeds, influence, radius-degree correlation") {
+    val g = Generators.roadNetwork(spark, 5, 5)
+    val em = GraphEm(spark, g, LayoutConfig(nComponents = 2, LMin = 1.0,
+      numIterations = 5, sampleSize = 64, nNeighbors = 5, seed = 8))
+    assert(em.nVertices == 25)
+    em.runLayout()
+    val seeds = em.selectSeeds(5)
+    assert(seeds.count() == 5)
+    val infl = em.estimateInfluence(seeds, 0.3)
+    assert(infl >= 5 && infl <= 25)
+    // ρ(radius, degree) must be computable (t1 smoke shape, SURVEY §7)
+    val radii = em.positions.select(col("id"), VecOps.norm(col("pos")).as("r"))
+    val degs = graft.model.GraphOps.degrees(g)
+    val rho = radii.join(degs, "id").agg(corr(col("r"), col("degree"))).collect()(0)
+    assert(!rho.isNullAt(0))
+  }
+}
