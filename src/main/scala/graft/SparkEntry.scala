@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracleSql),
-      (_root_.graft.queries.GraphQueries.queries, _root_.graft.queries.GraphQueries.oracleSql)
+      (_root_.graft.queries.GraphQueries.queries, _root_.graft.queries.GraphQueries.oracleSql),
+      (_root_.graft.queries.PipelineQueries.queries, _root_.graft.queries.PipelineQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash. All deterministic
+  * (hash-based, no RNG state) so results replay identically on any
+  * cluster topology.
+  *
+  * Scale notes: exact dedup is one hash aggregate on a fingerprint
+  * column (never on raw text). The Jaccard path joins on shared
+  * shingles — quadratic only within a shingle's posting list, the
+  * standard bound. MinHash/LSH replaces that with band-bucket joins:
+  * candidate pairs are generated per band key (O(dups) not O(n²)) and
+  * then verified with the true Jaccard.
+  */
+object Dedup {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (distinct), 0-based Spark array indexing. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(t) - n, lit(-1))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+  }
+
+  /** Exact dedup: keep the smallest id per identical text. The group
+    * key is md5(text) so the shuffle carries 16 bytes, not documents. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Sorted-token fingerprint: collapses word-order permutations —
+    * the rolling-hash document fingerprint analog, SQL-parity form. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))).as("fingerprint"))
+
+  /** All-pairs n-gram Jaccard ≥ threshold via shared-shingle join.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("id").as("id_a"), col("s"))
+      .join(sh.select(col("id").as("id_b"), col("s")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "nb"), "id_b")
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: k minimums of xxhash64(shingle, salt) — one
+    * aggregate, no per-row UDF. Returns (id, sig array<long> of k). */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: k hashes in `bands` bands of k/bands rows;
+    * docs sharing any band bucket become candidates; candidates are
+    * verified against the true Jaccard. Returns verified pairs
+    * (id_a, id_b, jaccard ≥ threshold). */
+  def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.5, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, n, k, idCol, textCol)
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((b * rows until (b + 1) * rows).map(i =>
+          element_at(col("sig"), i + 1)): _*)): _*)).as(Seq("band", "bucket")))
+    val cands = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify candidates with true n-gram Jaccard
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "nb"), "id_b")
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint: per token-hash bit, +1/-1 vote; sign of
+    * the vote sum sets the bit. Pure column expressions (codegen'd). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b"))
+    tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, bucketed by
+    * 16-bit chunks (a pair within distance d ≤ 3 shares at least one of
+    * 4 chunks exactly — pigeonhole), avoiding the O(n²) compare. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "key")))
+    val cands = chunked.select(col("chunk"), col("key"),
+      col("id").as("id_a"), col("simhash").as("ha"))
+      .join(chunked.select(col("chunk"), col("key"),
+        col("id").as("id_b"), col("simhash").as("hb")), Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+    cands.withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

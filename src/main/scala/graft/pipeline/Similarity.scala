@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VecOps
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - brute-force cosine top-k: exact baseline — cross join + window
+  *    group-limit (Spark 4 rewrites rn<=k to a per-partition top-k).
+  *  - sign-LSH (random hyperplane) bucketed top-k: the scale path —
+  *    candidates only within matching signature buckets; hyperplanes
+  *    are hash-seeded so the index is deterministic and rebuildable on
+  *    any cluster.
+  *  - IVF-style coarse quantization via MLlib KMeans: search within the
+  *    nearest `nProbe` centroids, mirroring the reference's
+  *    brute→ivf_flat→ivf_pq ladder (embedder_cuvs.py:264-272).
+  */
+object Similarity {
+
+  /** Cosine over float arrays computed in double (both engines see the
+    * same float inputs → identical doubles → identical sums). */
+  def cosineD(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    VecOps.dot(ad, bd) / (sqrt(VecOps.sqNorm(ad)) * sqrt(VecOps.sqNorm(bd)) + lit(1e-12))
+  }
+
+  /** Exact top-k cosine neighbors for each query id. Ordering ties are
+    * broken by neighbor id so results are engine-independent. */
+  def bruteForceTopK(queries: DataFrame, refs: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val r = refs.select(col(idCol).as("rid"), col(vecCol).as("rv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
+    q.join(r, col("qid") =!= col("rid"))
+      .withColumn("cos", round(cosineD(col("qv"), col("rv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rid"), col("cos"), col("rn"))
+  }
+
+  /** Deterministic hash-seeded gaussian hyperplanes (driver-built,
+    * broadcast as literals: nBits × dim doubles). */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-LSH signature: bit b = sign(v · h_b). */
+  def signLshSignature(vecCol: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, b) =>
+      val dot = h.zipWithIndex.map { case (w, i) =>
+        element_at(vecCol, i + 1).cast("double") * lit(w) }.reduce(_ + _)
+      when(dot > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: candidates share the full nBits signature OR any
+    * of the `bands` signature bands; exact cosine re-ranks candidates.
+    * Recall rises with bands; cost stays near-linear in matches. */
+  def lshTopK(vectors: DataFrame, k: Int, nBits: Int = 16, bands: Int = 4,
+              seed: Long = 42, idCol: String = "vec_id",
+              vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    require(nBits % bands == 0)
+    val width = nBits / bands
+    val planes = hyperplanes(nBits, dim, seed)
+    val sig = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", signLshSignature(col("v"), planes))
+    val banded = sig.select(col("id"), col("v"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * width)
+          .bitwiseAND((1L << width) - 1)): _*)).as(Seq("band", "key")))
+    val cands = banded.select(col("band"), col("key"), col("id").as("qid"), col("v").as("qv"))
+      .join(banded.select(col("band"), col("key"), col("id").as("rid"), col("v").as("rv")),
+        Seq("band", "key"))
+      .filter(col("qid") =!= col("rid"))
+      .select("qid", "qv", "rid", "rv").distinct()
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
+    cands.withColumn("cos", round(cosineD(col("qv"), col("rv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rid"), col("cos"), col("rn"))
+  }
+
+  /** IVF-style coarse index: KMeans centroids (seeded), queries probe
+    * their nearest `nProbe` clusters, exact re-rank inside. */
+  def ivfTopK(spark: SparkSession, vectors: DataFrame, k: Int, nLists: Int = 16,
+              nProbe: Int = 2, seed: Long = 42, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(v)
+    val centers = model.clusterCenters.zipWithIndex
+    val assigned = model.transform(v).withColumnRenamed("prediction", "list")
+    // each query probes its nProbe nearest centroids
+    val centDf = spark.createDataFrame(
+      centers.map { case (c, i) => (i, c.toArray) }.toSeq.asInstanceOf[Seq[(Int, Array[Double])]]
+    ).toDF("list", "center")
+    val qProbe = assigned.select(col("id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("d2", VecOps.sqDist(transform(col("qv"), x => x.cast("double")), col("center")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d2").asc, col("list").asc)))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("qv"), col("list"))
+    val refs = assigned.select(col("id").as("rid"), col("v").as("rv"), col("list"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
+    qProbe.join(refs, "list")
+      .filter(col("qid") =!= col("rid"))
+      .select("qid", "qv", "rid", "rv").distinct()
+      .withColumn("cos", round(cosineD(col("qv"), col("rv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rid"), col("cos"), col("rn"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold form). */
+  def cosinePairs(vectors: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosineD(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

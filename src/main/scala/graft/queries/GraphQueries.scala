@@ -101,6 +101,42 @@ object GraphQueries {
       val pr = GxGraph.fromEdges(rdd, 0).staticPageRank(10).vertices
       s.createDataFrame(pr).toDF("id", "rank")
         .select(col("id"), round(col("rank"), 6).as("rank"))
+    }),
+
+    // L6 closeness (parallel BFS over broadcast CSR); the supplier graph
+    // is a disjoint union of stars, so the oracle is the closed form.
+    "q35_closeness" -> ((s, d) => {
+      val g = supplierGraph(s, d)
+      val (verts, edges) = GraphOps.relabel(g)
+      val n = verts.count()
+      graft.metrics.Centralities.closeness(s, edges, n)
+        .join(verts.withColumnRenamed("id", "orig").withColumnRenamed("idx", "id"), "id")
+        .select(col("orig").as("id"), round(col("closeness"), 6).as("closeness"))
+    }),
+
+    // L6 betweenness (parallel Brandes over broadcast CSR), same oracle
+    // structure (star centers only).
+    "q36_betweenness" -> ((s, d) => {
+      val g = supplierGraph(s, d)
+      val (verts, edges) = GraphOps.relabel(g)
+      val n = verts.count()
+      graft.metrics.Centralities.betweenness(s, edges, n)
+        .join(verts.withColumnRenamed("id", "orig").withColumnRenamed("idx", "id"), "id")
+        .select(col("orig").as("id"), round(col("betweenness"), 9).as("betweenness"))
+    }),
+
+    // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
+    // benchmark_correlations pipeline shape (rows-only; q13 covers the
+    // rank-correlation kernel against the oracle).
+    "q37_rank_corr" -> ((s, d) => {
+      val g = supplierGraph(s, d)
+      val pr = queries("q23_pagerank")(s, d)
+      val deg = GraphOps.degrees(g)
+      import org.apache.spark.sql.{functions => F}
+      val joined = pr.join(deg, "id")
+      val rho = graft.metrics.Correlation.spearman(joined, "rank", "degree")
+      import s.implicits._
+      Seq(rho).toDF("rho").select(F.round(col("rho"), 6).as("rho"))
     })
   )
 
@@ -141,6 +177,29 @@ object GraphQueries {
         |  SELECT CAST(s_nationkey AS BIGINT) AS id FROM supplier
         |  UNION ALL
         |  SELECT CAST(s_suppkey + 100000 AS BIGINT) FROM supplier)
-        |GROUP BY id""".stripMargin
+        |GROUP BY id""".stripMargin,
+
+    // The supplier graph is a disjoint union of per-nation stars:
+    // Wasserman-Faust closeness and Brandes betweenness have closed
+    // forms. N = nations-with-suppliers + suppliers; s_u = star size.
+    "q35_closeness" ->
+      """WITH su AS (SELECT s_nationkey AS nk, count(*) AS s FROM supplier GROUP BY 1),
+        |nn AS (SELECT (SELECT count(*) FROM su) + (SELECT count(*) FROM supplier) AS n)
+        |SELECT CAST(nk AS BIGINT) AS id,
+        |  round((s * 1.0 / (n - 1)) * 1.0, 6) AS closeness
+        |FROM su, nn
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 100000 AS BIGINT),
+        |  round((su.s * 1.0 / (n - 1)) * (su.s * 1.0 / (1 + 2 * (su.s - 1))), 6)
+        |FROM supplier JOIN su ON su.nk = s_nationkey, nn""".stripMargin,
+
+    "q36_betweenness" ->
+      """WITH su AS (SELECT s_nationkey AS nk, count(*) AS s FROM supplier GROUP BY 1),
+        |nn AS (SELECT (SELECT count(*) FROM su) + (SELECT count(*) FROM supplier) AS n)
+        |SELECT CAST(nk AS BIGINT) AS id,
+        |  round(s * (s - 1.0) / ((n - 1.0) * (n - 2.0)), 9) AS betweenness
+        |FROM su, nn
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 100000 AS BIGINT), 0.0 FROM supplier""".stripMargin
   )
 }

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline surface as driver-checkable queries over the
+  * documents/embeddings tables: dedup (exact, fingerprint, n-gram
+  * Jaccard, MinHash-LSH, SimHash), similarity search (brute-force,
+  * sign-LSH), text analysis (tokens, quality, language ID), multimodal
+  * decode plumbing. Hash-function-dependent ops (xxhash64) have no
+  * DuckDB equivalent → rows-only; everything md5/arithmetic-based is
+  * oracle-checked.
+  */
+object PipelineQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d))),
+
+    "q25_fingerprint" -> ((s, d) =>
+      Dedup.fingerprint(Tables.documents(s, d))),
+
+    "q26_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.10)),
+
+    "q27_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), n = 3, k = 64, bands = 16,
+        threshold = 0.10).orderBy("id_a", "id_b")),
+
+    "q28_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 16)
+        .orderBy("id_a", "id_b")),
+
+    "q29_ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e, k = 5)
+    }),
+
+    "q30_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), k = 5, nBits = 16,
+        bands = 4).orderBy("qid", "rn")),
+
+    "q31_text_quality" -> ((s, d) =>
+      TextAnalysis.keepDecision(Tables.documents(s, d))
+        .select("doc_id", "n_words", "mean_word_len", "punct_ratio",
+          "stopword_ratio", "repetition", "keep")),
+
+    "q32_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))),
+
+    "q33_token_counts" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).as("n_words"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    "q34_media_features" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(Tables.documents(s, d))
+      Multimodal.decodeFeatures(s, media, featDim = 16)
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          round(aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q25_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(
+        |  list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q26_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10""".stripMargin,
+
+    "q29_ann_topk" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS qid, r.vec_id AS rid,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings q JOIN embeddings r ON q.vec_id <> r.vec_id
+        |  WHERE q.vec_id < 50),
+        |ranked AS (SELECT qid, rid, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, rid ASC) AS rn
+        |  FROM pairs)
+        |SELECT qid, rid, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
+
+    "q31_text_quality" ->
+      """WITH f AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  round(length(replace(text, ' ', '')) * 1.0 /
+        |    greatest(len(string_split(text, ' ')), 1), 6) AS mean_word_len,
+        |  round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0 /
+        |    greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(list_filter(string_split(lower(text), ' '),
+        |    x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+        |    * 1.0 / greatest(len(string_split(lower(text), ' ')), 1), 6) AS stopword_ratio,
+        |  round(1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 /
+        |    greatest(len(string_split(text, ' ')), 1), 6) AS repetition
+        |FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
+        |  repetition,
+        |  (n_words >= 5 AND punct_ratio < 0.1931 AND repetition < 0.5931) AS keep
+        |FROM f""".stripMargin,
+
+    "q32_langid" ->
+      """WITH r AS (SELECT doc_id,
+        |  len(list_filter(string_split(lower(text),' '), x -> list_contains(
+        |    ['the','a','of','and','to','in','is','it','that','for'], x))) * 1.0
+        |    / greatest(len(string_split(lower(text),' ')), 1) AS en,
+        |  len(list_filter(string_split(lower(text),' '), x -> list_contains(
+        |    ['der','die','das','und','ist','ein','nicht','mit','zu','den'], x))) * 1.0
+        |    / greatest(len(string_split(lower(text),' ')), 1) AS de,
+        |  len(list_filter(string_split(lower(text),' '), x -> list_contains(
+        |    ['le','la','les','et','est','un','une','pas','pour','que'], x))) * 1.0
+        |    / greatest(len(string_split(lower(text),' ')), 1) AS fr
+        |FROM documents)
+        |SELECT doc_id, CASE WHEN greatest(en, de, fr) = 0.0 THEN 'und'
+        |  WHEN en >= de AND en >= fr THEN 'en'
+        |  WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred FROM r""".stripMargin,
+
+    "q33_token_counts" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+        |FROM documents""".stripMargin
+  )
+}

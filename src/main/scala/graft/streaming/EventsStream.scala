@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming (SURVEY.md §2.9); this is the
+  * forward-looking extension the testdata's events table invites:
+  * tumbling-window aggregates with watermarked late-data handling, the
+  * batch-equivalent of q11_events_hourly. The same transform function
+  * serves both `read` and `readStream` inputs — single definition,
+  * batch-checked by the DuckDB oracle, stream-checked by the
+  * streaming spec.
+  */
+object EventsStream {
+
+  /** events schema as Spark reads it with nanosAsLong (ts: long nanos,
+    * normalized to timestamp inside `transform`). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+
+  /** Hourly tumbling-window aggregate — identical semantics batch or
+    * stream (window() is the streaming-safe form of date_trunc). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    normalizeTs(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("v"))
+
+  /** Batch entry: read the parquet and aggregate. */
+  def batch(spark: SparkSession, dir: String): DataFrame =
+    hourlyAgg(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** Streaming entry: treat the directory as a file stream (only the
+    * events files; the file source requires a directory path). */
+  def stream(spark: SparkSession, dir: String): DataFrame =
+    hourlyAgg(spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events*.parquet").parquet(dir))
+
+  /** Run the stream to completion against a static dir via the memory
+    * sink; returns the materialized result table. */
+  def runToMemory(spark: SparkSession, dir: String, name: String = "events_hourly"): DataFrame = {
+    val q = stream(spark, dir).writeStream
+      .format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventsStream
+
+/** Invariant specs for the training-data pipeline operators, including
+  * planted-duplicate recall for every dedup family. */
+class PipelineSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf)
+
+  /** documents plus a near-copy of doc 0 (one word changed) and an
+    * exact copy of doc 1, under fresh ids. */
+  private def docsWithPlants = {
+    val d0 = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    val d1 = docs.filter(col("doc_id") === 1)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    docs.select("doc_id", "text").union(d0).union(d1)
+  }
+
+  test("exact dedup finds the planted exact copy and nothing else") {
+    val dups = Dedup.exact(docsWithPlants).filter(col("n_copies") > 1)
+    val rows = dups.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("keep_id") == 1L)
+    assert(rows(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("jaccard pairs finds the planted near-dup at high similarity") {
+    val pairs = Dedup.jaccardPairs(docsWithPlants, n = 3, threshold = 0.5)
+    val hit = pairs.filter(col("id_a") === 0 && col("id_b") === 10000).collect()
+    assert(hit.length == 1, "near-dup of doc 0 not found")
+    assert(hit(0).getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("minhash-LSH finds the same planted near-dup as exact jaccard") {
+    val lsh = Dedup.minhashLsh(docsWithPlants, n = 3, k = 64, bands = 16,
+      threshold = 0.5)
+    assert(lsh.filter(col("id_a") === 0 && col("id_b") === 10000).count() == 1)
+    // exact copy pair too (jaccard 1.0)
+    assert(lsh.filter(col("id_a") === 1 && col("id_b") === 10001).count() == 1)
+    // LSH candidates are a subset: every verified pair must also pass
+    // the brute-force threshold
+    val brute = Dedup.jaccardPairs(docsWithPlants, 3, 0.5)
+      .select("id_a", "id_b")
+    assert(lsh.select("id_a", "id_b").exceptAll(brute).isEmpty)
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups close") {
+    val sh = Dedup.simhash(docsWithPlants)
+    val h1 = sh.filter(col("id") === 1).collect()(0).getLong(1)
+    val h1c = sh.filter(col("id") === 10001).collect()(0).getLong(1)
+    assert(h1 == h1c)
+    val pairs = Dedup.simhashPairs(docsWithPlants, maxDist = 3)
+    assert(pairs.filter(col("id_a") === 1 && col("id_b") === 10001).count() == 1)
+  }
+
+  test("brute-force ANN: k rows per query, self excluded, ordered") {
+    val e = Tables.embeddings(spark, sf)
+    val topk = Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, 3).cache()
+    assert(topk.groupBy("qid").count().filter(col("count") =!= 3).isEmpty)
+    assert(topk.filter(col("qid") === col("rid")).isEmpty)
+    // rn=1 has max cos per group
+    val bad = topk.groupBy("qid").agg(max("cos").as("m"))
+      .join(topk.filter(col("rn") === 1), "qid")
+      .filter(col("cos") =!= col("m"))
+    assert(bad.isEmpty)
+    topk.unpersist()
+  }
+
+  test("LSH ANN recall: top-1 from sign-LSH appears in brute-force top-5") {
+    val e = Tables.embeddings(spark, sf)
+    val brute = Similarity.bruteForceTopK(e, e, 5).select("qid", "rid")
+    val lsh = Similarity.lshTopK(e, k = 1).select("qid", "rid")
+    val n = lsh.count()
+    val hits = lsh.join(brute, Seq("qid", "rid"), "left_semi").count()
+    assert(n > 0)
+    assert(hits.toDouble / n > 0.5, s"LSH recall too low: $hits/$n")
+  }
+
+  test("IVF ANN returns k neighbors and beats random recall") {
+    val e = Tables.embeddings(spark, sf)
+    val ivf = Similarity.ivfTopK(spark, e, k = 3, nLists = 8, nProbe = 2)
+    assert(ivf.filter(col("rn") === 1).count() > 0)
+    val brute = Similarity.bruteForceTopK(e, e, 3).select("qid", "rid")
+    val hits = ivf.filter(col("rn") === 1).select("qid", "rid")
+      .join(brute, Seq("qid", "rid"), "left_semi").count()
+    val n = ivf.filter(col("rn") === 1).count()
+    assert(hits.toDouble / n > 0.3, s"IVF recall too low: $hits/$n")
+  }
+
+  test("language ID identifies constructed en/de/fr sentences") {
+    // the testdata lang column is a random label over one shared
+    // vocabulary (verified: de/zh/es rows contain English stopwords),
+    // so the check uses real-language fixtures instead.
+    import spark.implicits._
+    val fixtures = Seq(
+      ("the cat is in the garden and it is happy", "en"),
+      ("der hund ist nicht mit der katze und das ist gut", "de"),
+      ("le chat est dans le jardin et il est content pas une", "fr"),
+      ("xyzzy plugh quux", "und")).toDF("text", "expected")
+    val pred = fixtures.select(col("expected"),
+      TextAnalysis.languageId(col("text")).as("p")).collect()
+    pred.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+    // and it runs over the documents table without error
+    assert(docs.select(TextAnalysis.languageId(col("text"))).count() == docs.count())
+  }
+
+  test("quality features are bounded and deterministic") {
+    val q = TextAnalysis.qualityScore(docs)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).isEmpty)
+    assert(q.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).isEmpty)
+    assert(q.filter(col("repetition") < 0 || col("repetition") > 1).isEmpty)
+  }
+
+  test("multimodal decode: schema, determinism, batch plumbing") {
+    val media = Multimodal.syntheticMedia(docs)
+    val f1 = Multimodal.decodeFeatures(spark, media, featDim = 16, batchSize = 32)
+    assert(f1.schema.fieldNames.toSeq ==
+      Seq("media_id", "modality", "n_bytes", "features"))
+    assert(f1.count() == docs.count())
+    assert(f1.filter(size(col("features")) =!= 16).isEmpty)
+    // batch size must not affect results
+    val f2 = Multimodal.decodeFeatures(spark, media, featDim = 16, batchSize = 7)
+    assert(f1.exceptAll(f2).isEmpty)
+    // frame sampling only for video rows
+    val frames = Multimodal.frameSample(media)
+    assert(frames.count() > 0)
+    assert(frames.join(media.filter(col("modality") =!= "video")
+      .select("media_id"), "media_id", "left_semi").isEmpty)
+  }
+
+  test("streaming hourly agg equals the batch aggregate") {
+    val batch = EventsStream.batch(spark, sf).cache()
+    val streamed = EventsStream.runToMemory(spark, sf)
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    batch.unpersist()
+  }
+}
