@@ -20,7 +20,13 @@ case class LayoutConfig(
     /** exact kNN (cross-join + window top-k) below this many midpoints,
       * LSH above — mirrors the reference's brute-force→ANN switch
       * (embedder_cuvs.py:255-272). */
-    exactKnnMaxRef: Long = 200000L)
+    exactKnnMaxRef: Long = 200000L,
+    /** broadcast the positions table into gathers below this vertex
+      * count; above it, gathers shuffle-join (positions no longer fit
+      * an executor). The checkpointed positions leaf reports the
+      * default (unbounded) size estimate, so without the explicit hint
+      * Catalyst picks sort-merge even for 500 rows. */
+    broadcastPosMax: Long = 5000000L)
 
 /** Force-directed layout with edge-crossing repulsion — the reference's
   * engine core (embedder_pytorch.py:595-833) as one declarative
@@ -40,52 +46,79 @@ object Layout {
   def withEdgeIds(edges: DataFrame): DataFrame =
     edges.withColumn("eid", xxhash64(col("src"), col("dst")))
 
-  /** J1 gather: edge rows with both endpoint positions. `pos` is
-    * broadcast when small enough; Spark's AQE demotes to sort-merge
-    * automatically above the threshold. */
-  def gather(edges: DataFrame, pos: DataFrame): DataFrame =
+  /** J1 gather: edge rows with both endpoint positions. */
+  def gather(edges: DataFrame, pos: DataFrame, bcast: Boolean = true): DataFrame = {
+    def side(df: DataFrame) = if (bcast) broadcast(df) else df
     edges
-      .join(pos.select(col("id").as("src"), col("pos").as("p1")), "src")
-      .join(pos.select(col("id").as("dst"), col("pos").as("p2")), "dst")
-
-  /** A2 spring forces: per-edge Hooke force accumulated on both
-    * endpoints with opposite signs (embedder_pytorch.py:595-636).
-    * Returns (id, f: array<double>). */
-  def springForces(edges: DataFrame, pos: DataFrame, cfg: LayoutConfig): DataFrame = {
-    val g = gather(edges, pos)
-      .withColumn("diff", VecOps.sub(col("p2"), col("p1")))
-      .withColumn("dist", VecOps.norm(col("diff")) + lit(1e-6))
-      .withColumn("coef", lit(cfg.kAttr) * (col("dist") - lit(cfg.LMin)) / col("dist"))
-      .select(col("src"), col("dst"), VecOps.scale(col("diff"), col("coef")).as("f"))
-    val contrib = g.select(col("src").as("id"), col("f"))
-      .union(g.select(col("dst").as("id"), VecOps.scale(col("f"), lit(-1.0)).as("f")))
-    VecOps.sumVecBy(contrib, "id", cfg.nComponents, "f")
+      .join(side(pos.select(col("id").as("src"), col("pos").as("p1"))), "src")
+      .join(side(pos.select(col("id").as("dst"), col("pos").as("p2"))), "dst")
   }
 
+  /** A2 spring force contributions: per-edge Hooke force emitted for
+    * both endpoints with opposite signs (embedder_pytorch.py:595-636).
+    * Returns UNAGGREGATED (id, f) rows — step() fuses all force streams
+    * into a single scatter-add shuffle.
+    *
+    * Emission uses explode(array(struct..)) — ONE pass over the edge
+    * pipeline. A union of two selects re-executes the whole gather
+    * subtree per branch (Catalyst plans are trees, not DAGs); with the
+    * kNN inside, that multiplied iteration cost ~4×. Force math is
+    * fixed-dimension column arithmetic, fully codegen'd. */
+  def springContrib(edges: DataFrame, pos: DataFrame, cfg: LayoutConfig,
+                    bcast: Boolean = true): DataFrame = {
+    val d = cfg.nComponents
+    val diffs = (0 until d).map(i =>
+      (element_at(col("p2"), i + 1) - element_at(col("p1"), i + 1)).as(s"d$i"))
+    val dist = sqrt((0 until d).map(i => col(s"d$i") * col(s"d$i")).reduce(_ + _)) + lit(1e-6)
+    val g = gather(edges, pos, bcast)
+      .select(Seq(col("src"), col("dst")) ++ diffs: _*)
+      .withColumn("coef", lit(cfg.kAttr) * (dist - lit(cfg.LMin)) / dist)
+    val fPos = array((0 until d).map(i => col(s"d$i") * col("coef")): _*)
+    val fNeg = array((0 until d).map(i => -col(s"d$i") * col("coef")): _*)
+    g.select(explode(array(
+      struct(col("src").as("id"), fPos.as("f")),
+      struct(col("dst").as("id"), fNeg.as("f")))).as("c"))
+      .select(col("c.id").as("id"), col("c.f").as("f"))
+  }
+
+  /** Aggregated spring forces (kept for direct use/tests). */
+  def springForces(edges: DataFrame, pos: DataFrame, cfg: LayoutConfig): DataFrame =
+    VecOps.sumVecBy(springContrib(edges, pos, cfg), "id", cfg.nComponents, "f")
+
   /** Edge midpoints (embedder_pytorch.py:784-785): (eid, src, dst, mid). */
-  def midpoints(edgesWithId: DataFrame, pos: DataFrame): DataFrame =
-    gather(edgesWithId, pos)
+  def midpoints(edgesWithId: DataFrame, pos: DataFrame,
+                bcast: Boolean = true): DataFrame =
+    gather(edgesWithId, pos, bcast)
       .select(col("eid"), col("src"), col("dst"),
         VecOps.midpoint(col("p1"), col("p2")).as("mid"))
 
-  /** W4 deterministic sample of s midpoints (embedder_pytorch.py:406-413):
-    * hash-ordered limit — same rows for the same (seed, iter) anywhere. */
-  def sampleMidpoints(mids: DataFrame, s: Int, seed: Long): DataFrame =
-    mids.orderBy(hashUniform(seed, col("eid")).asc, col("eid").asc).limit(s)
+  /** W4 deterministic sample of ~s midpoints (embedder_pytorch.py:406-413)
+    * via hash thresholding: expected s rows, exactly reproducible for a
+    * (seed, iter), and NO global sort — a pure narrow filter, unlike
+    * orderBy().limit() which shuffles every midpoint each iteration.
+    * `refCount` is the midpoint population m. */
+  def sampleMidpoints(mids: DataFrame, s: Int, seed: Long, refCount: Long): DataFrame =
+    if (refCount <= s) mids
+    else mids.filter(hashUniform(seed, col("eid")) < s.toDouble / refCount)
 
   /** J3 exact kNN: sampled query midpoints × all reference midpoints,
     * per-query top-k by squared distance (embedder_pytorch.py:543-593 as
     * cross join + WindowGroupLimit; Spark 4 rewrites rn<=k into a
     * per-partition top-k, never materializing the full sort). Self-match
     * dropped (embedder_pytorch.py:420-421). */
-  def knnExact(queries: DataFrame, refs: DataFrame, k: Int): DataFrame = {
+  def knnExact(queries: DataFrame, refs: DataFrame, k: Int, dim: Int = 3): DataFrame = {
     val q = queries.select(col("eid").as("qid"), col("src").as("qsrc"),
       col("dst").as("qdst"), col("mid").as("qmid"))
     val r = refs.select(col("eid").as("rid"), col("src").as("rsrc"),
       col("dst").as("rdst"), col("mid").as("rmid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("rid").asc)
+    // d2 computed pre-shuffle and the midpoint arrays dropped: the
+    // window exchange then carries 7 scalars/row, and Spark 4's
+    // InferWindowGroupLimit keeps only the per-partition top-k before
+    // the exchange — the m×s candidate set never shuffles in full.
     q.join(r, col("qid") =!= col("rid"))
-      .withColumn("d2", VecOps.sqDist(col("qmid"), col("rmid")))
+      .select(col("qid"), col("qsrc"), col("qdst"), col("rid"), col("rsrc"),
+        col("rdst"), VecOps.sqDistFixed(dim, col("qmid"), col("rmid")).as("d2"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
@@ -118,32 +151,44 @@ object Layout {
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
-  /** A3 intersection repulsion: for each candidate edge pair from kNN
-    * that properly intersects (P4/P5/P6), push all 4 endpoints away from
-    * the pair centroid with k_inter/d² (embedder_pytorch.py:638-736). */
-  def intersectionForces(pairs: DataFrame, pos: DataFrame, cfg: LayoutConfig): DataFrame = {
-    // gather the 4 endpoint positions (two joins on edge endpoints via
-    // the midpoints' src/dst columns carried through the kNN)
+  /** A3 intersection repulsion contributions (unaggregated): for each
+    * candidate edge pair from kNN that properly intersects (P4/P5/P6),
+    * push all 4 endpoints away from the pair centroid with k_inter/d²
+    * (embedder_pytorch.py:638-736). One explode pass — see
+    * springContrib for why unions of selects are forbidden here. */
+  def intersectionContrib(pairs: DataFrame, pos: DataFrame, cfg: LayoutConfig,
+                          bcast: Boolean = true): DataFrame = {
+    val d = cfg.nComponents
+    def side(df: DataFrame) = if (bcast) broadcast(df) else df
     val p = pairs
       .filter(col("qid") < col("rid")) // P4 i<j
       .filter(!(col("qsrc") === col("rsrc") || col("qsrc") === col("rdst") ||
         col("qdst") === col("rsrc") || col("qdst") === col("rdst"))) // P5
     val withPos = p
-      .join(pos.select(col("id").as("qsrc"), col("pos").as("p1")), "qsrc")
-      .join(pos.select(col("id").as("qdst"), col("pos").as("p2")), "qdst")
-      .join(pos.select(col("id").as("rsrc"), col("pos").as("q1")), "rsrc")
-      .join(pos.select(col("id").as("rdst"), col("pos").as("q2")), "rdst")
+      .join(side(pos.select(col("id").as("qsrc"), col("pos").as("p1"))), "qsrc")
+      .join(side(pos.select(col("id").as("qdst"), col("pos").as("p2"))), "qdst")
+      .join(side(pos.select(col("id").as("rsrc"), col("pos").as("q1"))), "rsrc")
+      .join(side(pos.select(col("id").as("rdst"), col("pos").as("q2"))), "rdst")
       .filter(VecOps.segmentsIntersect(col("p1"), col("p2"), col("q1"), col("q2"))) // P6
       .withColumn("c4", VecOps.centroid4(col("p1"), col("p2"), col("q1"), col("q2")))
-    def push(idCol: String, ptCol: String) = withPos
-      .withColumn("diff", VecOps.sub(col(ptCol), col("c4")))
-      .withColumn("d", VecOps.norm(col("diff")) + lit(1e-6))
-      .select(col(idCol).as("id"),
-        VecOps.scale(col("diff"), lit(cfg.kInter) / (col("d") * col("d"))).as("f"))
-    val contrib = push("qsrc", "p1").union(push("qdst", "p2"))
-      .union(push("rsrc", "q1")).union(push("rdst", "q2"))
-    VecOps.sumVecBy(contrib, "id", cfg.nComponents, "f")
+    val exploded = withPos.select(col("c4"), explode(array(
+      struct(col("qsrc").as("id"), col("p1").as("pt")),
+      struct(col("qdst").as("id"), col("p2").as("pt")),
+      struct(col("rsrc").as("id"), col("q1").as("pt")),
+      struct(col("rdst").as("id"), col("q2").as("pt")))).as("c"))
+      .select(col("c.id").as("id"), col("c.pt").as("pt"), col("c4"))
+    val diffs = (0 until d).map(i =>
+      (element_at(col("pt"), i + 1) - element_at(col("c4"), i + 1)).as(s"d$i"))
+    val dsq = (0 until d).map(i => col(s"d$i") * col(s"d$i")).reduce(_ + _)
+    exploded.select(Seq(col("id")) ++ diffs: _*)
+      .withColumn("dist", sqrt(dsq) + lit(1e-6))
+      .select(col("id"), array((0 until d).map(i =>
+        col(s"d$i") * lit(cfg.kInter) / (col("dist") * col("dist"))): _*).as("f"))
   }
+
+  /** Aggregated intersection forces (kept for direct use/tests). */
+  def intersectionForces(pairs: DataFrame, pos: DataFrame, cfg: LayoutConfig): DataFrame =
+    VecOps.sumVecBy(intersectionContrib(pairs, pos, cfg), "id", cfg.nComponents, "f")
 
   /** A4 center-and-scale per dimension (embedder_pytorch.py:800-804);
     * torch.std is the SAMPLE std (ddof=1) → stddev_samp. The 2·d
@@ -162,25 +207,28 @@ object Layout {
     pos.select(col("id"), array(comps: _*).as("pos"))
   }
 
-  /** One layout iteration (update_positions, embedder_pytorch.py:776-806). */
+  /** One layout iteration (update_positions, embedder_pytorch.py:776-806).
+    * Spring and intersection contributions are unioned RAW and fused
+    * into one scatter-add hash aggregate — a single force shuffle per
+    * iteration instead of three. */
   def step(spark: SparkSession, edgesWithId: DataFrame, pos: DataFrame,
-           cfg: LayoutConfig, iter: Int, refCount: Long): DataFrame = {
-    val spring = springForces(edgesWithId, pos, cfg)
-    val mids = midpoints(edgesWithId, pos)
-    val inter =
-      if (cfg.kInter == 0.0) null
+           cfg: LayoutConfig, iter: Int, refCount: Long,
+           nVertices: Long = 0L): DataFrame = {
+    val bcast = nVertices <= cfg.broadcastPosMax
+    val spring = springContrib(edgesWithId, pos, cfg, bcast)
+    val contrib =
+      if (cfg.kInter == 0.0) spring
       else {
-        val sampled = sampleMidpoints(mids, cfg.sampleSize, cfg.seed + iter)
+        val mids = midpoints(edgesWithId, pos, bcast)
+        val sampled = sampleMidpoints(mids, cfg.sampleSize, cfg.seed + iter, refCount)
         val pairs =
-          if (refCount <= cfg.exactKnnMaxRef) knnExact(sampled, mids, cfg.nNeighbors)
+          if (refCount <= cfg.exactKnnMaxRef)
+            knnExact(sampled, mids, cfg.nNeighbors, cfg.nComponents)
           else knnLsh(spark, sampled, mids, cfg.nNeighbors, cfg.nComponents, cfg.seed)
-        intersectionForces(pairs, pos, cfg)
+        spring.unionByName(intersectionContrib(pairs, pos, cfg, bcast))
       }
-    val forces =
-      if (inter == null) spring
-      else VecOps.sumVecBy(
-        spring.select(col("id"), col("f")).unionByName(inter),
-        "id", cfg.nComponents, "f")
+    val forcesRaw = VecOps.sumVecBy(contrib, "id", cfg.nComponents, "f")
+    val forces = if (bcast) broadcast(forcesRaw) else forcesRaw
     // Unnormalized move; run() checkpoints this, then applies A4
     // normalization as a lazy projection over the cached rows so the
     // force pipeline executes exactly once per iteration.
@@ -198,12 +246,41 @@ object Layout {
     // Per iteration: ONE full execution (materializing the moved
     // positions), then normalization stats + projection read the cache.
     var (pos, handle) = graft.util.Iterate.checkpoint(spark, initial)
+    val n = pos.count()
+    val d = cfg.nComponents
     var it = 0
     while (it < cfg.numIterations) {
       val (moved, mh) = graft.util.Iterate.checkpoint(
-        spark, step(spark, e, pos, cfg, it, m))
+        spark, step(spark, e, pos, cfg, it, m, n))
       handle.unpersist(blocking = false)
-      pos = normalize(moved, cfg.nComponents)
+      // A4 stats straight off the persisted rows (one lightweight RDD
+      // aggregate on cached data instead of a second SQL job). Partials
+      // are combined in PARTITION ORDER on the driver — treeAggregate's
+      // completion-order combine makes float sums run-dependent and
+      // breaks bit-reproducibility of the layout.
+      val partials = mh.mapPartitionsWithIndex { (idx, rows) =>
+        val s = new Array[Double](d); val q = new Array[Double](d); var c = 0L
+        rows.foreach { row =>
+          val p = row.getSeq[Double](1)
+          var i = 0
+          while (i < d) { s(i) += p(i); q(i) += p(i) * p(i); i += 1 }
+          c += 1
+        }
+        Iterator((idx, (s, q, c)))
+      }.collect().sortBy(_._1).map(_._2)
+      val sums = new Array[Double](d); val sqs = new Array[Double](d); var cnt = 0L
+      partials.foreach { case (s, q, c) =>
+        var i = 0
+        while (i < d) { sums(i) += s(i); sqs(i) += q(i); i += 1 }
+        cnt += c
+      }
+      val comps = (0 until d).map { i =>
+        val mean = sums(i) / cnt
+        // sample std (ddof=1) to match torch.std (embedder_pytorch.py:803)
+        val variance = if (cnt > 1) math.max(0.0, (sqs(i) - cnt * mean * mean) / (cnt - 1)) else 0.0
+        (element_at(col("pos"), i + 1) - lit(mean)) / lit(math.sqrt(variance) + 1e-6)
+      }
+      pos = moved.select(col("id"), array(comps: _*).as("pos"))
       handle = mh
       it += 1
     }

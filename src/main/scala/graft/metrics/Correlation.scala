@@ -9,21 +9,30 @@ import org.apache.spark.sql.expressions.Window
 object Correlation {
 
   /** Average tie rank (scipy.stats.rankdata 'average' — what spearmanr
-    * uses): rank = avg(row_number) over equal values.
-    *
-    * Note the two-level window: the global row_number is a single-
-    * partition sort — acceptable because correlation inputs here are
-    * per-vertex metric vectors (n rows, not edge-scale). For fact-table
-    * scale use approx ranks (percent_rank over pre-aggregated buckets).
+    * uses), computed from a cumulative count over DISTINCT values:
+    * rank(v) = cum(v) - (cnt(v)-1)/2. The unpartitioned window runs
+    * over distinct values only; joining back distributes. For data
+    * where even distinct values are huge, pre-bucket into quantiles
+    * (approximate spearman) — exactness is kept here for oracle parity.
     */
-  private def avgRank(df: DataFrame, c: String, rankCol: String): DataFrame =
-    df.withColumn("_rn", row_number().over(Window.orderBy(col(c))))
-      .withColumn(rankCol, avg(col("_rn")).over(Window.partitionBy(col(c))))
-      .drop("_rn")
+  private def avgRank(df: DataFrame, c: String, rankCol: String): DataFrame = {
+    val w = Window.orderBy(col(c))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = df.groupBy(col(c)).agg(count(lit(1)).as("_c"))
+      .withColumn(rankCol, sum("_c").over(w) - (col("_c") - 1) / 2.0)
+      .drop("_c")
+    df.join(ranks, c.replaceAll("`", "") :: Nil)
+  }
 
-  /** Spearman ρ of two columns (benchmark.py:224: scipy spearmanr). */
+  /** Spearman ρ of two columns (benchmark.py:224: scipy spearmanr).
+    * Constant columns → NaN (the reference's A11 guard,
+    * run_benchmarks.py:169-175; also keeps ANSI-mode corr from raising
+    * DIVIDE_BY_ZERO on zero variance — hit live on a constant PageRank
+    * over disjoint K2 components). */
   def spearman(df: DataFrame, x: String, y: String): Double = {
-    val ranked = avgRank(avgRank(df.select(col(x), col(y)), x, "_rx"), y, "_ry")
+    val cached = df.select(col(x), col(y))
+    if (isConstant(cached, x) || isConstant(cached, y)) return Double.NaN
+    val ranked = avgRank(avgRank(cached, x, "_rx"), y, "_ry")
     val r = ranked.agg(corr(col("_rx"), col("_ry"))).collect()(0)
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }

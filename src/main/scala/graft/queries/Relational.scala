@@ -86,9 +86,13 @@ object Relational {
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
 
+    // Anti-join against a filtered fact subset (parts never shipped in
+    // bulk) — non-vacuous on this data, and the filter pushes into the
+    // lineitem scan before the anti-join build side.
     "q08_anti_join" -> ((s, d) => {
       val p = Tables.part(s, d)
-      val li = Tables.lineitem(s, d).select(col("l_partkey").as("p_partkey"))
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+        .select(col("l_partkey").as("p_partkey"))
       p.join(li, Seq("p_partkey"), "left_anti")
         .select("p_partkey", "p_name", "p_brand")
     }),
@@ -130,16 +134,22 @@ object Relational {
         .filter(col("k") >= 50)
     }),
 
-    // A6 Spearman rank correlation with scipy-style average tie ranks:
-    // rank = avg(row_number) over equal values, then Pearson corr.
+    // A6 Spearman rank correlation with scipy-style average tie ranks.
+    // Ranks come from a cumulative count over DISTINCT values (average
+    // tie rank = cum - (cnt-1)/2), so the only unpartitioned window
+    // runs over distinct values, not rows — the full-table sort a naive
+    // row_number rank would force never happens.
     "q13_spearman" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_quantity").as("x"),
         col("l_extendedprice").as("y"))
-      val rx = avg(col("rnx")).over(Window.partitionBy(col("x")))
-      val ry = avg(col("rny")).over(Window.partitionBy(col("y")))
-      li.withColumn("rnx", row_number().over(Window.orderBy(col("x"))))
-        .withColumn("rny", row_number().over(Window.orderBy(col("y"))))
-        .withColumn("rx", rx).withColumn("ry", ry)
+      def ranks(c: String, out: String) = {
+        val w = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li.groupBy(col(c)).agg(count(lit(1)).as("_c"))
+          .withColumn(out, sum("_c").over(w) - (col("_c") - 1) / 2.0)
+          .drop("_c")
+      }
+      li.join(ranks("x", "rx"), "x").join(ranks("y", "ry"), "y")
         .agg(round(corr(col("rx"), col("ry")), 6).as("spearman_rho"))
     })
   )
@@ -191,7 +201,8 @@ object Relational {
 
     "q08_anti_join" ->
       """SELECT p_partkey, p_name, p_brand FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity > 45)""".stripMargin,
 
     "q09_degrees" ->
       """WITH e AS (

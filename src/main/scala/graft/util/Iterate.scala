@@ -28,10 +28,18 @@ import org.apache.spark.storage.StorageLevel
 object Iterate {
 
   /** Materialize `df`, truncating lineage AND statistics. Returns the
-    * new frame plus the persisted RDD handle for later unpersist. */
+    * new frame plus the persisted RDD handle for later unpersist.
+    *
+    * The RDD itself is localCheckpoint'ed, not merely persisted: a
+    * persisted RDD still serializes its full compute lineage into every
+    * downstream task binary, and chained iterations grow that closure
+    * without bound (observed: ~10 MiB task binaries by iteration 25).
+    */
   def checkpoint(spark: SparkSession, df: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val rdd = df.rdd
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.localCheckpoint()
     rdd.count()
     (spark.createDataFrame(rdd, df.schema), rdd)
   }

@@ -89,7 +89,7 @@ class EmbeddingSpec extends SparkSpec {
     val g = Layout.withEdgeIds(Generators.roadNetwork(spark, 4, 4))
     val pos = EigenInit.init(spark, g.select("src", "dst"), 16, 2, seed = 6)
     val mids = Layout.midpoints(g, pos)
-    val knn = Layout.knnExact(Layout.sampleMidpoints(mids, 5, 1), mids, 3)
+    val knn = Layout.knnExact(Layout.sampleMidpoints(mids, 5, 1, 24), mids, 3, dim = 2)
     val counts = knn.groupBy("qid").count().select("count").distinct().collect()
     assert(counts.length == 1 && counts(0).getLong(0) == 3)
     assert(knn.filter(col("qid") === col("rid")).isEmpty)
