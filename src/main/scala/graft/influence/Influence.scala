@@ -122,4 +122,18 @@ object Influence {
     dir.unpersist(); candidates.unpersist()
     spark.createDataFrame(chosen.map(Tuple1(_))).toDF("id")
   }
+
+  /** A10 random-baseline: mean IC influence over `trials` hash-seeded
+    * random k-seed sets (benchmark.py:343-349). */
+  def randomBaseline(spark: SparkSession, edges: DataFrame, k: Int, p: Double,
+                     trials: Int = 5, maxRounds: Int = 100, seed: Long = 42): Double = {
+    val verts = graft.model.GraphOps.vertices(edges).persist()
+    val counts = (0 until trials).map { t =>
+      val seeds = verts
+        .orderBy(hashUniform(seed + t, col("id")).asc, col("id").asc).limit(k)
+      estimatedInfluence(spark, edges, seeds, p, maxRounds, seed + 1000 + t).toDouble
+    }
+    verts.unpersist()
+    counts.sum / trials
+  }
 }

@@ -67,3 +67,22 @@ object EdgeListReader {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 }
+
+/** S18 dispatcher (datasets.py:726-758): prefix-routed reader registry.
+  * The reference keys on dataset-name prefixes (snap-/mtx-/…) and pairs
+  * each with a fetch step; fetching is driver-side tooling out of
+  * engine scope (SURVEY.md S17), so the registry here maps a prefixed
+  * name plus a local path to the right parser. */
+object Datasets {
+  val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snap" -> ((s, p) => EdgeListReader.snap(s, p)),
+    "mtx" -> ((s, p) => EdgeListReader.matrixMarket(s, p)),
+    "edges" -> ((s, p) => EdgeListReader.edges(s, p)))
+
+  def load(spark: SparkSession, name: String, path: String): DataFrame = {
+    val prefix = name.takeWhile(_ != '-')
+    loaders.getOrElse(prefix,
+      sys.error(s"unknown dataset prefix '$prefix' (known: ${loaders.keys.mkString(",")})"))
+      .apply(spark, path)
+  }
+}

@@ -88,4 +88,25 @@ object GraphOps {
   def isCanonical(edges: DataFrame): Boolean =
     edges.filter(col("src") >= col("dst")).isEmpty &&
       edges.groupBy("src", "dst").count().filter(col("count") > 1).isEmpty
+
+  /** W5 seeded vertex subsample with induced edges
+    * (run_benchmarks.py:224-237): keep a hash-deterministic fraction of
+    * vertices, then left-semi both endpoints — no driver round trip. */
+  def subsample(edges: DataFrame, fraction: Double, seed: Long): DataFrame = {
+    val keep = vertices(edges)
+      .filter(graft.gen.Generators.hashUniform(seed, col("id")) < fraction)
+    edges
+      .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst")
+  }
+
+  /** A5 graph stats (benchmark.py:140-148, datasets.py:176-184). */
+  def stats(edges: DataFrame): (Long, Long, Double, Double) = {
+    val m = edges.count()
+    val n = vertices(edges).count()
+    val density = if (n > 1) 2.0 * m / (n.toDouble * (n - 1)) else 0.0
+    val avgDeg = if (n > 0) 2.0 * m / n else 0.0
+    (n, m, density, avgDeg)
+  }
 }

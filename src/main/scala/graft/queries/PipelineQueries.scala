@@ -56,6 +56,9 @@ object PipelineQueries {
         TextAnalysis.wordCount(col("text")).as("n_words"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
 
+    "q38_cosine_pairs" -> ((s, d) =>
+      Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -134,6 +137,12 @@ object PipelineQueries {
     "q33_token_counts" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q38_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin
   )
 }

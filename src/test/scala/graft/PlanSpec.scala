@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Physical-plan assertions — the properties that decide whether these
+  * operators survive a 1000-executor / 100 TB deployment: filters and
+  * projections reach the parquet scan, dimension joins broadcast,
+  * per-group top-k never materializes a full sort, aggregates are
+  * partial+final. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("LessThan(l_shipdate") || p.contains("l_shipdate"),
+      "shipdate filter not pushed")
+    // pruned read schema: none of the unused wide columns
+    assert(!p.contains("l_comment"), "column pruning failed: l_comment read")
+  }
+
+  test("q03 joins dimension tables with broadcast hash joins") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"dimension join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "unexpected shuffle join for dims")
+  }
+
+  test("q02 aggregate is partial+final hash aggregate") {
+    val p = plan("q02_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial+final agg")
+    assert(!p.contains("SortAggregate"), "hash agg degraded to sort agg")
+  }
+
+  test("q04 per-group top-k uses WindowGroupLimit, not a full sort") {
+    val p = plan("q04_window_topk")
+    assert(p.contains("WindowGroupLimit"), s"window group limit missing:\n$p")
+  }
+
+  test("q05 global top-k is TakeOrderedAndProject") {
+    val p = plan("q05_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"global limit sorts fully:\n$p")
+  }
+
+  test("q07/q08 plan semi and anti joins (no materialized distinct)") {
+    assert(plan("q07_semi_join").contains("LeftSemi"))
+    assert(plan("q08_anti_join").contains("LeftAnti"))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in the
+    // string rendering ("WholeStageCodegen" only appears in formatted mode)
+    val p = plan("q01_filter_project")
+    assert(p.contains("*(1)"), s"codegen absent:\n$p")
+  }
+
+  test("layout gather broadcasts positions below the threshold") {
+    import graft.layout.{Layout, LayoutConfig}
+    import graft.linalg.EigenInit
+    val g = graft.gen.Generators.roadNetwork(spark, 5, 5)
+    val pos = EigenInit.init(spark, g, 25, 2, seed = 1)
+    val p = Layout.gather(Layout.withEdgeIds(g), pos, bcast = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"gather not broadcast:\n$p")
+  }
+}
