@@ -51,6 +51,37 @@ class EmbeddingSpec extends SparkSpec {
     assert(math.abs(dots.getDouble(1) - 1.0) < 1e-6)
   }
 
+  test("distributed eigen path agrees with the driver path up to rotation") {
+    // force the distributed backend (driverMaxEdges=0) and compare
+    // rotation-invariant row norms of the 2-dim embedding subspace.
+    val g = Generators.roadNetwork(spark, 4, 4)
+    val drv = EigenInit.init(spark, g, 16, 2, seed = 9)
+    val dist = EigenInit.init(spark, g, 16, 2, seed = 9, driverMaxEdges = 0)
+    assert(dist.count() == 16)
+    assert(finite(dist))
+    val n1 = drv.select(col("id"), VecOps.norm(col("pos")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n2 = dist.select(col("id"), VecOps.norm(col("pos")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the distributed path runs a fixed 30 subspace iterations (each
+    // matvec is a shuffle); ~1-2% residual vs the driver path's deeper
+    // convergence is expected and harmless — the layout refines it.
+    val maxDiff = n1.keys.map(k => math.abs(n1(k) - n2(k))).max
+    assert(maxDiff < 0.05, s"subspace mismatch: max radius diff $maxDiff")
+  }
+
+  test("LSH kNN path returns bounded neighbor lists that overlap exact kNN") {
+    val g = Layout.withEdgeIds(Generators.erdosRenyi(spark, 60, 0.1, 3))
+    val pos = EigenInit.init(spark, g.select("src", "dst"), 60, 3, seed = 3)
+    val mids = Layout.midpoints(g, pos).cache()
+    val exact = Layout.knnExact(mids, mids, 5, dim = 3).select("qid", "rid")
+    val lsh = Layout.knnLsh(spark, mids, mids, 5, 3, seed = 3).select("qid", "rid")
+    assert(lsh.groupBy("qid").count().filter(col("count") > 5).isEmpty)
+    val overlap = lsh.join(exact, Seq("qid", "rid"), "left_semi").count()
+    assert(overlap > 0, "LSH found nothing the exact path found")
+    mids.unpersist()
+  }
+
   test("random fallback positions: shape and determinism") {
     val p1 = EigenInit.randomPositions(spark, 20, 3, 7)
     assert(p1.count() == 20)
