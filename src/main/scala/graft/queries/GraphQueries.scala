@@ -125,6 +125,25 @@ object GraphQueries {
         .select(col("orig").as("id"), round(col("betweenness"), 9).as("betweenness"))
     }),
 
+    // L5 greedy seed selection on a fixed generated graph (rows-only;
+    // the hash-RNG cascade has no SQL analog).
+    "q39_greedy_seeds" -> ((s, _) => {
+      val g = Generators.erdosRenyi(s, 120, 0.05, 21)
+      Influence.greedySeeds(s, g, k = 3, p = 0.2, simRounds = 20,
+        candidatePool = 16, seed = 21).orderBy("id")
+    }),
+
+    // A6/A7 correlation-benchmark pipeline on the 8x8 grid (rows-only;
+    // deterministic given the seed).
+    "q40_correlation_bench" -> ((s, _) => {
+      import graft.layout.LayoutConfig
+      val g = Generators.roadNetwork(s, 8, 8)
+      graft.bench.Harness.correlationBenchmark(s, g,
+        LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = 5,
+          sampleSize = 64, nNeighbors = 6, seed = 13))
+        .select(col("centrality"), round(col("spearman_rho"), 6).as("rho"))
+    }),
+
     // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
     // benchmark_correlations pipeline shape (rows-only; q13 covers the
     // rank-correlation kernel against the oracle).
