@@ -22,7 +22,13 @@ object Harness {
   /** benchmark_correlations (benchmark.py:166-243): one row per
     * centrality with ρ(embedding radius, centrality). */
   def correlationBenchmark(spark: SparkSession, edges: DataFrame,
-                           cfg: LayoutConfig = LayoutConfig()): DataFrame = {
+                           cfg: LayoutConfig = LayoutConfig()): DataFrame =
+    graft.util.Iterate.withSizedShuffle(spark, edges.count()) {
+      correlationBenchmarkImpl(spark, edges, cfg)
+    }
+
+  private def correlationBenchmarkImpl(spark: SparkSession, edges: DataFrame,
+                                       cfg: LayoutConfig): DataFrame = {
     val em = GraphEm(spark, edges, cfg)
     em.runLayout()
     val radii = em.positions

