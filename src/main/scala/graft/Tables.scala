@@ -34,10 +34,11 @@ object Tables {
     val df = apply(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not SQL `/`: nanos ~1.7e18 exceed 2^53, so a
+        // double-division round trip shifts timestamps by up to ~1 µs.
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L)
-              .cast(org.apache.spark.sql.types.LongType)))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
   }

@@ -102,12 +102,21 @@ object Influence {
 
     var chosen = Seq.empty[Long]
     for (roundK <- 0 until k) {
+      // Already-chosen vertices leave the candidate pool (the reference
+      // skips `node in seeds`, influence.py:110-112) — round-indexed
+      // hash coins make cascades non-monotone in the seed set, so a
+      // chosen low-id candidate could otherwise win a count tiebreak
+      // again and produce duplicate seeds. `chosen` is ≤ k values, so
+      // an isin filter (no extra shuffle) beats an anti join here.
+      val pool =
+        if (chosen.isEmpty) candidates
+        else candidates.filter(!col("cand").isin(chosen: _*))
       // state: (cand, id) infected pairs — every candidate's cascade in
       // one job; infected_0 = {cand} ∪ chosen per candidate.
-      val base = candidates.select(col("cand"), col("cand").as("id"))
+      val base = pool.select(col("cand"), col("cand").as("id"))
       var (infected, infH) = graft.util.Iterate.checkpoint(spark,
         (if (chosen.isEmpty) base
-        else base.union(candidates.crossJoin(
+        else base.union(pool.crossJoin(
           spark.createDataFrame(chosen.map(Tuple1(_))).toDF("id"))))
           .distinct())
       var frontier = infected

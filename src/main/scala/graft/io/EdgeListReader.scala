@@ -31,11 +31,17 @@ object EdgeListReader {
   /** Matrix Market `.mtx` (datasets.py:485-529): skip `%` comments AND
     * the first non-comment line (dimensions), then 1-based → 0-based. */
   def matrixMarket(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path)
-      .filter(!col("value").startsWith("%") && length(trim(col("value"))) > 0)
-    // dims line = first data line; drop exactly one copy of it.
-    val first = lines.limit(1)
-    val body = lines.exceptAll(first)
+    // The dims line is identified POSITIONALLY (first non-comment line):
+    // limit(1)+exceptAll removed by VALUE, so a data row that textually
+    // equals the header (e.g. weighted self-loop "5 5 12" in a 5×5/12
+    // file) could be dropped instead. zipWithIndex preserves file order
+    // for a text source.
+    val spark2 = spark
+    import spark2.implicits._
+    val lines = spark.read.textFile(path)
+      .filter((l: String) => !l.startsWith("%") && l.trim.nonEmpty)
+    val body = lines.rdd.zipWithIndex()
+      .filter(_._2 > 0).map(_._1).toDF("value")
     GraphOps.undirect(
       parsePairs(body, "%", "\\s+")
         .select((col("src") - 1).as("src"), (col("dst") - 1).as("dst")))

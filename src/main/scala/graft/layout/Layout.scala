@@ -54,8 +54,12 @@ object Layout {
       .join(side(pos.select(col("id").as("dst"), col("pos").as("p2"))), "dst")
   }
 
-  /** A2 spring force contributions: per-edge Hooke force emitted for
+  /** A2 spring force contributions: per-edge force emitted for
     * both endpoints with opposite signs (embedder_pytorch.py:595-636).
+    * The reference's magnitude is -k_attr·(dist-L_min) applied along
+    * (p2-p1)/dist to src (embedder_pytorch.py:626-635): edges SHORTER
+    * than L_min attract, longer repel — the sign the layout dynamics
+    * (and the radius-vs-centrality correlations) depend on.
     * Returns UNAGGREGATED (id, f) rows — step() fuses all force streams
     * into a single scatter-add shuffle.
     *
@@ -72,7 +76,7 @@ object Layout {
     val dist = sqrt((0 until d).map(i => col(s"d$i") * col(s"d$i")).reduce(_ + _)) + lit(1e-6)
     val g = gather(edges, pos, bcast)
       .select(Seq(col("src"), col("dst")) ++ diffs: _*)
-      .withColumn("coef", lit(cfg.kAttr) * (dist - lit(cfg.LMin)) / dist)
+      .withColumn("coef", lit(-cfg.kAttr) * (dist - lit(cfg.LMin)) / dist)
     val fPos = array((0 until d).map(i => col(s"d$i") * col("coef")): _*)
     val fNeg = array((0 until d).map(i => -col(s"d$i") * col("coef")): _*)
     g.select(explode(array(

@@ -20,11 +20,14 @@ object Dedup {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (distinct), 0-based Spark array indexing. */
+  /** Word n-gram shingles (distinct), 0-based Spark array indexing.
+    * Documents with fewer than n tokens yield an empty array — the
+    * sequence() must be guarded because sequence(0, negative) counts
+    * DOWN in Spark and the -1 index would throw at element_at. */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
     array_distinct(transform(
-      sequence(lit(0), greatest(size(t) - n, lit(-1))),
+      when(size(t) >= n, sequence(lit(0), size(t) - n)).otherwise(array()),
       i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
   }
 
@@ -123,14 +126,24 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, bucketed by
-    * 16-bit chunks (a pair within distance d ≤ 3 shares at least one of
-    * 4 chunks exactly — pigeonhole), avoiding the O(n²) compare. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+    * equal-width bit chunks: a pair within distance d < `chunks` shares
+    * at least one chunk exactly (pigeonhole), so the bucket join has
+    * FULL recall while avoiding the O(n²) compare. The require enforces
+    * the guarantee — callers wanting larger distances must raise
+    * `chunks` (e.g. 8 chunks of 8 bits for d ≤ 7; beyond that the
+    * buckets get too coarse to prune and multi-probe/recursion is the
+    * standard escalation). */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, chunks: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
+    require(maxDist < chunks,
+      s"pigeonhole full recall needs maxDist < chunks (got d=$maxDist, c=$chunks)")
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = simhash(docs, idCol, textCol)
     val chunked = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(mask)): _*))
         .as(Seq("chunk", "key")))
     val cands = chunked.select(col("chunk"), col("key"),
       col("id").as("id_a"), col("simhash").as("ha"))

@@ -30,7 +30,9 @@ object PipelineQueries {
         threshold = 0.10).orderBy("id_a", "id_b")),
 
     "q28_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 16)
+      // d ≤ 7 with 8-bit chunks keeps the pigeonhole full-recall
+      // guarantee simhashPairs documents (and now enforces).
+      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 7, chunks = 8)
         .orderBy("id_a", "id_b")),
 
     "q29_ann_topk" -> ((s, d) => {

@@ -30,7 +30,8 @@ object EventsStream {
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer `div` — see Tables.events (double `/` loses µs above 2^53)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
 

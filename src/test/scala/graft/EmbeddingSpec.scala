@@ -89,6 +89,27 @@ class EmbeddingSpec extends SparkSpec {
     assert(p1.exceptAll(EigenInit.randomPositions(spark, 20, 3, 7)).isEmpty)
   }
 
+  test("spring force sign matches the reference: repel stretched, attract compressed") {
+    import spark.implicits._
+    // reference magnitude is -k_attr·(dist-L_min) along (p2-p1)/dist to
+    // src (embedder_pytorch.py:626-635): dist>L_min pushes apart,
+    // dist<L_min pulls together. Pin both directions numerically.
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    val cfg = LayoutConfig(nComponents = 3, LMin = 10.0, kAttr = 0.5, kInter = 0.0)
+    val far = Seq((0L, Array(0.0, 0.0, 0.0)), (1L, Array(20.0, 0.0, 0.0))).toDF("id", "pos")
+    val fFar = Layout.springForces(e, far, cfg).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // coef = -0.5·(20-10)/20 = -0.25 → f(src) = (-5,0,0): away from dst
+    assert(math.abs(fFar(0L)(0) + 5.0) < 1e-3, s"src force ${fFar(0L)}")
+    assert(math.abs(fFar(1L)(0) - 5.0) < 1e-3, s"dst force ${fFar(1L)}")
+    val near = Seq((0L, Array(0.0, 0.0, 0.0)), (1L, Array(4.0, 0.0, 0.0))).toDF("id", "pos")
+    val fNear = Layout.springForces(e, near, cfg).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // coef = -0.5·(4-10)/4 = +0.75 → f(src) = (3,0,0): toward dst
+    assert(math.abs(fNear(0L)(0) - 3.0) < 1e-3, s"src force ${fNear(0L)}")
+    assert(math.abs(fNear(1L)(0) + 3.0) < 1e-3, s"dst force ${fNear(1L)}")
+  }
+
   test("layout: positions move, stay finite and normalized") {
     val g = Generators.roadNetwork(spark, 5, 5)
     val cfg = LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = 5,
@@ -155,6 +176,18 @@ class EmbeddingSpec extends SparkSpec {
     val picked = Influence.greedySeeds(spark, star, 1, 1.0, simRounds = 1,
       candidatePool = 9, seed = 1).collect().map(_.getLong(0))
     assert(picked.head == 0L)
+  }
+
+  test("greedy seeds: k distinct seeds even when cascades saturate (p=1)") {
+    import spark.implicits._
+    // p=1 floods every cascade identically → every candidate ties and
+    // the low-id tiebreak would re-pick the same vertex each round if
+    // chosen vertices stayed in the pool.
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val picked = Influence.greedySeeds(spark, path, 2, 1.0, simRounds = 5,
+      candidatePool = 2, seed = 1).collect().map(_.getLong(0))
+    assert(picked.length == 2 && picked.distinct.length == 2,
+      s"duplicate seeds: ${picked.mkString(",")}")
   }
 
   test("end-to-end facade: grid layout, seeds, influence, radius-degree correlation") {

@@ -47,6 +47,21 @@ class IoSpec extends SparkSpec {
     assert(g.agg(max("dst")).collect()(0).getLong(0) == 3)
   }
 
+  test("matrix market: data row textually equal to the dims line survives") {
+    // header "4 5 3" and the weighted edge "4 5 3" are byte-identical;
+    // only the POSITIONAL first line may be dropped.
+    val p = write("h.mtx",
+      """%%MatrixMarket matrix coordinate integer general
+        |4 5 3
+        |1 2
+        |4 5 3
+        |2 3
+        |""".stripMargin)
+    val g = EdgeListReader.matrixMarket(spark, p)
+    assert(g.count() == 3, s"expected 3 edges, got ${g.count()}")
+    assert(g.agg(max("dst")).collect()(0).getLong(0) == 4) // edge (3,4) kept
+  }
+
   test("csv graph reader: id remap drops unknown endpoints") {
     val nodes = write("nodes.csv", "id\np1\np2\np3\n")
     val cites = write("cites.csv",

@@ -49,6 +49,27 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.select("id_a", "id_b").exceptAll(brute).isEmpty)
   }
 
+  test("shingles: documents shorter than n yield empty arrays, jobs survive") {
+    import spark.implicits._
+    val d = Seq((1L, "only two"), (2L, "a b c d e"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val sh = d.select(Dedup.shingles(col("text"), 3).as("s")).collect()
+    assert(sh.exists(_.getSeq[String](0).isEmpty), "short doc should have no shingles")
+    val pairs = Dedup.jaccardPairs(d, n = 3, threshold = 0.5).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 2L && pairs(0).getLong(1) == 3L)
+    assert(Dedup.minhashLsh(d, n = 3, k = 16, bands = 4, threshold = 0.5)
+      .filter(col("id_a") === 2 && col("id_b") === 3).count() == 1)
+  }
+
+  test("simhashPairs enforces the pigeonhole recall contract") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxDist = 16)
+    }
+    // 8 chunks widen the full-recall guarantee to d ≤ 7
+    assert(Dedup.simhashPairs(docsWithPlants, maxDist = 7, chunks = 8)
+      .filter(col("id_a") === 1 && col("id_b") === 10001).count() == 1)
+  }
+
   test("simhash: identical docs get identical fingerprints, near-dups close") {
     val sh = Dedup.simhash(docsWithPlants)
     val h1 = sh.filter(col("id") === 1).collect()(0).getLong(1)
