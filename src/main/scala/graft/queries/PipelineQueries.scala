@@ -61,6 +61,10 @@ object PipelineQueries {
     "q38_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)),
 
+    "q41_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(s, Tables.embeddings(s, d), k = 5, nLists = 8,
+        nProbe = 2).orderBy("qid", "rn")),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)

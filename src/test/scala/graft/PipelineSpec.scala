@@ -113,6 +113,52 @@ class PipelineSpec extends SparkSpec {
     assert(hits.toDouble / n > 0.3, s"IVF recall too low: $hits/$n")
   }
 
+  /** 16-dim deterministic fixture: ring-of-clusters vectors, plus a
+    * planted near-identical pair (ids 900/901). */
+  private def smallDimVecs = {
+    import spark.implicits._
+    val base = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val near = {
+      val rnd = new scala.util.Random(9001)
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val w = v.clone(); w(0) = w(0) + 0.01f
+      Seq((900L, v), (901L, w))
+    }
+    (base ++ near).toDF("vec_id", "embedding")
+  }
+
+  test("ivfTopK honors non-64 dims: cos values agree with brute force") {
+    val e = smallDimVecs
+    val ivf = Similarity.ivfTopK(spark, e, k = 3, nLists = 4, nProbe = 2, dim = 16)
+    val brute = Similarity.bruteForceTopK(e, e, 3, dim = 16)
+      .select(col("qid"), col("rid"), col("cos").as("bcos"))
+    // every IVF hit that brute force also ranked must carry the same cos
+    val joined = ivf.join(brute, Seq("qid", "rid"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("cos") =!= col("bcos")).isEmpty)
+  }
+
+  test("blocked cosinePairs is exactly the brute-force result (multi-block)") {
+    val e = Tables.embeddings(spark, sf)
+    val brute = Similarity.cosinePairsBrute(e, threshold = 0.35)
+    // blockSize 64 forces many blocks at any sf; result must be identical
+    val blocked = Similarity.cosinePairs(e, threshold = 0.35, blockSize = 64)
+    assert(brute.count() > 0)
+    assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty)
+  }
+
+  test("cosinePairsLsh finds planted high-cos pair, subset of brute") {
+    val e = smallDimVecs
+    val lsh = Similarity.cosinePairsLsh(e, threshold = 0.9, nBits = 512,
+      bands = 32, dim = 16)
+    assert(lsh.filter(col("id_a") === 900 && col("id_b") === 901).count() == 1)
+    val brute = Similarity.cosinePairsBrute(e, threshold = 0.9, dim = 16)
+    assert(lsh.exceptAll(brute).isEmpty && brute.exceptAll(lsh).isEmpty)
+  }
+
   test("language ID identifies constructed en/de/fr sentences") {
     // the testdata lang column is a random label over one shared
     // vocabulary (verified: de/zh/es rows contain English stopwords),
