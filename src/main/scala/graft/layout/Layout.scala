@@ -120,7 +120,11 @@ object Layout {
     // window exchange then carries 7 scalars/row, and Spark 4's
     // InferWindowGroupLimit keeps only the per-partition top-k before
     // the exchange — the m×s candidate set never shuffles in full.
-    q.join(r, col("qid") =!= col("rid"))
+    // broadcast(q): the sampled side is ≤ sampleSize rows; without the
+    // hint the non-equi join plans as a CartesianProduct with
+    // |q-parts|·|r-parts| tasks (observed 64·64=4096 tasks per
+    // iteration on a 144-node graph — pure scheduler overhead).
+    broadcast(q).join(r, col("qid") =!= col("rid"))
       .select(col("qid"), col("qsrc"), col("qdst"), col("rid"), col("rsrc"),
         col("rdst"), VecOps.sqDistFixed(dim, col("qmid"), col("rmid")).as("d2"))
       .withColumn("rn", row_number().over(w))
@@ -247,8 +251,14 @@ object Layout {
           cfg: LayoutConfig): DataFrame = {
     val e = withEdgeIds(edges).persist()
     val m = e.count()
+    // Size the edge/position partitioning to the DATA, like the shuffle
+    // count: generator/parquet inputs arrive in default-parallelism
+    // partitions (64 for a 264-row grid), and every per-iteration stage
+    // inherits that task count. coalesce is narrow over the cache and
+    // never increases the partition count, so big inputs keep theirs.
+    val eSized = e.coalesce(graft.util.Iterate.sizedPartitions(spark, m))
     graft.util.Iterate.withSizedShuffle(spark, m) {
-    runLoop(spark, e, initial, cfg, m)
+      runLoop(spark, eSized, initial, cfg, m)
     }
   }
 
@@ -256,29 +266,33 @@ object Layout {
                       cfg: LayoutConfig, m: Long): DataFrame = {
     // Per iteration: ONE full execution (materializing the moved
     // positions), then normalization stats + projection read the cache.
-    var (pos, handle) = graft.util.Iterate.checkpoint(spark, initial)
+    var (pos, handle) = graft.util.Iterate.checkpoint(spark,
+      initial.coalesce(graft.util.Iterate.sizedPartitions(spark, 0L)))
     val n = pos.count()
     val d = cfg.nComponents
     var it = 0
     while (it < cfg.numIterations) {
-      val (moved, mh) = graft.util.Iterate.checkpoint(
-        spark, step(spark, e, pos, cfg, it, m, n))
+      // ONE job per iteration: the A4 stats aggregate IS the
+      // materializing action of the checkpoint (the force pipeline
+      // executes inside it; the persisted rows back the next step).
+      // Partials are combined in PARTITION ORDER on the driver —
+      // treeAggregate's completion-order combine makes float sums
+      // run-dependent and breaks bit-reproducibility of the layout.
+      val (moved, mh, partialsRaw) = graft.util.Iterate.checkpointWith(
+        spark, step(spark, e, pos, cfg, it, m, n)) { rdd =>
+        rdd.mapPartitionsWithIndex { (idx, rows) =>
+          val s = new Array[Double](d); val q = new Array[Double](d); var c = 0L
+          rows.foreach { row =>
+            val p = row.getSeq[Double](1)
+            var i = 0
+            while (i < d) { s(i) += p(i); q(i) += p(i) * p(i); i += 1 }
+            c += 1
+          }
+          Iterator((idx, (s, q, c)))
+        }.collect()
+      }
       handle.unpersist(blocking = false)
-      // A4 stats straight off the persisted rows (one lightweight RDD
-      // aggregate on cached data instead of a second SQL job). Partials
-      // are combined in PARTITION ORDER on the driver — treeAggregate's
-      // completion-order combine makes float sums run-dependent and
-      // breaks bit-reproducibility of the layout.
-      val partials = mh.mapPartitionsWithIndex { (idx, rows) =>
-        val s = new Array[Double](d); val q = new Array[Double](d); var c = 0L
-        rows.foreach { row =>
-          val p = row.getSeq[Double](1)
-          var i = 0
-          while (i < d) { s(i) += p(i); q(i) += p(i) * p(i); i += 1 }
-          c += 1
-        }
-        Iterator((idx, (s, q, c)))
-      }.collect().sortBy(_._1).map(_._2)
+      val partials = partialsRaw.sortBy(_._1).map(_._2)
       val sums = new Array[Double](d); val sqs = new Array[Double](d); var cnt = 0L
       partials.foreach { case (s, q, c) =>
         var i = 0

@@ -30,6 +30,11 @@ object Iterate {
   /** Materialize `df`, truncating lineage AND statistics. Returns the
     * new frame plus the persisted RDD handle for later unpersist.
     *
+    * CONTRACT: this consumes `df.rdd` (a memoized lazy val on Dataset)
+    * and later unpersist of the handle severs it — do not checkpoint
+    * the SAME Dataset object twice or reuse it after the handle is
+    * unpersisted (symptom: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+    *
     * The RDD itself is localCheckpoint'ed, not merely persisted: a
     * persisted RDD still serializes its full compute lineage into every
     * downstream task binary, and chained iterations grow that closure
@@ -37,11 +42,32 @@ object Iterate {
     */
   def checkpoint(spark: SparkSession, df: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val (out, rdd, _) = checkpointWith(spark, df)(_.count())
+    (out, rdd)
+  }
+
+  /** Like [[checkpoint]], but the caller supplies the materializing
+    * action — e.g. a stats aggregate the loop needs anyway — so the
+    * iteration pays ONE job for materialization + statistics instead of
+    * a count job followed by a second read of the cache. The action's
+    * job triggers the persist AND the local checkpoint of the parent
+    * (doCheckpoint runs on the action RDD's lineage). */
+  def checkpointWith[T](spark: SparkSession, df: DataFrame)
+      (action: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] => T)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], T) = {
     val rdd = df.rdd
     rdd.persist(StorageLevel.MEMORY_AND_DISK)
     rdd.localCheckpoint()
-    rdd.count()
-    (spark.createDataFrame(rdd, df.schema), rdd)
+    val t = action(rdd)
+    (spark.createDataFrame(rdd, df.schema), rdd, t)
+  }
+
+  /** Data-sized partition count for iterative state: ~1 partition per
+    * 100k rows, at least 1, never above the session's shuffle setting
+    * (the cluster-sized cap). rows=0 means "driver-known-small". */
+  def sizedPartitions(spark: SparkSession, rows: Long): Int = {
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(cap.toLong, rows / 100000 + 1)).toInt
   }
 
   /** Run `body` with the session's shuffle-partition count temporarily
@@ -53,10 +79,20 @@ object Iterate {
     * loops materialize every step before this restores the setting. */
   def withSizedShuffle[T](spark: SparkSession, rows: Long)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val aqe = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
+    val prevAqe = spark.conf.get(aqe, "true")
     val target = math.max(4L, math.min(prev.toLong, rows / 50000 + 4))
     spark.conf.set(key, target.toString)
-    try body finally spark.conf.set(key, prev)
+    // AQE re-plans after every shuffle stage — on kB-scale iterative
+    // state that is fixed driver latency per stage per iteration, and
+    // its coalesce/skew machinery has nothing to do (partitions are
+    // already sized above). Off inside the loop, restored after.
+    spark.conf.set(aqe, "false")
+    try body finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(aqe, prevAqe)
+    }
   }
 
   /** Run `body` for `iters` iterations starting from `init`, with
