@@ -37,13 +37,12 @@ object Harness {
     val joined = radii.join(cents, "id").persist()
     joined.count()
     import spark.implicits._
-    val rows = Seq("degree_centrality", "pagerank", "eigenvector",
-      "closeness", "betweenness").map { c =>
-      val rho =
-        if (Correlation.isConstant(joined, c)) Double.NaN
-        else Correlation.spearman(joined, "radius", c)
-      (c, rho)
-    }
+    val measures = Seq("degree_centrality", "pagerank", "eigenvector",
+      "closeness", "betweenness", "load")
+    // all 5 ρ in two jobs (constant guard + one ranked-corr plan) —
+    // sequential per-pair spearman was ~25 driver-blocking jobs.
+    val rhos = Correlation.spearmanMany(joined, "radius", measures)
+    val rows = measures.map(c => (c, rhos(c)))
     radii.unpersist(); cents.unpersist(); joined.unpersist()
     rows.toDF("centrality", "spearman_rho")
   }

@@ -8,25 +8,48 @@ import graft.model.GraphOps
   * via NetworkX on the driver). Spark disposition:
   *
   *  - degree: one hash aggregate (A1).
-  *  - pagerank: GraphX.
-  *  - eigenvector: distributed power iteration on A (J1-gather +
-  *    A2-scatter per step), degree fallback mirroring benchmark.py:88-93.
-  *  - closeness / betweenness / load: parallel-over-sources BFS/Brandes
-  *    with the CSR adjacency broadcast to executors — each source's
-  *    traversal is a cheap in-memory pass, the cluster parallelizes
-  *    across sources. This is the standard distributed-Brandes layout:
-  *    exact, embarrassingly parallel, and bounded by the broadcast size
-  *    (fine to ~1e7 edges; the reference itself caps betweenness at
+  *  - Below `broadcastEdgeMax` edges the graph fits a driver/broadcast
+  *    CSR and every measure runs as cheap in-memory passes parallelized
+  *    over sources (the standard distributed-Brandes layout: exact,
+  *    embarrassingly parallel; the reference itself caps betweenness at
   *    n<5000, run_benchmarks.py:311-313).
+  *  - Above it, `all` routes to distributed implementations: GraphX
+  *    PageRank, DataFrame power iteration for eigenvector, and
+  *    level-synchronous multi-source BFS / Brandes for closeness,
+  *    betweenness and load (sources sampled above `sourcesCap`, the
+  *    classic Eppstein–Wang / pivot-sampling estimate).
   */
 object Centralities {
+
+  /** Compressed sparse rows of the symmetrized graph. */
+  final case class Csr(n: Int, off: Array[Int], nbr: Array[Int])
 
   /** Degree centrality: degree/(n-1) (nx.degree_centrality). */
   def degreeCentrality(edges: DataFrame, n: Long): DataFrame =
     GraphOps.degrees(edges)
       .select(col("id"), (col("degree") / (n - 1.0)).as("degree_centrality"))
 
-  /** PageRank via GraphX (benchmark.py:95-98 uses nx.pagerank). */
+  /** Broadcast CSR of the undirected graph. ONE edge collect per
+    * pipeline — callers share it across measures. */
+  def buildBroadcastCsr(spark: SparkSession, edges: DataFrame, n: Long)
+      : org.apache.spark.broadcast.Broadcast[Csr] = {
+    val es = edges.select(col("src").cast("int"), col("dst").cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val nn = n.toInt
+    val deg = new Array[Int](nn)
+    es.foreach { case (s, d) => deg(s) += 1; deg(d) += 1 }
+    val off = new Array[Int](nn + 1)
+    var i = 0
+    while (i < nn) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](2 * es.length)
+    val cur = off.clone()
+    es.foreach { case (s, d) =>
+      nbr(cur(s)) = d; cur(s) += 1; nbr(cur(d)) = s; cur(d) += 1 }
+    spark.sparkContext.broadcast(Csr(nn, off, nbr))
+  }
+
+  /** PageRank via GraphX — the distributed path for graphs past
+    * broadcast scale (benchmark.py:95-98 uses nx.pagerank). */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 20,
                resetProb: Double = 0.15): DataFrame = {
     import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
@@ -40,23 +63,69 @@ object Centralities {
     df.select(col("id"), (col("rank") / total).as("pagerank"))
   }
 
+  /** nx.pagerank semantics on the broadcast CSR: damped power iteration
+    * x' = (1-α)/n + α(Σ_{u∈N(v)} x_u/deg_u + dangling/n), tol-converged.
+    * GraphX's 20-iteration Pregel costs ~40 driver-blocking jobs — on a
+    * sub-broadcast graph this is a few ms of arithmetic instead. */
+  def pageRankCsr(spark: SparkSession,
+                  csr: org.apache.spark.broadcast.Broadcast[Csr],
+                  alpha: Double = 0.85, tol: Double = 1e-6,
+                  maxIter: Int = 100): DataFrame = {
+    val Csr(n, off, nbr) = csr.value
+    var x = Array.fill(n)(1.0 / n)
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      val y = new Array[Double](n)
+      var dangling = 0.0
+      var v = 0
+      while (v < n) {
+        val d = off(v + 1) - off(v)
+        if (d == 0) dangling += x(v)
+        else {
+          val share = x(v) / d
+          var j = off(v)
+          while (j < off(v + 1)) { y(nbr(j)) += share; j += 1 }
+        }
+        v += 1
+      }
+      val base = (1.0 - alpha) / n + alpha * dangling / n
+      var err = 0.0
+      v = 0
+      while (v < n) {
+        val nv = base + alpha * y(v)
+        err += math.abs(nv - x(v))
+        y(v) = nv
+        v += 1
+      }
+      x = y
+      // nx convergence: err < n * tol
+      if (err < n * tol) done = true
+      it += 1
+    }
+    import spark.implicits._
+    spark.sparkContext.parallelize(
+      x.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq)
+      .toDF("id", "pagerank")
+  }
+
   /** Eigenvector centrality by power iteration on the adjacency;
     * falls back to degree centrality on failure (benchmark.py:82-93). */
   def eigenvectorCentrality(spark: SparkSession, edges: DataFrame, n: Long,
-                            iters: Int = 50): DataFrame = {
+                            iters: Int = 50): DataFrame =
+    eigenvectorCsr(spark, edges, buildBroadcastCsr(spark, edges, n), n, iters)
+
+  def eigenvectorCsr(spark: SparkSession, edges: DataFrame,
+                     csr: org.apache.spark.broadcast.Broadcast[Csr],
+                     n: Long, iters: Int = 50): DataFrame = {
     try {
-      val adj = buildBroadcastCsr(spark, edges, n)
-      val sc = spark.sparkContext
-      // power iteration on the driver over the broadcast CSR is cheap
-      // (O(iters*m)); distributed matvec only pays off past broadcast
-      // scale, where EigenInit.distributedPath machinery applies.
-      val (off, nbr) = adj.value
-      var x = Array.fill(n.toInt)(1.0 / math.sqrt(n.toDouble))
+      val Csr(nn, off, nbr) = csr.value
+      var x = Array.fill(nn)(1.0 / math.sqrt(nn.toDouble))
       var it = 0
       while (it < iters) {
-        val y = new Array[Double](n.toInt)
+        val y = new Array[Double](nn)
         var v = 0
-        while (v < n) {
+        while (v < nn) {
           var j = off(v)
           while (j < off(v + 1)) { y(v) += x(nbr(j)); j += 1 }
           v += 1
@@ -67,7 +136,8 @@ object Centralities {
         it += 1
       }
       import spark.implicits._
-      sc.parallelize(x.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq)
+      spark.sparkContext.parallelize(
+        x.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq)
         .toDF("id", "eigenvector")
     } catch {
       case _: Exception =>
@@ -75,34 +145,55 @@ object Centralities {
     }
   }
 
-  /** Broadcast CSR of the undirected graph: (offsets, neighbors). */
-  def buildBroadcastCsr(spark: SparkSession, edges: DataFrame, n: Long)
-      : org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Int])] = {
-    val es = edges.select(col("src").cast("int"), col("dst").cast("int"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)))
-    val nn = n.toInt
-    val deg = new Array[Int](nn)
-    es.foreach { case (s, d) => deg(s) += 1; deg(d) += 1 }
-    val off = new Array[Int](nn + 1)
-    var i = 0
-    while (i < nn) { off(i + 1) = off(i) + deg(i); i += 1 }
-    val nbr = new Array[Int](2 * es.length)
-    val cur = off.clone()
-    es.foreach { case (s, d) =>
-      nbr(cur(s)) = d; cur(s) += 1; nbr(cur(d)) = s; cur(d) += 1 }
-    spark.sparkContext.broadcast((off, nbr))
+  /** Distributed eigenvector centrality: DataFrame power iteration
+    * (gather–scatter matvec per step, the EigenInit mat-vec shape) for
+    * graphs past broadcast scale. Falls back to degree on zero vector. */
+  def eigenvectorDistributed(spark: SparkSession, edges: DataFrame, n: Long,
+                             iters: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    try {
+      var x = spark.range(n).toDF("id")
+        .withColumn("v", lit(1.0 / math.sqrt(n.toDouble)))
+      var it = 0
+      var handle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+      while (it < iters) {
+        val y = sym.join(x.withColumnRenamed("id", "src")
+            .withColumnRenamed("v", "xv"), "src")
+          .groupBy(col("dst").as("id")).agg(sum("xv").as("v"))
+        // vertices with no in-edges drop out of the matvec — rejoin as 0
+        val yFull = spark.range(n).toDF("id").join(y, Seq("id"), "left")
+          .select(col("id"), coalesce(col("v"), lit(0.0)).as("v"))
+        val (yc, yh) = graft.util.Iterate.checkpoint(spark, yFull)
+        handle.foreach(_.unpersist(blocking = false))
+        val nrm = math.sqrt(
+          yc.agg(sum(col("v") * col("v"))).collect()(0).getDouble(0))
+        if (nrm == 0.0) throw new ArithmeticException("zero vector")
+        x = yc.select(col("id"), (col("v") / nrm).as("v"))
+        handle = Some(yh)
+        it += 1
+      }
+      x.select(col("id"), col("v").as("eigenvector"))
+    } catch {
+      case _: ArithmeticException =>
+        degreeCentrality(edges, n).withColumnRenamed("degree_centrality", "eigenvector")
+    } finally sym.unpersist()
   }
 
   /** Closeness centrality, Wasserman–Faust improved form as NetworkX
     * default: C(v) = ((r-1)/(n-1)) * ((r-1)/sum_d) with r = reachable
     * count. Exact BFS per source, sources distributed. */
-  def closeness(spark: SparkSession, edges: DataFrame, n: Long): DataFrame = {
-    val adj = buildBroadcastCsr(spark, edges, n)
-    val nn = n.toInt
+  def closeness(spark: SparkSession, edges: DataFrame, n: Long): DataFrame =
+    closenessCsr(spark, buildBroadcastCsr(spark, edges, n))
+
+  def closenessCsr(spark: SparkSession,
+                   csr: org.apache.spark.broadcast.Broadcast[Csr]): DataFrame = {
+    val nn = csr.value.n
     import spark.implicits._
     spark.sparkContext.parallelize(0 until nn, math.min(64, math.max(1, nn / 16)))
       .map { s =>
-        val (off, nbr) = adj.value
+        val Csr(_, off, nbr) = csr.value
         val dist = Array.fill(nn)(-1)
         var frontier = List(s); dist(s) = 0
         var sumD = 0L; var reach = 1
@@ -126,20 +217,24 @@ object Centralities {
       }.toDF("id", "closeness")
   }
 
-  /** Betweenness centrality — exact Brandes, parallel over sources with
-    * the graph broadcast; normalized like NetworkX (2/((n-1)(n-2)) for
-    * undirected). `load` centrality in the reference is reported from
-    * the same family (benchmark.py:105-107); we expose betweenness for
-    * both, a documented approximation for load's tie-splitting rule. */
-  def betweenness(spark: SparkSession, edges: DataFrame, n: Long): DataFrame = {
-    val adj = buildBroadcastCsr(spark, edges, n)
-    val nn = n.toInt
+  /** Brandes (betweenness) / Newman equal-split (load) accumulation —
+    * one scaffold, parallel over sources with the CSR broadcast.
+    *
+    * load (nx.load_centrality, Newman 2001): the unit arriving at w is
+    * split EQUALLY among w's predecessors, regardless of each pred's
+    * shortest-path count — vs Brandes' σ_v/σ_w proportional split.
+    * (nx's `if x == source: break` quirk is unreachable divergence:
+    * a distance-1 node's only predecessor IS the source, so the skip
+    * equals excluding flow into the source, which both forms do.) */
+  private def brandesCsr(spark: SparkSession,
+                         csr: org.apache.spark.broadcast.Broadcast[Csr],
+                         loadMode: Boolean, outCol: String): DataFrame = {
+    val nn = csr.value.n
     import spark.implicits._
     val partial = spark.sparkContext
       .parallelize(0 until nn, math.min(64, math.max(1, nn / 16)))
       .flatMap { s =>
-        val (off, nbr) = adj.value
-        // Brandes single-source
+        val Csr(_, off, nbr) = csr.value
         val stack = new scala.collection.mutable.ArrayBuffer[Int](nn)
         val preds = Array.fill(nn)(List.empty[Int])
         val sigma = new Array[Double](nn); sigma(s) = 1.0
@@ -158,8 +253,15 @@ object Centralities {
         }
         val delta = new Array[Double](nn)
         stack.reverseIterator.foreach { w =>
-          preds(w).foreach { v =>
-            delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+          if (preds(w).nonEmpty) {
+            if (loadMode) {
+              val share = (1.0 + delta(w)) / preds(w).size
+              preds(w).foreach(v => delta(v) += share)
+            } else {
+              preds(w).foreach { v =>
+                delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+              }
+            }
           }
         }
         (0 until nn).iterator.filter(v => v != s && delta(v) != 0.0)
@@ -170,19 +272,212 @@ object Centralities {
     // delta sum / ((n-1)(n-2)); expressed as a division (not multiply
     // by reciprocal) for bit-parity with SQL oracles.
     val denom = if (nn > 2) (nn - 1.0) * (nn - 2.0) else 1.0
-    val all = spark.range(n).toDF("id")
+    val all = spark.range(nn.toLong).toDF("id")
     all.join(partial.groupBy("id").agg(sum("d").as("d")), Seq("id"), "left")
-      .select(col("id"),
-        (coalesce(col("d"), lit(0.0)) / denom).as("betweenness"))
+      .select(col("id"), (coalesce(col("d"), lit(0.0)) / denom).as(outCol))
   }
 
-  /** All six reference centralities in one frame (benchmark.py:73-107). */
-  def all(spark: SparkSession, edges: DataFrame, n: Long): DataFrame = {
-    degreeCentrality(edges, n)
-      .join(pageRank(spark, edges), Seq("id"), "outer")
-      .join(eigenvectorCentrality(spark, edges, n), Seq("id"), "outer")
-      .join(closeness(spark, edges, n), Seq("id"), "outer")
-      .join(betweenness(spark, edges, n), Seq("id"), "outer")
-      .na.fill(0.0)
+  /** Betweenness centrality — exact Brandes, parallel over sources. */
+  def betweenness(spark: SparkSession, edges: DataFrame, n: Long): DataFrame =
+    brandesCsr(spark, buildBroadcastCsr(spark, edges, n), loadMode = false,
+      "betweenness")
+
+  def betweennessCsr(spark: SparkSession,
+                     csr: org.apache.spark.broadcast.Broadcast[Csr]): DataFrame =
+    brandesCsr(spark, csr, loadMode = false, "betweenness")
+
+  /** Load centrality (nx.load_centrality; benchmark.py:105-107). */
+  def load(spark: SparkSession, edges: DataFrame, n: Long): DataFrame =
+    brandesCsr(spark, buildBroadcastCsr(spark, edges, n), loadMode = true, "load")
+
+  def loadCsr(spark: SparkSession,
+              csr: org.apache.spark.broadcast.Broadcast[Csr]): DataFrame =
+    brandesCsr(spark, csr, loadMode = true, "load")
+
+  // ------------------------------------------------------------------
+  // Distributed (past-broadcast-scale) closeness / betweenness / load:
+  // level-synchronous multi-source BFS in DataFrames. Exact when
+  // sources = all vertices; pivot-sampled estimate (scaled by n/|S|)
+  // when n > sourcesCap.
+  // ------------------------------------------------------------------
+
+  /** Forward BFS from every source in `sources` simultaneously.
+    * Returns per-level frames (s, v, sigma) and the union of visited
+    * (s, v, dist, sigma). Jobs scale with graph diameter — the standard
+    * price of level-synchronous BFS; each level is one join+agg over
+    * the whole frontier, so a 1000-executor cluster does all sources
+    * at once. */
+  private def multiSourceBfs(spark: SparkSession, sym: DataFrame,
+                             sources: DataFrame)
+      : (Seq[DataFrame], Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
+    val handles = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    var levels = List.empty[DataFrame]
+    var (frontier, fh) = graft.util.Iterate.checkpoint(spark,
+      sources.select(col("s"), col("s").as("v"), lit(1.0).as("sigma")))
+    handles += fh
+    var (visited, vh) = graft.util.Iterate.checkpoint(spark,
+      frontier.select(col("s"), col("v")))
+    handles += vh
+    levels ::= frontier
+    var frontierCount = frontier.count()
+    while (frontierCount > 0) {
+      val cand = frontier.join(sym.withColumnRenamed("src", "v"), "v")
+        .select(col("s"), col("dst").as("v"), col("sigma"))
+      val nextRaw = cand.join(visited, Seq("s", "v"), "left_anti")
+        .groupBy("s", "v").agg(sum("sigma").as("sigma"))
+      val (next, nh) = graft.util.Iterate.checkpoint(spark, nextRaw)
+      handles += nh
+      frontierCount = next.count()
+      if (frontierCount > 0) {
+        val (vis2, vh2) = graft.util.Iterate.checkpoint(spark,
+          visited.union(next.select(col("s"), col("v"))))
+        handles += vh2
+        visited = vis2
+        levels ::= next
+        frontier = next
+      }
+    }
+    (levels.reverse, handles.toSeq)
+  }
+
+  /** Distributed closeness from (possibly sampled) sources. Exact for
+    * |sources| = n; otherwise the Eppstein–Wang style estimate with
+    * reach and distance sums scaled by n/|S|. */
+  def closenessDistributed(spark: SparkSession, edges: DataFrame, n: Long,
+                           sourcesCap: Int = 256, seed: Long = 42): DataFrame = {
+    val sym = symmetrize(edges).persist()
+    val (sources, nS) = pickSources(spark, n, sourcesCap, seed)
+    val (levels, handles) = multiSourceBfs(spark, sym, sources)
+    val byDist = levels.zipWithIndex.map { case (l, d) =>
+      l.select(col("s"), col("v"), lit(d).as("dist")) }
+      .reduce(_ union _)
+    val scale = n.toDouble / nS
+    // per v: reach = #sources reaching v, sumD = Σ dist(s, v)
+    val agg = byDist.groupBy("v").agg(
+      count(lit(1)).as("reachS"), sum("dist").as("sumD"))
+    val out = spark.range(n).toDF("id")
+      .join(agg.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("reachS"), lit(0L)).cast("double").as("reachS"),
+        coalesce(col("sumD"), lit(0L)).cast("double").as("sumD"))
+      .select(col("id"),
+        when(col("sumD") > 0,
+          ((col("reachS") * scale - 1.0) / (n - 1.0)) *
+            ((col("reachS") * scale - 1.0) / (col("sumD") * scale)))
+          .otherwise(lit(0.0)).as("closeness"))
+    val result = out.select(col("id"), col("closeness")).persist()
+    result.count()
+    handles.foreach(_.unpersist(blocking = false))
+    sym.unpersist()
+    result
+  }
+
+  /** Distributed Brandes / Newman-load: forward multi-source BFS, then
+    * level-by-level backward accumulation — each backward level is one
+    * join+agg, so work parallelizes over (source, vertex) pairs. Exact
+    * for |sources| = n; scaled pivot estimate otherwise. */
+  def brandesDistributed(spark: SparkSession, edges: DataFrame, n: Long,
+                         loadMode: Boolean, outCol: String,
+                         sourcesCap: Int = 256, seed: Long = 42): DataFrame = {
+    val sym = symmetrize(edges).persist()
+    val (sources, nS) = pickSources(spark, n, sourcesCap, seed)
+    val (levels, handles) = multiSourceBfs(spark, sym, sources)
+    val extraHandles = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    val L = levels.length
+    var accum = List.empty[DataFrame]
+    // delta for the deepest level is all zeros
+    var deltaAbove: DataFrame = levels(L - 1)
+      .select(col("s"), col("v"), lit(0.0).as("delta"))
+    var lvl = L - 2
+    while (lvl >= 0) {
+      val wFrame = levels(lvl + 1)
+        .join(deltaAbove, Seq("s", "v"))
+        .select(col("s"), col("v").as("w"), col("sigma").as("sigma_w"),
+          col("delta").as("delta_w"))
+      // predecessor pairs: w at level l+1, v at level l, (v, w) an edge
+      val pairs = wFrame
+        .join(sym.withColumnRenamed("src", "w").withColumnRenamed("dst", "pv"), "w")
+        .join(levels(lvl).select(col("s"), col("v").as("pv"),
+          col("sigma").as("sigma_v")), Seq("s", "pv"))
+      val contribs =
+        if (loadMode) {
+          // equal split: (1+delta_w)/numPreds(w)
+          val np = pairs.groupBy("s", "w").agg(count(lit(1)).as("np"))
+          pairs.join(np, Seq("s", "w"))
+            .select(col("s"), col("pv").as("v"),
+              ((lit(1.0) + col("delta_w")) / col("np")).as("c"))
+        } else {
+          pairs.select(col("s"), col("pv").as("v"),
+            (col("sigma_v") / col("sigma_w") * (lit(1.0) + col("delta_w"))).as("c"))
+        }
+      val deltaRaw = levels(lvl).select(col("s"), col("v"))
+        .join(contribs.groupBy("s", "v").agg(sum("c").as("delta")),
+          Seq("s", "v"), "left")
+        .select(col("s"), col("v"), coalesce(col("delta"), lit(0.0)).as("delta"))
+      val (delta, dh) = graft.util.Iterate.checkpoint(spark, deltaRaw)
+      extraHandles += dh
+      accum ::= delta.filter(col("v") =!= col("s"))
+      deltaAbove = delta
+      lvl -= 1
+    }
+    val denom = if (n > 2) (n - 1.0) * (n - 2.0) else 1.0
+    val scale = n.toDouble / nS
+    val summed =
+      if (accum.isEmpty) spark.range(0).toDF("id").withColumn("d", lit(0.0))
+      else accum.reduce(_ union _).groupBy(col("v").as("id"))
+        .agg(sum("delta").as("d"))
+    val out = spark.range(n).toDF("id")
+      .join(summed, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("d"), lit(0.0)) * scale / denom).as(outCol))
+      .persist()
+    out.count()
+    (handles ++ extraHandles).foreach(_.unpersist(blocking = false))
+    sym.unpersist()
+    out
+  }
+
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Deterministic source pick: all vertices when n ≤ cap, else the
+    * `cap` smallest xxhash64(seed, id) values (a seeded sample). */
+  private def pickSources(spark: SparkSession, n: Long, cap: Int,
+                          seed: Long): (DataFrame, Long) = {
+    val ids = spark.range(n).toDF("s")
+    if (n <= cap) (ids, n)
+    else (ids.orderBy(xxhash64(lit(seed), col("s")), col("s")).limit(cap),
+      cap.toLong)
+  }
+
+  /** All reference centralities (benchmark.py:73-107) in one frame —
+    * now including load. `broadcastEdgeMax` guards the CSR collect:
+    * small graphs share ONE broadcast CSR across pagerank, eigenvector,
+    * closeness, betweenness and load; past it every measure routes to
+    * its distributed implementation. */
+  def all(spark: SparkSession, edges: DataFrame, n: Long,
+          broadcastEdgeMax: Long = 10000000L): DataFrame = {
+    val m = edges.count()
+    val parts =
+      if (m <= broadcastEdgeMax) {
+        val csr = buildBroadcastCsr(spark, edges, n)
+        Seq(pageRankCsr(spark, csr),
+          eigenvectorCsr(spark, edges, csr, n),
+          closenessCsr(spark, csr),
+          betweennessCsr(spark, csr),
+          loadCsr(spark, csr))
+      } else {
+        Seq(pageRank(spark, edges),
+          eigenvectorDistributed(spark, edges, n),
+          closenessDistributed(spark, edges, n),
+          brandesDistributed(spark, edges, n, loadMode = false, "betweenness"),
+          brandesDistributed(spark, edges, n, loadMode = true, "load"))
+      }
+    parts.foldLeft(degreeCentrality(edges, n)) {
+      (acc, df) => acc.join(df, Seq("id"), "outer")
+    }.na.fill(0.0)
   }
 }

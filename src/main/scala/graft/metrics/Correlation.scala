@@ -1,8 +1,9 @@
 package graft.metrics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.gen.Generators.hashUniform
 
 /** Rank-correlation utilities (reference A6–A8: benchmark.py:212-241,
   * visualization.py:28-90). */
@@ -24,17 +25,125 @@ object Correlation {
     df.join(ranks, c.replaceAll("`", "") :: Nil)
   }
 
-  /** Spearman ρ of two columns (benchmark.py:224: scipy spearmanr).
-    * Constant columns → NaN (the reference's A11 guard,
-    * run_benchmarks.py:169-175; also keeps ANSI-mode corr from raising
-    * DIVIDE_BY_ZERO on zero variance — hit live on a constant PageRank
+  /** Spearman ρ of `x` against EVERY column in `ys`, in two jobs total
+    * (one constant-guard agg + one ranked-corr agg over a single plan)
+    * instead of ~4 jobs per pair — the difference between seconds and
+    * minutes when a benchmark computes 5 correlations per pipeline.
+    * Constant columns (A11 guard, run_benchmarks.py:169-175) map to
+    * NaN, and are EXCLUDED from the corr job: ANSI-mode corr raises
+    * DIVIDE_BY_ZERO on zero variance (hit live on a constant PageRank
     * over disjoint K2 components). */
-  def spearman(df: DataFrame, x: String, y: String): Double = {
-    val cached = df.select(col(x), col(y))
-    if (isConstant(cached, x) || isConstant(cached, y)) return Double.NaN
-    val ranked = avgRank(avgRank(cached, x, "_rx"), y, "_ry")
-    val r = ranked.agg(corr(col("_rx"), col("_ry"))).collect()(0)
-    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  def spearmanMany(df: DataFrame, x: String, ys: Seq[String]): Map[String, Double] = {
+    val cols = x +: ys
+    val cached = df.select(cols.map(col): _*)
+    val nd = cached.agg(countDistinct(col(cols.head)).as(cols.head),
+      cols.tail.map(c => countDistinct(col(c)).as(c)): _*).collect()(0)
+    def constant(c: String) = nd.getAs[Long](c) <= 1
+    if (constant(x)) return ys.map(_ -> Double.NaN).toMap
+    val active = ys.filterNot(constant)
+    if (active.isEmpty) return ys.map(_ -> Double.NaN).toMap
+    // one chained plan: rank x and every active y, then all corrs in a
+    // single aggregate — executes as ONE job.
+    val ranked = (x +: active).zipWithIndex.foldLeft(cached) {
+      case (acc, (c, i)) => avgRank(acc, c, s"_r$i")
+    }
+    val corrs = ranked.agg(
+      corr(col("_r0"), col("_r1")).as(active.head),
+      active.tail.zipWithIndex.map { case (c, i) =>
+        corr(col("_r0"), col(s"_r${i + 2}")).as(c) }: _*).collect()(0)
+    ys.map { c =>
+      c -> (if (constant(c)) Double.NaN
+            else if (corrs.isNullAt(corrs.fieldIndex(c))) Double.NaN
+            else corrs.getAs[Double](c))
+    }.toMap
+  }
+
+  /** Spearman ρ of two columns (benchmark.py:224: scipy spearmanr). */
+  def spearman(df: DataFrame, x: String, y: String): Double =
+    spearmanMany(df, x, y :: Nil)(y)
+
+  /** Spearman (ρ, p) — the reference returns both (benchmark.py:224).
+    * p-value via the large-n t approximation scipy uses by default:
+    * t = ρ·sqrt((n-2)/(1-ρ²)), two-sided p from Student-t with n-2 df
+    * (driver-side arithmetic; SURVEY.md §2.4 A6). */
+  def spearmanWithP(df: DataFrame, x: String, y: String): (Double, Double) = {
+    val rho = spearman(df, x, y)
+    if (rho.isNaN) return (rho, Double.NaN)
+    val n = df.count()
+    (rho, spearmanPValue(rho, n))
+  }
+
+  /** Two-sided p for a Spearman ρ at sample size n (t approximation). */
+  def spearmanPValue(rho: Double, n: Long): Double = {
+    if (n <= 2) return Double.NaN
+    if (math.abs(rho) >= 1.0) return 0.0
+    val df = (n - 2).toDouble
+    val t = rho * math.sqrt(df / (1.0 - rho * rho))
+    2.0 * studentTSf(math.abs(t), df)
+  }
+
+  /** Student-t survival function via the regularized incomplete beta:
+    * P(T > t) = I_{df/(df+t²)}(df/2, 1/2) / 2. */
+  private def studentTSf(t: Double, df: Double): Double = {
+    val xBeta = df / (df + t * t)
+    0.5 * regIncBeta(xBeta, df / 2.0, 0.5)
+  }
+
+  /** Regularized incomplete beta I_x(a,b) by Lentz continued fraction
+    * (Numerical Recipes §6.4 — public-domain formula). */
+  private def regIncBeta(x: Double, a: Double, b: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x >= 1.0) return 1.0
+    val lnFront = lnGamma(a + b) - lnGamma(a) - lnGamma(b) +
+      a * math.log(x) + b * math.log1p(-x)
+    val front = math.exp(lnFront)
+    // continued fraction converges fastest for x < (a+1)/(a+b+2)
+    if (x < (a + 1.0) / (a + b + 2.0)) front * betaCf(x, a, b) / a
+    else 1.0 - regIncBeta(1.0 - x, b, a)
+  }
+
+  private def betaCf(x: Double, a: Double, b: Double): Double = {
+    val eps = 1e-14
+    var c = 1.0
+    var d = 1.0 - (a + b) * x / (a + 1.0)
+    if (math.abs(d) < 1e-300) d = 1e-300
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    while (m <= 200) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((a + m2 - 1.0) * (a + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < 1e-300) d = 1e-300
+      c = 1.0 + aa / c; if (math.abs(c) < 1e-300) c = 1e-300
+      d = 1.0 / d
+      h *= d * c
+      aa = -(a + m) * (a + b + m) * x / ((a + m2) * (a + m2 + 1.0))
+      d = 1.0 + aa * d; if (math.abs(d) < 1e-300) d = 1e-300
+      c = 1.0 + aa / c; if (math.abs(c) < 1e-300) c = 1e-300
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < eps) return h
+      m += 1
+    }
+    h
+  }
+
+  /** Lanczos log-gamma (g=7, public-domain coefficients). */
+  private def lnGamma(xIn: Double): Double = {
+    val g = Array(676.5203681218851, -1259.1392167224028, 771.32342877765313,
+      -176.61502916214059, 12.507343278686905, -0.13857109526572012,
+      9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (xIn < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * xIn)) - lnGamma(1.0 - xIn)
+    else {
+      val x = xIn - 1.0
+      var a = 0.99999999999980993
+      var i = 0
+      while (i < 8) { a += g(i) / (x + i + 1); i += 1 }
+      val t = x + 7.5
+      0.5 * math.log(2 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
+    }
   }
 
   /** A11 constant-column guard (run_benchmarks.py:169-175). */
@@ -42,34 +151,77 @@ object Correlation {
     df.agg(countDistinct(col(c))).collect()(0).getLong(0) <= 1
 
   /** A7 full Spearman correlation matrix over the given columns
-    * (visualization.py:52-90): returns (col_x, col_y, rho) rows. */
+    * (visualization.py:52-90): returns (col_x, col_y, rho) rows.
+    * One spearmanMany pass per row-column — O(k) jobs, not O(k²). */
   def matrix(spark: SparkSession, df: DataFrame, cols: Seq[String]): DataFrame = {
-    val rows = for (a <- cols; b <- cols) yield {
-      val rho =
-        if (a == b) 1.0
-        else if (isConstant(df, a) || isConstant(df, b)) Double.NaN
-        else spearman(df, a, b)
-      (a, b, rho)
+    val rows = cols.flatMap { a =>
+      val others = cols.filterNot(_ == a)
+      val rhos = spearmanMany(df, a, others)
+      val self = if (isConstant(df, a)) Double.NaN else 1.0
+      (a, a, self) +: others.map(b => (a, b, rhos(b)))
     }
     import spark.implicits._
     rows.toDF("col_x", "col_y", "rho")
   }
 
-  /** A8 bootstrap CI of ρ: `resamples` seeded with-replacement samples,
-    * percentile bounds (visualization.py:31-46). Resampling uses a
-    * hash-seeded multinomial draw per resample so the whole bootstrap is
-    * one grouped job, not a driver loop. */
+  /** A8 bootstrap CI of ρ (visualization.py:31-46) as ONE grouped job
+    * via the Poisson bootstrap: each (row, resample) pair draws a
+    * deterministic Poisson(1) weight from a hash of the row's values —
+    * the standard large-data approximation of multinomial resampling
+    * (resample sizes vary n±√n; CI quality is equivalent at any n the
+    * CI is meaningful for). Per resample: weighted average-tie ranks
+    * (two distinct-value windows partitioned BY resample) and a
+    * weighted Pearson over the ranks — every resample computed in the
+    * same shuffles, no driver loop. */
   def bootstrapCi(spark: SparkSession, df: DataFrame, x: String, y: String,
                   resamples: Int = 1000, alpha: Double = 0.05,
                   seed: Long = 42): (Double, Double) = {
-    val rhos = (0 until resamples).map { i =>
-      val s = df.sample(withReplacement = true, 1.0, seed + i)
-      spearman(s, x, y)
-    }.filterNot(_.isNaN).sorted
+    // Poisson(1) inverse CDF, capped at 7 (P(X>7) ≈ 1e-5)
+    def pois(u: Column): Column =
+      when(u < 0.3678794411714423, 0).when(u < 0.7357588823428846, 1)
+        .when(u < 0.9196986029286058, 2).when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4).when(u < 0.9994058151824183, 5)
+        .when(u < 0.9999167588507119, 6).otherwise(7)
+    val base = df.select(col(x).cast("double").as("xv"),
+      col(y).cast("double").as("yv"))
+      // row discriminator: duplicate (x,y) rows must draw independent
+      // weights, so fold in a per-partition row index (deterministic
+      // for a deterministic input partitioning).
+      .withColumn("ridx", monotonically_increasing_id())
+    val weighted = base.select(col("xv"), col("yv"),
+      explode(filter(
+        transform(sequence(lit(0), lit(resamples - 1)),
+          i => struct(i.as("i"),
+            pois(hashUniform(seed, col("ridx"), i)).as("w"))),
+        s => s.getField("w") > 0)).as("s"))
+      .select(col("s.i").as("i"), col("xv"), col("yv"), col("s.w").as("w"))
+    def rankOf(v: String, rankCol: String): DataFrame = {
+      val w = Window.partitionBy("i").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weighted.groupBy(col("i"), col(v)).agg(sum("w").as("_cw"))
+        .withColumn(rankCol, sum("_cw").over(w) - (col("_cw") - 1) / 2.0)
+        .select(col("i"), col(v), col(rankCol))
+    }
+    val ranked = weighted
+      .join(rankOf("xv", "_rx"), Seq("i", "xv"))
+      .join(rankOf("yv", "_ry"), Seq("i", "yv"))
+    // weighted Pearson over ranks, one agg per resample group
+    val rhos = ranked.groupBy("i").agg(
+      sum("w").as("sw"),
+      sum(col("w") * col("_rx")).as("sx"),
+      sum(col("w") * col("_ry")).as("sy"),
+      sum(col("w") * col("_rx") * col("_rx")).as("sxx"),
+      sum(col("w") * col("_ry") * col("_ry")).as("syy"),
+      sum(col("w") * col("_rx") * col("_ry")).as("sxy"))
+      .select(((col("sw") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("sw") * col("sxx") - col("sx") * col("sx")) *
+          (col("sw") * col("syy") - col("sy") * col("sy")))).as("rho"))
+      .collect().map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+      .filterNot(d => d.isNaN || d.isInfinite).sorted
     if (rhos.isEmpty) (Double.NaN, Double.NaN)
     else {
-      val lo = rhos(math.max(0, (alpha / 2 * rhos.size).toInt))
-      val hi = rhos(math.min(rhos.size - 1, ((1 - alpha / 2) * rhos.size).toInt))
+      val lo = rhos(math.max(0, (alpha / 2 * rhos.length).toInt))
+      val hi = rhos(math.min(rhos.length - 1, ((1 - alpha / 2) * rhos.length).toInt))
       (lo, hi)
     }
   }

