@@ -1,17 +1,22 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark main: one JSON line on stdout.
   *
-  * Three tiers mirroring the reference's harness scale points
-  * (BASELINE.md):
+  * Tiers mirroring the reference's harness scale points (BASELINE.md):
   *  - every SparkEntry query timed at SPARK_GRAFT_SF_DIR;
-  *  - the generator-benchmark shape: ER n=500, dim=3, 30 layout
-  *    iterations (run_benchmarks.py:123-147) with layout_time and
-  *    vertex/edge throughput (compare_backends.py:123-124);
-  *  - the influence-benchmark shape: n=200, k=10 seeds, p=0.1, 20
-  *    layout iters, IC 100 rounds (run_benchmarks.py:377-461).
+  *  - the generator benchmark: the reference's NINE graph types at
+  *    n=500, dim=3, 30 layout iterations (run_benchmarks.py:123-147),
+  *    per-type layout_time and vertex/edge throughput
+  *    (compare_backends.py:123-124);
+  *  - the influence benchmark: the reference's FIVE graph types at
+  *    n=200, k=10, p=0.1, 20 layout iters, IC 100 rounds, greedy + random
+  *    baselines (run_benchmarks.py:377-461).
+  *
+  * The sweep tables are also rendered through the S19 sinks into
+  * markdown files under bench_results/ (the analog of the reference's
+  * results dir, run_benchmarks.py:495-627).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,46 +45,107 @@ object Bench {
       name -> dt
     }
 
-    // tier 2: reference generator-benchmark scale point (n=500, 30 it).
-    // The graph is tiny; 32 shuffle partitions are pure task-scheduling
-    // overhead here — size the shuffle to the data for these tiers.
+    // tier 2: reference generator benchmark — 9 graph types at n=500,
+    // dim=3, 30 iterations (run_benchmarks.py:123-147). Tiny graphs: 32
+    // shuffle partitions are pure task-scheduling overhead, so these
+    // tiers run data-sized (Layout.run sizes its own loop internally).
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     import graft.gen.Generators
     import graft.layout.{Layout, LayoutConfig}
     import graft.linalg.EigenInit
-    val n = 500L
-    val g = Generators.erdosRenyi(spark, n, 0.05, 42).cache()
-    val m = g.count()
     val cfg = LayoutConfig(nComponents = 3, LMin = 10.0, kAttr = 0.5,
       kInter = 0.1, nNeighbors = 15, sampleSize = 512, numIterations = 30, seed = 42)
-    val init = EigenInit.init(spark, g, n, 3, 42)
-    val (pos, layoutTime) = time {
-      val p = Layout.run(spark, g, init, cfg)
-      p.count()
-      p
+    val genConfigs: Seq[(String, () => DataFrame)] = Seq(
+      ("erdos_renyi", () => Generators.erdosRenyi(spark, 500, 0.03, 42)),
+      ("random_regular_d3", () => Generators.randomRegular(spark, 500, 3, 42)),
+      ("random_regular_d5", () => Generators.randomRegular(spark, 500, 5, 42)),
+      ("watts_strogatz", () => Generators.wattsStrogatz(spark, 500, 4, 0.1, 42)),
+      ("barabasi_albert", () => Generators.barabasiAlbert(spark, 500, 2, 42)),
+      ("sbm", () => Generators.sbm(spark, 125, 4, 0.3, 0.01, 42)),
+      ("scale_free", () => Generators.scaleFree(spark, 500, seed = 42)),
+      ("geometric", () => Generators.geometric(spark, 500, 0.15, 3, 42)),
+      ("caveman", () => Generators.caveman(spark, 20, 25)))
+    val genRows = genConfigs.map { case (name, gen) =>
+      val g = gen().cache()
+      val m = g.count()
+      val n = 500L
+      val (_, lt) = time {
+        Layout.run(spark, g, EigenInit.init(spark, g, n, 3, 42), cfg).count()
+      }
+      g.unpersist()
+      System.err.println(f"[bench] generator $name n=$n m=$m layout ${lt}%.1fs")
+      (name, n, m, lt, n / lt, m / lt)
     }
+    val erRow = genRows.head
 
-    // tier 3: reference influence-benchmark scale point (n=200, k=10)
-    import graft.influence.Influence
-    val g2 = Generators.erdosRenyi(spark, 200, 0.05, 7).cache()
-    g2.count()
-    val ((seeds, spread), inflTime) = time {
-      val cfg2 = cfg.copy(numIterations = 20, sampleSize = 256)
-      val p2 = Layout.run(spark, g2, EigenInit.init(spark, g2, 200, 3, 7), cfg2)
-      val sds = Influence.selectSeeds(p2, 10)
-      (sds, Influence.estimatedInfluence(spark, g2, sds, 0.1, 100, 7))
+    // tier 3: reference influence benchmark — 5 graph types at n=200,
+    // k=10, p=0.1 (run_benchmarks.py:377-461): graphem seeds vs greedy
+    // vs random baseline per type.
+    import graft.bench.Harness
+    val inflCfg = cfg.copy(numIterations = 20, sampleSize = 256)
+    val inflConfigs: Seq[(String, () => DataFrame)] = Seq(
+      ("erdos_renyi", () => Generators.erdosRenyi(spark, 200, 0.05, 42)),
+      ("random_regular", () => Generators.randomRegular(spark, 200, 4, 42)),
+      ("watts_strogatz", () => Generators.wattsStrogatz(spark, 200, 4, 0.1, 42)),
+      ("barabasi_albert", () => Generators.barabasiAlbert(spark, 200, 3, 42)),
+      ("sbm", () => Generators.sbm(spark, 50, 4, 0.2, 0.01, 42)))
+    val inflRows = inflConfigs.flatMap { case (name, gen) =>
+      val g = gen().cache()
+      g.count()
+      val ((rows, _), dt) = time {
+        (Harness.influenceBenchmark(spark, g, k = 10, p = 0.1, cfg = inflCfg,
+          greedyPool = 16).collect(), ())
+      }
+      g.unpersist()
+      System.err.println(f"[bench] influence $name total ${dt}%.1fs")
+      rows.map(r => (name, r.getString(0), r.getDouble(1), r.getDouble(2)))
+    }
+    val erInfl = inflRows.filter(r => r._1 == "erdos_renyi" && r._2 == "graphem")
+
+    // S19 sinks: markdown tables like the reference's results dir
+    {
+      import spark.implicits._
+      val genDf = genRows.toSeq.toDF("graph_type", "n", "m",
+        "layout_time_sec", "vertices_per_sec", "edges_per_sec")
+      val inflDf = inflRows.toSeq.toDF("graph_type", "method",
+        "influence_spread", "time_sec")
+      val dir = new java.io.File("bench_results"); dir.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_results/generator_benchmark.md"),
+        graft.io.Sinks.markdown(genDf))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_results/influence_benchmark.md"),
+        graft.io.Sinks.markdown(inflDf))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + layoutTime + inflTime
-    val layout = s"""{"n":$n,"m":$m,"iters":${cfg.numIterations},""" +
-      s""""layout_time":$layoutTime,""" +
-      s""""throughput_vertices_per_sec":${n / layoutTime},""" +
-      s""""throughput_edges_per_sec":${m / layoutTime}}"""
-    val infl = s"""{"n":200,"k":10,"p":0.1,"influence_spread":$spread,"total_time":$inflTime}"""
+    val genSweepJson = genRows.map { case (name, n, m, lt, vps, eps) =>
+      s"""{"type":"$name","n":$n,"m":$m,"layout_time":$lt,""" +
+        s""""throughput_vertices_per_sec":$vps,"throughput_edges_per_sec":$eps}"""
+    }.mkString("[", ",", "]")
+    val inflSweepJson = inflRows.map { case (t, meth, spread, dt) =>
+      s"""{"type":"$t","method":"$meth","influence_spread":$spread,"time_sec":$dt}"""
+    }.mkString("[", ",", "]")
+    val total = results.map(_._2).sum + genRows.map(_._4).sum +
+      inflRows.map(_._4).sum
+    // headline rows kept schema-compatible with r1 (ER tier values)
+    val layout = s"""{"n":${erRow._2},"m":${erRow._3},"iters":${cfg.numIterations},""" +
+      s""""layout_time":${erRow._4},""" +
+      s""""throughput_vertices_per_sec":${erRow._5},""" +
+      s""""throughput_edges_per_sec":${erRow._6}}"""
+    // BASELINE continuity: r1's influence_bench.total_time measured the
+    // graphem path only (layout + seeds + IC eval), not greedy/random.
+    val inflTotal = inflRows
+      .filter(r => r._1 == "erdos_renyi" && r._2 == "graphem")
+      .map(_._4).sum
+    val infl = s"""{"n":200,"k":10,"p":0.1,""" +
+      s""""influence_spread":${erInfl.headOption.map(_._3).getOrElse(-1.0)},""" +
+      s""""total_time":$inflTotal}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""layout_bench":$layout,"influence_bench":$infl,"sf":"$sfDir"}""")
+      s""""layout_bench":$layout,"influence_bench":$infl,""" +
+      s""""generator_sweep":$genSweepJson,"influence_sweep":$inflSweepJson,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,8 +13,10 @@ import graft.linalg.EigenInit
   */
 object ProfileLayout {
   def main(args: Array[String]): Unit = {
-    val w = args.lift(0).map(_.toInt).getOrElse(12)
-    val h = args.lift(1).map(_.toInt).getOrElse(12)
+    // "er" as first arg profiles the bench's ER scale point instead
+    val er = args.headOption.contains("er")
+    val w = if (er) 0 else args.lift(0).map(_.toInt).getOrElse(12)
+    val h = if (er) 0 else args.lift(1).map(_.toInt).getOrElse(12)
     val iters = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -50,25 +52,36 @@ object ProfileLayout {
         s"taskTime=${(taskMs.get - tm0) / 1000.0}s")
       r
     }
-    val g = timed("grid gen+count") {
-      val g = Generators.roadNetwork(spark, w, h); g.count(); g
+    val nV: Long = if (er) 500L else w.toLong * h
+    val dim = if (er) 3 else 2
+    val g = timed("gen+count") {
+      val g0 = if (er) Generators.erdosRenyi(spark, 500, 0.03, 42)
+               else Generators.roadNetwork(spark, w, h)
+      g0.cache(); g0.count(); g0
     }
     val init = timed("eigen init") {
-      val i = EigenInit.init(spark, g, (w * h).toLong, 2, seed = 42)
+      val i = EigenInit.init(spark, g, nV, dim, seed = 42)
       i.count(); i
     }
-    val cfg = LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = iters,
-      sampleSize = 128, nNeighbors = 8, seed = 42)
+    val cfg =
+      if (er) LayoutConfig(nComponents = 3, LMin = 10.0, kAttr = 0.5,
+        kInter = 0.1, nNeighbors = 15, sampleSize = 512, numIterations = iters,
+        seed = 42)
+      else LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = iters,
+        sampleSize = 128, nNeighbors = 8, seed = 42)
+    // mirror Layout.run's loop exactly, with per-iteration timing
     val e = Layout.withEdgeIds(g).persist()
     val m = e.count()
+    val eS = e.coalesce(graft.util.Iterate.sizedPartitions(spark, m))
     graft.util.Iterate.withSizedShuffle(spark, m) {
-      var (pos, handle) = graft.util.Iterate.checkpoint(spark, init)
+      var (pos, handle) = graft.util.Iterate.checkpoint(spark,
+        init.coalesce(graft.util.Iterate.sizedPartitions(spark, 0L)))
       val n = pos.count()
       var it = 0
       while (it < iters) {
         val (next, nh) = timed(s"iter $it") {
           graft.util.Iterate.checkpoint(spark,
-            Layout.step(spark, e, pos, cfg, it, m, n))
+            Layout.step(spark, eS, pos, cfg, it, m, n))
         }
         timed(s"iter $it normalize") {
           pos = Layout.normalize(next, cfg.nComponents)
@@ -81,7 +94,7 @@ object ProfileLayout {
     }
     // fresh init frame: Iterate.checkpoint consumed init.rdd above and
     // unpersisted it — reusing the same Dataset would read dead blocks.
-    val init2 = EigenInit.init(spark, g, (w * h).toLong, 2, seed = 42)
+    val init2 = EigenInit.init(spark, g, nV, dim, seed = 42)
     timed("full Layout.run for comparison") {
       Layout.run(spark, g, init2, cfg).count()
     }

@@ -43,29 +43,34 @@ object Influence {
     val dir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var (infected, infHandle) = graft.util.Iterate.checkpoint(
-      spark, seeds.select(col("id")).distinct())
-    var frontier = infected
-    var frontHandle = infHandle
+    // infected = a LIST of per-round checkpointed frames; the anti-join
+    // runs against their (lazy) union, so each round costs exactly ONE
+    // job — the newly-infected checkpoint whose materializing action is
+    // the frontier count. Handles stay persisted until the loop ends
+    // (they back the union), then one final checkpoint owns the result.
+    val (seeds0, h0, cnt0) = graft.util.Iterate.checkpointWith(
+      spark, seeds.select(col("id")).distinct())(_.count())
+    var parts = List(seeds0)
+    var handles = List(h0)
+    var frontier = seeds0
     var round = 0
-    var frontierCount = frontier.count()
+    var frontierCount = cnt0
     while (frontierCount > 0 && round < maxRounds) {
       val attempts = dir.join(frontier.withColumnRenamed("id", "src"), "src")
         .filter(hashUniform(seed, col("src"), col("dst"), lit(round)) < p)
         .select(col("dst").as("id")).distinct()
-      val (newly, newlyH) = graft.util.Iterate.checkpoint(
-        spark, attempts.join(infected, Seq("id"), "left_anti"))
-      frontierCount = newly.count()
-      val (nextInfected, nextH) = graft.util.Iterate.checkpoint(
-        spark, infected.union(newly))
-      infHandle.unpersist(blocking = false)
-      if (frontHandle ne infHandle) frontHandle.unpersist(blocking = false)
-      infected = nextInfected; infHandle = nextH
-      frontier = newly; frontHandle = newlyH
+      val infectedUnion = parts.reduce(_ union _)
+      val (newly, nh, cnt) = graft.util.Iterate.checkpointWith(spark,
+        attempts.join(infectedUnion, Seq("id"), "left_anti"))(_.count())
+      frontierCount = cnt
+      if (cnt > 0) { parts ::= newly; handles ::= nh; frontier = newly }
+      else nh.unpersist(blocking = false)
       round += 1
     }
+    val (result, _) = graft.util.Iterate.checkpoint(spark, parts.reduce(_ union _))
+    handles.foreach(_.unpersist(blocking = false))
     dir.unpersist()
-    infected
+    result
   }
 
   /** A9 influence count (influence.py:81-84). */
@@ -112,35 +117,36 @@ object Influence {
         if (chosen.isEmpty) candidates
         else candidates.filter(!col("cand").isin(chosen: _*))
       // state: (cand, id) infected pairs — every candidate's cascade in
-      // one job; infected_0 = {cand} ∪ chosen per candidate.
+      // one job; infected_0 = {cand} ∪ chosen per candidate. Same
+      // one-job-per-round union-of-parts shape as independentCascade.
       val base = pool.select(col("cand"), col("cand").as("id"))
-      var (infected, infH) = graft.util.Iterate.checkpoint(spark,
+      val (inf0, h0, cnt0) = graft.util.Iterate.checkpointWith(spark,
         (if (chosen.isEmpty) base
         else base.union(pool.crossJoin(
           spark.createDataFrame(chosen.map(Tuple1(_))).toDF("id"))))
-          .distinct())
-      var frontier = infected
-      var frontH = infH
+          .distinct())(_.count())
+      var parts = List(inf0)
+      var handles = List(h0)
+      var frontier = inf0
       var r = 0
-      var cnt = frontier.count()
+      var cnt = cnt0
       while (cnt > 0 && r < simRounds) {
         val attempts = dir.join(frontier.withColumnRenamed("id", "src"), "src")
           .filter(hashUniform(seed + roundK, col("src"), col("dst"), lit(r)) < p)
           .select(col("cand"), col("dst").as("id")).distinct()
-        val (newly, newlyH) = graft.util.Iterate.checkpoint(spark,
-          attempts.join(infected, Seq("cand", "id"), "left_anti"))
-        cnt = newly.count()
-        val (ni, niH) = graft.util.Iterate.checkpoint(spark, infected.union(newly))
-        infH.unpersist(blocking = false)
-        if (frontH ne infH) frontH.unpersist(blocking = false)
-        infected = ni; infH = niH; frontier = newly; frontH = newlyH; r += 1
+        val infectedUnion = parts.reduce(_ union _)
+        val (newly, nh, c) = graft.util.Iterate.checkpointWith(spark,
+          attempts.join(infectedUnion, Seq("cand", "id"), "left_anti"))(_.count())
+        cnt = c
+        if (c > 0) { parts ::= newly; handles ::= nh; frontier = newly }
+        else nh.unpersist(blocking = false)
+        r += 1
       }
-      val best = infected.groupBy("cand").count()
+      val best = parts.reduce(_ union _).groupBy("cand").count()
         .orderBy(col("count").desc, col("cand").asc).limit(1)
         .collect()(0).getLong(0)
       chosen = chosen :+ best
-      infH.unpersist(blocking = false)
-      frontH.unpersist(blocking = false)
+      handles.foreach(_.unpersist(blocking = false))
     }
     dir.unpersist(); candidates.unpersist()
     spark.createDataFrame(chosen.map(Tuple1(_))).toDF("id")

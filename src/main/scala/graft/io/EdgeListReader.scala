@@ -74,21 +74,81 @@ object EdgeListReader {
     df.write.mode("overwrite").option("header", "true").csv(path)
 }
 
-/** S18 dispatcher (datasets.py:726-758): prefix-routed reader registry.
-  * The reference keys on dataset-name prefixes (snap-/mtx-/…) and pairs
-  * each with a fetch step; fetching is driver-side tooling out of
-  * engine scope (SURVEY.md S17), so the registry here maps a prefixed
-  * name plus a local path to the right parser. */
+/** S18 dispatcher (datasets.py:726-758): prefix-routed reader registry
+  * plus the named catalog of the reference's 8 SNAP datasets
+  * (datasets.py:205-262). Downloading is driver-side tooling out of
+  * engine scope (SURVEY.md S17, no egress here), so a catalog entry
+  * resolves against a local root directory by its canonical filename —
+  * the same caching-by-existence convention the reference uses after
+  * its fetch step (datasets.py:56-58). */
 object Datasets {
+
+  /** Catalog metadata (datasets.py:205-262): canonical filename, SNAP
+    * origin, directedness (undirected either way after U1), published
+    * node/edge counts for sanity checks. */
+  final case class DatasetInfo(name: String, fileName: String, url: String,
+                               description: String, directed: Boolean,
+                               nodes: Long, edges: Long)
+
+  /** The reference's 8 named SNAP datasets, keyed `snap-<name>`. */
+  val catalog: Map[String, DatasetInfo] = Seq(
+    DatasetInfo("snap-facebook_combined", "facebook_combined.txt.gz",
+      "https://snap.stanford.edu/data/facebook_combined.txt.gz",
+      "Facebook social network", directed = false, 4039L, 88234L),
+    DatasetInfo("snap-ego-twitter", "twitter_combined.txt.gz",
+      "https://snap.stanford.edu/data/twitter_combined.txt.gz",
+      "Twitter ego network", directed = true, 81306L, 1768149L),
+    DatasetInfo("snap-wiki-vote", "wiki-Vote.txt.gz",
+      "https://snap.stanford.edu/data/wiki-Vote.txt.gz",
+      "Wikipedia who-votes-on-whom network", directed = true, 7115L, 103689L),
+    DatasetInfo("snap-ca-GrQc", "ca-GrQc.txt.gz",
+      "https://snap.stanford.edu/data/ca-GrQc.txt.gz",
+      "Collaboration network of Arxiv General Relativity", directed = false,
+      5242L, 14496L),
+    DatasetInfo("snap-ca-HepTh", "ca-HepTh.txt.gz",
+      "https://snap.stanford.edu/data/ca-HepTh.txt.gz",
+      "Collaboration network of Arxiv High Energy Physics Theory",
+      directed = false, 9877L, 25998L),
+    DatasetInfo("snap-oregon1_010331", "oregon1_010331.txt.gz",
+      "https://snap.stanford.edu/data/oregon1_010331.txt.gz",
+      "AS peering network from Oregon route views", directed = false,
+      10670L, 22002L),
+    DatasetInfo("snap-p2p-Gnutella04", "p2p-Gnutella04.txt.gz",
+      "https://snap.stanford.edu/data/p2p-Gnutella04.txt.gz",
+      "Gnutella peer-to-peer network from August 4, 2002", directed = true,
+      10876L, 39994L),
+    DatasetInfo("snap-email-Enron", "email-Enron.txt.gz",
+      "https://snap.stanford.edu/data/email-Enron.txt.gz",
+      "Email communication network from Enron", directed = true,
+      36692L, 183831L)
+  ).map(d => d.name -> d).toMap
+
+  /** Catalog listing as a DataFrame (datasets.py:686-723 analog). */
+  def list(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    catalog.values.toSeq.sortBy(_.name)
+      .map(d => (d.name, d.description, d.directed, d.nodes, d.edges))
+      .toDF("name", "description", "directed", "nodes", "edges")
+  }
+
   val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snap" -> ((s, p) => EdgeListReader.snap(s, p)),
     "mtx" -> ((s, p) => EdgeListReader.matrixMarket(s, p)),
     "edges" -> ((s, p) => EdgeListReader.edges(s, p)))
 
+  /** Load a dataset by prefixed name. `path` is either the data file
+    * itself or, for a catalog name, a directory holding the dataset
+    * under its canonical filename (`load_dataset(name)` one-call UX,
+    * datasets.py:726-758). */
   def load(spark: SparkSession, name: String, path: String): DataFrame = {
     val prefix = name.takeWhile(_ != '-')
-    loaders.getOrElse(prefix,
+    val loader = loaders.getOrElse(prefix,
       sys.error(s"unknown dataset prefix '$prefix' (known: ${loaders.keys.mkString(",")})"))
-      .apply(spark, path)
+    val resolved = catalog.get(name) match {
+      case Some(info) if new java.io.File(path).isDirectory =>
+        new java.io.File(path, info.fileName).getPath
+      case _ => path
+    }
+    loader(spark, resolved)
   }
 }

@@ -230,9 +230,20 @@ object Layout {
         val mids = midpoints(edgesWithId, pos, bcast)
         val sampled = sampleMidpoints(mids, cfg.sampleSize, cfg.seed + iter, refCount)
         val pairs =
-          if (refCount <= cfg.exactKnnMaxRef)
-            knnExact(sampled, mids, cfg.nNeighbors, cfg.nComponents)
-          else knnLsh(spark, sampled, mids, cfg.nNeighbors, cfg.nComponents, cfg.seed)
+          if (refCount <= cfg.exactKnnMaxRef) {
+            // the BNLJ evaluates |sampled|·m distance rows — compute-
+            // bound, unlike every other (scheduling-bound) stage of the
+            // loop, so its stream side is repartitioned for the CORES,
+            // not for the data size (~250k pair-evals per task). With
+            // the loop's data-sized coalesce alone, a 10k-edge graph
+            // ran 5M evals on one task (13 s/iter single-threaded).
+            val cores = spark.sparkContext.defaultParallelism
+            val q = math.min(cfg.sampleSize.toLong, refCount)
+            val parts = math.max(1L,
+              math.min(cores.toLong, q * refCount / 250000L + 1L)).toInt
+            val refs = if (parts > 1) mids.repartition(parts) else mids
+            knnExact(sampled, refs, cfg.nNeighbors, cfg.nComponents)
+          } else knnLsh(spark, sampled, mids, cfg.nNeighbors, cfg.nComponents, cfg.seed)
         spring.unionByName(intersectionContrib(pairs, pos, cfg, bcast))
       }
     val forcesRaw = VecOps.sumVecBy(contrib, "id", cfg.nComponents, "f")

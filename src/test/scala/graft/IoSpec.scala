@@ -47,6 +47,26 @@ class IoSpec extends SparkSpec {
     assert(g.agg(max("dst")).collect()(0).getLong(0) == 3)
   }
 
+  test("dataset catalog: named entry resolves by canonical filename") {
+    // gzipped fixture under the catalog's canonical name, loaded via the
+    // one-call load_dataset UX (datasets.py:726-758)
+    val dir = Files.createTempDirectory("graft-catalog")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("facebook_combined.txt.gz")))
+    gz.write("# fb fixture\n0 1\n1 2\n2 0\n1 0\n".getBytes)
+    gz.close()
+    val info = Datasets.catalog("snap-facebook_combined")
+    assert(info.nodes == 4039L && info.edges == 88234L && !info.directed)
+    val g = Datasets.load(spark, "snap-facebook_combined", dir.toString)
+    assert(g.count() == 3)
+    assert(GraphOps.isCanonical(g))
+    // listing covers all 8 names
+    assert(Datasets.list(spark).count() == 8)
+    // a non-catalog name still loads by direct path
+    assert(Datasets.load(spark, "snap-adhoc",
+      dir.resolve("facebook_combined.txt.gz").toString).count() == 3)
+  }
+
   test("matrix market: data row textually equal to the dims line survives") {
     // header "4 5 3" and the weighted edge "4 5 3" are byte-identical;
     // only the POSITIONAL first line may be dropped.
