@@ -69,6 +69,12 @@ object ProfileLayout {
         seed = 42)
       else LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = iters,
         sampleSize = 128, nNeighbors = 8, seed = 42)
+    if (sys.env.contains("PROFILE_EXPLAIN")) {
+      val e0 = Layout.withEdgeIds(g).persist(); val m0 = e0.count()
+      val (p0, _) = graft.util.Iterate.checkpoint(spark, init)
+      Layout.step(spark, e0, p0, cfg, 0, m0, nV).explain("formatted")
+      spark.stop(); return
+    }
     // mirror Layout.run's loop exactly, with per-iteration timing
     val e = Layout.withEdgeIds(g).persist()
     val m = e.count()

@@ -247,7 +247,12 @@ object Layout {
         spring.unionByName(intersectionContrib(pairs, pos, cfg, bcast))
       }
     val forcesRaw = VecOps.sumVecBy(contrib, "id", cfg.nComponents, "f")
-    val forces = if (bcast) broadcast(forcesRaw) else forcesRaw
+    // forces join pos WITHOUT a broadcast hint: a broadcast build is a
+    // separate driver-blocking job per iteration, while the shuffle
+    // join folds into the main job (both sides are loop-state-sized).
+    // At cluster scale forces ~ n rows — not broadcastable anyway, so
+    // the shuffle plan is also the one that survives 100× data.
+    val forces = forcesRaw
     // Unnormalized move; run() checkpoints this, then applies A4
     // normalization as a lazy projection over the cached rows so the
     // force pipeline executes exactly once per iteration.

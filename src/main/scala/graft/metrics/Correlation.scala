@@ -164,6 +164,30 @@ object Correlation {
     rows.toDF("col_x", "col_y", "rho")
   }
 
+  /** Composite correlation report (visualization.py:52-150): the full
+    * Spearman matrix over `cols` with a bootstrap CI per off-diagonal
+    * pair — (col_x, col_y, rho, p_value, ci_lo, ci_hi) rows, renderable
+    * through the S19 sinks. One spearmanMany pass per row-column plus
+    * one grouped bootstrap job per pair. */
+  def report(spark: SparkSession, df: DataFrame, cols: Seq[String],
+             resamples: Int = 200, alpha: Double = 0.05,
+             seed: Long = 42): DataFrame = {
+    val n = df.count()
+    val rows = cols.flatMap { a =>
+      val others = cols.filterNot(_ == a)
+      val rhos = spearmanMany(df, a, others)
+      others.map { b =>
+        val rho = rhos(b)
+        val (lo, hi) =
+          if (rho.isNaN) (Double.NaN, Double.NaN)
+          else bootstrapCi(spark, df, a, b, resamples, alpha, seed)
+        (a, b, rho, spearmanPValue(rho, n), lo, hi)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("col_x", "col_y", "rho", "p_value", "ci_lo", "ci_hi")
+  }
+
   /** A8 bootstrap CI of ρ (visualization.py:31-46) as ONE grouped job
     * via the Poisson bootstrap: each (row, resample) pair draws a
     * deterministic Poisson(1) weight from a hash of the row's values —

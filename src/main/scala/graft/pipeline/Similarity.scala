@@ -61,80 +61,183 @@ object Similarity {
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-LSH signature: bit b = sign(v · h_b). */
-  def signLshSignature(vecCol: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (h, b) =>
-      val dot = h.zipWithIndex.map { case (w, i) =>
-        element_at(vecCol, i + 1).cast("double") * lit(w) }.reduce(_ + _)
-      when(dot > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
   /** Approximate top-k: candidates share the full nBits signature OR any
     * of the `bands` signature bands; exact cosine re-ranks candidates.
-    * Recall rises with bands; cost stays near-linear in matches. */
+    * Recall rises with bands; cost stays near-linear in matches.
+    *
+    * Signatures are computed in a typed map, not a Column expression: a
+    * 16-bit × 64-dim signature is a 1024-term expression tree whose
+    * Janino compile alone costs seconds and can overflow the JIT method
+    * limit into interpreted eval — the compiled-Scala loop is narrow,
+    * linear and bit-identical (same planes, same left-to-right dots). */
   def lshTopK(vectors: DataFrame, k: Int, nBits: Int = 16, bands: Int = 4,
               seed: Long = 42, idCol: String = "vec_id",
               vecCol: String = "embedding", dim: Int = 64): DataFrame = {
     require(nBits % bands == 0)
     val width = nBits / bands
     val planes = hyperplanes(nBits, dim, seed)
-    val sig = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", signLshSignature(col("v"), planes))
+    val spark = vectors.sparkSession
+    import spark.implicits._
     // candidate pairs dedupe on (qid, rid) ONLY — a distinct over the
     // raw vectors would shuffle every 64-float payload once per band
     // collision; vectors are joined back after the pair set shrinks.
-    val banded = sig.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("sig"), b * width)
-          .bitwiseAND((1L << width) - 1)): _*)).as(Seq("band", "key")))
+    val banded = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        (0 until bands).iterator.map { b =>
+          var key = 0L
+          var w = 0
+          while (w < width) {
+            val h = planes(b * width + w)
+            var dot = 0.0
+            var i = 0
+            while (i < dim) { dot += v(i) * h(i); i += 1 }
+            if (dot > 0) key |= (1L << w)
+            w += 1
+          }
+          (id, b, key)
+        }
+      }.toDF("id", "band", "key")
     val cands = banded.select(col("band"), col("key"), col("id").as("qid"))
       .join(banded.select(col("band"), col("key"), col("id").as("rid")),
         Seq("band", "key"))
       .filter(col("qid") =!= col("rid"))
       .select("qid", "rid").distinct()
-    val vecs = sig.select(col("id"), col("v"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
-    cands
+    val vecs = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val joined = cands
       .join(vecs.select(col("id").as("qid"), col("v").as("qv")), "qid")
       .join(vecs.select(col("id").as("rid"), col("v").as("rv")), "rid")
-      .withColumn("cos", round(cosineFixed(dim, col("qv"), col("rv")), 6))
+    rerankTopK(joined, k)
+  }
+
+  /** Exact-cosine re-rank of candidate pairs → per-query top-k. The
+    * cosine runs in a typed map: the 192-term fixed-dim expression tree
+    * exceeds codegen method limits on candidate volumes of ~1M rows and
+    * falls back to interpreted eval (~17 µs/row observed); the compiled
+    * loop is bit-identical to [[cosineFixed]] (same per-accumulator
+    * left-to-right order). */
+  private def rerankTopK(joined: DataFrame, k: Int): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
+    joined.select(col("qid").cast("long"), col("qv"),
+        col("rid").cast("long"), col("rv"))
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (qid, qv, rid, rv) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < qv.length) {
+          val a = qv(i).toDouble; val b = rv(i).toDouble
+          dot += a * b; na += a * a; nb += b * b
+          i += 1
+        }
+        (qid, rid, dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12))
+      }
+      .toDF("qid", "rid", "cos_raw")
+      .withColumn("cos", round(col("cos_raw"), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rid"), col("cos"), col("rn"))
   }
 
-  /** IVF-style coarse index: KMeans centroids (seeded), queries probe
-    * their nearest `nProbe` clusters, exact re-rank inside. */
+  /** IVF-style coarse index: seeded k-means centroids, queries probe
+    * their nearest `nProbe` clusters, exact cosine re-rank inside.
+    *
+    * The quantizer trains on the DRIVER over a deterministic hash-
+    * ordered sample (≤ `trainCap` rows) — the standard IVF design
+    * (faiss/cuVS train coarse quantizers on a subsample): centroid
+    * quality needs a representative sample, not the full data, and a
+    * distributed Lloyd on billions of rows would burn a shuffle per
+    * iteration for no recall gain. Assignment and probing are ONE
+    * narrow typed pass each against the broadcast centroids, so the
+    * whole index costs two shuffles (the list join + the top-k window)
+    * at any input size. */
   def ivfTopK(spark: SparkSession, vectors: DataFrame, k: Int, nLists: Int = 16,
               nProbe: Int = 2, seed: Long = 42, idCol: String = "vec_id",
-              vecCol: String = "embedding", dim: Int = 64): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(v)
-    val centers = model.clusterCenters.zipWithIndex
-    val assigned = model.transform(v).withColumnRenamed("prediction", "list")
-    // each query probes its nProbe nearest centroids
-    val centDf = spark.createDataFrame(
-      centers.map { case (c, i) => (i, c.toArray) }.toSeq.asInstanceOf[Seq[(Int, Array[Double])]]
-    ).toDF("list", "center")
-    val qProbe = assigned.select(col("id").as("qid"), col("v").as("qv"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("d2", VecOps.sqDist(transform(col("qv"), x => x.cast("double")), col("center")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("qid").orderBy(col("d2").asc, col("list").asc)))
-      .filter(col("pr") <= nProbe)
-      .select(col("qid"), col("qv"), col("list"))
-    val refs = assigned.select(col("id").as("rid"), col("v").as("rv"), col("list"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
-    qProbe.join(refs, "list")
-      .filter(col("qid") =!= col("rid"))
-      .select("qid", "qv", "rid", "rv").distinct()
-      .withColumn("cos", round(cosineFixed(dim, col("qv"), col("rv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rid"), col("cos"), col("rn"))
+              vecCol: String = "embedding", dim: Int = 64,
+              trainCap: Int = 20000): DataFrame = {
+    import spark.implicits._
+    val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainCap).as[(Long, Array[Float])].collect()
+      .map(_._2.map(_.toDouble))
+    val centers = lloydKMeans(train, nLists, seed)
+    val bc = spark.sparkContext.broadcast(centers)
+    def nearest(v: Array[Float], howMany: Int): Array[Int] = {
+      val cs = bc.value
+      val d2 = Array.tabulate(cs.length) { c =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - cs(c)(i); s += d * d; i += 1 }
+        s
+      }
+      (0 until cs.length).sortBy(c => (d2(c), c)).take(howMany).toArray
+    }
+    val assigned = src.as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearest(v, 1)(0)) }
+      .toDF("rid", "rv", "list")
+    val qProbe = src.as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearest(v, nProbe).iterator.map(l => (id, v, l)) }
+      .toDF("qid", "qv", "list")
+    // every ref sits in exactly one list, so a (qid, rid) pair appears
+    // at most once — no dedupe needed before the re-rank.
+    rerankTopK(qProbe.join(assigned, "list")
+      .filter(col("qid") =!= col("rid")), k)
+  }
+
+  /** Seeded Lloyd k-means with k-means++ init on an in-memory sample
+    * (quantizer training for [[ivfTopK]]); deterministic for a seed.
+    * Empty clusters re-seed from the point farthest from its center. */
+  private def lloydKMeans(points: Array[Array[Double]], k: Int, seed: Long,
+                          iters: Int = 15): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeans needs a non-empty training sample")
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = scala.collection.mutable.ArrayBuffer(
+      points(rnd.nextInt(points.length)).clone())
+    while (centers.length < math.min(k, points.length)) {
+      val dists = points.map(p => centers.map(c => d2(p, c)).min)
+      val total = dists.sum
+      var r = rnd.nextDouble() * total
+      var idx = 0
+      while (idx < points.length - 1 && r > dists(idx)) { r -= dists(idx); idx += 1 }
+      centers += points(idx).clone()
+    }
+    val cs = centers.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val d = d2(p, cs(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < cs.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { cs(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } else {
+          // re-seed an empty cluster at the point farthest from its center
+          val far = points.maxBy(p => cs.map(cc => d2(p, cc)).min)
+          System.arraycopy(far, 0, cs(c), 0, dim)
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cs
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold form), EXACT, via

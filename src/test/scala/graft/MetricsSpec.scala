@@ -123,6 +123,28 @@ class MetricsSpec extends SparkSpec {
     assert(lo <= rho && rho <= hi)
   }
 
+  test("correlation report: matrix + CI + p per off-diagonal pair") {
+    val df = (1 to 25).map { i =>
+      (i.toDouble, i + (i % 4).toDouble, 26.0 - i)
+    }.toDF("a", "b", "c")
+    val rep = Correlation.report(spark, df, Seq("a", "b", "c"),
+      resamples = 30).collect()
+    assert(rep.length == 6) // 3 columns × 2 others
+    rep.foreach { r =>
+      val (rho, p, lo, hi) = (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(rho >= -1.0 && rho <= 1.0)
+      assert(p >= 0.0 && p <= 1.0)
+      assert(lo <= rho + 1e-9 && rho - 1e-9 <= hi,
+        s"CI [$lo,$hi] should bracket rho=$rho")
+    }
+    // and it renders through the S19 markdown sink
+    import graft.io.Sinks
+    val md = Sinks.markdown(Correlation.report(spark, df, Seq("a", "b"),
+      resamples = 10))
+    assert(md.contains("| col_x |") && md.contains("| a |"))
+  }
+
   test("centralities.all joins every measure") {
     val g = Generators.roadNetwork(spark, 3, 3)
     val all = Centralities.all(spark, g, 9)
