@@ -78,6 +78,22 @@ object Bench {
     }
     val erRow = genRows.head
 
+    // tier 2b: the reference's dataset-benchmark scale point
+    // (run_benchmarks.py:199-296: snap-facebook_combined, 4,039 v /
+    // 88,234 e, L_min=4.0, 30 iters). No egress here, so a synthetic
+    // graph at the same n/m stands in (BA m=22 ≈ same edge count).
+    val dsBench = {
+      val g = Generators.barabasiAlbert(spark, 4039, 22, 42).cache()
+      val m = g.count()
+      val dsCfg = cfg.copy(LMin = 4.0)
+      val (_, lt) = time {
+        Layout.run(spark, g, EigenInit.init(spark, g, 4039, 3, 42), dsCfg).count()
+      }
+      g.unpersist()
+      System.err.println(f"[bench] dataset-scale (n=4039, m=$m) layout ${lt}%.1fs")
+      (4039L, m, lt)
+    }
+
     // tier 3: reference influence benchmark — 5 graph types at n=200,
     // k=10, p=0.1 (run_benchmarks.py:377-461): graphem seeds vs greedy
     // vs random baseline per type.
@@ -128,7 +144,7 @@ object Bench {
       s"""{"type":"$t","method":"$meth","influence_spread":$spread,"time_sec":$dt}"""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum + genRows.map(_._4).sum +
-      inflRows.map(_._4).sum
+      inflRows.map(_._4).sum + dsBench._3
     // headline rows kept schema-compatible with r1 (ER tier values)
     val layout = s"""{"n":${erRow._2},"m":${erRow._3},"iters":${cfg.numIterations},""" +
       s""""layout_time":${erRow._4},""" +
@@ -142,8 +158,11 @@ object Bench {
     val infl = s"""{"n":200,"k":10,"p":0.1,""" +
       s""""influence_spread":${erInfl.headOption.map(_._3).getOrElse(-1.0)},""" +
       s""""total_time":$inflTotal}"""
+    val ds = s"""{"n":${dsBench._1},"m":${dsBench._2},"iters":30,""" +
+      s""""layout_time":${dsBench._3}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""layout_bench":$layout,"influence_bench":$infl,""" +
+      s""""dataset_bench":$ds,""" +
       s""""generator_sweep":$genSweepJson,"influence_sweep":$inflSweepJson,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

@@ -13,10 +13,12 @@ import graft.linalg.EigenInit
   */
 object ProfileLayout {
   def main(args: Array[String]): Unit = {
-    // "er" as first arg profiles the bench's ER scale point instead
+    // "er" / "ds" as first arg profile the bench's ER / dataset-scale
+    // points instead of a grid
     val er = args.headOption.contains("er")
-    val w = if (er) 0 else args.lift(0).map(_.toInt).getOrElse(12)
-    val h = if (er) 0 else args.lift(1).map(_.toInt).getOrElse(12)
+    val ds = args.headOption.contains("ds")
+    val w = if (er || ds) 0 else args.lift(0).map(_.toInt).getOrElse(12)
+    val h = if (er || ds) 0 else args.lift(1).map(_.toInt).getOrElse(12)
     val iters = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -52,10 +54,11 @@ object ProfileLayout {
         s"taskTime=${(taskMs.get - tm0) / 1000.0}s")
       r
     }
-    val nV: Long = if (er) 500L else w.toLong * h
-    val dim = if (er) 3 else 2
+    val nV: Long = if (er) 500L else if (ds) 4039L else w.toLong * h
+    val dim = if (er || ds) 3 else 2
     val g = timed("gen+count") {
       val g0 = if (er) Generators.erdosRenyi(spark, 500, 0.03, 42)
+               else if (ds) Generators.barabasiAlbert(spark, 4039, 22, 42)
                else Generators.roadNetwork(spark, w, h)
       g0.cache(); g0.count(); g0
     }
@@ -64,9 +67,9 @@ object ProfileLayout {
       i.count(); i
     }
     val cfg =
-      if (er) LayoutConfig(nComponents = 3, LMin = 10.0, kAttr = 0.5,
-        kInter = 0.1, nNeighbors = 15, sampleSize = 512, numIterations = iters,
-        seed = 42)
+      if (er || ds) LayoutConfig(nComponents = 3, LMin = if (ds) 4.0 else 10.0,
+        kAttr = 0.5, kInter = 0.1, nNeighbors = 15, sampleSize = 512,
+        numIterations = iters, seed = 42)
       else LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = iters,
         sampleSize = 128, nNeighbors = 8, seed = 42)
     if (sys.env.contains("PROFILE_EXPLAIN")) {

@@ -85,6 +85,14 @@ object Influence {
     * Candidates are capped to the top `candidatePool` by degree
     * (the reference evaluates all n, which is O(n·k) simulations; the
     * pool cap is the standard CELF-style practicality).
+    *
+    * Why not CELF lazy evaluation: CELF trades candidate evaluations
+    * for SEQUENTIAL re-evaluations of the current top candidate, but
+    * under Spark the scarce resource is driver-blocking job rounds, not
+    * per-candidate work — the batched form runs a whole round's
+    * candidates in the same jobs one candidate would cost, so laziness
+    * would only add rounds. (CELF's bound also assumes submodularity,
+    * which round-indexed hash coins slightly violate.)
     */
   def greedySeeds(spark: SparkSession, edges: DataFrame, k: Int, p: Double,
                   simRounds: Int = 50, candidatePool: Int = 64,

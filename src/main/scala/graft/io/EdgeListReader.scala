@@ -57,9 +57,11 @@ object EdgeListReader {
   def csvGraph(spark: SparkSession, nodesCsv: String, edgesCsv: String,
                idCol: String = "id", srcCol: String = "source",
                dstCol: String = "target"): DataFrame = {
-    val nodes = spark.read.option("header", "true").csv(nodesCsv)
-      .select(col(idCol).as("paper"))
-      .withColumn("idx", row_number().over(Window.orderBy(col("paper"))).cast("long") - 1)
+    // dense paper→index map via the size-guarded denseIndex (windowed
+    // small / range-partitioned zipWithIndex at scale)
+    val nodes = GraphOps.denseIndex(
+      spark.read.option("header", "true").csv(nodesCsv)
+        .select(col(idCol).as("paper")), "paper")
     val cites = spark.read.option("header", "true").csv(edgesCsv)
       .select(col(srcCol).as("s"), col(dstCol).as("t"))
     val m = broadcast(nodes)

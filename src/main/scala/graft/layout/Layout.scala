@@ -106,27 +106,68 @@ object Layout {
     else mids.filter(hashUniform(seed, col("eid")) < s.toDouble / refCount)
 
   /** J3 exact kNN: sampled query midpoints × all reference midpoints,
-    * per-query top-k by squared distance (embedder_pytorch.py:543-593 as
-    * cross join + WindowGroupLimit; Spark 4 rewrites rn<=k into a
-    * per-partition top-k, never materializing the full sort). Self-match
-    * dropped (embedder_pytorch.py:420-421). */
+    * per-query top-k by squared distance (embedder_pytorch.py:543-593),
+    * self-match dropped (embedder_pytorch.py:420-421).
+    *
+    * The query side (≤ sampleSize rows by contract) is collected and
+    * broadcast as primitive arrays; each ref partition streams ONCE
+    * through a compiled kernel holding a bounded worst-out buffer per
+    * query, then the tiny per-partition survivors (parts × |q| × k
+    * rows) merge through one window. The earlier join + window form
+    * materialized all |q|·m joined rows into WindowGroupLimit's
+    * per-partition SORT — 2.9 µs/pair vs ~10 ns here (measured 132 s
+    * of task time per iteration at m=88k). Tie-breaks ((d2, rid) asc)
+    * and the left-to-right d2 summation are identical, so results are
+    * bit-equal to the join form. */
   def knnExact(queries: DataFrame, refs: DataFrame, k: Int, dim: Int = 3): DataFrame = {
-    val q = queries.select(col("eid").as("qid"), col("src").as("qsrc"),
-      col("dst").as("qdst"), col("mid").as("qmid"))
-    val r = refs.select(col("eid").as("rid"), col("src").as("rsrc"),
-      col("dst").as("rdst"), col("mid").as("rmid"))
+    val spark = refs.sparkSession
+    import spark.implicits._
+    val qArr = queries.select(col("eid"), col("src"), col("dst"), col("mid"))
+      .as[(Long, Long, Long, Array[Double])].collect()
+    val bc = spark.sparkContext.broadcast(qArr)
+    val partial = refs.select(col("eid"), col("src"), col("dst"), col("mid"))
+      .as[(Long, Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val nq = qs.length
+        // per-query bounded buffers: parallel arrays of size k, slot of
+        // the current worst tracked for O(1) reject of non-candidates
+        val d2s = Array.fill(nq)(Array.fill(k)(Double.MaxValue))
+        val rids = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
+        val rsrcs = Array.fill(nq)(new Array[Long](k))
+        val rdsts = Array.fill(nq)(new Array[Long](k))
+        def worse(a2: Double, ar: Long, b2: Double, br: Long): Boolean =
+          a2 > b2 || (a2 == b2 && ar > br)
+        it.foreach { case (rid, rsrc, rdst, rmid) =>
+          var qi = 0
+          while (qi < nq) {
+            val q = qs(qi)
+            if (q._1 != rid) {
+              val qm = q._4
+              var d2 = 0.0
+              var i = 0
+              while (i < dim) { val d = qm(i) - rmid(i); d2 += d * d; i += 1 }
+              // find the worst slot; replace if this candidate beats it
+              val ds = d2s(qi); val rs = rids(qi)
+              var wi = 0; var j = 1
+              while (j < k) { if (worse(ds(j), rs(j), ds(wi), rs(wi))) wi = j; j += 1 }
+              if (worse(ds(wi), rs(wi), d2, rid)) {
+                ds(wi) = d2; rs(wi) = rid
+                rsrcs(qi)(wi) = rsrc; rdsts(qi)(wi) = rdst
+              }
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          val q = qs(qi)
+          (0 until k).iterator.filter(s => d2s(qi)(s) < Double.MaxValue).map { s =>
+            (q._1, q._2, q._3, rids(qi)(s), rsrcs(qi)(s), rdsts(qi)(s), d2s(qi)(s))
+          }
+        }
+      }.toDF("qid", "qsrc", "qdst", "rid", "rsrc", "rdst", "d2")
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("rid").asc)
-    // d2 computed pre-shuffle and the midpoint arrays dropped: the
-    // window exchange then carries 7 scalars/row, and Spark 4's
-    // InferWindowGroupLimit keeps only the per-partition top-k before
-    // the exchange — the m×s candidate set never shuffles in full.
-    // broadcast(q): the sampled side is ≤ sampleSize rows; without the
-    // hint the non-equi join plans as a CartesianProduct with
-    // |q-parts|·|r-parts| tasks (observed 64·64=4096 tasks per
-    // iteration on a 144-node graph — pure scheduler overhead).
-    broadcast(q).join(r, col("qid") =!= col("rid"))
-      .select(col("qid"), col("qsrc"), col("qdst"), col("rid"), col("rsrc"),
-        col("rdst"), VecOps.sqDistFixed(dim, col("qmid"), col("rmid")).as("d2"))
+    partial
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")

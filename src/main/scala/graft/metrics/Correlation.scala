@@ -54,7 +54,8 @@ object Correlation {
     ys.map { c =>
       c -> (if (constant(c)) Double.NaN
             else if (corrs.isNullAt(corrs.fieldIndex(c))) Double.NaN
-            else corrs.getAs[Double](c))
+            // corr's float accumulation can land a hair outside [-1, 1]
+            else math.max(-1.0, math.min(1.0, corrs.getAs[Double](c))))
     }.toMap
   }
 

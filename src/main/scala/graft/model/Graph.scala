@@ -36,17 +36,45 @@ object GraphOps {
   def vertices(edges: DataFrame): DataFrame =
     edges.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
 
+  /** Dense 0..n-1 index in ascending `keyCol` order. Below
+    * `windowMax` rows: one sorted window (single partition — fine for
+    * driver-scale maps). Above: range-partition + sortWithinPartitions
+    * + zipWithIndex, which yields the IDENTICAL globally-sorted
+    * contiguous index without ever collecting the sort to one task
+    * (zipWithIndex costs one extra per-partition count job — the
+    * standard scale form of this op). */
+  def denseIndex(df: DataFrame, keyCol: String,
+                 windowMax: Long = 10000000L,
+                 knownCount: Long = -1L): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (knownCount >= 0) knownCount else df.count()
+    if (n <= windowMax)
+      df.withColumn("idx",
+        row_number().over(Window.orderBy(col(keyCol))).cast("long") - 1)
+    else {
+      val parts = graft.util.Iterate.sizedPartitions(spark, n)
+      val sorted = df.repartitionByRange(parts, col(keyCol))
+        .sortWithinPartitions(keyCol)
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "idx", org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+    }
+  }
+
   /** Contiguous 0..n-1 relabeling applied to both endpoints
     * (nx.convert_node_labels_to_integers, datasets.py:161-164).
-    * At scale the global row_number is the standard zipWithIndex-style
-    * bottleneck; n (vertex count) is orders smaller than m so a single
-    * sorted window over vertices is acceptable and the edge-side remap
-    * is two broadcast-able joins when the vertex map is small.
-    */
-  def relabel(edges: DataFrame): (DataFrame, DataFrame) = {
-    val verts = vertices(edges)
-      .withColumn("idx", row_number().over(Window.orderBy(col("id"))) - 1)
-    val m = broadcast(verts)
+    * Vertex indexing via [[denseIndex]] (windowed small / zipWithIndex
+    * large); the edge-side remap broadcasts the vertex map only while
+    * it plausibly fits executors. */
+  def relabel(edges: DataFrame,
+              broadcastMaxVertices: Long = 10000000L): (DataFrame, DataFrame) = {
+    val v = vertices(edges)
+    val n = v.count()
+    val verts = denseIndex(v, "id", broadcastMaxVertices, knownCount = n)
+    val m = if (n <= broadcastMaxVertices) broadcast(verts) else verts
     val remapped = edges
       .join(m.withColumnRenamed("id", "src").withColumnRenamed("idx", "sidx"), "src")
       .join(m.withColumnRenamed("id", "dst").withColumnRenamed("idx", "didx"), "dst")

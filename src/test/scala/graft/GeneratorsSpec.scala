@@ -104,7 +104,7 @@ class GeneratorsSpec extends SparkSpec {
       .select((col("src") * 10).as("src"), (col("dst") * 10).as("dst"))
     val (verts, edges) = GraphOps.relabel(raw)
     assert(verts.count() == 16)
-    val maxIdx = verts.agg(max("idx")).collect()(0).getInt(0)
+    val maxIdx = verts.agg(max("idx")).collect()(0).getLong(0)
     assert(maxIdx == 15)
     assert(edges.count() == raw.count())
     assert(GraphOps.isCanonical(edges))

@@ -58,6 +58,18 @@ class MetricsSpec extends SparkSpec {
     assert(evs == 0L)
   }
 
+  test("denseIndex: zipWithIndex path identical to the windowed path") {
+    val df = (1 to 300).map(i => ((i * 37) % 1000).toLong)
+      .distinct.map(Tuple1(_)).toDF("id")
+    val small = graft.model.GraphOps.denseIndex(df, "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // windowMax=0 forces the range-partition + zipWithIndex route
+    val large = graft.model.GraphOps.denseIndex(df, "id", windowMax = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small == large)
+    assert(small.values.toSeq.sorted == (0L until small.size).toSeq)
+  }
+
   test("largest connected component extracts the bigger piece") {
     val twoComp = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
     val lcc = graft.model.GraphOps.largestComponent(spark, twoComp)

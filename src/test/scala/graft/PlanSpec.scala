@@ -65,4 +65,25 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"gather not broadcast:\n$p")
   }
+
+  test("layout step plans no cartesian product and no m×s sort") {
+    // regression guards for the two scale-killers fixed in round 2:
+    // the un-hinted kNN join planned a |q-parts|·|r-parts|-task
+    // CartesianProduct, and the join+window kNN form sorted all |q|·m
+    // joined rows inside WindowGroupLimit.
+    import graft.layout.{Layout, LayoutConfig}
+    import graft.linalg.EigenInit
+    val g = graft.gen.Generators.roadNetwork(spark, 6, 6)
+    val e = Layout.withEdgeIds(g)
+    val m = e.count()
+    val (pos, _) = graft.util.Iterate.checkpoint(
+      spark, EigenInit.init(spark, g, 36, 2, seed = 1))
+    val cfg = LayoutConfig(nComponents = 2, LMin = 1.0, sampleSize = 16,
+      nNeighbors = 4, seed = 1)
+    val p = Layout.step(spark, e, pos, cfg, 0, m, 36)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in step plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in step plan:\n$p")
+  }
+
 }
