@@ -45,11 +45,34 @@ object Dedup {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))).as("fingerprint"))
 
   /** All-pairs n-gram Jaccard ≥ threshold via shared-shingle join.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * `maxDocFreq`: the posting-list join is quadratic within each
+    * shingle's posting list, so one boilerplate shingle shared by f
+    * documents emits f²/2 candidate rows — at corpus scale a handful of
+    * stop-shingles dominate the whole shuffle. Setting a cap drops
+    * shingles whose document frequency exceeds it from BOTH the join
+    * and the per-doc sizes, i.e. the result is the exact Jaccard over
+    * the non-stop shingle space (the standard stop-shingle
+    * approximation; near-dup pairs share plenty of rare shingles, so
+    * recall for high thresholds is essentially unaffected). Default
+    * None = exact over all shingles. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxDocFreq: Option[Long] = None): DataFrame = {
+    val shAll = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
+    val sh = maxDocFreq match {
+      case None => shAll
+      case Some(cap) =>
+        // document frequency per shingle; the heavy hitters are few, so
+        // the kept-shingle set joins back as a broadcast-able filter on
+        // the shingle itself being rare — implemented as an aggregate +
+        // equi-join so Catalyst can pick broadcast vs shuffle by stats
+        val keep = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        shAll.join(keep, "s")
+    }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("id").as("id_a"), col("s"))
       .join(sh.select(col("id").as("id_b"), col("s")), "s")

@@ -36,6 +36,30 @@ class PipelineSpec extends SparkSpec {
     assert(hit(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("jaccard stop-shingle cap drops boilerplate but keeps near-dups") {
+    import spark.implicits._
+    // every doc shares the same boilerplate header (a hot shingle whose
+    // posting list would emit n²/2 candidate rows); docs 1 and 2 are
+    // near-identical beyond it
+    val boiler = "terms of service apply to all"
+    val d = Seq(
+      (1L, s"$boiler quick brown fox jumps over the lazy dog today"),
+      (2L, s"$boiler quick brown fox jumps over the lazy dog tonight"),
+      (3L, s"$boiler completely different body text about spark plans here"),
+      (4L, s"$boiler yet another unrelated document body on graph layouts")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(d, n = 3, threshold = 0.5, maxDocFreq = Some(2))
+      .collect()
+    // only the real near-dup survives; boilerplate-only overlap does not
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // a cap above every shingle's document frequency reproduces the
+    // exact uncapped result bit-for-bit
+    val exact = Dedup.jaccardPairs(d, n = 3, threshold = 0.1).collect().toSet
+    val hiCap = Dedup.jaccardPairs(d, n = 3, threshold = 0.1,
+      maxDocFreq = Some(1000)).collect().toSet
+    assert(exact == hiCap)
+  }
+
   test("minhash-LSH finds the same planted near-dup as exact jaccard") {
     val lsh = Dedup.minhashLsh(docsWithPlants, n = 3, k = 64, bands = 16,
       threshold = 0.5)
