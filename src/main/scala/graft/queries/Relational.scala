@@ -127,6 +127,11 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
     }),
 
+    // Gap-based sessionization via session_window (batch form; the same
+    // transform runs under readStream with watermark-bounded state).
+    "q42_sessions" -> ((s, d) =>
+      graft.streaming.EventsStream.sessions(Tables.events(s, d))),
+
     "q12_json_extract" -> ((s, d) => {
       Tables.events(s, d)
         .select(col("event_id"),
@@ -228,6 +233,29 @@ object Relational {
     "q12_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin,
+
+    // Sequential-gap formulation of session_window: a session breaks
+    // only when the inactivity gap strictly exceeds 30 min (exact-gap
+    // merges, matching Spark's inclusive-end [ts, ts+gap] overlap —
+    // pinned by the PipelineSpec boundary test). Timestamps compared in
+    // integer µs — the exact arithmetic the Spark side performs after
+    // its nanos div 1000 normalization.
+    "q42_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+        |o AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(us) AS sess_start, count(*) AS sess_events,
+        |  round(sum(value), 2) AS sess_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q13_spearman" ->
       """WITH ranked AS (

@@ -45,6 +45,29 @@ object EventsStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("v"))
 
+  /** Gap-based per-user sessionization (default 30-minute inactivity
+    * gap): Spark's `session_window` computes the identical merge in
+    * batch and streaming, and in streaming its state is bounded by the
+    * watermark — the idiomatic form of what a custom
+    * `flatMapGroupsWithState` session reducer would hand-roll. An event
+    * arriving exactly `gap` after the previous one MERGES into the same
+    * session (windows are [ts, ts+gap] with inclusive-end overlap —
+    * pinned by the boundary test in PipelineSpec); only a strictly
+    * larger inactivity gap starts a new session.
+    *
+    * Output: (user_id, sess_start µs, sess_events, sess_value) — the
+    * session start is the min event time, emitted as epoch micros so
+    * the DuckDB oracle compares exact integers, not formatted strings.
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    normalizeTs(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("sess_events"),
+        round(sum(col("value")), 2).as("sess_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("sess_start"),
+        col("sess_events"), col("sess_value"))
+
   /** Batch entry: read the parquet and aggregate. */
   def batch(spark: SparkSession, dir: String): DataFrame =
     hourlyAgg(spark.read.parquet(s"$dir/events.parquet"))
