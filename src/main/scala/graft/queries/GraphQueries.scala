@@ -93,8 +93,10 @@ object GraphQueries {
         .orderBy("id")
     }),
 
-    // L6 GraphX PageRank on the supplier graph (rows-only; invariants in
-    // ScalaTest assert sum(rank)≈n and determinism).
+    // L6 GraphX PageRank on the supplier graph. Oracle-checked: on this
+    // disjoint star union the iteration converges exactly by round 2
+    // (suppliers are dangling, nations receive nothing), so the DuckDB
+    // oracle is the closed form + GraphX's final sum-to-n normalization.
     "q23_pagerank" -> ((s, d) => {
       import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
       val rdd = supplierGraph(s, d).rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
@@ -145,8 +147,8 @@ object GraphQueries {
     }),
 
     // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
-    // benchmark_correlations pipeline shape (rows-only; q13 covers the
-    // rank-correlation kernel against the oracle).
+    // benchmark_correlations pipeline shape. Oracle-checked end-to-end:
+    // closed-form pagerank (see q23) + degree + avg-tie-rank corr.
     "q37_rank_corr" -> ((s, d) => {
       val g = supplierGraph(s, d)
       val pr = queries("q23_pagerank")(s, d)
@@ -219,6 +221,62 @@ object GraphQueries {
         |  round(s * (s - 1.0) / ((n - 1.0) * (n - 2.0)), 9) AS betweenness
         |FROM su, nn
         |UNION ALL
-        |SELECT CAST(s_suppkey + 100000 AS BIGINT), 0.0 FROM supplier""".stripMargin
+        |SELECT CAST(s_suppkey + 100000 AS BIGINT), 0.0 FROM supplier""".stripMargin,
+
+    // GraphX staticPageRank(10) semantics (pinned empirically against
+    // Spark 4.1: init 1.0; r' = 0.15 + 0.85·Σ_in r/outdeg per round; ONE
+    // final normalization to sum(r) = n). All edges here point
+    // nation → supplier, so suppliers are dangling (send nothing) and
+    // nations have in-degree 0: from round 2 on, r(nation) = 0.15 and
+    // r(supplier in a star of s) = 0.15 + 0.85·0.15/s — exact closed
+    // form at 10 rounds. Unnormalized total = 0.15·n + 0.1275·#nations
+    // (each star's suppliers contribute Σ 1/s = 1 per nation).
+    "q23_pagerank" ->
+      """WITH su AS (SELECT s_nationkey AS nk, count(*) AS s FROM supplier GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM su) AS nn,
+        |             (SELECT count(*) FROM supplier) AS ns),
+        |sc AS (SELECT (nn + ns) * 1.0 / (0.15 * (nn + ns) + 0.1275 * nn) AS f
+        |       FROM c)
+        |SELECT CAST(nk AS BIGINT) AS id, round(0.15 * f, 6) AS rank
+        |FROM su, sc
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 100000 AS BIGINT),
+        |  round((0.15 + 0.1275 / su.s) * f, 6)
+        |FROM supplier JOIN su ON su.nk = s_nationkey, sc""".stripMargin,
+
+    // Spearman ρ over (closed-form pagerank, degree), average tie ranks
+    // (the q13 rank-correlation shape on the q23/q19 oracle columns;
+    // the Spark side correlates the ROUNDED q23 ranks, so the oracle
+    // rounds before ranking too — rounding merges tie groups).
+    "q37_rank_corr" ->
+      """WITH su AS (SELECT s_nationkey AS nk, count(*) AS s FROM supplier GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM su) AS nn,
+        |             (SELECT count(*) FROM supplier) AS ns),
+        |sc AS (SELECT (nn + ns) * 1.0 / (0.15 * (nn + ns) + 0.1275 * nn) AS f
+        |       FROM c),
+        |pr AS (
+        |  SELECT CAST(nk AS BIGINT) AS id, round(0.15 * f, 6) AS x
+        |  FROM su, sc
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey + 100000 AS BIGINT),
+        |    round((0.15 + 0.1275 / su.s) * f, 6)
+        |  FROM supplier JOIN su ON su.nk = s_nationkey, sc),
+        |deg AS (
+        |  SELECT id, count(*) AS y FROM (
+        |    SELECT CAST(s_nationkey AS BIGINT) AS id FROM supplier
+        |    UNION ALL
+        |    SELECT CAST(s_suppkey + 100000 AS BIGINT) FROM supplier)
+        |  GROUP BY id),
+        |j AS (SELECT x, y FROM pr JOIN deg USING (id)),
+        |ranked AS (
+        |  SELECT x, y,
+        |    row_number() OVER (ORDER BY x) AS rnx,
+        |    row_number() OVER (ORDER BY y) AS rny
+        |  FROM j),
+        |tied AS (
+        |  SELECT avg(rnx) OVER (PARTITION BY x) AS rx,
+        |         avg(rny) OVER (PARTITION BY y) AS ry
+        |  FROM ranked)
+        |SELECT round(corr(rx, ry), 6) AS rho FROM tied""".stripMargin
   )
 }
