@@ -145,6 +145,12 @@ object Bench {
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum + genRows.map(_._4).sum +
       inflRows.map(_._4).sum + dsBench._3
+    // r1-comparable core: the query surface + the two tiers r1 ran
+    // (ER layout, graphem-path influence). The grand total additionally
+    // includes the r2-added reference sweeps + dataset tier, so
+    // total-vs-r1-total is not apples-to-apples; core_total is.
+    val coreTotal = results.map(_._2).sum + erRow._4 + inflRows
+      .filter(r => r._1 == "erdos_renyi" && r._2 == "graphem").map(_._4).sum
     // headline rows kept schema-compatible with r1 (ER tier values)
     val layout = s"""{"n":${erRow._2},"m":${erRow._3},"iters":${cfg.numIterations},""" +
       s""""layout_time":${erRow._4},""" +
@@ -160,7 +166,7 @@ object Bench {
       s""""total_time":$inflTotal}"""
     val ds = s"""{"n":${dsBench._1},"m":${dsBench._2},"iters":30,""" +
       s""""layout_time":${dsBench._3}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":$total,"core_total":$coreTotal,"unit":"sec","queries":$qs,""" +
       s""""layout_bench":$layout,"influence_bench":$infl,""" +
       s""""dataset_bench":$ds,""" +
       s""""generator_sweep":$genSweepJson,"influence_sweep":$inflSweepJson,""" +

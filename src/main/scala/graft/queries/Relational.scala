@@ -132,6 +132,13 @@ object Relational {
     "q42_sessions" -> ((s, d) =>
       graft.streaming.EventsStream.sessions(Tables.events(s, d))),
 
+    // Event-type transition matrix (funnel shape): event-time-ordered
+    // per-user lag in batch; the streaming twin is the
+    // flatMapGroupsWithState operator with watermark-buffered state.
+    "q43_transitions" -> ((s, d) =>
+      graft.streaming.EventsStream.transitions(Tables.events(s, d))
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))),
+
     "q12_json_extract" -> ((s, d) => {
       Tables.events(s, d)
         .select(col("event_id"),
@@ -256,6 +263,18 @@ object Relational {
         |SELECT user_id, min(us) AS sess_start, count(*) AS sess_events,
         |  round(sum(value), 2) AS sess_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q43_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS from_type
+        |  FROM e)
+        |SELECT from_type, event_type AS to_type, count(*) AS n
+        |FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "q13_spearman" ->
       """WITH ranked AS (

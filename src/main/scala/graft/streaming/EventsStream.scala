@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table shape
@@ -67,6 +69,79 @@ object EventsStream {
         round(sum(col("value")), 2).as("sess_value"))
       .select(col("user_id"), unix_micros(col("w.start")).as("sess_start"),
         col("sess_events"), col("sess_value"))
+
+  /** One event as the stateful transition operator sees it (ts in exact
+    * epoch micros — java.sql.Timestamp.getTime is ms-floored, so the
+    * sub-ms part is recovered from getNanos). */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp,
+                event_id: Long, event_type: String) {
+    def us: Long = ts.getTime * 1000 + (ts.getNanos % 1000000) / 1000
+  }
+  /** Per-user custom state: events not yet past the watermark, plus the
+    * type of the last already-emitted event (the stitch point across
+    * flushes). (Public: Spark's generated encoder code needs access.) */
+  case class TransState(buf: Seq[(Long, Long, String)],
+                        lastType: Option[String])
+  /** One emitted transition. */
+  case class Transition(user_id: Long, ts_us: Long,
+                        from_type: String, to_type: String)
+
+  /** Per-user event-type transitions in EVENT-TIME order — the shape a
+    * session-path / funnel analysis consumes.
+    *
+    * Batch form: `lag` over (user, ts) — one shuffle by user_id, sort
+    * within partitions, scales with user cardinality.
+    *
+    * This is the operator that genuinely needs custom streaming state
+    * (`flatMapGroupsWithState`): streams deliver events out of
+    * event-time order, and no built-in streaming window provides `lag`.
+    * [[transitionsStream]] buffers per-user events in state, and on
+    * each watermark advance (EventTimeTimeout) sorts-and-flushes the
+    * prefix at or below the watermark, stitching to the previous
+    * flush's last event — so its output rows are exactly this batch
+    * form's, independent of arrival order or micro-batching (asserted
+    * by PipelineSpec). */
+  def transitions(events: DataFrame): DataFrame =
+    normalizeTs(events)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1)
+        .over(Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+      .filter(col("from_type").isNotNull)
+      .select(col("user_id"), col("ts_us"), col("from_type"),
+        col("event_type").as("to_type"))
+
+  /** Streaming twin of [[transitions]] — see there for the contract. */
+  def transitionsStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = normalizeTs(events)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withWatermark("ts", "2 hours")
+      .as[Ev]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[TransState]) =>
+          val st = state.getOption.getOrElse(TransState(Nil, None))
+          val buf = st.buf ++ it.map(e => (e.us, e.event_id, e.event_type))
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          // flush the ≤-watermark prefix in (ts, event_id) order; keep
+          // the rest buffered and the new stitch point in state
+          val (ready, pending) = buf.partition(_._1 <= wmUs)
+          val sorted = ready.sortBy(e => (e._1, e._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var prev = st.lastType
+          sorted.foreach { case (us, _, t) =>
+            prev.foreach(p => out += Transition(user, us, p, t))
+            prev = Some(t)
+          }
+          state.update(TransState(pending, prev))
+          // wake this group on the next watermark advance so buffered
+          // events flush even if the user never sends again
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          out.iterator
+      }.toDF()
+  }
 
   /** Batch entry: read the parquet and aggregate. */
   def batch(spark: SparkSession, dir: String): DataFrame =

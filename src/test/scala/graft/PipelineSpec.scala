@@ -256,6 +256,47 @@ class PipelineSpec extends SparkSpec {
       (3L, t0, 1L), (3L, t0 + gapUs + 1, 1L)))
   }
 
+  test("stateful transitions stream equals the batch lag, across batches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("trans_stream").toString
+    // raw read keeps ts as long nanos (nanosAsLong) so the re-written
+    // halves match the stream's rawSchema exactly
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val batchExpected = EventsStream.transitions(Tables.events(spark, sf)).cache()
+    assert(batchExpected.count() > 0)
+    // split into two files BY TIME so the stream sees multiple
+    // micro-batches whose arrival skew stays within the 2h watermark
+    // (the contract: parity holds for data at most watermark-late;
+    // within each file rows are ordered by event_id, not ts, so the
+    // event-time sorter is still exercised)
+    val medianNs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts") <= medianNs).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = EventsStream.transitionsStream(
+      spark.readStream.schema(EventsStream.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"))
+    val q = stream.writeStream.format("memory").queryName("trans_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second half arrives later (event-time out of order vs file order)
+    raw.filter(col("ts") > medianNs).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    // sentinel far-future event for an unseen user pushes the watermark
+    // past every real event so all buffered state flushes
+    val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+    Seq((-1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "x", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trans_test")
+      .filter(col("user_id") =!= -1L)
+    assert(streamed.exceptAll(batchExpected).isEmpty &&
+      batchExpected.exceptAll(streamed).isEmpty)
+    batchExpected.unpersist()
+  }
+
   test("streaming sessionization equals the batch session_window") {
     val batch = EventsStream.sessions(Tables.events(spark, sf)).cache()
     assert(batch.count() > 0)
