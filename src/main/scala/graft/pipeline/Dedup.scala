@@ -131,6 +131,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Resolve near-duplicate PAIRS into dedup decisions: connected
+    * components over the pair graph (near-duplication is not
+    * transitive, so A~B and B~C chain into one cluster even when A!~C —
+    * the standard conservative policy), keeping the smallest doc_id per
+    * cluster. Returns one row per document that appears in any pair:
+    * (doc_id, keep_id, keep); documents in no pair are implicitly kept.
+    *
+    * Scale: GraphX connectedComponents — iterative label propagation,
+    * O(diameter) rounds of hash-partitioned message exchange; dup
+    * clusters have tiny diameters, so this converges in a few rounds
+    * regardless of corpus size. Input is the PAIR list (O(dups)), never
+    * the corpus. */
+  def dupClusters(spark: org.apache.spark.sql.SparkSession,
+                  pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+    val rdd = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
+    val cc = GxGraph.fromEdges(rdd, 0).connectedComponents().vertices
+    spark.createDataFrame(cc).toDF("doc_id", "keep_id")
+      .withColumn("keep", col("doc_id") === col("keep_id"))
+  }
+
   /** 64-bit SimHash fingerprint: per token-hash bit, +1/-1 vote; sign of
     * the vote sum sets the bit. Pure column expressions (codegen'd). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",

@@ -35,6 +35,12 @@ object PipelineQueries {
       Dedup.simhashPairs(Tables.documents(s, d), maxDist = 7, chunks = 8)
         .orderBy("id_a", "id_b")),
 
+    // Dedup cluster resolution over the q26 pair graph: GraphX CC
+    // labels every paired doc with the min doc_id of its component.
+    "q44_dedup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(s,
+        Dedup.jaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.10))),
+
     "q29_ann_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e, k = 5)
@@ -94,6 +100,34 @@ object PipelineQueries {
         |SELECT id_a, id_b, round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
         |FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
         |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10""".stripMargin,
+
+    // Connected components via transitive closure (recursive CTE) over
+    // the q26 pair graph; cluster label = min reachable id. Feasible in
+    // SQL because the closure is bounded by dup-cluster sizes, not the
+    // corpus.
+    "q44_dedup_clusters" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM e)
+        |SELECT n.id AS doc_id, least(n.id, min(r.b)) AS keep_id,
+        |  least(n.id, min(r.b)) = n.id AS keep
+        |FROM nodes n JOIN reach r ON r.a = n.id
+        |GROUP BY n.id""".stripMargin,
 
     "q29_ann_topk" ->
       """WITH pairs AS (

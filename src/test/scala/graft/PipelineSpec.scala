@@ -60,6 +60,17 @@ class PipelineSpec extends SparkSpec {
     assert(exact == hiCap)
   }
 
+  test("dupClusters chains non-transitive near-dups into one keep decision") {
+    import spark.implicits._
+    // A~B and B~C by pair list, A!~C — one cluster keeping the min id
+    val pairs = Seq((10L, 20L), (20L, 30L), (50L, 60L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (10L, 10L, true), (20L, 10L, false), (30L, 10L, false),
+      (50L, 50L, true), (60L, 50L, false)))
+  }
+
   test("minhash-LSH finds the same planted near-dup as exact jaccard") {
     val lsh = Dedup.minhashLsh(docsWithPlants, n = 3, k = 64, bands = 16,
       threshold = 0.5)
