@@ -124,6 +124,13 @@ object Layout {
     import spark.implicits._
     val qArr = queries.select(col("eid"), col("src"), col("dst"), col("mid"))
       .as[(Long, Long, Long, Array[Double])].collect()
+    // contract guard: the kernel is O(|q|) per ref row and the buffers
+    // O(|q|·k) per task — a caller passing an unsampled query side gets
+    // a loud failure here, not a silent quadratic job
+    require(qArr.length <= 65536,
+      s"knnExact query side has ${qArr.length} rows; it must be the " +
+        "SAMPLED side (<= sampleSize, see sampleMidpoints) — use knnLsh " +
+        "for large query sets")
     val bc = spark.sparkContext.broadcast(qArr)
     val partial = refs.select(col("eid"), col("src"), col("dst"), col("mid"))
       .as[(Long, Long, Long, Array[Double])]
