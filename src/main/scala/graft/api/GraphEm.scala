@@ -42,6 +42,12 @@ class GraphEm private (spark: SparkSession, edges: DataFrame,
   /** ndlib_estimated_influence analog with hash-RNG (influence.py:40-84). */
   def estimateInfluence(seeds: DataFrame, p: Double, rounds: Int = 100): Long =
     Influence.estimatedInfluence(spark, edges, seeds, p, rounds, cfg.seed)
+
+  /** benchmark_correlations one-call UX (benchmark.py:166-243): one row
+    * per centrality with ρ(embedding radius, centrality), computed from
+    * this embedder's current positions. */
+  def correlationReport(): DataFrame =
+    graft.bench.Harness.correlationFromPositions(spark, edges, positions, nVertices)
 }
 
 object GraphEm {

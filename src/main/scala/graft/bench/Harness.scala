@@ -31,15 +31,22 @@ object Harness {
                                        cfg: LayoutConfig): DataFrame = {
     val em = GraphEm(spark, edges, cfg)
     em.runLayout()
-    val radii = em.positions
+    correlationFromPositions(spark, edges, em.positions, em.nVertices)
+  }
+
+  /** The ρ table for ALREADY-computed positions — the facade's
+    * `GraphEm.correlationReport()` path (no layout re-run). */
+  def correlationFromPositions(spark: SparkSession, edges: DataFrame,
+                               positions: DataFrame, nVertices: Long): DataFrame = {
+    val radii = positions
       .select(col("id"), VecOps.norm(col("pos")).as("radius")).persist()
-    val cents = Centralities.all(spark, edges, em.nVertices).persist()
+    val cents = Centralities.all(spark, edges, nVertices).persist()
     val joined = radii.join(cents, "id").persist()
     joined.count()
     import spark.implicits._
     val measures = Seq("degree_centrality", "pagerank", "eigenvector",
       "closeness", "betweenness", "load")
-    // all 5 ρ in two jobs (constant guard + one ranked-corr plan) —
+    // all ρ in two jobs (constant guard + one ranked-corr plan) —
     // sequential per-pair spearman was ~25 driver-blocking jobs.
     val rhos = Correlation.spearmanMany(joined, "radius", measures)
     val rows = measures.map(c => (c, rhos(c)))

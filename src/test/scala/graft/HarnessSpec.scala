@@ -19,6 +19,18 @@ class HarnessSpec extends SparkSpec {
     }
   }
 
+  test("GraphEm.correlationReport runs off the facade's own positions") {
+    val g = graft.gen.Generators.roadNetwork(spark, 5, 5)
+    val em = graft.api.GraphEm(spark, g, cfg)
+    em.runLayout()
+    val rows = em.correlationReport().collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val rho = r.getDouble(1)
+      assert(rho.isNaN || (rho >= -1.0 && rho <= 1.0), s"bad rho $rho")
+    }
+  }
+
   test("influence benchmark: three methods, sane spreads and times") {
     import spark.implicits._
     val star = (1 to 12).map(i => (0L, i.toLong)).toDF("src", "dst")
