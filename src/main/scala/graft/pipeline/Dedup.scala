@@ -138,19 +138,44 @@ object Dedup {
     * cluster. Returns one row per document that appears in any pair:
     * (doc_id, keep_id, keep); documents in no pair are implicitly kept.
     *
-    * Scale: GraphX connectedComponents — iterative label propagation,
-    * O(diameter) rounds of hash-partitioned message exchange; dup
-    * clusters have tiny diameters, so this converges in a few rounds
-    * regardless of corpus size. Input is the PAIR list (O(dups)), never
-    * the corpus. */
+    * Scale: input is the PAIR list (O(dups)), never the corpus. Below
+    * `driverMaxPairs` the pairs union-find on the driver (GraphX CC
+    * costs ~10 s of scheduling for a job a 1e6-row union-find finishes
+    * in milliseconds); above it, GraphX connectedComponents — iterative
+    * label propagation whose round count is the dup clusters' tiny
+    * diameter, independent of corpus size. Both routes label each doc
+    * with the min doc_id of its component, so the output is
+    * route-invariant (asserted by PipelineSpec). */
   def dupClusters(spark: org.apache.spark.sql.SparkSession,
-                  pairs: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
-    val rdd = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
-    val cc = GxGraph.fromEdges(rdd, 0).connectedComponents().vertices
-    spark.createDataFrame(cc).toDF("doc_id", "keep_id")
-      .withColumn("keep", col("doc_id") === col("keep_id"))
+                  pairs: DataFrame,
+                  driverMaxPairs: Long = 1000000L): DataFrame = {
+    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    if (p.count() <= driverMaxPairs) {
+      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union by min root so the final label IS the component min
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      import spark.implicits._
+      nodes.map(id => (id, find(id))).toSeq.toDF("doc_id", "keep_id")
+        .withColumn("keep", col("doc_id") === col("keep_id"))
+    } else {
+      import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+      val rdd = p.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
+      val cc = GxGraph.fromEdges(rdd, 0).connectedComponents().vertices
+      spark.createDataFrame(cc).toDF("doc_id", "keep_id")
+        .withColumn("keep", col("doc_id") === col("keep_id"))
+    }
   }
 
   /** 64-bit SimHash fingerprint: per token-hash bit, +1/-1 vote; sign of

@@ -64,11 +64,16 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     // A~B and B~C by pair list, A!~C — one cluster keeping the min id
     val pairs = Seq((10L, 20L), (20L, 30L), (50L, 60L)).toDF("id_a", "id_b")
+    val expected = Set(
+      (10L, 10L, true), (20L, 10L, false), (30L, 10L, false),
+      (50L, 50L, true), (60L, 50L, false))
     val out = Dedup.dupClusters(spark, pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-    assert(out == Set(
-      (10L, 10L, true), (20L, 10L, false), (30L, 10L, false),
-      (50L, 50L, true), (60L, 50L, false)))
+    assert(out == expected)
+    // driverMaxPairs=0 forces the GraphX route — output route-invariant
+    val distributed = Dedup.dupClusters(spark, pairs, driverMaxPairs = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(distributed == expected)
   }
 
   test("minhash-LSH finds the same planted near-dup as exact jaccard") {
