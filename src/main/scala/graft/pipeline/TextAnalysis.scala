@@ -65,6 +65,54 @@ object TextAnalysis {
           (lit(1.0) - least(col("punct_ratio") * 4, lit(1.0)) * 0.5) *
           (lit(1.0) - col("repetition") * 0.5), 6))
 
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003,
+    * the MOSS algorithm): hash every k-token shingle, slide a window of
+    * w consecutive hashes, keep each window's minimum; the distinct
+    * survivors are the document's fingerprint set. Guarantees any match
+    * of at least w+k-1 tokens shares a fingerprint, while keeping only
+    * ~2/(w+1) of all shingle hashes.
+    *
+    * md5 hex plays the rolling-hash role: deterministic, identical in
+    * Spark and DuckDB, and lexicographic min over the hex strings is a
+    * total order both engines share — so the operator is fully
+    * oracle-checkable (q45). Pure codegen'd column expressions, one
+    * narrow map over the corpus: at 100 TB this is a scan, no shuffle.
+    *
+    * Documents shorter than k tokens degrade to a single whole-text
+    * fingerprint (the CaseWhen keeps the negative-length sequence
+    * unevaluated — the ADVICE r1 shingles crash class).
+    *
+    * Returns (idCol, fp) — one row per distinct fingerprint.
+    */
+  def winnowFingerprints(df: DataFrame, k: Int = 4, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val t = split(col(textCol), " ")
+    val grams = transform(sequence(lit(0), size(t) - k),
+      i => md5(concat_ws(" ", slice(t, i + lit(1), lit(k)))))
+    val h = when(size(t) >= k, grams).otherwise(array(md5(col(textCol))))
+    val mins = transform(sequence(lit(0), greatest(size(h) - w, lit(0))),
+      i => array_min(slice(h, i + lit(1), lit(w))))
+    df.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
+
+  /** Candidate near-duplicate pairs by shared winnowing fingerprint —
+    * the MOSS join: two documents pair iff they share at least
+    * `minShared` fingerprints. Self-join on the fp column is a hash
+    * shuffle on 32-byte keys (never raw text), bounded by posting-list
+    * sizes like Dedup.jaccardPairs; at corpus scale add a document-
+    * frequency cap on hot fingerprints (same skew story as shingles).
+    */
+  def winnowPairs(df: DataFrame, k: Int = 4, w: Int = 4, minShared: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowFingerprints(df, k, w, textCol, idCol)
+    val a = fps.toDF("id_a", "fp")
+    val b = fps.toDF("id_b", "fp")
+    a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Keep/drop filter decision. Thresholds are deliberately NOT round
     * rationals (1931/10⁴, 5931/10⁴): the feature ratios have small-int
     * denominators, so equality with a threshold — the one case where

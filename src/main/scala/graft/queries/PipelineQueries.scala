@@ -71,6 +71,13 @@ object PipelineQueries {
       Similarity.ivfTopK(s, Tables.embeddings(s, d), k = 5, nLists = 8,
         nProbe = 2).orderBy("qid", "rn")),
 
+    "q45_winnow_fp" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, d), k = 4, w = 4)),
+
+    "q46_winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowPairs(Tables.documents(s, d), k = 4, w = 4,
+        minShared = 2)),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -178,6 +185,41 @@ object PipelineQueries {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
         |FROM documents""".stripMargin,
+
+    // Winnowing (Schleimer et al. 2003): k-gram md5 hashes, window-min
+    // selection, distinct survivors. DuckDB list lambdas mirror the
+    // Spark transform/slice/array_min pipeline exactly; md5 hex compares
+    // identically in both engines.
+    "q45_winnow_fp" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 4
+        |    THEN list_transform(range(1, len(t) - 4 + 2),
+        |           i -> md5(array_to_string(t[i:i+3], ' ')))
+        |    ELSE [md5(text)] END AS h
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1),
+        |    i -> list_aggregate(h[i:i+3], 'min')) AS mins
+        |  FROM g)
+        |SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m""".stripMargin,
+
+    "q46_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 4
+        |    THEN list_transform(range(1, len(t) - 4 + 2),
+        |           i -> md5(array_to_string(t[i:i+3], ' ')))
+        |    ELSE [md5(text)] END AS h
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1),
+        |    i -> list_aggregate(h[i:i+3], 'min')) AS mins
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "q38_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -101,6 +101,49 @@ class PipelineSpec extends SparkSpec {
       .filter(col("id_a") === 2 && col("id_b") === 3).count() == 1)
   }
 
+  test("winnowing: w+k-1-token matches share a fingerprint; short docs survive") {
+    import spark.implicits._
+    // Classic winnowing guarantee: any common substring of >= w+k-1
+    // tokens yields a shared fingerprint. Docs a/b share a 12-token run
+    // (>= 4+4-1=7); c is disjoint; d is shorter than k tokens.
+    val run = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val in = Seq(
+      (0L, s"alpha beta $run gamma"),
+      (1L, s"$run delta epsilon zeta"),
+      (2L, "completely different words with no overlap at all here now"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(in, k = 4, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    assert((byDoc(0L) intersect byDoc(1L)).nonEmpty,
+      "12-token shared run must produce a shared fingerprint")
+    assert((byDoc(0L) intersect byDoc(2L)).isEmpty)
+    assert(byDoc(3L).size == 1, "sub-k doc degrades to one whole-text fp")
+    // Density: winnowing keeps far fewer fingerprints than shingles.
+    val nShingles = 12 + 2 - 4 + 1
+    assert(byDoc(1L).size < nShingles)
+
+    val pairs = TextAnalysis.winnowPairs(in, k = 4, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && !pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("winnowing fingerprints are position-invariant for shared content") {
+    import spark.implicits._
+    // Prefixing a doc shifts every shingle position but the shared
+    // suffix's fingerprints survive — the property hash-of-whole-doc
+    // fingerprinting lacks.
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val in = Seq((0L, body), (1L, s"new leading preamble tokens $body"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(in, k = 4, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val shared = (byDoc(0L) intersect byDoc(1L)).size.toDouble
+    assert(shared / byDoc(0L).size > 0.5,
+      s"most of doc 0's fingerprints should survive the shift, got $shared/${byDoc(0L).size}")
+  }
+
   test("simhashPairs enforces the pigeonhole recall contract") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs, maxDist = 16)
