@@ -87,13 +87,23 @@ object TextAnalysis {
   def winnowFingerprints(df: DataFrame, k: Int = 4, w: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val t = split(col(textCol), " ")
+    // Each stage materializes its array as an attribute before the next
+    // higher-order function consumes it: a lambda body re-evaluates any
+    // non-attribute subtree PER ELEMENT, so inlining `split` into the
+    // gram lambda is O(T²) per document and inlining the gram array
+    // into the window lambda is O(T³). Multi-referenced non-cheap
+    // expressions also stop CollapseProject from undoing the split.
+    val t = col("_t")
+    val toks = df.select(col(idCol), col(textCol),
+      split(col(textCol), " ").as("_t"))
     val grams = transform(sequence(lit(0), size(t) - k),
       i => md5(concat_ws(" ", slice(t, i + lit(1), lit(k)))))
-    val h = when(size(t) >= k, grams).otherwise(array(md5(col(textCol))))
+    val withH = toks.select(col(idCol),
+      when(size(t) >= k, grams).otherwise(array(md5(col(textCol)))).as("_h"))
+    val h = col("_h")
     val mins = transform(sequence(lit(0), greatest(size(h) - w, lit(0))),
       i => array_min(slice(h, i + lit(1), lit(w))))
-    df.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+    withH.select(col(idCol), explode(array_distinct(mins)).as("fp"))
   }
 
   /** Candidate near-duplicate pairs by shared winnowing fingerprint —
@@ -105,10 +115,20 @@ object TextAnalysis {
     */
   def winnowPairs(df: DataFrame, k: Int = 4, w: Int = 4, minShared: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Posting-list expansion instead of a fp self-join: the fingerprint
+    // scan runs ONCE and shuffles once (on the 32-byte fp), then each
+    // list emits its ordered pairs in place. Quadratic only within a
+    // fingerprint's posting list — the same bound as the join, minus
+    // the duplicate scan and second shuffle.
     val fps = winnowFingerprints(df, k, w, textCol, idCol)
-    val a = fps.toDF("id_a", "fp")
-    val b = fps.toDF("id_b", "fp")
-    a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+    val lists = fps.groupBy("fp")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val pairs = lists.select(explode(flatten(
+      transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    pairs.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
