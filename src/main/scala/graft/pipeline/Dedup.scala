@@ -20,15 +20,20 @@ object Dedup {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (distinct), 0-based Spark array indexing.
-    * Documents with fewer than n tokens yield an empty array — the
-    * sequence() must be guarded because sequence(0, negative) counts
-    * DOWN in Spark and the -1 index would throw at element_at. */
+  /** Word n-gram shingles (distinct). Built by zipping n shifted slices
+    * of the token array element-wise rather than indexing with a
+    * positional lambda: a lambda body re-evaluates every non-attribute
+    * subtree per element, so the old `element_at(t, i+j)` form re-ran
+    * `split` per shingle — O(T²) per document, real money on 10k-token
+    * docs at corpus scale. The slices are evaluated once per row; the
+    * zip lambda touches only its own variable. Documents with fewer
+    * than n tokens yield an empty array (slice length clamps at 0). */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    array_distinct(transform(
-      when(size(t) >= n, sequence(lit(0), size(t) - n)).otherwise(array()),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+    val len = greatest(size(t) - (n - 1), lit(0))
+    val zipped = arrays_zip((0 until n).map(j => slice(t, lit(j + 1), len)): _*)
+    array_distinct(transform(zipped,
+      s => concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*)))
   }
 
   /** Exact dedup: keep the smallest id per identical text. The group
