@@ -356,6 +356,40 @@ class PipelineSpec extends SparkSpec {
     batchExpected.unpersist()
   }
 
+  test("streaming dedup-on-ingest keeps the first copy, drops in-window dups") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    // Three micro-batches (one file each, ingest-time ordered): doc 2
+    // duplicates doc 0's text one batch later (inside the watermark),
+    // doc 3 is fresh. Batch twin: Dedup.exact keep_id = min doc_id.
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream").toString
+    def ts(min: Int) = new java.sql.Timestamp(3600000L * 24 + min * 60000L)
+    val batches = Seq(
+      Seq((0L, "alpha beta gamma delta", ts(0)), (1L, "unrelated text one", ts(1))),
+      Seq((2L, "alpha beta gamma delta", ts(5)), (3L, "fresh content here", ts(6))),
+      Seq((4L, "unrelated text one", ts(9))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "ingest_ts").coalesce(1)
+        .write.parquet(s"$dir/b$i.parquet")
+    }
+    val q = DocsStream.dedupOnIngest(
+      spark.readStream.schema(DocsStream.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet"))
+      .writeStream.format("memory").queryName("docs_dedup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("docs_dedup").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 3L),
+      s"expected first copies {0,1,3}, got $kept")
+    // agreement with the batch operator's keep decision
+    val all = batches.flatten.toDF("doc_id", "text", "ingest_ts")
+    val batchKeep = graft.pipeline.Dedup.exact(all)
+      .select("keep_id").as[Long].collect().toSet
+    assert(kept == batchKeep)
+  }
+
   test("streaming sessionization equals the batch session_window") {
     val batch = EventsStream.sessions(Tables.events(spark, sf)).cache()
     assert(batch.count() > 0)
