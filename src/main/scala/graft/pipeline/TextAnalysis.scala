@@ -114,16 +114,21 @@ object TextAnalysis {
     * frequency cap on hot fingerprints (same skew story as shingles).
     */
   def winnowPairs(df: DataFrame, k: Int = 4, w: Int = 4, minShared: Int = 2,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxDocFreq: Option[Long] = None): DataFrame = {
     // Posting-list expansion instead of a fp self-join: the fingerprint
     // scan runs ONCE and shuffles once (on the 32-byte fp), then each
     // list emits its ordered pairs in place. Quadratic only within a
     // fingerprint's posting list — the same bound as the join, minus
-    // the duplicate scan and second shuffle.
+    // the duplicate scan and second shuffle. `maxDocFreq` drops
+    // boilerplate fingerprints shared by more than that many documents
+    // (same stop-shingle story as Dedup.jaccardPairs: a license header
+    // shared by 1e6 docs would otherwise emit 5e11 candidate pairs).
     val fps = winnowFingerprints(df, k, w, textCol, idCol)
     val lists = fps.groupBy("fp")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .where(size(col("ids")) >= 2)
+      .where(size(col("ids")) >= 2 &&
+        maxDocFreq.map(c => size(col("ids")) <= c).getOrElse(lit(true)))
     val pairs = lists.select(explode(flatten(
       transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),

@@ -126,6 +126,14 @@ class PipelineSpec extends SparkSpec {
     val pairs = TextAnalysis.winnowPairs(in, k = 4, w = 4, minShared = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)) && !pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // the doc-frequency cap drops fingerprints shared by > cap docs:
+    // with cap=1 every shared fingerprint is boilerplate, so no pairs
+    assert(TextAnalysis.winnowPairs(in, k = 4, w = 4, minShared = 1,
+      maxDocFreq = Some(1L)).isEmpty)
+    // a generous cap changes nothing
+    assert(TextAnalysis.winnowPairs(in, k = 4, w = 4, minShared = 1,
+      maxDocFreq = Some(100L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == pairs)
   }
 
   test("winnowing fingerprints are position-invariant for shared content") {
