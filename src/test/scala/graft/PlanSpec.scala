@@ -49,6 +49,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("q08_anti_join").contains("LeftAnti"))
   }
 
+  test("q46 winnow pairs: one fingerprint scan, no joins at all") {
+    // Posting-list expansion means NO join operator anywhere — the only
+    // shuffles are the fp groupBy and the pair-count groupBy, both
+    // partial+final hash aggregates. A regression to the fp self-join
+    // form would plan a SortMergeJoin over two full fingerprint scans.
+    val p = plan("q46_winnow_pairs")
+    assert(!p.contains("Join"), s"winnowPairs should plan no joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "fingerprints must be computed from a single documents scan")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // "*(n)" prefixes mark whole-stage-codegen'd operators in the
     // string rendering ("WholeStageCodegen" only appears in formatted mode)
