@@ -26,7 +26,16 @@ case class LayoutConfig(
       * an executor). The checkpointed positions leaf reports the
       * default (unbounded) size estimate, so without the explicit hint
       * Catalyst picks sort-merge even for 500 rows. */
-    broadcastPosMax: Long = 5000000L)
+    broadcastPosMax: Long = 5000000L,
+    /** run the whole loop on the driver below this many edges — the
+      * same size-guarded routing Centralities/dupClusters use. A layout
+      * iteration on a sub-500k-edge graph is millisecond-scale compute;
+      * the distributed loop pays a ~0.5-1 s/iteration scheduler floor
+      * regardless of data, so small graphs (the reference's entire
+      * benchmark envelope) run 10-50× faster driver-side while the
+      * distributed path carries everything larger. Set to 0 to force
+      * the distributed route (tests do). */
+    localMaxEdges: Long = 500000L)
 
 /** Force-directed layout with edge-crossing repulsion — the reference's
   * engine core (embedder_pytorch.py:595-833) as one declarative
@@ -310,9 +319,30 @@ object Layout {
           .otherwise(VecOps.add(col("pos"), col("f"))).as("pos"))
   }
 
-  /** L3 driver loop (run_layout, embedder_pytorch.py:808-833). */
+  /** L3 driver loop (run_layout, embedder_pytorch.py:808-833).
+    * Routes to [[runLocal]] below `cfg.localMaxEdges` edges (long/long
+    * edge schema only — eids must hash identically on both routes);
+    * the distributed loop above. Both routes implement the same
+    * dynamics; they differ only in floating-point summation order, so
+    * trajectories agree to ~1e-6 over a few iterations (asserted by
+    * EmbeddingSpec) and statistically thereafter. */
   def run(spark: SparkSession, edges: DataFrame, initial: DataFrame,
           cfg: LayoutConfig): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (cfg.localMaxEdges > 0 &&
+        edges.schema("src").dataType == LongType &&
+        edges.schema("dst").dataType == LongType) {
+      val eArr = edges.select(col("src"), col("dst"))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .limit(cfg.localMaxEdges.toInt + 1).collect()
+      if (eArr.length <= cfg.localMaxEdges) {
+        return runLocal(spark, eArr, initial, cfg)
+      }
+      // fall through: over threshold — re-read distributed (the limit
+      // probe cost one scan of the first localMaxEdges+1 rows)
+    }
     val e = withEdgeIds(edges).persist()
     val m = e.count()
     // Size the edge/position partitioning to the DATA, like the shuffle
@@ -324,6 +354,164 @@ object Layout {
     graft.util.Iterate.withSizedShuffle(spark, m) {
       runLoop(spark, eSized, initial, cfg, m)
     }
+  }
+
+  /** Driver-local twin of the distributed loop — identical dynamics
+    * (same eid hashing, same hash-threshold midpoint sampling, same
+    * bounded-buffer kNN with (d2, rid) tie-breaks, same P4/P5/P6
+    * intersection predicate, same ddof=1 normalization), executed on
+    * collected arrays with the kNN parallelized across cores. The
+    * reference runs this entire regime single-node (NumPy/PyTorch);
+    * routing small graphs to the driver is the Spark-honest version of
+    * that, with [[runLoop]] carrying the 100 TB regime. */
+  private def runLocal(spark: SparkSession, eArr: Array[(Long, Long)],
+                       initial: DataFrame, cfg: LayoutConfig): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val d = cfg.nComponents
+    val init = initial.select(col("id"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val n = init.length
+    val ids = init.map(_._1)
+    val idIdx = new java.util.HashMap[Long, Int](n * 2)
+    var vi = 0
+    while (vi < n) { idIdx.put(ids(vi), vi); vi += 1 }
+    var pos = init.map(_._2.clone())
+    val m = eArr.length
+    // eid = xxhash64(src, dst): seed 42, fold each long
+    val eids = new Array[Long](m)
+    val esrc = new Array[Int](m); val edst = new Array[Int](m)
+    var ei = 0
+    while (ei < m) {
+      val (s, t) = eArr(ei)
+      eids(ei) = XXH64.hashLong(t, XXH64.hashLong(s, 42L))
+      esrc(ei) = idIdx.get(s); edst(ei) = idIdx.get(t)
+      ei += 1
+    }
+    // hashUniform(seed, eid) = xxhash64(lit(seed), eid) >>> 11 / 2^53
+    def hashU(seed: Long, x: Long): Double =
+      (XXH64.hashLong(x, XXH64.hashLong(seed, 42L)) >>> 11) / 9007199254740992.0
+    var it = 0
+    while (it < cfg.numIterations) {
+      val force = Array.fill(n)(new Array[Double](d))
+      ei = 0
+      while (ei < m) { // A2 spring, same sign/eps as springContrib
+        val a = esrc(ei); val b = edst(ei)
+        val pa = pos(a); val pb = pos(b)
+        var d2 = 0.0; val diff = new Array[Double](d)
+        var i = 0
+        while (i < d) { diff(i) = pb(i) - pa(i); d2 += diff(i) * diff(i); i += 1 }
+        val dist = math.sqrt(d2) + 1e-6
+        val coef = -cfg.kAttr * (dist - cfg.LMin) / dist
+        i = 0
+        while (i < d) {
+          val f = diff(i) * coef; force(a)(i) += f; force(b)(i) -= f; i += 1
+        }
+        ei += 1
+      }
+      if (cfg.kInter != 0.0) {
+        val mids = Array.tabulate(m) { j =>
+          val pa = pos(esrc(j)); val pb = pos(edst(j))
+          Array.tabulate(d)(i => (pa(i) + pb(i)) / 2.0)
+        }
+        val thr = cfg.sampleSize.toDouble / m
+        val sampled =
+          if (m <= cfg.sampleSize) Array.range(0, m)
+          else Array.range(0, m).filter(j => hashU(cfg.seed + it, eids(j)) < thr)
+        val k = cfg.nNeighbors
+        // kNN: per-query bounded worst-out buffer, (d2, rid) asc ties —
+        // queries are independent, so fan out across cores
+        val nbrs = new Array[Array[Int]](sampled.length)
+        java.util.stream.IntStream.range(0, sampled.length).parallel().forEach { si =>
+          val qj = sampled(si)
+          val qm = mids(qj)
+          val ds = Array.fill(k)(Double.MaxValue)
+          val rs = Array.fill(k)(Long.MaxValue)
+          val ridx = new Array[Int](k)
+          var wi = 0 // current worst slot
+          var rj = 0
+          while (rj < m) {
+            if (eids(rj) != eids(qj)) {
+              val rm = mids(rj)
+              var d2 = 0.0; var i = 0
+              while (i < d) { val df = qm(i) - rm(i); d2 += df * df; i += 1 }
+              val rid = eids(rj)
+              if (d2 < ds(wi) || (d2 == ds(wi) && rid < rs(wi))) {
+                ds(wi) = d2; rs(wi) = rid; ridx(wi) = rj
+                var j = 1; wi = 0
+                while (j < k) {
+                  if (ds(j) > ds(wi) || (ds(j) == ds(wi) && rs(j) > rs(wi))) wi = j
+                  j += 1
+                }
+              }
+            }
+            rj += 1
+          }
+          nbrs(si) = (0 until k).filter(s => ds(s) < Double.MaxValue)
+            .map(ridx).toArray
+        }
+        // A3 intersection repulsion over surviving (P4/P5/P6) pairs
+        var si = 0
+        while (si < sampled.length) {
+          val qj = sampled(si)
+          for (rj <- nbrs(si)) {
+            if (eids(qj) < eids(rj)) { // P4
+              val qs = esrc(qj); val qd = edst(qj)
+              val rsrc = esrc(rj); val rdst = edst(rj)
+              if (qs != rsrc && qs != rdst && qd != rsrc && qd != rdst) { // P5
+                val p1 = pos(qs); val p2 = pos(qd)
+                val q1 = pos(rsrc); val q2 = pos(rdst)
+                def o(ax: Double, ay: Double, bx: Double, by: Double,
+                      cx: Double, cy: Double): Double =
+                  math.signum((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+                val o1 = o(p1(0), p1(1), p2(0), p2(1), q1(0), q1(1))
+                val o2 = o(p1(0), p1(1), p2(0), p2(1), q2(0), q2(1))
+                val o3 = o(q1(0), q1(1), q2(0), q2(1), p1(0), p1(1))
+                val o4 = o(q1(0), q1(1), q2(0), q2(1), p2(0), p2(1))
+                if (o1 * o2 < 0 && o3 * o4 < 0) { // P6
+                  val c4 = Array.tabulate(d)(i =>
+                    (p1(i) + p2(i) + q1(i) + q2(i)) / 4.0)
+                  for ((v, pt) <- Seq((qs, p1), (qd, p2), (rsrc, q1), (rdst, q2))) {
+                    var d2 = 0.0; var i = 0
+                    while (i < d) { val df = pt(i) - c4(i); d2 += df * df; i += 1 }
+                    val dist = math.sqrt(d2) + 1e-6
+                    i = 0
+                    while (i < d) {
+                      force(v)(i) += (pt(i) - c4(i)) * cfg.kInter / (dist * dist)
+                      i += 1
+                    }
+                  }
+                }
+              }
+            }
+          }
+          si += 1
+        }
+      }
+      // move + A4 center-and-scale (ddof=1, same eps)
+      val sums = new Array[Double](d); val sqs = new Array[Double](d)
+      vi = 0
+      while (vi < n) {
+        val p = pos(vi); val f = force(vi)
+        var i = 0
+        while (i < d) {
+          p(i) += f(i); sums(i) += p(i); sqs(i) += p(i) * p(i); i += 1
+        }
+        vi += 1
+      }
+      var i = 0
+      while (i < d) {
+        val mean = sums(i) / n
+        val variance =
+          if (n > 1) math.max(0.0, (sqs(i) - n * mean * mean) / (n - 1)) else 0.0
+        val scale = math.sqrt(variance) + 1e-6
+        vi = 0
+        while (vi < n) { pos(vi)(i) = (pos(vi)(i) - mean) / scale; vi += 1 }
+        i += 1
+      }
+      it += 1
+    }
+    import spark.implicits._
+    ids.zip(pos).toSeq.toDF("id", "pos")
   }
 
   private def runLoop(spark: SparkSession, e: DataFrame, initial: DataFrame,

@@ -137,6 +137,27 @@ class EmbeddingSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty)
   }
 
+  test("layout driver route matches the distributed route to float tolerance") {
+    // Same dynamics, different FP summation order: trajectories agree
+    // to ~1e-9/iter, amplified by normalization — 1e-6 over 3 iters is
+    // a tight pin that any semantic divergence (sampling, kNN
+    // tie-breaks, intersection predicate, ddof) would blow through.
+    val g = Generators.roadNetwork(spark, 5, 5)
+    val cfg = LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = 3,
+      sampleSize = 16, nNeighbors = 5, seed = 7)
+    val init = EigenInit.init(spark, g, 25, 2, seed = 7)
+    val local = Layout.run(spark, g, init, cfg)
+    val dist = Layout.run(spark, g, init, cfg.copy(localMaxEdges = 0))
+    val joined = local.select(col("id"), col("pos").as("pl"))
+      .join(dist.select(col("id"), col("pos").as("pd")), "id")
+    assert(joined.count() == 25)
+    val maxDiff = joined.select(max(greatest(
+      abs(element_at(col("pl"), 1) - element_at(col("pd"), 1)),
+      abs(element_at(col("pl"), 2) - element_at(col("pd"), 2)))))
+      .collect()(0).getDouble(0)
+    assert(maxDiff < 1e-6, s"route divergence $maxDiff")
+  }
+
   test("knn exact: k neighbors per query, no self-match") {
     val g = Layout.withEdgeIds(Generators.roadNetwork(spark, 4, 4))
     val pos = EigenInit.init(spark, g.select("src", "dst"), 16, 2, seed = 6)
