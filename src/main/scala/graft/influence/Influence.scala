@@ -22,19 +22,113 @@ object Influence {
       .orderBy(col("radius").desc, col("id").asc)
       .limit(k)
 
+  /** Probe-collect canonical long/long edges when the graph fits the
+    * driver-route budget; None (→ distributed) when larger or when the
+    * schema isn't long/long (the hash coins must replay identically,
+    * and xxhash64 of an int is not xxhash64 of a long). Same routing
+    * idiom as Layout/Centralities/dupClusters. */
+  private def localEdges(edges: DataFrame, cap: Long): Option[Array[(Long, Long)]] = {
+    import org.apache.spark.sql.types.LongType
+    if (cap <= 0 || edges.schema("src").dataType != LongType ||
+        edges.schema("dst").dataType != LongType) None
+    else {
+      val arr = edges.select(col("src"), col("dst"))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .limit(cap.toInt + 1).collect()
+      if (arr.length <= cap) Some(arr) else None
+    }
+  }
+
+  /** Both-direction adjacency of a canonical edge list. */
+  private def adjacency(eArr: Array[(Long, Long)]): java.util.HashMap[Long, Array[Long]] = {
+    val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    def add(a: Long, b: Long): Unit =
+      tmp.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+    eArr.foreach { case (s, d) => add(s, d); add(d, s) }
+    val out = new java.util.HashMap[Long, Array[Long]](tmp.size() * 2)
+    tmp.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
+
+  /** Driver-side replay of hashUniform(seed, src, dst, lit(round)):
+    * xxhash64 folds left-to-right from seed 42; `lit(round)` is an INT
+    * literal, so the last fold is hashInt — bit-identical to the
+    * distributed coin, which is what makes the two routes return the
+    * SAME infected set, not a statistical twin. */
+  private def coin(seed: Long, src: Long, dst: Long, round: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    var h = XXH64.hashLong(seed, 42L)
+    h = XXH64.hashLong(src, h)
+    h = XXH64.hashLong(dst, h)
+    h = XXH64.hashInt(round, h)
+    (h >>> 11) / 9007199254740992.0
+  }
+
+  /** Driver-local cascade: identical frontier/round/coin semantics to
+    * the distributed loop (set algebra over integers — no FP order to
+    * diverge on). */
+  private def cascadeLocal(adj: java.util.HashMap[Long, Array[Long]],
+                           seeds: Array[Long], p: Double, maxRounds: Int,
+                           seed: Long): java.util.HashSet[Long] = {
+    val infected = new java.util.HashSet[Long]()
+    seeds.foreach(infected.add)
+    var frontier = seeds.distinct
+    var round = 0
+    while (frontier.nonEmpty && round < maxRounds) {
+      val cand = new java.util.HashSet[Long]()
+      frontier.foreach { src =>
+        val nbrs = adj.get(src)
+        if (nbrs != null) {
+          var i = 0
+          while (i < nbrs.length) {
+            if (coin(seed, src, nbrs(i), round) < p) cand.add(nbrs(i))
+            i += 1
+          }
+        }
+      }
+      val newly = new scala.collection.mutable.ArrayBuffer[Long](cand.size())
+      cand.forEach(d => if (!infected.contains(d)) newly += d)
+      newly.foreach(infected.add)
+      frontier = newly.toArray
+      round += 1
+    }
+    infected
+  }
+
   /** L4 Independent Cascade (influence.py:40-84) as an iterative
     * frontier propagation: each round, active frontier nodes attempt to
     * infect neighbors with probability p; a node activates at most once.
     * Returns the final infected vertex set. Edges must be canonical
     * (src<dst); propagation uses both directions.
     *
-    * Scale: each round is frontier ⋈ edges (shuffle on id) + anti-join
-    * against infected; infected is checkpointed to truncate lineage.
+    * Below `localMaxEdges` the loop replays on the driver with
+    * bit-identical coins (a distributed cascade round is one scheduler
+    * barrier; on a sub-500k-edge graph that's ALL it is); the two
+    * routes return the same set, asserted by EmbeddingSpec.
+    *
+    * Scale (distributed route): each round is frontier ⋈ edges (shuffle
+    * on id) + anti-join against infected; infected is checkpointed to
+    * truncate lineage.
     */
   def independentCascade(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
-                         p: Double, maxRounds: Int = 100, seed: Long = 42): DataFrame =
-    graft.util.Iterate.withSizedShuffle(spark, edges.count()) {
-      independentCascadeLoop(spark, edges, seeds, p, maxRounds, seed)
+                         p: Double, maxRounds: Int = 100, seed: Long = 42,
+                         localMaxEdges: Long = 500000L): DataFrame =
+    localEdges(edges, localMaxEdges) match {
+      case Some(eArr) =>
+        val seedIds = seeds.select(col("id").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        val inf = cascadeLocal(adjacency(eArr), seedIds, p, maxRounds, seed)
+        val out = new Array[Long](inf.size())
+        val it = inf.iterator(); var i = 0
+        while (it.hasNext) { out(i) = it.next(); i += 1 }
+        import spark.implicits._
+        out.sorted.toSeq.toDF("id")
+      case None =>
+        graft.util.Iterate.withSizedShuffle(spark, edges.count()) {
+          independentCascadeLoop(spark, edges, seeds, p, maxRounds, seed)
+        }
     }
 
   private def independentCascadeLoop(spark: SparkSession, edges: DataFrame,
@@ -96,10 +190,47 @@ object Influence {
     */
   def greedySeeds(spark: SparkSession, edges: DataFrame, k: Int, p: Double,
                   simRounds: Int = 50, candidatePool: Int = 64,
-                  seed: Long = 42): DataFrame =
-    graft.util.Iterate.withSizedShuffle(spark, edges.count()) {
-      greedySeedsLoop(spark, edges, k, p, simRounds, candidatePool, seed)
+                  seed: Long = 42, localMaxEdges: Long = 500000L): DataFrame =
+    localEdges(edges, localMaxEdges) match {
+      case Some(eArr) => greedySeedsLocal(spark, eArr, k, p, simRounds,
+        candidatePool, seed)
+      case None =>
+        graft.util.Iterate.withSizedShuffle(spark, edges.count()) {
+          greedySeedsLoop(spark, edges, k, p, simRounds, candidatePool, seed)
+        }
     }
+
+  /** Driver twin of [[greedySeedsLoop]]: same degree-capped pool, same
+    * per-round coins (seed + roundK), same (count desc, cand asc)
+    * argmax — candidates fan out across cores, every marginal count is
+    * an integer, so the routes agree exactly. */
+  private def greedySeedsLocal(spark: SparkSession, eArr: Array[(Long, Long)],
+                               k: Int, p: Double, simRounds: Int,
+                               candidatePool: Int, seed: Long): DataFrame = {
+    val adj = adjacency(eArr)
+    val degs = new java.util.HashMap[Long, Long]()
+    eArr.foreach { case (s, d) =>
+      degs.merge(s, 1L, _ + _); degs.merge(d, 1L, _ + _)
+    }
+    val pool0 = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      degs.forEach((id, dg) => b += ((id, dg)))
+      b.sortBy { case (id, dg) => (-dg, id) }.take(candidatePool).map(_._1).toArray
+    }
+    var chosen = Vector.empty[Long]
+    for (roundK <- 0 until k) {
+      val pool = pool0.filterNot(chosen.contains)
+      val counts = new Array[Int](pool.length)
+      java.util.stream.IntStream.range(0, pool.length).parallel().forEach { ci =>
+        counts(ci) = cascadeLocal(adj, (pool(ci) +: chosen).toArray, p,
+          simRounds, seed + roundK).size()
+      }
+      val best = pool.indices.minBy(ci => (-counts(ci), pool(ci)))
+      chosen = chosen :+ pool(best)
+    }
+    import spark.implicits._
+    chosen.toDF("id")
+  }
 
   private def greedySeedsLoop(spark: SparkSession, edges: DataFrame, k: Int,
                               p: Double, simRounds: Int, candidatePool: Int,

@@ -180,6 +180,27 @@ class EmbeddingSpec extends SparkSpec {
     assert(mid == Influence.estimatedInfluence(spark, path, seeds, 0.6, seed = 3))
   }
 
+  test("cascade and greedy driver routes equal the distributed routes exactly") {
+    import spark.implicits._
+    // Integer set algebra + bit-identical hash coins: the routes must
+    // agree EXACTLY, not statistically.
+    val g = Generators.erdosRenyi(spark, 80, 0.06, 11)
+    val seeds = Seq(0L, 3L, 7L).toDF("id")
+    val local = Influence.independentCascade(spark, g, seeds, 0.3,
+      maxRounds = 30, seed = 11)
+    val dist = Influence.independentCascade(spark, g, seeds, 0.3,
+      maxRounds = 30, seed = 11, localMaxEdges = 0)
+    assert(local.count() > 3, "cascade should spread beyond the seeds")
+    assert(local.exceptAll(dist).isEmpty && dist.exceptAll(local).isEmpty)
+
+    val gl = Influence.greedySeeds(spark, g, k = 3, p = 0.2, simRounds = 10,
+      candidatePool = 8, seed = 11)
+    val gd = Influence.greedySeeds(spark, g, k = 3, p = 0.2, simRounds = 10,
+      candidatePool = 8, seed = 11, localMaxEdges = 0)
+    assert(gl.collect().map(_.getLong(0)).toSeq.sorted ==
+      gd.collect().map(_.getLong(0)).toSeq.sorted)
+  }
+
   test("seed selection: top-k by radius") {
     import spark.implicits._
     val pos = Seq((0L, Array(3.0, 0.0)), (1L, Array(0.0, 1.0)),
