@@ -78,6 +78,14 @@ object PipelineQueries {
       TextAnalysis.winnowPairs(Tables.documents(s, d), k = 4, w = 4,
         minShared = 2)),
 
+    // End-to-end MOSS dedup: winnow fingerprints → shared-fp candidate
+    // pairs → connected-component cluster resolution. The composition
+    // that a real pipeline runs, oracle-checked all the way through.
+    "q47_winnow_clusters" -> ((s, d) =>
+      Dedup.dupClusters(s,
+        TextAnalysis.winnowPairs(Tables.documents(s, d), k = 4, w = 4,
+          minShared = 2).select(col("id_a"), col("id_b")))),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -220,6 +228,36 @@ object PipelineQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q47_winnow_clusters" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 4
+        |    THEN list_transform(range(1, len(t) - 4 + 2),
+        |           i -> md5(array_to_string(t[i:i+3], ' ')))
+        |    ELSE [md5(text)] END AS h
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1),
+        |    i -> list_aggregate(h[i:i+3], 'min')) AS mins
+        |  FROM g),
+        |fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM e)
+        |SELECT n.id AS doc_id, least(n.id, min(r.b)) AS keep_id,
+        |  least(n.id, min(r.b)) = n.id AS keep
+        |FROM nodes n JOIN reach r ON r.a = n.id
+        |GROUP BY n.id""".stripMargin,
 
     "q38_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
