@@ -199,6 +199,12 @@ class EmbeddingSpec extends SparkSpec {
       candidatePool = 8, seed = 11, localMaxEdges = 0)
     assert(gl.collect().map(_.getLong(0)).toSeq.sorted ==
       gd.collect().map(_.getLong(0)).toSeq.sorted)
+
+    // over-threshold fall-through: a cap smaller than the edge count
+    // must overflow the limit probe and route distributed — same result
+    val over = Influence.independentCascade(spark, g, seeds, 0.3,
+      maxRounds = 30, seed = 11, localMaxEdges = 2)
+    assert(over.exceptAll(dist).isEmpty && dist.exceptAll(over).isEmpty)
   }
 
   test("seed selection: top-k by radius") {
