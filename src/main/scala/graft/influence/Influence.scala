@@ -24,22 +24,9 @@ object Influence {
 
   /** Probe-collect canonical long/long edges when the graph fits the
     * driver-route budget; None (→ distributed) when larger or when the
-    * schema isn't long/long (the hash coins must replay identically,
-    * and xxhash64 of an int is not xxhash64 of a long). Same routing
-    * idiom as Layout/Centralities/dupClusters. */
-  private def localEdges(edges: DataFrame, cap: Long): Option[Array[(Long, Long)]] = {
-    import org.apache.spark.sql.types.LongType
-    if (cap <= 0 || edges.schema("src").dataType != LongType ||
-        edges.schema("dst").dataType != LongType) None
-    else {
-      val arr = edges.select(col("src"), col("dst"))
-        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaLong))
-        .limit(cap.toInt + 1).collect()
-      if (arr.length <= cap) Some(arr) else None
-    }
-  }
+    * schema isn't long/long. Shared idiom: [[graft.util.DriverRoute]]. */
+  private def localEdges(edges: DataFrame, cap: Long): Option[Array[(Long, Long)]] =
+    graft.util.DriverRoute.probePairs(edges, "src", "dst", cap)
 
   /** Both-direction adjacency of a canonical edge list. */
   private def adjacency(eArr: Array[(Long, Long)]): java.util.HashMap[Long, Array[Long]] = {
@@ -53,17 +40,12 @@ object Influence {
   }
 
   /** Driver-side replay of hashUniform(seed, src, dst, lit(round)):
-    * xxhash64 folds left-to-right from seed 42; `lit(round)` is an INT
-    * literal, so the last fold is hashInt — bit-identical to the
-    * distributed coin, which is what makes the two routes return the
-    * SAME infected set, not a statistical twin. */
+    * `lit(round)` is an INT literal, so the last fold is hashInt —
+    * bit-identical to the distributed coin, which is what makes the two
+    * routes return the SAME infected set, not a statistical twin. */
   private def coin(seed: Long, src: Long, dst: Long, round: Int): Double = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    var h = XXH64.hashLong(seed, 42L)
-    h = XXH64.hashLong(src, h)
-    h = XXH64.hashLong(dst, h)
-    h = XXH64.hashInt(round, h)
-    (h >>> 11) / 9007199254740992.0
+    import graft.util.DriverRoute._
+    toUniform(foldInt(foldLong(foldLong(hashStart(seed), src), dst), round))
   }
 
   /** Driver-local cascade: identical frontier/round/coin semantics to
@@ -142,8 +124,10 @@ object Influence {
     // job — the newly-infected checkpoint whose materializing action is
     // the frontier count. Handles stay persisted until the loop ends
     // (they back the union), then one final checkpoint owns the result.
+    // cast matches the driver route's long output — without it an
+    // int-typed seeds frame would give a route-dependent result schema
     val (seeds0, h0, cnt0) = graft.util.Iterate.checkpointWith(
-      spark, seeds.select(col("id")).distinct())(_.count())
+      spark, seeds.select(col("id").cast("long")).distinct())(_.count())
     var parts = List(seeds0)
     var handles = List(h0)
     var frontier = seeds0
@@ -218,7 +202,10 @@ object Influence {
       b.sortBy { case (id, dg) => (-dg, id) }.take(candidatePool).map(_._1).toArray
     }
     var chosen = Vector.empty[Long]
-    for (roundK <- 0 until k) {
+    // stops early when the pool is exhausted (k > pool size) — returns
+    // the seeds that exist rather than crashing on an empty argmax
+    var roundK = 0
+    while (roundK < k && chosen.length < pool0.length) {
       val pool = pool0.filterNot(chosen.contains)
       val counts = new Array[Int](pool.length)
       java.util.stream.IntStream.range(0, pool.length).parallel().forEach { ci =>
@@ -227,6 +214,7 @@ object Influence {
       }
       val best = pool.indices.minBy(ci => (-counts(ci), pool(ci)))
       chosen = chosen :+ pool(best)
+      roundK += 1
     }
     import spark.implicits._
     chosen.toDF("id")
@@ -242,10 +230,11 @@ object Influence {
     val candidates = GraphOps.degrees(edges)
       .orderBy(col("degree").desc, col("id").asc).limit(candidatePool)
       .select(col("id").as("cand")).persist()
-    candidates.count()
+    val poolSize = candidates.count()
 
     var chosen = Seq.empty[Long]
-    for (roundK <- 0 until k) {
+    // same pool-exhaustion stop as the driver twin (k > pool size)
+    for (roundK <- 0 until k if chosen.length < poolSize) {
       // Already-chosen vertices leave the candidate pool (the reference
       // skips `node in seeds`, influence.py:110-112) — round-indexed
       // hash coins make cascades non-monotone in the seed set, so a

@@ -328,20 +328,16 @@ object Layout {
     * EmbeddingSpec) and statistically thereafter. */
   def run(spark: SparkSession, edges: DataFrame, initial: DataFrame,
           cfg: LayoutConfig): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    if (cfg.localMaxEdges > 0 &&
-        edges.schema("src").dataType == LongType &&
-        edges.schema("dst").dataType == LongType) {
-      val eArr = edges.select(col("src"), col("dst"))
-        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaLong))
-        .limit(cfg.localMaxEdges.toInt + 1).collect()
-      if (eArr.length <= cfg.localMaxEdges) {
-        return runLocal(spark, eArr, initial, cfg)
-      }
-      // fall through: over threshold — re-read distributed (the limit
-      // probe cost one scan of the first localMaxEdges+1 rows)
+    // The driver cap also respects exactKnnMaxRef when intersection
+    // forces are on: past it the distributed loop switches to LSH kNN,
+    // so a driver run (always exact kNN) would diverge structurally,
+    // not just in FP order — parity holds only under the joint cap.
+    val localCap =
+      if (cfg.kInter == 0.0) cfg.localMaxEdges
+      else math.min(cfg.localMaxEdges, cfg.exactKnnMaxRef)
+    graft.util.DriverRoute.probePairs(edges, "src", "dst", localCap) match {
+      case Some(eArr) => return runLocal(spark, eArr, initial, cfg)
+      case None => // over threshold or non-long schema → distributed
     }
     val e = withEdgeIds(edges).persist()
     val m = e.count()
@@ -364,9 +360,9 @@ object Layout {
     * reference runs this entire regime single-node (NumPy/PyTorch);
     * routing small graphs to the driver is the Spark-honest version of
     * that, with [[runLoop]] carrying the 100 TB regime. */
-  private def runLocal(spark: SparkSession, eArr: Array[(Long, Long)],
+  private def runLocal(spark: SparkSession, eArrAll: Array[(Long, Long)],
                        initial: DataFrame, cfg: LayoutConfig): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import graft.util.DriverRoute.{hashStart, foldLong, toUniform}
     val d = cfg.nComponents
     val init = initial.select(col("id"), col("pos")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -376,6 +372,14 @@ object Layout {
     var vi = 0
     while (vi < n) { idIdx.put(ids(vi), vi); vi += 1 }
     var pos = init.map(_._2.clone())
+    // Edges with an endpoint absent from `initial` are DROPPED, exactly
+    // like the distributed gather's inner join (a null from idIdx.get
+    // would otherwise silently unbox to vertex 0). The sampling
+    // denominator stays the FULL edge count, matching the distributed
+    // loop, which counts edges before the gather.
+    val eArr = eArrAll.filter { case (s, t) =>
+      idIdx.containsKey(s) && idIdx.containsKey(t) }
+    val mFull = eArrAll.length
     val m = eArr.length
     // eid = xxhash64(src, dst): seed 42, fold each long
     val eids = new Array[Long](m)
@@ -383,13 +387,13 @@ object Layout {
     var ei = 0
     while (ei < m) {
       val (s, t) = eArr(ei)
-      eids(ei) = XXH64.hashLong(t, XXH64.hashLong(s, 42L))
+      eids(ei) = foldLong(foldLong(42L, s), t)
       esrc(ei) = idIdx.get(s); edst(ei) = idIdx.get(t)
       ei += 1
     }
     // hashUniform(seed, eid) = xxhash64(lit(seed), eid) >>> 11 / 2^53
     def hashU(seed: Long, x: Long): Double =
-      (XXH64.hashLong(x, XXH64.hashLong(seed, 42L)) >>> 11) / 9007199254740992.0
+      toUniform(foldLong(hashStart(seed), x))
     var it = 0
     while (it < cfg.numIterations) {
       val force = Array.fill(n)(new Array[Double](d))
@@ -413,9 +417,9 @@ object Layout {
           val pa = pos(esrc(j)); val pb = pos(edst(j))
           Array.tabulate(d)(i => (pa(i) + pb(i)) / 2.0)
         }
-        val thr = cfg.sampleSize.toDouble / m
+        val thr = cfg.sampleSize.toDouble / mFull
         val sampled =
-          if (m <= cfg.sampleSize) Array.range(0, m)
+          if (mFull <= cfg.sampleSize) Array.range(0, m)
           else Array.range(0, m).filter(j => hashU(cfg.seed + it, eids(j)) < thr)
         val k = cfg.nNeighbors
         // kNN: per-query bounded worst-out buffer, (d2, rid) asc ties —

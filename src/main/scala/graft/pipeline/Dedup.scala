@@ -155,12 +155,12 @@ object Dedup {
                   pairs: DataFrame,
                   driverMaxPairs: Long = 1000000L): DataFrame = {
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-    // single limit-probe: one execution of the (possibly expensive) pair
-    // pipeline decides the route AND supplies the driver data — a
-    // count() + collect() pair would run it twice
-    val probe = p.limit(driverMaxPairs.toInt + 1).collect()
-    if (probe.length <= driverMaxPairs) {
-      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
+    // single limit-probe (util/DriverRoute): one execution of the
+    // (possibly expensive) pair pipeline decides the route AND supplies
+    // the driver data — a count() + collect() pair would run it twice
+    val probed = graft.util.DriverRoute.probePairs(p, "id_a", "id_b", driverMaxPairs)
+    if (probed.isDefined) {
+      val edges = probed.get
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -28,9 +28,11 @@ object DocsStream {
     StructField("ingest_ts", TimestampType)))
 
   /** Keep the first-arriving copy of each distinct text within the
-    * watermark window. Works identically on batch and streaming inputs
-    * (on batch, the watermark is a no-op and duplicates dedup
-    * globally). */
+    * watermark window. Streaming-only by Spark's contract —
+    * `dropDuplicatesWithinWatermark` rejects batch inputs; the batch
+    * equivalent over an accumulated corpus is
+    * [[graft.pipeline.Dedup.exact]] (q24's oracle-checked operator,
+    * which PipelineSpec asserts this stream agrees with). */
   def dedupOnIngest(docs: DataFrame, watermark: String = "2 hours"): DataFrame =
     docs.withColumn("fp", md5(col("text")))
       .withWatermark("ingest_ts", watermark)

@@ -207,6 +207,17 @@ class EmbeddingSpec extends SparkSpec {
     assert(over.exceptAll(dist).isEmpty && dist.exceptAll(over).isEmpty)
   }
 
+  test("greedy seeds stop at pool exhaustion (k > pool) on both routes") {
+    val g = Generators.roadNetwork(spark, 3, 3)
+    val local = Influence.greedySeeds(spark, g, k = 10, p = 0.3,
+      simRounds = 5, candidatePool = 3, seed = 2)
+    val dist = Influence.greedySeeds(spark, g, k = 10, p = 0.3,
+      simRounds = 5, candidatePool = 3, seed = 2, localMaxEdges = 0)
+    assert(local.count() == 3, "should return the pool, not crash")
+    assert(local.collect().map(_.getLong(0)).toSet ==
+      dist.collect().map(_.getLong(0)).toSet)
+  }
+
   test("seed selection: top-k by radius") {
     import spark.implicits._
     val pos = Seq((0L, Array(3.0, 0.0)), (1L, Array(0.0, 1.0)),
