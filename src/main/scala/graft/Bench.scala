@@ -94,6 +94,36 @@ object Bench {
       (4039L, m, lt)
     }
 
+    // tier 2c: the SAME dataset-scale graph forced through the
+    // DISTRIBUTED loop (localMaxEdges = 0) — sub-500k-edge graphs route
+    // to the driver now, but the 100 TB code path must stay measured
+    // round over round or a regression there would be invisible.
+    val dsDist = {
+      val g = Generators.barabasiAlbert(spark, 4039, 22, 42).cache()
+      val m = g.count()
+      val dCfg = cfg.copy(LMin = 4.0, localMaxEdges = 0)
+      val (_, lt) = time {
+        Layout.run(spark, g, EigenInit.init(spark, g, 4039, 3, 42), dCfg).count()
+      }
+      g.unpersist()
+      System.err.println(f"[bench] dataset-scale DISTRIBUTED layout ${lt}%.1fs")
+      (4039L, m, lt)
+    }
+    val icDist = {
+      import graft.influence.Influence
+      val g = Generators.erdosRenyi(spark, 200, 0.05, 42).cache()
+      g.count()
+      import spark.implicits._
+      val seeds = (0L until 10L).toDF("id")
+      val (cnt, lt) = time {
+        Influence.independentCascade(spark, g, seeds, 0.1, maxRounds = 100,
+          seed = 42, localMaxEdges = 0).count()
+      }
+      g.unpersist()
+      System.err.println(f"[bench] IC DISTRIBUTED n=200 spread=$cnt ${lt}%.1fs")
+      (cnt, lt)
+    }
+
     // tier 3: reference influence benchmark — 5 graph types at n=200,
     // k=10, p=0.1 (run_benchmarks.py:377-461): graphem seeds vs greedy
     // vs random baseline per type.
@@ -144,7 +174,7 @@ object Bench {
       s"""{"type":"$t","method":"$meth","influence_spread":$spread,"time_sec":$dt}"""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum + genRows.map(_._4).sum +
-      inflRows.map(_._4).sum + dsBench._3
+      inflRows.map(_._4).sum + dsBench._3 + dsDist._3 + icDist._2
     // r1-comparable core: the query surface + the two tiers r1 ran
     // (ER layout, graphem-path influence). The grand total additionally
     // includes the r2-added reference sweeps + dataset tier, so
@@ -166,9 +196,13 @@ object Bench {
       s""""total_time":$inflTotal}"""
     val ds = s"""{"n":${dsBench._1},"m":${dsBench._2},"iters":30,""" +
       s""""layout_time":${dsBench._3}}"""
+    val dsD = s"""{"n":${dsDist._1},"m":${dsDist._2},"iters":30,""" +
+      s""""layout_time":${dsDist._3}}"""
+    val icD = s"""{"n":200,"spread":${icDist._1},"time":${icDist._2}}"""
     println(s"""{"metric":"total","value":$total,"core_total":$coreTotal,"unit":"sec","queries":$qs,""" +
       s""""layout_bench":$layout,"influence_bench":$infl,""" +
       s""""dataset_bench":$ds,""" +
+      s""""dataset_bench_distributed":$dsD,"ic_distributed":$icD,""" +
       s""""generator_sweep":$genSweepJson,"influence_sweep":$inflSweepJson,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
