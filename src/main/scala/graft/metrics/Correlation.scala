@@ -33,9 +33,22 @@ object Correlation {
     * NaN, and are EXCLUDED from the corr job: ANSI-mode corr raises
     * DIVIDE_BY_ZERO on zero variance (hit live on a constant PageRank
     * over disjoint K2 components). */
-  def spearmanMany(df: DataFrame, x: String, ys: Seq[String]): Map[String, Double] = {
+  def spearmanMany(df: DataFrame, x: String, ys: Seq[String],
+                   localMaxRows: Long = 1000000L): Map[String, Double] = {
     val cols = x +: ys
     val cached = df.select(cols.map(col): _*)
+    // Driver route below the row cap: a correlation report on a small
+    // frame costs two distributed jobs (distinct guard + ranked corr)
+    // of pure scheduler latency; ranks are exact halves either way and
+    // the Pearson differs only in summation order (~1e-15 — parity
+    // test-pinned). Rows with nulls fall back to the distributed path,
+    // whose groupBy/corr null semantics are the contract.
+    if (localMaxRows > 0) {
+      val capI = math.min(localMaxRows, Int.MaxValue - 1L).toInt
+      val probe = cached.limit(capI + 1).collect()
+      if (probe.length <= capI && !probe.exists(r => cols.indices.exists(r.isNullAt)))
+        return spearmanManyLocal(probe, cols.length, ys)
+    }
     val nd = cached.agg(countDistinct(col(cols.head)).as(cols.head),
       cols.tail.map(c => countDistinct(col(c)).as(c)): _*).collect()(0)
     def constant(c: String) = nd.getAs[Long](c) <= 1
@@ -56,6 +69,61 @@ object Correlation {
             else if (corrs.isNullAt(corrs.fieldIndex(c))) Double.NaN
             // corr's float accumulation can land a hair outside [-1, 1]
             else math.max(-1.0, math.min(1.0, corrs.getAs[Double](c))))
+    }.toMap
+  }
+
+  /** Driver twin of the ranked-corr plan: scipy rankdata('average')
+    * ranks (identical to avgRank's cum − (cnt−1)/2 form) + sample
+    * Pearson, same constant-column NaN guard and [-1,1] clamp. */
+  private def spearmanManyLocal(rows: Array[org.apache.spark.sql.Row],
+                                nCols: Int, ys: Seq[String]): Map[String, Double] = {
+    val n = rows.length
+    def colData(i: Int): Array[Double] = rows.map { r =>
+      r.get(i) match {
+        case d: java.lang.Double => d.doubleValue
+        case f: java.lang.Float => f.doubleValue
+        case l: java.lang.Long => l.doubleValue
+        case x: java.lang.Integer => x.doubleValue
+        case s: java.lang.Short => s.doubleValue
+        case b: java.lang.Byte => b.doubleValue
+        case d: java.math.BigDecimal => d.doubleValue
+        case v => v.toString.toDouble
+      }
+    }
+    def ranks(a: Array[Double]): Array[Double] = {
+      val idx = a.indices.toArray.sortBy(a(_))
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j + 1 < n && a(idx(j + 1)) == a(idx(i))) j += 1
+        val avg = (i + j + 2) / 2.0 // 1-based positions i+1..j+1 averaged
+        var k = i
+        while (k <= j) { out(idx(k)) = avg; k += 1 }
+        i = j + 1
+      }
+      out
+    }
+    def pearson(u: Array[Double], v: Array[Double]): Double = {
+      var su = 0.0; var sv = 0.0; var suu = 0.0; var svv = 0.0; var suv = 0.0
+      var i = 0
+      while (i < n) {
+        su += u(i); sv += v(i); suu += u(i) * u(i); svv += v(i) * v(i)
+        suv += u(i) * v(i); i += 1
+      }
+      val cov = suv - su * sv / n
+      val du = suu - su * su / n
+      val dv = svv - sv * sv / n
+      cov / math.sqrt(du * dv)
+    }
+    if (n == 0) return ys.map(_ -> Double.NaN).toMap
+    val xd = colData(0)
+    if (xd.distinct.length <= 1) return ys.map(_ -> Double.NaN).toMap
+    val rx = ranks(xd)
+    ys.zipWithIndex.map { case (c, i) =>
+      val yd = colData(i + 1)
+      c -> (if (yd.distinct.length <= 1) Double.NaN
+            else math.max(-1.0, math.min(1.0, pearson(rx, ranks(yd)))))
     }.toMap
   }
 

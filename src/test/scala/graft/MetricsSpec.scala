@@ -128,6 +128,22 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(many("d") - Correlation.spearman(df, "x", "d")) < 1e-12)
   }
 
+  test("spearmanMany driver route matches the distributed route") {
+    import spark.implicits._
+    // ties + negative association + a constant column, both routes
+    val df = Seq((1.0, 2.0, 9.0, 5.0), (2.0, 2.0, 7.0, 5.0),
+      (3.0, 4.0, 7.0, 5.0), (4.0, 1.0, 3.0, 5.0), (5.0, 8.0, 1.0, 5.0))
+      .toDF("x", "a", "b", "c")
+    val local = Correlation.spearmanMany(df, "x", Seq("a", "b", "c"))
+    val dist = Correlation.spearmanMany(df, "x", Seq("a", "b", "c"),
+      localMaxRows = 0)
+    for (c <- Seq("a", "b")) {
+      assert(math.abs(local(c) - dist(c)) < 1e-12,
+        s"$c: ${local(c)} vs ${dist(c)}")
+    }
+    assert(local("c").isNaN && dist("c").isNaN)
+  }
+
   test("bootstrap CI brackets the point estimate") {
     val df = (1 to 30).map(i => (i.toDouble, i + (i % 5).toDouble)).toDF("x", "y")
     val rho = Correlation.spearman(df, "x", "y")
