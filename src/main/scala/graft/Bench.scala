@@ -82,33 +82,24 @@ object Bench {
     // (run_benchmarks.py:199-296: snap-facebook_combined, 4,039 v /
     // 88,234 e, L_min=4.0, 30 iters). No egress here, so a synthetic
     // graph at the same n/m stands in (BA m=22 ≈ same edge count).
-    val dsBench = {
+    def datasetTier(label: String, dsCfg: LayoutConfig): (Long, Long, Double) = {
       val g = Generators.barabasiAlbert(spark, 4039, 22, 42).cache()
       val m = g.count()
-      val dsCfg = cfg.copy(LMin = 4.0)
       val (_, lt) = time {
         Layout.run(spark, g, EigenInit.init(spark, g, 4039, 3, 42), dsCfg).count()
       }
       g.unpersist()
-      System.err.println(f"[bench] dataset-scale (n=4039, m=$m) layout ${lt}%.1fs")
+      System.err.println(f"[bench] dataset-scale $label (n=4039, m=$m) layout ${lt}%.1fs")
       (4039L, m, lt)
     }
+    val dsBench = datasetTier("routed", cfg.copy(LMin = 4.0))
 
     // tier 2c: the SAME dataset-scale graph forced through the
     // DISTRIBUTED loop (localMaxEdges = 0) — sub-500k-edge graphs route
     // to the driver now, but the 100 TB code path must stay measured
     // round over round or a regression there would be invisible.
-    val dsDist = {
-      val g = Generators.barabasiAlbert(spark, 4039, 22, 42).cache()
-      val m = g.count()
-      val dCfg = cfg.copy(LMin = 4.0, localMaxEdges = 0)
-      val (_, lt) = time {
-        Layout.run(spark, g, EigenInit.init(spark, g, 4039, 3, 42), dCfg).count()
-      }
-      g.unpersist()
-      System.err.println(f"[bench] dataset-scale DISTRIBUTED layout ${lt}%.1fs")
-      (4039L, m, lt)
-    }
+    val dsDist = datasetTier("DISTRIBUTED",
+      cfg.copy(LMin = 4.0, localMaxEdges = 0))
     val icDist = {
       import graft.influence.Influence
       val g = Generators.erdosRenyi(spark, 200, 0.05, 42).cache()

@@ -43,11 +43,27 @@ object Correlation {
     // the Pearson differs only in summation order (~1e-15 — parity
     // test-pinned). Rows with nulls fall back to the distributed path,
     // whose groupBy/corr null semantics are the contract.
-    if (localMaxRows > 0) {
+    val allNumeric = cached.schema.fields.forall(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    })
+    if (localMaxRows > 0 && allNumeric) {
       val capI = math.min(localMaxRows, Int.MaxValue - 1L).toInt
       val probe = cached.limit(capI + 1).collect()
-      if (probe.length <= capI && !probe.exists(r => cols.indices.exists(r.isNullAt)))
-        return spearmanManyLocal(probe, cols.length, ys)
+      // nulls or NaNs fall back distributed: the groupBy rank's
+      // null/NaN-normalized grouping is the contract there, and the
+      // local primitive == would split NaN ties. Non-numeric types
+      // (string, date, boolean — rankable distributed) never route
+      // local either; the schema check above keeps them out.
+      def unsafe(r: org.apache.spark.sql.Row) = cols.indices.exists { i =>
+        r.isNullAt(i) || (r.get(i) match {
+          case d: java.lang.Double => d.isNaN
+          case f: java.lang.Float => f.isNaN
+          case _ => false
+        })
+      }
+      if (probe.length <= capI && !probe.exists(unsafe))
+        return spearmanManyLocal(probe, ys)
     }
     val nd = cached.agg(countDistinct(col(cols.head)).as(cols.head),
       cols.tail.map(c => countDistinct(col(c)).as(c)): _*).collect()(0)
@@ -76,8 +92,9 @@ object Correlation {
     * ranks (identical to avgRank's cum − (cnt−1)/2 form) + sample
     * Pearson, same constant-column NaN guard and [-1,1] clamp. */
   private def spearmanManyLocal(rows: Array[org.apache.spark.sql.Row],
-                                nCols: Int, ys: Seq[String]): Map[String, Double] = {
+                                ys: Seq[String]): Map[String, Double] = {
     val n = rows.length
+    // caller guarantees all-numeric schema, no nulls, no NaNs
     def colData(i: Int): Array[Double] = rows.map { r =>
       r.get(i) match {
         case d: java.lang.Double => d.doubleValue
@@ -87,7 +104,8 @@ object Correlation {
         case s: java.lang.Short => s.doubleValue
         case b: java.lang.Byte => b.doubleValue
         case d: java.math.BigDecimal => d.doubleValue
-        case v => v.toString.toDouble
+        case v => throw new IllegalStateException(
+          s"non-numeric value in driver spearman route: $v")
       }
     }
     def ranks(a: Array[Double]): Array[Double] = {
