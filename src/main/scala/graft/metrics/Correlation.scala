@@ -25,16 +25,31 @@ object Correlation {
     df.join(ranks, c.replaceAll("`", "") :: Nil)
   }
 
-  /** Spearman ρ of `x` against EVERY column in `ys`, in two jobs total
-    * (one constant-guard agg + one ranked-corr agg over a single plan)
-    * instead of ~4 jobs per pair — the difference between seconds and
-    * minutes when a benchmark computes 5 correlations per pipeline.
-    * Constant columns (A11 guard, run_benchmarks.py:169-175) map to
-    * NaN, and are EXCLUDED from the corr job: ANSI-mode corr raises
-    * DIVIDE_BY_ZERO on zero variance (hit live on a constant PageRank
-    * over disjoint K2 components). */
+  /** Spearman ρ of `x` against EVERY column in `ys`, in ONE job total
+    * (a union of per-pair ranked aggregates) instead of ~4 jobs per
+    * pair — the difference between seconds and minutes when a benchmark
+    * computes 5 correlations per pipeline.
+    *
+    * Null semantics are PAIRWISE deletion (scipy/pandas `corr`
+    * pairwise): each pair (x, y) is ranked and correlated over exactly
+    * the rows where BOTH x and that y are non-null — a null in one y
+    * column never changes another pair's ρ. Constant columns (A11
+    * guard, run_benchmarks.py:169-175) map to NaN via the
+    * zero-variance guard on the hand-rolled Pearson (built-in corr
+    * raises DIVIDE_BY_ZERO under ANSI on zero variance — hit live on a
+    * constant PageRank over disjoint K2 components). */
   def spearmanMany(df: DataFrame, x: String, ys: Seq[String],
-                   localMaxRows: Long = 1000000L): Map[String, Double] = {
+                   localMaxRows: Long = 1000000L): Map[String, Double] =
+    spearmanManyWithN(df, x, ys, localMaxRows)
+      .map { case (k, v) => k -> v._1 }
+
+  /** As [[spearmanMany]] but also returns each pair's non-null row
+    * count — the n the t-approximation p-value needs under pairwise
+    * deletion (a ρ computed on fewer rows must not borrow the full
+    * frame's count). */
+  def spearmanManyWithN(df: DataFrame, x: String, ys: Seq[String],
+                        localMaxRows: Long = 1000000L): Map[String, (Double, Long)] = {
+    if (ys.isEmpty) return Map.empty
     val cols = x +: ys
     val cached = df.select(cols.map(col): _*)
     // Driver route below the row cap: a correlation report on a small
@@ -64,28 +79,52 @@ object Correlation {
       }
       if (probe.length <= capI && !probe.exists(unsafe))
         return spearmanManyLocal(probe, ys)
+          .map { case (k, v) => k -> (v, probe.length.toLong) }
     }
-    val nd = cached.agg(countDistinct(col(cols.head)).as(cols.head),
-      cols.tail.map(c => countDistinct(col(c)).as(c)): _*).collect()(0)
-    def constant(c: String) = nd.getAs[Long](c) <= 1
-    if (constant(x)) return ys.map(_ -> Double.NaN).toMap
-    val active = ys.filterNot(constant)
-    if (active.isEmpty) return ys.map(_ -> Double.NaN).toMap
-    // one chained plan: rank x and every active y, then all corrs in a
-    // single aggregate — executes as ONE job.
-    val ranked = (x +: active).zipWithIndex.foldLeft(cached) {
-      case (acc, (c, i)) => avgRank(acc, c, s"_r$i")
-    }
-    val corrs = ranked.agg(
-      corr(col("_r0"), col("_r1")).as(active.head),
-      active.tail.zipWithIndex.map { case (c, i) =>
-        corr(col("_r0"), col(s"_r${i + 2}")).as(c) }: _*).collect()(0)
-    ys.map { c =>
-      c -> (if (constant(c)) Double.NaN
-            else if (corrs.isNullAt(corrs.fieldIndex(c))) Double.NaN
-            // corr's float accumulation can land a hair outside [-1, 1]
-            else math.max(-1.0, math.min(1.0, corrs.getAs[Double](c))))
-    }.toMap
+    // Distributed route: one branch per pair, each filtered to ITS
+    // non-null rows (pairwise deletion), ranked, and reduced to the
+    // five Pearson sums; the union of k one-row aggregates collects in
+    // a single action. The pruned (k+1)-column frame is persisted so
+    // the k branches re-read the cache, not the source scan.
+    val persisted = cached.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val branches = ys.zipWithIndex.map { case (y, i) =>
+        val sub = persisted.select(col(x).as("_x"), col(y).as("_y"))
+          .filter(col("_x").isNotNull && col("_y").isNotNull)
+        avgRank(avgRank(sub, "_x", "_rx"), "_y", "_ry").agg(
+          count(lit(1)).as("n"),
+          // A11 constant guard, per pair, inside the same aggregate:
+          // at large n the raw-moment variance of a CONSTANT column can
+          // round to a tiny nonzero, so dx>0 alone is not a safe guard.
+          countDistinct(col("_x")).as("ndx"),
+          countDistinct(col("_y")).as("ndy"),
+          sum("_rx").as("sx"), sum("_ry").as("sy"),
+          sum(col("_rx") * col("_rx")).as("sxx"),
+          sum(col("_ry") * col("_ry")).as("syy"),
+          sum(col("_rx") * col("_ry")).as("sxy"))
+          .select(lit(i).as("pair"), col("n"), col("ndx"), col("ndy"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("dx"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("dy"))
+      }
+      // zero variance (constant within the pair's non-null subset) or
+      // an empty subset (null sums) both land in the otherwise(NaN).
+      val rows = branches.reduce(_ union _)
+        .select(col("pair"), col("n"),
+          when(col("ndx") > 1 && col("ndy") > 1 &&
+            col("dx") > 0 && col("dy") > 0,
+            col("num") / sqrt(col("dx") * col("dy")))
+            .otherwise(lit(Double.NaN)).as("rho"))
+        .collect()
+      val byPair = rows.map(r => r.getInt(0) -> (r.getDouble(2), r.getLong(1))).toMap
+      ys.zipWithIndex.map { case (c, i) =>
+        val (rho, n) = byPair(i)
+        // rank sums are exact halves, but the Pearson quotient can land
+        // a hair outside [-1, 1]
+        c -> (math.max(-1.0, math.min(1.0, rho)), n)
+      }.toMap
+    } finally persisted.unpersist(blocking = false)
   }
 
   /** Driver twin of the ranked-corr plan: scipy rankdata('average')
@@ -154,10 +193,9 @@ object Correlation {
     * t = ρ·sqrt((n-2)/(1-ρ²)), two-sided p from Student-t with n-2 df
     * (driver-side arithmetic; SURVEY.md §2.4 A6). */
   def spearmanWithP(df: DataFrame, x: String, y: String): (Double, Double) = {
-    val rho = spearman(df, x, y)
-    if (rho.isNaN) return (rho, Double.NaN)
-    val n = df.count()
-    (rho, spearmanPValue(rho, n))
+    val (rho, n) = spearmanManyWithN(df, x, y :: Nil)(y)
+    if (rho.isNaN) (rho, Double.NaN)
+    else (rho, spearmanPValue(rho, n))
   }
 
   /** Two-sided p for a Spearman ρ at sample size n (t approximation). */
@@ -257,18 +295,17 @@ object Correlation {
     * through the S19 sinks. One spearmanMany pass per row-column plus
     * one grouped bootstrap job per pair. */
   def report(spark: SparkSession, df: DataFrame, cols: Seq[String],
-             resamples: Int = 200, alpha: Double = 0.05,
+             resamples: Int = 1000, alpha: Double = 0.05,
              seed: Long = 42): DataFrame = {
-    val n = df.count()
     val rows = cols.flatMap { a =>
       val others = cols.filterNot(_ == a)
-      val rhos = spearmanMany(df, a, others)
+      val rhos = spearmanManyWithN(df, a, others)
       others.map { b =>
-        val rho = rhos(b)
+        val (rho, nPair) = rhos(b)
         val (lo, hi) =
           if (rho.isNaN) (Double.NaN, Double.NaN)
           else bootstrapCi(spark, df, a, b, resamples, alpha, seed)
-        (a, b, rho, spearmanPValue(rho, n), lo, hi)
+        (a, b, rho, spearmanPValue(rho, nPair), lo, hi)
       }
     }
     import spark.implicits._
@@ -295,17 +332,27 @@ object Correlation {
         .when(u < 0.9999167588507119, 6).otherwise(7)
     val base = df.select(col(x).cast("double").as("xv"),
       col(y).cast("double").as("yv"))
+      // pairwise-deletion parity with spearmanMany: only rows where
+      // both columns are present enter the resamples.
+      .filter(col("xv").isNotNull && col("yv").isNotNull)
       // row discriminator: duplicate (x,y) rows must draw independent
       // weights, so fold in a per-partition row index (deterministic
       // for a deterministic input partitioning).
       .withColumn("ridx", monotonically_increasing_id())
-    val weighted = base.select(col("xv"), col("yv"),
-      explode(filter(
-        transform(sequence(lit(0), lit(resamples - 1)),
-          i => struct(i.as("i"),
-            pois(hashUniform(seed, col("ridx"), i)).as("w"))),
-        s => s.getField("w") > 0)).as("s"))
-      .select(col("s.i").as("i"), col("xv"), col("yv"), col("s.w").as("w"))
+    // ridx — and hence every row's Poisson weights — depends on the
+    // physical row order, which an upstream shuffle does not pin across
+    // re-evaluations. The frame is consumed THREE times (the pair frame
+    // plus two rankOf subplans), so materialize once: all consumers
+    // must read the same row→weight assignment or the cumulative-weight
+    // ranks silently disagree with the per-row weights.
+    val (weighted, ckptHandle) = graft.util.Iterate.checkpoint(spark,
+      base.select(col("xv"), col("yv"),
+        explode(filter(
+          transform(sequence(lit(0), lit(resamples - 1)),
+            i => struct(i.as("i"),
+              pois(hashUniform(seed, col("ridx"), i)).as("w"))),
+          s => s.getField("w") > 0)).as("s"))
+        .select(col("s.i").as("i"), col("xv"), col("yv"), col("s.w").as("w")))
     def rankOf(v: String, rankCol: String): DataFrame = {
       val w = Window.partitionBy("i").orderBy(col(v))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -329,6 +376,7 @@ object Correlation {
           (col("sw") * col("syy") - col("sy") * col("sy")))).as("rho"))
       .collect().map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
       .filterNot(d => d.isNaN || d.isInfinite).sorted
+    ckptHandle.unpersist(blocking = false)
     if (rhos.isEmpty) (Double.NaN, Double.NaN)
     else {
       val lo = rhos(math.max(0, (alpha / 2 * rhos.length).toInt))

@@ -144,6 +144,43 @@ class MetricsSpec extends SparkSpec {
     assert(local("c").isNaN && dist("c").isNaN)
   }
 
+  test("spearmanMany: pairwise deletion — a null in one y leaves other pairs intact") {
+    // a is null on row 1, b on row 10: pairwise semantics rank (x,a)
+    // over rows 2–10 and (x,b) over rows 1–9; listwise deletion would
+    // drop BOTH rows from BOTH pairs (the scipy/pandas divergence the
+    // round-2 advisor flagged).
+    val aVals = Seq(None, Some(3.0), Some(1.0), Some(4.0), Some(1.0),
+      Some(5.0), Some(9.0), Some(2.0), Some(6.0), Some(5.0))
+    val bVals = Seq(Some(2.0), Some(7.0), Some(1.0), Some(8.0), Some(2.0),
+      Some(8.0), Some(1.0), Some(8.0), Some(2.0), None)
+    val df = (1 to 10).map(i =>
+      (i.toDouble, aVals(i - 1), bVals(i - 1))).toDF("x", "a", "b")
+    // expected: exact spearman over each pair's OWN non-null subset
+    // (driver route on clean data = scipy ranks)
+    val expA = Correlation.spearman(
+      df.filter(col("a").isNotNull).select(col("x"), col("a").as("v")), "x", "v")
+    val expB = Correlation.spearman(
+      df.filter(col("b").isNotNull).select(col("x"), col("b").as("v")), "x", "v")
+    // the fixture must actually distinguish pairwise from listwise
+    val expAListwise = Correlation.spearman(
+      df.filter(col("a").isNotNull && col("b").isNotNull)
+        .select(col("x"), col("a").as("v")), "x", "v")
+    assert(math.abs(expA - expAListwise) > 1e-9,
+      "fixture too weak: pairwise == listwise")
+    val dist = Correlation.spearmanMany(df, "x", Seq("a", "b"), localMaxRows = 0)
+    assert(math.abs(dist("a") - expA) < 1e-12, s"a: ${dist("a")} vs $expA")
+    assert(math.abs(dist("b") - expB) < 1e-12, s"b: ${dist("b")} vs $expB")
+    // nulls in the probe fall back distributed on the DEFAULT route too
+    val dflt = Correlation.spearmanMany(df, "x", Seq("a", "b"))
+    assert(dflt("a") == dist("a") && dflt("b") == dist("b"))
+    // per-pair n feeds the p-value (9 rows each, not 10, not 8)
+    val withN = Correlation.spearmanManyWithN(df, "x", Seq("a", "b"))
+    assert(withN("a")._2 == 9L && withN("b")._2 == 9L)
+    val (rhoA, pA) = Correlation.spearmanWithP(df, "x", "a")
+    assert(rhoA == dist("a"))
+    assert(pA == Correlation.spearmanPValue(rhoA, 9L))
+  }
+
   test("bootstrap CI brackets the point estimate") {
     val df = (1 to 30).map(i => (i.toDouble, i + (i % 5).toDouble)).toDF("x", "y")
     val rho = Correlation.spearman(df, "x", "y")
