@@ -37,10 +37,19 @@ object Bench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // tier 1: the full query surface
+    // tier 1: the full query surface. Failures are LOUD: the stack
+    // trace goes to stderr and the error lands in the JSON (a crashing
+    // query must never masquerade as a fast bench row).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, dt) = time {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).count() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] QUERY FAILED $name: $e")
+            e.printStackTrace()
+            errors(name) = e.toString
+            -1L
+        }
       }
       name -> dt
     }
@@ -157,6 +166,18 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
     val genSweepJson = genRows.map { case (name, n, m, lt, vps, eps) =>
       s"""{"type":"$name","n":$n,"m":$m,"layout_time":$lt,""" +
         s""""throughput_vertices_per_sec":$vps,"throughput_edges_per_sec":$eps}"""
@@ -191,6 +212,7 @@ object Bench {
       s""""layout_time":${dsDist._3}}"""
     val icD = s"""{"n":200,"spread":${icDist._1},"time":${icDist._2}}"""
     println(s"""{"metric":"total","value":$total,"core_total":$coreTotal,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,""" +
       s""""layout_bench":$layout,"influence_bench":$infl,""" +
       s""""dataset_bench":$ds,""" +
       s""""dataset_bench_distributed":$dsD,"ic_distributed":$icD,""" +

@@ -127,19 +127,28 @@ object Layout {
     * per-partition SORT — 2.9 µs/pair vs ~10 ns here (measured 132 s
     * of task time per iteration at m=88k). Tie-breaks ((d2, rid) asc)
     * and the left-to-right d2 summation are identical, so results are
-    * bit-equal to the join form. */
-  def knnExact(queries: DataFrame, refs: DataFrame, k: Int, dim: Int = 3): DataFrame = {
+    * bit-equal to the join form.
+    *
+    * Query sides above `kernelMaxQueries` (where the broadcast arrays
+    * and the O(|q|) inner scan stop being the fast plan) fall back to
+    * the fully-distributed join+window form — same exact semantics,
+    * never a thrown error (the internal run() path always samples
+    * first; the fallback keeps the public entry point total). */
+  def knnExact(queries: DataFrame, refs: DataFrame, k: Int, dim: Int = 3,
+               kernelMaxQueries: Int = 65536): DataFrame = {
     val spark = refs.sparkSession
     import spark.implicits._
     val qArr = queries.select(col("eid"), col("src"), col("dst"), col("mid"))
-      .as[(Long, Long, Long, Array[Double])].collect()
-    // contract guard: the kernel is O(|q|) per ref row and the buffers
-    // O(|q|·k) per task — a caller passing an unsampled query side gets
-    // a loud failure here, not a silent quadratic job
-    require(qArr.length <= 65536,
-      s"knnExact query side has ${qArr.length} rows; it must be the " +
-        "SAMPLED side (<= sampleSize, see sampleMidpoints) — use knnLsh " +
-        "for large query sets")
+      .as[(Long, Long, Long, Array[Double])].limit(kernelMaxQueries + 1).collect()
+    // the kernel is O(|q|) per ref row and the buffers O(|q|·k) per
+    // task — an unsampled query side routes to the join+window plan
+    // (exact, distributed both sides) instead of a quadratic broadcast
+    if (qArr.length > kernelMaxQueries) {
+      System.err.println(s"[graft] knnExact query side exceeds " +
+        s"$kernelMaxQueries rows; using the distributed join+window " +
+        "plan (consider knnLsh for approximate top-k at this scale)")
+      return knnJoinWindow(queries, refs, k, dim)
+    }
     val bc = spark.sparkContext.broadcast(qArr)
     val partial = refs.select(col("eid"), col("src"), col("dst"), col("mid"))
       .as[(Long, Long, Long, Array[Double])]
@@ -187,6 +196,30 @@ object Layout {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** The pre-kernel exact form: |q|×m join, per-query top-k window.
+    * Same (d2, rid) asc tie-breaks and left-to-right d2 summation as
+    * the kernel, so the two routes are bit-equal; this one distributes
+    * BOTH sides, which is what an oversized query set needs. */
+  private def knnJoinWindow(queries: DataFrame, refs: DataFrame,
+                            k: Int, dim: Int): DataFrame = {
+    val q = queries.select(col("eid").as("qid"), col("src").as("qsrc"),
+      col("dst").as("qdst"), col("mid").as("qmid"))
+    val r = refs.select(col("eid").as("rid"), col("src").as("rsrc"),
+      col("dst").as("rdst"), col("mid").as("rmid"))
+    val d2 = (0 until dim).map { i =>
+      val df = element_at(col("qmid"), i + 1) - element_at(col("rmid"), i + 1)
+      df * df
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("rid").asc)
+    q.crossJoin(r)
+      .filter(col("qid") =!= col("rid"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("qsrc"), col("qdst"),
+        col("rid"), col("rsrc"), col("rdst"), col("d2"))
   }
 
   /** J3 approximate kNN via MLlib bucketed random-projection LSH — the

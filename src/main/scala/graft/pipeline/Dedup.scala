@@ -61,22 +61,39 @@ object Dedup {
     * the non-stop shingle space (the standard stop-shingle
     * approximation; near-dup pairs share plenty of rare shingles, so
     * recall for high thresholds is essentially unaffected). Default
-    * None = exact over all shingles. */
+    * None = exact over all shingles — but NEVER silently quadratic:
+    * the uncapped path asserts in-plan that no shingle's document
+    * frequency exceeds `skewFailDocFreq` (a license-header shingle
+    * shared by 1e6 docs would emit 5e11 candidate rows from ONE key),
+    * so a skew-bombed corpus fails loudly with the offending shingle
+    * named instead of scheduling an unbounded shuffle. Callers who
+    * genuinely want the exact quadratic cost raise the limit. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   maxDocFreq: Option[Long] = None): DataFrame = {
+                   maxDocFreq: Option[Long] = None,
+                   skewFailDocFreq: Long = 100000L): DataFrame = {
     val shAll = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
+    // document frequency per shingle; the heavy hitters are few, so
+    // the kept-shingle set joins back as a broadcast-able filter on
+    // the shingle itself being rare — implemented as an aggregate +
+    // equi-join so Catalyst can pick broadcast vs shuffle by stats
+    val freq = shAll.groupBy("s").agg(count(lit(1)).as("_df"))
     val sh = maxDocFreq match {
-      case None => shAll
       case Some(cap) =>
-        // document frequency per shingle; the heavy hitters are few, so
-        // the kept-shingle set joins back as a broadcast-able filter on
-        // the shingle itself being rare — implemented as an aggregate +
-        // equi-join so Catalyst can pick broadcast vs shuffle by stats
-        val keep = shAll.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("s")
-        shAll.join(keep, "s")
+        shAll.join(freq.filter(col("_df") <= cap).select("s"), "s")
+      case None =>
+        // exact semantics preserved (every row passes or the job dies):
+        // assert_true evaluates inside the plan, no extra action
+        shAll.join(freq, "s")
+          .filter(assert_true(col("_df") <= skewFailDocFreq,
+            concat(lit("jaccardPairs: shingle '"), col("s"),
+              lit(s"' appears in "), col("_df"),
+              lit(s" documents (> skewFailDocFreq=$skewFailDocFreq); " +
+                "its posting list alone would emit df²/2 candidate " +
+                "pairs. Set maxDocFreq to drop stop-shingles, or raise " +
+                "skewFailDocFreq to force the quadratic join."))).isNull)
+          .drop("_df")
     }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("id").as("id_a"), col("s"))

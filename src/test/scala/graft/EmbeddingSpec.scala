@@ -168,6 +168,21 @@ class EmbeddingSpec extends SparkSpec {
     assert(knn.filter(col("qid") === col("rid")).isEmpty)
   }
 
+  test("knn exact: oversized query side falls back to join+window, identical rows") {
+    val g = Layout.withEdgeIds(Generators.roadNetwork(spark, 5, 5)).cache()
+    val pos = EigenInit.init(spark, g.select("src", "dst"), 25, 2, seed = 6)
+    val mids = Layout.midpoints(g, pos).cache()
+    mids.count()
+    val kernel = Layout.knnExact(mids, mids, 4, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(6))).toSet
+    // kernelMaxQueries below |q| forces the distributed join+window
+    // route — no throw (the r2 API regression), bit-equal output
+    val fallback = Layout.knnExact(mids, mids, 4, dim = 2, kernelMaxQueries = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(6))).toSet
+    assert(fallback == kernel)
+    mids.unpersist(); g.unpersist()
+  }
+
   test("independent cascade: p=1 floods the component, p=0 stays at seeds") {
     val path = Generators.balancedTree(spark, 1, 4) // path of 5 nodes
     import spark.implicits._

@@ -60,6 +60,65 @@ class PipelineSpec extends SparkSpec {
     assert(exact == hiCap)
   }
 
+  /** All messages down a throwable's cause chain (Spark wraps task
+    * failures; the assert_true text sits on a nested cause). */
+  private def causeMessages(t: Throwable): String = {
+    var cur: Throwable = t
+    val sb = new StringBuilder
+    while (cur != null) {
+      sb.append(Option(cur.getMessage).getOrElse("")).append('\n')
+      cur = cur.getCause
+    }
+    sb.toString
+  }
+
+  test("skew valve: uncapped jaccardPairs dies loudly on a planted hot shingle") {
+    import spark.implicits._
+    val boiler = "terms of service apply to all"
+    val d = Seq(
+      (1L, s"$boiler quick brown fox jumps over the lazy dog today"),
+      (2L, s"$boiler quick brown fox jumps over the lazy dog tonight"),
+      (3L, s"$boiler completely different body text about spark plans here"),
+      (4L, s"$boiler yet another unrelated document body on graph layouts")
+    ).toDF("doc_id", "text")
+    // the boilerplate shingle sits in 4 docs > limit 3 → loud in-plan kill
+    val e = intercept[Exception] {
+      Dedup.jaccardPairs(d, n = 3, threshold = 0.1, skewFailDocFreq = 3).collect()
+    }
+    assert(causeMessages(e).contains("skewFailDocFreq"),
+      s"wrong failure: ${causeMessages(e).take(400)}")
+    // with the cap on, the valve never fires and rare-shingle pairs are kept
+    val capped = Dedup.jaccardPairs(d, n = 3, threshold = 0.5,
+      maxDocFreq = Some(2), skewFailDocFreq = 3).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // a limit above every doc-freq leaves the exact result untouched
+    val dflt = Dedup.jaccardPairs(d, n = 3, threshold = 0.1).collect().toSet
+    val forced = Dedup.jaccardPairs(d, n = 3, threshold = 0.1,
+      skewFailDocFreq = 1000).collect().toSet
+    assert(dflt == forced)
+  }
+
+  test("skew valve: uncapped winnowPairs dies loudly on a boilerplate fingerprint") {
+    import spark.implicits._
+    // five identical docs: every fingerprint's posting list has 5 docs
+    val d = (1L to 5L).map(i => (i, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.winnowPairs(d, k = 3, w = 2, minShared = 1,
+        skewFailDocFreq = 3).collect()
+    }
+    assert(causeMessages(e).contains("skewFailDocFreq"),
+      s"wrong failure: ${causeMessages(e).take(400)}")
+    // maxDocFreq drops the hot fingerprints instead of failing
+    assert(TextAnalysis.winnowPairs(d, k = 3, w = 2, minShared = 1,
+      maxDocFreq = Some(3), skewFailDocFreq = 3).collect().isEmpty)
+    // under-the-limit corpora are untouched by the valve
+    val d2 = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val base = TextAnalysis.winnowPairs(d2, k = 3, w = 2, minShared = 1,
+      skewFailDocFreq = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == Set((1L, 2L)))
+  }
+
   test("dupClusters chains non-transitive near-dups into one keep decision") {
     import spark.implicits._
     // A~B and B~C by pair list, A!~C — one cluster keeping the min id
@@ -239,6 +298,15 @@ class PipelineSpec extends SparkSpec {
     val blocked = Similarity.cosinePairs(e, threshold = 0.35, blockSize = 64)
     assert(brute.count() > 0)
     assert(blocked.exceptAll(brute).isEmpty && brute.exceptAll(blocked).isEmpty)
+  }
+
+  test("cosinePairs size contract: oversized input fails loudly, not quadratically") {
+    val e = Tables.embeddings(spark, sf)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(e, threshold = 0.35, maxRows = 5)
+    }
+    assert(ex.getMessage.contains("EXACT all-pairs"))
+    assert(ex.getMessage.contains("cosinePairsLsh"))
   }
 
   test("cosinePairsLsh finds planted high-cos pair, subset of brute") {
