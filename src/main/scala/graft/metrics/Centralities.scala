@@ -109,6 +109,71 @@ object Centralities {
       .toDF("id", "pagerank")
   }
 
+  /** nx.pagerank semantics, DISTRIBUTED: the same damped power
+    * iteration as [[pageRankCsr]] (x' = (1-α)/n + α(Σ_{u∈N(v)} x_u/deg_u
+    * + dangling/n), stop when L1 err < n·tol), one join+agg per
+    * iteration over the symmetrized edges — so the `all()` pagerank is
+    * ROUTE-INVARIANT: a graph crossing broadcastEdgeMax gets the same
+    * values either side, up to float summation order.
+    *
+    * Dangling handling is analytic, not a per-iteration job: on an
+    * undirected graph the only dangling vertices are isolated ones, and
+    * every isolated vertex holds exactly `base(t)` from iteration 1 on,
+    * so the dangling mass follows the driver-side recurrence
+    * D(t+1) = n₀ · base(t). The per-iteration L1 error rides the
+    * checkpoint's materializing action — ONE job per iteration.
+    *
+    * The returned frame is PERSISTED (its lineage ends at a truncated
+    * checkpoint); callers may unpersist it when done. */
+  def pageRankDistributed(spark: SparkSession, edges: DataFrame, n: Long,
+                          alpha: Double = 0.85, tol: Double = 1e-6,
+                          maxIter: Int = 100): DataFrame = {
+    val sym = symmetrize(edges).persist()
+    // (id, deg) once; deg never changes across iterations
+    val (degAll, degH) = graft.util.Iterate.checkpoint(spark,
+      spark.range(n).toDF("id")
+        .join(sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")))
+    val n0 = degAll.filter(col("deg") === 0).count()
+    graft.util.Iterate.withSizedShuffle(spark, n) {
+      var x = degAll.select(col("id"), lit(1.0 / n).as("v"))
+      var handle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+      var dangling = n0.toDouble / n
+      var it = 0
+      var done = false
+      while (it < maxIter && !done) {
+        val base = (1.0 - alpha) / n + alpha * dangling / n
+        val contrib = sym
+          .join(x.select(col("id").as("src"), col("v")), "src")
+          .join(degAll.select(col("id").as("src"), col("deg")), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("v") / col("deg")).as("c"))
+        val nextRaw = x.select(col("id"), col("v").as("pv"))
+          .join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + lit(alpha) * coalesce(col("c"), lit(0.0))).as("v"),
+            col("pv"))
+        // L1 error computed inside the materializing action: no extra job
+        val (next, nh, err) = graft.util.Iterate.checkpointWith(spark, nextRaw) {
+          rdd => rdd.map(r => math.abs(r.getDouble(1) - r.getDouble(2))).sum()
+        }
+        handle.foreach(_.unpersist(blocking = false))
+        handle = Some(nh)
+        x = next.select(col("id"), col("v"))
+        dangling = n0 * base
+        if (err < n * tol) done = true
+        it += 1
+      }
+      val result = x.select(col("id"), col("v").as("pagerank")).persist()
+      result.count()
+      handle.foreach(_.unpersist(blocking = false))
+      degH.unpersist(blocking = false)
+      sym.unpersist()
+      result
+    }
+  }
+
   /** Eigenvector centrality by power iteration on the adjacency;
     * falls back to degree centrality on failure (benchmark.py:82-93). */
   def eigenvectorCentrality(spark: SparkSession, edges: DataFrame, n: Long,
@@ -147,7 +212,10 @@ object Centralities {
 
   /** Distributed eigenvector centrality: DataFrame power iteration
     * (gather–scatter matvec per step, the EigenInit mat-vec shape) for
-    * graphs past broadcast scale. Falls back to degree on zero vector. */
+    * graphs past broadcast scale. Falls back to degree on zero vector.
+    * Returned frame is PERSISTED (like the other distributed
+    * centralities) — callers may unpersist when done; the loop's
+    * intermediate checkpoints are all released before returning. */
   def eigenvectorDistributed(spark: SparkSession, edges: DataFrame, n: Long,
                              iters: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
@@ -174,7 +242,12 @@ object Centralities {
         handle = Some(yh)
         it += 1
       }
-      x.select(col("id"), col("v").as("eigenvector"))
+      // materialize the result off the last checkpoint, then release it
+      // (r2 advisor: the final handle used to stay persisted forever)
+      val result = x.select(col("id"), col("v").as("eigenvector")).persist()
+      result.count()
+      handle.foreach(_.unpersist(blocking = false))
+      result
     } catch {
       case _: ArithmeticException =>
         degreeCentrality(edges, n).withColumnRenamed("degree_centrality", "eigenvector")
@@ -343,7 +416,9 @@ object Centralities {
 
   /** Distributed closeness from (possibly sampled) sources. Exact for
     * |sources| = n; otherwise the Eppstein–Wang style estimate with
-    * reach and distance sums scaled by n/|S|. */
+    * reach and distance sums scaled by n/|S|. Returned frame is
+    * PERSISTED (it must outlive the BFS checkpoints released here);
+    * callers may unpersist when done. */
   def closenessDistributed(spark: SparkSession, edges: DataFrame, n: Long,
                            sourcesCap: Int = 256, seed: Long = 42): DataFrame = {
     val sym = symmetrize(edges).persist()
@@ -376,7 +451,9 @@ object Centralities {
   /** Distributed Brandes / Newman-load: forward multi-source BFS, then
     * level-by-level backward accumulation — each backward level is one
     * join+agg, so work parallelizes over (source, vertex) pairs. Exact
-    * for |sources| = n; scaled pivot estimate otherwise. */
+    * for |sources| = n; scaled pivot estimate otherwise. Returned frame
+    * is PERSISTED (it must outlive the BFS checkpoints released here);
+    * callers may unpersist when done. */
   def brandesDistributed(spark: SparkSession, edges: DataFrame, n: Long,
                          loadMode: Boolean, outCol: String,
                          sourcesCap: Int = 256, seed: Long = 42): DataFrame = {
@@ -470,7 +547,10 @@ object Centralities {
           betweennessCsr(spark, csr),
           loadCsr(spark, csr))
       } else {
-        Seq(pageRank(spark, edges),
+        // pageRankDistributed (not GraphX static) so pagerank semantics
+        // are route-invariant across the broadcastEdgeMax threshold —
+        // same nx convergence rule as pageRankCsr on both sides.
+        Seq(pageRankDistributed(spark, edges, n),
           eigenvectorDistributed(spark, edges, n),
           closenessDistributed(spark, edges, n),
           brandesDistributed(spark, edges, n, loadMode = false, "betweenness"),

@@ -264,9 +264,24 @@ class MetricsSpec extends SparkSpec {
     for (id <- 0L until 6L)
       assert(math.abs(colOf(id, "eigenvector") -
         csrAll(id).getAs[Double]("eigenvector")) < 1e-6)
-    // pagerank: GraphX static vs nx-converged differ slightly; require
-    // sum 1 and rank order of the hub intact
+    // pagerank is now route-invariant: pageRankDistributed runs the
+    // same nx damped power iteration as pageRankCsr
+    for (id <- 0L until 6L)
+      assert(math.abs(colOf(id, "pagerank") -
+        csrAll(id).getAs[Double]("pagerank")) < 1e-6,
+        s"pagerank($id): ${colOf(id, "pagerank")} vs " +
+          s"${csrAll(id).getAs[Double]("pagerank")}")
     val prSum = (0L until 6L).map(colOf(_, "pagerank")).sum
     assert(math.abs(prSum - 1.0) < 1e-6)
+    // isolated-vertex (dangling) handling matches the CSR recurrence:
+    // a 2-path plus an isolated vertex
+    val dangling = Seq((0L, 1L)).toDF("src", "dst")
+    val dcsr = Centralities.all(spark, dangling, 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("pagerank")).toMap
+    val ddist = Centralities.all(spark, dangling, 3, broadcastEdgeMax = 0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pagerank")).toMap
+    for (id <- 0L until 3L)
+      assert(math.abs(dcsr(id) - ddist(id)) < 1e-9,
+        s"dangling pagerank($id): ${ddist(id)} vs ${dcsr(id)}")
   }
 }
