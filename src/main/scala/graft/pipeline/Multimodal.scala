@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   * processing — same batch shape, schema contract and partitioning
   * story; no Python worker hop).
   *
-  * The actual codec work (JPEG decode, resampling, frame extraction) is
-  * STUBBED with a deterministic fake — media codec libraries are not in
-  * this environment — but everything Spark-cares-about is real: schema,
-  * batch iteration, partition sizing, and the feature-column contract
-  * downstream consumers (Similarity.bruteForceTopK etc.) rely on.
+  * IMAGE decode is REAL: `javax.imageio` ships in the JDK (PNG, BMP,
+  * GIF, JPEG readers), so image payloads are decoded to pixels and the
+  * feature vector carries actual decoded-pixel statistics. Audio/video
+  * codec work (PCM decode, frame extraction) remains STUBBED with a
+  * deterministic fake — those codec libraries are not in this
+  * environment — but everything Spark-cares-about is real either way:
+  * schema, batch iteration, partition sizing, and the feature-column
+  * contract downstream consumers (Similarity.bruteForceTopK etc.)
+  * rely on.
   */
 object Multimodal {
 
@@ -41,36 +45,104 @@ object Multimodal {
       (pmod(xxhash64(col(textCol), lit(1)), lit(1080)) + 32).cast("int").as("meta_height"),
       (pmod(xxhash64(col(textCol), lit(2)), lit(60000)) + 1000).cast("int").as("meta_duration_ms"))
 
-  /** STUB decode: a real implementation hands each partition's payloads
-    * to a native codec in batches. The deterministic fake derives
-    * `featDim` floats from the payload bytes so tests can assert the
-    * full pipeline (schema, batching, determinism) end-to-end. */
+  /** Decoded-pixel features for an image payload via javax.imageio:
+    * [width, height, mean luma, std luma, then (featDim-4) vertical-
+    * strip luma means] — a deterministic decode → grayscale → resample
+    * pipeline on real pixels. Returns None when no JDK reader claims
+    * the bytes (payload is not an image, or an exotic codec). */
+  private[pipeline] def imageFeatures(bytes: Array[Byte],
+                                      featDim: Int): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val feats = new Array[Float](featDim)
+        val strips = math.max(featDim - 4, 0)
+        val stripSum = new Array[Double](math.max(strips, 1))
+        val stripCnt = new Array[Long](math.max(strips, 1))
+        var sum = 0.0
+        var sq = 0.0
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val luma = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            sum += luma; sq += luma * luma
+            if (strips > 0) {
+              val s = x * strips / w
+              stripSum(s) += luma; stripCnt(s) += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val nPix = w.toDouble * h
+        val mean = sum / nPix
+        val variance = math.max(0.0, sq / nPix - mean * mean)
+        if (featDim > 0) feats(0) = w.toFloat
+        if (featDim > 1) feats(1) = h.toFloat
+        if (featDim > 2) feats(2) = mean.toFloat
+        if (featDim > 3) feats(3) = math.sqrt(variance).toFloat
+        var s = 0
+        while (s < strips) {
+          feats(4 + s) =
+            if (stripCnt(s) > 0) (stripSum(s) / stripCnt(s)).toFloat else 0f
+          s += 1
+        }
+        Some(feats)
+      }
+    } catch { case _: Exception => None }
+
+  /** Batch decode: image payloads run through the REAL javax.imageio
+    * pixel pipeline (`decoded = true`); audio/video — and images no JDK
+    * reader claims — fall back to the deterministic rolling-hash fake
+    * (`decoded = false`), keeping the schema/batch contract identical
+    * across modalities so downstream stages never branch. */
   def decodeFeatures(spark: SparkSession, media: DataFrame, featDim: Int = 16,
                      batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("modality", StringType),
       StructField("n_bytes", IntegerType),
+      StructField("decoded", BooleanType),
       StructField("features", ArrayType(FloatType))))
     val rdd = media.select("media_id", "modality", "payload").rdd
       .mapPartitions { it =>
+        // keep ImageIO in-memory: its default disk cache writes a tmp
+        // file per read — pure overhead for payloads already in RAM
+        javax.imageio.ImageIO.setUseCache(false)
         // batch iteration mirrors the Arrow-batch shape: accumulate up
-        // to batchSize payloads, "decode" the batch, emit, repeat.
+        // to batchSize payloads, decode the batch, emit, repeat.
         it.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
             val id = r.getLong(0)
             val mod = r.getString(1)
             val bytes = r.getAs[Array[Byte]](2)
-            // ??? real codec call goes here (JPEG/PCM/H264 decode);
-            // deterministic fake: rolling-hash features of the payload.
-            val feats = new Array[Float](featDim)
-            var h = 1125899906842597L
-            var i = 0
-            while (i < bytes.length) { h = 31 * h + bytes(i); i += 1
-              if (i % 8 == 0 || i == bytes.length) {
-                feats(((i - 1) / 8) % featDim) += (h % 1000) / 1000.0f }
+            val real =
+              if (mod == "image") imageFeatures(bytes, featDim) else None
+            val (feats, decoded) = real match {
+              case Some(f) => (f, true)
+              case None =>
+                // deterministic fake for the stubbed codecs:
+                // rolling-hash features of the payload.
+                val f = new Array[Float](featDim)
+                var h = 1125899906842597L
+                var i = 0
+                while (i < bytes.length) { h = 31 * h + bytes(i); i += 1
+                  if (i % 8 == 0 || i == bytes.length) {
+                    f(((i - 1) / 8) % featDim) += (h % 1000) / 1000.0f }
+                }
+                (f, false)
             }
-            Row(id, mod, bytes.length, feats.toSeq)
+            Row(id, mod, bytes.length, decoded, feats.toSeq)
           }
         }
       }

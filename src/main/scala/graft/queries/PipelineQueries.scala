@@ -25,9 +25,23 @@ object PipelineQueries {
     "q26_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.10)),
 
-    "q27_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(Tables.documents(s, d), n = 3, k = 64, bands = 16,
-        threshold = 0.10).orderBy("id_a", "id_b")),
+    // recall_vs_brute on the approximate queries (q27/q30/q41): the
+    // approximation quality surfaces as DATA in the dumped frame, not
+    // just a row count — computed against the exact twin (over a capped
+    // query set for the top-k ops), identical on every row.
+    "q27_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lsh = Dedup.minhashLsh(docs, n = 3, k = 64, bands = 16,
+        threshold = 0.10).cache()
+      val brute = Dedup.jaccardPairs(docs, n = 3, threshold = 0.10)
+        .select("id_a", "id_b")
+      val nb = brute.count()
+      val nh = lsh.select("id_a", "id_b")
+        .join(brute, Seq("id_a", "id_b"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      lsh.withColumn("recall_vs_brute", round(lit(recall), 4))
+        .orderBy("id_a", "id_b")
+    }),
 
     "q28_simhash_pairs" -> ((s, d) =>
       // d ≤ 7 with 8-bit chunks keeps the pigeonhole full-recall
@@ -46,9 +60,18 @@ object PipelineQueries {
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e, k = 5)
     }),
 
-    "q30_lsh_topk" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d), k = 5, nBits = 16,
-        bands = 4).orderBy("qid", "rn")),
+    "q30_lsh_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val lsh = Similarity.lshTopK(e, k = 5, nBits = 16, bands = 4).cache()
+      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        k = 5).select("qid", "rid")
+      val nb = brute.count()
+      val nh = lsh.filter(col("qid") < 50).select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      lsh.withColumn("recall_vs_brute", round(lit(recall), 4))
+        .orderBy("qid", "rn")
+    }),
 
     "q31_text_quality" -> ((s, d) =>
       TextAnalysis.keepDecision(Tables.documents(s, d))
@@ -67,9 +90,18 @@ object PipelineQueries {
     "q38_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)),
 
-    "q41_ivf_topk" -> ((s, d) =>
-      Similarity.ivfTopK(s, Tables.embeddings(s, d), k = 5, nLists = 8,
-        nProbe = 2).orderBy("qid", "rn")),
+    "q41_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val ivf = Similarity.ivfTopK(s, e, k = 5, nLists = 8, nProbe = 2).cache()
+      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        k = 5).select("qid", "rid")
+      val nb = brute.count()
+      val nh = ivf.filter(col("qid") < 50).select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      ivf.withColumn("recall_vs_brute", round(lit(recall), 4))
+        .orderBy("qid", "rn")
+    }),
 
     "q45_winnow_fp" -> ((s, d) =>
       TextAnalysis.winnowFingerprints(Tables.documents(s, d), k = 4, w = 4)),

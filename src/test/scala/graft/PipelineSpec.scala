@@ -318,6 +318,23 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.exceptAll(brute).isEmpty && brute.exceptAll(lsh).isEmpty)
   }
 
+  test("approximate queries q27/q30/q41 surface recall_vs_brute above floors") {
+    val qs = graft.queries.PipelineQueries.queries
+    def recallOf(name: String): Double = {
+      val df = qs(name)(spark, sf)
+      val r = df.select("recall_vs_brute").distinct().collect()
+      assert(r.length == 1, s"$name recall must be one constant, got ${r.length}")
+      r(0).getDouble(0)
+    }
+    // floors mirror the operator-level recall tests; near-dup pairs are
+    // high-jaccard so banding recall on them is near-total
+    assert(recallOf("q27_minhash_lsh") >= 0.8)
+    // q30 measures FULL top-5 membership (stricter than the operator
+    // test's top-1-in-top-5): 16-bit/4-band sign-LSH lands ~0.42 here
+    assert(recallOf("q30_lsh_topk") >= 0.3)
+    assert(recallOf("q41_ivf_topk") >= 0.3)
+  }
+
   test("language ID identifies constructed en/de/fr sentences") {
     // the testdata lang column is a random label over one shared
     // vocabulary (verified: de/zh/es rows contain English stopwords),
@@ -343,11 +360,39 @@ class PipelineSpec extends SparkSpec {
     assert(q.filter(col("repetition") < 0 || col("repetition") > 1).isEmpty)
   }
 
+  test("multimodal: real PNG payloads decode to real pixel stats") {
+    import spark.implicits._
+    // 2×1 PNG: black pixel then white pixel → known luma statistics
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000)
+    img.setRGB(1, 0, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq(
+      (1L, "image", png),
+      (2L, "audio", png),
+      (3L, "image", "not an image".getBytes("UTF-8"))
+    ).toDF("media_id", "modality", "payload")
+    val out = Multimodal.decodeFeatures(spark, media, featDim = 6).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(3), "PNG payload should really decode")
+    val f = out(1L).getSeq[Float](4)
+    assert(f(0) == 2f && f(1) == 1f, s"dims: ${f.mkString(",")}")
+    assert(math.abs(f(2) - 0.5f) < 1e-6, s"mean luma: ${f(2)}")
+    assert(math.abs(f(3) - 0.5f) < 1e-6, s"std luma: ${f(3)}")
+    // two vertical strips: black strip 0.0, white strip 1.0
+    assert(math.abs(f(4)) < 1e-6 && math.abs(f(5) - 1.0f) < 1e-6)
+    // audio payloads and non-decodable "images" fall back to the stub
+    assert(!out(2L).getBoolean(3) && !out(3L).getBoolean(3))
+  }
+
   test("multimodal decode: schema, determinism, batch plumbing") {
     val media = Multimodal.syntheticMedia(docs)
     val f1 = Multimodal.decodeFeatures(spark, media, featDim = 16, batchSize = 32)
     assert(f1.schema.fieldNames.toSeq ==
-      Seq("media_id", "modality", "n_bytes", "features"))
+      Seq("media_id", "modality", "n_bytes", "decoded", "features"))
     assert(f1.count() == docs.count())
     assert(f1.filter(size(col("features")) =!= 16).isEmpty)
     // batch size must not affect results
