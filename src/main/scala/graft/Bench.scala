@@ -109,6 +109,37 @@ object Bench {
     // round over round or a regression there would be invisible.
     val dsDist = datasetTier("DISTRIBUTED",
       cfg.copy(LMin = 4.0, localMaxEdges = 0))
+
+    // tier 2d: the ANN layout branch — the path that carries layout at
+    // 100k+ midpoints (the reference's cuVS envelope,
+    // embedder_cuvs.py:255-272). exactKnnMaxRef=0 forces every
+    // iteration's candidate search through the grid-bucketed kNN on
+    // the same dataset-scale graph, so the one 100 TB layout code path
+    // gets a recorded wall time round over round. Quality (ρ vs the
+    // exact-kNN run) is asserted in EmbeddingSpec.
+    val dsLsh = datasetTier("GRID-ANN DISTRIBUTED",
+      cfg.copy(LMin = 4.0, localMaxEdges = 0, exactKnnMaxRef = 0))
+
+    // tier 2e: centralities on the dataset-scale graph, BOTH routes —
+    // the broadcast-CSR route it would pick, and the multi-source-BFS /
+    // power-iteration distributed route (broadcastEdgeMax=0) that
+    // carries graphs past 1e7 edges. Paired timings mirror the
+    // reference's backend comparison (compare_backends.py:296-311).
+    val (centRouted, centDist) = {
+      import graft.metrics.Centralities
+      val g = Generators.barabasiAlbert(spark, 4039, 22, 42).cache()
+      val cm = g.count()
+      val (_, rt) = time {
+        Centralities.all(spark, g, 4039).count()
+      }
+      System.err.println(f"[bench] centralities routed (CSR) n=4039 m=$cm ${rt}%.1fs")
+      val (_, lt) = time {
+        Centralities.all(spark, g, 4039, broadcastEdgeMax = 0).count()
+      }
+      g.unpersist()
+      System.err.println(f"[bench] centralities DISTRIBUTED n=4039 m=$cm ${lt}%.1fs")
+      (rt, (cm, lt))
+    }
     val icDist = {
       import graft.influence.Influence
       val g = Generators.erdosRenyi(spark, 200, 0.05, 42).cache()
@@ -155,6 +186,15 @@ object Bench {
         "layout_time_sec", "vertices_per_sec", "edges_per_sec")
       val inflDf = inflRows.toSeq.toDF("graph_type", "method",
         "influence_spread", "time_sec")
+      // backend-comparison pivot (compare_backends.py:217-227): each
+      // workload × each route's wall time, side by side.
+      val cmpDf = Seq(
+        ("layout n=4039 m=88k 30it", f"${dsBench._3}%.2f", f"${dsDist._3}%.2f",
+          f"${dsLsh._3}%.2f"),
+        ("independent_cascade n=200", "(in influence tier)",
+          f"${icDist._2}%.2f", "-"),
+        ("centralities n=4039", f"$centRouted%.2f", f"${centDist._2}%.2f", "-")
+      ).toDF("workload", "routed_sec", "distributed_sec", "distributed_ann_sec")
       val dir = new java.io.File("bench_results"); dir.mkdirs()
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_results/generator_benchmark.md"),
@@ -162,6 +202,9 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_results/influence_benchmark.md"),
         graft.io.Sinks.markdown(inflDf))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_results/backend_comparison.md"),
+        graft.io.Sinks.markdown(cmpDf))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -186,7 +229,8 @@ object Bench {
       s"""{"type":"$t","method":"$meth","influence_spread":$spread,"time_sec":$dt}"""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum + genRows.map(_._4).sum +
-      inflRows.map(_._4).sum + dsBench._3 + dsDist._3 + icDist._2
+      inflRows.map(_._4).sum + dsBench._3 + dsDist._3 + dsLsh._3 +
+      centRouted + centDist._2 + icDist._2
     // r1-comparable core: the query surface + the two tiers r1 ran
     // (ER layout, graphem-path influence). The grand total additionally
     // includes the r2-added reference sweeps + dataset tier, so
@@ -210,12 +254,17 @@ object Bench {
       s""""layout_time":${dsBench._3}}"""
     val dsD = s"""{"n":${dsDist._1},"m":${dsDist._2},"iters":30,""" +
       s""""layout_time":${dsDist._3}}"""
+    val dsL = s"""{"n":${dsLsh._1},"m":${dsLsh._2},"iters":30,""" +
+      s""""layout_time":${dsLsh._3}}"""
+    val cD = s"""{"n":4039,"m":${centDist._1},"sources_cap":256,""" +
+      s""""time":${centDist._2},"routed_time":$centRouted}"""
     val icD = s"""{"n":200,"spread":${icDist._1},"time":${icDist._2}}"""
     println(s"""{"metric":"total","value":$total,"core_total":$coreTotal,"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,""" +
       s""""layout_bench":$layout,"influence_bench":$infl,""" +
       s""""dataset_bench":$ds,""" +
-      s""""dataset_bench_distributed":$dsD,"ic_distributed":$icD,""" +
+      s""""dataset_bench_distributed":$dsD,"layout_lsh":$dsL,""" +
+      s""""centralities_distributed":$cD,"ic_distributed":$icD,""" +
       s""""generator_sweep":$genSweepJson,"influence_sweep":$inflSweepJson,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()

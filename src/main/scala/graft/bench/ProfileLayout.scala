@@ -66,12 +66,15 @@ object ProfileLayout {
       val i = EigenInit.init(spark, g, nV, dim, seed = 42)
       i.count(); i
     }
-    val cfg =
+    val cfgBase =
       if (er || ds) LayoutConfig(nComponents = 3, LMin = if (ds) 4.0 else 10.0,
         kAttr = 0.5, kInter = 0.1, nNeighbors = 15, sampleSize = 512,
         numIterations = iters, seed = 42)
       else LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = iters,
         sampleSize = 128, nNeighbors = 8, seed = 42)
+    // PROFILE_GRID=1 forces the grid-ANN kNN branch in step()
+    val cfg = if (sys.env.contains("PROFILE_GRID"))
+      cfgBase.copy(exactKnnMaxRef = 0) else cfgBase
     if (sys.env.contains("PROFILE_EXPLAIN")) {
       val e0 = Layout.withEdgeIds(g).persist(); val m0 = e0.count()
       val (p0, _) = graft.util.Iterate.checkpoint(spark, init)

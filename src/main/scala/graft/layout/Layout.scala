@@ -17,9 +17,9 @@ case class LayoutConfig(
     sampleSize: Int = 512,
     numIterations: Int = 30,
     seed: Long = 42,
-    /** exact kNN (cross-join + window top-k) below this many midpoints,
-      * LSH above — mirrors the reference's brute-force→ANN switch
-      * (embedder_cuvs.py:255-272). */
+    /** exact kNN (compiled broadcast kernel) below this many midpoints,
+      * grid-bucketed ANN above — mirrors the reference's
+      * brute-force→ANN switch (embedder_cuvs.py:255-272). */
     exactKnnMaxRef: Long = 200000L,
     /** broadcast the positions table into gathers below this vertex
       * count; above it, gathers shuffle-join (positions no longer fit
@@ -222,6 +222,196 @@ object Layout {
         col("rid"), col("rsrc"), col("rdst"), col("d2"))
   }
 
+  /** J3 approximate kNN via GRID BUCKETING — the scale path the layout
+    * loop uses past `exactKnnMaxRef` midpoints (the cuVS-ANN analog,
+    * embedder_cuvs.py:274-382).
+    *
+    * Shape: the (sampled, ≤ sampleSize) queries broadcast with a
+    * driver-built cell→queries index (each query registers under its
+    * 3^dim neighbor cells of side `cellSide`); refs stream ONCE through
+    * the same compiled bounded-buffer kernel as [[knnExact]], but each
+    * ref row is evaluated only against the queries probing ITS cell —
+    * an O(1) map lookup. Any neighbor within `cellSide` of a query is
+    * guaranteed probed, so with cellSide ≈ 2× the expected k-NN radius
+    * recall is high by construction; candidates beyond the shell are
+    * skipped without ever materializing a pair row.
+    *
+    * Why this shape and not a cell equi-join or MLlib
+    * BucketedRandomProjectionLSH (kept as [[knnLsh]]): both materialize
+    * every candidate PAIR as a row. Midpoints are heavily skewed (BA
+    * hubs pile thousands of midpoints into a cell; iteration 0 runs on
+    * eigen-init positions with σ≈1/√n where ALL midpoints share one
+    * cell), and the measured cost on the m=88k bench tier was ~4 min/
+    * iter for the LSH join and ~17 s/iter for the cell join. Here the
+    * same skewed candidate set costs ~10 ns/eval inside the kernel with
+    * zero shuffle — sub-second/iter — and the degenerate all-in-one-
+    * cell case just degrades to the exact kernel's linear pass. Falls
+    * back to the distributed cell join for oversized query sides. */
+  def knnGrid(spark: SparkSession, queries: DataFrame, refs: DataFrame,
+              k: Int, dim: Int, cellSide: Double,
+              kernelMaxQueries: Int = 65536): DataFrame = {
+    require(cellSide > 0, s"cellSide must be positive, got $cellSide")
+    import spark.implicits._
+    val qArr = queries.select(col("eid"), col("src"), col("dst"), col("mid"))
+      .as[(Long, Long, Long, Array[Double])].limit(kernelMaxQueries + 1).collect()
+    if (qArr.length > kernelMaxQueries) {
+      System.err.println(s"[graft] knnGrid query side exceeds " +
+        s"$kernelMaxQueries rows; using the distributed cell-join plan")
+      return knnGridJoin(queries, refs, k, dim, cellSide)
+    }
+    // Cell key from the dim floor coordinates via a splitmix64-style
+    // finalizer per step: XOR-multiply FNV collided 64 structured probe
+    // tuples down to 36 keys here (tiny coords barely perturb the
+    // state), and a query registered twice under one key gets evaluated
+    // twice per ref — the duplicate insert then wastes a top-k buffer
+    // slot. Strong mixing plus the per-query key dedup below keeps
+    // every (query, ref) evaluation exactly-once.
+    def mix64(z0: Long): Long = {
+      var z = z0 + -7046029254386353131L // golden-gamma increment
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+    def cellKey(coords: Array[Long]): Long = {
+      var h = 1469598103934665603L
+      var i = 0
+      while (i < coords.length) { h = mix64(h ^ mix64(coords(i))); i += 1 }
+      h
+    }
+    def coordsOf(mid: Array[Double]): Array[Long] =
+      Array.tabulate(dim)(i => math.floor(mid(i) / cellSide).toLong)
+    // driver index: cell key → indices of queries probing that cell
+    val probing = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    val nOffsets = math.pow(3, dim).toInt
+    var qi = 0
+    while (qi < qArr.length) {
+      val base = coordsOf(qArr(qi)._4)
+      val seen = new java.util.HashSet[java.lang.Long](nOffsets * 2)
+      var code = 0
+      while (code < nOffsets) {
+        val c = new Array[Long](dim)
+        var i = 0
+        var rem = code
+        while (i < dim) { c(i) = base(i) + rem % 3 - 1; rem /= 3; i += 1 }
+        val key = cellKey(c)
+        if (seen.add(key))
+          probing.computeIfAbsent(key,
+            _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += qi
+        code += 1
+      }
+      qi += 1
+    }
+    val probeIdx: java.util.HashMap[Long, Array[Int]] = {
+      val m = new java.util.HashMap[Long, Array[Int]](probing.size * 2)
+      probing.forEach((k, v) => m.put(k, v.toArray))
+      m
+    }
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val bcIdx = spark.sparkContext.broadcast(probeIdx)
+    val bcSide = cellSide
+    val partial = refs.select(col("eid"), col("src"), col("dst"), col("mid"))
+      .as[(Long, Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val idx = bcIdx.value
+        val nq = qs.length
+        val d2s = Array.fill(nq)(Array.fill(k)(Double.MaxValue))
+        val rids = Array.fill(nq)(Array.fill(k)(Long.MaxValue))
+        val rsrcs = Array.fill(nq)(new Array[Long](k))
+        val rdsts = Array.fill(nq)(new Array[Long](k))
+        def worse(a2: Double, ar: Long, b2: Double, br: Long): Boolean =
+          a2 > b2 || (a2 == b2 && ar > br)
+        def mix64(z0: Long): Long = {
+          var z = z0 + -7046029254386353131L
+          z = (z ^ (z >>> 30)) * -4658895280553007687L
+          z = (z ^ (z >>> 27)) * -7723592293110705685L
+          z ^ (z >>> 31)
+        }
+        it.foreach { case (rid, rsrc, rdst, rmid) =>
+          var h = 1469598103934665603L
+          var i = 0
+          while (i < dim) {
+            h = mix64(h ^ mix64(math.floor(rmid(i) / bcSide).toLong))
+            i += 1
+          }
+          val cands = idx.get(h)
+          if (cands != null) {
+            var ci = 0
+            while (ci < cands.length) {
+              val qi = cands(ci)
+              val q = qs(qi)
+              if (q._1 != rid) {
+                val qm = q._4
+                var d2 = 0.0
+                var j = 0
+                while (j < dim) { val d = qm(j) - rmid(j); d2 += d * d; j += 1 }
+                val ds = d2s(qi); val rs = rids(qi)
+                var wi = 0; var s = 1
+                while (s < k) { if (worse(ds(s), rs(s), ds(wi), rs(wi))) wi = s; s += 1 }
+                if (worse(ds(wi), rs(wi), d2, rid)) {
+                  ds(wi) = d2; rs(wi) = rid
+                  rsrcs(qi)(wi) = rsrc; rdsts(qi)(wi) = rdst
+                }
+              }
+              ci += 1
+            }
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          val q = qs(qi)
+          (0 until k).iterator.filter(s => d2s(qi)(s) < Double.MaxValue).map { s =>
+            (q._1, q._2, q._3, rids(qi)(s), rsrcs(qi)(s), rdsts(qi)(s), d2s(qi)(s))
+          }
+        }
+      }.toDF("qid", "qsrc", "qdst", "rid", "rsrc", "rdst", "d2")
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("rid").asc)
+    partial
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Distributed cell-join form of [[knnGrid]] for oversized query
+    * sides: refs key by cell, queries explode over their 3^dim probe
+    * cells, codegen'd distances, one top-k window. Materializes
+    * candidate pairs as rows — only the fallback, not the loop path. */
+  private def knnGridJoin(queries: DataFrame, refs: DataFrame,
+                          k: Int, dim: Int, cellSide: Double): DataFrame = {
+    def cellCoord(c: String, i: Int) =
+      floor(element_at(col(c), i + 1) / cellSide).cast("long")
+    val r = refs.select(col("eid").as("rid"), col("src").as("rsrc"),
+      col("dst").as("rdst"), col("mid").as("rmid"),
+      xxhash64((0 until dim).map(i => cellCoord("rmid", i)): _*).as("cell"))
+    val offsets = (0 until math.pow(3, dim).toInt).map { code =>
+      (0 until dim).map(i => (code / math.pow(3, i).toInt) % 3 - 1)
+    }
+    val q = queries.select(col("eid").as("qid"), col("src").as("qsrc"),
+      col("dst").as("qdst"), col("mid").as("qmid"))
+      .withColumn("cell", explode(array(offsets.map(o =>
+        xxhash64((0 until dim).map(i =>
+          cellCoord("qmid", i) + lit(o(i).toLong)): _*)): _*)))
+    val d2 = (0 until dim).map { i =>
+      val df = element_at(col("qmid"), i + 1) - element_at(col("rmid"), i + 1)
+      df * df
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("rid").asc)
+    q.join(r, "cell")
+      .filter(col("qid") =!= col("rid"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("qsrc"), col("qdst"),
+        col("rid"), col("rsrc"), col("rdst"), col("d2"))
+  }
+
+  /** Cell side for [[knnGrid]] under the loop's A4 normalization
+    * (positions re-scaled to std 1 per dim every iteration, so σ ≈ 1
+    * needs no stats pass): ~2× the uniform-density estimate of the
+    * k-NN radius, 4σ(k/n)^(1/d). */
+  def gridCellSide(nRefs: Long, k: Int, dim: Int): Double =
+    math.max(1e-6,
+      8.0 * math.pow((k + 1).toDouble / math.max(nRefs, 1L), 1.0 / dim))
+
   /** J3 approximate kNN via MLlib bucketed random-projection LSH — the
     * cuVS-ANN analog (embedder_cuvs.py:274-382) for large midpoint sets. */
   def knnLsh(spark: SparkSession, queries: DataFrame, refs: DataFrame, k: Int,
@@ -333,7 +523,8 @@ object Layout {
               math.min(cores.toLong, q * refCount / 250000L + 1L)).toInt
             val refs = if (parts > 1) mids.repartition(parts) else mids
             knnExact(sampled, refs, cfg.nNeighbors, cfg.nComponents)
-          } else knnLsh(spark, sampled, mids, cfg.nNeighbors, cfg.nComponents, cfg.seed)
+          } else knnGrid(spark, sampled, mids, cfg.nNeighbors, cfg.nComponents,
+            gridCellSide(refCount, cfg.nNeighbors, cfg.nComponents))
         spring.unionByName(intersectionContrib(pairs, pos, cfg, bcast))
       }
     val forcesRaw = VecOps.sumVecBy(contrib, "id", cfg.nComponents, "f")

@@ -233,10 +233,13 @@ object Centralities {
         // vertices with no in-edges drop out of the matvec — rejoin as 0
         val yFull = spark.range(n).toDF("id").join(y, Seq("id"), "left")
           .select(col("id"), coalesce(col("v"), lit(0.0)).as("v"))
-        val (yc, yh) = graft.util.Iterate.checkpoint(spark, yFull)
+        // the norm aggregate IS the checkpoint's materializing action —
+        // ONE job per iteration, not a count plus a second cache read
+        val (yc, yh, sq) = graft.util.Iterate.checkpointWith(spark, yFull) {
+          rdd => rdd.map(r => { val v = r.getDouble(1); v * v }).sum()
+        }
         handle.foreach(_.unpersist(blocking = false))
-        val nrm = math.sqrt(
-          yc.agg(sum(col("v") * col("v"))).collect()(0).getDouble(0))
+        val nrm = math.sqrt(sq)
         if (nrm == 0.0) throw new ArithmeticException("zero vector")
         x = yc.select(col("id"), (col("v") / nrm).as("v"))
         handle = Some(yh)

@@ -25,6 +25,46 @@ object Correlation {
     df.join(ranks, c.replaceAll("`", "") :: Nil)
   }
 
+  /** Scale twin of [[avgRank]]: the unpartitioned window above funnels
+    * ALL distinct values through one task's sort — fine to ~10⁷
+    * distincts, a single-machine bottleneck at corpus scale. Here the
+    * cumulative count is a range-partitioned sort plus a driver prefix
+    * sum over per-partition totals (the denseIndex pattern): every
+    * stage is distributed, ranks are the identical cum − (cnt−1)/2
+    * halves. The sorted distinct-count RDD stays persisted so the
+    * caller's final action reuses it; its release lands in `free`. */
+  private def avgRankDistributed(spark: SparkSession, df: DataFrame,
+      c: String, rankCol: String,
+      free: scala.collection.mutable.ArrayBuffer[() => Unit]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val counted = df.groupBy(col(c)).agg(count(lit(1)).as("_c"))
+      .repartitionByRange(parts, col(c))
+      .sortWithinPartitions(col(c))
+    val rdd = counted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    free += (() => rdd.unpersist(blocking = false))
+    // pass 1: per-partition total counts → driver prefix offsets
+    val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    // pass 2: running cumulative inside each partition + avg tie rank
+    // (recomputes from the persisted parent — a narrow map)
+    val rankedRdd = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      it.map { r =>
+        val cnt = r.getLong(1)
+        cum += cnt
+        org.apache.spark.sql.Row(r.get(0), cum - (cnt - 1) / 2.0)
+      }
+    }
+    val schema = StructType(Seq(counted.schema.head,
+      StructField(rankCol, DoubleType, nullable = false)))
+    df.join(spark.createDataFrame(rankedRdd, schema),
+      c.replaceAll("`", "") :: Nil)
+  }
+
   /** Spearman ρ of `x` against EVERY column in `ys`, in ONE job total
     * (a union of per-pair ranked aggregates) instead of ~4 jobs per
     * pair — the difference between seconds and minutes when a benchmark
@@ -48,7 +88,8 @@ object Correlation {
     * deletion (a ρ computed on fewer rows must not borrow the full
     * frame's count). */
   def spearmanManyWithN(df: DataFrame, x: String, ys: Seq[String],
-                        localMaxRows: Long = 1000000L): Map[String, (Double, Long)] = {
+                        localMaxRows: Long = 1000000L,
+                        windowRankMaxRows: Long = 30000000L): Map[String, (Double, Long)] = {
     if (ys.isEmpty) return Map.empty
     val cols = x +: ys
     val cached = df.select(cols.map(col): _*)
@@ -85,14 +126,24 @@ object Correlation {
     // non-null rows (pairwise deletion), ranked, and reduced to the
     // five Pearson sums; the union of k one-row aggregates collects in
     // a single action. The pruned (k+1)-column frame is persisted so
-    // the k branches re-read the cache, not the source scan.
+    // the k branches re-read the cache, not the source scan. Above
+    // `windowRankMaxRows` the window-over-distinct rank (one task's
+    // sort) is swapped for the range-partitioned prefix-sum rank —
+    // extra jobs per pair, every stage distributed.
     val persisted = cached.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val free = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     try {
+      val spark = df.sparkSession
+      val useWindowRank = persisted.count() <= windowRankMaxRows
+      def ranked2(sub: DataFrame): DataFrame =
+        if (useWindowRank) avgRank(avgRank(sub, "_x", "_rx"), "_y", "_ry")
+        else avgRankDistributed(spark,
+          avgRankDistributed(spark, sub, "_x", "_rx", free), "_y", "_ry", free)
       val branches = ys.zipWithIndex.map { case (y, i) =>
         val sub = persisted.select(col(x).as("_x"), col(y).as("_y"))
           .filter(col("_x").isNotNull && col("_y").isNotNull)
-        avgRank(avgRank(sub, "_x", "_rx"), "_y", "_ry").agg(
+        ranked2(sub).agg(
           count(lit(1)).as("n"),
           // A11 constant guard, per pair, inside the same aggregate:
           // at large n the raw-moment variance of a CONSTANT column can

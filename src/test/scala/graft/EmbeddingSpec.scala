@@ -70,6 +70,30 @@ class EmbeddingSpec extends SparkSpec {
     assert(maxDiff < 0.05, s"subspace mismatch: max radius diff $maxDiff")
   }
 
+  test("grid kNN: bounded lists, high overlap with exact kNN at sane cell size") {
+    val g = Layout.withEdgeIds(Generators.erdosRenyi(spark, 80, 0.08, 5))
+    val pos = EigenInit.init(spark, g.select("src", "dst"), 80, 3, seed = 5)
+    val mids = Layout.midpoints(g, pos).cache()
+    val m = mids.count()
+    val exact = Layout.knnExact(mids, mids, 5, dim = 3)
+      .select("qid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grid = Layout.knnGrid(spark, mids, mids, 5, dim = 3,
+      cellSide = Layout.gridCellSide(m, 5, 3)).cache()
+    assert(grid.groupBy("qid").count().filter(col("count") > 5).isEmpty)
+    assert(grid.filter(col("qid") === col("rid")).isEmpty)
+    val gset = grid.select("qid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (gset & exact).size.toDouble / exact.size
+    assert(recall > 0.7, s"grid kNN recall too low: $recall")
+    // oversized query side falls back to the distributed cell join —
+    // same cells, same tie-breaks, identical rows
+    val viaJoin = Layout.knnGrid(spark, mids, mids, 5, dim = 3,
+      cellSide = Layout.gridCellSide(m, 5, 3), kernelMaxQueries = 4)
+      .select("qid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaJoin == gset)
+    grid.unpersist(); mids.unpersist()
+  }
+
   test("LSH kNN path returns bounded neighbor lists that overlap exact kNN") {
     val g = Layout.withEdgeIds(Generators.erdosRenyi(spark, 60, 0.1, 3))
     val pos = EigenInit.init(spark, g.select("src", "dst"), 60, 3, seed = 3)
@@ -262,6 +286,32 @@ class EmbeddingSpec extends SparkSpec {
       candidatePool = 2, seed = 1).collect().map(_.getLong(0))
     assert(picked.length == 2 && picked.distinct.length == 2,
       s"duplicate seeds: ${picked.mkString(",")}")
+  }
+
+  test("ANN layout branch: full distributed loop, quality tracks the exact run") {
+    // exactKnnMaxRef=0 forces EVERY iteration's candidate search through
+    // the grid-ANN path inside the distributed loop (localMaxEdges=0) —
+    // the exact configuration the 100k+-midpoint regime runs, end to end.
+    // Quality metric: the reference's own exact↔ANN trade, ρ(radius,
+    // degree) of the LSH run vs the exact-kNN run on the same graph.
+    import graft.metrics.Correlation
+    val g = Generators.barabasiAlbert(spark, 400, 3, 42).cache()
+    g.count()
+    val init = EigenInit.init(spark, g, 400, 3, seed = 42).cache()
+    init.count()
+    val base = LayoutConfig(nComponents = 3, LMin = 4.0, numIterations = 8,
+      sampleSize = 128, nNeighbors = 10, seed = 42, localMaxEdges = 0)
+    def rhoOf(pos: org.apache.spark.sql.DataFrame): Double = {
+      val radii = pos.select(col("id"), VecOps.norm(col("pos")).as("radius"))
+      Correlation.spearman(
+        radii.join(graft.model.GraphOps.degrees(g), "id"), "radius", "degree")
+    }
+    val rhoExact = rhoOf(Layout.run(spark, g, init, base))
+    val rhoLsh = rhoOf(Layout.run(spark, g, init, base.copy(exactKnnMaxRef = 0)))
+    assert(!rhoLsh.isNaN && !rhoExact.isNaN)
+    assert(math.abs(rhoLsh - rhoExact) < 0.25,
+      s"LSH layout quality drifted: rho_lsh=$rhoLsh vs rho_exact=$rhoExact")
+    init.unpersist(); g.unpersist()
   }
 
   test("end-to-end facade: grid layout, seeds, influence, radius-degree correlation") {

@@ -181,6 +181,23 @@ class MetricsSpec extends SparkSpec {
     assert(pA == Correlation.spearmanPValue(rhoA, 9L))
   }
 
+  test("spearmanMany: range-partitioned rank route matches the window route") {
+    // ties, negatives, duplicates across partitions, and a null pair
+    val df = (1 to 200).map { i =>
+      (i % 37 * 1.5 - 20, (i % 11).toDouble, if (i % 13 == 0) None else Some((i % 7).toDouble))
+    }.toDF("x", "a", "b")
+    val window = Correlation.spearmanManyWithN(df, "x", Seq("a", "b"),
+      localMaxRows = 0)
+    // windowRankMaxRows=0 forces the distributed prefix-sum rank
+    val prefix = Correlation.spearmanManyWithN(df, "x", Seq("a", "b"),
+      localMaxRows = 0, windowRankMaxRows = 0)
+    for (c <- Seq("a", "b")) {
+      assert(window(c)._2 == prefix(c)._2, s"$c n mismatch")
+      assert(math.abs(window(c)._1 - prefix(c)._1) < 1e-12,
+        s"$c: ${window(c)._1} vs ${prefix(c)._1}")
+    }
+  }
+
   test("bootstrap CI brackets the point estimate") {
     val df = (1 to 30).map(i => (i.toDouble, i + (i % 5).toDouble)).toDF("x", "y")
     val rho = Correlation.spearman(df, "x", "y")
