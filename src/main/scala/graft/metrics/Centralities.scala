@@ -519,6 +519,95 @@ object Centralities {
     out
   }
 
+  /** Fused distributed closeness + betweenness + load: ONE forward
+    * multi-source BFS and ONE backward accumulation computing the
+    * Brandes (σ-proportional) and Newman (equal-split) deltas as two
+    * columns of the same per-level frame — `all()`'s distributed branch
+    * previously ran the BFS three times (closeness, betweenness, load),
+    * tripling the dominant cost of the tier. Semantics identical to the
+    * standalone [[closenessDistributed]]/[[brandesDistributed]]
+    * (asserted by the threshold-0 route-parity test). Returned frames
+    * are PERSISTED; callers may unpersist. */
+  def bfsMeasuresDistributed(spark: SparkSession, edges: DataFrame, n: Long,
+                             sourcesCap: Int = 256, seed: Long = 42)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sym = symmetrize(edges).persist()
+    val (sources, nS) = pickSources(spark, n, sourcesCap, seed)
+    val (levels, handles) = multiSourceBfs(spark, sym, sources)
+    val scale = n.toDouble / nS
+    // ---- closeness from the forward levels ----
+    val byDist = levels.zipWithIndex.map { case (l, d) =>
+      l.select(col("s"), col("v"), lit(d).as("dist")) }
+      .reduce(_ union _)
+    val agg = byDist.groupBy("v").agg(
+      count(lit(1)).as("reachS"), sum("dist").as("sumD"))
+    val closenessOut = spark.range(n).toDF("id")
+      .join(agg.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("reachS"), lit(0L)).cast("double").as("reachS"),
+        coalesce(col("sumD"), lit(0L)).cast("double").as("sumD"))
+      .select(col("id"),
+        when(col("sumD") > 0,
+          ((col("reachS") * scale - 1.0) / (n - 1.0)) *
+            ((col("reachS") * scale - 1.0) / (col("sumD") * scale)))
+          .otherwise(lit(0.0)).as("closeness"))
+      .persist()
+    closenessOut.count()
+    // ---- backward accumulation, both delta rules at once ----
+    val extraHandles = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    val L = levels.length
+    var accum = List.empty[DataFrame]
+    var deltaAbove: DataFrame = levels(L - 1)
+      .select(col("s"), col("v"), lit(0.0).as("db"), lit(0.0).as("dl"))
+    var lvl = L - 2
+    while (lvl >= 0) {
+      val wFrame = levels(lvl + 1)
+        .join(deltaAbove, Seq("s", "v"))
+        .select(col("s"), col("v").as("w"), col("sigma").as("sigma_w"),
+          col("db").as("db_w"), col("dl").as("dl_w"))
+      val pairs = wFrame
+        .join(sym.withColumnRenamed("src", "w").withColumnRenamed("dst", "pv"), "w")
+        .join(levels(lvl).select(col("s"), col("v").as("pv"),
+          col("sigma").as("sigma_v")), Seq("s", "pv"))
+      val np = pairs.groupBy("s", "w").agg(count(lit(1)).as("np"))
+      val contribs = pairs.join(np, Seq("s", "w"))
+        .select(col("s"), col("pv").as("v"),
+          (col("sigma_v") / col("sigma_w") * (lit(1.0) + col("db_w"))).as("cb"),
+          ((lit(1.0) + col("dl_w")) / col("np")).as("cl"))
+      val deltaRaw = levels(lvl).select(col("s"), col("v"))
+        .join(contribs.groupBy("s", "v")
+          .agg(sum("cb").as("db"), sum("cl").as("dl")), Seq("s", "v"), "left")
+        .select(col("s"), col("v"),
+          coalesce(col("db"), lit(0.0)).as("db"),
+          coalesce(col("dl"), lit(0.0)).as("dl"))
+      val (delta, dh) = graft.util.Iterate.checkpoint(spark, deltaRaw)
+      extraHandles += dh
+      accum ::= delta.filter(col("v") =!= col("s"))
+      deltaAbove = delta
+      lvl -= 1
+    }
+    val denom = if (n > 2) (n - 1.0) * (n - 2.0) else 1.0
+    val summed =
+      if (accum.isEmpty)
+        spark.range(0).toDF("id")
+          .withColumn("sb", lit(0.0)).withColumn("sl", lit(0.0))
+      else accum.reduce(_ union _).groupBy(col("v").as("id"))
+        .agg(sum("db").as("sb"), sum("dl").as("sl"))
+    val both = spark.range(n).toDF("id")
+      .join(summed, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("sb"), lit(0.0)) * scale / denom).as("betweenness"),
+        (coalesce(col("sl"), lit(0.0)) * scale / denom).as("load"))
+      .persist()
+    both.count()
+    (handles ++ extraHandles).foreach(_.unpersist(blocking = false))
+    sym.unpersist()
+    (closenessOut,
+      both.select(col("id"), col("betweenness")),
+      both.select(col("id"), col("load")))
+  }
+
   private def symmetrize(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -552,12 +641,12 @@ object Centralities {
       } else {
         // pageRankDistributed (not GraphX static) so pagerank semantics
         // are route-invariant across the broadcastEdgeMax threshold —
-        // same nx convergence rule as pageRankCsr on both sides.
+        // same nx convergence rule as pageRankCsr on both sides; the
+        // three BFS measures share ONE forward BFS + backward pass.
+        val (cl, bt, ld) = bfsMeasuresDistributed(spark, edges, n)
         Seq(pageRankDistributed(spark, edges, n),
           eigenvectorDistributed(spark, edges, n),
-          closenessDistributed(spark, edges, n),
-          brandesDistributed(spark, edges, n, loadMode = false, "betweenness"),
-          brandesDistributed(spark, edges, n, loadMode = true, "load"))
+          cl, bt, ld)
       }
     parts.foldLeft(degreeCentrality(edges, n)) {
       (acc, df) => acc.join(df, Seq("id"), "outer")
