@@ -255,7 +255,7 @@ object Bench {
     val dsD = s"""{"n":${dsDist._1},"m":${dsDist._2},"iters":30,""" +
       s""""layout_time":${dsDist._3}}"""
     val dsL = s"""{"n":${dsLsh._1},"m":${dsLsh._2},"iters":30,""" +
-      s""""layout_time":${dsLsh._3}}"""
+      s""""kind":"grid_ann","layout_time":${dsLsh._3}}"""
     val cD = s"""{"n":4039,"m":${centDist._1},"sources_cap":256,""" +
       s""""time":${centDist._2},"routed_time":$centRouted}"""
     val icD = s"""{"n":200,"spread":${icDist._1},"time":${icDist._2}}"""

@@ -225,24 +225,35 @@ object Centralities {
       var x = spark.range(n).toDF("id")
         .withColumn("v", lit(1.0 / math.sqrt(n.toDouble)))
       var it = 0
+      var done = false
       var handle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
-      while (it < iters) {
+      while (it < iters && !done) {
         val y = sym.join(x.withColumnRenamed("id", "src")
             .withColumnRenamed("v", "xv"), "src")
           .groupBy(col("dst").as("id")).agg(sum("xv").as("v"))
-        // vertices with no in-edges drop out of the matvec — rejoin as 0
+        // vertices with no in-edges drop out of the matvec — rejoin as 0;
+        // previous (normalized) value rides along for the convergence dot
         val yFull = spark.range(n).toDF("id").join(y, Seq("id"), "left")
           .select(col("id"), coalesce(col("v"), lit(0.0)).as("v"))
-        // the norm aggregate IS the checkpoint's materializing action —
-        // ONE job per iteration, not a count plus a second cache read
-        val (yc, yh, sq) = graft.util.Iterate.checkpointWith(spark, yFull) {
-          rdd => rdd.map(r => { val v = r.getDouble(1); v * v }).sum()
+          .join(x.select(col("id"), col("v").as("pv")), Seq("id"))
+        // norm AND convergence aggregates ride the checkpoint's
+        // materializing action — ONE job per iteration; with prev
+        // normalized, ||y/‖y‖ − prev||² = 2 − 2·(y·prev)/‖y‖.
+        val (yc, yh, (sq, dot)) = graft.util.Iterate.checkpointWith(spark, yFull) {
+          rdd => rdd.map { r =>
+            val v = r.getDouble(1); val pv = r.getDouble(2); (v * v, v * pv)
+          }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
         }
         handle.foreach(_.unpersist(blocking = false))
         val nrm = math.sqrt(sq)
         if (nrm == 0.0) throw new ArithmeticException("zero vector")
         x = yc.select(col("id"), (col("v") / nrm).as("v"))
         handle = Some(yh)
+        // numerically-converged: remaining fixed iterations are no-ops
+        // at the scheduler floor (bipartite oscillation never trips
+        // this, so those graphs still run the full budget like the CSR
+        // route)
+        if (2.0 - 2.0 * dot / nrm < 1e-16) done = true
         it += 1
       }
       // materialize the result off the last checkpoint, then release it
