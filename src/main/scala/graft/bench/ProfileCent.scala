@@ -33,6 +33,8 @@ object ProfileCent {
       Centralities.pageRankDistributed(spark, g, n).count())
     timed("eigenvectorDistributed")(
       Centralities.eigenvectorDistributed(spark, g, n).count())
+    timed("closenessDistributed (forward BFS only)")(
+      Centralities.closenessDistributed(spark, g, n).count())
     timed("fused BFS closeness+betweenness+load") {
       val (c, b, l) = Centralities.bfsMeasuresDistributed(spark, g, n)
       c.count() + b.count() + l.count()

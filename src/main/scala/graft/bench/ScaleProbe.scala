@@ -8,7 +8,7 @@ import graft.linalg.EigenInit
 /** One-off scale probe for the DISTRIBUTED code paths — the regime the
   * per-round bench's small graphs never reach: past `localMaxEdges` the
   * layout runs the cluster loop, and past `exactKnnMaxRef` midpoints the
-  * kNN switches to MLlib LSH. Run:
+  * kNN switches to the grid-bucketed ANN kernel. Run:
   *
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.bench.ScaleProbe 50000 22 5"
   *
@@ -38,12 +38,19 @@ object ScaleProbe {
     val (init, eigT) = time {
       val i = EigenInit.init(spark, g, n, 3, 42).cache(); i.count(); i
     }
-    val cfg = LayoutConfig(nComponents = 3, LMin = 4.0, numIterations = iters)
+    // SCALE_PROBE_KNN=exact|grid overrides the natural size routing for
+    // A/B crossover measurements
+    val cfg0 = LayoutConfig(nComponents = 3, LMin = 4.0, numIterations = iters)
+    val cfg = sys.env.get("SCALE_PROBE_KNN") match {
+      case Some("exact") => cfg0.copy(exactKnnMaxRef = Long.MaxValue)
+      case Some("grid") => cfg0.copy(exactKnnMaxRef = 0)
+      case _ => cfg0
+    }
     val (_, layT) = time { Layout.run(spark, g, init, cfg).count() }
     println(s"""{"probe":"distributed_layout","n":$n,"m":$m,"iters":$iters,""" +
       s""""gen_sec":$genT,"eigen_sec":$eigT,"layout_sec":$layT,""" +
       s""""sec_per_iter":${layT / iters},""" +
-      s""""knn_path":"${if (m > cfg.exactKnnMaxRef) "lsh" else "exact"}"}""")
+      s""""knn_path":"${if (m > cfg.exactKnnMaxRef) "grid_ann" else "exact"}"}""")
     spark.stop()
   }
 }

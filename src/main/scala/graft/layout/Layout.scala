@@ -553,9 +553,10 @@ object Layout {
   def run(spark: SparkSession, edges: DataFrame, initial: DataFrame,
           cfg: LayoutConfig): DataFrame = {
     // The driver cap also respects exactKnnMaxRef when intersection
-    // forces are on: past it the distributed loop switches to LSH kNN,
-    // so a driver run (always exact kNN) would diverge structurally,
-    // not just in FP order — parity holds only under the joint cap.
+    // forces are on: past it the distributed loop switches to grid-ANN
+    // kNN, so a driver run (always exact kNN) would diverge
+    // structurally, not just in FP order — parity holds only under the
+    // joint cap.
     val localCap =
       if (cfg.kInter == 0.0) cfg.localMaxEdges
       else math.min(cfg.localMaxEdges, cfg.exactKnnMaxRef)
