@@ -108,6 +108,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination measure: for each document, the fraction
+    * of its distinct n-gram shingles that appear anywhere in the
+    * REFERENCE corpus (the eval/test set) — the standard n-gram-overlap
+    * contamination check a training pipeline runs before a corpus
+    * ships. Returns (idCol, n_shingles, n_contaminated, contamination)
+    * for every document that has at least one shingle; documents
+    * shorter than n tokens have nothing to leak and emit no row.
+    *
+    * Scale: the reference shingle set is distinct-projected (eval sets
+    * are small — Catalyst broadcasts it when it fits) and the check is
+    * one LEFT SEMI join on the shingle string + two aggregates; the
+    * corpus is never joined to itself, so cost is linear in corpus
+    * shingles at any size. */
+  def contamination(docs: DataFrame, ref: DataFrame, n: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val docSh = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val refSh = ref.select(explode(shingles(col(textCol), n)).as("s")).distinct()
+    val tot = docSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hit = docSh.join(refSh, Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_shingles"), 6)
+          .as("contamination"))
+  }
+
   /** MinHash signature: k minimums of xxhash64(shingle, salt) — one
     * aggregate, no per-row UDF. Returns (id, sig array<long> of k). */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int,

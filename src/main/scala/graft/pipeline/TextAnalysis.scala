@@ -149,6 +149,25 @@ object TextAnalysis {
       .where(col("n_shared") >= minShared)
   }
 
+  /** PII scrubbing: emails, IPv4 addresses, and international-format
+    * phone numbers replaced by typed placeholder tokens — the redaction
+    * pass a training pipeline runs before text ships. Pure
+    * `regexp_replace` chain (codegen'd, a narrow map at any scale);
+    * patterns restricted to the RE2-compatible subset so the DuckDB
+    * oracle replays them byte-identically (no lookarounds, no
+    * backreferences). Email first: an address would otherwise leak its
+    * host through the later patterns. */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d{7,15}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      phone, "<PHONE>")
+  }
+
   /** Keep/drop filter decision. Thresholds are deliberately NOT round
     * rationals (1931/10⁴, 5931/10⁴): the feature ratios have small-int
     * denominators, so equality with a threshold — the one case where

@@ -118,6 +118,25 @@ object PipelineQueries {
         TextAnalysis.winnowPairs(Tables.documents(s, d), k = 4, w = 4,
           minShared = 2).select(col("id_a"), col("id_b")))),
 
+    // Decontamination: every 20th document stands in for the eval set;
+    // per training doc, the fraction of its 3-gram shingles found
+    // anywhere in that set.
+    "q48_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(docs, docs.filter(col("doc_id") % 20 === 0), n = 3)
+    }),
+
+    // PII scrubbing over text with planted email/IP/phone (planted in
+    // the query so both engines construct and scrub identical strings —
+    // the synthetic corpus itself contains no PII).
+    "q49_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.scrubPii(concat(col("text"),
+          lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 call +14155552671"))).as("scrubbed"))),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -290,6 +309,30 @@ object PipelineQueries {
         |  least(n.id, min(r.b)) = n.id AS keep
         |FROM nodes n JOIN reach r ON r.a = n.id
         |GROUP BY n.id""".stripMargin,
+
+    "q48_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |hit AS (SELECT doc_id, count(*) AS n_hit FROM sh
+        |        WHERE s IN (SELECT s FROM ref) GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_shingles,
+        |  coalesce(hit.n_hit, 0) AS n_contaminated,
+        |  round(coalesce(hit.n_hit, 0) * 1.0 / tot.n_shingles, 6) AS contamination
+        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin,
+
+    "q49_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      '.7 call +14155552671',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
 
     "q38_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

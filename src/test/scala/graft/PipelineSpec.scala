@@ -335,6 +335,43 @@ class PipelineSpec extends SparkSpec {
     assert(recallOf("q41_ivf_topk") >= 0.3)
   }
 
+  test("contamination: planted eval overlap measured exactly, clean docs zero") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // doc 1 contains a verbatim 5-token span of the eval doc:
+      // shingles: 6 total, 3 of them ("quick brown fox", "brown fox
+      // jumps", "fox jumps over") appear in the eval set
+      (1L, "we say quick brown fox jumps over and more"),
+      (2L, "completely clean text with no overlap at all"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, eval, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 7 && out(1L)._2 == 3)
+    assert(math.abs(out(1L)._3 - 3.0 / 7) < 1e-6)
+    assert(out(2L) == ((6L, 0L, 0.0)))
+    assert(!out.contains(3L), "docs shorter than n have no shingles, no row")
+  }
+
+  test("PII scrub replaces emails, IPs and phones; clean text untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail alice.smith+x@sub.example.org or bob@ex.io today"),
+      (2L, "server at 192.168.1.254 and backup 10.0.0.7 up"),
+      (3L, "call +14155552671 now"),
+      (4L, "no pii here, just 1.5 + 2.5 = 4 and version 1.2")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextAnalysis.scrubPii(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> or <EMAIL> today")
+    assert(out(2L) == "server at <IP> and backup <IP> up")
+    assert(out(3L) == "call <PHONE> now")
+    assert(out(4L) == "no pii here, just 1.5 + 2.5 = 4 and version 1.2")
+  }
+
   test("language ID identifies constructed en/de/fr sentences") {
     // the testdata lang column is a random label over one shared
     // vocabulary (verified: de/zh/es rows contain English stopwords),
