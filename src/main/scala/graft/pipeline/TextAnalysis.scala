@@ -168,6 +168,90 @@ object TextAnalysis {
       phone, "<PHONE>")
   }
 
+  /** Hex threshold for [[deterministicSample]]: first 8 hex digits of
+    * p·2³², zero-extended semantics via string compare (an md5 hex
+    * digest d is kept iff d < threshold, i.e. iff its first 8 digits
+    * are strictly below — resolution 2⁻³²). */
+  def hexThreshold(p: Double): String = {
+    require(p >= 0.0 && p <= 1.0, s"fraction must be in [0,1], got $p")
+    if (p >= 1.0) "g" // every hex digest sorts below "g"
+    else f"${(p * 4294967296.0).toLong}%08x"
+  }
+
+  /** Deterministic Bernoulli sample: keep rows where
+    * md5(seed ':' key) sorts below the hex threshold of `p`. Unlike
+    * rand()-based sampling this replays identically on any cluster
+    * topology AND is oracle-expressible (DuckDB computes the same md5
+    * and the same lexicographic compare) — the sampling a reproducible
+    * training pipeline needs. Narrow filter, no shuffle. */
+  def deterministicSample(df: DataFrame, keyCol: String, p: Double,
+                          seed: Long = 42): DataFrame =
+    df.filter(md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string")))
+      < lit(hexThreshold(p)))
+
+  /** Stratified deterministic sample: per-stratum keep fractions (e.g.
+    * language-balancing a corpus), same md5 mechanics as
+    * [[deterministicSample]]. Strata absent from `fractions` keep at
+    * `defaultP`. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       fractions: Map[String, Double], defaultP: Double,
+                       seed: Long = 42): DataFrame = {
+    val thr = fractions.foldLeft(lit(hexThreshold(defaultP)): Column) {
+      case (acc, (stratum, p)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(p))).otherwise(acc)
+    }
+    df.filter(md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))) < thr)
+  }
+
+  /** Sequence packing index (the GPT/T5 pretraining concatenate-and-
+    * slice layout): documents in `idCol` order are laid end to end in
+    * one global token stream; each gets its start offset and the
+    * `seqLen`-sized window (seq_idx) that offset falls in. Returns
+    * (idCol, n_tokens, start_offset, seq_idx).
+    *
+    * The global running offset is a range-partitioned prefix sum (sort
+    * by id within range partitions, per-partition totals to the driver,
+    * offsets broadcast back) — no single-task window sort, so the
+    * assignment distributes at any corpus size. Deterministic given the
+    * id order; the returned frame is persisted (it must outlive the
+    * internal sorted RDD), callers may unpersist. */
+  def packSequences(df: DataFrame, seqLen: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val t = df.select(col(idCol).cast("long").as("id"),
+        wordCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("id"))
+      .sortWithinPartitions("id")
+    val rdd = t.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _.getLong(1)); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partTotals.scanLeft(0L)(_ + _)
+      val packed = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cum = offsets(i)
+        it.map { r =>
+          val nt = r.getLong(1)
+          val start = cum
+          cum += nt
+          org.apache.spark.sql.Row(r.getLong(0), nt, start, start / seqLen)
+        }
+      }
+      val schema = StructType(Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("n_tokens", LongType, nullable = false),
+        StructField("start_offset", LongType, nullable = false),
+        StructField("seq_idx", LongType, nullable = false)))
+      val out = spark.createDataFrame(packed, schema).persist()
+      out.count()
+      out
+    } finally rdd.unpersist(blocking = false)
+  }
+
   /** Keep/drop filter decision. Thresholds are deliberately NOT round
     * rationals (1931/10⁴, 5931/10⁴): the feature ratios have small-int
     * denominators, so equality with a threshold — the one case where

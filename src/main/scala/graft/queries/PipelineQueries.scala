@@ -137,6 +137,18 @@ object PipelineQueries {
           (col("doc_id") % 256).cast("string"),
           lit(".7 call +14155552671"))).as("scrubbed"))),
 
+    // Language-balanced deterministic sampling: md5-threshold Bernoulli
+    // per stratum — replayable on any topology, oracle-checkable.
+    "q50_stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(
+        Tables.documents(s, d).select("doc_id", "lang"),
+        stratumCol = "lang", keyCol = "doc_id",
+        fractions = Map("en" -> 0.5, "de" -> 0.25), defaultP = 0.1)),
+
+    // Sequence packing: concatenate-and-slice token layout at L=512.
+    "q51_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), seqLen = 512)),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -333,6 +345,25 @@ object PipelineQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    // hexThreshold: 0.5→80000000, 0.25→40000000, 0.1→19999999
+    "q50_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5('42:' || CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN lang = 'en' THEN '80000000'
+        |       WHEN lang = 'de' THEN '40000000'
+        |       ELSE '19999999' END""".stripMargin,
+
+    "q51_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 512 AS seq_idx FROM c""".stripMargin,
 
     "q38_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

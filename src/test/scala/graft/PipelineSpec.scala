@@ -372,6 +372,58 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == "no pii here, just 1.5 + 2.5 = 4 and version 1.2")
   }
 
+  test("deterministic sampling: exact subset semantics, rates near fractions") {
+    import spark.implicits._
+    val d = (0L until 4000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val half = TextAnalysis.deterministicSample(d, "doc_id", 0.5)
+    val tenth = TextAnalysis.deterministicSample(d, "doc_id", 0.1)
+    // threshold monotonicity: the 10% sample is a strict subset of the 50%
+    assert(tenth.exceptAll(half).isEmpty)
+    val r5 = half.count().toDouble / 4000
+    val r1 = tenth.count().toDouble / 4000
+    assert(math.abs(r5 - 0.5) < 0.05, s"rate $r5")
+    assert(math.abs(r1 - 0.1) < 0.03, s"rate $r1")
+    // replay: same seed → identical rows; different seed → different set
+    assert(TextAnalysis.deterministicSample(d, "doc_id", 0.5)
+      .exceptAll(half).isEmpty)
+    assert(TextAnalysis.deterministicSample(d, "doc_id", 0.5, seed = 7)
+      .exceptAll(half).count() > 0)
+    // stratified: per-stratum rates follow the per-stratum fractions
+    val strat = TextAnalysis.stratifiedSample(d, "lang", "doc_id",
+      Map("en" -> 0.8), defaultP = 0.1).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(strat("en") / 1000.0 - 0.8) < 0.1)
+    assert(math.abs(strat.getOrElse("de", 0L) / 3000.0 - 0.1) < 0.05)
+  }
+
+  test("sequence packing: contiguous offsets, correct window assignment") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c"),            // 3 tokens, start 0,  seq 0
+      (2L, "d e f g"),          // 4 tokens, start 3,  seq 0
+      (3L, "h i j k l m n o"),  // 8 tokens, start 7,  seq 0
+      (4L, "p q")               // 2 tokens, start 15, seq 1 (L=8)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(d, seqLen = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 0L, 0L)))
+    assert(out(2L) == ((4L, 3L, 0L)))
+    assert(out(3L) == ((8L, 7L, 0L)))
+    assert(out(4L) == ((2L, 15L, 1L)))
+    // global invariant at scale shape: offsets are a permutation-free
+    // prefix sum — max(start+n) == total tokens, no overlaps
+    val docs = Tables.documents(spark, sf)
+    val packed = TextAnalysis.packSequences(docs, seqLen = 512)
+    val rows = packed.orderBy("start_offset").collect()
+    var expect = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == expect, s"gap at ${r.getLong(0)}")
+      expect = r.getLong(2) + r.getLong(1)
+    }
+    packed.unpersist()
+  }
+
   test("language ID identifies constructed en/de/fr sentences") {
     // the testdata lang column is a random label over one shared
     // vocabulary (verified: de/zh/es rows contain English stopwords),
