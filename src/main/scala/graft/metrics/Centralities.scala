@@ -403,24 +403,34 @@ object Centralities {
     var (frontier, fh) = graft.util.Iterate.checkpoint(spark,
       sources.select(col("s"), col("s").as("v"), lit(1.0).as("sigma")))
     handles += fh
-    var (visited, vh) = graft.util.Iterate.checkpoint(spark,
-      frontier.select(col("s"), col("v")))
-    handles += vh
     levels ::= frontier
+    // visited = lazy union over the ALREADY-checkpointed level frames —
+    // re-materializing the whole visited set every level doubled the
+    // loop's checkpoint cost. Compacted into its own checkpoint every 8
+    // levels so anti-join fan-in and plan depth stay bounded on
+    // high-diameter graphs (grids, roads).
+    var visitedParts: List[DataFrame] =
+      List(frontier.select(col("s"), col("v")))
     var frontierCount = frontier.count()
     while (frontierCount > 0) {
       val cand = frontier.join(sym.withColumnRenamed("src", "v"), "v")
         .select(col("s"), col("dst").as("v"), col("sigma"))
-      val nextRaw = cand.join(visited, Seq("s", "v"), "left_anti")
+      val nextRaw = cand.join(visitedParts.reduce(_ union _),
+          Seq("s", "v"), "left_anti")
         .groupBy("s", "v").agg(sum("sigma").as("sigma"))
-      val (next, nh) = graft.util.Iterate.checkpoint(spark, nextRaw)
+      // the frontier count rides the checkpoint's materializing action
+      val (next, nh, cnt) =
+        graft.util.Iterate.checkpointWith(spark, nextRaw)(_.count())
       handles += nh
-      frontierCount = next.count()
-      if (frontierCount > 0) {
-        val (vis2, vh2) = graft.util.Iterate.checkpoint(spark,
-          visited.union(next.select(col("s"), col("v"))))
-        handles += vh2
-        visited = vis2
+      frontierCount = cnt
+      if (cnt > 0) {
+        visitedParts ::= next.select(col("s"), col("v"))
+        if (visitedParts.length >= 8) {
+          val (vc, vh) = graft.util.Iterate.checkpoint(spark,
+            visitedParts.reduce(_ union _))
+          handles += vh
+          visitedParts = List(vc)
+        }
         levels ::= next
         frontier = next
       }

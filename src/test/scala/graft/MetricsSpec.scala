@@ -181,6 +181,19 @@ class MetricsSpec extends SparkSpec {
     assert(pA == Correlation.spearmanPValue(rhoA, 9L))
   }
 
+  test("distributed BFS on a high-diameter path graph (visited compaction fires)") {
+    // P20: diameter 19 → the every-8-levels visited compaction runs
+    // twice; closed forms from the exact CSR route
+    val p20 = (0L until 19L).map(i => (i, i + 1)).toDF("src", "dst")
+    val dist = Centralities.all(spark, p20, 20, broadcastEdgeMax = 0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val csr = Centralities.all(spark, p20, 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 20L; c <- Seq("closeness", "betweenness", "load"))
+      assert(math.abs(dist(id).getAs[Double](c) - csr(id).getAs[Double](c)) < 1e-9,
+        s"$c($id): ${dist(id).getAs[Double](c)} vs ${csr(id).getAs[Double](c)}")
+  }
+
   test("spearmanMany: range-partitioned rank route matches the window route") {
     // ties, negatives, duplicates across partitions, and a null pair
     val df = (1 to 200).map { i =>
