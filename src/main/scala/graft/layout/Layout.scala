@@ -138,8 +138,16 @@ object Layout {
                kernelMaxQueries: Int = 65536): DataFrame = {
     val spark = refs.sparkSession
     import spark.implicits._
-    val qArr = queries.select(col("eid"), col("src"), col("dst"), col("mid"))
-      .as[(Long, Long, Long, Array[Double])].limit(kernelMaxQueries + 1).collect()
+    // kernelMaxQueries == Int.MaxValue means the CALLER guarantees a
+    // small query side (the loop samples first): plain one-job collect.
+    // Otherwise probe via limit — CollectLimit scans partitions
+    // incrementally, costing 2-3 mini-jobs, but never materializes an
+    // unsampled query side on the driver.
+    val qSel = queries.select(col("eid"), col("src"), col("dst"), col("mid"))
+      .as[(Long, Long, Long, Array[Double])]
+    val qArr =
+      if (kernelMaxQueries == Int.MaxValue) qSel.collect()
+      else qSel.limit(kernelMaxQueries + 1).collect()
     // the kernel is O(|q|) per ref row and the buffers O(|q|·k) per
     // task — an unsampled query side routes to the join+window plan
     // (exact, distributed both sides) instead of a quadratic broadcast
@@ -252,8 +260,12 @@ object Layout {
               kernelMaxQueries: Int = 65536): DataFrame = {
     require(cellSide > 0, s"cellSide must be positive, got $cellSide")
     import spark.implicits._
-    val qArr = queries.select(col("eid"), col("src"), col("dst"), col("mid"))
-      .as[(Long, Long, Long, Array[Double])].limit(kernelMaxQueries + 1).collect()
+    // same collect/probe split as knnExact (see there)
+    val qSel = queries.select(col("eid"), col("src"), col("dst"), col("mid"))
+      .as[(Long, Long, Long, Array[Double])]
+    val qArr =
+      if (kernelMaxQueries == Int.MaxValue) qSel.collect()
+      else qSel.limit(kernelMaxQueries + 1).collect()
     if (qArr.length > kernelMaxQueries) {
       System.err.println(s"[graft] knnGrid query side exceeds " +
         s"$kernelMaxQueries rows; using the distributed cell-join plan")
@@ -522,9 +534,13 @@ object Layout {
             val parts = math.max(1L,
               math.min(cores.toLong, q * refCount / 250000L + 1L)).toInt
             val refs = if (parts > 1) mids.repartition(parts) else mids
-            knnExact(sampled, refs, cfg.nNeighbors, cfg.nComponents)
+            // Int.MaxValue: the query side is sampled two lines up —
+            // skip the incremental limit-probe's extra per-iter jobs
+            knnExact(sampled, refs, cfg.nNeighbors, cfg.nComponents,
+              kernelMaxQueries = Int.MaxValue)
           } else knnGrid(spark, sampled, mids, cfg.nNeighbors, cfg.nComponents,
-            gridCellSide(refCount, cfg.nNeighbors, cfg.nComponents))
+            gridCellSide(refCount, cfg.nNeighbors, cfg.nComponents),
+            kernelMaxQueries = Int.MaxValue)
         spring.unionByName(intersectionContrib(pairs, pos, cfg, bcast))
       }
     val forcesRaw = VecOps.sumVecBy(contrib, "id", cfg.nComponents, "f")
