@@ -151,6 +151,27 @@ object Relational {
     // tie rank = cum - (cnt-1)/2), so the only unpartitioned window
     // runs over distinct values, not rows — the full-table sort a naive
     // row_number rank would force never happens.
+    // TPC-H Q5 shape: the full dim chain region→nation→customer joined
+    // broadcast onto orders, then the lineitem fact join — the classic
+    // star-join plan (every dim side broadcast, one fact shuffle).
+    "q52_region_revenue" -> ((s, d) => {
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val dims = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"))
+      o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q13_spearman" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_quantity").as("x"),
         col("l_extendedprice").as("y"))
@@ -275,6 +296,17 @@ object Relational {
         |  FROM e)
         |SELECT from_type, event_type AS to_type, count(*) AS n
         |FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q52_region_revenue" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY r_name""".stripMargin,
 
     "q13_spearman" ->
       """WITH ranked AS (

@@ -28,6 +28,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "unexpected shuffle join for dims")
   }
 
+  test("q52 star join broadcasts the whole dim chain onto the facts") {
+    val p = plan("q52_region_revenue")
+    // region→nation→customer collapse into broadcast builds; the only
+    // permissible shuffle join is orders⋈lineitem (two fact tables)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dim chain not broadcast:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      s"more than the fact-fact join shuffled:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "orderdate filter not at the scan")
+  }
+
   test("q02 aggregate is partial+final hash aggregate") {
     val p = plan("q02_agg_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial+final agg")
