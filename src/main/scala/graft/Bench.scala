@@ -120,6 +120,12 @@ object Bench {
     val dsLsh = datasetTier("GRID-ANN DISTRIBUTED",
       cfg.copy(LMin = 4.0, localMaxEdges = 0, exactKnnMaxRef = 0))
 
+    // restore cluster-sized shuffling: tiers 2-2d run data-sized (4)
+    // for the tiny-graph loops, but the centralities tier shuffles
+    // ~45M-row backward-accumulation joins — measured 80 s at 4
+    // partitions vs ~45 s at the core count.
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+
     // tier 2e: centralities on the dataset-scale graph, BOTH routes —
     // the broadcast-CSR route it would pick, and the multi-source-BFS /
     // power-iteration distributed route (broadcastEdgeMax=0) that
