@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Bucketing
+import graft.util.Skew
+
+/** The explicit scale-technique utilities: bucketed co-located joins
+  * (plan-shape: zero exchanges) and salted skew joins (row-identical to
+  * the plain join, hot key spread across salt partitions). */
+class ScaleUtilSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Drop the table AND its warehouse location (a crashed earlier run
+    * can leave the directory behind with no catalog entry). */
+  private def freshTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val loc = new java.io.File(s"target/spark-warehouse/$name")
+    if (loc.exists()) rm(loc)
+  }
+
+  test("bucketed fact-fact join plans ZERO shuffle exchanges") {
+    freshTable("orders_b")
+    freshTable("items_b")
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val items = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Bucketing.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+    Bucketing.writeBucketed(items, "items_b", "o_orderkey", 8)
+    // at test scale the planner would broadcast (and skip the bucketed
+    // scan entirely); force the sort-merge path — the one that matters
+    // at fact⋈fact scale, where broadcast is not an option
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thr)
+    spark.conf.set(thr, "-1")
+    try {
+      val joined = Bucketing.readBucketed(spark, "orders_b")
+        .join(Bucketing.readBucketed(spark, "items_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan did not use buckets:\n$plan")
+      // and it is the same result as the plain path join
+      val plain = orders.join(items, "o_orderkey")
+      assert(joined.count() == plain.count())
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+    } finally spark.conf.set(thr, prev)
+  }
+
+  test("salted join: row-identical to plain join under a planted hot key") {
+    // 90% of the big side lands on key 7 — the classic skew bomb
+    val big = (0 until 20000).map { i =>
+      (if (i % 10 == 0) (i % 50).toLong else 7L, i.toLong)
+    }.toDF("k", "payload")
+    val small = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+    val salted = Skew.saltedJoin(big, small, "k", factor = 8)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // determinism: content-hash salt replays identically
+    val again = Skew.saltedJoin(big, small, "k", factor = 8)
+    assert(again.exceptAll(salted).isEmpty)
+    // the join really is on (k, _salt): the hot key's rows split across
+    // several salt values rather than one partition
+    val saltSpread = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(8L)))
+      .filter(col("k") === 7L).select("_salt").distinct().count()
+    assert(saltSpread >= 6, s"hot key only spread over $saltSpread salts")
+  }
+}

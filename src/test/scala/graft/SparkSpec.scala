@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed-table tests write managed tables — keep them in target/
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
