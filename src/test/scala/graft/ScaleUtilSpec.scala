@@ -54,6 +54,21 @@ class ScaleUtilSpec extends SparkSpec {
     } finally spark.conf.set(thr, prev)
   }
 
+  test("partitioned write: filters prune partitions before any I/O") {
+    val path = "target/tmp/docs_by_lang"
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    graft.io.Sinks.writePartitioned(docs, path, "lang")
+    val langs = docs.select("lang").distinct().count()
+    assert(langs > 1, "fixture needs multiple partitions")
+    val one = spark.read.parquet(path).filter(col("lang") === "en")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(lang"),
+      s"no partition filter at the scan:\n$plan")
+    // round trip: the pruned read returns exactly the en rows
+    assert(one.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("salted join: row-identical to plain join under a planted hot key") {
     // 90% of the big side lands on key 7 — the classic skew bomb
     val big = (0 until 20000).map { i =>
