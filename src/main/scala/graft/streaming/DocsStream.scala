@@ -37,4 +37,46 @@ object DocsStream {
     docs.withColumn("fp", md5(col("text")))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Decontamination at ingest: per arriving document, the fraction of
+    * its n-gram shingles found in the (static, driver-collected)
+    * reference/eval shingle set — the streaming twin of
+    * [[graft.pipeline.Dedup.contamination]], evaluated STATELESS so the
+    * same transform serves batch and readStream with no watermark or
+    * state store.
+    *
+    * The eval set is collected once and broadcast: eval corpora are
+    * small by construction (they are benchmarks), and a broadcast set
+    * membership per shingle beats a stream-static join that would
+    * re-shuffle every micro-batch. `maxRefShingles` guards the collect
+    * with a loud failure, same contract idiom as cosinePairs. Output
+    * adds (n_shingles, n_contaminated, contamination); docs shorter
+    * than n tokens carry 0 shingles and NaN contamination. */
+  def contaminationOnIngest(docs: DataFrame, ref: DataFrame, n: Int = 3,
+                            textCol: String = "text",
+                            maxRefShingles: Long = 10000000L): DataFrame = {
+    import graft.pipeline.Dedup
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val refSh = ref.select(explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .distinct().as[String].limit(
+        math.min(maxRefShingles, Int.MaxValue - 1L).toInt + 1).collect()
+    require(refSh.length <= maxRefShingles,
+      s"reference corpus exceeds $maxRefShingles distinct shingles — " +
+        "decontamination-on-ingest broadcasts the eval set; for " +
+        "corpus-sized references use the batch Dedup.contamination join")
+    val bc = spark.sparkContext.broadcast(refSh.toSet)
+    val hitCount = udf { (shingles: Seq[String]) =>
+      val set = bc.value
+      shingles.count(set.contains)
+    }
+    docs.withColumn("_sh", Dedup.shingles(col(textCol), n))
+      .withColumn("n_shingles", size(col("_sh")).cast("long"))
+      .withColumn("n_contaminated", hitCount(col("_sh")).cast("long"))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(Double.NaN)))
+      .drop("_sh")
+  }
 }

@@ -600,6 +600,39 @@ class PipelineSpec extends SparkSpec {
     assert(kept == batchKeep)
   }
 
+  test("streaming decontamination-on-ingest equals the batch join route") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("docs_contam").toString
+    def ts(min: Int) = new java.sql.Timestamp(3600000L * 24 + min * 60000L)
+    val rows = Seq(
+      (1L, "we say quick brown fox jumps over and more", ts(0)),
+      (2L, "completely clean text with no overlap at all", ts(1)),
+      (3L, "too short", ts(2)))
+    rows.toDF("doc_id", "text", "ingest_ts").coalesce(1)
+      .write.parquet(s"$dir/b0.parquet")
+    val q = DocsStream.contaminationOnIngest(
+      spark.readStream.schema(DocsStream.rawSchema).parquet(s"$dir/*.parquet"),
+      evalSet)
+      .writeStream.format("memory").queryName("docs_contam")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("docs_contam")
+      .select("doc_id", "n_shingles", "n_contaminated").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed(1L) == ((7L, 3L)))
+    assert(streamed(2L) == ((6L, 0L)))
+    assert(streamed(3L) == ((0L, 0L)), "short doc: zero shingles, kept in stream")
+    // batch join-route agreement on every doc that HAS shingles
+    val batch = Dedup.contamination(rows.toDF("doc_id", "text", "ingest_ts"),
+      evalSet, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    batch.foreach { case (id, v) => assert(streamed(id) == v, s"doc $id") }
+  }
+
   test("streaming sessionization equals the batch session_window") {
     val batch = EventsStream.sessions(Tables.events(spark, sf)).cache()
     assert(batch.count() > 0)
