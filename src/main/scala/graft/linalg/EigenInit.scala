@@ -158,24 +158,51 @@ object EigenInit {
             .as("pos"))
     }
 
-    def orthonormalize(xdf: DataFrame): DataFrame = {
-      // Gram = XᵀX ((k+1)², tiny) → X · chol(G)^{-T}
-      val gramCols = for (i <- 0 until kk; j <- 0 until kk) yield
-        sum(element_at(col("pos"), i + 1) * element_at(col("pos"), j + 1)).as(s"g_${i}_$j")
-      val g = xdf.agg(gramCols.head, gramCols.tail: _*).collect()(0)
-      val gm = DenseMatrix.tabulate(kk, kk)((i, j) => g.getAs[Double](s"g_${i}_$j"))
+    // Per iteration, ONE job: the matvec result is checkpointed with
+    // the (k+1)² Gram matrix computed INSIDE the materializing action
+    // (partials combined in partition order — bit-reproducible), then
+    // the orthonormalizing rotation X·chol(G)^{-T} is a lazy projection
+    // over the cached rows. The previous shape (Gram agg job, then the
+    // loop's checkpoint count) executed every matvec TWICE.
+    val iters = 30 // dominant-subspace gap for B is usually healthy; cap cost
+    var (state, handle) = graft.util.Iterate.checkpoint(spark, x)
+    var it = 0
+    while (it < iters) {
+      val (mvC, mvH, gramParts) =
+        graft.util.Iterate.checkpointWith(spark, matvec(state)) { rdd =>
+          rdd.mapPartitionsWithIndex { (idx, rows) =>
+            val acc = new Array[Double](kk * kk)
+            rows.foreach { r =>
+              val p = r.getSeq[Double](2) // (id, dinv, pos)
+              var i = 0
+              while (i < kk) {
+                val pi = p(i)
+                var j = i
+                while (j < kk) { acc(i * kk + j) += pi * p(j); j += 1 }
+                i += 1
+              }
+            }
+            Iterator((idx, acc))
+          }.collect()
+        }
+      handle.unpersist(blocking = false)
+      val gram = new Array[Double](kk * kk)
+      gramParts.sortBy(_._1).foreach { case (_, a) =>
+        var i = 0
+        while (i < gram.length) { gram(i) += a(i); i += 1 }
+      }
+      val gm = DenseMatrix.tabulate(kk, kk)((i, j) =>
+        if (i <= j) gram(i * kk + j) else gram(j * kk + i))
       val rInvT = inv(cholesky(gm)).t // X_new = X * L^{-T}
       val newComps = (0 until kk).map { c =>
         (0 until kk).map(r =>
           element_at(col("pos"), r + 1) * lit(rInvT(r, c))).reduce(_ + _)
       }
-      xdf.select(col("id"), col("dinv"), array(newComps: _*).as("pos"))
+      state = mvC.select(col("id"), col("dinv"), array(newComps: _*).as("pos"))
+      handle = mvH
+      it += 1
     }
-
-    val iters = 30 // dominant-subspace gap for B is usually healthy; cap cost
-    x = graft.util.Iterate.loop(spark, x, iters) { (xdf, _) =>
-      orthonormalize(matvec(xdf))
-    }
+    x = state
     // Rayleigh–Ritz rotation, then drop the trivial dominant column
     import breeze.linalg.eigSym
     val bx = matvec(x)
@@ -196,6 +223,7 @@ object EigenInit {
     val out = x.select(col("id"), array(outComps: _*).as("pos"))
     val result = out.persist()
     result.count()
+    handle.unpersist(blocking = false) // final loop checkpoint released
     dirEdges.unpersist(); verts.unpersist(); x.unpersist()
     result
   }
