@@ -233,19 +233,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint: per token-hash bit, +1/-1 vote; sign of
-    * the vote sum sets the bit. Pure column expressions (codegen'd). */
+    * the vote sum sets the bit. Pure column expressions (codegen'd).
+    * The vote sum is computed as plain bit counts — Σ±1 = 2·c_b − n, so
+    * "vote > 0" ⟺ "2·c_b > n" — which drops a CaseWhen per bit per row
+    * from the hot aggregate (64 branch-free shift-and-sums instead). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(array_distinct(tokens(col(textCol)))).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$b"))
-    tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    val counts = (0 until 64).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(1)).as(s"c$b"))
+    tok.groupBy("id").agg(count(lit(1)).as("n"), counts: _*)
       .select(col("id"),
         (0 until 64).map(b =>
-          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          when(col(s"c$b") * 2 > col("n"), shiftleft(lit(1L), b))
+            .otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
