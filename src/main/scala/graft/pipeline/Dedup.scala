@@ -232,6 +232,39 @@ object Dedup {
     }
   }
 
+  /** Canonical-survivor selection — the step after cluster resolution
+    * in a real dedup pipeline: keep exactly ONE document per near-dup
+    * cluster, the highest-quality one (ties to the smallest id), and
+    * keep every document that belongs to no cluster. Output: one row
+    * per input doc — (idCol, cluster_id, quality, keep).
+    *
+    * The reference resolves duplicates by keeping the first id
+    * (q24/q44's min-id `keep`); production pipelines keep the BEST
+    * copy — a boilerplate-stripped original beats a truncated mirror.
+    *
+    * Scale: `pairs` is O(dups); cluster labels join back to the corpus
+    * on the id (one shuffle on 8-byte keys, broadcastable when the dup
+    * set is small); the per-cluster argmax is a window over
+    * `cluster_id`, where all non-duplicated docs are singleton
+    * partitions — no skew, no global sort. */
+  def keepBest(spark: org.apache.spark.sql.SparkSession,
+               quality: DataFrame, pairs: DataFrame,
+               idCol: String = "doc_id",
+               qualityCol: String = "quality"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(spark, pairs)
+      .select(col("doc_id").as(idCol), col("keep_id"))
+    val labeled = quality.select(col(idCol), col(qualityCol).as("quality"))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("keep_id"), col(idCol)))
+      .drop("keep_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col(idCol).asc)
+    labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("quality"), col("keep"))
+  }
+
   /** 64-bit SimHash fingerprint: per token-hash bit, +1/-1 vote; sign of
     * the vote sum sets the bit. Pure column expressions (codegen'd).
     * The vote sum is computed as plain bit counts — Σ±1 = 2·c_b − n, so

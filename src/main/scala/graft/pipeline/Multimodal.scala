@@ -12,13 +12,16 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: `javax.imageio` ships in the JDK (PNG, BMP,
   * GIF, JPEG readers), so image payloads are decoded to pixels and the
-  * feature vector carries actual decoded-pixel statistics. Audio/video
-  * codec work (PCM decode, frame extraction) remains STUBBED with a
-  * deterministic fake — those codec libraries are not in this
-  * environment — but everything Spark-cares-about is real either way:
-  * schema, batch iteration, partition sizing, and the feature-column
-  * contract downstream consumers (Similarity.bruteForceTopK etc.)
-  * rely on.
+  * feature vector carries actual decoded-pixel statistics. AUDIO decode
+  * is REAL for WAV/PCM: `javax.sound.sampled` (also pure JDK) parses
+  * RIFF/WAVE containers, so audio payloads decode to samples and the
+  * features carry actual waveform statistics (RMS, zero-crossing rate,
+  * temporal-segment energies). VIDEO codec work (frame extraction)
+  * remains STUBBED with a deterministic fake — no container/codec
+  * library in this environment — but everything Spark-cares-about is
+  * real for all modalities: schema, batch iteration, partition sizing,
+  * and the feature-column contract downstream consumers
+  * (Similarity.bruteForceTopK etc.) rely on.
   */
 object Multimodal {
 
@@ -101,11 +104,89 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Decoded-waveform features for an audio payload via
+    * javax.sound.sampled (pure JDK — WAV/AIFF/AU containers, PCM
+    * codecs): [sample_rate, channels, RMS amplitude, zero-crossing
+    * rate, then (featDim-4) temporal-segment RMS energies] over the
+    * channel-averaged signal normalized to [-1, 1]. Returns None when
+    * the bytes aren't a parseable container or the codec isn't plain
+    * 16-bit-signed / 8-bit-unsigned PCM. */
+  private[pipeline] def audioFeatures(bytes: Array[Byte],
+                                      featDim: Int): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        import javax.sound.sampled.AudioFormat.Encoding
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val pcm16 = fmt.getEncoding == Encoding.PCM_SIGNED && bits == 16
+        val pcm8 = fmt.getEncoding == Encoding.PCM_UNSIGNED && bits == 8
+        if (!pcm16 && !pcm8) None
+        else {
+          val data = in.readAllBytes()
+          val ch = fmt.getChannels
+          val frameBytes = (bits / 8) * ch
+          val nFrames = data.length / frameBytes
+          if (nFrames == 0) None
+          else {
+            val segs = math.max(featDim - 4, 0)
+            val segSum = new Array[Double](math.max(segs, 1))
+            val segCnt = new Array[Long](math.max(segs, 1))
+            var sq = 0.0
+            var crossings = 0L
+            var prev = 0.0
+            var i = 0
+            while (i < nFrames) {
+              // channel-averaged mono sample in [-1, 1]
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = i * frameBytes + c * (bits / 8)
+                acc +=
+                  (if (pcm16) {
+                    val lo = data(off + (if (fmt.isBigEndian) 1 else 0)) & 0xff
+                    val hi = data(off + (if (fmt.isBigEndian) 0 else 1))
+                    ((hi << 8) | lo) / 32768.0
+                  } else ((data(off) & 0xff) - 128) / 128.0)
+                c += 1
+              }
+              val s = acc / ch
+              sq += s * s
+              if (i > 0 && (s > 0) != (prev > 0) && (s != 0 || prev != 0))
+                crossings += 1
+              prev = s
+              if (segs > 0) {
+                val k = (i * segs / nFrames).toInt
+                segSum(k) += s * s; segCnt(k) += 1
+              }
+              i += 1
+            }
+            val feats = new Array[Float](featDim)
+            if (featDim > 0) feats(0) = fmt.getSampleRate
+            if (featDim > 1) feats(1) = ch.toFloat
+            if (featDim > 2) feats(2) = math.sqrt(sq / nFrames).toFloat
+            if (featDim > 3) feats(3) =
+              (if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0).toFloat
+            var k = 0
+            while (k < segs) {
+              feats(4 + k) =
+                if (segCnt(k) > 0) math.sqrt(segSum(k) / segCnt(k)).toFloat else 0f
+              k += 1
+            }
+            Some(feats)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Batch decode: image payloads run through the REAL javax.imageio
-    * pixel pipeline (`decoded = true`); audio/video — and images no JDK
-    * reader claims — fall back to the deterministic rolling-hash fake
-    * (`decoded = false`), keeping the schema/batch contract identical
-    * across modalities so downstream stages never branch. */
+    * pixel pipeline and audio payloads through the REAL
+    * javax.sound.sampled PCM pipeline (`decoded = true`); video — and
+    * payloads no JDK reader claims — fall back to the deterministic
+    * rolling-hash fake (`decoded = false`), keeping the schema/batch
+    * contract identical across modalities so downstream stages never
+    * branch. */
   def decodeFeatures(spark: SparkSession, media: DataFrame, featDim: Int = 16,
                      batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
@@ -126,8 +207,11 @@ object Multimodal {
             val id = r.getLong(0)
             val mod = r.getString(1)
             val bytes = r.getAs[Array[Byte]](2)
-            val real =
-              if (mod == "image") imageFeatures(bytes, featDim) else None
+            val real = mod match {
+              case "image" => imageFeatures(bytes, featDim)
+              case "audio" => audioFeatures(bytes, featDim)
+              case _ => None
+            }
             val (feats, decoded) = real match {
               case Some(f) => (f, true)
               case None =>

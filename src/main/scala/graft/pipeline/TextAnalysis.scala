@@ -57,13 +57,19 @@ object TextAnalysis {
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with low
-    * repetition and sane punctuation — the usual heuristic filter. */
+    * repetition and sane punctuation — the usual heuristic filter.
+    *
+    * Deliberately UNROUNDED: the product of the (already-rounded)
+    * feature columns is a bit-identical IEEE double in any engine that
+    * evaluates the same expression tree, whereas a final round(·, 6)
+    * lands on .5-midpoint decimals (a 6-dp feature × 0.5 is a 7-dp
+    * number ending in 5) where Spark's BigDecimal HALF_UP and DuckDB's
+    * scaled-double rounding disagree on the last digit. */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame =
     qualityFeatures(df, textCol).withColumn("quality",
-      round(
-        when(col("n_words") < 5, 0.1).otherwise(1.0) *
-          (lit(1.0) - least(col("punct_ratio") * 4, lit(1.0)) * 0.5) *
-          (lit(1.0) - col("repetition") * 0.5), 6))
+      when(col("n_words") < 5, 0.1).otherwise(1.0) *
+        (lit(1.0) - least(col("punct_ratio") * 4, lit(1.0)) * 0.5) *
+        (lit(1.0) - col("repetition") * 0.5))
 
   /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003,
     * the MOSS algorithm): hash every k-token shingle, slide a window of

@@ -155,6 +155,17 @@ object PipelineQueries {
     "q51_pack_sequences" -> ((s, d) =>
       TextAnalysis.packSequences(Tables.documents(s, d), seqLen = 512)),
 
+    // Canonical-survivor selection: the full dedup pipeline ending —
+    // jaccard pairs → cluster resolution → keep the highest-quality doc
+    // per cluster (ties to smallest id), singletons keep themselves.
+    "q53_dedup_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepBest(s,
+        TextAnalysis.qualityScore(docs),
+        Dedup.jaccardPairs(docs, n = 3, threshold = 0.10)
+          .select("id_a", "id_b"))
+    }),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -375,6 +386,45 @@ object PipelineQueries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin,
+
+    // q44's recursive-CTE closure + q31's quality components composed
+    // into the survivor selection: same cluster labels, same rounded
+    // quality formula (round-then-multiply order mirrors the Spark
+    // column expression so the doubles are bit-identical).
+    "q53_dedup_keep" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |clusters AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a),
+        |q AS (SELECT doc_id,
+        |  (CASE WHEN len(string_split(text, ' ')) < 5
+        |      THEN 0.1::DOUBLE ELSE 1.0::DOUBLE END)
+        |    * (1.0 - least(round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0 /
+        |        greatest(length(text), 1), 6) * 4, 1.0::DOUBLE) * 0.5)
+        |    * (1.0 - round(1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 /
+        |        greatest(len(string_split(text, ' ')), 1), 6) * 0.5) AS quality
+        |  FROM documents),
+        |lab AS (SELECT q.doc_id, coalesce(c.keep_id, q.doc_id) AS cluster_id,
+        |  q.quality FROM q LEFT JOIN clusters c ON c.doc_id = q.doc_id)
+        |SELECT doc_id, cluster_id, quality,
+        |  row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+        |FROM lab""".stripMargin
   )
 }

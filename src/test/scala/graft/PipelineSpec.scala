@@ -135,6 +135,23 @@ class PipelineSpec extends SparkSpec {
     assert(distributed == expected)
   }
 
+  test("keepBest keeps the highest-quality doc per cluster; singletons keep themselves") {
+    import spark.implicits._
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.7))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(spark, quality, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    // cluster {1,2,3} labeled by min id 1; quality tie 2 vs 3 → smaller id
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((1L, true)))
+    assert(out(3L) == ((1L, false)))
+    // doc 4 appears in no pair: singleton cluster, kept
+    assert(out(4L) == ((4L, true)))
+    // exactly one survivor per cluster, every doc labeled
+    assert(out.size == 4 && out.values.count(_._2) == 2)
+  }
+
   test("minhash-LSH finds the same planted near-dup as exact jaccard") {
     val lsh = Dedup.minhashLsh(docsWithPlants, n = 3, k = 64, bands = 16,
       threshold = 0.5)
@@ -473,7 +490,44 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(f(3) - 0.5f) < 1e-6, s"std luma: ${f(3)}")
     // two vertical strips: black strip 0.0, white strip 1.0
     assert(math.abs(f(4)) < 1e-6 && math.abs(f(5) - 1.0f) < 1e-6)
-    // audio payloads and non-decodable "images" fall back to the stub
+    // PNG bytes are not audio, and non-decodable "images" fall back too
+    assert(!out(2L).getBoolean(3) && !out(3L).getBoolean(3))
+  }
+
+  test("multimodal: real WAV payloads decode to real waveform stats") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 16-bit mono square wave at half amplitude alternating every
+    // sample: RMS = 0.5 exactly, zero-crossing rate = 1.0 exactly.
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val media = Seq(
+      (1L, "audio", wav),
+      (2L, "video", wav), // video stays stubbed even on parseable bytes
+      (3L, "audio", "not audio".getBytes("UTF-8"))
+    ).toDF("media_id", "modality", "payload")
+    val out = Multimodal.decodeFeatures(spark, media, featDim = 6).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(3), "WAV payload should really decode")
+    val f = out(1L).getSeq[Float](4)
+    assert(f(0) == 8000f && f(1) == 1f, s"rate/ch: ${f.mkString(",")}")
+    assert(math.abs(f(2) - 0.5f) < 1e-4, s"rms: ${f(2)}")
+    assert(math.abs(f(3) - 1.0f) < 1e-4, s"zcr: ${f(3)}")
+    // both temporal-half segments carry the same RMS energy
+    assert(math.abs(f(4) - 0.5f) < 1e-4 && math.abs(f(5) - 0.5f) < 1e-4)
     assert(!out(2L).getBoolean(3) && !out(3L).getBoolean(3))
   }
 
