@@ -172,6 +172,41 @@ object Relational {
           count(lit(1)).as("n_items"))
     }),
 
+    // As-of join (kdb aj / merge_asof shape): every purchase matched to
+    // the user's latest signup at-or-before it — one shuffle + one
+    // window scan, no range explosion (see Temporal.asofJoin).
+    "q54_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+      Temporal.asofJoin(purchases, signups, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("value"),
+          unix_micros(col("asof_ts")).as("signup_t_us"),
+          col("asof_signup_event").as("signup_event"))
+    }),
+
+    // Banded range join: purchases within 10 minutes after each error —
+    // time-bucket equi-join + residual filter instead of a cross join
+    // (see Temporal.rangeJoinBanded), then a left join keeps the
+    // zero-match errors.
+    "q55_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("ts"), col("value"))
+      val pairs = Temporal.rangeJoinBanded(errors, purchases, "ts", "ts",
+        loUs = 0L, hiUs = 600000000L)
+      val agg = pairs.groupBy("event_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("r_value")), 2).as("purchase_value"))
+      errors.select("event_id").join(agg, Seq("event_id"), "left")
+        .na.fill(Map("n_purchases" -> 0, "purchase_value" -> 0.0))
+    }),
+
     "q13_spearman" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_quantity").as("x"),
         col("l_extendedprice").as("y"))
@@ -307,6 +342,34 @@ object Relational {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |GROUP BY r_name""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+    // as-of design; timestamps compared in integer µs (the Spark side's
+    // unix_micros normalization).
+    "q54_asof_join" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS us, user_id,
+        |  event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, us, value FROM e
+        |      WHERE event_type = 'purchase'),
+        |sg AS (SELECT user_id, us, event_id AS signup_event FROM e
+        |       WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.us AS t_us, p.value,
+        |  sg.us AS signup_t_us, sg.signup_event
+        |FROM p ASOF LEFT JOIN sg
+        |  ON p.user_id = sg.user_id AND p.us >= sg.us""".stripMargin,
+
+    "q55_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS us,
+        |  event_type, value FROM events),
+        |err AS (SELECT event_id, us FROM e WHERE event_type = 'error'),
+        |p AS (SELECT us, value FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT err.event_id, count(p.us) AS n_purchases,
+        |        round(sum(p.value), 2) AS purchase_value
+        |      FROM err LEFT JOIN p
+        |        ON p.us >= err.us AND p.us < err.us + 600000000
+        |      GROUP BY 1)
+        |SELECT event_id, n_purchases,
+        |  coalesce(purchase_value, 0.0) AS purchase_value FROM j""".stripMargin,
 
     "q13_spearman" ->
       """WITH ranked AS (

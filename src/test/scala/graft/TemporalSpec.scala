@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Temporal
+
+class TemporalSpec extends SparkSpec {
+
+  private def mkTs(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("asofJoin matches the latest right row at or before each left row") {
+    import spark.implicits._
+    // key 1: rights at t=10, 20, 30; key 2: right at t=100 only
+    val left = Seq(
+      (1L, 5L, "l-before-any"), (1L, 10L, "l-at-10"), (1L, 25L, "l-mid"),
+      (1L, 99L, "l-after-all"), (2L, 50L, "l-no-right-yet"),
+      (2L, 100L, "l-at-100"), (3L, 7L, "l-keyless"))
+      .toDF("k", "us", "tag")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("tag"))
+    val right = Seq(
+      (1L, 10L, "r10"), (1L, 20L, "r20"), (1L, 30L, "r30"), (2L, 100L, "r100"))
+      .toDF("k", "us", "rtag")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("rtag"))
+    val out = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select(col("tag"), col("asof_rtag")).as[(String, String)]
+      .collect().toMap
+    assert(out("l-before-any") == null)   // strictly before the first right
+    assert(out("l-at-10") == "r10")       // inclusive at equal ts
+    assert(out("l-mid") == "r20")
+    assert(out("l-after-all") == "r30")
+    assert(out("l-no-right-yet") == null)
+    assert(out("l-at-100") == "r100")
+    assert(out("l-keyless") == null)      // key absent from right entirely
+  }
+
+  test("asofJoin match is row-atomic: matched right nulls stay null") {
+    import spark.implicits._
+    val left = Seq((1L, 50L)).toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"))
+    // latest right row (t=40) carries a NULL payload field; the earlier
+    // row (t=10) has it set — per-column last(ignoreNulls) would leak
+    // "old" into the match; the struct design must not.
+    val right = Seq((1L, 10L, Option("old")), (1L, 40L, Option.empty[String]))
+      .toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val row = Temporal.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select(unix_micros(col("asof_ts")), col("asof_v")).collect().head
+    assert(row.getLong(0) == 40L)
+    assert(row.isNullAt(1))
+  }
+
+  test("asofJoin equals the quadratic argmax formulation on events") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("sid"))
+    val fast = Temporal.asofJoin(purchases, signups, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("asof_sid").as("sid"))
+    // oracle: theta-join + per-purchase max-ts pick (fine at sf0.001)
+    val naive = purchases.as("p")
+      .join(signups.as("s"),
+        col("p.user_id") === col("s.user_id") && col("s.ts") <= col("p.ts"),
+        "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(max_by(col("s.sid"), col("s.ts")).as("sid"))
+    assert(fast.count() == purchases.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("rangeJoinBanded equals the theta-join, including band boundaries") {
+    import spark.implicits._
+    val band = 100L
+    // rights placed on/around bucket edges of band=100: 0, 99, 100, 199,
+    // 200 exercise the ≤2-bucket probe and the half-open [lo, hi) ends
+    val left = Seq((1L, 0L), (2L, 50L), (3L, 100L), (4L, 101L))
+      .toDF("lid", "us").select(col("lid"), timestamp_micros(col("us")).as("ts"))
+    val right = Seq((10L, 0L), (11L, 99L), (12L, 100L), (13L, 199L), (14L, 200L))
+      .toDF("rid", "us").select(col("rid"), timestamp_micros(col("us")).as("ts"))
+    val fast = Temporal.rangeJoinBanded(left, right, "ts", "ts", 0L, band)
+      .select(col("lid"), col("r_rid").as("rid"))
+    val naive = left.join(right.withColumnRenamed("ts", "rts"),
+        unix_micros(col("rts")) >= unix_micros(col("ts")) &&
+        unix_micros(col("rts")) < unix_micros(col("ts")) + band)
+      .select(col("lid"), col("rid"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    // spot-check the half-open semantics
+    val m = fast.as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2).toSet) }
+    assert(m(1L) == Set(10L, 11L))          // [0,100) excludes rid=12 at 100
+    assert(m(3L) == Set(12L, 13L))          // [100,200) excludes 200
+  }
+
+  test("rangeJoinBanded with keys equals the keyed theta-join on events") {
+    val ev = Tables.events(spark, sf)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts"))
+    val fast = Temporal.rangeJoinBanded(errors, purchases, "ts", "ts",
+        0L, 3600000000L, keys = Seq("user_id"))
+      .select(col("event_id"), col("r_pid").as("pid"))
+    val naive = errors.as("e").join(purchases.as("p"),
+        col("e.user_id") === col("p.user_id") &&
+        unix_micros(col("p.ts")) >= unix_micros(col("e.ts")) &&
+        unix_micros(col("p.ts")) < unix_micros(col("e.ts")) + 3600000000L)
+      .select(col("event_id"), col("pid"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+}
