@@ -185,6 +185,145 @@ object Similarity {
       .filter(col("qid") =!= col("rid")), k)
   }
 
+  /** IVF-PQ: coarse inverted lists + product-quantized residuals +
+    * exact refine — the top rung of the reference's ANN ladder
+    * (embedder_cuvs.py:264-272 routes >1M vectors to ivf_pq).
+    *
+    * Memory is the point of PQ: each reference vector is stored for
+    * scanning as `m` one-byte codes instead of `dim` floats (64-dim
+    * float32 → 8 bytes, a 32× shrink), which is what lets a scan tier
+    * hold billions of vectors. The shipped pipeline:
+    *
+    *  1. driver-trained quantizers on a deterministic hash-ordered
+    *     sample (same design as [[ivfTopK]]): coarse k-means over
+    *     L2-NORMALIZED vectors (unit sphere ⟹ L2 order ≡ cosine
+    *     order), then per-subspace k-means codebooks over coarse
+    *     RESIDUALS (v/‖v‖ − center) — residual PQ, the faiss/cuVS
+    *     formulation, ~an order of magnitude less quantization error
+    *     than raw-vector PQ at equal bits;
+    *  2. one narrow typed pass encodes refs to (list, m codes);
+    *  3. queries probe `nProbe` lists; candidates are scored by ADC
+    *     (asymmetric distance: exact query vs decoded ref) — no float
+    *     vector is shuffled for scanning, only codes;
+    *  4. the ADC shortlist (`k·refine` per query, window group-limit)
+    *     joins back the TRUE vectors for an exact-cosine re-rank — the
+    *     cuVS `refine()` step — so emitted cos values are exact and
+    *     bit-match [[bruteForceTopK]] on every hit.
+    *
+    * Two shuffles (list join, shortlist window) + the refine join at
+    * any corpus size; codes stay `m` bytes/row on the wire. */
+  def ivfPqTopK(spark: SparkSession, vectors: DataFrame, k: Int,
+                nLists: Int = 16, nProbe: Int = 2, m: Int = 8,
+                nCodes: Int = 32, refine: Int = 4, seed: Long = 42,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                dim: Int = 64, trainCap: Int = 20000): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(nCodes <= 256, "one-byte codes: nCodes must be ≤ 256")
+    val dsub = dim / m
+    import spark.implicits._
+    val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    def unit(v: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s) + 1e-12
+      Array.tabulate(dim)(j => v(j) / n)
+    }
+    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainCap).as[(Long, Array[Float])].collect().map(t => unit(t._2))
+    val centers = lloydKMeans(train, nLists, seed)
+    def nearestCenter(v: Array[Double]): Array[Int] = {
+      val d2 = Array.tabulate(centers.length) { c =>
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = v(i) - centers(c)(i); s += d * d; i += 1 }
+        s
+      }
+      centers.indices.sortBy(c => (d2(c), c)).toArray
+    }
+    // per-subspace codebooks over residuals of the training sample
+    val residuals = train.map { v =>
+      val c = centers(nearestCenter(v)(0))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
+      lloydKMeans(sub, nCodes, seed + s + 1)
+    }
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcB = spark.sparkContext.broadcast(codebooks)
+    def encode(v: Array[Double], list: Int): Array[Byte] = {
+      val c = bcC.value(list)
+      val out = new Array[Byte](m)
+      var s = 0
+      while (s < m) {
+        val cb = bcB.value(s)
+        var best = 0; var bd = Double.MaxValue; var cc = 0
+        while (cc < cb.length) {
+          var d = 0.0; var j = 0
+          while (j < dsub) {
+            val x = v(s * dsub + j) - c(s * dsub + j) - cb(cc)(j)
+            d += x * x; j += 1
+          }
+          if (d < bd) { bd = d; best = cc }
+          cc += 1
+        }
+        out(s) = best.toByte
+        s += 1
+      }
+      out
+    }
+    val assigned = src.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val u = unit(v)
+        val list = {
+          val cs = bcC.value
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < cs.length) {
+            var s = 0.0; var i = 0
+            while (i < dim) { val d = u(i) - cs(c)(i); s += d * d; i += 1 }
+            if (s < bd) { bd = s; best = c }
+            c += 1
+          }
+          best
+        }
+        (id, list, encode(u, list))
+      }.toDF("rid", "list", "codes")
+    val qProbe = src.as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val u = unit(v)
+        nearestCenter(u).iterator.take(nProbe).map(l => (id, u, l))
+      }.toDF("qid", "qu", "list")
+    // ADC scan: exact normalized query vs (center + decoded residual);
+    // only (qid, rid, approx) leaves the join — the shortlist window
+    // then bounds what the refine join must rehydrate.
+    val adc = qProbe.join(assigned, "list")
+      .filter(col("qid") =!= col("rid"))
+      .select(col("qid"), col("qu"), col("list"), col("rid"), col("codes"))
+      .as[(Long, Array[Double], Int, Long, Array[Byte])]
+      .map { case (qid, qu, list, rid, codes) =>
+        val c = bcC.value(list)
+        var d = 0.0
+        var s = 0
+        while (s < m) {
+          val cb = bcB.value(s)(codes(s) & 0xff)
+          var j = 0
+          while (j < dsub) {
+            val x = qu(s * dsub + j) - c(s * dsub + j) - cb(j)
+            d += x * x; j += 1
+          }
+          s += 1
+        }
+        (qid, rid, d)
+      }.toDF("qid", "rid", "approx")
+    val wApprox = Window.partitionBy("qid").orderBy(col("approx").asc, col("rid").asc)
+    val shortlist = adc.withColumn("srn", row_number().over(wApprox))
+      .filter(col("srn") <= k * refine)
+      .select("qid", "rid")
+    val vecs = src
+    rerankTopK(shortlist
+      .join(vecs.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(vecs.select(col("id").as("rid"), col("v").as("rv")), "rid"), k)
+  }
+
   /** Seeded Lloyd k-means with k-means++ init on an in-memory sample
     * (quantizer training for [[ivfTopK]]); deterministic for a seed.
     * Empty clusters re-seed from the point farthest from its center. */

@@ -109,6 +109,23 @@ object PipelineQueries {
         .orderBy("qid", "rn")
     }),
 
+    // IVF-PQ (the reference ladder's >1M-vector tier): product-
+    // quantized inverted lists + exact refine; recall measured against
+    // the brute twin on the same capped query universe as q30/q41.
+    "q56_ivfpq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val pq = Similarity.ivfPqTopK(s, e, k = 5, nLists = 8, nProbe = 2,
+        m = 8, nCodes = 32, refine = 4).cache()
+      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        k = 5).select("qid", "rid")
+      val nb = brute.count()
+      val nh = pq.filter(col("qid") < 50).select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      pq.withColumn("recall_vs_brute", round(lit(recall), 4))
+        .orderBy("qid", "rn")
+    }),
+
     "q45_winnow_fp" -> ((s, d) =>
       TextAnalysis.winnowFingerprints(Tables.documents(s, d), k = 4, w = 4)),
 

@@ -297,6 +297,42 @@ class PipelineSpec extends SparkSpec {
     (base ++ near).toDF("vec_id", "embedding")
   }
 
+  test("ivfPqTopK: exact refine cos values, decent recall, planted pair found") {
+    val e = Tables.embeddings(spark, sf)
+    val pq = Similarity.ivfPqTopK(spark, e, k = 3, nLists = 8, nProbe = 2,
+      m = 8, nCodes = 32, refine = 4).cache()
+    val brute = Similarity.bruteForceTopK(e, e, 3).cache()
+    // refine step re-ranks with TRUE vectors: every hit brute also
+    // ranked must carry the identical exact cos
+    val joined = pq.join(brute.select(col("qid"), col("rid"),
+      col("cos").as("bcos")), Seq("qid", "rid"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("cos") =!= col("bcos")).isEmpty)
+    // top-1 recall
+    val hits = pq.filter(col("rn") === 1).select("qid", "rid")
+      .join(brute.filter(col("rn") === 1).select("qid", "rid"),
+        Seq("qid", "rid"), "left_semi").count()
+    val n = pq.filter(col("rn") === 1).count()
+    assert(hits.toDouble / n > 0.3, s"IVF-PQ recall too low: $hits/$n")
+    pq.unpersist(); brute.unpersist()
+  }
+
+  test("ivfPqTopK honors non-64 dims (m=4 subspaces over dim=16)") {
+    val e = smallDimVecs
+    val pq = Similarity.ivfPqTopK(spark, e, k = 3, nLists = 4, nProbe = 2,
+      m = 4, nCodes = 16, dim = 16)
+    val brute = Similarity.bruteForceTopK(e, e, 3, dim = 16)
+      .select(col("qid"), col("rid"), col("cos").as("bcos"))
+    val joined = pq.join(brute, Seq("qid", "rid"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("cos") =!= col("bcos")).isEmpty)
+    // the planted near-identical pair (900, 901) must find each other:
+    // identical-direction vectors share every quantization cell
+    val top1 = pq.filter(col("qid") === 900L && col("rn") === 1)
+      .select("rid").collect().map(_.getLong(0))
+    assert(top1.sameElements(Array(901L)))
+  }
+
   test("ivfTopK honors non-64 dims: cos values agree with brute force") {
     val e = smallDimVecs
     val ivf = Similarity.ivfTopK(spark, e, k = 3, nLists = 4, nProbe = 2, dim = 16)
@@ -350,6 +386,7 @@ class PipelineSpec extends SparkSpec {
     // test's top-1-in-top-5): 16-bit/4-band sign-LSH lands ~0.42 here
     assert(recallOf("q30_lsh_topk") >= 0.3)
     assert(recallOf("q41_ivf_topk") >= 0.3)
+    assert(recallOf("q56_ivfpq_topk") >= 0.3)
   }
 
   test("contamination: planted eval overlap measured exactly, clean docs zero") {
