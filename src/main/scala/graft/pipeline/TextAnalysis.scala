@@ -71,6 +71,46 @@ object TextAnalysis {
         (lit(1.0) - least(col("punct_ratio") * 4, lit(1.0)) * 0.5) *
         (lit(1.0) - col("repetition") * 0.5))
 
+  /** Gopher-style n-gram repetition metrics (Rae et al. 2021 §A1.1):
+    * per document, the fraction of n-gram slots taken by the single
+    * most frequent n-gram (`top_ngram_frac`) and by all n-grams that
+    * occur more than once (`dup_ngram_frac`) — the standard boilerplate
+    * / degenerate-repetition filters ("lorem lorem lorem" passes a
+    * distinct-token check but not these).
+    *
+    * Shape: explode n-grams → count by (doc, gram) → per-doc max and
+    * duplicated-mass sum. Both shuffles are keyed by (doc_id[, gram]),
+    * so parallelism scales with the corpus and no key exceeds one
+    * document's n-gram count — scan-class work at any size. Documents
+    * shorter than n tokens carry zero fractions. */
+  def ngramRepetition(df: DataFrame, n: Int = 2, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = col("_t")
+    val withTotal = df
+      .select(col(idCol), split(col(textCol), " ").as("_t"))
+      .select(col(idCol), t,
+        greatest(size(t) - (n - 1), lit(0)).as("n_ngrams"))
+    val grams = withTotal.filter(col("n_ngrams") > 0)
+      .select(col(idCol), explode(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n))))).as("_g"))
+    val perDoc = grams.groupBy(col(idCol), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).as("top_ngram_n"),
+        sum(when(col("_c") > 1, col("_c")).otherwise(0L)).as("dup_ngram_n"))
+    withTotal.drop("_t").join(perDoc, Seq(idCol), "left")
+      .na.fill(Map("top_ngram_n" -> 0, "dup_ngram_n" -> 0))
+      .withColumn("top_ngram_frac",
+        when(col("n_ngrams") > 0,
+          round(col("top_ngram_n") / col("n_ngrams").cast("double"), 6))
+          .otherwise(0.0))
+      .withColumn("dup_ngram_frac",
+        when(col("n_ngrams") > 0,
+          round(col("dup_ngram_n") / col("n_ngrams").cast("double"), 6))
+          .otherwise(0.0))
+  }
+
   /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003,
     * the MOSS algorithm): hash every k-token shingle, slide a window of
     * w consecutive hashes, keep each window's minimum; the distinct

@@ -183,10 +183,18 @@ object PipelineQueries {
           .select("id_a", "id_b"))
     }),
 
+    // Every payload is a REAL encoded container (PNG / WAV / Y4M) and
+    // every row runs the genuine decoder — `decoded` must be all-true.
+    // Gopher-style repetition filters: per-doc top-bigram and
+    // duplicated-bigram coverage.
+    "q57_ngram_repetition" -> ((s, d) =>
+      TextAnalysis.ngramRepetition(Tables.documents(s, d), n = 2)),
+
     "q34_media_features" -> ((s, d) => {
-      val media = Multimodal.syntheticMedia(Tables.documents(s, d))
+      val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
         .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("decoded"),
           round(aggregate(col("features"), lit(0.0d),
             (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
     })
@@ -398,6 +406,26 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, n_tokens, start_offset,
         |  start_offset // 512 AS seq_idx FROM c""".stripMargin,
+
+    "q57_ngram_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tot AS (SELECT doc_id, greatest(len(t) - 1, 0) AS n_ngrams FROM d),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |  i -> t[i] || ' ' || t[i+1])) AS g FROM d WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS top_ngram_n,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_ngram_n
+        |  FROM c GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_ngrams,
+        |  coalesce(agg.top_ngram_n, 0) AS top_ngram_n,
+        |  coalesce(agg.dup_ngram_n, 0) AS dup_ngram_n,
+        |  CASE WHEN tot.n_ngrams > 0 THEN
+        |    round(coalesce(agg.top_ngram_n, 0) * 1.0 / tot.n_ngrams, 6)
+        |  ELSE 0.0 END AS top_ngram_frac,
+        |  CASE WHEN tot.n_ngrams > 0 THEN
+        |    round(coalesce(agg.dup_ngram_n, 0) * 1.0 / tot.n_ngrams, 6)
+        |  ELSE 0.0 END AS dup_ngram_frac
+        |FROM tot LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "q38_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

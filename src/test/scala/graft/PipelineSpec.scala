@@ -568,6 +568,71 @@ class PipelineSpec extends SparkSpec {
     assert(!out(2L).getBoolean(3) && !out(3L).getBoolean(3))
   }
 
+  test("ngramRepetition: planted repeats give exact fractions, short docs zero") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"),      // bigrams: ab,ba,ab,ba,ab → top 3/5, dup 5/5
+      (2L, "x y z w"),          // all distinct → top 1/3, dup 0
+      (3L, "solo")              // < n tokens → zero everything
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramRepetition(d, n = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("top_ngram_frac") == 0.6)
+    assert(r(1L).getAs[Double]("dup_ngram_frac") == 1.0)
+    assert(r(2L).getAs[Long]("top_ngram_n") == 1 &&
+      r(2L).getAs[Long]("dup_ngram_n") == 0)
+    assert(r(3L).getAs[Int]("n_ngrams") == 0 &&
+      r(3L).getAs[Double]("top_ngram_frac") == 0.0)
+  }
+
+  test("multimodal: real Y4M payloads decode to real per-frame luma stats") {
+    import spark.implicits._
+    // 2×2 C420 clip, 3 frames with constant luma 0, 51, 255:
+    // known dims/fps/frame-count and exact per-frame means 0, 0.2, 1.
+    val header = "YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val lumas = Seq(0, 51, 255)
+    val frames = lumas.flatMap { l =>
+      "FRAME\n".getBytes("US-ASCII") ++ Array.fill(4)(l.toByte) ++
+        Array.fill(2)(128.toByte)
+    }
+    val y4m = header ++ frames
+    val media = Seq(
+      (1L, "video", y4m),
+      (2L, "video", "not video".getBytes("UTF-8"))
+    ).toDF("media_id", "modality", "payload")
+    val out = Multimodal.decodeFeatures(spark, media, featDim = 7).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(3), "y4m payload should really decode")
+    val f = out(1L).getSeq[Float](4)
+    assert(f(0) == 2f && f(1) == 2f, s"dims: ${f.mkString(",")}")
+    assert(f(2) == 3f && f(3) == 30f, s"frames/fps: ${f.mkString(",")}")
+    assert(math.abs(f(4)) < 1e-6 && math.abs(f(5) - 0.2f) < 1e-3 &&
+      math.abs(f(6) - 1.0f) < 1e-6, s"frame lumas: ${f.mkString(",")}")
+    assert(!out(2L).getBoolean(3))
+    // decoding frame-sample: every frame at step 1 (33ms cadence @30fps)
+    val fs = Multimodal.frameSampleDecoded(spark, media, everyMs = 33)
+      .orderBy("frame_idx").collect()
+    assert(fs.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(math.abs(fs(1).getFloat(3) - 0.2f) < 1e-3)
+  }
+
+  test("multimodal: syntheticEncodedMedia rows ALL really decode") {
+    val media = Multimodal.syntheticEncodedMedia(docs).cache()
+    val feats = Multimodal.decodeFeatures(spark, media, featDim = 8).cache()
+    assert(feats.count() == docs.count())
+    assert(feats.filter(!col("decoded")).isEmpty,
+      "every synthetic payload must take the real codec path")
+    // decoded dims must agree with the metadata the generator recorded
+    val img = feats.filter(col("modality") === "image")
+      .select(col("media_id"), element_at(col("features"), 1).as("w"),
+        element_at(col("features"), 2).as("h"))
+      .join(media.select(col("media_id"), col("meta_width"), col("meta_height")),
+        "media_id")
+    assert(img.filter(col("w") =!= col("meta_width") ||
+      col("h") =!= col("meta_height")).isEmpty)
+    media.unpersist(); feats.unpersist()
+  }
+
   test("multimodal decode: schema, determinism, batch plumbing") {
     val media = Multimodal.syntheticMedia(docs)
     val f1 = Multimodal.decodeFeatures(spark, media, featDim = 16, batchSize = 32)
