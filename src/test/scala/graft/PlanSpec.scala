@@ -73,6 +73,33 @@ class PlanSpec extends SparkSpec {
       "fingerprints must be computed from a single documents scan")
   }
 
+  test("q54 as-of join: union+window, one shuffle, NO join operator") {
+    // The union+window as-of design must never plan a join (the naive
+    // theta-join+argmax would) and needs exactly one Exchange — the
+    // key hash partitioning the window runs on.
+    val p = plan("q54_asof_join")
+    assert(!p.contains("Join"), s"as-of must plan no joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("Exchange (hashpartitioning|SinglePartition)".r.findAllIn(p).size == 1,
+      s"as-of should shuffle exactly once (the window partitioning):\n$p")
+  }
+
+  test("q55 banded range join: equi-join on the band, no cartesian/BNLJ") {
+    // Banding must turn the pure range predicate into an equi-join on
+    // the bucket id; a regression to cross-join-plus-filter shows up as
+    // CartesianProduct or BroadcastNestedLoopJoin.
+    val p = plan("q55_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join on the band bucket:\n$p")
+  }
+
+  test("q56 IVF-PQ shortlist window plans a WindowGroupLimit") {
+    // The ADC shortlist (rn <= k·refine) must run as a group-limit —
+    // partial top-k before the shuffle — not a full per-query sort.
+    assert(plan("q56_ivfpq_topk").contains("WindowGroupLimit"))
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // "*(n)" prefixes mark whole-stage-codegen'd operators in the
     // string rendering ("WholeStageCodegen" only appears in formatted mode)
