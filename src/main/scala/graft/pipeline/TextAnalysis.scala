@@ -111,6 +111,110 @@ object TextAnalysis {
           .otherwise(0.0))
   }
 
+  /** Per-document top-k TF-IDF terms — the standard keyword/salience
+    * extraction a curation pipeline runs for topic bucketing and
+    * per-domain vocabulary audits. Smooth idf = ln((N+1)/(df+1)) + 1
+    * (the sklearn TfidfTransformer convention), score = tf · idf, and
+    * each document keeps its k highest-scoring terms.
+    *
+    * Shape: explode tokens → count by (doc, term) → term docFreq by
+    * (term) → per-doc top-k window. Both aggregations partial-combine
+    * map-side; the window partitions by doc_id, so no key ever exceeds
+    * one document's vocabulary — every stage is shuffle-bounded by its
+    * natural key at any corpus size. N comes from one count job (a
+    * parquet metadata read), never a count().over() single-partition
+    * window.
+    *
+    * The OUTPUT is integer/string-only (doc_id, term, tf, df, rank):
+    * the double score exists only inside the window's ORDER BY, where
+    * cross-engine FP agreement is needed only up to ordering — distinct
+    * (tf, df) pairs produce scores separated by far more than an ulp,
+    * and equal (tf, df) pairs produce bit-equal scores broken by the
+    * term tiebreak — so the result hash-matches DuckDB (q59) without
+    * shipping doubles. */
+  def tfidfTopK(df: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val tf = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = col("tf") *
+      (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)
+    tf.join(docFreq, Seq("term"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(score.desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
+  /** Character-level Shannon entropy per document (bits/char) — the
+    * classic cheap degenerate-text detector: base64 blobs and
+    * one-char spam sit far from natural language's ~4 bits.
+    *
+    * Computed entirely with higher-order functions on the char array
+    * (distinct chars → per-char counts → H = log2 n − Σ c·log2 c / n),
+    * so it is a pure NARROW map — no explode, no shuffle: a scan at
+    * 100 TB, like [[winnowFingerprints]]. Per-doc cost is
+    * O(|alphabet|·len); the alphabet is bounded, the corpus is not —
+    * the right side of that trade. Each array materializes as an
+    * attribute before the next lambda consumes it (the per-element
+    * re-evaluation trap documented on winnowFingerprints).
+    *
+    * Rounded to 6dp: the sum over ≤|alphabet| well-scaled terms agrees
+    * with DuckDB's entropy() aggregate to ~1 ulp regardless of
+    * summation order, and transcendental values never sit on decimal
+    * rounding midpoints (the qualityScore .5-midpoint class).
+    *
+    * Returns (idCol, distinct_chars, entropy). */
+  def charEntropy(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val chars = df.select(col(idCol),
+      filter(split(col(textCol), ""), c => length(c) > 0).as("_cs"))
+    val staged = chars
+      .withColumn("_d", array_distinct(col("_cs")))
+      .withColumn("_n", size(col("_cs")).cast("double"))
+      .withColumn("_cnts", transform(col("_d"),
+        c => size(filter(col("_cs"), x => x === c)).cast("double")))
+    staged.select(col(idCol),
+      size(col("_d")).as("distinct_chars"),
+      when(col("_n") <= 0.0, lit(0.0)).otherwise(round(
+        log2(col("_n")) - aggregate(col("_cnts"), lit(0.0),
+          (acc, c) => acc + c * log2(c)) / col("_n"), 6)).as("entropy"))
+  }
+
+  /** Per-source lexical statistics — the corpus-level audit table a
+    * data curator reads before training: document and token counts,
+    * vocabulary size, hapax legomena (terms occurring exactly once in
+    * the source — the Zipf tail whose share predicts OOV rates), and
+    * type-token ratio.
+    *
+    * Shape: explode tokens → (source, term) counts → one per-source
+    * aggregate, joined to a per-source doc count. Both shuffles key on
+    * (source[, term]) with full map-side partial aggregation; the only
+    * double is one division of two exact longs, bit-identical in any
+    * engine. */
+  def lexicalStats(df: DataFrame, srcCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val termCounts = df
+      .select(col(srcCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(srcCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val perSource = termCounts.groupBy(col(srcCol)).agg(
+      sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+    df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+      .join(perSource, Seq(srcCol))
+      .withColumn("ttr",
+        round(col("vocab") / col("n_tokens").cast("double"), 6))
+  }
+
   /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003,
     * the MOSS algorithm): hash every k-token shingle, slide a window of
     * w consecutive hashes, keep each window's minimum; the distinct
@@ -293,6 +397,55 @@ object TextAnalysis {
         StructField("start_offset", LongType, nullable = false),
         StructField("seq_idx", LongType, nullable = false)))
       val out = spark.createDataFrame(packed, schema).persist()
+      out.count()
+      out
+    } finally rdd.unpersist(blocking = false)
+  }
+
+  /** Deterministic corpus shuffle + training-shard assignment: rows are
+    * globally ordered by `md5(seed || id)` (a replayable, engine-
+    * neutral permutation — same convention as [[deterministicSample]]),
+    * given their 0-based position in that order, and dealt round-robin
+    * into `nShards` shards — so shard sizes differ by at most one and
+    * every shard is an unbiased sample of the corpus, which is exactly
+    * what a 1000-node training job wants from its input shards.
+    *
+    * The global position is the same range-partitioned prefix sum as
+    * [[packSequences]] (range-partition by the hash, sort within
+    * partitions, per-partition counts to the driver, offsets broadcast
+    * back) — never a single-task window sort, so the assignment
+    * distributes at any corpus size. Returned persisted; callers may
+    * unpersist. */
+  def shuffleShards(df: DataFrame, nShards: Int, seed: Long = 42,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val t = df.select(col(idCol).cast("long").as("id"),
+        md5(concat(lit(s"$seed:"), col(idCol).cast("string"))).as("h"))
+      .repartitionByRange(parts, col("h"), col("id"))
+      .sortWithinPartitions("h", "id")
+    val rdd = t.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partCounts = rdd.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.size.toLong))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partCounts.scanLeft(0L)(_ + _)
+      val assigned = rdd.mapPartitionsWithIndex { (i, it) =>
+        var pos = offsets(i)
+        it.map { r =>
+          val row = org.apache.spark.sql.Row(r.getLong(0), pos, pos % nShards)
+          pos += 1
+          row
+        }
+      }
+      val schema = StructType(Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField("pos", LongType, nullable = false),
+        StructField("shard", LongType, nullable = false)))
+      val out = spark.createDataFrame(assigned, schema).persist()
       out.count()
       out
     } finally rdd.unpersist(blocking = false)

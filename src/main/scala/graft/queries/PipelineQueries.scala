@@ -190,6 +190,26 @@ object PipelineQueries {
     "q57_ngram_repetition" -> ((s, d) =>
       TextAnalysis.ngramRepetition(Tables.documents(s, d), n = 2)),
 
+    // Deterministic corpus shuffle + round-robin shard assignment —
+    // the md5 permutation makes the training order itself replayable
+    // AND oracle-checkable.
+    "q58_shuffle_shards" -> ((s, d) =>
+      TextAnalysis.shuffleShards(Tables.documents(s, d), nShards = 8)),
+
+    // Keyword extraction: per-doc top-5 TF-IDF terms. Integer/string
+    // output only; the double score lives solely in the window ORDER BY.
+    "q59_tfidf_topk" -> ((s, d) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, d), k = 5)),
+
+    // Degenerate-text detector: char-level Shannon entropy, a pure
+    // narrow map (no shuffle) — a scan at 100 TB.
+    "q60_char_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d))),
+
+    // Corpus audit: per-source docs/tokens/vocab/hapax/type-token ratio.
+    "q61_lexical_stats" -> ((s, d) =>
+      TextAnalysis.lexicalStats(Tables.documents(s, d))),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -406,6 +426,47 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, n_tokens, start_offset,
         |  start_offset // 512 AS seq_idx FROM c""".stripMargin,
+
+    "q58_shuffle_shards" ->
+      """WITH o AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+        |    doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos, pos % 8 AS shard FROM o""".stripMargin,
+
+    "q59_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1) AS score
+        |  FROM tf, dfq, n WHERE tf.term = dfq.term),
+        |r AS (SELECT doc_id, term, tf, df, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q60_char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents)
+        |SELECT doc_id, count(DISTINCT ch) AS distinct_chars,
+        |  round(entropy(ch), 6) AS entropy
+        |FROM c WHERE ch <> '' GROUP BY 1""".stripMargin,
+
+    "q61_lexical_stats" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, count(*) AS cnt FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |ps AS (SELECT source, sum(cnt) AS n_tokens, count(*) AS vocab,
+        |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax
+        |  FROM tc GROUP BY 1),
+        |docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT docs.source, docs.n_docs, ps.n_tokens, ps.vocab, ps.hapax,
+        |  round(ps.vocab * 1.0 / ps.n_tokens, 6) AS ttr
+        |FROM docs JOIN ps USING (source)""".stripMargin,
 
     "q57_ngram_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

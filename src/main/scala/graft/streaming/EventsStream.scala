@@ -143,6 +143,41 @@ object EventsStream {
       }.toDF()
   }
 
+  /** Event-time interval join: purchases within `[0, windowMin)`
+    * minutes AFTER each error — the streaming form of
+    * `queries/Temporal.rangeJoinBanded` (q55's pair stage), and the
+    * place where the banding design becomes LOAD-BEARING: Structured
+    * Streaming refuses stream-stream joins without an equality
+    * predicate (state matching must hash somewhere), so the band
+    * bucket is not merely an optimization here — it is what makes the
+    * interval join expressible at all. Each purchase keys to its
+    * window-sized time cell, each error probes its ≤2 overlapping
+    * cells, the residual range condition filters band-local pairs, and
+    * the both-side watermarks + time bounds let Spark evict join state
+    * the watermark has passed — state stays O(window), not O(stream).
+    *
+    * One transform serves batch and stream (watermarks are no-ops in
+    * batch, where this plans as a plain equi-join on the cell id). */
+  def errorPurchaseJoin(events: DataFrame, windowMin: Int = 10): DataFrame = {
+    val bandUs = windowMin * 60L * 1000000L
+    val e = normalizeTs(events)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+      .withColumn("band", explode(array(
+        floor(unix_micros(col("err_ts")) / bandUs),
+        floor(unix_micros(col("err_ts")) / bandUs) + 1)))
+      .withWatermark("err_ts", "2 hours")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"), col("value"))
+      .withColumn("band", floor(unix_micros(col("p_ts")) / bandUs))
+      .withWatermark("p_ts", "2 hours")
+    errors.join(purchases, Seq("band"))
+      .filter(expr(s"p_ts >= err_ts AND p_ts < err_ts + interval $windowMin minutes"))
+      .select(col("err_id"), col("p_id"),
+        unix_micros(col("err_ts")).as("err_us"),
+        unix_micros(col("p_ts")).as("p_us"), col("value"))
+  }
+
   /** Batch entry: read the parquet and aggregate. */
   def batch(spark: SparkSession, dir: String): DataFrame =
     hourlyAgg(spark.read.parquet(s"$dir/events.parquet"))

@@ -585,6 +585,93 @@ class PipelineSpec extends SparkSpec {
       r(3L).getAs[Double]("top_ngram_frac") == 0.0)
   }
 
+  test("shuffleShards: permutation positions, balanced shards, topology-invariant") {
+    val n = docs.count()
+    val s1 = TextAnalysis.shuffleShards(docs, nShards = 8).cache()
+    // pos is exactly 0..n-1
+    assert(s1.count() == n)
+    assert(s1.agg(min("pos"), max("pos")).collect()(0).toSeq == Seq(0L, n - 1))
+    assert(s1.select("pos").distinct().count() == n)
+    // round-robin deal → shard sizes differ by at most one
+    val sizes = s1.groupBy("shard").count().select("count")
+      .collect().map(_.getLong(0))
+    assert(sizes.length == 8 && sizes.max - sizes.min <= 1)
+    // the assignment is a pure function of ids — any input partitioning
+    // (and any shuffle-partition count) produces identical rows
+    val s2 = TextAnalysis.shuffleShards(docs.repartition(13), nShards = 8)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // and it matches the single-partition window formulation
+    val naive = docs.select(col("doc_id"),
+        md5(concat(lit("42:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("h", "doc_id")) - 1)
+      .select(col("doc_id"), col("pos"), (col("pos") % 8).as("shard"))
+    assert(s1.exceptAll(naive).isEmpty && naive.exceptAll(s1).isEmpty)
+    s1.unpersist()
+  }
+
+  test("tfidfTopK: hand-computed ranks, rare beats common at equal tf") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "rare common deux"),
+      (2L, "common deux"),
+      (3L, "common other"),
+      (4L, "common common")
+    ).toDF("doc_id", "text")
+    // N=4. df: common=4, deux=2, rare=1, other=1.
+    // idf(+1 smooth): rare ln(5/2)+1=1.9163 > deux ln(5/3)+1=1.5108 >
+    //                 common ln(5/5)+1=1.0
+    val r = TextAnalysis.tfidfTopK(d, k = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(4)) -> (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1: rare (1·1.92) beats deux (1·1.51) beats common (1·1.0)
+    assert(r((1L, 1)) == ("rare", 1L, 1L) && r((1L, 2)) == ("deux", 1L, 2L))
+    // doc 4: tf=2 common only term; k cap → single row
+    assert(r((4L, 1)) == ("common", 2L, 4L) && !r.contains((4L, 2)))
+    // doc 3: other (df=1) outranks common
+    assert(r((3L, 1))._1 == "other" && r((3L, 2))._1 == "common")
+    // every doc emits at most k rows, ranks are 1-based dense
+    assert(r.keys.groupBy(_._1).values.forall(ks =>
+      ks.map(_._2).toSeq.sorted == (1 to ks.size)))
+  }
+
+  test("charEntropy: closed forms; narrow no-shuffle plan") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aabb"), (2L, "abcd"), (3L, "aaaa"), (4L, "aab")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d)
+    val r = out.collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) == 2 && r(1L).getDouble(2) == 1.0)
+    assert(r(2L).getInt(1) == 4 && r(2L).getDouble(2) == 2.0)
+    assert(r(3L).getInt(1) == 1 && r(3L).getDouble(2) == 0.0)
+    // H("aab") = -(2/3·log2(2/3) + 1/3·log2(1/3)) = 0.918296 (6dp)
+    assert(r(4L).getDouble(2) == 0.918296)
+    // pure narrow map: the plan must contain no shuffle at all
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"charEntropy plan shuffles:\n$plan")
+  }
+
+  test("lexicalStats: hand-computed per-source table") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a", "s1"), (2L, "b c", "s1"), (3L, "x x x x", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lexicalStats(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // s1: 5 tokens, vocab {a,b,c}, hapax {c}, ttr 3/5
+    assert(r("s1").getAs[Long]("n_docs") == 2 &&
+      r("s1").getAs[Long]("n_tokens") == 5 &&
+      r("s1").getAs[Long]("vocab") == 3 &&
+      r("s1").getAs[Long]("hapax") == 1 &&
+      r("s1").getAs[Double]("ttr") == 0.6)
+    // s2: one doc, one term repeated 4× → vocab 1, hapax 0, ttr 0.25
+    assert(r("s2").getAs[Long]("n_docs") == 1 &&
+      r("s2").getAs[Long]("n_tokens") == 4 &&
+      r("s2").getAs[Long]("vocab") == 1 &&
+      r("s2").getAs[Long]("hapax") == 0 &&
+      r("s2").getAs[Double]("ttr") == 0.25)
+  }
+
   test("multimodal: real Y4M payloads decode to real per-frame luma stats") {
     import spark.implicits._
     // 2×2 C420 clip, 3 frames with constant luma 0, 51, 255:
@@ -720,6 +807,47 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.exceptAll(batchExpected).isEmpty &&
       batchExpected.exceptAll(streamed).isEmpty)
     batchExpected.unpersist()
+  }
+
+  test("stream-stream interval join equals batch and the banded range join") {
+    import graft.queries.Temporal
+    val ev = Tables.events(spark, sf)
+    // the one transform, run as a plain batch plan
+    val batch = EventsStream.errorPurchaseJoin(
+      spark.read.parquet(s"$sf/events.parquet")).cache()
+    assert(batch.count() > 0)
+    // it must agree with the banded batch operator on the pair set
+    val banded = Temporal.rangeJoinBanded(
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts")),
+        "ts", "ts", 0L, 600000000L)
+      .select("err_id", "r_p_id")
+    val bp = batch.select(col("err_id"), col("p_id"))
+    assert(bp.exceptAll(banded.toDF("err_id", "p_id")).isEmpty &&
+      banded.toDF("err_id", "p_id").exceptAll(bp).isEmpty)
+    // streamed in two time-split micro-batches: matches that straddle
+    // the file boundary exercise the buffered join state
+    val tmp = java.nio.file.Files.createTempDirectory("sj_stream").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val medianNs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts") <= medianNs).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = EventsStream.errorPurchaseJoin(
+      spark.readStream.schema(EventsStream.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"))
+    val q = stream.writeStream.format("memory").queryName("sj_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    raw.filter(col("ts") > medianNs).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sj_test")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+    batch.unpersist()
   }
 
   test("streaming dedup-on-ingest keeps the first copy, drops in-window dups") {
