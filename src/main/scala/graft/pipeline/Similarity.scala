@@ -552,4 +552,149 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup-style semantic near-duplicate PAIRS (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means partition the embedding space, then
+    * search for near-duplicates ONLY within each cluster — the scale
+    * answer to [[cosinePairs]]'s Θ(n²·d) contract. K clusters turn one
+    * n² problem into K independent (n/K)² problems: total compute
+    * drops by ~K, and the paper's observation is that true semantic
+    * duplicates land in the same cluster at the thresholds that matter
+    * (they are near-identical vectors), so within-cluster recall stays
+    * ≈1 while cross-cluster pairs — overwhelmingly non-duplicates —
+    * are never scored. Grows K with n (the paper uses 50k clusters at
+    * 5B docs) and per-task work stays constant.
+    *
+    * Mechanics: the coarse quantizer is the same driver-trained seeded
+    * k-means as [[ivfTopK]] (deterministic hash-ordered sample, unit-
+    * normalized vectors so L2 order ≡ cosine order); assignment is one
+    * narrow typed pass; pairs come from a self-equi-join ON THE CLUSTER
+    * ID (shuffle keys are (cluster), both sides co-partitioned, residual
+    * `id_a < id_b` + exact [[cosineFixed]] threshold inside the join) —
+    * Catalyst plans a plain shuffled equi-join, never a cartesian.
+    *
+    * Skew valve (default ON, the posting-list-join lesson): cluster
+    * sizes are checked by one ≤K-row aggregate before the join; any
+    * cluster above `maxClusterSize` fails LOUDLY with the observed size
+    * and a pointer to raise K — never a silent quadratic on a
+    * degenerate clustering.
+    *
+    * Emits (id_a, id_b, cos, cluster); cos is exact and bit-matches
+    * [[cosinePairsBrute]] on every within-cluster pair. */
+  def semDedupPairs(spark: SparkSession, vectors: DataFrame,
+                    threshold: Double, nClusters: Int = 16, seed: Long = 42,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    dim: Int = 64, trainCap: Int = 20000,
+                    maxClusterSize: Long = 2000000L): DataFrame = {
+    import spark.implicits._
+    val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    def unit(v: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s) + 1e-12
+      Array.tabulate(dim)(j => v(j) / n)
+    }
+    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainCap).as[(Long, Array[Float])].collect().map(t => unit(t._2))
+    val centers = lloydKMeans(train, nClusters, seed)
+    val bc = spark.sparkContext.broadcast(centers)
+    val assigned = src.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val u = unit(v)
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = u(i) - cs(c)(i); s += d * d; i += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        (id, v, best)
+      }
+      .toDF("id", "v", "cluster")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .agg(max(col("sz"))).head().getLong(0)
+      require(sizes <= maxClusterSize,
+        s"semDedupPairs: largest cluster holds $sizes vectors (> " +
+          s"maxClusterSize=$maxClusterSize) — the within-cluster join " +
+          s"would be quadratic in that cluster. Raise nClusters " +
+          s"(currently $nClusters; SemDeDup scales K with n) or raise " +
+          "maxClusterSize explicitly to accept the cost.")
+      val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+      val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+      val out = a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", round(cosineFixed(dim, col("va"), col("vb")), 6))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cos"), col("cluster"))
+      out.count() // materialize before unpersisting the assignment
+      out
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  /** Full SemDeDup keep/drop decision: [[semDedupPairs]] → connected
+    * components ([[graft.pipeline.Dedup.dupClusters]]'s guarded
+    * union-find/GraphX route) → one survivor per duplicate group.
+    *
+    * Survivor rule: the paper keeps, within each duplicate group, the
+    * example with the LOWEST cosine similarity to its cluster centroid
+    * (the least-redundant representative — random and max-similarity
+    * choices score slightly worse in their ablation, §A.2). cos(v,
+    * centroid) is recomputed in one narrow pass against the broadcast
+    * centers; ties break on min id, so the decision is deterministic.
+    *
+    * Returns every input row: (vec_id, group_id, centroid_cos, keep). */
+  def semDedup(spark: SparkSession, vectors: DataFrame, threshold: Double,
+               nClusters: Int = 16, seed: Long = 42,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               dim: Int = 64, trainCap: Int = 20000): DataFrame = {
+    import spark.implicits._
+    val pairs = semDedupPairs(spark, vectors, threshold, nClusters, seed,
+      idCol, vecCol, dim, trainCap)
+    val groups = graft.pipeline.Dedup.dupClusters(spark, pairs)
+      .select(col("doc_id").as("id"), col("keep_id").as("group_id"))
+    val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    def unit(v: Array[Float]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s) + 1e-12
+      Array.tabulate(dim)(j => v(j) / n)
+    }
+    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainCap).as[(Long, Array[Float])].collect().map(t => unit(t._2))
+    val centers = lloydKMeans(train, nClusters, seed)
+    val bc = spark.sparkContext.broadcast(centers)
+    val withCos = src.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val u = unit(v)
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = u(i) - cs(c)(i); s += d * d; i += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        // cos(v, centroid) over the unit vector and the (non-unit)
+        // centroid, same double convention as cosineFixed
+        var dot = 0.0; var nc = 0.0; var i = 0
+        while (i < dim) {
+          dot += u(i) * cs(best)(i); nc += cs(best)(i) * cs(best)(i); i += 1
+        }
+        (id, dot / (math.sqrt(nc) + 1e-12))
+      }
+      .toDF("id", "centroid_cos")
+    import org.apache.spark.sql.expressions.Window
+    val labeled = withCos
+      .join(groups, Seq("id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("id")))
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("centroid_cos").asc, col("id").asc)
+    labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("id").as(idCol), col("group_id"),
+        round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))
+  }
 }

@@ -353,6 +353,57 @@ object TextAnalysis {
     df.filter(md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))) < thr)
   }
 
+  /** Training-mix construction: sample each source down to a per-source
+    * TOKEN budget — the step that turns a raw corpus plus a mixture
+    * spec ("50M tokens of web, 30M of code, …") into the actual
+    * pretraining mix. Per-source keep rate = min(1, budget/tokens) over
+    * the source's total whitespace-token count (the [[packSequences]]
+    * counting convention); document selection is the same
+    * md5-hex-threshold Bernoulli as [[deterministicSample]], so the mix
+    * replays identically on any cluster topology AND is
+    * oracle-expressible. Sources absent from `budgets` are dropped —
+    * a mixture spec is exhaustive by definition.
+    *
+    * Expected kept tokens per source ≈ budget (Bernoulli at doc
+    * granularity; exact-cut packing is [[packSequences]]'s job
+    * downstream). Shape: one tiny per-source aggregate (≤|sources|
+    * rows, broadcast back) + a narrow filter — the corpus itself is
+    * never shuffled, so this is a scan at 100 TB.
+    *
+    * The data-dependent rate forces the hex threshold to be computed
+    * IN-PLAN (vs [[hexThreshold]]'s literal): both engines compute
+    * rate from the same two longs (IEEE-identical division), floor to
+    * the same 8-hex-digit threshold, and compare against the same md5
+    * — bit-for-bit reproducible across Spark and DuckDB.
+    *
+    * Returns kept rows: (idCol, srcCol, n_tokens, rate). */
+  def mixtureSample(df: DataFrame, budgets: Map[String, Long],
+                    seed: Long = 42, srcCol: String = "source",
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(budgets.nonEmpty, "mixtureSample needs a non-empty mixture spec")
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val toks = df.select(col(idCol), col(srcCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(col(srcCol) === s, lit(b)).otherwise(acc)
+    }
+    val totals = toks.groupBy(col(srcCol))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("budget", budgetCol)
+      .filter(col("budget").isNotNull)
+      .withColumn("rate", least(lit(1.0),
+        col("budget").cast("double") / col("src_tokens").cast("double")))
+      .withColumn("thr", when(col("rate") >= 1.0, lit("g"))
+        .otherwise(lower(lpad(hex(
+          floor(col("rate") * 4294967296.0).cast("long")), 8, "0"))))
+      .select(col(srcCol), col("rate"), col("thr"))
+    toks.join(broadcast(totals), Seq(srcCol))
+      .filter(md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+        < col("thr"))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("rate"))
+  }
+
   /** Sequence packing index (the GPT/T5 pretraining concatenate-and-
     * slice layout): documents in `idCol` order are laid end to end in
     * one global token stream; each gets its start offset and the

@@ -210,6 +210,31 @@ object PipelineQueries {
     "q61_lexical_stats" -> ((s, d) =>
       TextAnalysis.lexicalStats(Tables.documents(s, d))),
 
+    // SemDeDup (arXiv:2303.09540): k-means-bounded semantic dedup —
+    // within-cluster exact pairs → CC → keep the least-redundant doc
+    // per duplicate group. Recall measured against the unclustered
+    // brute pair set at the same threshold (the cost SemDeDup pays for
+    // turning Θ(n²) into K·Θ((n/K)²) is exactly cross-cluster pairs).
+    "q62_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dec = Similarity.semDedup(s, e, threshold = 0.35, nClusters = 8)
+        .cache()
+      val bruteN = Similarity.cosinePairsBrute(e, threshold = 0.35).count()
+      val semN = Similarity.semDedupPairs(s, e, threshold = 0.35,
+        nClusters = 8).count()
+      val recall = if (bruteN == 0) 1.0 else semN.toDouble / bruteN
+      dec.withColumn("recall_vs_brute", round(lit(recall), 4))
+        .orderBy("vec_id")
+    }),
+
+    // Training-mix construction: per-source token budgets → replayable
+    // md5 Bernoulli rates computed in-plan (oracle-checkable even
+    // though the rates are data-dependent).
+    "q63_mixture_sample" -> ((s, d) =>
+      TextAnalysis.mixtureSample(Tables.documents(s, d),
+        budgets = Map("src0" -> 700L, "src1" -> 3000L,
+          "src2" -> 400L, "src3" -> 900L))),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -467,6 +492,24 @@ object PipelineQueries {
         |SELECT docs.source, docs.n_docs, ps.n_tokens, ps.vocab, ps.hapax,
         |  round(ps.vocab * 1.0 / ps.n_tokens, 6) AS ttr
         |FROM docs JOIN ps USING (source)""".stripMargin,
+
+    "q63_mixture_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b(source, budget) AS (VALUES ('src0', 700), ('src1', 3000),
+        |  ('src2', 400), ('src3', 900)),
+        |s AS (SELECT source, sum(n_tokens) AS src_tokens FROM t GROUP BY 1),
+        |r AS (SELECT b.source,
+        |  least(1.0, CAST(b.budget AS DOUBLE) / CAST(s.src_tokens AS DOUBLE))
+        |    AS rate
+        |  FROM b JOIN s USING (source)),
+        |rt AS (SELECT source, rate, CASE WHEN rate >= 1.0 THEN 'g'
+        |  ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
+        |  END AS thr FROM r)
+        |SELECT t.doc_id, t.source, t.n_tokens, rt.rate
+        |FROM t JOIN rt USING (source)
+        |WHERE md5('42:' || CAST(t.doc_id AS VARCHAR)) < rt.thr""".stripMargin,
 
     "q57_ngram_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

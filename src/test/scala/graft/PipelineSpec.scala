@@ -371,6 +371,80 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.exceptAll(brute).isEmpty && brute.exceptAll(lsh).isEmpty)
   }
 
+  test("semDedupPairs: K=1 ≡ brute bit-for-bit; planted pair survives K>1") {
+    val e = smallDimVecs
+    val one = Similarity.semDedupPairs(spark, e, threshold = 0.35,
+      nClusters = 1, dim = 16).drop("cluster")
+    val brute = Similarity.cosinePairsBrute(e, threshold = 0.35, dim = 16)
+    assert(brute.count() > 0)
+    assert(one.exceptAll(brute).isEmpty && brute.exceptAll(one).isEmpty)
+    // near-identical vectors quantize to the same cell at any K — the
+    // SemDeDup premise — so the planted pair is found under clustering
+    val k4 = Similarity.semDedupPairs(spark, e, threshold = 0.9,
+      nClusters = 4, dim = 16)
+    assert(k4.filter(col("id_a") === 900 && col("id_b") === 901).count() == 1)
+  }
+
+  test("semDedupPairs skew valve: oversized cluster fails loudly") {
+    val e = smallDimVecs
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDedupPairs(spark, e, threshold = 0.9, nClusters = 2,
+        dim = 16, maxClusterSize = 10)
+    }
+    assert(ex.getMessage.contains("nClusters"))
+  }
+
+  test("semDedup: one survivor per group, least-central kept, all rows returned") {
+    val e = smallDimVecs
+    val dec = Similarity.semDedup(spark, e, threshold = 0.9, nClusters = 4,
+      dim = 16).cache()
+    assert(dec.count() == e.count())
+    // exactly one keep per duplicate group (incl. every singleton)
+    assert(dec.groupBy("group_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    // the planted pair forms one group; the kept member is the one
+    // LESS similar to its centroid (paper §A.2), ties to min id
+    val g = dec.filter(col("vec_id").isin(900L, 901L)).collect()
+    assert(g.map(_.getAs[Long]("group_id")).distinct.length == 1)
+    val kept = g.filter(_.getAs[Boolean]("keep"))
+    val dropped = g.filter(r => !r.getAs[Boolean]("keep"))
+    assert(kept.length == 1 && dropped.length == 1)
+    assert(kept(0).getAs[Double]("centroid_cos")
+      <= dropped(0).getAs[Double]("centroid_cos"))
+    dec.unpersist()
+  }
+
+  test("mixtureSample: in-plan thresholds ≡ deterministicSample, clamp, drops") {
+    import spark.implicits._
+    val d = ((0 until 40).map(i => (i.toLong, "a b c d", "s1")) ++
+      (100 until 105).map(i => (i.toLong, "x y", "s2")) ++
+      (200 until 210).map(i => (i.toLong, "p q r", "s3")) ++
+      (300 until 305).map(i => (i.toLong, "m n", "s4")))
+      .toDF("doc_id", "text", "source")
+    // s1: 160 tokens, budget 80 → rate exactly 0.5; s2 clamps to 1.0;
+    // s3 absent from the spec → dropped; s4 budget 0 → rate 0.
+    val out = TextAnalysis.mixtureSample(d,
+      budgets = Map("s1" -> 80L, "s2" -> 10000L, "s4" -> 0L)).cache()
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("s3") && !bySrc.contains("s4"))
+    assert(bySrc("s2") == 5) // clamp keeps every doc
+    // the in-plan hex threshold must reproduce hexThreshold(0.5) exactly:
+    // kept s1 docs == deterministicSample at p=0.5 on the same keys
+    val expected = TextAnalysis.deterministicSample(
+      d.filter(col("source") === "s1"), "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = out.filter(col("source") === "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty && got.size < 40)
+    // rate column carries the exact division
+    val rates = out.select("source", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("s1") == 0.5 && rates("s2") == 1.0)
+    out.unpersist()
+  }
+
   test("approximate queries q27/q30/q41 surface recall_vs_brute above floors") {
     val qs = graft.queries.PipelineQueries.queries
     def recallOf(name: String): Double = {
