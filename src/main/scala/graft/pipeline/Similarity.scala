@@ -645,14 +645,20 @@ object Similarity {
     * centroid) is recomputed in one narrow pass against the broadcast
     * centers; ties break on min id, so the decision is deterministic.
     *
+    * Callers that already materialized [[semDedupPairs]] (e.g. to
+    * measure recall) pass it via `precomputedPairs` so the
+    * within-cluster scoring join runs once, not twice.
+    *
     * Returns every input row: (vec_id, group_id, centroid_cos, keep). */
   def semDedup(spark: SparkSession, vectors: DataFrame, threshold: Double,
                nClusters: Int = 16, seed: Long = 42,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               dim: Int = 64, trainCap: Int = 20000): DataFrame = {
+               dim: Int = 64, trainCap: Int = 20000,
+               precomputedPairs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val pairs = semDedupPairs(spark, vectors, threshold, nClusters, seed,
-      idCol, vecCol, dim, trainCap)
+    val pairs = precomputedPairs.getOrElse(
+      semDedupPairs(spark, vectors, threshold, nClusters, seed,
+        idCol, vecCol, dim, trainCap))
     val groups = graft.pipeline.Dedup.dupClusters(spark, pairs)
       .select(col("doc_id").as("id"), col("keep_id").as("group_id"))
     val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))

@@ -353,6 +353,99 @@ object TextAnalysis {
     df.filter(md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))) < thr)
   }
 
+  /** Unigram language-model quality score: each document's average
+    * negative log-likelihood under the CORPUS unigram distribution —
+    * the shape of CCNet's LM-perplexity filter (Wenzek et al. 2019)
+    * with the corpus itself as the model. Documents full of rare terms
+    * (boilerplate ids, base64, other-language text) score high;
+    * middle-of-the-distribution prose scores low; filtering the tails
+    * of avg_nll is the standard quality cut.
+    *
+    * Shape: (doc,term) counts → global term frequencies (a (term)-keyed
+    * aggregate joined back on term) → one per-doc weighted sum. The
+    * corpus total is a scalar broadcast. All shuffles key on term or
+    * doc with map-side partials — no stage sees more than the
+    * vocabulary or one document's terms.
+    *
+    * avg_nll sums ≤|doc vocab| ln-terms of O(1) magnitude: engine
+    * summation orders agree to ~1e-12 relative, and transcendental
+    * sums never sit on 6dp rounding midpoints (the charEntropy
+    * argument), so round(,6) is oracle-stable.
+    *
+    * Returns (idCol, n_tokens, avg_nll). */
+  def unigramLogLik(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val gf = tf.groupBy("term").agg(sum(col("c")).as("g"))
+    val total = gf.agg(sum(col("g")).as("t"))
+    tf.join(gf, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(-sum(col("c") * log(col("g") / col("t"))) / sum(col("c")), 6)
+          .as("avg_nll"))
+  }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how target-like its
+    * hashed n-gram distribution is — log w(x) = Σ_grams ln p̂_target[b]
+    * − ln p̂_raw[b] over add-α-smoothed multinomials on `buckets` hash
+    * buckets. Resampling raw data by these weights is the paper's
+    * data-selection method (their hashed-ngram DSIR beats heuristic
+    * filters at domain targeting); the weight itself is the reusable
+    * primitive, selection is a top-k/threshold downstream.
+    *
+    * Grams are unigrams + bigrams over whitespace tokens (the paper's
+    * feature set); the bucket is the first 8 hex digits of md5(gram)
+    * mod `buckets` — engine-neutral, so the weights are replayable AND
+    * oracle-checkable. Both fitted distributions are ≤`buckets`-row
+    * aggregates broadcast back; per-doc scoring shuffles on
+    * (doc, bucket) then (doc), both with map-side partials — nothing
+    * scales beyond the corpus token count.
+    *
+    * `targetPred` marks the in-corpus target slice (e.g. a trusted
+    * source). Returns (idCol, n_grams, log_weight 6dp) for EVERY doc,
+    * target rows included (the paper resamples raw only; callers
+    * filter). */
+  def dsirWeights(df: DataFrame, targetPred: Column, buckets: Int = 1024,
+                  alpha: Double = 1.0, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && alpha > 0.0, "buckets and alpha must be positive")
+    val toks = df.select(col(idCol), targetPred.as("is_target"),
+      filter(split(col(textCol), " "), t => length(t) > 0).as("ts"))
+    // bigrams: zip ts with its 1-shift (slice length must be a bounded
+    // column — a huge int literal overflows start+length and silently
+    // yields an empty slice); zip_with pads the short side with null,
+    // so slice the zipped array back to size-1 entries
+    val grams = toks.select(col(idCol), col("is_target"),
+        explode(concat(col("ts"),
+          slice(zip_with(col("ts"), slice(col("ts"), lit(2), size(col("ts"))),
+              (a, b) => concat_ws(" ", a, b)),
+            lit(1), greatest(size(col("ts")) - 1, lit(0))))).as("gram"))
+    val bucketed = grams.withColumn("b",
+      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
+    val docBuckets = bucketed.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"),
+        max(col("is_target").cast("int")).as("_t"))
+    // fitted multinomials: raw = ALL grams, target = target-slice grams
+    val dist = bucketed.groupBy("b").agg(
+      count(lit(1)).as("r"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"))
+    val totals = dist.agg(sum(col("r")).as("sum_r"), sum(col("t")).as("sum_t"))
+    val scored = dist.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("t") + alpha) / (col("sum_t") + alpha * buckets)) -
+         log((col("r") + alpha) / (col("sum_r") + alpha * buckets))).as("llr"))
+    docBuckets.join(broadcast(scored), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"),
+        round(sum(col("c") * col("llr")), 6).as("log_weight"))
+  }
+
   /** Training-mix construction: sample each source down to a per-source
     * TOKEN budget — the step that turns a raw corpus plus a mixture
     * spec ("50M tokens of web, 30M of code, …") into the actual

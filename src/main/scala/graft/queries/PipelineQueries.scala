@@ -217,11 +217,12 @@ object PipelineQueries {
     // turning Θ(n²) into K·Θ((n/K)²) is exactly cross-cluster pairs).
     "q62_semdedup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dec = Similarity.semDedup(s, e, threshold = 0.35, nClusters = 8)
-        .cache()
+      val pairs = Similarity.semDedupPairs(s, e, threshold = 0.35,
+        nClusters = 8).cache()
+      val dec = Similarity.semDedup(s, e, threshold = 0.35, nClusters = 8,
+        precomputedPairs = Some(pairs))
       val bruteN = Similarity.cosinePairsBrute(e, threshold = 0.35).count()
-      val semN = Similarity.semDedupPairs(s, e, threshold = 0.35,
-        nClusters = 8).count()
+      val semN = pairs.count()
       val recall = if (bruteN == 0) 1.0 else semN.toDouble / bruteN
       dec.withColumn("recall_vs_brute", round(lit(recall), 4))
         .orderBy("vec_id")
@@ -234,6 +235,17 @@ object PipelineQueries {
       TextAnalysis.mixtureSample(Tables.documents(s, d),
         budgets = Map("src0" -> 700L, "src1" -> 3000L,
           "src2" -> 400L, "src3" -> 900L))),
+
+    // CCNet-shaped LM quality score: per-doc avg negative log-likelihood
+    // under the corpus unigram distribution.
+    "q64_unigram_nll" -> ((s, d) =>
+      TextAnalysis.unigramLogLik(Tables.documents(s, d))),
+
+    // DSIR importance weights targeting the src0 slice: hashed
+    // unigram+bigram log-likelihood ratios, replayable md5 buckets.
+    "q65_dsir_weights" -> ((s, d) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, d),
+        targetPred = col("source") === "src0", buckets = 1024)),
 
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
@@ -492,6 +504,38 @@ object PipelineQueries {
         |SELECT docs.source, docs.n_docs, ps.n_tokens, ps.vocab, ps.hapax,
         |  round(ps.vocab * 1.0 / ps.n_tokens, 6) AS ttr
         |FROM docs JOIN ps USING (source)""".stripMargin,
+
+    "q65_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, unnest(list_concat(ts,
+        |    list_transform(range(1, len(ts)),
+        |      i -> ts[i] || ' ' || ts[i + 1]))) AS gram FROM d),
+        |bkt AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(gram), 1, 8)) AS UBIGINT) % 1024
+        |    AS b FROM g),
+        |db AS (SELECT doc_id, b, count(*) AS c FROM bkt GROUP BY 1, 2),
+        |dist AS (SELECT b, count(*) AS r,
+        |  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS t
+        |  FROM bkt GROUP BY 1),
+        |tot AS (SELECT sum(r) AS sum_r, sum(t) AS sum_t FROM dist),
+        |s AS (SELECT b, ln((t + 1.0) / (sum_t + 1.0 * 1024)) -
+        |  ln((r + 1.0) / (sum_r + 1.0 * 1024)) AS llr FROM dist, tot)
+        |SELECT db.doc_id, sum(db.c) AS n_grams,
+        |  round(sum(db.c * s.llr), 6) AS log_weight
+        |FROM db JOIN s USING (b) GROUP BY 1""".stripMargin,
+
+    "q64_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |gf AS (SELECT term, sum(c) AS g FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(g) AS t FROM gf)
+        |SELECT tf.doc_id, sum(tf.c) AS n_tokens,
+        |  round(-sum(tf.c * ln(gf.g / tot.t)) / sum(tf.c), 6) AS avg_nll
+        |FROM tf JOIN gf USING (term), tot GROUP BY 1""".stripMargin,
 
     "q63_mixture_sample" ->
       """WITH t AS (SELECT doc_id, source,

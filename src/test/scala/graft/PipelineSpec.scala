@@ -415,6 +415,54 @@ class PipelineSpec extends SparkSpec {
     dec.unpersist()
   }
 
+  test("dsirWeights: target-like docs outweigh off-target; gram count exact") {
+    import spark.implicits._
+    // target slice speaks "x y"-world; raw background speaks "p q"-world;
+    // probe docs: one target-like, one background-like
+    val d = (Seq(
+      (1L, "x y x y x", true), (2L, "y x y x y", true),
+      (3L, "p q p q p", false), (4L, "q p q p q", false),
+      (10L, "x y x y", false), (11L, "p q p q", false))
+    ).toDF("doc_id", "text", "is_t")
+    val w = TextAnalysis.dsirWeights(d, targetPred = col("is_t"),
+      buckets = 64).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // unigrams + bigrams: 5-token doc → 9 grams, 4-token → 7
+    assert(w(1L)._1 == 9 && w(10L)._1 == 7)
+    // the target-like probe must carry a strictly higher weight
+    assert(w(10L)._2 > w(11L)._2)
+    // and target-vocab docs sit above background docs generally
+    assert(Seq(1L, 2L).map(w(_)._2).min > Seq(3L, 4L).map(w(_)._2).max)
+  }
+
+  test("dsirWeights bigram features are real (unigram-identical docs split)") {
+    import spark.implicits._
+    // target and background share the SAME unigram bag {x, y} — only
+    // word ORDER (the bigrams) distinguishes them. A broken bigram
+    // feature (e.g. shifted unigrams) cannot separate the probes.
+    val d = Seq(
+      (1L, "x y x y x y", true), (2L, "x y x y x y", true),
+      (3L, "y x y x y x", false), (4L, "y x y x y x", false),
+      (10L, "x y x y", false), (11L, "y x y x", false))
+      .toDF("doc_id", "text", "is_t")
+    val w = TextAnalysis.dsirWeights(d, targetPred = col("is_t"),
+      buckets = 64).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(10L) > w(11L),
+      s"bigram-order probe failed: target-like ${w(10L)} !> ${w(11L)}")
+  }
+
+  test("unigramLogLik: hand-computed NLL; rare-term docs score higher") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // global: a=3, b=1, c=1, t=5
+    // d1 = -(2·ln(3/5) + ln(1/5))/3 = 0.877030 (6dp)
+    // d2 = -(ln(3/5) + ln(1/5))/2   = 1.060132 — more rare terms → higher
+    val r = TextAnalysis.unigramLogLik(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((3L, 0.877030)) && r(2L) == ((2L, 1.060132)))
+  }
+
   test("mixtureSample: in-plan thresholds ≡ deterministicSample, clamp, drops") {
     import spark.implicits._
     val d = ((0 until 40).map(i => (i.toLong, "a b c d", "s1")) ++
