@@ -390,6 +390,60 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** Per-source document-length quantiles (exact, linearly
+    * interpolated): the p50/p90/p99 token-count report a curator reads
+    * to choose sequence lengths and spot truncation-heavy sources.
+    * Exact `percentile` (not percentile_approx) keeps the result
+    * engine-reproducible; it sorts per (source) group, so the cost is
+    * a grouped sort of ONE long per document — fine at any corpus
+    * size (the per-group state is the group's length list; if a single
+    * source ever held billions of docs, approx sketches are the
+    * documented fallback, traded deliberately for oracle exactness
+    * here). */
+  def lengthQuantiles(df: DataFrame, srcCol: String = "source",
+                      textCol: String = "text"): DataFrame =
+    df.select(col(srcCol),
+        size(split(col(textCol), " ")).cast("long").as("n"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n, 0.9)"), 6).as("p90"),
+        round(expr("percentile(n, 0.99)"), 6).as("p99"))
+
+  /** Vocabulary build + encode-to-ids: the tokenize step that turns a
+    * curated corpus into the integer streams a trainer actually reads.
+    * The vocabulary is the `maxVocab` most frequent terms (ties broken
+    * lexicographically, so the mapping is deterministic and
+    * reproducible on any cluster); ids are 1..V by rank, 0 is the
+    * OOV/UNK id. Output is the exploded (idCol, pos, token_id) stream,
+    * pos 1-based within each document.
+    *
+    * Scale shape: the term-frequency aggregate partial-combines
+    * map-side; top-V selection is orderBy+limit — Spark plans
+    * TakeOrderedAndProject (per-partition top-V, then a V-row merge),
+    * never a global sort. Id assignment windows over the ALREADY
+    * LIMITED V-row frame (the one deliberate single-partition step —
+    * bounded by maxVocab, not the corpus). The encode join broadcasts
+    * the ≤V-row vocab, so the token stream itself never shuffles. */
+  def vocabEncode(df: DataFrame, maxVocab: Int, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol), posexplode(
+        filter(split(col(textCol), " "), t => length(t) > 0)))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(maxVocab)
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term").asc)))
+      .select("term", "token_id")
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * arXiv:2302.03169): score every raw document by how target-like its
     * hashed n-gram distribution is — log w(x) = Σ_grams ln p̂_target[b]

@@ -247,6 +247,16 @@ object PipelineQueries {
       TextAnalysis.dsirWeights(Tables.documents(s, d),
         targetPred = col("source") === "src0", buckets = 1024)),
 
+    // Tokenize-to-ids: top-20 vocab (the synthetic corpus has ~31
+    // distinct terms, so the OOV->0 path is exercised), exploded
+    // (doc, pos, token_id) stream.
+    "q66_vocab_encode" -> ((s, d) =>
+      TextAnalysis.vocabEncode(Tables.documents(s, d), maxVocab = 20)),
+
+    // Corpus length report: exact interpolated p50/p90/p99 per source.
+    "q67_length_quantiles" -> ((s, d) =>
+      TextAnalysis.lengthQuantiles(Tables.documents(s, d))),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -504,6 +514,27 @@ object PipelineQueries {
         |SELECT docs.source, docs.n_docs, ps.n_tokens, ps.vocab, ps.hapax,
         |  round(ps.vocab * 1.0 / ps.n_tokens, 6) AS ttr
         |FROM docs JOIN ps USING (source)""".stripMargin,
+
+    "q67_length_quantiles" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(n, 0.5), 6) AS p50,
+        |  round(quantile_cont(n, 0.9), 6) AS p90,
+        |  round(quantile_cont(n, 0.99), 6) AS p99
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q66_vocab_encode" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |    i -> {'pos': i, 'term': ts[i]}), recursive := true) FROM d),
+        |tf AS (SELECT term, count(*) AS cnt FROM p GROUP BY 1),
+        |v AS (SELECT term, row_number() OVER (ORDER BY cnt DESC, term)
+        |    AS token_id FROM tf ORDER BY cnt DESC, term LIMIT 20)
+        |SELECT p.doc_id, p.pos, coalesce(v.token_id, 0) AS token_id
+        |FROM p LEFT JOIN v USING (term)""".stripMargin,
 
     "q65_dsir_weights" ->
       """WITH d AS (SELECT doc_id, source,

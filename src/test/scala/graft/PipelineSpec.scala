@@ -415,6 +415,33 @@ class PipelineSpec extends SparkSpec {
     dec.unpersist()
   }
 
+  test("lengthQuantiles: closed-form interpolated percentiles") {
+    import spark.implicits._
+    // lengths 1..5 in one source: p50 = 3, p90 = 0.9*4 = rank 3.6 →
+    // 4 + 0.6*(5-4) = 4.6; p99 → 4 + 0.96*1 = 4.96
+    val d = Seq("a", "a b", "a b c", "a b c d", "a b c d e")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "s1") }
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lengthQuantiles(d).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 5)
+    assert(r.getAs[Double]("p50") == 3.0)
+    assert(r.getAs[Double]("p90") == 4.6)
+    assert(r.getAs[Double]("p99") == 4.96)
+  }
+
+  test("vocabEncode: rank-ordered ids, OOV→0, positions 1-based in order") {
+    import spark.implicits._
+    val d = Seq((1L, "b a b c b a"), (2L, "a z a")).toDF("doc_id", "text")
+    // freq: b=3, a=4 → wait: a appears 2+2=4, b=3, c=1, z=1
+    // V=3 by (cnt desc, term asc): a(4)→1, b(3)→2, c(1)→3; z is OOV→0
+    val r = TextAnalysis.vocabEncode(d, maxVocab = 3).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x.getInt(2)).toMap
+    assert(r((1L, 1)) == 2 && r((1L, 2)) == 1 && r((1L, 3)) == 2 &&
+      r((1L, 4)) == 3 && r((1L, 5)) == 2 && r((1L, 6)) == 1)
+    assert(r((2L, 1)) == 1 && r((2L, 2)) == 0 && r((2L, 3)) == 1)
+    assert(r.size == 9)
+  }
+
   test("dsirWeights: target-like docs outweigh off-target; gram count exact") {
     import spark.implicits._
     // target slice speaks "x y"-world; raw background speaks "p q"-world;
