@@ -265,6 +265,59 @@ object Dedup {
       .select(col(idCol), col("cluster_id"), col("quality"), col("keep"))
   }
 
+  /** Passage-level exact dedup (the lightweight form of Lee et al.
+    * 2021's substring dedup, arXiv:2107.06499): chunk each document
+    * into fixed `window`-token passages, drop every passage whose
+    * exact text occurs `minDupCount`+ times across the corpus except
+    * its first occurrence (smallest (doc, position)), and reassemble
+    * the surviving passages in order. This removes the boilerplate a
+    * document-level exact/near-dup pass cannot touch — the license
+    * header pasted into a million otherwise-distinct files.
+    *
+    * Output: one row per input document — (idCol, text_deduped,
+    * n_passages, n_kept); a document whose every passage is a seen
+    * duplicate keeps an empty string.
+    *
+    * Scale shape: passages explode to ~tokens/window rows; the
+    * frequency/first-occurrence aggregate and the verdict join are both
+    * keyed on md5(passage) — 16-byte shuffle keys, raw text never
+    * shuffles twice. First occurrence is a min-struct aggregate (one
+    * map-side-combining pass, no window over the corpus); reassembly
+    * groups by doc id, so no key exceeds one document's passage count.
+    * Every step partitions by corpus-cardinality keys — scan-class at
+    * 100 TB, unlike true suffix-array dedup which needs a global sort. */
+  def dedupPassages(docs: DataFrame, window: Int = 15, minDupCount: Long = 2,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = tokens(col(textCol))
+    // ceil(size/window) via truncation; sequence(0,-1) would yield
+    // [0,-1] (Spark infers a descending step), so guard the empty case.
+    val nPass = ((size(toks) + window - 1) / window).cast("int")
+    val idxs = when(nPass > 0, sequence(lit(0), nPass - 1))
+      .otherwise(array().cast("array<int>"))
+    val passages = docs.select(col(idCol),
+        posexplode(transform(idxs,
+          i => concat_ws(" ", slice(toks, i * window + 1, lit(window))))))
+      .select(col(idCol), col("pos").as("pidx"), col("col").as("passage"),
+        md5(col("col")).as("fp"))
+    val stats = passages.groupBy("fp").agg(
+      count(lit(1)).as("n_copies"),
+      min(struct(col(idCol).as("_i"), col("pidx").as("_p"))).as("first"))
+    val kept = passages.join(stats, "fp")
+      .filter(col("n_copies") < minDupCount ||
+        (col(idCol) === col("first._i") && col("pidx") === col("first._p")))
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pidx"), col("passage")))),
+        s => s.getField("passage"))).as("text_deduped"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol), nPass.cast("long").as("n_passages"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        col("n_passages"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** 64-bit SimHash fingerprint: per token-hash bit, +1/-1 vote; sign of
     * the vote sum sets the bit. Pure column expressions (codegen'd).
     * The vote sum is computed as plain bit counts — Σ±1 = 2·c_b − n, so

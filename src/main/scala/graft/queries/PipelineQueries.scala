@@ -257,6 +257,11 @@ object PipelineQueries {
     "q67_length_quantiles" -> ((s, d) =>
       TextAnalysis.lengthQuantiles(Tables.documents(s, d))),
 
+    // Passage-level boilerplate removal: 15-token windows, drop
+    // non-first occurrences of globally duplicated passages, reassemble.
+    "q68_dedup_passages" -> ((s, d) =>
+      Dedup.dedupPassages(Tables.documents(s, d), window = 15)),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -514,6 +519,24 @@ object PipelineQueries {
         |SELECT docs.source, docs.n_docs, ps.n_tokens, ps.vocab, ps.hapax,
         |  round(ps.vocab * 1.0 / ps.n_tokens, 6) AS ttr
         |FROM docs JOIN ps USING (source)""".stripMargin,
+
+    "q68_dedup_passages" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS pidx,
+        |    array_to_string(ts[(CAST(i AS INT)*15+1):(CAST(i AS INT)*15+15)],
+        |      ' ') AS passage
+        |  FROM t, unnest(range(0, CAST(ceil(len(ts)/15.0) AS BIGINT))) AS u(i)),
+        |k AS (SELECT doc_id, pidx, passage,
+        |    count(*) OVER (PARTITION BY passage) AS n_copies,
+        |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, pidx) AS rn
+        |  FROM p),
+        |r AS (SELECT doc_id, string_agg(passage, ' ' ORDER BY pidx)
+        |    AS text_deduped, count(*) AS n_kept
+        |  FROM k WHERE n_copies < 2 OR rn = 1 GROUP BY 1)
+        |SELECT t.doc_id, coalesce(r.text_deduped, '') AS text_deduped,
+        |  CAST(ceil(len(t.ts)/15.0) AS BIGINT) AS n_passages,
+        |  coalesce(r.n_kept, 0) AS n_kept
+        |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
 
     "q67_length_quantiles" ->
       """WITH t AS (SELECT source,

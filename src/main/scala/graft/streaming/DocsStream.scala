@@ -79,4 +79,34 @@ object DocsStream {
           .otherwise(lit(Double.NaN)))
       .drop("_sh")
   }
+
+  /** The full ingest-time quality gate a training pipeline runs as
+    * shards arrive: PII scrub → quality features → keep/drop decision
+    * → language ID — the streaming composition of the oracle-checked
+    * batch operators (q49's [[graft.pipeline.TextAnalysis.scrubPii]],
+    * q31's [[graft.pipeline.TextAnalysis.keepDecision]], q32's
+    * [[graft.pipeline.TextAnalysis.languageId]]).
+    *
+    * Every stage is a stateless narrow map (regexp chains, array
+    * expressions), so the SAME plan serves batch and readStream with
+    * no watermark, no state store, and no shuffle: at 100 TB/day this
+    * is a pure scan pipeline whose throughput scales with input
+    * partitions. Docs are scrubbed FIRST so the quality features and
+    * the kept text never see raw PII — placeholder tokens count as
+    * ordinary words downstream, matching the batch semantics of
+    * running q31 on scrubbed text.
+    *
+    * Emits every input row with (text scrubbed, quality feature
+    * columns, keep, lang_pred): the caller filters on `keep` for the
+    * training stream and routes the complement to a reject store —
+    * emitting the decision rather than pre-filtering keeps the reject
+    * path auditable. */
+  def qualityGateOnIngest(docs: DataFrame,
+                          textCol: String = "text"): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val scrubbed = docs.withColumn(textCol,
+      TextAnalysis.scrubPii(col(textCol)))
+    TextAnalysis.keepDecision(scrubbed, textCol)
+      .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
+  }
 }

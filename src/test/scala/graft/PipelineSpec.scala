@@ -442,6 +442,29 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 9)
   }
 
+  test("dedupPassages: planted boilerplate dropped except first occurrence") {
+    import spark.implicits._
+    // window=2: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [a b][c d]
+    // "a b" appears 3x, "c d" 2x → doc1 (first) keeps both, doc2 loses
+    // "a b" keeps "x y", doc3 loses everything.
+    val d = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupPassages(d, window = 2).collect()
+      .map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ("a b c d", 2L, 2L))
+    assert(r(2L) == ("x y", 2L, 1L))
+    assert(r(3L) == ("", 2L, 0L))
+    // minDupCount=4: nothing reaches 4 copies → everything kept
+    val all = Dedup.dedupPassages(d, window = 2, minDupCount = 4).collect()
+    assert(all.forall(x => x.getString(1) == d.collect()
+      .find(_.getLong(0) == x.getLong(0)).get.getString(1)))
+    // ragged tail: 5 tokens at window=2 → 3 passages, last is 1 token
+    val tail = Dedup.dedupPassages(
+      Seq((9L, "p q r s t")).toDF("doc_id", "text"), window = 2).collect()(0)
+    assert(tail.getString(1) == "p q r s t" && tail.getLong(2) == 3L)
+  }
+
   test("dsirWeights: target-like docs outweigh off-target; gram count exact") {
     import spark.implicits._
     // target slice speaks "x y"-world; raw background speaks "p q"-world;
@@ -1064,6 +1087,43 @@ class PipelineSpec extends SparkSpec {
       evalSet, n = 3).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     batch.foreach { case (id, v) => assert(streamed(id) == v, s"doc $id") }
+  }
+
+  test("streaming quality gate equals batch scrub+keep+langid, row for row") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val dir = java.nio.file.Files.createTempDirectory("docs_gate").toString
+    def ts(min: Int) = new java.sql.Timestamp(3600000L * 24 + min * 60000L)
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today", ts(0)),
+      (2L, "mail me at bob@example.com or call +14155550123 maybe", ts(1)),
+      (3L, "spam spam spam spam spam spam spam spam", ts(2)),
+      (4L, "el rapido zorro marron salta sobre el perro perezoso", ts(3)),
+      (5L, "tiny", ts(4)))
+    rows.toDF("doc_id", "text", "ingest_ts").coalesce(1)
+      .write.parquet(s"$dir/b0.parquet")
+    val q = DocsStream.qualityGateOnIngest(
+      spark.readStream.schema(DocsStream.rawSchema)
+        .parquet(s"$dir/*.parquet"))
+      .writeStream.format("memory").queryName("docs_gate")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("docs_gate")
+    // spot checks: PII scrubbed in-stream, short/repetitive dropped
+    val byId = streamed.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(2L).getAs[String]("text").contains("<EMAIL>") &&
+      byId(2L).getAs[String]("text").contains("<PHONE>"))
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(!byId(3L).getAs[Boolean]("keep"), "degenerate repetition dropped")
+    assert(!byId(5L).getAs[Boolean]("keep"), "sub-5-word doc dropped")
+    assert(byId(1L).getAs[String]("lang_pred") == "en")
+    // full-row agreement with the batch composition on the same frame
+    val batch = DocsStream.qualityGateOnIngest(
+      rows.toDF("doc_id", "text", "ingest_ts"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
   }
 
   test("streaming sessionization equals the batch session_window") {
