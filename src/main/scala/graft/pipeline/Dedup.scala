@@ -136,6 +136,46 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Bloom-filter contamination screen: like [[contamination]] but the
+    * reference shingle set is compressed into a Bloom filter instead of
+    * joined — the route for eval/holdout sets too large to broadcast as
+    * strings but too hot to re-shuffle the corpus against. At 1% fpp a
+    * billion reference shingles are ~1.2 GB of bits (vs tens of GB as a
+    * broadcast string set), and the corpus side stays a pure narrow
+    * map: ZERO shuffles over the corpus, no join at any scale — the
+    * screen a 100 TB ingest runs per shard.
+    *
+    * Bloom semantics: no false negatives, fpp false positives — so
+    * `n_flagged` is an UPPER BOUND on true contamination (column names
+    * say so). Screen with this, then confirm flagged docs with the
+    * exact [[contamination]] join on the (much smaller) flagged subset.
+    * Spark's `stat.bloomFilter` sketch merges per-partition filters on
+    * the driver; its hash seeding is fixed, so the screen replays
+    * identically on any topology. Docs shorter than n tokens emit
+    * n_shingles=0 with NaN fraction (every doc keeps a row — a screen
+    * must account for every input). */
+  def contaminationBloom(docs: DataFrame, ref: DataFrame, n: Int,
+                         fpp: Double = 0.001,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val refSh = ref.select(explode(shingles(col(textCol), n)).as("s")).distinct()
+    val nRef = refSh.count()
+    val bf = refSh.stat.bloomFilter("s", math.max(nRef, 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val hits = udf { (sh: Seq[String]) =>
+      if (sh == null) 0L else { val f = bc.value; sh.count(f.mightContainString).toLong }
+    }
+    docs.withColumn("_sh", shingles(col(textCol), n))
+      .withColumn("n_shingles", size(col("_sh")).cast("long"))
+      .withColumn("n_flagged_ub", hits(col("_sh")))
+      .withColumn("contamination_ub",
+        when(col("n_shingles") > 0,
+          round(col("n_flagged_ub").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(Double.NaN)))
+      .drop("_sh")
+  }
+
   /** MinHash signature: k minimums of xxhash64(shingle, salt) — one
     * aggregate, no per-row UDF. Returns (id, sig array<long> of k). */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int,

@@ -149,6 +149,24 @@ object PipelineQueries {
       Dedup.contamination(docs, docs.filter(col("doc_id") % 20 === 0), n = 3)
     }),
 
+    // Bloom screen twin of q48 (same ref slice): per-doc flagged count
+    // carries the exact count beside it so approximation quality is
+    // data the driver sees (cf. recall_vs_brute on q27/q30/q41) —
+    // bloom_minus_exact counts false positives, never negatives.
+    "q69_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(col("doc_id") % 20 === 0)
+      val bloom = Dedup.contaminationBloom(docs, ref, n = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_flagged_ub"))
+      val exact = Dedup.contamination(docs, ref, n = 3)
+        .select(col("doc_id"), col("n_contaminated"))
+      bloom.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), col("n_flagged_ub"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_exact"),
+          (col("n_flagged_ub") - coalesce(col("n_contaminated"), lit(0L)))
+            .as("bloom_minus_exact"))
+    }),
+
     // PII scrubbing over text with planted email/IP/phone (planted in
     // the query so both engines construct and scrub identical strings —
     // the synthetic corpus itself contains no PII).

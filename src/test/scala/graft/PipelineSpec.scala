@@ -442,6 +442,36 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 9)
   }
 
+  test("contaminationBloom: never undercounts; matches exact on fixture") {
+    import spark.implicits._
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "we say quick brown fox jumps over and more"),
+      (2L, "completely clean text with no overlap at all"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val bloom = Dedup.contaminationBloom(docs, ref, n = 3)
+      .select("doc_id", "n_shingles", "n_flagged_ub")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // tiny ref at fpp=1e-3: deterministic sketch, zero FPs here — the
+    // screen equals the exact join route bit for bit
+    assert(bloom(1L) == ((7L, 3L)))
+    assert(bloom(2L) == ((6L, 0L)))
+    assert(bloom(3L) == ((0L, 0L)), "short doc keeps an accounted row")
+    // no-false-negative property at scale: 400 docs, 25% in ref —
+    // every exact hit must be flagged
+    val big = (0L until 400L).map(i =>
+      (i, s"tok${i}a tok${i}b tok${i}c shared$i common tail word")).toDF("doc_id", "text")
+    val bigRef = big.filter($"doc_id" % 4 === 0)
+    val ex = Dedup.contamination(big, bigRef, n = 3)
+      .select("doc_id", "n_contaminated").as[(Long, Long)].collect().toMap
+    val bl = Dedup.contaminationBloom(big, bigRef, n = 3)
+      .select("doc_id", "n_flagged_ub").as[(Long, Long)].collect().toMap
+    ex.foreach { case (id, nEx) =>
+      assert(bl(id) >= nEx, s"doc $id: bloom $nEx > flagged ${bl(id)}")
+    }
+  }
+
   test("dedupPassages: planted boilerplate dropped except first occurrence") {
     import spark.implicits._
     // window=2: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [a b][c d]

@@ -100,6 +100,31 @@ class PlanSpec extends SparkSpec {
     assert(plan("q56_ivfpq_topk").contains("WindowGroupLimit"))
   }
 
+  test("q66 vocab encode: top-V never global-sorts; vocab join broadcasts") {
+    // Top-V selection must plan TakeOrderedAndProject (per-partition
+    // top-V + V-row merge, never a corpus sort), and the encode join
+    // must broadcast the ≤V-row vocab so the token stream itself never
+    // shuffles for the join.
+    val p = plan("q66_vocab_encode")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V vocab selection must not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "encode join regressed to a token-stream shuffle")
+  }
+
+  test("q68 passage dedup: no cartesian, no corpus-wide window") {
+    // The verdict must come from the md5-keyed aggregate + equi-join
+    // (AQE-skew-splittable), never a window over the whole passage set
+    // or a cross product.
+    val p = plan("q68_dedup_passages")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"passage verdict must stay an equi-join:\n$p")
+    assert(!p.contains("Window"), s"no corpus-wide window allowed:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // "*(n)" prefixes mark whole-stage-codegen'd operators in the
     // string rendering ("WholeStageCodegen" only appears in formatted mode)
