@@ -444,6 +444,47 @@ object TextAnalysis {
         coalesce(col("token_id"), lit(0)).as("token_id"))
   }
 
+  /** BM25 top-k retrieval (Robertson et al.; the Lucene-default
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf variant): score every document
+    * against a fixed query string and keep the k best — the retrieval
+    * primitive behind dataset search, targeted curation ("find me docs
+    * about X"), and hard-negative mining.
+    *
+    * Scale shape: the corpus scan filters to QUERY TERMS before any
+    * shuffle, so the grouped work is proportional to matching
+    * (doc, term) rows, not the corpus; N/avgdl is one map-side-combining
+    * scalar aggregate; per-term document frequencies are a ≤|terms|-row
+    * frame joined broadcast; final top-k is orderBy+limit →
+    * TakeOrderedAndProject (per-partition top-k, never a global sort).
+    * Only documents containing ≥1 query term are candidates (BM25 of a
+    * no-hit doc is 0). */
+  def bm25TopK(df: DataFrame, query: String, k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query must contain at least one term")
+    val lens = df.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).as("dl"))
+    val statsRow = lens.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    val tf = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfq"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("dfq") + 0.5) / (col("dfq") + 0.5))
+    tf.join(broadcast(dfreq.withColumn("idf", idf)), "term")
+      .join(lens, "id")
+      .withColumn("contrib", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy("id").agg(sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), round(col("score"), 6).as("bm25"))
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * arXiv:2302.03169): score every raw document by how target-like its
     * hashed n-gram distribution is — log w(x) = Σ_grams ln p̂_target[b]

@@ -275,6 +275,10 @@ object PipelineQueries {
     "q67_length_quantiles" -> ((s, d) =>
       TextAnalysis.lengthQuantiles(Tables.documents(s, d))),
 
+    // BM25 retrieval: top-20 docs for a fixed 3-term query.
+    "q70_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "spark table join")),
+
     // Passage-level boilerplate removal: 15-token windows, drop
     // non-first occurrences of globally duplicated passages, reassemble.
     "q68_dedup_passages" -> ((s, d) =>
@@ -537,6 +541,23 @@ object PipelineQueries {
         |SELECT docs.source, docs.n_docs, ps.n_tokens, ps.vocab, ps.hapax,
         |  round(ps.vocab * 1.0 / ps.n_tokens, 6) AS ttr
         |FROM docs JOIN ps USING (source)""".stripMargin,
+
+    "q70_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |l AS (SELECT doc_id, len(ts) AS dl FROM t),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM l),
+        |tok AS (SELECT doc_id, unnest(ts) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'table', 'join') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, sum(
+        |    ln(1 + (stats.n - dfreq.dfq + 0.5) / (dfreq.dfq + 0.5)) *
+        |    tf.tf * (1.2 + 1) /
+        |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / stats.avgdl))) AS score
+        |  FROM tf JOIN dfreq USING (term) JOIN l USING (doc_id), stats
+        |  GROUP BY 1)
+        |SELECT doc_id, round(score, 6) AS bm25 FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q68_dedup_passages" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

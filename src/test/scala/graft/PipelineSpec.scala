@@ -442,6 +442,27 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 9)
   }
 
+  test("bm25TopK: hand-computed scores, rarity beats frequency, no-hit docs absent") {
+    import spark.implicits._
+    // corpus of 4: doc1 has 'cat' twice (dl 4), doc2 'cat' once (dl 2),
+    // doc3 'dog' once (dl 2), doc4 neither (dl 2). N=4, avgdl=2.5.
+    val d = Seq((1L, "cat cat x y"), (2L, "cat z"), (3L, "dog w"),
+      (4L, "p q")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(d, "cat dog", k = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(!r.contains(4L), "doc with no query terms must not appear")
+    def idf(df: Int) = math.log(1 + (4 - df + 0.5) / (df + 0.5))
+    def w(tf: Int, dl: Int) =
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 2.5))
+    def rnd(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L) == rnd(idf(2) * w(2, 4)))
+    assert(r(2L) == rnd(idf(2) * w(1, 2)))
+    assert(r(3L) == rnd(idf(1) * w(1, 2)))
+    // dog is rarer than cat → doc3 outscores doc2 at equal tf and dl
+    assert(r(3L) > r(2L))
+  }
+
   test("contaminationBloom: never undercounts; matches exact on fixture") {
     import spark.implicits._
     val ref = Seq((100L, "the quick brown fox jumps over the lazy dog"))
