@@ -1,0 +1,56 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Scale probe for the PIPELINE operators — measures the dedup/text
+  * family on a corpus replicated K× so the scaling slope is a number,
+  * not an argument (the pipeline twin of [[ScaleProbe]]'s layout
+  * slope). Run:
+  *
+  *   SPARK_GRAFT_CPUS=16 sbt "runMain graft.bench.PipelineScaleProbe /root/testdata/sf0.1 4"
+  *
+  * Replicas get every token prefixed with `r<k>_` (one codegen'd
+  * regexp, narrow map), which makes replica shingle spaces DISJOINT:
+  * each replica reproduces the base corpus's exact near-dup pair
+  * structure and contributes zero cross-replica candidates, so a
+  * linear-scaling operator must show linear wall time in K. Exact
+  * dedup, MinHash+LSH end-to-end (candidates + true-Jaccard verify),
+  * passage dedup, and the quality scan are probed; emits one JSON
+  * line per run; slopes recorded in BASELINE.md. */
+object PipelineScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](b: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = b; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = (0 until reps).map { k =>
+      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(^| )", "$1r" + k + "_").as("text"))
+    }.reduce(_ union _).cache()
+    val nDocs = corpus.count()
+    val (nExact, tExact) = time(Dedup.exact(corpus).count())
+    val (nMh, tMh) = time(
+      Dedup.minhashLsh(corpus, n = 3, k = 64, bands = 16, threshold = 0.5).count())
+    val (nPass, tPass) = time(Dedup.dedupPassages(corpus).count())
+    val (_, tQual) = time(
+      TextAnalysis.qualityScore(corpus).agg(avg("quality")).head)
+    println(s"""{"probe":"pipeline_scale","reps":$reps,"docs":$nDocs,""" +
+      s""""exact_sec":$tExact,"exact_rows":$nExact,""" +
+      s""""minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
+      s""""passages_sec":$tPass,"passages_rows":$nPass,""" +
+      s""""quality_sec":$tQual}""")
+    spark.stop()
+  }
+}
