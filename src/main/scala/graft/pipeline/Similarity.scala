@@ -17,7 +17,7 @@ import graft.functions.VecOps
   *    nearest `nProbe` centroids, mirroring the reference's
   *    brute→ivf_flat→ivf_pq ladder (embedder_cuvs.py:264-272).
   */
-object Similarity {
+object Similarity extends Serializable {
 
   /** Cosine over float arrays computed in double (both engines see the
     * same float inputs → identical doubles → identical sums). */
@@ -581,22 +581,40 @@ object Similarity {
     *
     * Emits (id_a, id_b, cos, cluster); cos is exact and bit-matches
     * [[cosinePairsBrute]] on every within-cluster pair. */
+  /** Unit-normalize a float vector into doubles (shared convention:
+    * L2 order on unit vectors ≡ cosine order). */
+  private def unitOf(v: Array[Float], dim: Int): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s) + 1e-12
+    Array.tabulate(dim)(j => v(j) / n)
+  }
+
+  /** Train the seeded coarse quantizer on a deterministic hash-ordered
+    * sample — ONE TakeOrdered job + driver Lloyd iterations; callers
+    * that need the same centers twice (pairs + centroid scoring) train
+    * once and share. */
+  private def trainQuantizer(spark: SparkSession, src: DataFrame, dim: Int,
+                             trainCap: Int, nClusters: Int,
+                             seed: Long): Array[Array[Double]] = {
+    import spark.implicits._
+    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainCap).as[(Long, Array[Float])].collect()
+      .map(t => unitOf(t._2, dim))
+    lloydKMeans(train, nClusters, seed)
+  }
+
   def semDedupPairs(spark: SparkSession, vectors: DataFrame,
                     threshold: Double, nClusters: Int = 16, seed: Long = 42,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     dim: Int = 64, trainCap: Int = 20000,
-                    maxClusterSize: Long = 2000000L): DataFrame = {
+                    maxClusterSize: Long = 2000000L,
+                    precomputedCenters: Option[Array[Array[Double]]] = None): DataFrame = {
     import spark.implicits._
     val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    def unit(v: Array[Float]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
-      val n = math.sqrt(s) + 1e-12
-      Array.tabulate(dim)(j => v(j) / n)
-    }
-    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
-      .limit(trainCap).as[(Long, Array[Float])].collect().map(t => unit(t._2))
-    val centers = lloydKMeans(train, nClusters, seed)
+    def unit(v: Array[Float]): Array[Double] = unitOf(v, dim)
+    val centers = precomputedCenters.getOrElse(
+      trainQuantizer(spark, src, dim, trainCap, nClusters, seed))
     val bc = spark.sparkContext.broadcast(centers)
     val assigned = src.as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -656,21 +674,17 @@ object Similarity {
                dim: Int = 64, trainCap: Int = 20000,
                precomputedPairs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // one quantizer serves both the pair search and the centroid-cos
+    // survivor scoring — trained once (was trained twice before r3)
+    val centers = trainQuantizer(spark, src, dim, trainCap, nClusters, seed)
     val pairs = precomputedPairs.getOrElse(
       semDedupPairs(spark, vectors, threshold, nClusters, seed,
-        idCol, vecCol, dim, trainCap))
+        idCol, vecCol, dim, trainCap,
+        precomputedCenters = Some(centers)))
     val groups = graft.pipeline.Dedup.dupClusters(spark, pairs)
       .select(col("doc_id").as("id"), col("keep_id").as("group_id"))
-    val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    def unit(v: Array[Float]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
-      val n = math.sqrt(s) + 1e-12
-      Array.tabulate(dim)(j => v(j) / n)
-    }
-    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
-      .limit(trainCap).as[(Long, Array[Float])].collect().map(t => unit(t._2))
-    val centers = lloydKMeans(train, nClusters, seed)
+    def unit(v: Array[Float]): Array[Double] = unitOf(v, dim)
     val bc = spark.sparkContext.broadcast(centers)
     val withCos = src.as[(Long, Array[Float])]
       .map { case (id, v) =>
