@@ -80,6 +80,38 @@ object DocsStream {
       .drop("_sh")
   }
 
+  /** Passage-level dedup on ingest: the streaming twin of
+    * [[graft.pipeline.Dedup.dedupPassages]] (q68). Documents are
+    * exploded into fixed `window`-token passages as they arrive and a
+    * passage whose exact text was already seen within the watermark is
+    * dropped — emitting the surviving (doc_id, pidx, passage) CHUNK
+    * stream, which is what the trainer-facing side of a pipeline
+    * consumes (sequence packing operates on chunks, not documents).
+    *
+    * State is md5(passage) — 16 bytes per distinct passage in the
+    * ingest window, evicted by the watermark; raw text never enters
+    * the state store. First-arriving copy wins (micro-batch order);
+    * the batch operator's min-(doc,pos) rule agrees whenever ingest
+    * order follows doc order — the PipelineSpec twin test pins that
+    * agreement, and cross-window dedup composes with the batch pass
+    * over the accumulated corpus exactly as [[dedupOnIngest]] does. */
+  def passageFilterOnIngest(docs: DataFrame, window: Int = 15,
+                            watermark: String = "2 hours"): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nPass = ((size(toks) + window - 1) / window).cast("int")
+    val idxs = when(nPass > 0, sequence(lit(0), nPass - 1))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col("doc_id"), col("ingest_ts"),
+        posexplode(transform(idxs,
+          i => concat_ws(" ", slice(toks, i * window + 1, lit(window))))))
+      .select(col("doc_id"), col("ingest_ts"),
+        col("pos").as("pidx"), col("col").as("passage"),
+        md5(col("col")).as("fp"))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+  }
+
   /** The full ingest-time quality gate a training pipeline runs as
     * shards arrive: PII scrub → quality features → keep/drop decision
     * → language ID — the streaming composition of the oracle-checked

@@ -1140,6 +1140,40 @@ class PipelineSpec extends SparkSpec {
     batch.foreach { case (id, v) => assert(streamed(id) == v, s"doc $id") }
   }
 
+  test("streaming passage filter agrees with batch dedupPassages keep set") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val dir = java.nio.file.Files.createTempDirectory("docs_pass").toString
+    def ts(min: Int) = new java.sql.Timestamp(3600000L * 24 + min * 60000L)
+    // window=2 passages: doc1 [a b][c d], doc2 [a b][x y] (arrives
+    // later, loses "a b"), doc3 [a b][c d] (loses everything)
+    val batches = Seq(
+      Seq((1L, "a b c d", ts(0))),
+      Seq((2L, "a b x y", ts(5))),
+      Seq((3L, "a b c d", ts(9))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "ingest_ts").coalesce(1)
+        .write.parquet(s"$dir/b$i.parquet")
+    }
+    val q = DocsStream.passageFilterOnIngest(
+      spark.readStream.schema(DocsStream.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet"),
+      window = 2)
+      .writeStream.format("memory").queryName("docs_pass")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("docs_pass")
+      .select("doc_id", "pidx", "passage").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(kept == Map((1L, 0) -> "a b", (1L, 1) -> "c d", (2L, 1) -> "x y"))
+    // batch twin: reassembled survivors imply the same per-passage keeps
+    val batch = graft.pipeline.Dedup.dedupPassages(
+      batches.flatten.toDF("doc_id", "text", "ingest_ts"), window = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch(1L) == "a b c d" && batch(2L) == "x y" && batch(3L) == "")
+  }
+
   test("streaming quality gate equals batch scrub+keep+langid, row for row") {
     import spark.implicits._
     import graft.streaming.DocsStream
