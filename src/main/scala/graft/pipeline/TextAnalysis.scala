@@ -655,6 +655,7 @@ object TextAnalysis {
     * back) — never a single-task window sort, so the assignment
     * distributes at any corpus size. Returned persisted; callers may
     * unpersist. */
+
   def shuffleShards(df: DataFrame, nShards: Int, seed: Long = 42,
                     idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
@@ -687,6 +688,80 @@ object TextAnalysis {
       val out = spark.createDataFrame(assigned, schema).persist()
       out.count()
       out
+    } finally rdd.unpersist(blocking = false)
+  }
+
+  /** Budget-constrained quality curation (the FineWeb-Edu-shaped
+    * selection): per source, rank documents by [[qualityScore]] (ties
+    * to the smallest id — a total, engine-reproducible order) and keep
+    * the best prefix whose cumulative token count fits the source's
+    * budget. Sources absent from the spec keep nothing; every input
+    * doc keeps an accounted row (doc_id, source, n_tokens, cum_tokens,
+    * keep). Returned persisted; callers may unpersist.
+    *
+    * Scale shape: the per-source running sum is NOT a window — a hot
+    * source would put its whole corpus slice in one window partition.
+    * Instead the frame is range-partitioned on (source, quality desc,
+    * id) and the cumulative sum is a per-source per-partition
+    * prefix-sum with driver-merged offsets (the [[packSequences]]
+    * technique): one ≤(partitions × source-runs)-row collect, then a
+    * narrow pass — a source spanning 500 partitions costs 500 parallel
+    * tasks, not one. The result depends only on the total order, not
+    * on where range boundaries land, so it replays identically on any
+    * cluster. */
+  def qualityBudgetSelect(df: DataFrame, budgets: Map[String, Long],
+                          idCol: String = "doc_id", srcCol: String = "source",
+                          textCol: String = "text"): DataFrame = {
+    require(budgets.nonEmpty, "qualityBudgetSelect needs a budget spec")
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val t = qualityScore(df, textCol)
+      .select(col(idCol).cast("long").as("id"),
+        col(srcCol).cast("string").as("src"), col("quality"),
+        tokenCount(col(textCol)).cast("long").as("nt"))
+      .repartitionByRange(parts, col("src"), col("quality").desc, col("id"))
+      .sortWithinPartitions(col("src"), col("quality").desc, col("id"))
+    val rdd = t.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-(partition, source) token totals — sources are contiguous
+      // within a partition after the range sort, so this is tiny
+      val runTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach(r => m.update(r.getString(1),
+          m.getOrElse(r.getString(1), 0L) + r.getLong(3)))
+        m.iterator.map { case (s, tot) => (i, s, tot) }
+      }.collect()
+      val offsets: Map[(Int, String), Long] = runTotals.groupBy(_._2)
+        .flatMap { case (s, arr) =>
+          val sorted = arr.sortBy(_._1)
+          sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3))
+            .map { case (p, off) => (p, s) -> off }
+        }
+      val bOff = spark.sparkContext.broadcast(offsets)
+      val bBud = spark.sparkContext.broadcast(budgets)
+      val out = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cur: String = null; var cum = 0L
+        it.map { r =>
+          val s = r.getString(1)
+          if (s != cur) { cur = s; cum = bOff.value((i, s)) }
+          val nt = r.getLong(3)
+          cum += nt
+          org.apache.spark.sql.Row(r.getLong(0), s, nt, cum,
+            bBud.value.get(s).exists(cum <= _))
+        }
+      }
+      val schema = StructType(Seq(
+        StructField(idCol, LongType, nullable = false),
+        StructField(srcCol, StringType, nullable = true),
+        StructField("n_tokens", LongType, nullable = false),
+        StructField("cum_tokens", LongType, nullable = false),
+        StructField("keep", BooleanType, nullable = false)))
+      val res = spark.createDataFrame(out, schema).persist()
+      res.count()
+      res
     } finally rdd.unpersist(blocking = false)
   }
 

@@ -279,6 +279,13 @@ object PipelineQueries {
     "q70_bm25_topk" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d), "spark table join")),
 
+    // Budget-constrained quality curation: keep the best docs per
+    // source until the token budget is spent (src0 generous, src1
+    // cuts mid-source, src2 zero budget, all other sources absent).
+    "q71_quality_budget" -> ((s, d) =>
+      TextAnalysis.qualityBudgetSelect(Tables.documents(s, d),
+        Map("src0" -> 30000L, "src1" -> 8000L, "src2" -> 0L))),
+
     // Passage-level boilerplate removal: 15-token windows, drop
     // non-first occurrences of globally duplicated passages, reassemble.
     "q68_dedup_passages" -> ((s, d) =>
@@ -541,6 +548,28 @@ object PipelineQueries {
         |SELECT docs.source, docs.n_docs, ps.n_tokens, ps.vocab, ps.hapax,
         |  round(ps.vocab * 1.0 / ps.n_tokens, 6) AS ttr
         |FROM docs JOIN ps USING (source)""".stripMargin,
+
+    "q71_quality_budget" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+        |    AS n_tokens,
+        |  (CASE WHEN len(string_split(text, ' ')) < 5
+        |      THEN 0.1::DOUBLE ELSE 1.0::DOUBLE END)
+        |    * (1.0 - least(round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0 /
+        |        greatest(length(text), 1), 6) * 4, 1.0::DOUBLE) * 0.5)
+        |    * (1.0 - round(1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 /
+        |        greatest(len(string_split(text, ' ')), 1), 6) * 0.5) AS quality
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS cum_tokens FROM q)
+        |SELECT doc_id, source, n_tokens, cum_tokens,
+        |  CASE WHEN source = 'src0' THEN cum_tokens <= 30000
+        |       WHEN source = 'src1' THEN cum_tokens <= 8000
+        |       WHEN source = 'src2' THEN cum_tokens <= 0
+        |       ELSE false END AS keep
+        |FROM c""".stripMargin,
 
     "q70_bm25_topk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

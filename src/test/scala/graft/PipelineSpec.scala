@@ -442,6 +442,39 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 9)
   }
 
+  test("qualityBudgetSelect: best-first prefix per source, partition-invariant") {
+    import spark.implicits._
+    // src A: three clean docs (quality 1.0 each, ties → id order), 6
+    // tokens each; budget 13 keeps ids 1,2 (cum 6,12), cuts id 3 (18).
+    // A degenerate doc (id 4, high repetition → lower quality) sorts
+    // last regardless of id. src B absent from the spec keeps nothing.
+    val d = Seq(
+      (1L, "alpha beta gamma delta eps zeta", "A"),
+      (2L, "one two three four five six", "B"),
+      (3L, "red green blue cyan pink teal", "A"),
+      (4L, "spam spam spam spam spam spam", "A"),
+      (5L, "seven eight nine ten eleven twelve", "A")
+    ).toDF("doc_id", "text", "source")
+    def run() = TextAnalysis.qualityBudgetSelect(d,
+      Map("A" -> 13L), srcCol = "source")
+    val r = run().collect()
+      .map(x => x.getLong(0) -> (x.getLong(3), x.getBoolean(4))).toMap
+    // quality-1.0 docs in id order: 1 (cum 6), 3 (12), 5 (18); spam doc
+    // 4 last (24). Budget 13 → keep {1, 3} only.
+    assert(r(1L) == ((6L, true)) && r(3L) == ((12L, true)))
+    assert(r(5L) == ((18L, false)) && r(4L) == ((24L, false)))
+    assert(r(2L)._2 == false, "source absent from spec keeps nothing")
+    assert(r.size == 5, "every doc keeps an accounted row")
+    // partition-invariance: same cums under a different partitioning
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val r3 = run().collect()
+        .map(x => x.getLong(0) -> (x.getLong(3), x.getBoolean(4))).toMap
+      assert(r3 == r, "prefix sums must not depend on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   test("bm25TopK: hand-computed scores, rarity beats frequency, no-hit docs absent") {
     import spark.implicits._
     // corpus of 4: doc1 has 'cat' twice (dl 4), doc2 'cat' once (dl 2),
