@@ -387,21 +387,37 @@ object Dedup {
     * buckets get too coarse to prune and multi-probe/recursion is the
     * standard escalation). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, chunks: Int = 4,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hammingPairs64(simhash(docs, idCol, textCol)
+      .select(col("id"), col("simhash").as("fp")), maxDist, chunks)
+
+  /** Generic 64-bit-fingerprint near-dup pairs at Hamming distance ≤
+    * `maxDist`, for any (id, fp) frame — the bucketing core behind
+    * [[simhashPairs]] (text) and
+    * [[Multimodal.imageDupPairs]] (perceptual image hashes).
+    *
+    * Pigeonhole contract (enforced): the fingerprint splits into
+    * `chunks` equal bit ranges; two fingerprints within distance d <
+    * chunks must agree EXACTLY on at least one range, so the
+    * chunk-value equi-join reaches full recall — never a quadratic
+    * all-pairs scan. Candidates are generated per (chunk, value)
+    * bucket (O(dups), like the MinHash band join) and verified with
+    * the true popcount distance. */
+  def hammingPairs64(fps: DataFrame, maxDist: Int = 3,
+                     chunks: Int = 4): DataFrame = {
     require(64 % chunks == 0, s"chunks=$chunks must divide 64")
     require(maxDist < chunks,
       s"pigeonhole full recall needs maxDist < chunks (got d=$maxDist, c=$chunks)")
     val width = 64 / chunks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = simhash(docs, idCol, textCol)
-    val chunked = sh.select(col("id"), col("simhash"),
+    val chunked = fps.select(col("id"), col("fp"),
       posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(mask)): _*))
+        shiftrightunsigned(col("fp"), c * width).bitwiseAND(mask)): _*))
         .as(Seq("chunk", "key")))
     val cands = chunked.select(col("chunk"), col("key"),
-      col("id").as("id_a"), col("simhash").as("ha"))
+      col("id").as("id_a"), col("fp").as("ha"))
       .join(chunked.select(col("chunk"), col("key"),
-        col("id").as("id_b"), col("simhash").as("hb")), Seq("chunk", "key"))
+        col("id").as("id_b"), col("fp").as("hb")), Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "ha", "hb").distinct()
     cands.withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))

@@ -185,6 +185,91 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** 64-bit perceptual average-hash (aHash) of a decoded image: luma
+    * average-pooled onto an 8×8 grid (area-weighted — every source
+    * pixel contributes to exactly one cell), bit i set iff cell i's
+    * mean exceeds the grid mean. Robust to re-encoding, scaling and
+    * small noise; Hamming distance between hashes is the standard
+    * near-duplicate measure. None when the payload doesn't decode. */
+  private[pipeline] def aHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Double](64)
+        val cnts = new Array[Long](64)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          val cy = math.min(y * 8 / h, 7)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            val luma = (0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+            val cell = cy * 8 + math.min(x * 8 / w, 7)
+            sums(cell) += luma; cnts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(64)(i =>
+          if (cnts(i) > 0) sums(i) / cnts(i) else 0.0)
+        val gridMean = means.sum / 64.0
+        var fp = 0L
+        var i = 0
+        while (i < 64) { if (means(i) > gridMean) fp |= (1L << i); i += 1 }
+        Some(fp)
+      }
+    } catch { case _: Exception => None }
+
+  /** Per-image perceptual hashes for the image rows of a media table:
+    * (media_id, ahash, decoded). Decode runs in partition-sized
+    * batches like [[decodeFeatures]]; undecodable payloads carry
+    * decoded=false with a deterministic payload-hash stand-in so every
+    * input row stays accounted. */
+  def imageHashes(spark: SparkSession, media: DataFrame,
+                  batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", LongType),
+      StructField("decoded", BooleanType)))
+    val rdd = media.filter(col("modality") === "image")
+      .select("media_id", "payload").rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap(_.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          aHash64(bytes) match {
+            case Some(fp) => Row(r.getLong(0), fp, true)
+            case None =>
+              var hsh = 1125899906842597L
+              var i = 0
+              while (i < bytes.length) { hsh = 31 * hsh + bytes(i); i += 1 }
+              Row(r.getLong(0), hsh, false)
+          }
+        })
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image near-duplicate pairs: perceptual [[aHash64]] per decoded
+    * image, then [[Dedup.hammingPairs64]]'s pigeonhole chunk-bucket
+    * join at Hamming distance ≤ maxDist — the multimodal twin of
+    * SimHash text dedup (re-encoded / lightly edited copies land
+    * within a few bits; unrelated images are ~32 bits apart). Only
+    * decoded images participate; candidates are O(dups), never
+    * all-pairs. */
+  def imageDupPairs(spark: SparkSession, media: DataFrame,
+                    maxDist: Int = 3, chunks: Int = 4): DataFrame =
+    Dedup.hammingPairs64(
+      imageHashes(spark, media).filter(col("decoded"))
+        .select(col("media_id").as("id"), col("ahash").as("fp")),
+      maxDist, chunks)
+
   /** Decoded-waveform features for an audio payload via
     * javax.sound.sampled (pure JDK — WAV/AIFF/AU containers, PCM
     * codecs): [sample_rate, channels, RMS amplitude, zero-crossing

@@ -291,6 +291,17 @@ object PipelineQueries {
     "q68_dedup_passages" -> ((s, d) =>
       Dedup.dedupPassages(Tables.documents(s, d), window = 15)),
 
+    // Multimodal near-dup: aHash + pigeonhole hamming pairs over the
+    // encoded-image table with ids<60 images re-planted under offset
+    // ids — each planted copy must pair with its source at dist 0.
+    "q72_image_dup_pairs" -> ((s, d) => {
+      val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
+      val planted = media
+        .filter(col("modality") === "image" && col("media_id") < 60)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      Multimodal.imageDupPairs(s, media.unionByName(planted))
+    }),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)

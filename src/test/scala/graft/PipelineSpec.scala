@@ -442,6 +442,42 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 9)
   }
 
+  test("imageDupPairs: identical/near-identical images pair, distinct do not") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = f(x, y) & 0xff; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val grad = png((x, _) => x * 8)                     // left-dark gradient
+    val gradCopy = png((x, _) => x * 8)                 // identical
+    val gradNoisy = png((x, y) =>                       // one pixel nudged
+      if (x == 5 && y == 5) x * 8 + 1 else x * 8)
+    val inverse = png((x, _) => 255 - x * 8)            // opposite structure
+    val junk = "not an image".getBytes
+    val rows = Seq((1L, grad), (2L, gradCopy), (3L, gradNoisy),
+      (4L, inverse), (5L, junk))
+      .map { case (id, b) => (id, "image", b) }
+    val media = rows.toDF("media_id", "modality", "payload")
+    val hashes = Multimodal.imageHashes(spark, media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(hashes(1L) == hashes(2L) && hashes(1L)._2, "identical → same hash")
+    assert(!hashes(5L)._2, "undecodable row accounted with decoded=false")
+    val pairs = Multimodal.imageDupPairs(spark, media, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 3,
+      "one-pixel nudge stays within 3 bits")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "inverse-structure image must not pair")
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L },
+      "undecoded rows must not enter the pair join")
+  }
+
   test("qualityBudgetSelect: best-first prefix per source, partition-invariant") {
     import spark.implicits._
     // src A: three clean docs (quality 1.0 each, ties → id order), 6
