@@ -226,6 +226,98 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** 64-bit envelope hash shared by the audio/video fingerprints: bit
+    * i set iff envelope value i exceeds the envelope mean. Invariant
+    * under constant gain (audio) / brightness shift (video): scaling
+    * or shifting every value moves the mean identically, so the bit
+    * pattern — the SHAPE of the envelope — is unchanged. */
+  private[pipeline] def envelopeHash64(vals: Array[Float]): Long = {
+    var sum = 0.0; var i = 0
+    while (i < 64) { sum += vals(i); i += 1 }
+    val mean = sum / 64.0
+    var fp = 0L; i = 0
+    while (i < 64) { if (vals(i) > mean) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  /** Audio perceptual hash: 64 temporal-segment RMS energies
+    * ([[audioFeatures]]'s envelope at featDim=68) → [[envelopeHash64]]
+    * — a shazam-lite energy-envelope fingerprint, gain-invariant.
+    * Discriminates temporal STRUCTURE: a corpus of structureless
+    * constant-envelope signals (pure test tones) collapses to few
+    * distinct hashes — real speech/music has the envelope variation
+    * this keys on. */
+  private[pipeline] def audioHash64(bytes: Array[Byte]): Option[Long] =
+    audioFeatures(bytes, 68).map(f => envelopeHash64(f.slice(4, 68)))
+
+  /** Video perceptual hash: 64 evenly-sampled per-frame mean lumas
+    * ([[videoFeatures]] at featDim=68) → [[envelopeHash64]] — a
+    * temporal-structure fingerprint, brightness-shift-invariant. */
+  private[pipeline] def videoHash64(bytes: Array[Byte]): Option[Long] =
+    videoFeatures(bytes, 68).map(f => envelopeHash64(f.slice(4, 68)))
+
+  /** Per-row perceptual hashes for ALL modalities of a media table:
+    * (media_id, modality, fp, decoded) — image aHash, audio energy
+    * envelope, video temporal-luma envelope. Batch decode as in
+    * [[decodeFeatures]]; undecodable payloads carry decoded=false with
+    * a payload-hash stand-in so every row stays accounted. */
+  def mediaHashes(spark: SparkSession, media: DataFrame,
+                  batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("modality", StringType),
+      StructField("fp", LongType),
+      StructField("decoded", BooleanType)))
+    val rdd = media.select("media_id", "modality", "payload").rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap(_.map { r =>
+          val mod = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          val real = mod match {
+            case "image" => aHash64(bytes)
+            case "audio" => audioHash64(bytes)
+            case "video" => videoHash64(bytes)
+            case _ => None
+          }
+          real match {
+            case Some(fp) => Row(r.getLong(0), mod, fp, true)
+            case None =>
+              var hsh = 1125899906842597L
+              var i = 0
+              while (i < bytes.length) { hsh = 31 * hsh + bytes(i); i += 1 }
+              Row(r.getLong(0), mod, hsh, false)
+          }
+        })
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Near-duplicate pairs across an entire media table, every modality
+    * through its own perceptual hash and one shared pigeonhole
+    * chunk-bucket join per modality ([[Dedup.hammingPairs64]]) —
+    * returns (modality, id_a, id_b, dist). Only decoded rows
+    * participate; candidates are O(dups) per modality. Returned
+    * persisted (materialized before the hash frame is released);
+    * callers may unpersist. */
+  def mediaDupPairs(spark: SparkSession, media: DataFrame,
+                    maxDist: Int = 3, chunks: Int = 4): DataFrame = {
+    val hashes = mediaHashes(spark, media).filter(col("decoded"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = Seq("image", "audio", "video").map { m =>
+        Dedup.hammingPairs64(
+          hashes.filter(col("modality") === m)
+            .select(col("media_id").as("id"), col("fp")),
+          maxDist, chunks).withColumn("modality", lit(m))
+      }.reduce(_ unionByName _)
+        .select("modality", "id_a", "id_b", "dist")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally hashes.unpersist(blocking = false)
+  }
+
   /** Per-image perceptual hashes for the image rows of a media table:
     * (media_id, ahash, decoded). Decode runs in partition-sized
     * batches like [[decodeFeatures]]; undecodable payloads carry

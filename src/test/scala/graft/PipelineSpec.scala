@@ -478,6 +478,57 @@ class PipelineSpec extends SparkSpec {
       "undecoded rows must not enter the pair join")
   }
 
+  test("mediaDupPairs: audio gain-invariance, video brightness-invariance") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    def wav(pattern: Int => Double): Array[Byte] = {
+      val n = 1600
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (16384 * pattern(i) * math.sin(2 * math.Pi * 440 * i / 8000.0)).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    def y4m(lumas: Seq[Int]): Array[Byte] = {
+      val header = "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+      header ++ lumas.flatMap(l => "FRAME\n".getBytes("US-ASCII") ++
+        Array.fill(16)(l.toByte) ++ Array.fill(8)(128.toByte))
+    }
+    val burst = wav(i => if (i < 800) 1.0 else 0.0)       // loud → silent
+    val burstHalf = wav(i => if (i < 800) 0.5 else 0.0)   // same shape, -6 dB
+    val burstInv = wav(i => if (i < 800) 0.0 else 1.0)    // silent → loud
+    val clip = y4m(Seq(200, 50, 50, 50))
+    val clipBright = y4m(Seq(220, 70, 70, 70))            // +20 brightness
+    val clipInv = y4m(Seq(50, 200, 200, 200))
+    val media = Seq(
+      (1L, "audio", burst), (2L, "audio", burstHalf), (3L, "audio", burstInv),
+      (10L, "video", clip), (11L, "video", clipBright), (12L, "video", clipInv)
+    ).toDF("media_id", "modality", "payload")
+    val pairs = Multimodal.mediaDupPairs(spark, media, maxDist = 3)
+    val byPair = pairs.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> (r.getString(0), r.getInt(3))).toMap
+    assert(byPair.get((1L, 2L)).exists(_._2 == 0),
+      s"gain-scaled copy must hash identically, got $byPair")
+    assert(!byPair.contains((1L, 3L)) && !byPair.contains((2L, 3L)),
+      "inverted envelope must not pair")
+    assert(byPair.get((10L, 11L)).exists(_._2 == 0),
+      "brightness-shifted clip must hash identically")
+    assert(!byPair.contains((10L, 12L)) && !byPair.contains((11L, 12L)),
+      "inverted temporal structure must not pair")
+    assert(byPair.keySet.forall { case (a, b) => (a < 10) == (b < 10) },
+      "pairs never cross modalities")
+    pairs.unpersist()
+  }
+
   test("qualityBudgetSelect: best-first prefix per source, partition-invariant") {
     import spark.implicits._
     // src A: three clean docs (quality 1.0 each, ties → id order), 6
