@@ -428,8 +428,16 @@ object Multimodal {
               (if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0).toFloat
             var k = 0
             while (k < segs) {
+              // Clips shorter than `segs` samples leave gaps in the
+              // envelope; stretch from the owning sample's segment
+              // instead of zero-padding (zeros drag the envelope mean
+              // to ~0 and the hash stops encoding the energy pattern).
+              val src =
+                if (segCnt(k) > 0) k
+                else ((k.toLong * nFrames / segs) * segs / nFrames).toInt
               feats(4 + k) =
-                if (segCnt(k) > 0) math.sqrt(segSum(k) / segCnt(k)).toFloat else 0f
+                if (segCnt(src) > 0) math.sqrt(segSum(src) / segCnt(src)).toFloat
+                else 0f
               k += 1
             }
             Some(feats)
@@ -504,10 +512,11 @@ object Multimodal {
         val slots = math.max(featDim - 4, 0)
         var s = 0
         while (s < slots) {
-          feats(4 + s) =
-            if (nFrames >= slots) means(s * nFrames / slots)
-            else if (s < nFrames) means(s)
-            else 0f
+          // Stretch the luma envelope across all slots in both
+          // directions: zero-padding short clips collapses the envelope
+          // mean toward 0, so every real frame sits above it and the
+          // hash encodes only the frame count, not the pattern.
+          feats(4 + s) = means(s * nFrames / slots)
           s += 1
         }
         Some(feats)

@@ -647,7 +647,8 @@ object Similarity extends Serializable {
         .withColumn("cos", round(cosineFixed(dim, col("va"), col("vb")), 6))
         .filter(col("cos") >= threshold)
         .select(col("id_a"), col("id_b"), col("cos"), col("cluster"))
-      out.count() // materialize before unpersisting the assignment
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize INTO the persist before dropping assigned
       out
     } finally assigned.unpersist(blocking = false)
   }

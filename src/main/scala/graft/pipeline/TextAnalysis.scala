@@ -180,11 +180,13 @@ object TextAnalysis {
       .withColumn("_n", size(col("_cs")).cast("double"))
       .withColumn("_cnts", transform(col("_d"),
         c => size(filter(col("_cs"), x => x === c)).cast("double")))
-    staged.select(col(idCol),
+    // Zero-character docs emit no row, mirroring a GROUP BY over
+    // characters (a grouped aggregate has nothing to group): keeps
+    // parity with the per-character oracle on corpora with empty text.
+    staged.filter(col("_n") > 0.0).select(col(idCol),
       size(col("_d")).as("distinct_chars"),
-      when(col("_n") <= 0.0, lit(0.0)).otherwise(round(
-        log2(col("_n")) - aggregate(col("_cnts"), lit(0.0),
-          (acc, c) => acc + c * log2(c)) / col("_n"), 6)).as("entropy"))
+      round(log2(col("_n")) - aggregate(col("_cnts"), lit(0.0),
+        (acc, c) => acc + c * log2(c)) / col("_n"), 6).as("entropy"))
   }
 
   /** Per-source lexical statistics — the corpus-level audit table a
@@ -467,6 +469,11 @@ object TextAnalysis {
       size(split(col(textCol), " ")).as("dl"))
     val statsRow = lens.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head
     val nDocs = statsRow.getLong(0)
+    if (nDocs == 0L)
+      // avg over zero rows is null — return the empty result with the
+      // contract schema instead of NPE-ing on getDouble
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0.0).as("bm25")).limit(0)
     val avgdl = statsRow.getDouble(1)
     val tf = df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("term"))

@@ -235,12 +235,23 @@ object PipelineQueries {
     // turning Θ(n²) into K·Θ((n/K)²) is exactly cross-cluster pairs).
     "q62_semdedup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+      // semDedupPairs returns an already-persisted frame (it must
+      // materialize before dropping its cluster assignment)
       val pairs = Similarity.semDedupPairs(s, e, threshold = 0.35,
-        nClusters = 8).cache()
+        nClusters = 8)
       val dec = Similarity.semDedup(s, e, threshold = 0.35, nClusters = 8,
         precomputedPairs = Some(pairs))
-      val bruteN = Similarity.cosinePairsBrute(e, threshold = 0.35).count()
-      val semN = pairs.count()
+      // recall on a capped universe (vec_id < 200, like q27/q30/q41's
+      // query caps): the brute twin is Θ(n²) and would dominate the
+      // query at scale; the capped measure is the same estimator at
+      // fixed cost as data grows
+      val brute = Similarity
+        .cosinePairsBrute(e.filter(col("vec_id") < 200), threshold = 0.35)
+        .select("id_a", "id_b")
+      val bruteN = brute.count()
+      val semN = pairs.filter(col("id_a") < 200 && col("id_b") < 200)
+        .select("id_a", "id_b")
+        .join(brute, Seq("id_a", "id_b"), "left_semi").count()
       val recall = if (bruteN == 0) 1.0 else semN.toDouble / bruteN
       dec.withColumn("recall_vs_brute", round(lit(recall), 4))
         .orderBy("vec_id")
@@ -513,11 +524,12 @@ object PipelineQueries {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset
         |  FROM t)
         |SELECT doc_id, n_tokens, start_offset,
-        |  start_offset // 512 AS seq_idx FROM c""".stripMargin,
+        |  CAST(start_offset // 512 AS BIGINT) AS seq_idx FROM c""".stripMargin,
 
     "q58_shuffle_shards" ->
       """WITH o AS (SELECT doc_id,
@@ -552,8 +564,9 @@ object PipelineQueries {
         |  FROM documents),
         |tc AS (SELECT source, term, count(*) AS cnt FROM tok
         |  WHERE term <> '' GROUP BY 1, 2),
-        |ps AS (SELECT source, sum(cnt) AS n_tokens, count(*) AS vocab,
-        |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax
+        |ps AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
         |  FROM tc GROUP BY 1),
         |docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
         |SELECT docs.source, docs.n_docs, ps.n_tokens, ps.vocab, ps.hapax,
@@ -572,8 +585,8 @@ object PipelineQueries {
         |        greatest(len(string_split(text, ' ')), 1), 6) * 0.5) AS quality
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_tokens,
-        |  sum(n_tokens) OVER (PARTITION BY source
-        |    ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING)
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |    AS cum_tokens FROM q)
         |SELECT doc_id, source, n_tokens, cum_tokens,
         |  CASE WHEN source = 'src0' THEN cum_tokens <= 30000
@@ -655,7 +668,7 @@ object PipelineQueries {
         |tot AS (SELECT sum(r) AS sum_r, sum(t) AS sum_t FROM dist),
         |s AS (SELECT b, ln((t + 1.0) / (sum_t + 1.0 * 1024)) -
         |  ln((r + 1.0) / (sum_r + 1.0 * 1024)) AS llr FROM dist, tot)
-        |SELECT db.doc_id, sum(db.c) AS n_grams,
+        |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_grams,
         |  round(sum(db.c * s.llr), 6) AS log_weight
         |FROM db JOIN s USING (b) GROUP BY 1""".stripMargin,
 
@@ -666,7 +679,7 @@ object PipelineQueries {
         |  WHERE term <> '' GROUP BY 1, 2),
         |gf AS (SELECT term, sum(c) AS g FROM tf GROUP BY 1),
         |tot AS (SELECT sum(g) AS t FROM gf)
-        |SELECT tf.doc_id, sum(tf.c) AS n_tokens,
+        |SELECT tf.doc_id, CAST(sum(tf.c) AS BIGINT) AS n_tokens,
         |  round(-sum(tf.c * ln(gf.g / tot.t)) / sum(tf.c), 6) AS avg_nll
         |FROM tf JOIN gf USING (term), tot GROUP BY 1""".stripMargin,
 
@@ -695,7 +708,7 @@ object PipelineQueries {
         |  i -> t[i] || ' ' || t[i+1])) AS g FROM d WHERE len(t) >= 2),
         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
         |agg AS (SELECT doc_id, max(c) AS top_ngram_n,
-        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_ngram_n
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_ngram_n
         |  FROM c GROUP BY 1)
         |SELECT tot.doc_id, tot.n_ngrams,
         |  coalesce(agg.top_ngram_n, 0) AS top_ngram_n,

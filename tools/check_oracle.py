@@ -18,6 +18,32 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def duck_types(con, sql):
+    """{column: duckdb type string} for a query, pre-pandas-coercion."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+def dtype_check(con, files, sql):
+    """The driver's hasher distinguishes DuckDB HUGEINT (int128, what
+    sum() over integers widens to) from Spark's int64 even when values
+    are equal; pandas float-coerces HUGEINT and masks it. Compare the
+    un-coerced DuckDB types of both relations: a HUGEINT on either side
+    is a hard fail, other mismatches (e.g. INTEGER vs BIGINT) are
+    reported as warnings since the driver hash tolerates them."""
+    got_t = duck_types(con, f"SELECT * FROM read_parquet({files!r})")
+    want_t = duck_types(con, f"({sql})")
+    hard, soft = [], []
+    for c in sorted(set(got_t) | set(want_t)):
+        g, w = got_t.get(c, "?"), want_t.get(c, "?")
+        if g == w:
+            continue
+        msg = f"{c}: spark={g} oracle={w}"
+        if "HUGEINT" in g or "HUGEINT" in w:
+            hard.append(msg)
+        else:
+            soft.append(msg)
+    return hard, soft
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -33,10 +59,15 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
+            hard, soft = dtype_check(con, files, oracle[name])
             got = canon(con.execute(f"SELECT * FROM read_parquet({files!r})").df())
             want = canon(con.execute(oracle[name]).df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if soft:
+            print(f"WARN {name}: dtype " + "; ".join(soft))
+        if hard:
+            print(f"FAIL {name}: HUGEINT dtype " + "; ".join(hard)); n_fail += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
         if len(got) != len(want):
