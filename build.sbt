@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print one machine-readable JSON line as their LAST
+// stdout line; sbt's "[success] Total time: …" epilogue would land
+// after it and break the driver's tail-parse.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

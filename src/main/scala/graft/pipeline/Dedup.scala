@@ -179,10 +179,17 @@ object Dedup {
   /** MinHash signature: k minimums of xxhash64(shingle, salt) — one
     * aggregate, no per-row UDF. Returns (id, sig array<long> of k). */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        md5Based: Boolean = false): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    // md5 family: h_i(s) = md5("i:" ++ s) as hex text — fixed-length
+    // lowercase hex, so lexicographic min == unsigned numeric min and
+    // DuckDB computes the identical signature. xxhash64 (default) is
+    // the hot-path family: one codegen'd op, long-typed.
+    val mins = (0 until k).map(i =>
+      (if (md5Based) min(md5(concat(lit(s"$i:"), col("s"))))
+       else min(xxhash64(lit(i), col("s")))).as(s"h$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -193,14 +200,19 @@ object Dedup {
     * (id_a, id_b, jaccard ≥ threshold). */
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text", md5Based: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sigs = minhashSignatures(docs, n, k, idCol, textCol)
+    val sigs = minhashSignatures(docs, n, k, idCol, textCol, md5Based)
+    // band bucket key: md5 over the "|"-joined band slice in md5 mode
+    // (DuckDB-identical), xxhash64 over the raw longs otherwise
+    def bucketOf(b: Int): Column = {
+      val slice = (b * rows until (b + 1) * rows).map(i =>
+        element_at(col("sig"), i + 1))
+      if (md5Based) md5(concat_ws("|", slice: _*)) else xxhash64(slice: _*)
+    }
     val banded = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i =>
-          element_at(col("sig"), i + 1)): _*)): _*)).as(Seq("band", "bucket")))
+      posexplode(array((0 until bands).map(bucketOf): _*)).as(Seq("band", "bucket")))
     val cands = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -358,16 +370,29 @@ object Dedup {
         col("n_passages"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** md5-derived 64-bit hash: the first 16 hex chars of md5 read as a
+    * signed two's-complement long (`conv` base -10 keeps the exact bit
+    * pattern for values with the top bit set, where a plain string→long
+    * cast would overflow to null). Same bits as DuckDB's
+    * `CAST('0x' || substr(md5(x),1,16) AS UBIGINT)`, so any operator
+    * keyed on it is oracle-checkable; xxhash64 stays the default for
+    * hot paths (one codegen'd op vs md5's digest + hex round-trip). */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 16), 16, -10).cast("long")
+
   /** 64-bit SimHash fingerprint: per token-hash bit, +1/-1 vote; sign of
     * the vote sum sets the bit. Pure column expressions (codegen'd).
     * The vote sum is computed as plain bit counts — Σ±1 = 2·c_b − n, so
     * "vote > 0" ⟺ "2·c_b > n" — which drops a CaseWhen per bit per row
-    * from the hot aggregate (64 branch-free shift-and-sums instead). */
+    * from the hot aggregate (64 branch-free shift-and-sums instead).
+    * `hasher` picks the token-hash family: xxhash64 (default, fastest)
+    * or [[md5Hash64]] (DuckDB-replicable, used by the oracle gate). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text",
+              hasher: Column => Column = xxhash64(_)): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(array_distinct(tokens(col(textCol)))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", hasher(col("w")))
     val counts = (0 until 64).map(b =>
       sum(shiftrightunsigned(col("h"), b).bitwiseAND(1)).as(s"c$b"))
     tok.groupBy("id").agg(count(lit(1)).as("n"), counts: _*)
@@ -387,8 +412,9 @@ object Dedup {
     * buckets get too coarse to prune and multi-probe/recursion is the
     * standard escalation). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, chunks: Int = 4,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    hammingPairs64(simhash(docs, idCol, textCol)
+                   idCol: String = "doc_id", textCol: String = "text",
+                   hasher: Column => Column = xxhash64(_)): DataFrame =
+    hammingPairs64(simhash(docs, idCol, textCol, hasher)
       .select(col("id"), col("simhash").as("fp")), maxDist, chunks)
 
   /** Generic 64-bit-fingerprint near-dup pairs at Hamming distance ≤

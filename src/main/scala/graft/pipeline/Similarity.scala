@@ -222,12 +222,7 @@ object Similarity extends Serializable {
     val dsub = dim / m
     import spark.implicits._
     val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    def unit(v: Array[Float]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
-      val n = math.sqrt(s) + 1e-12
-      Array.tabulate(dim)(j => v(j) / n)
-    }
+    def unit(v: Array[Float]): Array[Double] = unitOf(v, dim)
     val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
       .limit(trainCap).as[(Long, Array[Float])].collect().map(t => unit(t._2))
     val centers = lloydKMeans(train, nLists, seed)
@@ -318,10 +313,9 @@ object Similarity extends Serializable {
     val shortlist = adc.withColumn("srn", row_number().over(wApprox))
       .filter(col("srn") <= k * refine)
       .select("qid", "rid")
-    val vecs = src
     rerankTopK(shortlist
-      .join(vecs.select(col("id").as("qid"), col("v").as("qv")), "qid")
-      .join(vecs.select(col("id").as("rid"), col("v").as("rv")), "rid"), k)
+      .join(src.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(src.select(col("id").as("rid"), col("v").as("rv")), "rid"), k)
   }
 
   /** Seeded Lloyd k-means with k-means++ init on an in-memory sample

@@ -486,10 +486,14 @@ object TextAnalysis {
       .join(lens, "id")
       .withColumn("contrib", col("idf") * col("tf") * (k1 + 1) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
-      .groupBy("id").agg(sum("contrib").as("score"))
+      // round BEFORE the top-k cut: the raw sum's accumulation order
+      // differs across engines and topologies, so near-ties at the k
+      // boundary must be broken on the emitted 6dp value (then id),
+      // never on the unrounded double
+      .groupBy("id").agg(round(sum("contrib"), 6).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
-      .select(col("id").as(idCol), round(col("score"), 6).as("bm25"))
+      .select(col("id").as(idCol), col("score").as("bm25"))
   }
 
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
@@ -531,8 +535,7 @@ object TextAnalysis {
     val bucketed = grams.withColumn("b",
       conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
     val docBuckets = bucketed.groupBy(col(idCol), col("b"))
-      .agg(count(lit(1)).as("c"),
-        max(col("is_target").cast("int")).as("_t"))
+      .agg(count(lit(1)).as("c"))
     // fitted multinomials: raw = ALL grams, target = target-slice grams
     val dist = bucketed.groupBy("b").agg(
       count(lit(1)).as("r"),

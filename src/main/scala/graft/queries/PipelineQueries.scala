@@ -31,8 +31,11 @@ object PipelineQueries {
     // query set for the top-k ops), identical on every row.
     "q27_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // md5-family hashes (signature mins + band buckets) so the whole
+      // LSH candidate generation is DuckDB-replicable — q27 graduates
+      // from rows-only to a full hash-checked oracle row
       val lsh = Dedup.minhashLsh(docs, n = 3, k = 64, bands = 16,
-        threshold = 0.10).cache()
+        threshold = 0.10, md5Based = true).cache()
       // recall measured on a capped universe (doc_id < 1000, like
       // q30/q41's query caps): the exact-jaccard twin is quadratic-ish
       // in docs, and the capped measure is the same estimator at a
@@ -51,8 +54,13 @@ object PipelineQueries {
 
     "q28_simhash_pairs" -> ((s, d) =>
       // d ≤ 7 with 8-bit chunks keeps the pigeonhole full-recall
-      // guarantee simhashPairs documents (and now enforces).
-      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 7, chunks = 8)
+      // guarantee simhashPairs documents (and now enforces). md5Hash64
+      // token hashes make the fingerprints — and therefore the exact
+      // pair set — DuckDB-replicable (the oracle brute-forces pairs;
+      // pigeonhole and brute agree because the bucketing is full-recall
+      // by construction, so the oracle doubles as a recall proof).
+      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 7, chunks = 8,
+          hasher = Dedup.md5Hash64)
         .orderBy("id_a", "id_b")),
 
     // Dedup cluster resolution over the q26 pair graph: GraphX CC
@@ -610,7 +618,7 @@ object PipelineQueries {
         |  FROM tf JOIN dfreq USING (term) JOIN l USING (doc_id), stats
         |  GROUP BY 1)
         |SELECT doc_id, round(score, 6) AS bm25 FROM sc
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "q68_dedup_passages" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -101,17 +101,24 @@ object Temporal {
                       rightPrefix: String = "r_"): DataFrame = {
     require(hiUs > loUs, s"empty range [$loUs, $hiUs)")
     val band = hiUs - loUs
+    // Floor-division on LONGS: `pmod` makes the numerator an exact
+    // multiple of band, `div` divides it as integers — the bucket id
+    // never routes through a double, so it stays exact even when the
+    // microsecond magnitudes approach 2^63 (Column `/` is double
+    // division and goes half-ulp-wrong past 2^53).
+    def floorDivBand(sqlExpr: String): Column =
+      expr(s"(($sqlExpr) - pmod($sqlExpr, ${band}L)) div ${band}L")
     val l = left
       .withColumn("_lus", unix_micros(col(leftTs)))
       .withColumn("_bucket",
         explode(sequence(
-          floor((col("_lus") + loUs) / band).cast("long"),
-          floor((col("_lus") + hiUs - 1) / band).cast("long"))))
+          floorDivBand(s"_lus + ${loUs}L"),
+          floorDivBand(s"_lus + ${hiUs}L - 1L"))))
     val rRenamed = right.columns.filterNot(keys.contains)
       .foldLeft(right)((df, c) => df.withColumnRenamed(c, rightPrefix + c))
     val r = rRenamed
       .withColumn("_rus", unix_micros(col(rightPrefix + rightTs)))
-      .withColumn("_bucket", floor(col("_rus") / band).cast("long"))
+      .withColumn("_bucket", floorDivBand("_rus"))
     l.join(r, Seq("_bucket") ++ keys)
       .filter(col("_rus") >= col("_lus") + loUs &&
         col("_rus") < col("_lus") + hiUs)
