@@ -26,9 +26,11 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via
-    * spark.sql.legacy.parquet.nanosAsLong (set in Verify/Bench sessions);
-    * normalize it back to a proper TimestampType column here.
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) (read by
+    * Spark as a long via spark.sql.legacy.parquet.nanosAsLong, set in
+    * Verify/Bench sessions) or TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (read as TIMESTAMP_NTZ). Normalize both to a proper TimestampType
+    * column so downstream unix_micros()/window() calls work unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = apply(spark, dir, "events")
@@ -39,6 +41,11 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // exact under the session's UTC timezone (set in all entrypoints)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

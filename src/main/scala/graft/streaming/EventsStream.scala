@@ -19,11 +19,13 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events schema as Spark reads it with nanosAsLong (ts: long nanos,
-    * normalized to timestamp inside `transform`). */
+  /** events schema as stored in the driver's parquet: ts is
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    * TIMESTAMP_NTZ (normalized to TimestampType inside the transforms;
+    * older nanos-as-long testdata is handled there too). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -34,6 +36,9 @@ object EventsStream {
       case LongType =>
         // integer `div` — see Tables.events (double `/` loses µs above 2^53)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // exact under the session's UTC timezone — see Tables.events
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
 

@@ -1114,9 +1114,12 @@ class PipelineSpec extends SparkSpec {
   test("stateful transitions stream equals the batch lag, across batches") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("trans_stream").toString
-    // raw read keeps ts as long nanos (nanosAsLong) so the re-written
-    // halves match the stream's rawSchema exactly
+    // raw read keeps ts in its on-disk form (TIMESTAMP_NTZ) so the
+    // re-written halves match the stream's rawSchema exactly; the
+    // helper column ts_us gives a numeric handle for the split
     val raw = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val rawCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
     val batchExpected = EventsStream.transitions(Tables.events(spark, sf)).cache()
     assert(batchExpected.count() > 0)
     // split into two files BY TIME so the stream sees multiple
@@ -1124,8 +1127,8 @@ class PipelineSpec extends SparkSpec {
     // (the contract: parity holds for data at most watermark-late;
     // within each file rows are ordered by event_id, not ts, so the
     // event-time sorter is still exercised)
-    val medianNs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
-    raw.filter(col("ts") <= medianNs).coalesce(1)
+    val medianUs = raw.stat.approxQuantile("ts_us", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts_us") <= medianUs).select(rawCols.map(col): _*).coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/in")
     val stream = EventsStream.transitionsStream(
       spark.readStream.schema(EventsStream.rawSchema)
@@ -1134,14 +1137,17 @@ class PipelineSpec extends SparkSpec {
       .outputMode("append").start()
     q.processAllAvailable()
     // second half arrives later (event-time out of order vs file order)
-    raw.filter(col("ts") > medianNs).coalesce(1)
+    raw.filter(col("ts_us") > medianUs).select(rawCols.map(col): _*).coalesce(1)
       .write.mode("append").parquet(s"$tmp/in")
     q.processAllAvailable()
     // sentinel far-future event for an unseen user pushes the watermark
     // past every real event so all buffered state flushes
-    val maxNs = raw.agg(max(col("ts"))).collect()(0).getLong(0)
-    Seq((-1L, maxNs + 30L * 24 * 3600 * 1000000000L, -1L, "x", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val maxUs = raw.agg(max(col("ts_us"))).collect()(0).getLong(0)
+    Seq((-1L, maxUs + 30L * 24 * 3600 * 1000000L, -1L, "x", 0.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
       .coalesce(1).write.mode("append").parquet(s"$tmp/in")
     q.processAllAvailable()
     q.stop()
@@ -1174,8 +1180,10 @@ class PipelineSpec extends SparkSpec {
     // the file boundary exercise the buffered join state
     val tmp = java.nio.file.Files.createTempDirectory("sj_stream").toString
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val medianNs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
-    raw.filter(col("ts") <= medianNs).coalesce(1)
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val rawCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val medianUs = raw.stat.approxQuantile("ts_us", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts_us") <= medianUs).select(rawCols.map(col): _*).coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/in")
     val stream = EventsStream.errorPurchaseJoin(
       spark.readStream.schema(EventsStream.rawSchema)
@@ -1183,7 +1191,7 @@ class PipelineSpec extends SparkSpec {
     val q = stream.writeStream.format("memory").queryName("sj_test")
       .outputMode("append").start()
     q.processAllAvailable()
-    raw.filter(col("ts") > medianNs).coalesce(1)
+    raw.filter(col("ts_us") > medianUs).select(rawCols.map(col): _*).coalesce(1)
       .write.mode("append").parquet(s"$tmp/in")
     q.processAllAvailable()
     q.stop()
