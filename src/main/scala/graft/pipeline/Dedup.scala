@@ -176,21 +176,38 @@ object Dedup {
       .drop("_sh")
   }
 
-  /** MinHash signature: k minimums of xxhash64(shingle, salt) — one
-    * aggregate, no per-row UDF. Returns (id, sig array<long> of k). */
+  /** MinHash signature: k minimums of a k-wise hash family — one
+    * aggregate, no per-row UDF. Returns (id, sig array<long> of k) in
+    * BOTH families (same schema, different hash values — don't mix
+    * signatures across families).
+    *
+    * xxhash64 (default) salts the codegen'd hash per index: h_i =
+    * xxhash64(i, s), k hash ops per shingle. The md5 family (the
+    * DuckDB-replicable one behind the q27 oracle row) digests each
+    * shingle ONCE and Kirsch–Mitzenmacher-derives the k values from the
+    * digest's two 64-bit halves: h_i = h1 + i·(h2|1), wrap arithmetic
+    * via [[graft.functions.HashArith.mulAddWrap]] (ANSI-safe, codegen'd)
+    * — k longs from one digest instead of k digests, which is what
+    * makes the oracle-checkable family affordable in the hot path.
+    * DuckDB reproduces it exactly with HUGEINT mod-2^64 arithmetic over
+    * `CAST('0x'||substr(md5(s),…) AS UBIGINT)`. */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int,
                         idCol: String = "doc_id", textCol: String = "text",
                         md5Based: Boolean = false): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
-    // md5 family: h_i(s) = md5("i:" ++ s) as hex text — fixed-length
-    // lowercase hex, so lexicographic min == unsigned numeric min and
-    // DuckDB computes the identical signature. xxhash64 (default) is
-    // the hot-path family: one codegen'd op, long-typed.
+    val hashed = if (md5Based)
+      sh.select(col("id"), md5(col("s")).as("m"))
+        .select(col("id"),
+          conv(substring(col("m"), 1, 16), 16, -10).cast("long").as("h1"),
+          conv(substring(col("m"), 17, 16), 16, -10).cast("long")
+            .bitwiseOR(lit(1L)).as("h2"))
+    else sh
     val mins = (0 until k).map(i =>
-      (if (md5Based) min(md5(concat(lit(s"$i:"), col("s"))))
+      (if (md5Based)
+         min(graft.functions.HashArith.mulAddWrap(col("h1"), lit(i.toLong), col("h2")))
        else min(xxhash64(lit(i), col("s")))).as(s"h$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
@@ -205,11 +222,13 @@ object Dedup {
     val rows = k / bands
     val sigs = minhashSignatures(docs, n, k, idCol, textCol, md5Based)
     // band bucket key: md5 over the "|"-joined band slice in md5 mode
-    // (DuckDB-identical), xxhash64 over the raw longs otherwise
+    // (DuckDB-identical — explicit long→string casts match DuckDB's
+    // array_to_string rendering), xxhash64 over the raw longs otherwise
     def bucketOf(b: Int): Column = {
       val slice = (b * rows until (b + 1) * rows).map(i =>
         element_at(col("sig"), i + 1))
-      if (md5Based) md5(concat_ws("|", slice: _*)) else xxhash64(slice: _*)
+      if (md5Based) md5(concat_ws("|", slice.map(_.cast("string")): _*))
+      else xxhash64(slice: _*)
     }
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(bucketOf): _*)).as(Seq("band", "bucket")))

@@ -352,6 +352,91 @@ object PipelineQueries {
         |FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
         |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10""".stripMargin,
 
+    // Full MinHash+LSH replica of the Kirsch–Mitzenmacher md5 family:
+    // each shingle's single md5 digest splits into two 64-bit halves,
+    // h_i = h1 + i·(h2|1) with two's-complement wrap — rebuilt here with
+    // HUGEINT mod-2^64 arithmetic (DuckDB BIGINT ops raise on overflow,
+    // so the wrap is made explicit; the ±2^63 shuffle converts between
+    // the unsigned hex value and Spark's signed long). Band bucket =
+    // md5 of the "|"-joined 4-hash slice, candidates verified against
+    // true Jaccard, and the recall_vs_brute constant recomputed from
+    // the capped (<1000) brute twin — cell-identical to the Spark frame.
+    "q27_minhash_lsh" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |hm AS (SELECT doc_id, md5(s) AS m FROM sh),
+        |hp AS (SELECT doc_id,
+        |  CAST(CAST('0x' || substr(m, 1, 16) AS UBIGINT) AS HUGEINT) AS u1,
+        |  CAST((CAST('0x' || substr(m, 17, 16) AS UBIGINT) | 1) AS HUGEINT) AS u2
+        |  FROM hm),
+        |hsg AS (SELECT doc_id,
+        |  u1 - CASE WHEN u1 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS s1,
+        |  u2 - CASE WHEN u2 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS s2
+        |  FROM hp),
+        |hs AS (SELECT doc_id, r.i, min(CAST(
+        |  ((s1 + r.i * s2 + 9223372036854775808) % 18446744073709551616
+        |    + 18446744073709551616) % 18446744073709551616
+        |    - 9223372036854775808 AS BIGINT)) AS h
+        |  FROM hsg, range(0, 64) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY 1),
+        |bb AS (SELECT doc_id, rb.b,
+        |  md5(array_to_string(sig[rb.b*4+1 : rb.b*4+4], '|')) AS bucket
+        |  FROM sig, range(0, 16) rb(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM bb a JOIN bb b2 ON a.b = b2.b AND a.bucket = b2.bucket
+        |  WHERE a.doc_id < b2.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS c
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2),
+        |ver AS (SELECT id_a, id_b, round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+        |  FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10),
+        |bru AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (s)
+        |  WHERE a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
+        |  GROUP BY 1, 2),
+        |brup AS (SELECT id_a, id_b
+        |  FROM bru JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10),
+        |hit AS (SELECT count(*) AS nb, count(*) FILTER (WHERE EXISTS
+        |  (SELECT 1 FROM ver v WHERE v.id_a = brup.id_a AND v.id_b = brup.id_b)) AS nh
+        |  FROM brup),
+        |rec AS (SELECT CASE WHEN nb = 0 THEN 1.0 ELSE round(nh * 1.0 / nb, 4) END
+        |  AS recall_vs_brute FROM hit)
+        |SELECT v.id_a, v.id_b, v.jaccard, rec.recall_vs_brute
+        |FROM ver v CROSS JOIN rec""".stripMargin,
+
+    // SimHash brute-force twin: md5Hash64 token hashes rebuilt as
+    // CAST('0x'||substr(md5(w),1,16) AS UBIGINT) (identical 64 bits),
+    // majority-vote fingerprint assembled bit by bit, and ALL pairs
+    // scanned at distance ≤ 7 — the pigeonhole-bucketed Spark operator
+    // must produce the identical set (full recall by construction), so
+    // this oracle row doubles as a recall proof. The 64 per-bit sums
+    // are generated, not hand-written.
+    "q28_simhash_pairs" -> {
+      val sums = (0 until 64).map(b =>
+        s"sum(CAST((h >> $b) & 1 AS BIGINT)) AS c$b").mkString(",\n  ")
+      // toUnsignedString: bit 63's constant must print as 2^63, not
+      // Long.MinValue's negative literal, to cast into UBIGINT
+      val fp = (0 until 64).map(b =>
+        s"CASE WHEN 2*c$b > n THEN ${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT ELSE 0::UBIGINT END")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS h
+         |  FROM tok),
+         |bits AS (SELECT doc_id, count(*) AS n,
+         |  $sums
+         |  FROM h GROUP BY 1),
+         |fp AS (SELECT doc_id, $fp AS fp FROM bits),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS dist
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 7""".stripMargin
+    },
+
     // Connected components via transitive closure (recursive CTE) over
     // the q26 pair graph; cluster label = min reachable id. Feasible in
     // SQL because the closure is bounded by dup-cluster sizes, not the
