@@ -273,6 +273,14 @@ object Bench {
       s""""centralities_distributed":$cD,"ic_distributed":$icD,""" +
       s""""generator_sweep":$genSweepJson,"influence_sweep":$inflSweepJson,""" +
       s""""sf":"$sfDir"}""")
+    // The full line above is ~6 kB; harnesses that keep only a short
+    // tail of stdout truncate its head and can no longer parse it. Emit
+    // a compact headline summary LAST so the final line always fits a
+    // ~2000-char tail window and parses on its own.
+    println(s"""{"metric":"summary","value":$total,"unit":"sec",""" +
+      s""""core_total":$coreTotal,"layout":${erRow._4},""" +
+      s""""influence":$inflTotal,"n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
