@@ -120,10 +120,15 @@ object PipelineQueries {
     // IVF-PQ (the reference ladder's >1M-vector tier): product-
     // quantized inverted lists + exact refine; recall measured against
     // the brute twin on the same capped query universe as q30/q41.
+    // Parameters picked from the recorded ProfileIvfPq recall curve
+    // (BASELINE.md r5): nProbe ≤ 4 is probe-coverage-bounded at 0.756
+    // no matter how good the codes, so the ≥0.8 regime needs 6+ probes
+    // and a deeper exact-rerank shortlist — (8, 6, m=8, codes=32,
+    // refine=20) measures recall 0.904 at sf0.01 at unchanged cost.
     "q56_ivfpq_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val pq = Similarity.ivfPqTopK(s, e, k = 5, nLists = 8, nProbe = 2,
-        m = 8, nCodes = 32, refine = 4).cache()
+      val pq = Similarity.ivfPqTopK(s, e, k = 5, nLists = 8, nProbe = 6,
+        m = 8, nCodes = 32, refine = 20).cache()
       val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
         k = 5).select("qid", "rid")
       val nb = brute.count()
@@ -161,6 +166,13 @@ object PipelineQueries {
     // carries the exact count beside it so approximation quality is
     // data the driver sees (cf. recall_vs_brute on q27/q30/q41) —
     // bloom_minus_exact counts false positives, never negatives.
+    // Bloom screen vs exact contamination. The Bloom count itself is
+    // sketch-dependent (not DuckDB-expressible), but its one provable
+    // property — no false negatives, so n_flagged_ub >= n_exact on
+    // EVERY row — is: ub_ge_exact must be uniformly true, and the
+    // oracle hash-checks it alongside the exact counts. A Bloom
+    // implementation with false negatives flips the flag and fails the
+    // row hash.
     "q69_contamination_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val ref = docs.filter(col("doc_id") % 20 === 0)
@@ -169,10 +181,10 @@ object PipelineQueries {
       val exact = Dedup.contamination(docs, ref, n = 3)
         .select(col("doc_id"), col("n_contaminated"))
       bloom.join(exact, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"), col("n_flagged_ub"),
+        .select(col("doc_id"), col("n_shingles"),
           coalesce(col("n_contaminated"), lit(0L)).as("n_exact"),
-          (col("n_flagged_ub") - coalesce(col("n_contaminated"), lit(0L)))
-            .as("bloom_minus_exact"))
+          (col("n_flagged_ub") >=
+            coalesce(col("n_contaminated"), lit(0L))).as("ub_ge_exact"))
     }),
 
     // PII scrubbing over text with planted email/IP/phone (planted in
@@ -313,12 +325,28 @@ object PipelineQueries {
     // Multimodal near-dup: aHash + pigeonhole hamming pairs over the
     // encoded-image table with ids<60 images re-planted under offset
     // ids — each planted copy must pair with its source at dist 0.
+    // Planted-duplicate recovery through the full decode → aHash →
+    // pigeonhole-bucket → verify pipeline: every image with media_id <
+    // 60 is copied byte-identically to id+1e6, so each planted pair
+    // MUST surface at Hamming distance 0. The output is the per-plant
+    // verdict — deterministic and DuckDB-expressible (the oracle
+    // enumerates the planted ids from `documents`; the pixel pipeline
+    // itself can't run in SQL, its effect is what's checked). A broken
+    // hash/bucket path drops `recovered` to false and fails the hash.
     "q72_image_dup_pairs" -> ((s, d) => {
       val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
       val planted = media
         .filter(col("modality") === "image" && col("media_id") < 60)
         .withColumn("media_id", col("media_id") + 1000000L)
-      Multimodal.imageDupPairs(s, media.unionByName(planted))
+      val pairs = Multimodal.imageDupPairs(s, media.unionByName(planted))
+      val expected = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 60)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1000000L).as("id_b"))
+      expected.join(pairs, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          col("dist").isNotNull.as("recovered"),
+          coalesce(col("dist"), lit(-1)).as("dist"))
     }),
 
     "q34_media_features" -> ((s, d) => {
@@ -704,6 +732,31 @@ object PipelineQueries {
         |  GROUP BY 1)
         |SELECT doc_id, round(score, 6) AS bm25 FROM sc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Exact contamination counts replicated in SQL; the Bloom screen's
+    // no-false-negative invariant is the literal TRUE the Spark side
+    // must reproduce on every row.
+    "q69_contamination_bloom" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+        |hit AS (SELECT sh.doc_id, count(*) AS n_exact
+        |  FROM sh JOIN ref USING (s) GROUP BY 1)
+        |SELECT doc.doc_id, coalesce(cnt.n_shingles, 0) AS n_shingles,
+        |  coalesce(hit.n_exact, 0) AS n_exact, TRUE AS ub_ge_exact
+        |FROM documents doc
+        |LEFT JOIN cnt ON cnt.doc_id = doc.doc_id
+        |LEFT JOIN hit ON hit.doc_id = doc.doc_id""".stripMargin,
+
+    // Planted-duplicate ground truth: images are doc_id % 3 = 0 (the
+    // synthetic media modality rule); every planted copy must come back
+    // recovered at distance 0 through the decode→aHash→bucket pipeline.
+    "q72_image_dup_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  TRUE AS recovered, 0 AS dist
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id < 60""".stripMargin,
 
     "q68_dedup_passages" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
