@@ -48,6 +48,26 @@ class GraphEm private (spark: SparkSession, edges: DataFrame,
     * this embedder's current positions. */
   def correlationReport(): DataFrame =
     graft.bench.Harness.correlationFromPositions(spark, edges, positions, nVertices)
+
+  /** plot_radial_vs_centrality analog (visualization.py:93-127): the
+    * faceted radius-vs-centrality scatter with OLS trendlines, as a
+    * self-contained SVG string (the container has no plotting stack;
+    * write it to a .svg file). Point data is per-vertex — bounded by
+    * the embedded graph's vertex count, same driver-side contract as
+    * the reference's plotly call. */
+  def plotRadialVsCentrality(): String = {
+    import org.apache.spark.sql.functions._
+    val radii = positions.select(col("id"),
+      graft.functions.VecOps.norm(col("pos")).as("radius"))
+    val cents = graft.metrics.Centralities.all(spark, edges, nVertices)
+    val measures = Seq("degree_centrality", "pagerank", "eigenvector",
+      "closeness", "betweenness", "load")
+    val long = radii.join(cents, "id").select(col("radius"),
+      expr(s"stack(${measures.size}, " +
+        measures.map(m => s"'$m', $m").mkString(", ") + ") AS (measure, value)"))
+    graft.io.Sinks.svgScatter(long, "radius", "value", "measure",
+      title = "Radial distance vs centrality")
+  }
 }
 
 object GraphEm {

@@ -58,4 +58,72 @@ object Sinks {
       rows.map(r => "<tr>" + r.map(c => s"<td>${esc(c)}</td>").mkString + "</tr>") ++
       Seq("</table>")).mkString("\n")
   }
+
+  /** Faceted scatter with per-facet OLS trendline as a self-contained
+    * SVG string — the figure-output analog of the reference's
+    * plot_radial_vs_centrality (visualization.py:93-127), which facets
+    * radial distance against each centrality measure. Dependency-free
+    * (the container has no plotting stack) and driver-side over a
+    * COLLECTED result frame like every other renderer here: the input
+    * is a per-vertex metrics table (thousands of rows), never corpus
+    * data — `maxPoints` enforces that contract. */
+  def svgScatter(df: DataFrame, xCol: String, yCol: String,
+                 facetCol: String, title: String = "",
+                 maxPoints: Int = 100000): String = {
+    val pts = df.select(xCol, yCol, facetCol).collect().toSeq.flatMap { r =>
+      (Option(r.get(0)), Option(r.get(1))) match {
+        case (Some(x: Number), Some(y: Number)) =>
+          val (xd, yd) = (x.doubleValue(), y.doubleValue())
+          if (xd.isFinite && yd.isFinite)
+            Some((xd, yd, Option(r.get(2)).fold("null")(_.toString)))
+          else None
+        case _ => None
+      }
+    }
+    require(pts.size <= maxPoints,
+      s"svgScatter is a driver-side result renderer: got ${pts.size} points " +
+        s"(max $maxPoints) — aggregate or sample before plotting")
+    val facets = pts.groupBy(_._3).toSeq.sortBy(_._1)
+    val (fw, fh, pad, perRow) = (320, 260, 42, 3)
+    val rowsN = math.max(1, (facets.size + perRow - 1) / perRow)
+    val w = perRow * fw + 2 * pad
+    val h = rowsN * fh + 2 * pad + (if (title.nonEmpty) 24 else 0)
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" font-family="sans-serif" font-size="10">\n"""
+    if (title.nonEmpty)
+      sb ++= s"""<text x="${w / 2}" y="16" text-anchor="middle" font-size="14">$title</text>\n"""
+    facets.zipWithIndex.foreach { case ((name, fpts), fi) =>
+      val x0 = pad + (fi % perRow) * fw
+      val y0 = pad + (fi / perRow) * fh + (if (title.nonEmpty) 24 else 0)
+      val (pw, ph) = (fw - 60, fh - 60)
+      val xs = fpts.map(_._1); val ys = fpts.map(_._2)
+      val (xmin, xmax) = (xs.min, xs.max)
+      val (ymin, ymax) = (ys.min, ys.max)
+      def sx(v: Double) = x0 + 40 +
+        (if (xmax > xmin) (v - xmin) / (xmax - xmin) * pw else pw / 2.0)
+      def sy(v: Double) = y0 + 10 + ph -
+        (if (ymax > ymin) (v - ymin) / (ymax - ymin) * ph else ph / 2.0)
+      // frame + axis labels
+      sb ++= s"""<rect x="${x0 + 40}" y="${y0 + 10}" width="$pw" height="$ph" fill="none" stroke="#999"/>\n"""
+      sb ++= s"""<text x="${x0 + 40 + pw / 2}" y="${y0 + 8}" text-anchor="middle" font-weight="bold">$name</text>\n"""
+      sb ++= s"""<text x="${x0 + 40 + pw / 2}" y="${y0 + ph + 34}" text-anchor="middle">$xCol</text>\n"""
+      sb ++= f"""<text x="${x0 + 36}" y="${sy(ymin)}%.1f" text-anchor="end">$ymin%.3g</text>\n"""
+      sb ++= f"""<text x="${x0 + 36}" y="${sy(ymax)}%.1f" text-anchor="end">$ymax%.3g</text>\n"""
+      fpts.foreach { case (x, y, _) =>
+        sb ++= f"""<circle cx="${sx(x)}%.1f" cy="${sy(y)}%.1f" r="2" fill="#1f77b4" fill-opacity="0.6"/>\n"""
+      }
+      // OLS trendline (the px.scatter trendline='ols' analog)
+      val n = fpts.size.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val sxx = xs.map(v => (v - mx) * (v - mx)).sum
+      if (sxx > 0) {
+        val slope = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum / sxx
+        val icept = my - slope * mx
+        def clampY(v: Double) = math.min(ymax, math.max(ymin, v))
+        sb ++= f"""<line x1="${sx(xmin)}%.1f" y1="${sy(clampY(icept + slope * xmin))}%.1f" x2="${sx(xmax)}%.1f" y2="${sy(clampY(icept + slope * xmax))}%.1f" stroke="#d62728" stroke-width="1.5"/>\n"""
+      }
+    }
+    sb ++= "</svg>"
+    sb.toString
+  }
 }

@@ -29,6 +29,11 @@ class HarnessSpec extends SparkSpec {
       val rho = r.getDouble(1)
       assert(rho.isNaN || (rho >= -1.0 && rho <= 1.0), s"bad rho $rho")
     }
+    // figure output: 6 facets (one per measure), 25 vertices each
+    val svg = em.plotRadialVsCentrality()
+    assert(svg.startsWith("<svg ") && svg.endsWith("</svg>"))
+    assert(svg.contains(">pagerank<") && svg.contains(">load<"))
+    assert(svg.sliding(7).count(_ == "<circle") == 6 * 25)
   }
 
   test("influence benchmark: three methods, sane spreads and times") {

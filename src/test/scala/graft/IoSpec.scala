@@ -113,6 +113,26 @@ class IoSpec extends SparkSpec {
     assert(Sinks.html(df).contains("<th>name</th>"))
   }
 
+  test("svg scatter sink: faceted points + one OLS trendline per facet") {
+    import spark.implicits._
+    // two facets: 'deg' perfectly linear (trendline through the data),
+    // 'pr' with spread; plus a NaN row that must be dropped
+    val df = (Seq.tabulate(20)(i => (i.toDouble, 2.0 * i + 1, "deg")) ++
+      Seq.tabulate(20)(i => (i.toDouble, (i % 5).toDouble, "pr")) :+
+      (Double.NaN, 1.0, "deg"))
+      .toDF("radius", "centrality", "measure")
+    val svg = Sinks.svgScatter(df, "radius", "centrality", "measure",
+      title = "radius vs centrality")
+    assert(svg.startsWith("<svg ") && svg.endsWith("</svg>"))
+    assert(svg.sliding(7).count(_ == "<circle") == 40) // NaN row dropped
+    assert(svg.sliding(5).count(_ == "<line") == 2)    // one OLS per facet
+    assert(svg.contains(">deg<") && svg.contains(">pr<"))
+    // bounded-input contract is enforced, not silently sampled
+    intercept[IllegalArgumentException] {
+      Sinks.svgScatter(df, "radius", "centrality", "measure", maxPoints = 5)
+    }
+  }
+
   test("subsample keeps induced edges only; stats are consistent") {
     val g = graft.gen.Generators.roadNetwork(spark, 10, 10)
     val sub = GraphOps.subsample(g, 0.5, 7)
