@@ -125,12 +125,26 @@ object Datasets {
       36692L, 183831L)
   ).map(d => d.name -> d).toMap
 
-  /** Catalog listing as a DataFrame (datasets.py:686-723 analog). */
+  /** Catalog listing as a DataFrame (datasets.py:686-723 analog).
+    * `file_name`/`url` document the S17 pre-fetch contract: download
+    * `url` (out of engine scope — zero egress here) and place it at
+    * `<root>/<file_name>`, then `load(spark, name, root)` resolves it. */
   def list(spark: SparkSession): DataFrame = {
     import spark.implicits._
     catalog.values.toSeq.sortBy(_.name)
-      .map(d => (d.name, d.description, d.directed, d.nodes, d.edges))
-      .toDF("name", "description", "directed", "nodes", "edges")
+      .map(d => (d.name, d.description, d.directed, d.nodes, d.edges,
+        d.fileName, d.url))
+      .toDF("name", "description", "directed", "nodes", "edges",
+        "file_name", "url")
+  }
+
+  /** Where [[load]] expects a catalog dataset on disk under `root` —
+    * the documented target for the user's own fetch step (S17:
+    * downloading is deliberately out of engine scope). */
+  def expectedPath(name: String, root: String): String = {
+    val info = catalog.getOrElse(name,
+      sys.error(s"'$name' is not a catalog dataset (known: ${catalog.keys.toSeq.sorted.mkString(", ")})"))
+    new java.io.File(root, info.fileName).getPath
   }
 
   val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(

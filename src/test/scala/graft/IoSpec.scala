@@ -60,8 +60,15 @@ class IoSpec extends SparkSpec {
     val g = Datasets.load(spark, "snap-facebook_combined", dir.toString)
     assert(g.count() == 3)
     assert(GraphOps.isCanonical(g))
-    // listing covers all 8 names
-    assert(Datasets.list(spark).count() == 8)
+    // listing covers all 8 names and documents the pre-fetch contract
+    val listed = Datasets.list(spark)
+    assert(listed.count() == 8)
+    assert(listed.columns.contains("file_name") && listed.columns.contains("url"))
+    // expectedPath names exactly the file load() resolves — the
+    // documented S17 target for the user's own fetch step
+    assert(Datasets.expectedPath("snap-facebook_combined", dir.toString) ==
+      dir.resolve("facebook_combined.txt.gz").toString)
+    intercept[RuntimeException] { Datasets.expectedPath("snap-nope", "/x") }
     // a non-catalog name still loads by direct path
     assert(Datasets.load(spark, "snap-adhoc",
       dir.resolve("facebook_combined.txt.gz").toString).count() == 3)
