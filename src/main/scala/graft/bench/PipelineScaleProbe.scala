@@ -43,12 +43,19 @@ object PipelineScaleProbe {
     val (nExact, tExact) = time(Dedup.exact(corpus).count())
     val (nMh, tMh) = time(
       Dedup.minhashLsh(corpus, n = 3, k = 64, bands = 16, threshold = 0.5).count())
+    // the md5 Kirsch–Mitzenmacher family (q27's oracle-checkable path)
+    // probed separately: one digest per shingle + 64 wrap mul-adds vs
+    // one xxhash64 per (i, shingle) — its slope must stay linear too
+    val (nMh5, tMh5) = time(
+      Dedup.minhashLsh(corpus, n = 3, k = 64, bands = 16, threshold = 0.5,
+        md5Based = true).count())
     val (nPass, tPass) = time(Dedup.dedupPassages(corpus).count())
     val (_, tQual) = time(
       TextAnalysis.qualityScore(corpus).agg(avg("quality")).head)
     println(s"""{"probe":"pipeline_scale","reps":$reps,"docs":$nDocs,""" +
       s""""exact_sec":$tExact,"exact_rows":$nExact,""" +
       s""""minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
+      s""""minhash_md5_sec":$tMh5,"minhash_md5_pairs":$nMh5,""" +
       s""""passages_sec":$tPass,"passages_rows":$nPass,""" +
       s""""quality_sec":$tQual}""")
     spark.stop()

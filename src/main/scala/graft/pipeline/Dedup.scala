@@ -181,15 +181,16 @@ object Dedup {
     * BOTH families (same schema, different hash values — don't mix
     * signatures across families).
     *
-    * xxhash64 (default) salts the codegen'd hash per index: h_i =
-    * xxhash64(i, s), k hash ops per shingle. The md5 family (the
-    * DuckDB-replicable one behind the q27 oracle row) digests each
-    * shingle ONCE and Kirsch–Mitzenmacher-derives the k values from the
-    * digest's two 64-bit halves: h_i = h1 + i·(h2|1), wrap arithmetic
-    * via [[graft.functions.HashArith.mulAddWrap]] (ANSI-safe, codegen'd)
-    * — k longs from one digest instead of k digests, which is what
-    * makes the oracle-checkable family affordable in the hot path.
-    * DuckDB reproduces it exactly with HUGEINT mod-2^64 arithmetic over
+    * Both families are Kirsch–Mitzenmacher: two base hashes per shingle
+    * derive all k values as h_i = h1 + i·(h2|1) with wrap arithmetic
+    * via [[graft.functions.HashArith.mulAddWrap]] (ANSI-safe,
+    * codegen'd) — 2 hash ops instead of k per shingle (measured faster
+    * than the per-index-salted k-hash form even at k=64 via md5, let
+    * alone xxhash64). The default family's bases are xxhash64(0|1, s)
+    * (one codegen'd op each, the hot path); the md5 family (the
+    * DuckDB-replicable one behind the q27 oracle row) takes them from
+    * the two 64-bit halves of one md5 digest, which DuckDB reproduces
+    * exactly with HUGEINT mod-2^64 arithmetic over
     * `CAST('0x'||substr(md5(s),…) AS UBIGINT)`. */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int,
                         idCol: String = "doc_id", textCol: String = "text",
@@ -202,11 +203,12 @@ object Dedup {
           conv(substring(col("m"), 1, 16), 16, -10).cast("long").as("h1"),
           conv(substring(col("m"), 17, 16), 16, -10).cast("long")
             .bitwiseOR(lit(1L)).as("h2"))
-    else sh
+    else
+      sh.select(col("id"), xxhash64(lit(0), col("s")).as("h1"),
+        xxhash64(lit(1), col("s")).bitwiseOR(lit(1L)).as("h2"))
     val mins = (0 until k).map(i =>
-      (if (md5Based)
-         min(graft.functions.HashArith.mulAddWrap(col("h1"), lit(i.toLong), col("h2")))
-       else min(xxhash64(lit(i), col("s")))).as(s"h$i"))
+      min(graft.functions.HashArith.mulAddWrap(
+        col("h1"), lit(i.toLong), col("h2"))).as(s"h$i"))
     hashed.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
