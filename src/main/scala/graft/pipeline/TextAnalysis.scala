@@ -785,4 +785,158 @@ object TextAnalysis {
     qualityFeatures(df, textCol).withColumn("keep",
       col("n_words") >= 5 && col("punct_ratio") < 0.1931 &&
         col("repetition") < 0.5931)
+
+  /** Corpus-wide top-k n-grams with occurrence and document frequency —
+    * the memorization/contamination audit a curator runs before
+    * training ("which exact phrases dominate the corpus?").
+    *
+    * Shape: explode n-grams → one grouped aggregate keyed by gram
+    * (count partial-combines map-side; the single DISTINCT doc_id
+    * aggregate plans as a two-phase partial-distinct on (gram, doc))
+    * → global top-k as TakeOrderedAndProject, so only k rows ever
+    * reach the driver side of the sort. Total order (cnt DESC, gram
+    * ASC) makes the boundary cut deterministic. Scan-class at 100 TB:
+    * every shuffle is keyed by gram, no corpus-wide window. */
+  def topKNgrams(df: DataFrame, n: Int = 2, k: Int = 20,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k >= 1, s"n and k must be >= 1, got n=$n k=$k")
+    val t = col("_t")
+    val grams = df
+      .select(col(idCol), filter(split(col(textCol), " "), w => length(w) > 0).as("_t"))
+      .filter(size(t) >= n)
+      .select(col(idCol), explode(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n))))).as("gram"))
+    grams.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Top-k collocations by pointwise mutual information — bigrams whose
+    * words co-occur far more than their unigram frequencies predict
+    * (named entities, idioms, boilerplate templates). minCount prunes
+    * the unstable low-count tail BEFORE any join.
+    *
+    * PMI = ln( p(xy) / (p(x)·p(y)) ) with p(xy) over bigram slots and
+    * p(x) over unigram tokens. The two corpus totals come from one
+    * lightweight aggregate action; the per-word counts join onto the
+    * (already minCount-pruned) bigram counts keyed by word — bounded by
+    * the surviving-bigram vocabulary, never the corpus. Final top-k is
+    * TakeOrderedAndProject on (pmi DESC, w1, w2).
+    *
+    * FP contract (the qualityScore / q64 discipline): the PMI
+    * expression tree is division/multiplication over exactly-
+    * representable longs — bit-identical in any IEEE engine evaluating
+    * the same shape — followed by one `ln`. The ORDER BY uses the
+    * unrounded value: equal (pair_n, left_n, right_n) triples produce
+    * bit-equal doubles broken by the word tiebreak, so cross-engine
+    * ordering agrees; the OUTPUT ships round(pmi, 6). */
+  def pmiCollocations(df: DataFrame, k: Int = 20, minCount: Int = 5,
+                      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minCount >= 1, s"k and minCount must be >= 1, got k=$k minCount=$minCount")
+    val t = col("_t")
+    val toks = df.select(filter(split(col(textCol), " "), w => length(w) > 0).as("_t"))
+    val totals = toks.agg(
+      sum(size(t)).as("n_uni"),
+      sum(greatest(size(t) - 1, lit(0))).as("n_bi")).head()
+    val nUni = totals.getLong(0)
+    val nBi = totals.getLong(1)
+    val uni = toks.select(explode(t).as("w")).groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(t) >= 2)
+      .select(explode(transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + lit(1)).as("w1"),
+          element_at(t, i + lit(2)).as("w2")))).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val joined = bi
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "left_n"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "right_n"), Seq("w2"))
+    val pmi = log((col("pair_n").cast("double") / lit(nBi.toDouble)) /
+      ((col("left_n").cast("double") / lit(nUni.toDouble)) *
+        (col("right_n").cast("double") / lit(nUni.toDouble))))
+    joined.select(col("w1"), col("w2"), col("pair_n"), col("left_n"),
+        col("right_n"), pmi.as("_pmi"))
+      .orderBy(col("_pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("pair_n"), col("left_n"),
+        col("right_n"), round(col("_pmi"), 6).as("pmi"))
+  }
+
+  /** Zipf rank-frequency fit over the top-V corpus terms: OLS of
+    * ln(freq) on ln(rank). Natural corpora sit near slope ≈ −1; a
+    * corpus drifting toward 0 is template/boilerplate-heavy, one far
+    * below −1 has had its tail clipped — a one-row corpus health check.
+    *
+    * Shape: term counts (gram-keyed shuffle, partial-combined) →
+    * top-V via TakeOrderedAndProject → rank + OLS sums on the BOUNDED
+    * V-row frame (the unpartitioned window touches ≤ topV rows by
+    * construction, never the corpus). The slope/intercept come from
+    * explicit Σx/Σy/Σxx/Σxy so the oracle can evaluate the identical
+    * expression shape; cross-engine drift is ulp-scale summation order
+    * over ≤ topV well-scaled log terms, invisible at 6dp. */
+  def zipfFit(df: DataFrame, topV: Int = 100, textCol: String = "text"): DataFrame = {
+    require(topV >= 2, s"topV must be >= 2, got $topV")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(topV)
+    val ranked = tf.withColumn("r",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)))
+    val x = log(col("r").cast("double"))
+    val y = log(col("cnt").cast("double"))
+    ranked
+      .agg(count(lit(1)).as("n_terms"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), sum(x * y).as("_sxy"))
+      .withColumn("_slope",
+        (col("_sxy") - col("_sx") * col("_sy") / col("n_terms")) /
+          (col("_sxx") - col("_sx") * col("_sx") / col("n_terms")))
+      .select(col("n_terms"), round(col("_slope"), 6).as("slope"),
+        round((col("_sy") - col("_slope") * col("_sx")) / col("n_terms"), 6)
+          .as("intercept"))
+  }
+
+  /** Robust per-source length outliers: median/MAD z-score on token
+    * counts. Unlike mean/stddev, the median–MAD pair is immune to the
+    * very outliers it hunts — the standard robust filter for truncated
+    * and concatenated documents.
+    *
+    * `exact = true` (the oracle-parity default) uses Spark's exact
+    * `percentile` aggregate, which buffers each GROUP's values — fine
+    * while every source fits an executor, which a per-SOURCE group at
+    * 100 TB may not. The scale path is `exact = false`:
+    * `approx_percentile` keeps a bounded sketch per group and the same
+    * two-aggregate shape. Both routes: two grouped aggregates keyed by
+    * source plus two broadcast joins of the tiny per-source stats —
+    * the corpus itself is scanned, never shuffled.
+    *
+    * FP contract: token counts are longs; an interpolated median is
+    * k or k.5 and the MAD is a quarter-integer — all exact binary —
+    * so `dev`, the 1.4826·mad product and the z division are each
+    * single correctly-rounded ops, bit-identical cross-engine, and the
+    * rounded z (hence the strict > threshold) is deterministic. z is
+    * NULL (and is_outlier false) for a degenerate source with MAD 0. */
+  def lengthOutliers(df: DataFrame, zThresh: Double = 3.0, exact: Boolean = true,
+                     idCol: String = "doc_id", srcCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val base = df.select(col(idCol), col(srcCol),
+      size(filter(split(col(textCol), " "), w => length(w) > 0)).cast("long")
+        .as("n_tokens"))
+    // approx_percentile preserves the input's integer type where exact
+    // percentile interpolates to double — cast so both routes share a schema.
+    def median(c: String): Column =
+      (if (exact) expr(s"percentile($c, 0.5)")
+       else expr(s"approx_percentile($c, 0.5)")).cast("double")
+    val perSrcMed = base.groupBy(srcCol).agg(median("n_tokens").as("med"))
+    val withDev = base.join(broadcast(perSrcMed), Seq(srcCol))
+      .withColumn("_dev", abs(col("n_tokens") - col("med")))
+    val perSrcMad = withDev.groupBy(srcCol).agg(median("_dev").as("mad"))
+    withDev.join(broadcast(perSrcMad), Seq(srcCol))
+      .withColumn("z", when(col("mad") > 0.0,
+        round((col("n_tokens") - col("med")) / (lit(1.4826) * col("mad")), 6)))
+      .withColumn("is_outlier", coalesce(abs(col("z")) > zThresh, lit(false)))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("med"), col("mad"),
+        col("z"), col("is_outlier"))
+  }
 }

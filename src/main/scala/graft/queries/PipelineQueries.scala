@@ -356,7 +356,24 @@ object PipelineQueries {
           col("decoded"),
           round(aggregate(col("features"), lit(0.0d),
             (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
-    })
+    }),
+
+    // Corpus memorization audit: the k most frequent bigrams with their
+    // occurrence and document frequencies (TakeOrderedAndProject cut).
+    "q73_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topKNgrams(Tables.documents(s, d), n = 2, k = 25)),
+
+    // PMI collocations: bigrams whose words co-occur beyond chance.
+    "q74_pmi_collocations" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, d), k = 25, minCount = 5)),
+
+    // One-row Zipf rank-frequency fit over the top-100 terms.
+    "q75_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d), topV = 100)),
+
+    // Robust per-source length outliers (median/MAD z on token counts).
+    "q76_length_outliers" -> ((s, d) =>
+      TextAnalysis.lengthOutliers(Tables.documents(s, d), zThresh = 3.0))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -910,6 +927,68 @@ object PipelineQueries {
         |SELECT doc_id, cluster_id, quality,
         |  row_number() OVER (PARTITION BY cluster_id
         |    ORDER BY quality DESC, doc_id ASC) = 1 AS keep
-        |FROM lab""".stripMargin
+        |FROM lab""".stripMargin,
+
+    "q73_top_ngrams" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |  i -> ts[i] || ' ' || ts[i + 1])) AS gram FROM d WHERE len(ts) >= 2)
+        |SELECT gram, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 25""".stripMargin,
+
+    // Same expression SHAPE as the Spark side so every division is the
+    // identical correctly-rounded IEEE op; ln + round(,6) is the q64
+    // discipline; the ORDER BY uses the unrounded value with the word
+    // tiebreak (bit-equal doubles on equal count triples).
+    "q74_pmi_collocations" ->
+      """WITH d AS (SELECT
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |tot AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS n_uni,
+        |  CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS n_bi FROM d),
+        |uc AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(ts) AS w FROM d) GROUP BY 1),
+        |bg AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM d
+        |        WHERE len(ts) >= 2)),
+        |bc AS (SELECT w1, w2, count(*) AS pair_n FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |j AS (SELECT w1, w2, pair_n, a.c AS left_n, b.c AS right_n,
+        |  ln((pair_n * 1.0 / n_bi) /
+        |     ((a.c * 1.0 / n_uni) * (b.c * 1.0 / n_uni))) AS p
+        |  FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2, tot)
+        |SELECT w1, w2, pair_n, left_n, right_n, round(p, 6) AS pmi
+        |FROM j ORDER BY p DESC, w1, w2 LIMIT 25""".stripMargin,
+
+    "q75_zipf_fit" ->
+      """WITH tf AS (SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS term FROM documents)
+        |  GROUP BY 1 ORDER BY cnt DESC, term LIMIT 100),
+        |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS r
+        |  FROM tf),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  sum(ln(r)) AS sx, sum(ln(cnt)) AS sy,
+        |  sum(ln(r) * ln(r)) AS sxx, sum(ln(r) * ln(cnt)) AS sxy FROM rk),
+        |sl AS (SELECT n_terms, sx, sy,
+        |  (sxy - sx * sy / n_terms) / (sxx - sx * sx / n_terms) AS slope_raw
+        |  FROM s)
+        |SELECT n_terms, round(slope_raw, 6) AS slope,
+        |  round((sy - slope_raw * sx) / n_terms, 6) AS intercept FROM sl""".stripMargin,
+
+    "q76_length_outliers" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS BIGINT) AS n_tokens FROM documents),
+        |m AS (SELECT source, median(n_tokens) AS med FROM t GROUP BY 1),
+        |d AS (SELECT t.doc_id, t.source, t.n_tokens, m.med,
+        |  abs(t.n_tokens - m.med) AS dev FROM t JOIN m USING (source)),
+        |md AS (SELECT source, median(dev) AS mad FROM d GROUP BY 1),
+        |j AS (SELECT d.doc_id, d.source, d.n_tokens, d.med, md.mad,
+        |  CASE WHEN md.mad > 0.0 THEN
+        |    round((d.n_tokens - d.med) / (1.4826 * md.mad), 6) END AS z
+        |  FROM d JOIN md USING (source))
+        |SELECT doc_id, source, n_tokens, med, mad, z,
+        |  coalesce(abs(z) > 3.0, false) AS is_outlier FROM j""".stripMargin
   )
 }

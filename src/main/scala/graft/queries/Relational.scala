@@ -219,6 +219,18 @@ object Relational {
       }
       li.join(ranks("x", "rx"), "x").join(ranks("y", "ry"), "y")
         .agg(round(corr(col("rx"), col("ry")), 6).as("spearman_rho"))
+    }),
+
+    // Z-order data layout: Morton code over (custkey, orderkey) low
+    // bits — the write-clustering key that lets min/max file stats
+    // prune on either dimension. The query surfaces the deterministic
+    // code itself (the layout effect is ZOrderSpec's contract).
+    "q77_zorder" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("long").bitwiseAND(lit(65535L)).as("zx"),
+          col("o_orderkey").cast("long").bitwiseAND(lit(65535L)).as("zy"))
+      o.withColumn("zv", graft.util.ZOrder.zValue2(col("zx"), col("zy"), bits = 16))
     })
   )
 
@@ -381,6 +393,18 @@ object Relational {
         |  SELECT avg(rnx) OVER (PARTITION BY x) AS rx,
         |         avg(rny) OVER (PARTITION BY y) AS ry
         |  FROM ranked)
-        |SELECT round(corr(rx, ry), 6) AS spearman_rho FROM tied""".stripMargin
+        |SELECT round(corr(rx, ry), 6) AS spearman_rho FROM tied""".stripMargin,
+
+    // The Morton interleave unrolled to the same 16 shift/mask terms the
+    // Spark expression evaluates — integer arithmetic, exact in any engine.
+    "q77_zorder" -> {
+      val terms = (0 until 16).map(i =>
+        s"((((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT o_orderkey,
+         |  CAST(o_custkey AS BIGINT) & 65535 AS zx,
+         |  CAST(o_orderkey AS BIGINT) & 65535 AS zy FROM orders)
+         |SELECT o_orderkey, zx, zy, $terms AS zv FROM b""".stripMargin
+    }
   )
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.TextAnalysis
+import graft.util.ZOrder
+
+/** Corpus-statistics operators (top n-grams, PMI collocations, Zipf
+  * fit, robust length outliers) on hand-computed fixtures, plus the
+  * Z-order layout utility's Morton-code and locality contracts. */
+class CorpusStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("topKNgrams: counts, doc frequency, deterministic tie cut") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    // bigrams: d1 -> [a b, b a, a b, b c], d2 -> [a b, b x]
+    val top = TextAnalysis.topKNgrams(docs, n = 2, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.head === (("a b", 3L, 2L)))
+    // the cnt-1 tie is cut by gram ASC: "b a" < "b c" < "b x"
+    assert(top(1) === (("b a", 1L, 1L)))
+  }
+
+  test("topKNgrams: global cut plans as TakeOrderedAndProject") {
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.topKNgrams(docs, n = 2, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("pmiCollocations: hand-computed PMI, minCount prune, tiebreak") {
+    val docs = Seq((1L, "p q p q p q"), (2L, "r r r")).toDF("doc_id", "text")
+    // unigrams: p:3 q:3 r:3, n_uni=9; bigrams: "p q":3 "q p":2 "r r":2, n_bi=7
+    val got = TextAnalysis.pmiCollocations(docs, k = 5, minCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    def pmi(cxy: Double, cx: Double, cy: Double): Double =
+      BigDecimal(math.log((cxy / 7) / ((cx / 9) * (cy / 9))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length === 3)
+    assert(got(0) === (("p", "q", 3L, 3L, 3L, pmi(3, 3, 3))))
+    // (q,p) and (r,r) have the SAME pmi — w1 ASC breaks the tie
+    assert(got(1) === (("q", "p", 2L, 3L, 3L, pmi(2, 3, 3))))
+    assert(got(2) === (("r", "r", 2L, 3L, 3L, pmi(2, 3, 3))))
+  }
+
+  test("zipfFit: exactly-Zipfian counts recover slope -1 and intercept ln(12)") {
+    // counts 12/r at ranks 1..4 -> ln(cnt) = ln 12 - 1*ln(rank)
+    val text = (Seq.fill(12)("t1") ++ Seq.fill(6)("t2") ++
+      Seq.fill(4)("t3") ++ Seq.fill(3)("t4")).mkString(" ")
+    val row = TextAnalysis.zipfFit(Seq(text).toDF("text"), topV = 4).head()
+    assert(row.getLong(0) === 4L)
+    assert(row.getDouble(1) === -1.0)
+    assert(row.getDouble(2) ===
+      BigDecimal(math.log(12.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("lengthOutliers: MAD z-score flags the planted outlier; MAD=0 source is null-z") {
+    def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("w").mkString(" "))
+    val docs = (Seq(
+      doc(1, "A", 10), doc(2, "A", 10), doc(3, "A", 10), doc(4, "A", 10),
+      doc(5, "A", 100), // degenerate source: median 10, MAD 0
+      doc(6, "B", 8), doc(7, "B", 10), doc(8, "B", 12), doc(9, "B", 14),
+      doc(10, "B", 1000) // median 12, MAD 2 -> z(1000) = 988/(1.4826*2)
+    )).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.lengthOutliers(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // source A: MAD 0 -> z null, never an outlier (even the 100)
+    assert(out(5L).isNullAt(5) && !out(5L).getBoolean(6))
+    // source B: only the planted 1000 crosses |z| > 3
+    val zB = BigDecimal(988.0 / (1.4826 * 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L).getDouble(5) === zB && out(10L).getBoolean(6))
+    assert(Seq(6L, 7L, 8L, 9L).forall(i => !out(i).getBoolean(6)))
+    assert(out(7L).getDouble(3) === 12.0 && out(7L).getDouble(4) === 2.0)
+  }
+
+  test("lengthOutliers: approx route shares the exact route's schema") {
+    val docs = Seq((1L, "A", "w w w"), (2L, "A", "w w w w w"),
+      (3L, "A", "w w w w w w w")).toDF("doc_id", "source", "text")
+    val exact = TextAnalysis.lengthOutliers(docs, exact = true)
+    val approx = TextAnalysis.lengthOutliers(docs, exact = false)
+    assert(exact.schema === approx.schema)
+    // odd group sizes: the sketch median is the exact middle element
+    assert(exact.collect().toSet === approx.collect().toSet)
+  }
+
+  import CorpusStatsSpec.mortonRef
+
+  test("zValue2 matches the reference interleave on a 32x32 grid") {
+    val pts = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue2(col("x"), col("y"), 8).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === mortonRef(x, y, 8), s"($x,$y)")
+    }
+  }
+
+  test("aligned z-blocks are square tiles: every 256-code block of a 64x64 grid is 16x16") {
+    val pts = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val ext = pts
+      .withColumn("blk", shiftright(ZOrder.zValue2(col("x"), col("y"), 6), 8))
+      .groupBy("blk")
+      .agg((max("x") - min("x")).as("ex"), (max("y") - min("y")).as("ey"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(ext.length === 16)
+    ext.foreach { r =>
+      assert(r.getLong(1) === 15L && r.getLong(2) === 15L && r.getLong(3) === 256L)
+    }
+  }
+
+  test("clusterByZ: rows preserved, range-partitioned, z-sorted within partitions") {
+    val pts = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val clustered = ZOrder.clusterByZ(pts, col("x"), col("y"),
+      numPartitions = 8, bits = 6)
+    assert(clustered.queryExecution.executedPlan.toString
+      .toLowerCase.contains("rangepartitioning"))
+    val rows = clustered.select("x", "y").rdd
+      .mapPartitions { it =>
+        val zs = it.map(r => mortonRef(r.getLong(0), r.getLong(1), 6)).toArray
+        Iterator((zs.length, zs.sameElements(zs.sorted)))
+      }.collect()
+    assert(rows.map(_._1).sum === 64 * 64)
+    assert(rows.forall(_._2), "each partition must be a contiguous sorted z-run")
+  }
+}
+
+/** Reference Morton interleave, kept off the spec instance so executor
+  * closures don't drag the (non-serializable) suite along. */
+object CorpusStatsSpec extends Serializable {
+  def mortonRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) |
+      (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+}
