@@ -897,6 +897,46 @@ object TextAnalysis {
           .as("intercept"))
   }
 
+  /** Per-document average NLL under an add-α-smoothed corpus bigram
+    * LM — the CCNet-style quality scorer one order up from
+    * [[unigramLogLik]]: a doc of common words in UNCOMMON order (shuffled
+    * boilerplate, keyword stuffing) scores high where the unigram model
+    * is blind. p(w₂|w₁) = (c(w₁w₂)+α)/(c(w₁)+α·V) with V the unigram
+    * vocabulary; contexts use plain unigram counts (the usual
+    * simplification — probabilities need only rank docs, not sum to 1).
+    *
+    * Shape: one bigram explode feeds both the per-doc and the corpus
+    * bigram counts ((doc,)w₁,w₂-keyed, map-side partials); unigram
+    * counts join on the left word; V is one count action. All shuffles
+    * key on words — scan-class at any corpus size. Docs with < 2
+    * tokens have no bigram slots and emit no row (the q64 convention).
+    *
+    * FP contract: counts are longs, α and α·V are the same literals in
+    * the oracle, the division tree has identical shape, and ln +
+    * round(,6) is the q64 discipline. */
+  def bigramLogLik(df: DataFrame, alpha: Double = 0.1,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val t = col("_t")
+    val toks = df.select(col(idCol),
+      filter(split(col(textCol), " "), w => length(w) > 0).as("_t"))
+    val bg = toks.filter(size(t) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + lit(1)).as("w1"),
+          element_at(t, i + lit(2)).as("w2")))).as("_p"))
+      .select(col(idCol), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val db = bg.groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cu = toks.select(explode(t).as("w1")).groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vsz = cu.count()
+    val nll = log((col("c12") + lit(alpha)) /
+      (col("c1") + lit(alpha) * lit(vsz.toDouble)))
+    db.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(-sum(col("c") * nll) / sum(col("c")), 6).as("avg_nll"))
+  }
+
   /** Robust per-source length outliers: median/MAD z-score on token
     * counts. Unlike mean/stddev, the median–MAD pair is immune to the
     * very outliers it hunts — the standard robust filter for truncated

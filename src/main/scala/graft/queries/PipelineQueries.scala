@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline surface as driver-checkable queries over the
   * documents/embeddings tables: dedup (exact, fingerprint, n-gram
@@ -373,7 +373,21 @@ object PipelineQueries {
 
     // Robust per-source length outliers (median/MAD z on token counts).
     "q76_length_outliers" -> ((s, d) =>
-      TextAnalysis.lengthOutliers(Tables.documents(s, d), zThresh = 3.0))
+      TextAnalysis.lengthOutliers(Tables.documents(s, d), zThresh = 3.0)),
+
+    // Bigram-LM quality score (add-α smoothing) — the word-ORDER-aware
+    // upgrade of q64.
+    "q78_bigram_nll" -> ((s, d) =>
+      TextAnalysis.bigramLogLik(Tables.documents(s, d), alpha = 0.1)),
+
+    // BPE subword tokenize: train 200 merges on the corpus word table,
+    // encode every document (rows-only: the greedy merge loop has no
+    // SQL analog; BpeSpec carries the closed-form checks).
+    "q79_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, nMerges = 200, maxWords = 5000)
+      Bpe.encode(docs, merges)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -989,6 +1003,26 @@ object PipelineQueries {
         |    round((d.n_tokens - d.med) / (1.4826 * md.mad), 6) END AS z
         |  FROM d JOIN md USING (source))
         |SELECT doc_id, source, n_tokens, med, mad, z,
-        |  coalesce(abs(z) > 3.0, false) AS is_outlier FROM j""".stripMargin
+        |  coalesce(abs(z) > 3.0, false) AS is_outlier FROM j""".stripMargin,
+
+    // Identical division/ln tree shape as the Spark side (the q64
+    // discipline); contexts are plain unigram counts, V the unigram
+    // vocabulary, α = 0.1 the same literal in both engines.
+    "q78_bigram_nll" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
+        |bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM d
+        |        WHERE len(ts) >= 2)),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(ts) AS w1 FROM d) GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM cu)
+        |SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_bigrams,
+        |  round(-sum(db.c * ln((cb.c12 + 0.1) / (cu.c1 + 0.1 * v.vsz)))
+        |    / sum(db.c), 6) AS avg_nll
+        |FROM db JOIN cb USING (w1, w2) JOIN cu USING (w1), v
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -75,6 +75,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(7L).getDouble(3) === 12.0 && out(7L).getDouble(4) === 2.0)
   }
 
+  test("bigramLogLik: hand-computed smoothed bigram NLLs") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // unigrams a:3 b:2 c:1 (V=3); corpus bigrams (a,b):2 (b,a):1 (a,c):1
+    def nll(c12: Double, c1: Double): Double = -math.log((c12 + 0.1) / (c1 + 0.1 * 3))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.bigramLogLik(docs, alpha = 0.1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 === 3L)
+    assert(got(1L)._2 === r6((2 * nll(2, 3) + nll(1, 2)) / 3))
+    assert(got(2L) === ((1L, r6(nll(1, 3)))))
+    // a one-token doc has no bigram slots -> no row
+    val short = TextAnalysis.bigramLogLik(
+      Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")).collect()
+    assert(short.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("lengthOutliers: approx route shares the exact route's schema") {
     val docs = Seq((1L, "A", "w w w"), (2L, "A", "w w w w w"),
       (3L, "A", "w w w w w w w")).toDF("doc_id", "source", "text")
