@@ -141,4 +141,30 @@ object DocsStream {
     TextAnalysis.keepDecision(scrubbed, textCol)
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
   }
+
+  /** Windowed trending-term counts over the ingest stream — the live
+    * twin of [[graft.pipeline.TextAnalysis.topKNgrams]]'s n=1 case: a
+    * curator watches which terms surge per ingest window (a scraping
+    * loop stuck on one site, an injection campaign, a boilerplate
+    * burst) instead of discovering it in the nightly batch audit.
+    *
+    * One transform serves batch and readStream: explode terms →
+    * watermarked tumbling-window count, `cnt >= minCount` pruning the
+    * hapax tail AFTER the aggregate (allowed in append mode). State is
+    * one counter per (window, term) inside the watermark horizon —
+    * bounded by the active vocabulary, not the corpus — and each
+    * micro-batch partial-aggregates map-side before touching it. The
+    * global "top k per window" cut is the CONSUMER's one-window sort
+    * (mid-stream window functions are not allowed); this emits the
+    * pruned counts a dashboard or alerter ranks. */
+  def trendingTerms(docs: DataFrame, windowDur: String = "1 hour",
+                    watermark: String = "2 hours",
+                    minCount: Long = 2L): DataFrame =
+    docs.select(col("ingest_ts"),
+        explode(filter(split(col("text"), " "), w => length(w) > 0)).as("term"))
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(window(col("ingest_ts"), windowDur).as("w"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("w.start").as("window_start"), col("term"), col("cnt"))
 }

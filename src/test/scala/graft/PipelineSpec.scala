@@ -1357,4 +1357,47 @@ class PipelineSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     batch.unpersist()
   }
+
+  test("streaming trending terms equals the batch windowed count") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val dir = java.nio.file.Files.createTempDirectory("trend_stream").toString
+    def ts(hour: Int, min: Int) =
+      new java.sql.Timestamp((hour * 3600L + min * 60L) * 1000L + 86400000L)
+    // hour 0: "spam" surges (4x across two docs), "rare" stays hapax;
+    // hour 1: "spam" cools to minCount-1, "new" reaches it. Doc 3
+    // arrives in a later FILE but belongs to hour 0 — inside the
+    // watermark, so its counts must land in the hour-0 window.
+    val batches = Seq(
+      Seq((0L, "spam spam alpha", ts(0, 5)), (1L, "beta rare", ts(0, 20))),
+      Seq((2L, "new spam", ts(1, 10)), (3L, "spam spam gamma", ts(0, 40))),
+      Seq((4L, "new gamma gamma", ts(1, 30))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "ingest_ts").coalesce(1)
+        .write.parquet(s"$dir/b$i.parquet")
+    }
+    val q = DocsStream.trendingTerms(
+      spark.readStream.schema(DocsStream.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet"))
+      .writeStream.format("memory").queryName("trend_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // sentinel far beyond the watermark closes both real windows
+    Seq((99L, "sentinel", ts(50, 0))).toDF("doc_id", "text", "ingest_ts")
+      .coalesce(1).write.mode("append").parquet(s"$dir/b9.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trend_test")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === Set(
+      (ts(0, 0), "spam", 4L), (ts(1, 0), "new", 2L), (ts(1, 0), "gamma", 2L)))
+    // the same transform over the same rows as a BATCH frame agrees
+    // (modulo the sentinel, whose window never closes in the stream)
+    val batch = DocsStream.trendingTerms(
+      (batches.flatten :+ ((99L, "sentinel", ts(50, 0))))
+        .toDF("doc_id", "text", "ingest_ts"))
+      .filter(col("term") =!= "sentinel")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
 }
