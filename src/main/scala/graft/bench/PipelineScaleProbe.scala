@@ -52,12 +52,31 @@ object PipelineScaleProbe {
     val (nPass, tPass) = time(Dedup.dedupPassages(corpus).count())
     val (_, tQual) = time(
       TextAnalysis.qualityScore(corpus).agg(avg("quality")).head)
+    // corpus-stats family: replica-disjoint tokens keep the gram/pair
+    // structure per replica identical to the base corpus, so the top-k
+    // cut stays k rows and PMI's surviving-bigram set scales by reps —
+    // linear-scaling operators must show linear wall time here too
+    val (_, tNg) = time(TextAnalysis.topKNgrams(corpus, n = 2, k = 25).count())
+    val (nPmi, tPmi) = time(
+      TextAnalysis.pmiCollocations(corpus, k = 25, minCount = 5).count())
+    val (_, tBnll) = time(
+      TextAnalysis.bigramLogLik(corpus).agg(avg("avg_nll")).head)
+    // BPE: train cost is bounded by the maxWords cap (the replicated
+    // vocab exceeds it — exactly the at-scale regime); encode is the
+    // narrow map whose slope must be linear
+    val (mg, tTrain) = time(graft.pipeline.Bpe.train(corpus, nMerges = 200,
+      maxWords = 5000))
+    val (_, tEnc) = time(
+      graft.pipeline.Bpe.encode(corpus, mg).agg(sum("n_pieces")).head)
     println(s"""{"probe":"pipeline_scale","reps":$reps,"docs":$nDocs,""" +
       s""""exact_sec":$tExact,"exact_rows":$nExact,""" +
       s""""minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
       s""""minhash_md5_sec":$tMh5,"minhash_md5_pairs":$nMh5,""" +
       s""""passages_sec":$tPass,"passages_rows":$nPass,""" +
-      s""""quality_sec":$tQual}""")
+      s""""quality_sec":$tQual,""" +
+      s""""top_ngrams_sec":$tNg,"pmi_sec":$tPmi,"pmi_pairs":$nPmi,""" +
+      s""""bigram_nll_sec":$tBnll,""" +
+      s""""bpe_train_sec":$tTrain,"bpe_encode_sec":$tEnc}""")
     spark.stop()
   }
 }

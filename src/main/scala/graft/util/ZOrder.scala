@@ -15,19 +15,28 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Morton code of two non-negative integer columns: bit i of `x`
-    * lands at position 2i, bit i of `y` at 2i+1, for the low `bits`
-    * bits of each (callers rank/clamp wider domains first — see
-    * [[clusterByZ]]). Deterministic, oracle-checkable arithmetic. */
-  def zValue2(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xl = x.cast("long")
-    val yl = y.cast("long")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+  /** Morton code of N ≥ 2 non-negative integer columns: bit i of
+    * dimension j lands at position i·N + j, for the low `bits` bits of
+    * each (callers rank/clamp wider domains first — see [[clusterByZ]]).
+    * Deterministic, oracle-checkable arithmetic; the interleave must
+    * fit a long (N·bits ≤ 63). */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"need >= 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"need 1 <= bits and dims*bits <= 63, got $n*$bits")
+    dims.zipWithIndex.map { case (c, j) =>
+      val cl = c.cast("long")
+      (0 until bits).map(i =>
+        shiftleft(shiftright(cl, i).bitwiseAND(lit(1L)), i * n + j))
+        .reduce(_ bitwiseOR _)
     }.reduce(_ bitwiseOR _)
   }
+
+  /** Two-dimensional Morton code: bit i of `x` at position 2i, of `y`
+    * at 2i+1 — [[zValueN]] on (x, y). */
+  def zValue2(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
 
   /** Cluster a frame for write: range-partition on the Morton code of
     * (x, y) and sort within partitions, so each output file covers a

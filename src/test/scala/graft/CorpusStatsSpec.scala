@@ -114,6 +114,21 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("zValueN interleaves three dimensions to the reference layout") {
+    def ref3(x: Long, y: Long, z: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (3 * i)) |
+        (((y >> i) & 1L) << (3 * i + 1)) |
+        (((z >> i) & 1L) << (3 * i + 2))).reduce(_ | _)
+    val pts = for (x <- 0 until 8; y <- 0 until 8; z <- 0 until 8)
+      yield (x.toLong, y.toLong, z.toLong)
+    val got = pts.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.zValueN(Seq(col("x"), col("y"), col("z")), 3).as("zv"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    pts.foreach { case (x, y, z) => assert(got((x, y, z)) === ref3(x, y, z, 3)) }
+  }
+
   test("aligned z-blocks are square tiles: every 256-code block of a 64x64 grid is 16x16") {
     val pts = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
       .toDF("x", "y")
