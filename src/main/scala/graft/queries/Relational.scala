@@ -221,6 +221,54 @@ object Relational {
         .agg(round(corr(col("rx"), col("ry")), 6).as("spearman_rho"))
     }),
 
+    // ROLLUP grouping sets: revenue at (priority, status), per-priority
+    // subtotals, and the grand total in ONE pass — Spark expands the
+    // grouping sets inside a single partial+final hash aggregate (no
+    // re-scan per level, unlike a UNION ALL of three aggregates).
+    "q83_rollup_revenue" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          grouping_id().cast("int").as("gid"))),
+
+    // Approximate distinct-count (HyperLogLog++) beside the exact
+    // expand-distinct aggregate. At 100 TB the sketch is the operator
+    // you actually run (mergeable partials, no per-key state explosion);
+    // the exact count is oracle-checked and the `within_5pct` column is
+    // a PROVABLE invariant on this data — the driver's hash compare
+    // fails loudly if the sketch ever drifts past 5% (q69's
+    // invariant-oracle pattern).
+    "q84_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            col("n_exact") * lit(0.05)).as("within_5pct"))),
+
+    // 7-day rolling revenue: RANGE-frame window (value-based, so date
+    // gaps widen the frame correctly — ROWS would be wrong on sparse
+    // days). The window runs over the bounded DAILY aggregate, never
+    // over raw orders: the unpartitioned sort touches #days rows — a
+    // few thousand at any corpus scale — after a partial+final hash
+    // aggregate has reduced the fact table.
+    "q85_rolling_revenue" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("day_rev"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily
+        .withColumn("day_num",
+          datediff(col("day"), lit("1970-01-01").cast("date")))
+        .withColumn("rev_7d", round(sum(col("day_rev")).over(w), 2))
+        .withColumn("n_7d", sum(col("n_orders")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("day_rev"), col("n_orders"), col("rev_7d"), col("n_7d"))
+    }),
+
     // Z-order data layout: Morton code over (custkey, orderkey) low
     // bits — the write-clustering key that lets min/max file stats
     // prune on either dimension. The query surfaces the deterministic
@@ -394,6 +442,39 @@ object Relational {
         |         avg(rny) OVER (PARTITION BY y) AS ry
         |  FROM ranked)
         |SELECT round(corr(rx, ry), 6) AS spearman_rho FROM tied""".stripMargin,
+
+    // DuckDB GROUPING follows the same bitmask convention as Spark's
+    // grouping_id (leftmost column = most-significant bit).
+    "q83_rollup_revenue" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    // `true` is the invariant: the HLL estimate must sit within 5% of
+    // the exact count on every row or the hash compare fails.
+    "q84_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  true AS within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q85_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS day_rev,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |n AS (
+        |  SELECT day, day_rev, n_orders,
+        |    date_diff('day', DATE '1970-01-01', day) AS day_num
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, day_rev, n_orders,
+        |  round(sum(day_rev) OVER w, 2) AS rev_7d,
+        |  CAST(sum(n_orders) OVER w AS BIGINT) AS n_7d
+        |FROM n WINDOW w AS (ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // The Morton interleave unrolled to the same 16 shift/mask terms the
     // Spark expression evaluates — integer arithmetic, exact in any engine.

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.Generators
+import graft.metrics.GraphFeatures
+import graft.model.GraphOps
+
+/** Structural-feature invariants against closed forms on canonical
+  * graphs, plus parity of the degree-oriented triangle enumeration
+  * against the naive a<b<c form. */
+class GraphFeaturesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  /** Complete graph on 0..n-1 (canonical src<dst). */
+  private def complete(n: Int) =
+    edges((for (i <- 0 until n; j <- i + 1 until n)
+      yield (i.toLong, j.toLong)): _*)
+
+  private def star(n: Int) =
+    edges((1 until n).map(i => (0L, i.toLong)): _*)
+
+  /** Naive a<b<c triangle enumeration (the q17 oracle form). */
+  private def bruteTriangles(e: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = {
+    val s = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (for {
+      (a, b) <- s; (b2, c) <- s if b2 == b && s.contains((a, c))
+    } yield (a, b, c)).toSet
+  }
+
+  test("triangles: compact-forward enumeration matches brute force on caveman") {
+    val g = Generators.caveman(spark, 4, 5) // 4 cliques of 5: 4*C(5,3)=40 triangles
+    val got = GraphFeatures.triangles(g).collect()
+      .map(r => { val t = Seq(r.getLong(0), r.getLong(1), r.getLong(2)).sorted
+        (t(0), t(1), t(2)) }).toSet
+    val want = bruteTriangles(g).map { case (a, b, c) =>
+      val t = Seq(a, b, c).sorted; (t(0), t(1), t(2)) }
+    assert(got == want)
+    assert(got.size == 40)
+  }
+
+  test("triangles are emitted exactly once each (no double counting)") {
+    val g = Generators.caveman(spark, 3, 4)
+    val n = GraphFeatures.triangles(spark.createDataFrame(g.rdd, g.schema)).count()
+    assert(n == 3 * 4) // 3 cliques of 4: C(4,3)=4 each
+  }
+
+  test("localClustering: complete graph is 1, star is 0, path middle is 0") {
+    val k4 = GraphFeatures.localClustering(complete(4)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    (0L to 3L).foreach { v =>
+      assert(k4(v) == ((3L, 3L, 1.0)), s"K4 vertex $v: ${k4(v)}")
+    }
+    val st = GraphFeatures.localClustering(star(5)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(st(0L) == 0.0)       // center: no closed wedges
+    assert(st(1L) == 0.0)       // leaf: degree 1
+  }
+
+  test("localClustering: triangle-plus-tail closed form") {
+    // triangle {0,1,2} with tail 2-3: coeff(0)=coeff(1)=1,
+    // coeff(2)=2*1/(3*2)=1/3, coeff(3)=0 (degree 1)
+    val g = edges((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L))
+    val lc = GraphFeatures.localClustering(g).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(lc(0L) == 1.0 && lc(1L) == 1.0)
+    assert(math.abs(lc(2L) - 0.333333) < 1e-9) // rounded to 6
+    assert(lc(3L) == 0.0)
+  }
+
+  test("linkPrediction: two shared neighbors, exact jaccard and adamic-adar") {
+    // u=0 and v=1 both adjacent to w1=2 (deg 2) and w2=3 (deg 3);
+    // 3 also adjacent to 4. 0-1 NOT adjacent. N(0)={2,3}, N(1)={2,3}.
+    val g = edges((0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (3L, 4L))
+    val lp = GraphFeatures.linkPrediction(g, minCommon = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // two candidate pairs: (0,1) through {2,3} and, symmetrically,
+    // (2,3) through {0,1}
+    assert(lp.keySet == Set((0L, 1L), (2L, 3L)))
+    val (n01, j01, aa01) = lp((0L, 1L))
+    assert(n01 == 2L && j01 == 1.0) // jaccard = 2/(2+2-2)
+    val aa = 1.0 / math.log(2) + 1.0 / math.log(3)
+    assert(math.abs(aa01 - aa) < 1e-6)
+    val (n23, j23, aa23) = lp((2L, 3L))
+    assert(n23 == 2L && j23 == 0.666667) // 2/(2+3-2) rounded
+    assert(math.abs(aa23 - 2.0 / math.log(2)) < 1e-6)
+  }
+
+  test("linkPrediction: adjacent pairs excluded; minCommon filters") {
+    // same fixture plus the 0-1 edge: the pair becomes adjacent → gone
+    val g = edges((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (3L, 4L))
+    assert(GraphFeatures.linkPrediction(g, minCommon = 2)
+      .filter(col("u") === 0 && col("v") === 1).isEmpty)
+    // path 0-2-1: single shared neighbor is below minCommon=2
+    val p = edges((0L, 2L), (1L, 2L))
+    assert(GraphFeatures.linkPrediction(p, minCommon = 2).isEmpty)
+    assert(GraphFeatures.linkPrediction(p, minCommon = 1).count() == 1)
+  }
+
+  test("linkPrediction: hub centers above maxCenterDeg are excluded") {
+    // star center 0 with 4 leaves: every leaf pair shares only the hub
+    val g = star(5)
+    assert(GraphFeatures.linkPrediction(g, minCommon = 1).count() == 6) // C(4,2)
+    assert(GraphFeatures.linkPrediction(g, minCommon = 1, maxCenterDeg = 3).isEmpty)
+  }
+
+  test("degreeAssortativity: star is exactly -1; complete graph is degenerate") {
+    val r = GraphFeatures.degreeAssortativity(star(6)).collect()(0).getDouble(0)
+    assert(r == -1.0)
+    // K4: all degrees equal → corr undefined (null)
+    val k = GraphFeatures.degreeAssortativity(complete(4)).collect()(0)
+    assert(k.isNullAt(0))
+  }
+}

@@ -50,6 +50,39 @@ class RelationalSpec extends SparkSpec {
     assert(rho >= -1.0 && rho <= 1.0)
   }
 
+  test("q83 rollup: per-level totals all equal the grand total") {
+    val df = SparkEntry.queries("q83_rollup_revenue")(spark, sf).cache()
+    // gid 0 = leaf cells, 1 = per-priority subtotal, 3 = grand total
+    val byGid = df.groupBy("gid").agg(sum("n_orders").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byGid.keySet == Set(0, 1, 3))
+    val total = Tables.orders(spark, sf).count()
+    assert(byGid.values.toSet == Set(total))
+    assert(df.filter(col("gid") === 3).count() == 1)
+    df.unpersist()
+  }
+
+  test("q84 approx distinct stays within the 5pct invariant") {
+    val rows = SparkEntry.queries("q84_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_5pct")))
+  }
+
+  test("q85 rolling window: 7-day sum bounds and first-day identity") {
+    val rows = SparkEntry.queries("q85_rolling_revenue")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    // every rolling value is at least its own day's value
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rev_7d") >= r.getAs[Double]("day_rev") - 1e-6)
+      assert(r.getAs[Long]("n_7d") >= r.getAs[Long]("n_orders"))
+    }
+    // the first day's frame contains only itself
+    val f = rows.head
+    assert(f.getAs[Double]("rev_7d") == f.getAs[Double]("day_rev"))
+    assert(f.getAs[Long]("n_7d") == f.getAs[Long]("n_orders"))
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
