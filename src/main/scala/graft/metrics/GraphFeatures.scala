@@ -122,6 +122,51 @@ object GraphFeatures {
         round(col("aa"), 6).as("adamic_adar"))
   }
 
+  /** Core number (k-core decomposition) per vertex via iterated
+    * neighborhood H-index (Lü, Zhou, Zhang & Stanley 2016, "The
+    * H-index of a network node"): start from c₀(v) = deg(v) and
+    * repeatedly set c(v) to the H-index of its neighbors' current
+    * values — the unique fixpoint is the core number.
+    *
+    * This is the distributed formulation of choice at scale: the
+    * classic sequential peel is inherently ordered, while each H-index
+    * round here is one neighbor join + one per-vertex ordered
+    * aggregate (H = max over the descending-sorted neighbor values of
+    * min(rank, value)), all keyed on vertex id. Values only decrease,
+    * so convergence is monotone; rounds needed in practice are small
+    * (bounded by the core-value spread, not n). Lineage per round is
+    * cut with [[graft.util.Iterate.checkpoint]].
+    */
+  def coreNumbers(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
+                  maxIter: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var (c, handle) = graft.util.Iterate.checkpoint(spark,
+      GraphOps.degrees(edges).withColumnRenamed("degree", "c"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrVals = adj.join(
+        c.withColumnRenamed("id", "nbr").withColumnRenamed("c", "cn"), "nbr")
+        .select(col("id"), col("cn"))
+      val w = Window.partitionBy("id").orderBy(col("cn").desc)
+      val next = nbrVals
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy("id").agg(max(least(col("rn"), col("cn"))).as("cNew"))
+      val (nextC, nextHandle) = graft.util.Iterate.checkpoint(spark,
+        c.join(next, "id").select(col("id"), col("cNew").as("c")))
+      converged = nextC.join(c.withColumnRenamed("c", "cPrev"), "id")
+        .filter(col("c") =!= col("cPrev")).isEmpty
+      handle.unpersist()
+      c = nextC; handle = nextHandle
+      it += 1
+    }
+    adj.unpersist()
+    c.withColumnRenamed("c", "core")
+  }
+
   /** Degree assortativity: Pearson correlation of endpoint degrees over
     * all directed edge instances (both orientations — Newman 2002's
     * r for undirected graphs). One degree aggregate, two

@@ -341,6 +341,32 @@ object TextAnalysis {
     df.filter(md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string")))
       < lit(hexThreshold(p)))
 
+  /** Weighted reservoir sample (Efraimidis & Spirakis 2006, algorithm
+    * A-ES): each row draws a deterministic uniform u from md5(seed:key)
+    * and is ranked by `ln(u) / w` — the top-k rows by that key are an
+    * exact weight-proportional without-replacement sample (for k = 1,
+    * P(row) = w / Σw). One narrow map + one TakeOrderedAndProject: no
+    * shuffle of the corpus, no driver state, replayable on any cluster
+    * shape — the scale form of "sample 10k docs proportional to
+    * quality/length" that a naive cumulative-weight scan cannot
+    * provide distributed.
+    *
+    * u is built from the first 13 md5 hex digits: (v+1) / 2^52 with
+    * v < 2^52 — both the integer and the power-of-two division are
+    * EXACT in IEEE doubles, so any SQL engine reproduces u
+    * bit-for-bit (only ln() can differ, at ulp scale, far below any
+    * rounded output or plausible top-k boundary). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, seed: Long = 42): DataFrame = {
+    val v = conv(substring(
+      md5(concat_ws(":", lit(seed.toString), col(keyCol).cast("string"))),
+      1, 13), 16, 10).cast("long")
+    val u = (v + lit(1L)) / lit(4503599627370496.0) // (v+1)/2^52, exact
+    df.withColumn("es_key", log(u) / col(weightCol))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (e.g.
     * language-balancing a corpus), same md5 mechanics as
     * [[deterministicSample]]. Strata absent from `fractions` keep at
@@ -411,6 +437,48 @@ object TextAnalysis {
         round(expr("percentile(n, 0.5)"), 6).as("p50"),
         round(expr("percentile(n, 0.9)"), 6).as("p90"),
         round(expr("percentile(n, 0.99)"), 6).as("p99"))
+
+  /** Per-group exact percentiles beside the approx_percentile
+    * (Greenwald–Khanna) sketch, with the sketch's rank-error guarantee
+    * checked IN-PLAN: for each probability p the sketch value's rank
+    * interval [count(<a)+1, count(≤a)] must intersect
+    * [p·n − n/accuracy − 1, p·n + n/accuracy + 1], or `sketch_ok`
+    * goes false (and the driver's invariant oracle fails the hash
+    * compare — the q69/q84 pattern).
+    *
+    * At 100 TB the SKETCH is the operator you run (mergeable
+    * per-partition summaries, no per-group value list); the exact
+    * percentile beside it is the oracle anchor. Two grouped
+    * aggregates + one broadcast join of the ≤|groups|-row stats
+    * frame: the data is scanned twice, never shuffled. */
+  def quantileSketchAudit(df: DataFrame, groupCol: String, valCol: String,
+                          probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                          accuracy: Int = 10000): DataFrame = {
+    val pArr = array(probs.map(lit): _*)
+    val stats = df.groupBy(groupCol).agg(
+      percentile(col(valCol), pArr).as("ex"),
+      percentile_approx(col(valCol), pArr, lit(accuracy)).as("ap"),
+      count(lit(1)).as("n"))
+    val aggs: Seq[Column] =
+      Seq(first(col("ex")).as("ex"), first(col("n")).as("n")) ++
+        probs.indices.flatMap(i => Seq(
+          sum(when(col(valCol) < col("ap")(i), 1L).otherwise(0L)).as(s"lt$i"),
+          sum(when(col(valCol) <= col("ap")(i), 1L).otherwise(0L)).as(s"le$i")))
+    val checks = df.join(broadcast(stats), groupCol)
+      .groupBy(groupCol)
+      .agg(aggs.head, aggs.tail: _*)
+    val eps = lit(1.0) / accuracy
+    val ok = probs.indices.map { i =>
+      val target = lit(probs(i)) * col("n")
+      (col(s"lt$i") + 1 <= target + eps * col("n") + 1) &&
+        (col(s"le$i") >= target - eps * col("n") - 1)
+    }.reduce(_ && _)
+    checks.select(
+      (col(groupCol) +:
+        probs.indices.map(i =>
+          round(col("ex")(i), 6).as(s"p${(probs(i) * 100).round}"))) :+
+        ok.as("sketch_ok"): _*)
+  }
 
   /** Vocabulary build + encode-to-ids: the tokenize step that turns a
     * curated corpus into the integer streams a trainer actually reads.

@@ -181,6 +181,20 @@ object GraphQueries {
     "q82_assortativity" -> ((s, d) =>
       graft.metrics.GraphFeatures.degreeAssortativity(lineitemGraph(s, d))),
 
+    // k-core decomposition (distributed H-index iteration) on a
+    // composite of three known-core topologies — the oracle is the
+    // piecewise closed form: trees are 1-degenerate (core 1), a clique
+    // of 6 is its own 5-core, and a 2-D grid peels at 2 (corners have
+    // degree 2 and the cascade empties the graph at k=3).
+    "q86_kcore" -> ((s, _) => {
+      val tree = Generators.balancedTree(s, 3, 5)
+      val cave = Generators.caveman(s, 4, 6)
+        .select((col("src") + 1000).as("src"), (col("dst") + 1000).as("dst"))
+      val grid = Generators.roadNetwork(s, 8, 6)
+        .select((col("src") + 2000).as("src"), (col("dst") + 2000).as("dst"))
+      graft.metrics.GraphFeatures.coreNumbers(s, tree.union(cave).union(grid))
+    }),
+
     // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
     // benchmark_correlations pipeline shape. Oracle-checked end-to-end:
     // closed-form pagerank (see q23) + degree + avg-tie-rank corr.
@@ -254,6 +268,14 @@ object GraphQueries {
          |  round(aa, 6) AS adamic_adar
          |FROM cand JOIN deg du ON du.id = cand.u
          |JOIN deg dv ON dv.id = cand.v""".stripMargin,
+
+    "q86_kcore" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(1 AS BIGINT) AS core
+        |FROM range(364) t(id)
+        |UNION ALL
+        |SELECT CAST(1000 + id AS BIGINT), CAST(5 AS BIGINT) FROM range(24) t(id)
+        |UNION ALL
+        |SELECT CAST(2000 + id AS BIGINT), CAST(2 AS BIGINT) FROM range(48) t(id)""".stripMargin,
 
     "q82_assortativity" ->
       s"""WITH $lineitemGraphSql,

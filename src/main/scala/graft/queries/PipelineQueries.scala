@@ -206,6 +206,32 @@ object PipelineQueries {
         stratumCol = "lang", keyCol = "doc_id",
         fractions = Map("en" -> 0.5, "de" -> 0.25), defaultP = 0.1)),
 
+    // Distributed PCA: one treeAggregate moment pass + driver Jacobi
+    // (the EigenInit driver-route reasoning), then the codegen'd
+    // broadcast projection — emitted coords are the distributed
+    // operator's output (rows-only: the eigen loop has no SQL analog;
+    // PcaSpec carries recovery/orthonormality/projection correctness).
+    "q90_pca" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val model = graft.linalg.Pca.fit(e, "v", r = 4)
+      graft.linalg.Pca.transform(e.filter(col("vec_id") < 100), model, "v")
+        .select(col("vec_id"),
+          round(col("pc")(0), 6).as("pc1"), round(col("pc")(1), 6).as("pc2"),
+          round(col("pc")(2), 6).as("pc3"), round(col("pc")(3), 6).as("pc4"))
+    }),
+
+    // Weighted reservoir sample (Efraimidis–Spirakis): 64 docs drawn
+    // proportional to n_chars, deterministic md5 uniforms — the rounded
+    // rank key itself is emitted so the oracle checks the full key
+    // arithmetic, not just the selected set.
+    "q87_weighted_sample" -> ((s, d) =>
+      TextAnalysis.weightedSample(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        keyCol = "doc_id", weightCol = "n_chars", k = 64)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("es_key"), 9).as("w_key"))),
+
     // Sequence packing: concatenate-and-slice token layout at L=512.
     "q51_pack_sequences" -> ((s, d) =>
       TextAnalysis.packSequences(Tables.documents(s, d), seqLen = 512)),
@@ -662,6 +688,17 @@ object PipelineQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    // (v+1)/2^52 with v = first 13 md5 hex digits — exact in doubles,
+    // so the key arithmetic replays bit-for-bit (ln at ulp scale only).
+    "q87_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |         AS BIGINT) + 1) / 4503599627370496.0) / n_chars AS es_key
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(es_key, 9) AS w_key FROM k
+        |ORDER BY es_key DESC, doc_id LIMIT 64""".stripMargin,
 
     // hexThreshold: 0.5→80000000, 0.25→40000000, 0.1→19999999
     "q50_stratified_sample" ->

@@ -269,6 +269,25 @@ object Relational {
           col("day_rev"), col("n_orders"), col("rev_7d"), col("n_7d"))
     }),
 
+    // Ordered funnel conversion: signup → first view after it → first
+    // purchase after that, per-step reach counts + median gap.
+    "q91_funnel" -> ((s, d) =>
+      Temporal.funnel(Tables.events(s, d),
+        steps = Seq("signup", "view", "purchase"))),
+
+    // Hopping-window aggregate (1 h window, 30 min slide): batch form
+    // of the streaming transform (PipelineSpec asserts stream ≡ batch).
+    "q89_hopping_window" -> ((s, d) =>
+      graft.streaming.EventsStream.hourlyHopping(Tables.events(s, d))),
+
+    // Quantile sketch audit: exact per-type value percentiles (the
+    // oracle anchor) beside the approx_percentile GK sketch, whose
+    // rank-error guarantee is checked in-plan — `sketch_ok` is an
+    // invariant column the hash compare enforces (q69/q84 pattern).
+    "q88_quantile_sketch" -> ((s, d) =>
+      graft.pipeline.TextAnalysis.quantileSketchAudit(
+        Tables.events(s, d), groupCol = "event_type", valCol = "value")),
+
     // Z-order data layout: Morton code over (custkey, orderkey) low
     // bits — the write-clustering key that lets min/max file stats
     // prune on either dimension. The query surfaces the deterministic
@@ -475,6 +494,49 @@ object Relational {
         |  CAST(sum(n_orders) OVER w AS BIGINT) AS n_7d
         |FROM n WINDOW w AS (ORDER BY day_num
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q91_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS et, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |l0 AS (SELECT user_id, min(us) AS t0 FROM e
+        |       WHERE et = 'signup' GROUP BY 1),
+        |l1 AS (SELECT e.user_id, t0, min(us) AS t1
+        |       FROM e JOIN l0 USING (user_id)
+        |       WHERE et = 'view' AND us > t0 GROUP BY 1, 2),
+        |l2 AS (SELECT e.user_id, t0, t1, min(us) AS t2
+        |       FROM e JOIN l1 USING (user_id)
+        |       WHERE et = 'purchase' AND us > t1 GROUP BY 1, 2, 3)
+        |SELECT 0 AS step_idx, 'signup' AS step,
+        |  (SELECT count(*) FROM l0) AS n_users, CAST(NULL AS DOUBLE) AS p50_gap_us
+        |UNION ALL
+        |SELECT 1, 'view', (SELECT count(*) FROM l1),
+        |  (SELECT round(quantile_cont(t1 - t0, 0.5), 6) FROM l1)
+        |UNION ALL
+        |SELECT 2, 'purchase', (SELECT count(*) FROM l2),
+        |  (SELECT round(quantile_cont(t2 - t1, 0.5), 6) FROM l2)""".stripMargin,
+
+    // Every event belongs to exactly 2 windows (size = 2×slide):
+    // starts (us//slide - i)·slide for i ∈ {0,1} — integer µs
+    // arithmetic, exact in any engine.
+    "q89_hopping_window" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),
+        |w AS (
+        |  SELECT ((us // 1800000000) - i) * 1800000000 AS w_start,
+        |    event_type, value
+        |  FROM e, (SELECT unnest([0, 1]) AS i) s)
+        |SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS v
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // quantile_cont interpolates identically to Spark's percentile.
+    "q88_quantile_sketch" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  true AS sketch_ok
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // The Morton interleave unrolled to the same 16 shift/mask terms the
     // Spark expression evaluates — integer arithmetic, exact in any engine.

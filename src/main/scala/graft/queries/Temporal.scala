@@ -124,4 +124,43 @@ object Temporal {
         col("_rus") < col("_lus") + hiUs)
       .drop("_bucket", "_lus", "_rus")
   }
+
+  /** Ordered funnel conversion over an event stream: for each user, the
+    * first time each step is reached STRICTLY AFTER the previous
+    * step's first-reach time (the standard product-analytics funnel —
+    * "signup, then a view after that, then a purchase after that").
+    * Emits one row per step: users reached and the median gap from the
+    * previous step among them.
+    *
+    * Shape: per step one filtered event slice joined and re-aggregated
+    * on the user key — every shuffle is user-keyed, each level's frame
+    * only shrinks (monotone conversion), and the per-step stats are
+    * ≤|steps| scalar aggregates. The step filters push into the scan;
+    * nothing here depends on |events| beyond the user-keyed joins. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts"): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    val e = events.select(col(userCol), col(typeCol).as("_et"),
+      unix_micros(col(tsCol)).as("_us"))
+    var levels = List(
+      e.filter(col("_et") === steps.head)
+        .groupBy(userCol).agg(min("_us").as("t0")))
+    for (k <- 1 until steps.size) {
+      val carry = (0 until k).map(i => first(col(s"t$i")).as(s"t$i"))
+      levels = levels :+ levels.last
+        .join(e.filter(col("_et") === steps(k)), Seq(userCol))
+        .filter(col("_us") > col(s"t${k - 1}"))
+        .groupBy(userCol)
+        .agg(carry.head, (carry.tail :+ min(col("_us")).as(s"t$k")): _*)
+    }
+    levels.zipWithIndex.map { case (lv, k) =>
+      val gapP50 =
+        if (k == 0) first(lit(null).cast("double"))
+        else percentile(col(s"t$k") - col(s"t${k - 1}"), lit(0.5))
+      lv.agg(count(lit(1)).as("n_users"), gapP50.as("_p"))
+        .select(lit(k).as("step_idx"), lit(steps(k)).as("step"),
+          col("n_users"), round(col("_p"), 6).as("p50_gap_us"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -52,6 +52,24 @@ object EventsStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("v"))
 
+  /** Hopping (sliding) window aggregate: 1-hour windows advancing every
+    * 30 minutes, so each event lands in exactly window/slide = 2
+    * overlapping windows — the smoothed-trend view a tumbling window
+    * can't give. Spark expands the window memberships in-plan (one
+    * narrow generate, no self-join) and streaming state is bounded by
+    * watermark × active (window, type) keys, exactly as for
+    * [[hourlyAgg]] — ×2 window multiplicity, same eviction. The window
+    * start is emitted as exact epoch micros for the integer-arithmetic
+    * DuckDB twin. One transform serves batch and readStream. */
+  def hourlyHopping(events: DataFrame): DataFrame =
+    normalizeTs(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(unix_micros(col("w.start")).as("w_start"),
+        col("event_type"), col("n"), col("v"))
+
   /** Gap-based per-user sessionization (default 30-minute inactivity
     * gap): Spark's `session_window` computes the identical merge in
     * batch and streaming, and in streaming its state is bounded by the

@@ -107,6 +107,29 @@ class GraphFeaturesSpec extends SparkSpec {
     assert(GraphFeatures.linkPrediction(g, minCommon = 1, maxCenterDeg = 3).isEmpty)
   }
 
+  test("coreNumbers: clique n-1, path 1, triangle-plus-tail piecewise") {
+    val k5 = GraphFeatures.coreNumbers(spark, complete(5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 4L).forall(k5(_) == 4L))
+    val path = edges((0L, 1L), (1L, 2L), (2L, 3L))
+    val pc = GraphFeatures.coreNumbers(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(pc(_) == 1L))
+    // triangle {0,1,2} with tail 2-3-4: triangle is the 2-core, tail 1
+    val g = edges((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val c = GraphFeatures.coreNumbers(spark, g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(0L) == 2L && c(1L) == 2L && c(2L) == 2L)
+    assert(c(3L) == 1L && c(4L) == 1L)
+  }
+
+  test("coreNumbers: 2-D grid is uniformly 2 (2-degenerate with cycles)") {
+    val g = Generators.roadNetwork(spark, 5, 4)
+    val c = GraphFeatures.coreNumbers(spark, g)
+    assert(c.filter(col("core") =!= 2L).isEmpty)
+    assert(c.count() == 20)
+  }
+
   test("degreeAssortativity: star is exactly -1; complete graph is degenerate") {
     val r = GraphFeatures.degreeAssortativity(star(6)).collect()(0).getDouble(0)
     assert(r == -1.0)

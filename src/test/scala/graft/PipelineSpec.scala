@@ -794,6 +794,38 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(strat.getOrElse("de", 0L) / 3000.0 - 0.1) < 0.05)
   }
 
+  test("weighted reservoir sample: proportionality, nesting, replay") {
+    import spark.implicits._
+    // E-S property for k=1: P(select) = w / Σw. Two docs with weights
+    // 10:1 → the heavy one wins ~10/11 of seeds. All 120 seeds are
+    // evaluated in ONE plan (cross join on a seed column) so this is a
+    // single Spark job, not 120.
+    val two = Seq((1L, 1000.0), (2L, 100.0)).toDF("id", "w")
+    val seeds = (0 until 120).map(_.toLong).toDF("seed")
+    val u = conv(substring(
+      md5(concat_ws(":", col("seed").cast("string"), col("id").cast("string"))),
+      1, 13), 16, 10).cast("long")
+    val keyed = two.crossJoin(seeds)
+      .withColumn("k", log((u + lit(1L)) / lit(4503599627370496.0)) / col("w"))
+    val bySeed = org.apache.spark.sql.expressions.Window
+      .partitionBy("seed").orderBy(col("k").desc)
+    val winners = keyed
+      .withColumn("rn", row_number().over(bySeed))
+      .filter(col("rn") === 1)
+    val heavyWins = winners.filter(col("id") === 1L).count()
+    assert(heavyWins >= 96, s"heavy doc won only $heavyWins/120") // E[.]≈109
+    // top-k nesting: the k=5 sample is a prefix of the k=10 sample
+    val d = (0L until 500L).map(i => (i, 1.0 + (i % 7))).toDF("doc_id", "w")
+    val s5 = TextAnalysis.weightedSample(d, "doc_id", "w", 5).select("doc_id")
+    val s10 = TextAnalysis.weightedSample(d, "doc_id", "w", 10).select("doc_id")
+    assert(s5.exceptAll(s10).isEmpty)
+    // replay: identical; different seed → different selection
+    assert(TextAnalysis.weightedSample(d, "doc_id", "w", 10).select("doc_id")
+      .exceptAll(s10).isEmpty)
+    assert(TextAnalysis.weightedSample(d, "doc_id", "w", 10, seed = 7)
+      .select("doc_id").exceptAll(s10).count() > 0)
+  }
+
   test("sequence packing: contiguous offsets, correct window assignment") {
     import spark.implicits._
     val d = Seq(
@@ -1084,6 +1116,26 @@ class PipelineSpec extends SparkSpec {
     val batch = EventsStream.batch(spark, sf).cache()
     val streamed = EventsStream.runToMemory(spark, sf)
     assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    batch.unpersist()
+  }
+
+  test("hopping window: stream equals batch; every event in exactly 2 windows") {
+    val batch = EventsStream.hourlyHopping(Tables.events(spark, sf)).cache()
+    // each event contributes to exactly window/slide = 2 windows
+    val nEvents = Tables.events(spark, sf).count()
+    val contributions = batch.agg(sum("n")).collect()(0).getLong(0)
+    assert(contributions == 2 * nEvents)
+    // stream twin over the same directory
+    val q = EventsStream.hourlyHopping(
+      spark.readStream.schema(EventsStream.rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events*.parquet").parquet(sf))
+      .writeStream.format("memory").queryName("hopping_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hopping_test")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     batch.unpersist()
   }

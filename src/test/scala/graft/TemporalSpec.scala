@@ -90,6 +90,29 @@ class TemporalSpec extends SparkSpec {
     assert(m(3L) == Set(12L, 13L))          // [100,200) excludes 200
   }
 
+  test("funnel: strict-order first-reach semantics on a hand fixture") {
+    import spark.implicits._
+    val d = Seq(
+      // user 1 full conversion: signup@10, view@30 (the @5 view is
+      // BEFORE signup and must not count), purchase@100
+      (1L, 5L, "b"), (1L, 10L, "a"), (1L, 30L, "b"), (1L, 100L, "c"),
+      // user 2 stalls at view (purchase precedes the view, doesn't count)
+      (2L, 10L, "a"), (2L, 20L, "c"), (2L, 40L, "b"),
+      // user 3 signs up only
+      (3L, 10L, "a"),
+      // user 4 never signs up
+      (4L, 10L, "b"), (4L, 20L, "c"))
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"))
+    val f = Temporal.funnel(d, Seq("a", "b", "c")).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(f(0) == (("a", 3L, null)))          // users 1, 2, 3
+    assert(f(1) == (("b", 2L, 25.0)))          // gaps 20 (u1), 30 (u2) → p50 25
+    assert(f(2) == (("c", 1L, 70.0)))          // u1 only: 100-30
+  }
+
   test("rangeJoinBanded with keys equals the keyed theta-join on events") {
     val ev = Tables.events(spark, sf)
     val errors = ev.filter(col("event_type") === "error")
