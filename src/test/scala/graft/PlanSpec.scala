@@ -125,6 +125,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no corpus-wide window allowed:\n$p")
   }
 
+  test("q81 link prediction: no cartesian, wedge agg is partial+final") {
+    val p = plan("q81_link_prediction")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration must stay an equi-join on the center:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "pair aggregate should partial-combine map-side")
+  }
+
+  test("q83 rollup plans ONE Expand + aggregate, not a union of scans") {
+    val p = plan("q83_rollup_revenue")
+    assert(p.contains("Expand"), s"rollup should plan an Expand:\n$p")
+    // one scan of orders feeds all three grouping levels
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"rollup must not re-scan per level:\n$p")
+  }
+
+  test("q85 rolling window sorts only the daily aggregate, not raw orders") {
+    val p = plan("q85_rolling_revenue")
+    // the window must sit ABOVE the aggregate: exactly one Window node,
+    // and the sort feeding it is on the grouped (bounded) frame
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no window in:\n$p")
+    assert(p.contains("HashAggregate"), "daily aggregate missing")
+  }
+
+  test("q87 weighted sample plans TakeOrderedAndProject, no global sort") {
+    val p = plan("q87_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample top-k must be a take-ordered, not a full sort:\n$p")
+  }
+
+  test("q90 PCA projection is a narrow map over the scan (no shuffle)") {
+    val m = graft.linalg.Pca.fit(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "v", r = 2)
+    val p = graft.linalg.Pca.transform(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      m, "v").queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PCA projection must not shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // "*(n)" prefixes mark whole-stage-codegen'd operators in the
     // string rendering ("WholeStageCodegen" only appears in formatted mode)
