@@ -1,6 +1,6 @@
 package graft.metrics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.model.GraphOps
 
@@ -165,6 +165,53 @@ object GraphFeatures {
     }
     adj.unpersist()
     c.withColumnRenamed("c", "core")
+  }
+
+  /** Deterministic uniform random walks — DeepWalk / node2vec corpus
+    * generation (Perozzi et al. 2014), the data-prep step that feeds a
+    * skip-gram trainer from a graph. Every step's neighbor choice is
+    * `hash(seed, walk, step) mod degree` with the hash drawn from the
+    * first 13 md5 hex digits (52 bits, non-negative, exact in any
+    * engine — the [[graft.pipeline.TextAnalysis.weightedSample]]
+    * parity construction), so the full walk corpus is replayable
+    * bit-for-bit on any cluster shape AND expressible in SQL for the
+    * oracle gate.
+    *
+    * Shape: one ranked adjacency build (per-vertex neighbor index via
+    * a vertex-keyed window), then per step one join on the current
+    * vertex + chosen rank — walkLen × one equi-join, all keyed on
+    * vertex ids, no driver state. Emits the long format
+    * (walk_id, step, node). */
+  def randomWalks(edges: DataFrame, walkLen: Int,
+                  seed: Long = 42): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    val ranked = adj
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("id").orderBy("nbr")).cast("long") - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = ranked.groupBy("id").agg(count(lit(1)).as("deg"))
+    def draw(step: Int): Column =
+      conv(substring(md5(concat_ws(":", lit(seed.toString),
+        col("walk_id").cast("string"), lit(step.toString))), 1, 13), 16, 10)
+        .cast("long")
+    var state = GraphOps.vertices(edges)
+      .select(col("id").as("walk_id"), col("id").as("cur"))
+    var out = state.select(col("walk_id"), lit(0).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 until walkLen) {
+      state = state
+        .join(deg.withColumnRenamed("id", "cur"), "cur")
+        .withColumn("rk", draw(t) % col("deg"))
+        .join(ranked.withColumnRenamed("id", "cur")
+          .withColumnRenamed("nbr", "next"), Seq("cur", "rk"))
+        .select(col("walk_id"), col("next").as("cur"))
+      out = out.unionByName(
+        state.select(col("walk_id"), lit(t).as("step"), col("cur").as("node")))
+    }
+    out
   }
 
   /** Degree assortativity: Pearson correlation of endpoint degrees over

@@ -181,6 +181,12 @@ object GraphQueries {
     "q82_assortativity" -> ((s, d) =>
       graft.metrics.GraphFeatures.degreeAssortativity(lineitemGraph(s, d))),
 
+    // DeepWalk-style deterministic random-walk corpus (one walk per
+    // vertex, length 4) — every neighbor choice is md5-arithmetic the
+    // oracle replays exactly, so the entire walk corpus hash-matches.
+    "q92_random_walks" -> ((s, d) =>
+      graft.metrics.GraphFeatures.randomWalks(lineitemGraph(s, d), walkLen = 4)),
+
     // k-core decomposition (distributed H-index iteration) on a
     // composite of three known-core topologies — the oracle is the
     // piecewise closed form: trees are 1-degenerate (core 1), a clique
@@ -268,6 +274,40 @@ object GraphQueries {
          |  round(aa, 6) AS adamic_adar
          |FROM cand JOIN deg du ON du.id = cand.u
          |JOIN deg dv ON dv.id = cand.v""".stripMargin,
+
+    // Each step joins on (vertex, chosen rank); the choice is
+    // (md5₁₃ of "seed:walk:step") mod degree — 52-bit non-negative,
+    // identical arithmetic in both engines.
+    "q92_random_walks" ->
+      s"""WITH $lineitemGraphSql,
+         |adj AS (
+         |  SELECT id, nbr,
+         |    row_number() OVER (PARTITION BY id ORDER BY nbr) - 1 AS rk
+         |  FROM (SELECT src AS id, dst AS nbr FROM e
+         |        UNION ALL SELECT dst, src FROM e)),
+         |v AS (SELECT DISTINCT id FROM adj),
+         |s1 AS (
+         |  SELECT v.id AS walk_id, adj.nbr AS cur
+         |  FROM v JOIN deg ON deg.id = v.id
+         |  JOIN adj ON adj.id = v.id AND adj.rk =
+         |    CAST('0x' || substr(md5('42:' || CAST(v.id AS VARCHAR) || ':1'), 1, 13)
+         |      AS BIGINT) % deg.degree),
+         |s2 AS (
+         |  SELECT s1.walk_id, adj.nbr AS cur
+         |  FROM s1 JOIN deg ON deg.id = s1.cur
+         |  JOIN adj ON adj.id = s1.cur AND adj.rk =
+         |    CAST('0x' || substr(md5('42:' || CAST(s1.walk_id AS VARCHAR) || ':2'), 1, 13)
+         |      AS BIGINT) % deg.degree),
+         |s3 AS (
+         |  SELECT s2.walk_id, adj.nbr AS cur
+         |  FROM s2 JOIN deg ON deg.id = s2.cur
+         |  JOIN adj ON adj.id = s2.cur AND adj.rk =
+         |    CAST('0x' || substr(md5('42:' || CAST(s2.walk_id AS VARCHAR) || ':3'), 1, 13)
+         |      AS BIGINT) % deg.degree)
+         |SELECT id AS walk_id, 0 AS step, id AS node FROM v
+         |UNION ALL SELECT walk_id, 1, cur FROM s1
+         |UNION ALL SELECT walk_id, 2, cur FROM s2
+         |UNION ALL SELECT walk_id, 3, cur FROM s3""".stripMargin,
 
     "q86_kcore" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(1 AS BIGINT) AS core

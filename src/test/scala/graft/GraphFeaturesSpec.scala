@@ -107,6 +107,25 @@ class GraphFeaturesSpec extends SparkSpec {
     assert(GraphFeatures.linkPrediction(g, minCommon = 1, maxCenterDeg = 3).isEmpty)
   }
 
+  test("randomWalks: every transition is an edge, full length, seeded") {
+    val g = Generators.caveman(spark, 3, 5)
+    val w = GraphFeatures.randomWalks(g, walkLen = 5).cache()
+    val nV = GraphOps.vertices(g).count()
+    assert(w.filter(col("step") === 0).count() == nV) // one walk per vertex
+    assert(w.count() == nV * 5)                       // no walk stalls
+    // every consecutive (t, t+1) pair is a real edge of the graph
+    val trans = w.as("a").join(w.as("b"),
+      col("a.walk_id") === col("b.walk_id") &&
+        col("b.step") === col("a.step") + 1)
+      .select(least(col("a.node"), col("b.node")).as("src"),
+        greatest(col("a.node"), col("b.node")).as("dst"))
+    assert(trans.distinct().join(g, Seq("src", "dst"), "left_anti").isEmpty)
+    // replay: identical; different seed → different corpus
+    assert(GraphFeatures.randomWalks(g, 5).exceptAll(w).isEmpty)
+    assert(GraphFeatures.randomWalks(g, 5, seed = 7).exceptAll(w).count() > 0)
+    w.unpersist()
+  }
+
   test("coreNumbers: clique n-1, path 1, triangle-plus-tail piecewise") {
     val k5 = GraphFeatures.coreNumbers(spark, complete(5)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
