@@ -202,12 +202,15 @@ object GraphFeatures {
     var out = state.select(col("walk_id"), lit(0).as("step"),
       col("cur").as("node"))
     for (t <- 1 until walkLen) {
+      // persist each step: the final union reads every step's frame
+      // once, and step t+1 extends step t without replaying its joins
       state = state
         .join(deg.withColumnRenamed("id", "cur"), "cur")
         .withColumn("rk", draw(t) % col("deg"))
         .join(ranked.withColumnRenamed("id", "cur")
           .withColumnRenamed("nbr", "next"), Seq("cur", "rk"))
         .select(col("walk_id"), col("next").as("cur"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out = out.unionByName(
         state.select(col("walk_id"), lit(t).as("step"), col("cur").as("node")))
     }
