@@ -111,6 +111,71 @@ object GraphOps {
       .select("src", "dst")
   }
 
+  /** Connected components as a PURE DataFrame program — the
+    * alternating large-star / small-star contraction (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond"), which
+    * converges in O(log n) rounds on ANY topology (long chains
+    * included, where naive min-label propagation needs diameter
+    * rounds).
+    *
+    * This is the at-scale twin of the GraphX route ([[largestComponent]]
+    * and the dedup clustering use GraphX): every phase is one
+    * vertex-keyed aggregate + one vertex-keyed join over DataFrames,
+    * so it stays inside Catalyst/AQE (skew handling, adaptive shuffle
+    * sizing, whole-stage codegen) instead of dropping to RDDs.
+    * Returns (id, component) with component = the component's minimum
+    * vertex id — same labeling as GraphX's connectedComponents.
+    */
+  def connectedComponentsDF(spark: SparkSession, edges: DataFrame,
+                            maxIter: Int = 50): DataFrame = {
+    val verts = vertices(edges).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one phase: per center u, m = min(Γ(u) ∪ {u}); large connects the
+    // strictly-larger neighbors to m, small connects the ≤ ones (and u)
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mu = adj.groupBy("src").agg(min(col("dst")).as("_mn"))
+        .select(col("src"), least(col("_mn"), col("src")).as("m"))
+      val cand =
+        if (large) adj.filter(col("dst") > col("src"))
+        else adj.filter(col("dst") <= col("src"))
+          .union(mu.select(col("src"), col("src").as("dst")))
+      cand.join(mu, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var (e, handle) = graft.util.Iterate.checkpoint(spark,
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src") =!= col("dst")))
+    // order-independent, overflow-free set signature (rows are distinct)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val (next, nextHandle) = graft.util.Iterate.checkpoint(spark,
+        phase(phase(e, large = true), large = false))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      handle.unpersist()
+      e = next; handle = nextHandle; sig = nextSig
+      it += 1
+    }
+    // converged edge set is a union of stars (v → component min); every
+    // min maps to itself, isolated-in-input vertices keep their own id
+    val comp = verts
+      .join(e.withColumnRenamed("src", "id").withColumnRenamed("dst", "c"),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("c"), col("id")).as("component"))
+    verts.unpersist()
+    comp
+  }
+
   /** Structural invariants used across tests (mirrors
     * tests/test_generators.py:32-57): canonical form, loop-free. */
   def isCanonical(edges: DataFrame): Boolean =

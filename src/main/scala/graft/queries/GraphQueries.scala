@@ -181,6 +181,12 @@ object GraphQueries {
     "q82_assortativity" -> ((s, d) =>
       graft.metrics.GraphFeatures.degreeAssortativity(lineitemGraph(s, d))),
 
+    // Pure-DataFrame connected components (large-star/small-star
+    // contraction, O(log n) rounds) — the Catalyst/AQE-native twin of
+    // q18's GraphX route, same closed-form oracle.
+    "q93_components_df" -> ((s, d) =>
+      GraphOps.connectedComponentsDF(s, supplierGraph(s, d))),
+
     // DeepWalk-style deterministic random-walk corpus (one walk per
     // vertex, length 4) — every neighbor choice is md5-arithmetic the
     // oracle replays exactly, so the entire walk corpus hash-matches.
@@ -274,6 +280,14 @@ object GraphQueries {
          |  round(aa, 6) AS adamic_adar
          |FROM cand JOIN deg du ON du.id = cand.u
          |JOIN deg dv ON dv.id = cand.v""".stripMargin,
+
+    "q93_components_df" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |       CAST(n_nationkey AS BIGINT) AS component FROM nation
+        |WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 100000 AS BIGINT),
+        |       CAST(s_nationkey AS BIGINT) FROM supplier""".stripMargin,
 
     // Each step joins on (vertex, chosen rank); the choice is
     // (md5₁₃ of "seed:walk:step") mod degree — 52-bit non-negative,

@@ -149,6 +149,27 @@ class GraphFeaturesSpec extends SparkSpec {
     assert(c.count() == 20)
   }
 
+  test("connectedComponentsDF equals GraphX CC on chains, cliques, random") {
+    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+    def gxCC(e: org.apache.spark.sql.DataFrame) = {
+      val rdd = e.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
+      spark.createDataFrame(GxGraph.fromEdges(rdd, 0).connectedComponents().vertices)
+        .toDF("id", "component")
+    }
+    val graphs = Seq(
+      // long chain — the diameter case star-contraction must not stall on
+      edges((0L until 40L).map(i => (i, i + 1)): _*),
+      Generators.caveman(spark, 4, 5),                  // disjoint cliques
+      Generators.erdosRenyi(spark, 150, 0.015, 11),     // sparse random
+      edges((0L, 1L), (2L, 3L), (4L, 5L), (1L, 2L)))    // mixed comps
+    graphs.foreach { g =>
+      val got = GraphOps.connectedComponentsDF(spark, g)
+      val want = gxCC(g)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"mismatch on ${g.count()} edges")
+    }
+  }
+
   test("degreeAssortativity: star is exactly -1; complete graph is degenerate") {
     val r = GraphFeatures.degreeAssortativity(star(6)).collect()(0).getDouble(0)
     assert(r == -1.0)
