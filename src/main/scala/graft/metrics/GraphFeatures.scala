@@ -143,25 +143,35 @@ object GraphFeatures {
     val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m2 = adj.count()
     var (c, handle) = graft.util.Iterate.checkpoint(spark,
       GraphOps.degrees(edges).withColumnRenamed("degree", "c"))
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
-      val nbrVals = adj.join(
-        c.withColumnRenamed("id", "nbr").withColumnRenamed("c", "cn"), "nbr")
-        .select(col("id"), col("cn"))
-      val w = Window.partitionBy("id").orderBy(col("cn").desc)
-      val next = nbrVals
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .groupBy("id").agg(max(least(col("rn"), col("cn"))).as("cNew"))
-      val (nextC, nextHandle) = graft.util.Iterate.checkpoint(spark,
-        c.join(next, "id").select(col("id"), col("cNew").as("c")))
-      converged = nextC.join(c.withColumnRenamed("c", "cPrev"), "id")
-        .filter(col("c") =!= col("cPrev")).isEmpty
-      handle.unpersist()
-      c = nextC; handle = nextHandle
-      it += 1
+    // iterative state is orders smaller than the session's fact-table
+    // shuffle sizing, and each H-index round is several vertex-keyed
+    // stages — run the loop data-sized (the Layout/BFS loop treatment)
+    graft.util.Iterate.withSizedShuffle(spark, m2) {
+      while (!converged && it < maxIter) {
+        val nbrVals = adj.join(
+          c.withColumnRenamed("id", "nbr").withColumnRenamed("c", "cn"), "nbr")
+          .select(col("id"), col("cn"))
+        val w = Window.partitionBy("id").orderBy(col("cn").desc)
+        val next = nbrVals
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy("id").agg(max(least(col("rn"), col("cn"))).as("cNew"))
+        // carry the previous value beside the new one: ONE checkpointed
+        // frame serves both the next round's state and the convergence
+        // check, with no extra join job afterward
+        val (joined, nextHandle, changed) = graft.util.Iterate.checkpointWith(
+          spark, c.join(next, "id")
+            .select(col("id"), col("cNew").as("c"), col("c").as("cPrev")))(
+          rdd => rdd.filter(r => r.getLong(1) != r.getLong(2)).count())
+        converged = changed == 0
+        handle.unpersist()
+        c = joined.select("id", "c"); handle = nextHandle
+        it += 1
+      }
     }
     adj.unpersist()
     c.withColumnRenamed("c", "core")
@@ -215,6 +225,155 @@ object GraphFeatures {
         state.select(col("walk_id"), lit(t).as("step"), col("cur").as("node")))
     }
     out
+  }
+
+  /** Multi-source BFS hop distances over an undirected edge list: one
+    * row `(id, dist)` per vertex reachable from any of `sources`, with
+    * `dist` = fewest hops to the nearest source.
+    *
+    * Frontier-expansion form: per round ONE vertex-keyed join of the
+    * current frontier against the adjacency list, a distinct, and an
+    * anti-join against the settled set — no per-vertex state beyond the
+    * (id, dist) frame, lineage cut per round with
+    * [[graft.util.Iterate.checkpoint]]. Rounds = eccentricity of the
+    * source set, which on real-world (small-diameter) graphs is a
+    * handful; each round's work is bounded by the frontier's incident
+    * edges, so the total across rounds is O(m) — the textbook
+    * distributed BFS shape. (Centralities' closeness runs the same
+    * expansion over a bit-packed multi-source state; this is the
+    * single-frame variant a feature pipeline joins FROM.)
+    */
+  def bfsDistances(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
+                   sources: Seq[Long], maxIter: Int = 200): DataFrame = {
+    require(sources.nonEmpty, "bfsDistances needs at least one source")
+    val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m2 = adj.count() // materialize + size the loop's shuffles
+    import spark.implicits._
+    val init = sources.distinct.toDF("id").withColumn("dist", lit(0L))
+    var (dist, handle) = graft.util.Iterate.checkpoint(spark, init)
+    var prevCount = sources.distinct.size.toLong
+    var frontier = dist
+    var round = 0
+    var done = false
+    // rounds = source-set eccentricity: per-round cost is dominated by
+    // fixed shuffle/job latency on graphs whose frontier is small, so
+    // the loop runs with data-sized shuffling and ONE job per round
+    // (the checkpoint's own materializing count doubles as the
+    // convergence check)
+    graft.util.Iterate.withSizedShuffle(spark, m2) {
+      while (!done && round < maxIter) {
+        round += 1
+        val next = frontier.join(adj, "id")
+          .select(col("nbr").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .withColumn("dist", lit(round.toLong))
+        val (nextDist, nextHandle, cnt) = graft.util.Iterate.checkpointWith(
+          spark, dist.unionByName(next))(_.count())
+        done = cnt == prevCount // no new vertices settled
+        prevCount = cnt
+        handle.unpersist()
+        dist = nextDist; handle = nextHandle
+        frontier = nextDist.filter(col("dist") === round)
+      }
+    }
+    adj.unpersist()
+    dist
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, deterministic variant): every vertex starts with its own id
+    * as label; each round ALL vertices simultaneously adopt the most
+    * frequent label among their neighbors, ties broken toward the
+    * smaller label. The (count DESC, label ASC) tiebreak makes the
+    * whole run a pure function of the graph — replayable in any engine,
+    * unlike the randomized-order original.
+    *
+    * Per round: one vertex-keyed join (labels onto adjacency), one
+    * (id, label)-keyed count aggregate with map-side partials, one
+    * per-vertex argmax window — all shuffles on vertex keys, lineage
+    * cut per round. Fixed `rounds`, not convergence-tested: synchronous
+    * LPA can 2-cycle on bipartite structures, so a fixpoint test may
+    * never fire; bounded rounds is the standard remedy. */
+  def labelPropagation(spark: org.apache.spark.sql.SparkSession,
+                       edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m2 = adj.count()
+    var (labels, handle) = graft.util.Iterate.checkpoint(spark,
+      GraphOps.vertices(edges).select(col("id"), col("id").as("label")))
+    graft.util.Iterate.withSizedShuffle(spark, m2) {
+      for (_ <- 1 to rounds) {
+        val votes = adj
+          .join(labels.withColumnRenamed("id", "nbr"), "nbr")
+          .groupBy("id", "label").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("id")
+          .orderBy(col("cnt").desc, col("label").asc)
+        val chosen = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("id"), col("label").as("newLabel"))
+        val (next, nextHandle) = graft.util.Iterate.checkpoint(spark,
+          labels.join(chosen, Seq("id"), "left_outer")
+            .select(col("id"),
+              coalesce(col("newLabel"), col("label")).as("label")))
+        handle.unpersist()
+        labels = next; handle = nextHandle
+      }
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** Single-source shortest paths over a DIRECTED weighted edge list
+    * `(src, dst, w)` with non-negative integer weights — the
+    * delta-less distributed Bellman–Ford: each round relaxes only the
+    * vertices improved last round (one join on the frontier's out-edges
+    * + one min-aggregate + one anti-join/merge, all vertex-keyed),
+    * terminating when no distance improves. Rounds ≤ the longest
+    * shortest path's hop count; work per round is the frontier's
+    * out-degree sum, so the total is O(m · rounds_touched) with the
+    * usual frontier sparsity in practice. Long arithmetic throughout —
+    * distances are exact, no float drift across engines. Unreachable
+    * vertices are absent from the result (no sentinel rows). */
+  def ssspWeighted(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
+                   source: Long, maxIter: Int = 200): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e.count()
+    def initFrame() = Seq(source).toDF("id").withColumn("dist", lit(0L))
+    var (dist, handle) = graft.util.Iterate.checkpoint(spark, initFrame())
+    // the frontier is checkpointed separately (a FRESH frame — the
+    // checkpoint contract forbids consuming one Dataset's rdd twice):
+    // it feeds the NEXT round after this round's dist handle is released
+    var (frontier, fHandle) = graft.util.Iterate.checkpoint(spark, initFrame())
+    var round = 0
+    var done = false
+    graft.util.Iterate.withSizedShuffle(spark, m) {
+      while (!done && round < maxIter) {
+        round += 1
+        val cand = frontier.join(e.withColumnRenamed("src", "id"), "id")
+          .groupBy(col("dst").as("nid"))
+          .agg(min(col("dist") + col("w")).as("nd"))
+        val improved = cand
+          .join(dist.withColumnRenamed("id", "nid").withColumnRenamed("dist", "cur"),
+            Seq("nid"), "left_outer")
+          .filter(col("cur").isNull || col("nd") < col("cur"))
+          .select(col("nid").as("id"), col("nd").as("dist"))
+        val (nextFrontier, nfHandle, fCnt) = graft.util.Iterate.checkpointWith(
+          spark, improved)(_.count())
+        val (nextDist, ndHandle) = graft.util.Iterate.checkpoint(spark,
+          dist.join(nextFrontier, Seq("id"), "left_anti").unionByName(nextFrontier))
+        done = fCnt == 0
+        handle.unpersist(); fHandle.unpersist()
+        dist = nextDist; handle = ndHandle
+        frontier = nextFrontier; fHandle = nfHandle
+      }
+    }
+    e.unpersist(); fHandle.unpersist()
+    dist
   }
 
   /** Degree assortativity: Pearson correlation of endpoint degrees over

@@ -157,14 +157,18 @@ object GraphOps {
     var sig = signature(e)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
-      val (next, nextHandle) = graft.util.Iterate.checkpoint(spark,
-        phase(phase(e, large = true), large = false))
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      handle.unpersist()
-      e = next; handle = nextHandle; sig = nextSig
-      it += 1
+    // contraction state shrinks fast; run the rounds data-sized (the
+    // iterative-loop treatment — see Iterate.withSizedShuffle)
+    graft.util.Iterate.withSizedShuffle(spark, sig._1) {
+      while (!converged && it < maxIter) {
+        val (next, nextHandle) = graft.util.Iterate.checkpoint(spark,
+          phase(phase(e, large = true), large = false))
+        val nextSig = signature(next)
+        converged = nextSig == sig
+        handle.unpersist()
+        e = next; handle = nextHandle; sig = nextSig
+        it += 1
+      }
     }
     // converged edge set is a union of stars (v → component min); every
     // min maps to itself, isolated-in-input vertices keep their own id

@@ -207,6 +207,47 @@ object GraphQueries {
       graft.metrics.GraphFeatures.coreNumbers(s, tree.union(cave).union(grid))
     }),
 
+    // Multi-source BFS hop distances on a composite with closed-form
+    // answers: a 12×10 grid from BOTH opposite corners (distance = the
+    // MIN of the two Manhattan distances — the multi-source semantics
+    // in closed form) and an offset 3-ary tree from its root (depth).
+    // The fixture's source set keeps the frontier loop to ~10 rounds:
+    // round count is the source set's eccentricity, and each round is
+    // fixed job latency at this size, so a deliberately small-diameter
+    // composite measures the operator, not the scheduler.
+    "q94_bfs_distances" -> ((s, _) => {
+      val grid = Generators.roadNetwork(s, 12, 10)
+      val tree = Generators.balancedTree(s, 3, 5)
+        .select((col("src") + 10000).as("src"), (col("dst") + 10000).as("dst"))
+      graft.metrics.GraphFeatures.bfsDistances(s, grid.union(tree),
+        sources = Seq(0L, 119L, 10000L))
+    }),
+
+    // Deterministic synchronous label propagation on the caveman graph:
+    // with the (count desc, label asc) tiebreak every clique converges
+    // to its minimum id by round 2 — the closed form the oracle states.
+    "q95_label_prop" -> ((s, _) =>
+      graft.metrics.GraphFeatures.labelPropagation(s,
+        Generators.caveman(s, 5, 6), rounds = 4)),
+
+    // Weighted SSSP (directed Bellman–Ford rounds) on a DAG built from
+    // the 3-ary tree (edge weight dst%7+1) plus root shortcuts: cheap
+    // ones to depth-2 nodes (w=3, they win immediately) and expensive
+    // ones to some leaves (w=20, later tree rounds must IMPROVE them —
+    // exercising the relax-after-settle path BFS never hits). The
+    // oracle replays every path sum through a recursive CTE.
+    "q99_sssp" -> ((s, _) => {
+      import s.implicits._
+      val tree = Generators.balancedTree(s, 3, 5)
+        .select(col("src"), col("dst"), (col("dst") % 7 + 1).cast("long").as("w"))
+      val near = s.range(4, 13).toDF("dst")
+        .select(lit(0L).as("src"), col("dst"), lit(3L).as("w"))
+      val far = s.range(121, 364).toDF("dst").filter(col("dst") % 17 === 0)
+        .select(lit(0L).as("src"), col("dst"), lit(20L).as("w"))
+      graft.metrics.GraphFeatures.ssspWeighted(s,
+        tree.unionByName(near).unionByName(far), source = 0L)
+    }),
+
     // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
     // benchmark_correlations pipeline shape. Oracle-checked end-to-end:
     // closed-form pagerank (see q23) + degree + avg-tie-rank corr.
@@ -237,6 +278,49 @@ object GraphQueries {
       |  GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // Grid: BFS hops from the corner pair {0, 119} = the MIN of the two
+    // Manhattan distances (id = row·12 + col on the 12-wide grid).
+    // Tree: hops from the root = depth; the 3-ary level boundaries are
+    // [(3^d−1)/2, (3^(d+1)−3)/2], spelled as CASE ranges (h=5).
+    "q94_bfs_distances" ->
+      """SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(least(id % 12 + id // 12,
+        |             (11 - id % 12) + (9 - id // 12)) AS BIGINT) AS dist
+        |FROM range(120) t(id)
+        |UNION ALL
+        |SELECT CAST(10000 + id AS BIGINT),
+        |  CAST(CASE WHEN id = 0 THEN 0 WHEN id <= 3 THEN 1
+        |       WHEN id <= 12 THEN 2 WHEN id <= 39 THEN 3
+        |       WHEN id <= 120 THEN 4 ELSE 5 END AS BIGINT)
+        |FROM range(364) t(id)""".stripMargin,
+
+    // Synchronous min-tiebreak LPA on disjoint 6-cliques: round 1 sends
+    // every non-minimum to the clique minimum (and the minimum to the
+    // second-smallest), round 2's majority vote fixes the minimum too —
+    // from round 2 on every label is the clique min, 6·(id div 6).
+    "q95_label_prop" ->
+      """SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(6 * (id // 6) AS BIGINT) AS label
+        |FROM range(30) t(id)""".stripMargin,
+
+    // Full path enumeration over the DAG (each node has ≤ 2 incoming
+    // edges, so path counts stay tiny) + min per vertex.
+    "q99_sssp" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT CAST((dst - 1) // 3 AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+        |    CAST(dst % 7 + 1 AS BIGINT) AS w FROM range(1, 364) t(dst)
+        |  UNION ALL
+        |  SELECT CAST(0 AS BIGINT), CAST(id AS BIGINT), CAST(3 AS BIGINT)
+        |  FROM range(4, 13) t(id)
+        |  UNION ALL
+        |  SELECT CAST(0 AS BIGINT), CAST(id AS BIGINT), CAST(20 AS BIGINT)
+        |  FROM range(121, 364) t(id) WHERE id % 17 = 0),
+        |paths(id, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+        |  UNION ALL
+        |  SELECT ed.dst, paths.d + ed.w FROM paths JOIN ed ON ed.src = paths.id)
+        |SELECT id, min(d) AS dist FROM paths GROUP BY id""".stripMargin,
+
     // Plain a<b<c triangle enumeration (the triangle SET is identical
     // to the Spark side's degree-oriented enumeration), corners
     // exploded and counted, coefficient from the closed formula.

@@ -375,6 +375,23 @@ object PipelineQueries {
           coalesce(col("dist"), lit(-1)).as("dist"))
     }),
 
+    // Prefix-filtered set-similarity self-join (AllPairs) over the SAME
+    // 3-gram shingle space as q26: the prefix filter is LOSSLESS, so
+    // the pair set must equal the brute posting-list join's — the
+    // oracle replays the brute form and the hash compare doubles as a
+    // correctness proof of the pruning.
+    "q96_setsim_join" -> ((s, d) =>
+      Dedup.setSimilarityJoin(Tables.documents(s, d), threshold = 0.10, n = 3)),
+
+    // Misra–Gries heavy-hitters audit (k=64) beside the exact term
+    // counts: one deterministic invariant row (the q84/q88 pattern) —
+    // the sketch's est ≤ f ≤ est + n/(k+1) guarantee and the
+    // every-heavy-term-found completeness are checked against the
+    // exact aggregate, and either failing flips a boolean the hash
+    // compare catches.
+    "q98_heavy_hitters" -> ((s, d) =>
+      graft.pipeline.Sketches.heavyHittersAudit(s, Tables.documents(s, d), k = 64)),
+
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
       Multimodal.decodeFeatures(s, media, featDim = 16)
@@ -934,6 +951,37 @@ object PipelineQueries {
         |    round(coalesce(agg.dup_ngram_n, 0) * 1.0 / tot.n_ngrams, 6)
         |  ELSE 0.0 END AS dup_ngram_frac
         |FROM tot LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // The q26 brute posting-list join with the overlap count carried —
+    // the prefix-filtered Spark plan must reproduce it EXACTLY (the
+    // filter is lossless), so this row is both an oracle and a proof.
+    "q96_setsim_join" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, c AS n_common,
+        |  round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10""".stripMargin,
+
+    // The Misra–Gries guarantees are theorems, so the oracle states the
+    // exact-side facts (total tokens, how many terms exceed n/(k+1))
+    // and TRUE for both invariant booleans; a sketch bug that broke
+    // either bound would flip a boolean and fail the hash compare.
+    "q98_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT tok AS term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |n AS (SELECT count(*) AS n_total FROM t)
+        |SELECT n.n_total,
+        |  (SELECT count(*) FROM (SELECT term, count(*) AS c FROM t GROUP BY 1)
+        |   WHERE c > n.n_total / 65.0) AS n_heavy,
+        |  true AS all_heavy_found, true AS bounds_ok
+        |FROM n""".stripMargin,
 
     "q38_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -288,6 +288,45 @@ object Relational {
       graft.pipeline.TextAnalysis.quantileSketchAudit(
         Tables.events(s, d), groupCol = "event_type", valCol = "value")),
 
+    // Weekly retention cohorts over the event stream: one distinct
+    // (user, week) projection, a user-keyed first-week aggregate, and
+    // the cohort×offset grid — the raw events are scanned once.
+    "q100_retention" -> ((s, d) =>
+      Temporal.retentionCohorts(Tables.events(s, d))),
+
+    // Last-touch attribution: each purchase credited to the user's most
+    // recent preceding non-purchase event — the as-of join (q54's
+    // operator) composed into the classic marketing-analytics rollup.
+    // Simultaneous touches collapse to max(event_type) FIRST so the
+    // as-of match is unambiguous in every engine.
+    "q101_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts")
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_type")).as("touch"))
+      Temporal.asofJoin(purchases, touches, Seq("user_id"), "ts", "ts")
+        .groupBy(coalesce(col("asof_touch"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Pairwise association rules over order baskets at the brand
+    // grain: which part brands co-occur in an order, with
+    // confidence/lift from exact integer supports. The within-basket
+    // pair expansion is bounded by the basket size (≤ line items per
+    // order), so the whole computation is scan-class at any corpus.
+    "q97_assoc_rules" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("basket"), col("l_partkey"))
+        .join(Tables.part(s, d)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand").as("item")),
+          "l_partkey")
+        .select("basket", "item")
+      MarketBasket.pairRules(items, minPairCount = 20L)
+    }),
+
     // Z-order data layout: Morton code over (custkey, orderkey) low
     // bits — the write-clustering key that lets min/max file stats
     // prune on either dimension. The query surfaces the deterministic
@@ -302,6 +341,59 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Monday-truncated weeks and integer day/7 offsets — exact in both
+    // engines; the only double is the final float division.
+    "q100_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |c AS (SELECT u, min(week) AS cw FROM wk GROUP BY 1),
+        |s AS (SELECT cw, count(*) AS cohort_size FROM c GROUP BY 1),
+        |a AS (
+        |  SELECT c.cw, CAST(date_diff('day', c.cw, wk.week) // 7 AS BIGINT)
+        |    AS week_offset, count(*) AS n_active
+        |  FROM wk JOIN c USING (u) GROUP BY 1, 2)
+        |SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week, week_offset,
+        |  n_active, s.cohort_size,
+        |  round(n_active / s.cohort_size, 6) AS retention
+        |FROM a JOIN s USING (cw)""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN again (the q54 oracle pattern);
+    // ties collapsed to max(event_type) before the join on both sides.
+    "q101_attribution" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, user_id, event_type
+        |  FROM events),
+        |p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, us, max(event_type) AS touch FROM e
+        |      WHERE event_type <> 'purchase' GROUP BY 1, 2)
+        |SELECT coalesce(t.touch, 'none') AS touch, count(*) AS n_purchases,
+        |  count(DISTINCT p.user_id) AS n_users
+        |FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.us >= t.us
+        |GROUP BY 1""".stripMargin,
+
+    // Integer products before the single double division in both
+    // engines (DuckDB's / on integers is float division), so the
+    // rounded confidence/lift replay exactly.
+    "q97_assoc_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |nb AS (SELECT count(DISTINCT basket) AS n FROM it),
+        |supp AS (SELECT item, count(*) AS supp FROM it GROUP BY 1),
+        |p AS (
+        |  SELECT a.item AS a, b.item AS b, count(*) AS pair_supp
+        |  FROM it a JOIN it b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 20),
+        |r AS (
+        |  SELECT a AS antecedent, b AS consequent, pair_supp FROM p
+        |  UNION ALL
+        |  SELECT b, a, pair_supp FROM p)
+        |SELECT antecedent, consequent, pair_supp,
+        |  round(pair_supp / sa.supp, 6) AS confidence,
+        |  round((pair_supp * nb.n) / (sa.supp * sc.supp), 6) AS lift
+        |FROM r JOIN supp sa ON sa.item = r.antecedent
+        |JOIN supp sc ON sc.item = r.consequent, nb""".stripMargin,
+
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

@@ -163,4 +163,33 @@ object Temporal {
           col("n_users"), round(col("_p"), 6).as("p50_gap_us"))
     }.reduce(_ unionByName _)
   }
+
+  /** Weekly retention cohorts — the product-analytics staple: users are
+    * cohorted by the ISO week of their FIRST event, and each later
+    * week's activity is reported as (cohort_week, week_offset,
+    * n_active, cohort_size, retention). week_offset 0 is the cohort
+    * week itself (retention 1.0 by construction — a useful built-in
+    * sanity row).
+    *
+    * Shape: one (user, week) distinct projection of the raw stream,
+    * one user-keyed min for the cohort, then (cohort_week, offset)
+    * aggregates — the raw events are touched once and every shuffle
+    * keys on user or on the ≤ #weeks² output grid. Week arithmetic is
+    * integer days / 7 on Monday-truncated dates (exact in any
+    * engine). */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val wk = events.select(col(userCol).as("_u"),
+        date_trunc("week", col(tsCol)).cast("date").as("_week")).distinct()
+    val cohort = wk.groupBy("_u").agg(min(col("_week")).as("_cw"))
+    val sizes = cohort.groupBy("_cw").agg(count(lit(1)).as("cohort_size"))
+    wk.join(cohort, "_u")
+      .groupBy(col("_cw"),
+        (datediff(col("_week"), col("_cw")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, week) rows are distinct
+      .join(sizes, "_cw")
+      .select(date_format(col("_cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active") / col("cohort_size"), 6).as("retention"))
+  }
 }

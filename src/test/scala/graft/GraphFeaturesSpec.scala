@@ -170,6 +170,85 @@ class GraphFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("bfsDistances: multi-source path fixture, unreachable absent") {
+    // path 0-1-2-3-4 from both ends, plus an isolated edge 10-11
+    val g = edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val d = GraphFeatures.bfsDistances(spark, g, Seq(0L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("bfsDistances matches driver BFS on a random graph") {
+    val g = Generators.erdosRenyi(spark, 120, 0.03, 17)
+    val es = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // driver BFS from {0, 1}
+    val dist = scala.collection.mutable.Map(0L -> 0L, 1L -> 0L)
+    var frontier = Set(0L, 1L)
+    var round = 0L
+    while (frontier.nonEmpty) {
+      round += 1
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+        .filterNot(dist.contains)
+      frontier.foreach(dist(_) = round)
+    }
+    val got = GraphFeatures.bfsDistances(spark, g, Seq(0L, 1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist.toMap)
+  }
+
+  test("labelPropagation: disjoint cliques converge to clique minima; deterministic") {
+    val g = Generators.caveman(spark, 5, 6)
+    val l = GraphFeatures.labelPropagation(spark, g, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 30L).foreach(i => assert(l(i) == 6 * (i / 6), s"vertex $i: ${l(i)}"))
+    // two triangles joined by nothing: each settles on its own min
+    val two = edges((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L))
+    val lt = GraphFeatures.labelPropagation(spark, two, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lt == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    // replay is bit-identical (pure function of the graph)
+    val l2 = GraphFeatures.labelPropagation(spark, g, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == l)
+  }
+
+  test("ssspWeighted: cheap long path beats expensive direct edge") {
+    // 0→1 costs 10 directly, but 0→2→3→1 costs 3: round 1 settles 1 at
+    // 10, round 3 must IMPROVE it — the relax-after-settle path
+    val e = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val d = GraphFeatures.ssspWeighted(spark, e, source = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("ssspWeighted matches driver Dijkstra on a random weighted DAG") {
+    // random directed graph with hash-deterministic weights 1..9
+    val g = Generators.erdosRenyi(spark, 100, 0.04, 23)
+      .select(col("src"), col("dst"),
+        (pmod(xxhash64(col("src"), col("dst")), lit(9)) + 1).as("w"))
+    val es = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)) }
+    // driver Dijkstra from 0
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, 0L))(
+      Ordering.by[(Long, Long), Long](-_._1))
+    val settled = scala.collection.mutable.Set[Long]()
+    while (pq.nonEmpty) {
+      val (dv, v) = pq.dequeue()
+      if (!settled(v)) {
+        settled += v
+        adj.getOrElse(v, Array.empty[(Long, Long)]).foreach { case (u, w) =>
+          if (dist.get(u).forall(_ > dv + w)) { dist(u) = dv + w; pq.enqueue((dv + w, u)) }
+        }
+      }
+    }
+    val got = GraphFeatures.ssspWeighted(spark, g, source = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist.toMap)
+  }
+
   test("degreeAssortativity: star is exactly -1; complete graph is degenerate") {
     val r = GraphFeatures.degreeAssortativity(star(6)).collect()(0).getDouble(0)
     assert(r == -1.0)

@@ -206,4 +206,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in step plan:\n$p")
   }
 
+  test("q96 prefix-filtered similarity join: equi-joins only, partial+final aggs") {
+    val p = plan("q96_setsim_join")
+    assert(!p.contains("CartesianProduct"), s"cartesian in setsim plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in setsim plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial+final agg")
+  }
+
+  test("q97 association rules broadcast the one-row basket count") {
+    val p = plan("q97_assoc_rules")
+    assert(!p.contains("CartesianProduct"), s"cartesian in rules plan:\n$p")
+    // the N-baskets scalar rides along as a broadcast nested loop over
+    // ONE row (a hinted broadcast), never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"basket count not broadcast:\n$p")
+  }
+
 }

@@ -86,4 +86,25 @@ class RelationalSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("MarketBasket.pairRules: hand-computed supports, confidence, lift") {
+    import spark.implicits._
+    // baskets: b1{x,y} b2{x,y} b3{x,z} b4{y}; duplicate rows collapse.
+    // N=4, supp(x)=3, supp(y)=3, supp(z)=1; pair (x,y)=2 survives
+    // minPairCount=2, (x,z)=1 does not.
+    val items = Seq(
+      (1L, "x"), (1L, "y"), (1L, "y"), // dup within basket
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")).toDF("basket", "item")
+    val r = graft.queries.MarketBasket.pairRules(items, minPairCount = 2)
+      .collect().map(row => (row.getString(0), row.getString(1)) ->
+        (row.getLong(2), row.getDouble(3), row.getDouble(4))).toMap
+    assert(r.keySet == Set(("x", "y"), ("y", "x")))
+    val (ps, conf, lift) = r(("x", "y"))
+    assert(ps == 2L)
+    assert(conf == 0.666667)            // 2/3 rounded to 6
+    assert(lift == 0.888889)            // 2*4/(3*3)
+    assert(r(("y", "x")) == ((2L, 0.666667, 0.888889)))
+  }
 }

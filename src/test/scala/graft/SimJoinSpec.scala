@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dedup
+
+/** Prefix-filtered set-similarity join: losslessness (≡ the brute
+  * posting-list jaccardPairs over the same shingle space, and ≡ a
+  * driver brute force over unigram sets), threshold edge cases, and
+  * the planted near-dup recovery the operator exists for. */
+class SimJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "a completely different sentence about spark plans"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "a completely different sentence about spark physical plans"),
+    (6L, "one more unrelated line of filler text here")
+  ).toDF("doc_id", "text")
+
+  test("setSimilarityJoin(n=3) equals jaccardPairs on the same shingle space") {
+    val got = Dedup.setSimilarityJoin(corpus, threshold = 0.10, n = 3)
+      .select("id_a", "id_b", "jaccard")
+    val want = Dedup.jaccardPairs(corpus, n = 3, threshold = 0.10)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0) // the fixture really has near-dups
+  }
+
+  test("setSimilarityJoin(n=1) equals driver brute force over token sets") {
+    val sets = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+    val tau = 0.30
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      c = (sa & sb).size
+      j = c.toDouble / (sa.size + sb.size - c)
+      if j >= tau
+    } yield (ia, ib, c.toLong)).toSet
+    val got = Dedup.setSimilarityJoin(corpus, threshold = tau, n = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("threshold 1.0 keeps only identical sets; planted dup recovered") {
+    val got = Dedup.setSimilarityJoin(corpus, threshold = 1.0, n = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 4L)))
+  }
+
+  test("agrees with jaccardPairs on the sf0.001 documents table") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Dedup.setSimilarityJoin(docs, threshold = 0.10, n = 3)
+      .select("id_a", "id_b", "jaccard")
+    val want = Dedup.jaccardPairs(docs, n = 3, threshold = 0.10)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}

@@ -129,4 +129,27 @@ class TemporalSpec extends SparkSpec {
       .select(col("event_id"), col("pid"))
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
+
+  test("retentionCohorts: hand-computed two-cohort fixture") {
+    import spark.implicits._
+    // Mondays: 2024-01-01 (w0) and 2024-01-08 (w1), 2024-01-15 (w2).
+    // u1: w0, w1, w2; u2: w0 only; u3: joins in w1, active w2.
+    // Cohort w0 = {u1, u2}; cohort w1 = {u3}.
+    def ts(day: String) = s"$day 12:00:00"
+    val ev = Seq(
+      (1L, ts("2024-01-03")), (1L, ts("2024-01-09")), (1L, ts("2024-01-17")),
+      (1L, ts("2024-01-18")), // second event same week — must not double count
+      (2L, ts("2024-01-05")),
+      (3L, ts("2024-01-08")), (3L, ts("2024-01-21")))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val r = Temporal.retentionCohorts(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(("2024-01-01", 0L)) == ((2L, 2L, 1.0)))
+    assert(r(("2024-01-01", 1L)) == ((1L, 2L, 0.5)))
+    assert(r(("2024-01-01", 2L)) == ((1L, 2L, 0.5)))
+    assert(r(("2024-01-08", 0L)) == ((1L, 1L, 1.0)))
+    assert(r(("2024-01-08", 1L)) == ((1L, 1L, 1.0)))
+    assert(r.size == 5)
+  }
 }
