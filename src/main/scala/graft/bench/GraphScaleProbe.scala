@@ -1,0 +1,69 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.gen.Generators
+import graft.metrics.GraphFeatures
+import graft.model.GraphOps
+
+/** Scale probe for the GRAPH operators — measures the traversal /
+  * decomposition / feature family on hash-seeded Erdős–Rényi graphs of
+  * increasing size at CONSTANT average degree (the sparse regime real
+  * graphs live in; diameter stays O(log n), so round counts of the
+  * iterative ops stay flat and the slope isolates per-round WORK). Run:
+  *
+  *   SPARK_GRAFT_CPUS=16 sbt "runMain graft.bench.GraphScaleProbe 100000 8"
+  *
+  * One JSON line per run; slopes across n recorded in BASELINE.md. A
+  * linear-scaling operator must show ~linear wall time in n at fixed
+  * degree; triangles is the documented m^1.5-bounded exception (ER at
+  * constant degree keeps it ~linear too — wedge counts scale with
+  * Σdeg², i.e. with n). */
+object GraphScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val avgDeg = if (args.length > 1) args(1).toDouble else 8.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](b: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = b; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val g = Generators.erdosRenyi(spark, n, avgDeg / n, seed = 42)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = g.count()
+    val (_, tDeg) = time(GraphOps.degrees(g).count())
+    val (nTri, tTri) = time(GraphFeatures.triangles(g).count())
+    val (nComp, tCc) = time(
+      GraphOps.connectedComponentsDF(spark, g).select("component").distinct().count())
+    val (maxCore, tCore) = time(
+      GraphFeatures.coreNumbers(spark, g).agg(max("core")).head.getLong(0))
+    val (ecc, tBfs) = time {
+      val d = GraphFeatures.bfsDistances(spark, g, Seq(0L))
+      d.agg(max("dist")).head.getLong(0)
+    }
+    val (_, tLpa) = time(
+      GraphFeatures.labelPropagation(spark, g, rounds = 3)
+        .select("label").distinct().count())
+    val (_, tSssp) = time {
+      val w = g.select(col("src"), col("dst"),
+        (pmod(xxhash64(col("src"), col("dst")), lit(9)) + 1).as("w"))
+        .union(g.select(col("dst").as("src"), col("src").as("dst"),
+          (pmod(xxhash64(col("src"), col("dst")), lit(9)) + 1).as("w")))
+      GraphFeatures.ssspWeighted(spark, w, source = 0L).count()
+    }
+    val (nWalk, tWalk) = time(GraphFeatures.randomWalks(g, walkLen = 4).count())
+    println(s"""{"probe":"graph_scale","n":$n,"m":$m,"avg_deg":$avgDeg,""" +
+      s""""degrees_sec":$tDeg,"triangles_sec":$tTri,"triangles":$nTri,""" +
+      s""""cc_df_sec":$tCc,"components":$nComp,""" +
+      s""""kcore_sec":$tCore,"max_core":$maxCore,""" +
+      s""""bfs_sec":$tBfs,"ecc0":$ecc,""" +
+      s""""lpa3_sec":$tLpa,"sssp_sec":$tSssp,""" +
+      s""""walks_sec":$tWalk,"walk_rows":$nWalk}""")
+    spark.stop()
+  }
+}
