@@ -19,6 +19,37 @@ object Sinks {
                        partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Compact a parquet directory to ~`targetBytes` per output file —
+    * the small-files remedy every long-running ingest needs: streaming
+    * sinks and fine-grained partitioned writes accumulate thousands of
+    * KB-scale files whose per-file open/footer cost eventually dominates
+    * scans. One read + one write: the file count is computed from the
+    * directory's actual on-disk bytes, and the rewrite round-robins rows
+    * into exactly that many files (repartition, not coalesce — coalesce
+    * would chain the upstream parallelism down to the file count and
+    * starve the read stage). Returns (filesBefore, filesAfter).
+    *
+    * Writes to `outPath` (never in place — a failed in-place rewrite
+    * would destroy the input; callers swap directories atomically at
+    * the catalog/metastore layer). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                     outPath: String,
+                     targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    require(inPath != outPath, "compactParquet never rewrites in place")
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(conf)
+    val parts = fs.listStatus(p).filter(f => f.isFile &&
+      f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    spark.read.parquet(inPath).repartition(nOut.toInt)
+      .write.mode("overwrite").parquet(outPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+    (parts.length.toLong, outFiles)
+  }
+
   private def cells(df: DataFrame): (Array[String], Seq[Array[String]]) = {
     val cols = df.columns
     val rows = df.collect().toSeq.map(r =>

@@ -379,9 +379,14 @@ object PipelineQueries {
     // 3-gram shingle space as q26: the prefix filter is LOSSLESS, so
     // the pair set must equal the brute posting-list join's — the
     // oracle replays the brute form and the hash compare doubles as a
-    // correctness proof of the pruning.
+    // correctness proof of the pruning. τ=0.5 is the operator's
+    // operating point (near-dup level): the indexed prefix is
+    // |x|−⌈τ|x|⌉+1 ≈ half of each document, so the candidate volume
+    // halves-squared vs the full posting join — at τ→0 the prefix
+    // approaches the whole set and the algorithm degenerates to q26's
+    // brute form by design (SimJoinSpec pins equality at τ=0.10 too).
     "q96_setsim_join" -> ((s, d) =>
-      Dedup.setSimilarityJoin(Tables.documents(s, d), threshold = 0.10, n = 3)),
+      Dedup.setSimilarityJoin(Tables.documents(s, d), threshold = 0.5, n = 3)),
 
     // Misra–Gries heavy-hitters audit (k=64) beside the exact term
     // counts: one deterministic invariant row (the q84/q88 pattern) —
@@ -965,7 +970,7 @@ object PipelineQueries {
         |SELECT id_a, id_b, c AS n_common,
         |  round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
         |FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
-        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10""".stripMargin,
+        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5""".stripMargin,
 
     // The Misra–Gries guarantees are theorems, so the oracle states the
     // exact-side facts (total tokens, how many terms exceed n/(k+1))

@@ -213,6 +213,23 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial+final agg")
   }
 
+  test("q100 retention scans raw events once per branch, aggregates hash-partial") {
+    val p = plan("q100_retention")
+    assert(!p.contains("CartesianProduct"), s"cartesian in retention plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial+final agg")
+    // the raw event scan must prune to the two used columns
+    assert(!p.contains("props"), "column pruning failed: props read")
+  }
+
+  test("q101 attribution plans the as-of union+window, no join explosion") {
+    val p = plan("q101_attribution")
+    assert(!p.contains("CartesianProduct"), s"cartesian in attribution plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in attribution plan:\n$p")
+    // the as-of design is union + ONE window scan — no Join node should
+    // connect the purchase and touch sides
+    assert(!p.contains("SortMergeJoin"), s"as-of degraded to a join:\n$p")
+  }
+
   test("q97 association rules broadcast the one-row basket count") {
     val p = plan("q97_assoc_rules")
     assert(!p.contains("CartesianProduct"), s"cartesian in rules plan:\n$p")

@@ -90,4 +90,30 @@ class ScaleUtilSpec extends SparkSpec {
       .filter(col("k") === 7L).select("_salt").distinct().count()
     assert(saltSpread >= 6, s"hot key only spread over $saltSpread salts")
   }
+
+  test("compactParquet: many small files in, target-sized file count out, rows intact") {
+    val in = "target/compact-in"
+    val out = "target/compact-out"
+    val df = (0L until 5000L).map(i => (i, s"row_$i")).toDF("id", "payload")
+    df.repartition(40).write.mode("overwrite").parquet(in) // 40 small files
+    val totalBytes = {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(in)
+      p.getFileSystem(conf).listStatus(p)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    // target half the data per file → exactly 2 output files
+    val (before, after) = graft.io.Sinks.compactParquet(
+      spark, in, out, targetBytes = (totalBytes + 1) / 2)
+    assert(before == 40L)
+    assert(after == 2L)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5000L)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // never in place
+    intercept[IllegalArgumentException] {
+      graft.io.Sinks.compactParquet(spark, in, in)
+    }
+  }
 }
