@@ -57,13 +57,23 @@ object GraphScaleProbe {
       GraphFeatures.ssspWeighted(spark, w, source = 0L).count()
     }
     val (nWalk, tWalk) = time(GraphFeatures.randomWalks(g, walkLen = 4).count())
+    // SCC on the DIRECTED arcs + a reversed third: a giant SCC forms,
+    // so the probe exercises both the forward fixpoint (diameter
+    // rounds) and the backward confirmation at full size
+    val (nScc, tScc) = time {
+      val d = g.union(g.filter((col("src") + col("dst")) % 3 === 0)
+        .select(col("dst").as("src"), col("src").as("dst")))
+      GraphFeatures.stronglyConnected(spark, d)
+        .select("component").distinct().count()
+    }
     println(s"""{"probe":"graph_scale","n":$n,"m":$m,"avg_deg":$avgDeg,""" +
       s""""degrees_sec":$tDeg,"triangles_sec":$tTri,"triangles":$nTri,""" +
       s""""cc_df_sec":$tCc,"components":$nComp,""" +
       s""""kcore_sec":$tCore,"max_core":$maxCore,""" +
       s""""bfs_sec":$tBfs,"ecc0":$ecc,""" +
       s""""lpa3_sec":$tLpa,"sssp_sec":$tSssp,""" +
-      s""""walks_sec":$tWalk,"walk_rows":$nWalk}""")
+      s""""walks_sec":$tWalk,"walk_rows":$nWalk,""" +
+      s""""scc_sec":$tScc,"sccs":$nScc}""")
     spark.stop()
   }
 }

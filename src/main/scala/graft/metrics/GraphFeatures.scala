@@ -376,6 +376,109 @@ object GraphFeatures {
     dist
   }
 
+  /** Strongly connected components of a DIRECTED edge list via the
+    * coloring / forward-backward peel (Orzan 2004; the MapReduce SCC of
+    * Rastogi et al.): repeat until no vertices remain —
+    *
+    *  1. forward-propagate the MAX vertex id ("color") along edges to
+    *     fixpoint: color(v) = max id among vertices that reach v in the
+    *     remaining subgraph (each round one edge join + per-vertex max);
+    *  2. every root (color(v) = v) anchors a component; walk BACKWARD
+    *     from all roots simultaneously, staying inside one color:
+    *     a vertex joins SCC(c) iff it reaches c through vertices
+    *     colored c — exactly the forward∩backward closure;
+    *  3. emit the confirmed vertices labeled by their component's
+    *     MINIMUM member id (GraphX's labeling) and peel them off.
+    *
+    * Every phase is a vertex-keyed join/aggregate; peel count is
+    * bounded by the SCC-DAG structure (chains of singletons confirm in
+    * ONE peel — all roots walk backward at once), and per-phase rounds
+    * by the remaining subgraph's diameter. Progress per peel is
+    * guaranteed: the remaining subgraph's maximum id is always its own
+    * root. Vertices are the edge list's endpoints (self-loops dropped
+    * — they don't change components).
+    */
+  def stronglyConnected(spark: org.apache.spark.sql.SparkSession,
+                        edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+    var (e, eh) = graft.util.Iterate.checkpoint(spark, e0)
+    var (verts, vh) = graft.util.Iterate.checkpoint(spark,
+      GraphOps.vertices(e0).select(col("id")))
+    var out: DataFrame = null
+    var outH: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var peel = 0
+    var nLeft = verts.count()
+    graft.util.Iterate.withSizedShuffle(spark, nLeft) {
+      while (nLeft > 0 && peel < maxIter) {
+        peel += 1
+        // 1. forward max-color fixpoint
+        var (color, ch) = graft.util.Iterate.checkpoint(spark,
+          verts.select(col("id"), col("id").as("color")))
+        var stable = false
+        while (!stable) {
+          val push = e.join(color.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id")).agg(max(col("color")).as("inc"))
+          val (next, nh, changed) = graft.util.Iterate.checkpointWith(spark,
+            color.join(push, Seq("id"), "left_outer")
+              .select(col("id"),
+                greatest(col("color"), coalesce(col("inc"), col("color")))
+                  .as("color"), col("color").as("prev")))(
+            rdd => rdd.filter(r => r.getLong(1) != r.getLong(2)).count())
+          stable = changed == 0
+          ch.unpersist()
+          color = next.select("id", "color"); ch = nh
+        }
+        // 2. backward confirmation within one color, all roots at once
+        var (conf, fh) = graft.util.Iterate.checkpoint(spark,
+          color.filter(col("id") === col("color")).select("id", "color"))
+        var grown = true
+        while (grown) {
+          val step = e.join(conf.withColumnRenamed("id", "dst"), "dst")
+            .select(col("src").as("id"), col("color")).distinct()
+            .join(color.withColumnRenamed("color", "c2"), "id")
+            .filter(col("color") === col("c2"))
+            .select("id", "color")
+          val (next, nh, added) = graft.util.Iterate.checkpointWith(spark,
+            conf.unionByName(step).distinct())(_.count())
+          grown = added > conf.count()
+          fh.unpersist()
+          conf = next; fh = nh
+        }
+        // 3. emit with min-member labels, then peel
+        val labels = conf.groupBy("color").agg(min(col("id")).as("component"))
+        val emitted = conf.join(labels, "color").select("id", "component")
+        val (batch, bh) = graft.util.Iterate.checkpoint(spark, emitted)
+        if (out == null) { out = batch; outH = bh }
+        else {
+          val (merged, mh) = graft.util.Iterate.checkpoint(spark,
+            out.unionByName(batch))
+          outH.unpersist(); bh.unpersist()
+          out = merged; outH = mh
+        }
+        val confirmedIds = conf.select("id")
+        val (nextVerts, nvh, left) = graft.util.Iterate.checkpointWith(spark,
+          verts.join(confirmedIds, Seq("id"), "left_anti"))(_.count())
+        val (nextE, neh) = graft.util.Iterate.checkpoint(spark,
+          e.join(confirmedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+            .join(confirmedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+            .select("src", "dst"))
+        ch.unpersist(); fh.unpersist()
+        vh.unpersist(); eh.unpersist()
+        verts = nextVerts; vh = nvh
+        e = nextE; eh = neh
+        nLeft = left
+      }
+    }
+    vh.unpersist(); eh.unpersist()
+    if (out != null) out
+    else { // no edges survived canonicalization: no endpoint vertices
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType), StructField("component", LongType))))
+    }
+  }
+
   /** Degree assortativity: Pearson correlation of endpoint degrees over
     * all directed edge instances (both orientations — Newman 2002's
     * r for undirected graphs). One degree aggregate, two

@@ -248,6 +248,25 @@ object GraphQueries {
         tree.unionByName(near).unionByName(far), source = 0L)
     }),
 
+    // Strongly connected components (directed, forward-backward
+    // coloring peel) on a composite covering every regime: two cycles
+    // joined by a one-way edge (stay separate SCCs), a chain of
+    // singletons (all confirm in ONE peel), a 2-cycle, and an
+    // upstream-larger-id vertex that forces a SECOND peel (its color
+    // floods both cycles in round one).
+    "q102_scc" -> ((s, _) => {
+      import s.implicits._
+      val e = Seq(
+        (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),   // cycle A
+        (3L, 10L),                                 // one-way bridge
+        (10L, 11L), (11L, 12L), (12L, 10L),        // cycle B
+        (20L, 21L), (21L, 22L),                    // singleton chain
+        (30L, 31L), (31L, 30L),                    // 2-cycle
+        (40L, 0L)                                  // larger id upstream
+      ).toDF("src", "dst")
+      graft.metrics.GraphFeatures.stronglyConnected(s, e)
+    }),
+
     // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
     // benchmark_correlations pipeline shape. Oracle-checked end-to-end:
     // closed-form pagerank (see q23) + degree + avg-tie-rank corr.
@@ -302,6 +321,20 @@ object GraphQueries {
       """SELECT CAST(id AS BIGINT) AS id,
         |  CAST(6 * (id // 6) AS BIGINT) AS label
         |FROM range(30) t(id)""".stripMargin,
+
+    // Closed form of the composite: cycle members label with the cycle
+    // minimum, chain vertices and the upstream vertex are singletons.
+    "q102_scc" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(0 AS BIGINT) AS component
+        |FROM range(4) t(id)
+        |UNION ALL
+        |SELECT CAST(10 + id AS BIGINT), CAST(10 AS BIGINT) FROM range(3) t(id)
+        |UNION ALL
+        |SELECT CAST(20 + id AS BIGINT), CAST(20 + id AS BIGINT) FROM range(3) t(id)
+        |UNION ALL
+        |SELECT CAST(30 + id AS BIGINT), CAST(30 AS BIGINT) FROM range(2) t(id)
+        |UNION ALL
+        |SELECT CAST(40 AS BIGINT), CAST(40 AS BIGINT)""".stripMargin,
 
     // Full path enumeration over the DAG (each node has ≤ 2 incoming
     // edges, so path counts stay tiny) + min per vertex.

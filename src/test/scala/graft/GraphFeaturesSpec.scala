@@ -249,6 +249,37 @@ class GraphFeaturesSpec extends SparkSpec {
     assert(got == dist.toMap)
   }
 
+  test("stronglyConnected: composite fixture — cycles, bridge, chain, 2-peel case") {
+    val e = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 22L), (30L, 31L), (31L, 30L), (40L, 0L))
+      .toDF("src", "dst")
+    val got = GraphFeatures.stronglyConnected(spark, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 21L, 22L -> 22L, 30L -> 30L, 31L -> 30L, 40L -> 40L)
+    assert(got == want)
+  }
+
+  test("stronglyConnected equals GraphX SCC on random directed graphs") {
+    import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
+    // directed ER arcs plus a reversed subset so real multi-vertex SCCs
+    // form; two densities to vary the SCC structure
+    Seq(0.02, 0.05).foreach { p =>
+      val base = Generators.erdosRenyi(spark, 80, p, 31)
+      val g = base.union(base.filter((col("src") + col("dst")) % 3 === 0)
+        .select(col("dst").as("src"), col("src").as("dst")))
+      val got = GraphFeatures.stronglyConnected(spark, g).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rdd = g.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
+      val want = GxGraph.fromEdges(rdd, 0).stronglyConnectedComponents(20)
+        .vertices.collect().toMap
+      assert(got == want, s"SCC mismatch at p=$p")
+    }
+  }
+
   test("degreeAssortativity: star is exactly -1; complete graph is degenerate") {
     val r = GraphFeatures.degreeAssortativity(star(6)).collect()(0).getDouble(0)
     assert(r == -1.0)
