@@ -500,4 +500,112 @@ object GraphFeatures {
         when(col("sdx") * col("sdy") > 0, col("cov") / (col("sdx") * col("sdy"))),
         6).as("assortativity"))
   }
+
+  /** Pseudo-diameter by the double-sweep BFS heuristic (Magnien,
+    * Latapy & Habib 2009): BFS from `start`, hop to the farthest
+    * vertex found (ties → larger id, a total order), BFS again — the
+    * second eccentricity is a lower bound on the true diameter that is
+    * EXACT on trees and in practice tight on real graphs, at the cost
+    * of two BFS passes instead of the all-pairs computation (which is
+    * Θ(n·m) and simply does not exist at 100 TB). Emits ONE summary
+    * row: (start, ecc_start, peripheral, diameter_lb, n_reachable).
+    *
+    * Both sweeps are [[bfsDistances]] — vertex-keyed frontier joins,
+    * rounds = eccentricity. The only driver transfer is the argmax
+    * row between the sweeps and the final ≤1-row summary (bounded
+    * collects, the EigenInit contract).
+    */
+  def pseudoDiameter(spark: org.apache.spark.sql.SparkSession,
+                     edges: DataFrame, start: Long): DataFrame = {
+    val sweep1 = bfsDistances(spark, edges, Seq(start))
+    val peak = sweep1.orderBy(col("dist").desc, col("id").desc)
+      .limit(1).collect()(0)
+    val (peripheral, ecc1) = (peak.getLong(0), peak.getLong(1))
+    val sweep2 = bfsDistances(spark, edges, Seq(peripheral))
+    sweep2.agg(max(col("dist")).as("diameter_lb"),
+        count(lit(1)).as("n_reachable"))
+      .select(lit(start).as("start"), lit(ecc1).as("ecc_start"),
+        lit(peripheral).as("peripheral"), col("diameter_lb"),
+        col("n_reachable"))
+  }
+
+  /** Minimum spanning forest by distributed Borůvka over a weighted
+    * canonical edge list (src < dst, w): each round EVERY component
+    * selects its minimum-weight outgoing edge under the (w, src, dst)
+    * total order, the selected edges merge their components, repeat
+    * until no component has an outgoing edge. Components at least
+    * halve per round ⇒ ≤ log₂(n) rounds. With distinct weights the
+    * result is THE unique MST; ties resolve as if perturbed by edge
+    * id — deterministic, engine-replayable.
+    *
+    * Per round: two vertex-keyed label joins + a component-keyed
+    * min-struct aggregate (map-side partial — each partition sends at
+    * most one candidate edge per component), then the SELECTED edge
+    * graph (≤ #components rows, geometrically shrinking) is
+    * contracted with [[GraphOps.connectedComponentsDF]] and the
+    * ≤ #components relabel map joins back. The full edge list is
+    * touched once per round and never re-shuffled — it stays
+    * partitioned and persisted; lineage is cut every round. The min
+    * edges selected under a consistent total order cannot form cycles
+    * (mutual picks dedupe on the edge key), the Borůvka invariant
+    * that keeps the accumulated set a forest.
+    */
+  def mstBoruvka(spark: org.apache.spark.sql.SparkSession,
+                 edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    var (labels, lh) = graft.util.Iterate.checkpoint(spark,
+      GraphOps.vertices(e0.select("src", "dst"))
+        .select(col("id"), col("id").as("comp")))
+    var mst = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dst", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType))))
+    var mh: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var round = 0
+    var done = false
+    graft.util.Iterate.withSizedShuffle(spark, m) {
+      while (!done && round < maxRounds) {
+        round += 1
+        val cand = e0
+          .join(labels.select(col("id").as("src"), col("comp").as("_cs")), "src")
+          .join(labels.select(col("id").as("dst"), col("comp").as("_cd")), "dst")
+          .filter(col("_cs") =!= col("_cd"))
+        val sel = cand
+          .select(col("_cs").as("_comp"),
+            struct(col("w"), col("src"), col("dst"), col("_cs"), col("_cd")).as("_e"))
+          .union(cand.select(col("_cd").as("_comp"),
+            struct(col("w"), col("src"), col("dst"), col("_cs"), col("_cd")).as("_e")))
+          .groupBy("_comp").agg(min(col("_e")).as("_e"))
+          .select(col("_e.src").as("src"), col("_e.dst").as("dst"),
+            col("_e.w").as("w"), col("_e._cs").as("_cs"), col("_e._cd").as("_cd"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (sel.isEmpty) { done = true; sel.unpersist() }
+        else {
+          // contract: CC over the selected component-pair graph
+          val compEdges = sel.select(
+            least(col("_cs"), col("_cd")).as("src"),
+            greatest(col("_cs"), col("_cd")).as("dst")).distinct()
+          val remap = GraphOps.connectedComponentsDF(spark, compEdges)
+          val (nl, nlh) = graft.util.Iterate.checkpoint(spark,
+            labels.join(remap.select(col("id").as("comp"),
+                col("component").as("_nc")), Seq("comp"), "left")
+              .select(col("id"), coalesce(col("_nc"), col("comp")).as("comp")))
+          lh.unpersist(); labels = nl; lh = nlh
+          val (nm, nmh) = graft.util.Iterate.checkpoint(spark,
+            mst.unionByName(sel.select("src", "dst", "w")))
+          if (mh != null) mh.unpersist()
+          mst = nm; mh = nmh
+          sel.unpersist()
+        }
+      }
+    }
+    e0.unpersist(); lh.unpersist()
+    mst
+  }
 }

@@ -537,4 +537,48 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Edit-distance-1 similarity join (FastSS / SymSpell deletion
+    * neighborhoods, Bocek et al. 2007): all pairs with
+    * Levenshtein(a, b) ≤ 1, found WITHOUT an all-pairs comparison.
+    *
+    * Each string emits its deletion neighborhood — itself plus every
+    * single-character deletion, |s|+1 keys. Two strings within edit
+    * distance 1 ALWAYS share a key (substitution at i ⇒ both i-th
+    * deletions are equal; insertion ⇒ the shorter string IS one of the
+    * longer one's deletions; equality is the identity key), so the
+    * candidate join on the key is LOSSLESS — the only error direction
+    * is false positives (e.g. "ab"/"ba" share the deletion "a" at
+    * distance 2), which the exact `levenshtein` verify removes. The
+    * oracle's brute-force hash match doubles as the losslessness proof
+    * (the q96 pattern, at the character level).
+    *
+    * Scale: O(Σ|s|) keys, one equi-join whose posting lists are
+    * bounded by the number of strings within distance 1 of a given
+    * variant (alphabet-bounded in practice, never corpus-sized unless
+    * the data is massively duplicated — in which case dedup exact
+    * copies first); verification is a codegen'd levenshtein on the
+    * candidate set only. The same frame supports spell-correction
+    * lookups (join query-side deletions against this index).
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String = "id",
+                       strCol: String = "s"): DataFrame = {
+    val keyed = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .select(col("_id"), col("_s"),
+        explode(expr(
+          """transform(sequence(0, length(_s)),
+            |  i -> IF(i = 0, _s,
+            |    concat(substring(_s, 1, i - 1),
+            |           substring(_s, i + 1, length(_s)))))""".stripMargin))
+          .as("_key"))
+      .distinct() // a string with repeated chars emits duplicate variants
+    keyed.select(col("_key"), col("_id").as("id_a"), col("_s").as("s_a"))
+      .join(keyed.select(col("_key"), col("_id").as("id_b"), col("_s").as("s_b")),
+        Seq("_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "dist")
+  }
 }

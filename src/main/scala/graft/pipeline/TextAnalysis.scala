@@ -1047,4 +1047,42 @@ object TextAnalysis {
       .select(col(idCol), col(srcCol), col("n_tokens"), col("med"), col("mad"),
         col("z"), col("is_outlier"))
   }
+  /** Overlapping sliding-window chunking — the RAG / long-context
+    * pre-processing staple: each document's whitespace tokens are cut
+    * into windows of `size` tokens advancing by `stride` (overlap =
+    * size − stride), the last window being the FIRST one that reaches
+    * the document's end (no degenerate tail chunks that are pure
+    * suffixes of their predecessor). Emits (doc, chunk_idx, n_tokens,
+    * chunk_md5) — the md5 stands in for the chunk payload so the
+    * frame stays narrow; a real pipeline projects the text instead.
+    *
+    * Pure narrow map: split, a bounded per-doc index explode
+    * (≤ ⌈len/stride⌉ rows), slice + hash — no shuffle anywhere, a
+    * scan at 100 TB. Chunk-grain dedup (q68's passage operator) and
+    * ANN indexing (q29/q56) compose directly on the output key
+    * (doc_id, chunk_idx).
+    */
+  def chunkDocuments(df: DataFrame, size: Int = 64, stride: Int = 48,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    // last start index: smallest i with i*stride + size >= n, clamped
+    // at 0 — ceil((n-size)/stride) in integer arithmetic. Both trunc
+    // (Spark div) and floor (SQL //) division agree after the clamp.
+    val base = df
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .withColumn("_n", org.apache.spark.sql.functions.size(col("_toks")))
+      .filter(col("_n") >= 1)
+      .withColumn("_last", greatest(lit(0),
+        expr(s"(_n - $size + $stride - 1) div $stride")))
+    base
+      .select(col(idCol), col("_toks"), col("_n"),
+        explode(sequence(lit(0), col("_last"))).as("chunk_idx"))
+      .withColumn("_chunk",
+        slice(col("_toks"), col("chunk_idx") * stride + 1, lit(size)))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("_chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("_chunk"))).as("chunk_md5"))
+  }
 }

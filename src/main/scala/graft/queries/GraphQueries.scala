@@ -267,6 +267,33 @@ object GraphQueries {
       graft.metrics.GraphFeatures.stronglyConnected(s, e)
     }),
 
+    // Pseudo-diameter (double-sweep BFS) on the 6×5 road grid from
+    // corner 0: farthest = opposite corner 29 at Manhattan distance 9,
+    // whose own eccentricity IS the true diameter 9 — the closed form
+    // the oracle states. Small-diameter fixture on purpose: BFS rounds
+    // = eccentricity and each round is fixed job latency at this size
+    // (q94's note); the tree case (bound provably exact, 2h) is
+    // GraphFeaturesSpec's closed-form test.
+    "q109_pseudo_diameter" -> ((s, _) =>
+      graft.metrics.GraphFeatures.pseudoDiameter(s,
+        Generators.roadNetwork(s, 6, 5), start = 0L)),
+
+    // Minimum spanning tree (distributed Borůvka) on the 12×10 grid
+    // with weights making THE unique MST a closed form the oracle
+    // enumerates: horizontals weigh 1.0 (all forced — swapping any
+    // out means paying a weight-2 vertical), verticals weigh
+    // 2 + src·1e-6 (distinct, so exactly the column-0 vertical joins
+    // each pair of adjacent rows). A full hash match against that
+    // enumeration exercises every Borůvka round end-to-end.
+    "q110_mst" -> ((s, _) => {
+      val grid = Generators.roadNetwork(s, 12, 10)
+      val weighted = grid.withColumn("w",
+        when(col("dst") === col("src") + 1, lit(1.0))
+          .otherwise(lit(2.0) + col("src") * lit(1e-6)))
+      graft.metrics.GraphFeatures.mstBoruvka(s, weighted)
+        .select(col("src"), col("dst"), round(col("w"), 6).as("w"))
+    }),
+
     // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
     // benchmark_correlations pipeline shape. Oracle-checked end-to-end:
     // closed-form pagerank (see q23) + degree + avg-tie-rank corr.
@@ -335,6 +362,25 @@ object GraphQueries {
         |SELECT CAST(30 + id AS BIGINT), CAST(30 AS BIGINT) FROM range(2) t(id)
         |UNION ALL
         |SELECT CAST(40 AS BIGINT), CAST(40 AS BIGINT)""".stripMargin,
+
+    // Closed form (see the query comment): corner-to-corner Manhattan
+    // distance of the 6×5 grid, peripheral vertex = opposite corner.
+    "q109_pseudo_diameter" ->
+      """SELECT CAST(0 AS BIGINT) AS start, CAST(9 AS BIGINT) AS ecc_start,
+        |  CAST(29 AS BIGINT) AS peripheral, CAST(9 AS BIGINT) AS diameter_lb,
+        |  CAST(30 AS BIGINT) AS n_reachable""".stripMargin,
+
+    // The unique grid MST enumerated directly: every horizontal edge
+    // (row paths, weight 1.0) + the column-0 vertical between each
+    // adjacent row pair (the minimum of that cut's distinct weights).
+    "q110_mst" ->
+      """SELECT CAST(s AS BIGINT) AS src, CAST(s + 1 AS BIGINT) AS dst,
+        |  CAST(1.0 AS DOUBLE) AS w
+        |FROM range(120) t(s) WHERE s % 12 < 11
+        |UNION ALL
+        |SELECT CAST(12 * r AS BIGINT), CAST(12 * r + 12 AS BIGINT),
+        |  round(2.0 + 12 * r * 0.000001, 6)
+        |FROM range(9) t(r)""".stripMargin,
 
     // Full path enumeration over the DAG (each node has ≤ 2 incoming
     // edges, so path counts stay tiny) + min per vertex.

@@ -104,6 +104,22 @@ object PipelineQueries {
     "q38_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)),
 
+    // Edit-distance-1 similarity join via FastSS deletion neighborhoods
+    // on customer names (capped at custkey < 2000 so the ORACLE's brute
+    // quadratic levenshtein stays runnable — the operator itself never
+    // goes quadratic). The hash match against brute enumeration is the
+    // losslessness proof for the deletion-key candidate filter.
+    "q106_editdist_join" -> ((s, d) =>
+      graft.pipeline.Dedup.editDistanceJoin(
+        Tables.customer(s, d).filter(col("c_custkey") < 2000)
+          .select(col("c_custkey").as("id"), col("c_name").as("s")))),
+
+    // Overlapping sliding-window chunking (RAG pre-processing): 64-token
+    // windows advancing by 48 over each document — a pure narrow map
+    // (see TextAnalysis.chunkDocuments).
+    "q107_chunk_overlap" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d))),
+
     "q41_ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val ivf = Similarity.ivfTopK(s, e, k = 5, nLists = 8, nProbe = 2).cache()
@@ -439,6 +455,36 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Brute-force quadratic levenshtein over the capped universe — the
+    // ground truth the deletion-neighborhood join must reproduce
+    // exactly (losslessness proof; FastSS guarantees no false
+    // negatives at d ≤ 1, the verify step removes false positives).
+    "q106_editdist_join" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey < 2000)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
+
+    // The same chunk grid: token list, last-start = clamped
+    // ceil((n-64)/48), list_slice per start (1-based, end-clamped like
+    // Spark's slice), md5 of the re-joined window. Trunc-vs-floor
+    // division never diverges: the clamp catches every negative.
+    "q107_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+        |g AS (SELECT doc_id, toks, n, s.i AS chunk_idx
+        |  FROM n, LATERAL (SELECT unnest(generate_series(0,
+        |    greatest(0, (n - 64 + 48 - 1) // 48))) AS i) s),
+        |c AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  list_slice(toks, chunk_idx * 48 + 1,
+        |    least(chunk_idx * 48 + 64, n)) AS chunk FROM g)
+        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

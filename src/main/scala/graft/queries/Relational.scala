@@ -327,6 +327,61 @@ object Relational {
       MarketBasket.pairRules(items, minPairCount = 20L)
     }),
 
+    // PIVOT: revenue by order priority × status, statuses spread into
+    // columns. The value list is EXPLICIT (F/O/P), so Spark skips the
+    // extra distinct-values job and the whole query stays one
+    // partial+final hash aggregate over (priority, status) — the pivot
+    // itself is a projection of the ≤ |priorities|·|statuses| grid,
+    // free at any fact-table size.
+    "q103_pivot_revenue" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))),
+
+    // CUBE grouping sets over (event_type, hour-of-day): all four
+    // aggregation levels in ONE pass — Spark expands the grouping-set
+    // lattice inside a single partial+final hash aggregate, the
+    // ROLLUP (q83) machinery with the full 2^k lattice.
+    "q104_cube_events" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("hod", hour(col("ts")).cast("long"))
+        .cube(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("v"),
+          grouping_id().cast("int").as("gid"))),
+
+    // Revenue deciles: customers ranked by lifetime revenue, NTILE(10)
+    // cut, one summary row per decile. The unpartitioned NTILE sort
+    // runs over the CUSTOMER-grain aggregate (one row per customer,
+    // after the fact table is reduced by a partial+final hash agg) —
+    // at true 100 TB scale the same query swaps the exact sort for
+    // approx-quantile cut points with identical output schema.
+    // Revenue is rounded to cents BEFORE ranking: the double sum's
+    // last-ulp wobble must not flip rank order between engines.
+    "q105_ntile_deciles" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("o_custkey").asc)
+      rev.withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("rev")), 2).as("revenue"),
+          min(col("rev")).as("min_rev"),
+          max(col("rev")).as("max_rev"))
+    }),
+
+    // Per-user EWMA of purchase values (alpha = 0.2), event-time
+    // ordered with event_id tiebreak — the smoothed per-entity level a
+    // feature store maintains (see Temporal.ewma for the fold design).
+    "q108_ewma_smoothing" -> ((s, d) =>
+      Temporal.ewma(
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"),
+        keys = Seq("user_id"), tsCol = "ts", valCol = "value",
+        alpha = 0.2, tieCol = "event_id")),
+
     // Z-order data layout: Morton code over (custkey, orderkey) low
     // bits — the write-clustering key that lets min/max file stats
     // prune on either dimension. The query surfaces the deterministic
@@ -393,6 +448,54 @@ object Relational {
         |  round((pair_supp * nb.n) / (sa.supp * sc.supp), 6) AS lift
         |FROM r JOIN supp sa ON sa.item = r.antecedent
         |JOIN supp sc ON sc.item = r.consequent, nb""".stripMargin,
+
+    // FILTER-aggregate spread — the standard SQL spelling of PIVOT;
+    // quoted column names match Spark's pivot output exactly.
+    "q103_pivot_revenue" ->
+      """SELECT o_orderpriority,
+        |  round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS "F",
+        |  round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS "O",
+        |  round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // DuckDB GROUPING uses the same bitmask convention as Spark's
+    // grouping_id (q83); hour() on the NTZ timestamp is engine-neutral.
+    "q104_cube_events" ->
+      """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |  count(*) AS n, round(sum(value), 2) AS v,
+        |  CAST(GROUPING(event_type, hour(ts)) AS INTEGER) AS gid
+        |FROM events
+        |GROUP BY CUBE (event_type, hour(ts))""".stripMargin,
+
+    "q105_ntile_deciles" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey ASC)
+        |    AS decile FROM rev)
+        |SELECT decile, count(*) AS n_customers,
+        |  round(sum(rev), 2) AS revenue,
+        |  min(rev) AS min_rev, max(rev) AS max_rev
+        |FROM t GROUP BY decile""".stripMargin,
+
+    // The identical left fold over the identically ordered list —
+    // list_reduce seeds from the list head, so the 0.0 init is
+    // prepended; every +/* happens in the same order as Spark's
+    // `aggregate`, making the doubles bit-equal before the round.
+    "q108_ewma_smoothing" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    list(v ORDER BY us, event_id) AS vs
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+        |    (a, x) -> 0.2 * x + 0.8 * a), 6) AS ewma
+        |FROM l""".stripMargin,
 
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

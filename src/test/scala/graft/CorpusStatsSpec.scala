@@ -159,6 +159,45 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.map(_._1).sum === 64 * 64)
     assert(rows.forall(_._2), "each partition must be a contiguous sorted z-run")
   }
+
+  test("chunkDocuments: exact windows, overlap, and last-covering-chunk rule") {
+    // 10 tokens, size 4, stride 3: starts 0, 3, 6 (6+4 >= 10 stops it)
+    val doc = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(doc, size = 4, stride = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(got.map(c => (c._1, c._2)).toSeq == Seq((0L, 4L), (1L, 4L), (2L, 4L)))
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0)._3 == h("t0 t1 t2 t3"))
+    assert(got(1)._3 == h("t3 t4 t5 t6"))
+    assert(got(2)._3 == h("t6 t7 t8 t9"))
+  }
+
+  test("chunkDocuments: short docs yield one chunk; ragged tail is truncated") {
+    val docs = Seq((1L, "a b"), (2L, (0 until 6).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, size = 4, stride = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, 0L) -> 2L, (2L, 0L) -> 4L, (2L, 1L) -> 3L))
+  }
+
+  test("chunkDocuments: every token position is covered, no chunk past the end") {
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+    val chunks = TextAnalysis.chunkDocuments(docs, size = 64, stride = 48)
+    val byDoc = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_idx")).as("last"), count(lit(1)).as("n"),
+        sum(col("n_tokens")).as("tok_sum"))
+    val joined = byDoc.join(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")), "doc_id")
+    // chunk count = clamped ceil((n-size)/stride)+1; coverage: last
+    // chunk reaches the end, so sum of chunk sizes >= n (overlap >= 0)
+    assert(joined.filter(
+      col("n") =!= greatest(lit(0L),
+        ceil((col("n_toks") - 64).cast("double") / 48.0).cast("long")) + 1L
+        || col("tok_sum") < col("n_toks")).isEmpty)
+  }
 }
 
 /** Reference Morton interleave, kept off the spec instance so executor

@@ -287,4 +287,63 @@ class GraphFeaturesSpec extends SparkSpec {
     val k = GraphFeatures.degreeAssortativity(complete(4)).collect()(0)
     assert(k.isNullAt(0))
   }
+
+  test("pseudoDiameter: exact on the grid corner sweep and tree leaf-to-leaf") {
+    val grid = GraphFeatures.pseudoDiameter(spark,
+      Generators.roadNetwork(spark, 6, 5), start = 0L).collect()(0)
+    assert((grid.getLong(0), grid.getLong(1), grid.getLong(2),
+      grid.getLong(3), grid.getLong(4)) == ((0L, 9L, 29L, 9L, 30L)))
+    val tree = GraphFeatures.pseudoDiameter(spark,
+      Generators.balancedTree(spark, 3, 3), start = 0L).collect()(0)
+    // root ecc = h = 3, max-id deepest leaf = 39, leaf-to-leaf lb = 2h
+    assert((tree.getLong(1), tree.getLong(2), tree.getLong(3),
+      tree.getLong(4)) == ((3L, 39L, 6L, 40L)))
+  }
+
+  test("pseudoDiameter: start inside one component only reaches it") {
+    val two = edges((0L, 1L), (1L, 2L), (10L, 11L))
+    val r = GraphFeatures.pseudoDiameter(spark, two, start = 10L).collect()(0)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2L)
+  }
+
+  /** Driver Kruskal with union-find under the same (w, src, dst) total
+    * order — the exact semantics mstBoruvka distributes. */
+  private def kruskal(es: Seq[(Long, Long, Double)]): Set[(Long, Long, Double)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      parent(x) = r; r
+    }
+    val out = scala.collection.mutable.Set[(Long, Long, Double)]()
+    for ((s, d, w) <- es.sortBy(e => (e._3, e._1, e._2))) {
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) { parent(rs) = rd; out += ((s, d, w)) }
+    }
+    out.toSet
+  }
+
+  test("mstBoruvka equals driver Kruskal on random weighted graphs") {
+    Seq((60, 0.08, 7L), (120, 0.04, 11L)).foreach { case (n, p, seed) =>
+      val g = Generators.erdosRenyi(spark, n, p, seed)
+        .withColumn("w", (xxhash64(col("src"), col("dst"), lit(seed)) % 100000)
+          .cast("double") / 100000.0)
+      val es = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val got = GraphFeatures.mstBoruvka(spark, g).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == kruskal(es), s"MST mismatch at n=$n")
+    }
+  }
+
+  test("mstBoruvka: forest on a disconnected graph, spanning and acyclic") {
+    val g = Generators.caveman(spark, 3, 5) // 3 disjoint 5-cliques
+      .withColumn("w", (col("src") * 31 + col("dst")).cast("double"))
+    val mst = GraphFeatures.mstBoruvka(spark, g)
+    assert(mst.count() == 12) // (5-1) edges per clique
+    val cc = GraphOps.connectedComponentsDF(spark, mst.select("src", "dst"))
+    assert(cc.select("component").distinct().count() == 3)
+    val es = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(mst.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == kruskal(es))
+  }
 }

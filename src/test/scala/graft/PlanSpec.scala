@@ -239,4 +239,44 @@ class PlanSpec extends SparkSpec {
       s"basket count not broadcast:\n$p")
   }
 
+  test("q103 pivot: one scan, pivotfirst aggregate, no Expand") {
+    val p = plan("q103_pivot_revenue")
+    assert(p.contains("pivotfirst"), s"explicit-value pivot should plan pivotfirst:\n$p")
+    assert(!p.contains("Expand"), s"pivot must not expand rows:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "pivot must scan orders once")
+  }
+
+  test("q105 deciles: the ntile sort sees only the customer aggregate") {
+    val p = plan("q105_ntile_deciles")
+    // exactly one single-partition exchange, and it must sit ABOVE the
+    // customer-keyed aggregate (raw orders are never globally sorted)
+    val i = p.indexOf("Exchange SinglePartition")
+    assert(i >= 0, s"ntile needs its bounded global sort:\n$p")
+    assert(p.indexOf("HashAggregate", i) >= 0,
+      s"the single-partition sort must read the aggregate, not raw orders:\n$p")
+  }
+
+  test("q106 edit-distance join: equi-join on deletion keys, no cartesian") {
+    val p = plan("q106_editdist_join")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"FastSS join must stay an equi-join:\n$p")
+    assert(p.contains("LessThan(c_custkey,2000)"),
+      s"universe cap must push into the scan:\n$p")
+  }
+
+  test("q107 chunking is a pure narrow map: zero exchanges") {
+    val p = plan("q107_chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"chunking should stay codegen'd:\n$p")
+  }
+
+  test("q108 ewma: one key shuffle, partial collect, no window sort") {
+    val p = plan("q108_ewma_smoothing")
+    assert(!p.contains("Window"), s"ewma must not plan a window:\n$p")
+    assert(p.contains("partial_collect_list"),
+      s"series gather should combine map-side:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"ewma needs exactly the user-key shuffle:\n$p")
+  }
 }

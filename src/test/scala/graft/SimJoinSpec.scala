@@ -56,4 +56,33 @@ class SimJoinSpec extends SparkSpec {
     val want = Dedup.jaccardPairs(docs, n = 3, threshold = 0.10)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("editDistanceJoin: substitution/insertion/identical-variant pairs, no false positives") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abcd"), (2L, "abxd"),  // substitution -> dist 1
+      (3L, "abd"),                 // deletion of c from abcd -> dist 1 to 1, 1 to 2
+      (4L, "ba"), (5L, "ab"),      // transposition = dist 2: must NOT pair
+      (6L, "abcd")                 // exact duplicate of 1 -> dist 0
+    ).toDF("id", "s")
+    val got = Dedup.editDistanceJoin(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (1L, 6L, 0L),
+      (2L, 6L, 1L), (3L, 6L, 1L), (3L, 5L, 1L)))
+  }
+
+  test("editDistanceJoin equals brute levenshtein on sf0.001 customer names") {
+    val c = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val got = Dedup.editDistanceJoin(c)
+    // brute force via cross join on the driver-capped universe
+    val a = c.select(col("id").as("id_a"), col("s").as("s_a"))
+    val b = c.select(col("id").as("id_b"), col("s").as("s_b"))
+    val want = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1).select("id_a", "id_b", "dist")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0) // non-vacuous: consecutive names differ by one digit
+  }
 }

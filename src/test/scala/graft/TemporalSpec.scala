@@ -152,4 +152,21 @@ class TemporalSpec extends SparkSpec {
     assert(r(("2024-01-08", 1L)) == ((1L, 1L, 1.0)))
     assert(r.size == 5)
   }
+
+  test("ewma: hand-computed fold, tie order, and per-key independence") {
+    import spark.implicits._
+    // key 1 values in time order: 10, 20, 40 (alpha=0.5):
+    //   0 -> 5.0 -> 12.5 -> 26.25; two rows tie at us=30, event_id breaks it
+    val ev = Seq(
+      (1L, 10L, 100L, 10.0), (1L, 20L, 101L, 20.0), (1L, 30L, 103L, 40.0),
+      (1L, 30L, 102L, 0.0), // same ts, smaller id -> folds BEFORE the 40
+      (2L, 5L, 200L, 8.0))
+      .toDF("k", "us", "eid", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("eid"), col("v"))
+    val out = Temporal.ewma(ev, Seq("k"), "ts", "v", alpha = 0.5, tieCol = "eid")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // key 1: fold over (10, 20, 0, 40): 5.0, 12.5, 6.25, 23.125
+    assert(out(1L) == ((4L, 23.125)))
+    assert(out(2L) == ((1L, 4.0)))
+  }
 }
