@@ -174,6 +174,63 @@ object Centralities {
     }
   }
 
+  /** Personalized PageRank (fixed-iteration power form): restart mass
+    * concentrated on `seeds` instead of uniform — the "importance
+    * relative to THESE nodes" ranking behind related-item and
+    * node-similarity queries. x₀ = s, then
+    * x' = (1−α)·s + α·Σ_{u∈N(v)} x_u/deg(u) for exactly `iters`
+    * rounds (fixed, not tolerance-stopped: the run is then a finite
+    * arithmetic circuit any engine replays — the q92 determinism
+    * reasoning applied to floats, every +/× in the same shape).
+    *
+    * The rank frame only ever holds the seeds' expanding neighborhood
+    * (support after k rounds = k-hop ball), not the full vertex set —
+    * at 100 TB with a handful of seeds that is the whole point of PPR
+    * over global PageRank. Per round: one edge join + vertex-keyed
+    * sum, full-outer with the ≤|seeds|-row restart frame, lineage cut
+    * per round ([[pageRankDistributed]]'s loop without the dangling
+    * recurrence — an undirected graph's only dangling vertices are
+    * isolated, and those never receive mass from elsewhere anyway).
+    * Returned frame: (id, ppr), unnormalized (mass ≤ 1; the remainder
+    * is in-flight teleport mass — standard for truncated PPR). */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame,
+                           seeds: Seq[Long], alpha: Double = 0.85,
+                           iters: Int = 3): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val sym = symmetrize(edges).persist()
+    val m2 = sym.count()
+    val (deg, degH) = graft.util.Iterate.checkpoint(spark,
+      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    import spark.implicits._
+    val s0 = seeds.distinct.sorted.toDF("id")
+      .select(col("id"), lit(1.0 / seeds.distinct.size).as("s"))
+    var x = s0.select(col("id"), col("s").as("v"))
+    var handle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    graft.util.Iterate.withSizedShuffle(spark, m2) {
+      for (_ <- 1 to iters) {
+        val contrib = sym
+          .join(x.select(col("id").as("src"), col("v")), "src")
+          .join(deg.select(col("id").as("src"), col("deg")), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("v") / col("deg")).as("c"))
+        val nextRaw = contrib.join(s0, Seq("id"), "full_outer")
+          .select(col("id"),
+            (lit(1.0 - alpha) * coalesce(col("s"), lit(0.0)) +
+              lit(alpha) * coalesce(col("c"), lit(0.0))).as("v"))
+        val (next, nh) = graft.util.Iterate.checkpoint(spark, nextRaw)
+        handle.foreach(_.unpersist(blocking = false))
+        handle = Some(nh)
+        x = next
+      }
+    }
+    val out = x.select(col("id"), col("v").as("ppr")).persist()
+    out.count()
+    handle.foreach(_.unpersist(blocking = false))
+    degH.unpersist(blocking = false)
+    sym.unpersist()
+    out
+  }
+
   /** Eigenvector centrality by power iteration on the adjacency;
     * falls back to degree centrality on failure (benchmark.py:82-93). */
   def eigenvectorCentrality(spark: SparkSession, edges: DataFrame, n: Long,

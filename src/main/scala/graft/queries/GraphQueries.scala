@@ -294,6 +294,20 @@ object GraphQueries {
         .select(col("src"), col("dst"), round(col("w"), 6).as("w"))
     }),
 
+    // Personalized PageRank from seeds {1..5} on the lineitem graph,
+    // 3 fixed iterations: the rank frame holds only the seeds'
+    // expanding 3-hop ball. Rounded-positive filter bounds the output
+    // to the support; the oracle replays all three iterations as
+    // chained CTEs with the identical double arithmetic.
+    // (the returned PPR frame stays persisted for this one read — its
+    // lineage ends at a truncated checkpoint, so an unpersist-then-
+    // recompute is not an option; one bounded cache entry per session)
+    "q112_ppr" -> ((s, d) =>
+      graft.metrics.Centralities.personalizedPageRank(
+          s, lineitemGraph(s, d), seeds = Seq(1L, 2L, 3L, 4L, 5L))
+        .select(col("id"), round(col("ppr"), 6).as("ppr"))
+        .filter(col("ppr") > 0)),
+
     // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
     // benchmark_correlations pipeline shape. Oracle-checked end-to-end:
     // closed-form pagerank (see q23) + degree + avg-tie-rank corr.
@@ -362,6 +376,34 @@ object GraphQueries {
         |SELECT CAST(30 + id AS BIGINT), CAST(30 AS BIGINT) FROM range(2) t(id)
         |UNION ALL
         |SELECT CAST(40 AS BIGINT), CAST(40 AS BIGINT)""".stripMargin,
+
+    // Three chained power-iteration CTEs with the IDENTICAL double
+    // arithmetic (every constant CAST to DOUBLE first — DuckDB decimal
+    // literals would otherwise compute 1 − 0.85 exactly where IEEE
+    // gives 0.15000000000000002): x' = (1−α)s + α·Σ x_u/deg(u) over
+    // both edge directions, frames carrying only the nonzero support.
+    "q112_ppr" -> {
+      def iter(prev: String, cur: String): String =
+        s"""c$cur AS (
+           |  SELECT adj.v AS id, sum(x$prev.v / deg.degree) AS c
+           |  FROM adj JOIN x$prev ON x$prev.id = adj.u
+           |  JOIN deg ON deg.id = adj.u GROUP BY 1),
+           |x$cur AS (
+           |  SELECT coalesce(c$cur.id, sd.id) AS id,
+           |    (1 - CAST(0.85 AS DOUBLE)) * coalesce(sd.s, 0) +
+           |    CAST(0.85 AS DOUBLE) * coalesce(c$cur.c, 0) AS v
+           |  FROM c$cur FULL JOIN sd ON sd.id = c$cur.id)""".stripMargin
+      s"""WITH $lineitemGraphSql,
+         |adj AS (SELECT src AS u, dst AS v FROM e
+         |        UNION ALL SELECT dst, src FROM e),
+         |sd AS (SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS id,
+         |         CAST(1.0 AS DOUBLE) / 5 AS s),
+         |x0 AS (SELECT id, s AS v FROM sd),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT id, round(v, 6) AS ppr FROM x3 WHERE round(v, 6) > 0""".stripMargin
+    },
 
     // Closed form (see the query comment): corner-to-corner Manhattan
     // distance of the 6×5 grid, peripheral vertex = opposite corner.

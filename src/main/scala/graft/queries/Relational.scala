@@ -382,6 +382,41 @@ object Relational {
         keys = Seq("user_id"), tsCol = "ts", valCol = "value",
         alpha = 0.2, tieCol = "event_id")),
 
+    // Per-user daily resample + forward fill (see Temporal.resampleDaily):
+    // gap days carry the last observed daily purchase total forward.
+    "q111_resample_ffill" -> ((s, d) =>
+      Temporal.resampleDaily(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        keyCol = "user_id", tsCol = "ts", valCol = "value")),
+
+    // Value histogram — binned aggregation with clamped edge bins
+    // (width_bucket semantics, 20 × 25-unit bins over [0, 500)): one
+    // partial+final hash aggregate over the computed bin key; the bin
+    // arithmetic is floor(value/25) — the identical IEEE double op in
+    // any engine.
+    "q113_value_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("value"),
+          least(greatest(floor(col("value") / 25.0), lit(0.0)), lit(19.0))
+            .cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .withColumn("bin_lo", col("bin") * 25.0)),
+
+    // Cohort LTV curve via the stream-static enrichment join: purchases
+    // broadcast-joined to the per-user cohort dim, revenue by cohort ×
+    // weeks-since-cohort (the streaming twin runs the identical enrich
+    // transform per micro-batch — PipelineSpec asserts stream ≡ batch).
+    "q114_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventsStream.enrich(
+          ev.filter(col("event_type") === "purchase"),
+          graft.streaming.EventsStream.userCohorts(ev))
+        .groupBy("cohort_week", "weeks_since")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("revenue"))
+    }),
+
     // Z-order data layout: Morton code over (custkey, orderkey) low
     // bits — the write-clustering key that lets min/max file stats
     // prune on either dimension. The query surfaces the deterministic
@@ -448,6 +483,51 @@ object Relational {
         |  round((pair_supp * nb.n) / (sa.supp * sc.supp), 6) AS lift
         |FROM r JOIN supp sa ON sa.item = r.antecedent
         |JOIN supp sc ON sc.item = r.consequent, nb""".stripMargin,
+
+    // The same day grid (generate_series), left join, and
+    // ignore-nulls running last — engine-exact: day arithmetic is
+    // integral, the daily sum is cents-rounded before the fill.
+    "q111_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |d AS (SELECT user_id, day, round(sum(value), 2) AS dv
+        |      FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |      FROM d GROUP BY 1),
+        |g AS (SELECT user_id,
+        |        CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |          AS day
+        |      FROM s),
+        |j AS (SELECT g.user_id, g.day, d.dv
+        |      FROM g LEFT JOIN d USING (user_id, day))
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  last_value(dv IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |          ROWS UNBOUNDED PRECEDING) AS value,
+        |  dv IS NOT NULL AS is_observed
+        |FROM j""".stripMargin,
+
+    // Monday-truncated weeks + integer day/7 ages (the q100 pattern).
+    "q114_cohort_ltv" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cw, wk) // 7 AS BIGINT) AS weeks_since,
+        |  count(*) AS n_purchases, round(sum(value), 2) AS revenue
+        |FROM p JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q113_value_histogram" ->
+      """SELECT bin, count(*) AS n, round(sum(value), 2) AS total,
+        |  bin * CAST(25.0 AS DOUBLE) AS bin_lo
+        |FROM (SELECT value,
+        |  CAST(least(greatest(floor(value / 25.0), 0.0), 19.0) AS BIGINT)
+        |    AS bin FROM events)
+        |GROUP BY bin""".stripMargin,
 
     // FILTER-aggregate spread — the standard SQL spelling of PIVOT;
     // quoted column names match Spark's pivot output exactly.

@@ -201,6 +201,38 @@ object Temporal {
       .drop("_ss")
   }
 
+  /** Per-key daily resample with forward fill — the time-series
+    * downsampling staple (pandas `resample('D').sum().ffill()`, kdb
+    * `fills`): each key's events are aggregated to calendar days, the
+    * per-key [first, last] day range is densified, and gap days carry
+    * the last observed daily value forward. `is_observed` marks real
+    * vs filled rows.
+    *
+    * Shape: one (key, day) hash aggregate reduces the raw stream, a
+    * per-key min/max aggregate bounds the grid, a `sequence` explode
+    * densifies it (rows = that key's date span — calendar-bounded,
+    * never corpus-bounded), and the fill is `last(ignoreNulls)` over a
+    * key-partitioned window — the as-of scan (q54) specialized to a
+    * regular grid. Every shuffle keys on the entity; nothing global.
+    */
+  def resampleDaily(events: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("_day"))
+      .agg(round(sum(col(valCol)), 2).as("_dv"))
+    val grid = daily.groupBy(col(keyCol))
+      .agg(min(col("_day")).as("_lo"), max(col("_day")).as("_hi"))
+      .select(col(keyCol),
+        explode(sequence(col("_lo"), col("_hi"), expr("interval 1 day")))
+          .as("_day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "_day"), "left")
+      .withColumn("_fill", last(col("_dv"), ignoreNulls = true).over(w))
+      .select(col(keyCol), date_format(col("_day"), "yyyy-MM-dd").as("day"),
+        col("_fill").as("value"), col("_dv").isNotNull.as("is_observed"))
+  }
+
   /** Weekly retention cohorts — the product-analytics staple: users are
     * cohorted by the ISO week of their FIRST event, and each later
     * week's activity is reported as (cohort_week, week_offset,

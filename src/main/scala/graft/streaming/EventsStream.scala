@@ -201,6 +201,30 @@ object EventsStream {
         unix_micros(col("p_ts")).as("p_us"), col("value"))
   }
 
+  /** Static per-user cohort dimension (user → Monday-truncated week of
+    * their first event) — the batch-computed side of the stream-static
+    * join. At cluster scale this is the periodically-refreshed dim
+    * table every streaming enrichment pipeline maintains. */
+  def userCohorts(batchEvents: DataFrame): DataFrame =
+    normalizeTs(batchEvents).groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+
+  /** Stream-static dimension enrichment: each (micro-batch of) events
+    * broadcast-joins the static cohort dim — STATELESS in the stream
+    * (no watermark, no state store; the static side is re-broadcast
+    * per trigger, which is exactly Structured Streaming's contract for
+    * slowly-changing dims). Adds the cohort week and the integer
+    * weeks-since-cohort age. One transform serves batch and
+    * readStream; PipelineSpec asserts stream ≡ batch row-for-row. */
+  def enrich(events: DataFrame, cohorts: DataFrame): DataFrame =
+    normalizeTs(events)
+      .join(broadcast(cohorts), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast("date"),
+          col("cohort_week")) / 7).cast("long").as("weeks_since"))
+
   /** Batch entry: read the parquet and aggregate. */
   def batch(spark: SparkSession, dir: String): DataFrame =
     hourlyAgg(spark.read.parquet(s"$dir/events.parquet"))

@@ -314,4 +314,37 @@ class MetricsSpec extends SparkSpec {
       assert(math.abs(dcsr(id) - ddist(id)) < 1e-9,
         s"dangling pagerank($id): ${ddist(id)} vs ${dcsr(id)}")
   }
+
+  test("personalizedPageRank: exact dyadic closed form on the star") {
+    // star 0-{1,2,3,4}, seed {0}, alpha=0.5, 2 iters — all values are
+    // powers of two, so the float fold is EXACT:
+    // x1(0)=.5, x1(leaf)=.125; x2(0)=.75, x2(leaf)=.0625
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val x = Centralities.personalizedPageRank(spark, star, Seq(0L),
+      alpha = 0.5, iters = 2)
+    val m = x.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(0L) == 0.75)
+    (1L to 4L).foreach(v => assert(m(v) == 0.0625, s"leaf $v: ${m(v)}"))
+    x.unpersist()
+  }
+
+  test("personalizedPageRank: support stays inside the k-hop ball of the seeds") {
+    val path = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val x = Centralities.personalizedPageRank(spark, path, Seq(0L), iters = 2)
+    val ids = x.filter(col("ppr") > 0).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L), s"2-hop support expected, got $ids")
+    x.unpersist()
+  }
+
+  test("personalizedPageRank: multi-seed mass splits and stays <= 1") {
+    val g = Generators.caveman(spark, 2, 4)
+    val x = Centralities.personalizedPageRank(spark, g, Seq(0L, 4L), iters = 3)
+    val total = x.agg(sum(col("ppr"))).collect()(0).getDouble(0)
+    assert(total > 0.5 && total <= 1.0 + 1e-12, s"mass $total")
+    // disjoint cliques: each seed's mass stays in its own clique
+    val byClique = x.collect().map(r => (r.getLong(0) / 4, r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(math.abs(byClique(0L) - byClique(1L)) < 1e-12)
+    x.unpersist()
+  }
 }

@@ -1140,6 +1140,28 @@ class PipelineSpec extends SparkSpec {
     batch.unpersist()
   }
 
+  test("stream-static enrichment: stream equals batch, stateless per micro-batch") {
+    val ev = Tables.events(spark, sf)
+    val cohorts = EventsStream.userCohorts(ev).cache()
+    val batch = EventsStream.enrich(
+      ev.filter(col("event_type") === "purchase"), cohorts).cache()
+    // every purchase gets a cohort (each user's first event precedes or
+    // is the purchase) and a non-negative integer age
+    assert(batch.filter(col("cohort_week").isNull || col("weeks_since") < 0).isEmpty)
+    val q = EventsStream.enrich(
+      spark.readStream.schema(EventsStream.rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events*.parquet").parquet(sf)
+        .where(col("event_type") === "purchase"), cohorts)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich_test")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    batch.unpersist(); cohorts.unpersist()
+  }
+
   test("sessions: exact-gap boundary merges (inclusive end); gap+1µs splits") {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000

@@ -169,4 +169,24 @@ class TemporalSpec extends SparkSpec {
     assert(out(1L) == ((4L, 23.125)))
     assert(out(2L) == ((1L, 4.0)))
   }
+
+  test("resampleDaily: gap days forward-fill the last observed daily total") {
+    import spark.implicits._
+    val us = 86400000000L // one day in micros
+    val ev = Seq(
+      (1L, 0L, 10.0), (1L, 1000L, 5.0),       // day 0: two events, sum 15
+      (1L, 3 * us, 7.5),                       // day 3 (days 1-2 are gaps)
+      (2L, 2 * us, 1.0))                       // key 2: single day, no grid
+      .toDF("k", "usec", "v")
+      .select(col("k"), timestamp_micros(col("usec")).as("ts"), col("v"))
+    val out = Temporal.resampleDaily(ev, "k", "ts", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out((1L, "1970-01-01")) == ((15.0, true)))
+    assert(out((1L, "1970-01-02")) == ((15.0, false)))
+    assert(out((1L, "1970-01-03")) == ((15.0, false)))
+    assert(out((1L, "1970-01-04")) == ((7.5, true)))
+    assert(out((2L, "1970-01-03")) == ((1.0, true)))
+    assert(out.size == 5)
+  }
 }
