@@ -417,6 +417,32 @@ object Relational {
           round(sum(col("value")), 2).as("revenue"))
     }),
 
+    // Table profiler (the ANALYZE/dbt-style data-quality pass): per
+    // column, row count, null count and EXACT distinct count in one
+    // aggregate job, unpivoted to long format with stack(). Multiple
+    // distinct aggregates expand the input once per distinct column —
+    // the exact-count form the oracle checks; at 100 TB the same frame
+    // swaps countDistinct for approx_count_distinct (q84 shows the
+    // sketch is within 5%) and the Expand disappears.
+    "q115_table_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cols = o.columns.toSeq
+      val aggs = count(lit(1)).as("_rows") +: cols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c")))
+      val stackArgs = cols.map(c => s"'$c', _rows, _nn_$c, _nd_$c").mkString(", ")
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs)" +
+          " as (col_name, n_rows, n_null, n_distinct)"))
+    }),
+
+    // Top user journeys: sliding event-type trigrams over each user's
+    // timeline, global top-20 with a deterministic tiebreak (see
+    // Temporal.journeyNgrams — the discovery side of q91's funnel).
+    "q116_top_journeys" -> ((s, d) =>
+      Temporal.journeyNgrams(Tables.events(s, d), keyCol = "user_id",
+        typeCol = "event_type", tsCol = "ts", tieCol = "event_id")),
+
     // Z-order data layout: Morton code over (custkey, orderkey) low
     // bits — the write-clustering key that lets min/max file stats
     // prune on either dimension. The query surfaces the deterministic
@@ -507,6 +533,31 @@ object Relational {
         |          ROWS UNBOUNDED PRECEDING) AS value,
         |  dv IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
+
+    "q115_table_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("\nUNION ALL\n")
+    },
+
+    // The identical per-user ordered gather + trigram slide; range()
+    // is empty for short timelines, matching the Spark-side filter.
+    "q116_top_journeys" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, list(event_type ORDER BY us, event_id) AS ts
+        |  FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT array_to_string(list_slice(ts, i.i + 1, i.i + 3), '>') AS path
+        |  FROM s, LATERAL (SELECT unnest(range(0, len(ts) - 2)) AS i) i)
+        |SELECT path, count(*) AS cnt FROM g GROUP BY 1
+        |ORDER BY cnt DESC, path ASC LIMIT 20""".stripMargin,
 
     // Monday-truncated weeks + integer day/7 ages (the q100 pattern).
     "q114_cohort_ltv" ->

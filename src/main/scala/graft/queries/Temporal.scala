@@ -233,6 +233,43 @@ object Temporal {
         col("_fill").as("value"), col("_dv").isNotNull.as("is_observed"))
   }
 
+  /** Top user journeys — sequential pattern mining (lite): each key's
+    * event types form a timeline (ordered by ts with a tie column, the
+    * [[ewma]] determinism treatment), every sliding `n`-gram of that
+    * timeline is emitted as a `>`-joined path, and the global top-k
+    * paths surface with a deterministic (count DESC, path ASC) cut.
+    * The funnel operator (q91) checks a KNOWN sequence; this one
+    * DISCOVERS the frequent sequences to feed it.
+    *
+    * Shape: one key-partitioned gather (sort_array over collect_list
+    * — per-key state = that entity's history), a bounded per-key
+    * n-gram explode (|timeline| − n + 1 rows), a gram-keyed
+    * partial+final count, and a TakeOrderedAndProject top-k — only k
+    * rows ever cross the final ordering. */
+  def journeyNgrams(events: DataFrame, keyCol: String, typeCol: String,
+                    tsCol: String, tieCol: String,
+                    n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, s"journey n-grams need n >= 2, got $n")
+    val seqs = events
+      .select(col(keyCol).as("_k"),
+        struct(unix_micros(col(tsCol)).as("_us"), col(tieCol).as("_tie"),
+          col(typeCol).as("_t")).as("_s"))
+      .groupBy("_k")
+      .agg(transform(sort_array(collect_list(col("_s"))),
+        s => s.getField("_t")).as("_ts"))
+    seqs
+      // sequence(0, negative) DESCENDS in Spark — keys with a timeline
+      // shorter than n must be dropped before the index explode
+      .filter(org.apache.spark.sql.functions.size(col("_ts")) >= n)
+      .select(explode(expr(
+        s"""transform(sequence(0, size(_ts) - $n),
+           |  i -> array_join(slice(_ts, i + 1, $n), '>'))""".stripMargin))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Weekly retention cohorts — the product-analytics staple: users are
     * cohorted by the ISO week of their FIRST event, and each later
     * week's activity is reported as (cohort_week, week_offset,

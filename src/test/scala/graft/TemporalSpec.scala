@@ -189,4 +189,19 @@ class TemporalSpec extends SparkSpec {
     assert(out((2L, "1970-01-03")) == ((1.0, true)))
     assert(out.size == 5)
   }
+
+  test("journeyNgrams: sliding trigrams, short keys dropped, deterministic cut") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 11L, "b"), (1L, 3L, 12L, "a"),
+      (1L, 4L, 13L, "b"),
+      (2L, 1L, 20L, "a"), (2L, 2L, 21L, "b"), // timeline shorter than n
+      (3L, 5L, 31L, "b"), (3L, 5L, 30L, "a"), (3L, 6L, 32L, "c")) // ts tie -> id order
+      .toDF("k", "us", "eid", "t")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("eid"), col("t"))
+    val got = Temporal.journeyNgrams(ev, "k", "t", "ts", "eid", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSet == Set(("a>b>a", 1L), ("b>a>b", 1L), ("a>b>c", 1L)))
+    assert(got.map(_._1).toSeq == Seq("a>b>a", "a>b>c", "b>a>b")) // path asc on tie
+  }
 }
