@@ -66,6 +66,19 @@ object GraphScaleProbe {
       GraphFeatures.stronglyConnected(spark, d)
         .select("component").distinct().count()
     }
+    // MST over hash-distinct weights (unique MST, deterministic rounds)
+    val (nMst, tMst) = time {
+      val w = g.select(col("src"), col("dst"),
+        (pmod(xxhash64(col("src"), col("dst")), lit(1000000)).cast("double") /
+          1000000.0).as("w"))
+      GraphFeatures.mstBoruvka(spark, w).count()
+    }
+    val (lb, tDiam) = time(
+      GraphFeatures.pseudoDiameter(spark, g, start = 0L)
+        .head.getLong(3))
+    val (nPpr, tPpr) = time(
+      graft.metrics.Centralities.personalizedPageRank(spark, g,
+        seeds = Seq(0L, 1L, 2L), iters = 3).count())
     println(s"""{"probe":"graph_scale","n":$n,"m":$m,"avg_deg":$avgDeg,""" +
       s""""degrees_sec":$tDeg,"triangles_sec":$tTri,"triangles":$nTri,""" +
       s""""cc_df_sec":$tCc,"components":$nComp,""" +
@@ -73,7 +86,10 @@ object GraphScaleProbe {
       s""""bfs_sec":$tBfs,"ecc0":$ecc,""" +
       s""""lpa3_sec":$tLpa,"sssp_sec":$tSssp,""" +
       s""""walks_sec":$tWalk,"walk_rows":$nWalk,""" +
-      s""""scc_sec":$tScc,"sccs":$nScc}""")
+      s""""scc_sec":$tScc,"sccs":$nScc,""" +
+      s""""mst_sec":$tMst,"mst_edges":$nMst,""" +
+      s""""pseudo_diam_sec":$tDiam,"diam_lb":$lb,""" +
+      s""""ppr_sec":$tPpr,"ppr_support":$nPpr}""")
     spark.stop()
   }
 }

@@ -68,6 +68,25 @@ object PipelineScaleProbe {
       maxWords = 5000))
     val (_, tEnc) = time(
       graft.pipeline.Bpe.encode(corpus, mg).agg(sum("n_pieces")).head)
+    // chunking: a pure narrow map — its slope is the scan slope
+    val (nChunks, tChunk) = time(
+      TextAnalysis.chunkDocuments(corpus).count())
+    // edit-distance join on replica-prefixed customer names. The
+    // prefix repeats the replica digit (r00_, r11_, …) so any two
+    // replicas differ in ≥2 characters — single-char prefixes would
+    // put every cross-replica copy of the same name at distance 1 and
+    // add C(reps,2)·|names| real-but-unintended pairs. With distance-2
+    // prefixes the replica pair structures are disjoint and a lossless
+    // deletion-key join must scale linearly in K.
+    val (nEd, tEd) = time {
+      val names = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      val repNames = (0 until reps).map { k =>
+        names.select((col("id") + lit(k * 10000000L)).as("id"),
+          concat(lit(s"r$k${k}_"), col("s")).as("s"))
+      }.reduce(_ union _)
+      Dedup.editDistanceJoin(repNames).count()
+    }
     println(s"""{"probe":"pipeline_scale","reps":$reps,"docs":$nDocs,""" +
       s""""exact_sec":$tExact,"exact_rows":$nExact,""" +
       s""""minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
@@ -76,7 +95,9 @@ object PipelineScaleProbe {
       s""""quality_sec":$tQual,""" +
       s""""top_ngrams_sec":$tNg,"pmi_sec":$tPmi,"pmi_pairs":$nPmi,""" +
       s""""bigram_nll_sec":$tBnll,""" +
-      s""""bpe_train_sec":$tTrain,"bpe_encode_sec":$tEnc}""")
+      s""""bpe_train_sec":$tTrain,"bpe_encode_sec":$tEnc,""" +
+      s""""chunk_sec":$tChunk,"chunks":$nChunks,""" +
+      s""""editdist_sec":$tEd,"editdist_pairs":$nEd}""")
     spark.stop()
   }
 }
