@@ -529,6 +529,37 @@ object Centralities {
     result
   }
 
+  /** Harmonic centrality h(v) = Σ_{s≠v} 1/d(s, v) (Marchiori–Latora;
+    * the closeness variant that stays meaningful on DISCONNECTED
+    * graphs — unreachable pairs contribute 0 instead of poisoning a
+    * reciprocal-of-sum). Exact for n ≤ sourcesCap, else the sampled
+    * estimate scaled by n/|S| — the [[closenessDistributed]] frame
+    * with a reciprocal-sum accumulator over the same level-synchronous
+    * multi-source BFS; one extra aggregate over the already-computed
+    * (s, v, dist) levels, so the marginal cost over closeness is one
+    * job. Returned frame is PERSISTED; callers may unpersist. */
+  def harmonicDistributed(spark: SparkSession, edges: DataFrame, n: Long,
+                          sourcesCap: Int = 256, seed: Long = 42): DataFrame = {
+    val sym = symmetrize(edges).persist()
+    val (sources, nS) = pickSources(spark, n, sourcesCap, seed)
+    val (levels, handles) = multiSourceBfs(spark, sym, sources)
+    val byDist = levels.zipWithIndex.map { case (l, d) =>
+      l.select(col("s"), col("v"), lit(d).as("dist")) }
+      .reduce(_ union _)
+    val scale = n.toDouble / nS
+    val agg = byDist.filter(col("dist") > 0).groupBy("v")
+      .agg(sum(lit(1.0) / col("dist")).as("h"))
+    val out = spark.range(n).toDF("id")
+      .join(agg.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("h"), lit(0.0)) * lit(scale)).as("harmonic"))
+    val result = out.persist()
+    result.count()
+    handles.foreach(_.unpersist(blocking = false))
+    sym.unpersist()
+    result
+  }
+
   /** Distributed Brandes / Newman-load: forward multi-source BFS, then
     * level-by-level backward accumulation — each backward level is one
     * join+agg, so work parallelizes over (source, vertex) pairs. Exact

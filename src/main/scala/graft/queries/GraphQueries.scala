@@ -308,6 +308,16 @@ object GraphQueries {
         .select(col("id"), round(col("ppr"), 6).as("ppr"))
         .filter(col("ppr") > 0)),
 
+    // Harmonic centrality on the 5×4 grid (n = 20 ≤ sourcesCap, so the
+    // multi-source BFS is EXACT): h(v) = Σ 1/manhattan(v, u) — the
+    // closed form the oracle cross-joins. Small-diameter fixture on
+    // purpose (levels = diameter+1 checkpoint jobs, the q94 note);
+    // persisted result frame, one bounded cache entry (the q112 note).
+    "q117_harmonic" -> ((s, _) =>
+      graft.metrics.Centralities.harmonicDistributed(s,
+          Generators.roadNetwork(s, 5, 4), n = 20L)
+        .select(col("id"), round(col("harmonic"), 6).as("harmonic"))),
+
     // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
     // benchmark_correlations pipeline shape. Oracle-checked end-to-end:
     // closed-form pagerank (see q23) + degree + avg-tie-rank corr.
@@ -404,6 +414,18 @@ object GraphQueries {
          |${iter("2", "3")}
          |SELECT id, round(v, 6) AS ppr FROM x3 WHERE round(v, 6) > 0""".stripMargin
     },
+
+    // Grid distances are Manhattan; the reciprocal sum over all other
+    // vertices replays as one cross join (48² rows).
+    "q117_harmonic" ->
+      """WITH v AS (
+        |  SELECT CAST(id AS BIGINT) AS id, id % 5 AS x, id // 5 AS y
+        |  FROM range(20) t(id)),
+        |d AS (
+        |  SELECT a.id AS id, abs(a.x - b.x) + abs(a.y - b.y) AS dist
+        |  FROM v a JOIN v b ON a.id <> b.id)
+        |SELECT id, round(sum(CAST(1.0 AS DOUBLE) / dist), 6) AS harmonic
+        |FROM d GROUP BY id""".stripMargin,
 
     // Closed form (see the query comment): corner-to-corner Manhattan
     // distance of the 6×5 grid, peripheral vertex = opposite corner.

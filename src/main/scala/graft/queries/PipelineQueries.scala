@@ -120,6 +120,21 @@ object PipelineQueries {
     "q107_chunk_overlap" -> ((s, d) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, d))),
 
+    // Per-group uniform k-sample: 25 docs per source by md5 rank — the
+    // replayable per-stratum pick (q50's deterministicSample gives a
+    // RATE per stratum; this gives an exact COUNT). The rank filter
+    // plans as WindowGroupLimit, so each group's sort stops at k rows
+    // map-side — no full per-group sort, the q04 machinery.
+    "q120_group_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(concat(lit("gs:"), col("doc_id"))), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 25)
+        .select(col("source"), col("doc_id"), col("rn"))
+    }),
+
     "q41_ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val ivf = Similarity.ivfTopK(s, e, k = 5, nLists = 8, nProbe = 2).cache()
@@ -488,6 +503,13 @@ object PipelineQueries {
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q120_group_sample" ->
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('gs:' || doc_id), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 25""".stripMargin,
 
     "q25_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(

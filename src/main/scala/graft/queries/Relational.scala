@@ -443,6 +443,42 @@ object Relational {
       Temporal.journeyNgrams(Tables.events(s, d), keyCol = "user_id",
         typeCol = "event_type", tsCol = "ts", tieCol = "event_id")),
 
+    // SCD2 dimension build (slowly-changing-dimension type 2): each
+    // user's event-type timeline collapsed to CHANGE runs — a validity
+    // interval opens when the type differs from the previous event and
+    // closes at the next change (null = current). Two user-partitioned
+    // window passes over the entity's own history: the standard
+    // warehouse snapshot-interval construction, entity-keyed at any
+    // scale.
+    "q118_scd2_intervals" -> ((s, d) =>
+      Temporal.scd2Intervals(Tables.events(s, d), keyCol = "user_id",
+        attrCol = "event_type", tsCol = "ts", tieCol = "event_id")),
+
+    // Chi-square test of independence (event type × day-of-week): the
+    // contingency grid, margin products for expected counts, one X²
+    // sum — the categorical-association screen a feature-audit
+    // pipeline runs. One grid aggregate + two ≤|levels|-row broadcast
+    // margin joins; the fact table is scanned once.
+    "q119_chisq" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type").as("a"), dayofweek(col("ts")).as("b"))
+      val grid = e.groupBy("a", "b").agg(count(lit(1)).cast("double").as("n"))
+      val ra = grid.groupBy("a").agg(sum(col("n")).as("ra"))
+      val cb = grid.groupBy("b").agg(sum(col("n")).as("cb"))
+      val tot = grid.agg(sum(col("n")).as("t"))
+      grid.join(broadcast(ra), "a").join(broadcast(cb), "b")
+        .crossJoin(broadcast(tot))
+        .select(((col("n") - col("ra") * col("cb") / col("t")) *
+          (col("n") - col("ra") * col("cb") / col("t")) /
+          (col("ra") * col("cb") / col("t"))).as("term"),
+          col("a"), col("b"))
+        .agg(round(sum(col("term")), 6).as("chi2"),
+          countDistinct(col("a")).as("n_types"),
+          countDistinct(col("b")).as("n_days"))
+        .select(col("chi2"),
+          ((col("n_types") - 1) * (col("n_days") - 1)).as("dof"))
+    }),
+
     // Z-order data layout: Morton code over (custkey, orderkey) low
     // bits — the write-clustering key that lets min/max file stats
     // prune on either dimension. The query surfaces the deterministic
@@ -533,6 +569,36 @@ object Relational {
         |          ROWS UNBOUNDED PRECEDING) AS value,
         |  dv IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
+
+    "q118_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    lag(event_type) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT user_id, event_id, event_type, us FROM r
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, us AS valid_from_us,
+        |  lead(us) OVER w2 AS valid_to_us,
+        |  lead(us) OVER w2 IS NULL AS is_current
+        |FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+
+    // Spark dayofweek is 1=Sunday..7; DuckDB's is 0-based — shift.
+    // The X² term replays the identical IEEE expression tree.
+    "q119_chisq" ->
+      """WITH g AS (
+        |  SELECT event_type AS a, dayofweek(ts) + 1 AS b,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(n) AS ra FROM g GROUP BY 1),
+        |cb AS (SELECT b, sum(n) AS cb FROM g GROUP BY 1),
+        |t AS (SELECT sum(n) AS t FROM g)
+        |SELECT round(sum((n - ra * cb / t) * (n - ra * cb / t)
+        |    / (ra * cb / t)), 6) AS chi2,
+        |  (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof
+        |FROM g JOIN ra USING (a) JOIN cb USING (b), t""".stripMargin,
 
     "q115_table_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -233,6 +233,29 @@ object Temporal {
         col("_fill").as("value"), col("_dv").isNotNull.as("is_observed"))
   }
 
+  /** SCD2 interval build (slowly-changing-dimension type 2): each
+    * key's attribute timeline collapsed to CHANGE runs — a validity
+    * interval opens when the attribute differs from the previous
+    * event's and closes at the next change (null `valid_to_us` =
+    * current). Two key-partitioned window passes over the entity's own
+    * history — the standard warehouse snapshot-interval construction,
+    * entity-keyed at any scale. Ties on the timestamp break by
+    * `tieCol`, making the run structure a pure function of the data. */
+  def scd2Intervals(events: DataFrame, keyCol: String, attrCol: String,
+                    tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("_us").asc, col(tieCol).asc)
+    val runs = events
+      .select(col(keyCol), col(tieCol), col(attrCol).as("_attr"),
+        unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_prev", lag(col("_attr"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("_attr"))
+    runs.withColumn("valid_to_us", lead(col("_us"), 1).over(w))
+      .select(col(keyCol), col("_attr").as(attrCol),
+        col("_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
   /** Top user journeys — sequential pattern mining (lite): each key's
     * event types form a timeline (ordered by ts with a tie column, the
     * [[ewma]] determinism treatment), every sliding `n`-gram of that

@@ -347,4 +347,18 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(byClique(0L) - byClique(1L)) < 1e-12)
     x.unpersist()
   }
+
+  test("harmonicDistributed: exact closed forms on path and disconnected graphs") {
+    // path 0-1-2: ends 1 + 1/2 = 1.5, middle 1 + 1 = 2
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val h = Centralities.harmonicDistributed(spark, path, n = 3)
+    val m = h.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(0L) == 1.5 && m(2L) == 1.5 && m(1L) == 2.0)
+    h.unpersist()
+    // two disjoint edges: every vertex sees exactly its one neighbor
+    val two = Seq((0L, 1L), (2L, 3L)).toDF("src", "dst")
+    val h2 = Centralities.harmonicDistributed(spark, two, n = 4)
+    assert(h2.collect().forall(_.getDouble(1) == 1.0))
+    h2.unpersist()
+  }
 }

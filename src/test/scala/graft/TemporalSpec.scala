@@ -204,4 +204,22 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSet == Set(("a>b>a", 1L), ("b>a>b", 1L), ("a>b>c", 1L)))
     assert(got.map(_._1).toSeq == Seq("a>b>a", "a>b>c", "b>a>b")) // path asc on tie
   }
+
+  test("scd2Intervals: change runs, interval chaining, current flag") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 100L, "free"), (1L, 20L, 101L, "free"), // same run
+      (1L, 30L, 102L, "pro"), (1L, 40L, 103L, "free"),  // back-and-forth
+      (2L, 5L, 200L, "pro"))
+      .toDF("k", "us", "eid", "plan")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("eid"), col("plan"))
+    val got = Temporal.scd2Intervals(ev, "k", "plan", "ts", "eid").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, "free", 10L, 30L, false),
+      (1L, "pro", 30L, 40L, false),
+      (1L, "free", 40L, -1L, true),
+      (2L, "pro", 5L, -1L, true)))
+  }
 }
