@@ -608,4 +608,48 @@ object GraphFeatures {
     e0.unpersist(); lh.unpersist()
     mst
   }
+
+  /** k-truss decomposition (Cohen 2008): the maximal subgraph in which
+    * every edge participates in ≥ k−2 triangles — the standard
+    * cohesive-subgraph mining step between k-core (vertex-level) and
+    * clique (exact). Iterative peel: enumerate triangles of the
+    * CURRENT edge set ([[triangles]] — degree-oriented, m^1.5 work
+    * bound under any skew), aggregate per-edge support, drop edges
+    * under threshold, repeat until stable — dropping an edge can kill
+    * its neighbors' triangles, so the cascade must re-run to a
+    * fixpoint. Rounds are typically few (each round removes every
+    * currently-unsupported edge at once); all shuffles key on vertex
+    * or edge pairs, lineage cut per round.
+    */
+  def kTruss(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
+             k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var (e, h) = graft.util.Iterate.checkpoint(spark,
+      edges.select(col("src"), col("dst")))
+    var prev = -1L
+    var cur = e.count()
+    var round = 0
+    graft.util.Iterate.withSizedShuffle(spark, cur) {
+      while (cur != prev && cur > 0 && round < maxRounds) {
+        round += 1
+        val tri = triangles(e)
+        val support = tri.select(
+            array(least(col("a"), col("b")), greatest(col("a"), col("b"))).as("_e"))
+          .union(tri.select(
+            array(least(col("a"), col("c")), greatest(col("a"), col("c"))).as("_e")))
+          .union(tri.select(
+            array(least(col("b"), col("c")), greatest(col("b"), col("c"))).as("_e")))
+          .select(col("_e")(0).as("src"), col("_e")(1).as("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("_supp"))
+        val (next, nh, cnt) = graft.util.Iterate.checkpointWith(spark,
+          e.join(support, Seq("src", "dst"), "left")
+            .filter(coalesce(col("_supp"), lit(0L)) >= k - 2)
+            .select("src", "dst"))(_.count())
+        h.unpersist()
+        e = next; h = nh
+        prev = cur; cur = cnt
+      }
+    }
+    e
+  }
 }

@@ -318,6 +318,32 @@ object GraphQueries {
           Generators.roadNetwork(s, 5, 4), n = 20L)
         .select(col("id"), round(col("harmonic"), 6).as("harmonic"))),
 
+    // k-truss (k=4) on a composite that exercises the CASCADE: a K4
+    // (support 2 everywhere — survives), a pendant triangle glued to
+    // the K4 by one edge (its outer edges have support 1 — dropped in
+    // round 1, and the shared edge still stands on the K4's
+    // triangles), and a 2-triangle chain whose middle edge has
+    // support 2 in round 1 but loses BOTH its triangles once the
+    // support-1 edges peel — only the second round removes it. The
+    // oracle enumerates the surviving K4.
+    "q122_ktruss" -> ((s, _) => {
+      import s.implicits._
+      val e = Seq(
+        (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L), // K4
+        (0L, 10L), (1L, 10L),                                       // pendant tri
+        (20L, 21L), (20L, 22L), (21L, 22L),                         // chain tri 1
+        (21L, 23L), (22L, 23L)                                      // chain tri 2
+      ).toDF("src", "dst")
+      graft.metrics.GraphFeatures.kTruss(s, e, k = 4)
+    }),
+
+    // Degree-distribution histogram of the lineitem graph (the
+    // degree-sequence summary every graph-stats report starts with):
+    // two chained hash aggregates, both vertex- then degree-keyed.
+    "q123_degree_distribution" -> ((s, d) =>
+      GraphOps.degrees(lineitemGraph(s, d))
+        .groupBy("degree").agg(count(lit(1)).as("n_vertices"))),
+
     // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
     // benchmark_correlations pipeline shape. Oracle-checked end-to-end:
     // closed-form pagerank (see q23) + degree + avg-tie-rank corr.
@@ -414,6 +440,17 @@ object GraphQueries {
          |${iter("2", "3")}
          |SELECT id, round(v, 6) AS ppr FROM x3 WHERE round(v, 6) > 0""".stripMargin
     },
+
+    // The 4-truss of the composite = exactly the K4 (see the query
+    // comment for why both peel rounds are needed to get here).
+    "q122_ktruss" ->
+      """SELECT CAST(a.i AS BIGINT) AS src, CAST(b.i AS BIGINT) AS dst
+        |FROM range(4) a(i) JOIN range(4) b(i) ON a.i < b.i""".stripMargin,
+
+    "q123_degree_distribution" ->
+      s"""WITH $lineitemGraphSql
+         |SELECT degree, count(*) AS n_vertices FROM deg
+         |GROUP BY degree""".stripMargin,
 
     // Grid distances are Manhattan; the reciprocal sum over all other
     // vertices replays as one cross join (48² rows).

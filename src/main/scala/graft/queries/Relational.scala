@@ -479,6 +479,21 @@ object Relational {
           ((col("n_types") - 1) * (col("n_days") - 1)).as("dof"))
     }),
 
+    // INTERSECT / EXCEPT set operators (the q06 union+distinct's two
+    // siblings): customers active in both 1996 and 1997 vs only 1996.
+    // Spark plans both as distinct-aggregate + semi/anti hash join —
+    // key-partitioned, no sort, broadcastable when one side is small.
+    "q121_set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def active(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select("o_custkey")
+      val both = active(1996).intersect(active(1997))
+        .select(lit("both").as("segment"), col("o_custkey"))
+      val only96 = active(1996).except(active(1997))
+        .select(lit("only_1996").as("segment"), col("o_custkey"))
+      both.unionByName(only96)
+    }),
+
     // Z-order data layout: Morton code over (custkey, orderkey) low
     // bits — the write-clustering key that lets min/max file stats
     // prune on either dimension. The query surfaces the deterministic
@@ -569,6 +584,17 @@ object Relational {
         |          ROWS UNBOUNDED PRECEDING) AS value,
         |  dv IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
+
+    "q121_set_ops" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1996),
+        |y97 AS (SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1997)
+        |SELECT 'both' AS segment, o_custkey FROM
+        |  (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        |UNION ALL
+        |SELECT 'only_1996', o_custkey FROM
+        |  (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)""".stripMargin,
 
     "q118_scd2_intervals" ->
       """WITH e AS (

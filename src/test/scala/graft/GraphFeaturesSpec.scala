@@ -346,4 +346,18 @@ class GraphFeaturesSpec extends SparkSpec {
     assert(mst.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       == kruskal(es))
   }
+
+  test("kTruss: clique closed forms and the two-round cascade") {
+    // K5: every edge in 3 triangles -> survives k=5, empties at k=6
+    val k5 = complete(5)
+    assert(GraphFeatures.kTruss(spark, k5, k = 5).count() == 10)
+    assert(GraphFeatures.kTruss(spark, k5, k = 6).count() == 0)
+    // chain of two triangles: middle edge has support 2 in round 1 but
+    // both its triangles die when the support-1 edges peel — a correct
+    // fixpoint returns NO edges at k=4
+    val chain = edges((20L, 21L), (20L, 22L), (21L, 22L), (21L, 23L), (22L, 23L))
+    assert(GraphFeatures.kTruss(spark, chain, k = 4).count() == 0)
+    // and the whole chain IS a 3-truss (every edge in >= 1 triangle)
+    assert(GraphFeatures.kTruss(spark, chain, k = 3).count() == 5)
+  }
 }
