@@ -652,4 +652,29 @@ object GraphFeatures {
     }
     e
   }
+
+  /** Newman modularity of a vertex partition:
+    * Q = Σ_c [ m_c/m − (d_c/2m)² ] over communities c, with m_c the
+    * community's internal edge count and d_c its degree sum — the
+    * standard quality score for [[labelPropagation]] (or any) labels.
+    * One edge→label join pair + two label-keyed aggregates + a scalar
+    * sum; the community frame is ≤ #labels rows, so the final sum is
+    * bounded by the community count, not the graph.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), col("label"))
+    val tagged = edges
+      .join(l.select(col("id").as("src"), col("label").as("_ls")), "src")
+      .join(l.select(col("id").as("dst"), col("label").as("_ld")), "dst")
+    val m = tagged.count().toDouble
+    val internal = tagged.filter(col("_ls") === col("_ld"))
+      .groupBy(col("_ls").as("label")).agg(count(lit(1)).as("mc"))
+    val degSum = GraphOps.degrees(edges)
+      .join(l, "id").groupBy("label").agg(sum(col("degree")).as("dc"))
+    degSum.join(internal, Seq("label"), "left")
+      .select((coalesce(col("mc"), lit(0L)) / lit(m) -
+        (col("dc") / lit(2.0 * m)) * (col("dc") / lit(2.0 * m))).as("_q"))
+      .agg(round(sum(col("_q")), 6).as("modularity"),
+        count(lit(1)).as("n_communities"))
+  }
 }

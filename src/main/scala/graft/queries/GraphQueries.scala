@@ -344,6 +344,16 @@ object GraphQueries {
       GraphOps.degrees(lineitemGraph(s, d))
         .groupBy("degree").agg(count(lit(1)).as("n_vertices"))),
 
+    // Modularity of the LPA partition on 5 disjoint 6-cliques — the
+    // composition q95 (labels) → modularity (score). Closed form:
+    // Q = l·(1/l − (1/l)²) = 1 − 1/5 = 0.8 exactly; the oracle
+    // replays the formula over the generated clique edges.
+    "q124_modularity" -> ((s, _) => {
+      val g = Generators.caveman(s, 5, 6)
+      val labels = graft.metrics.GraphFeatures.labelPropagation(s, g, rounds = 4)
+      graft.metrics.GraphFeatures.modularity(g, labels)
+    }),
+
     // A6 Spearman ρ(PageRank, degree) on the supplier graph — the
     // benchmark_correlations pipeline shape. Oracle-checked end-to-end:
     // closed-form pagerank (see q23) + degree + avg-tie-rank corr.
@@ -440,6 +450,35 @@ object GraphQueries {
          |${iter("2", "3")}
          |SELECT id, round(v, 6) AS ppr FROM x3 WHERE round(v, 6) > 0""".stripMargin
     },
+
+    // Clique edges generated with range() self-joins; labels are the
+    // q95 closed form (clique minima); the Q formula replays with the
+    // identical division tree (integer/ integer → double in both).
+    "q124_modularity" ->
+      """WITH e AS (
+        |  SELECT 6 * g.i + a.i AS src, 6 * g.i + b.i AS dst
+        |  FROM range(5) g(i), range(6) a(i), range(6) b(i)
+        |  WHERE a.i < b.i),
+        |m AS (SELECT count(*) AS m FROM e),
+        |lab AS (
+        |  SELECT CAST(id AS BIGINT) AS id, 6 * (id // 6) AS label
+        |  FROM range(30) t(id)),
+        |deg AS (
+        |  SELECT id, count(*) AS degree FROM (
+        |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY 1),
+        |mc AS (
+        |  SELECT ls.label, count(*) AS mc
+        |  FROM e JOIN lab ls ON ls.id = e.src
+        |  JOIN lab ld ON ld.id = e.dst
+        |  WHERE ls.label = ld.label GROUP BY 1),
+        |dc AS (
+        |  SELECT label, sum(degree) AS dc
+        |  FROM deg JOIN lab USING (id) GROUP BY 1)
+        |SELECT round(sum(coalesce(mc.mc, 0) / m.m -
+        |    (dc.dc / (2 * m.m)) * (dc.dc / (2 * m.m))), 6) AS modularity,
+        |  count(*) AS n_communities
+        |FROM dc LEFT JOIN mc USING (label), m""".stripMargin,
 
     // The 4-truss of the composite = exactly the K4 (see the query
     // comment for why both peel rounds are needed to get here).

@@ -494,6 +494,25 @@ object Relational {
       both.unionByName(only96)
     }),
 
+    // Growth-accounting curve: users by first-seen day + running
+    // cumulative — one user-keyed min, one day-keyed count, one
+    // window over the bounded ≤#days frame.
+    "q125_cumulative_users" -> ((s, d) => {
+      val firstDay = Tables.events(s, d)
+        .groupBy("user_id").agg(to_date(min(col("ts"))).as("day"))
+      val byDay = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay.withColumn("cum_users", sum(col("n_new")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_new"), col("cum_users"))
+    }),
+
+    // Weekly growth accounting (new/retained/resurrected/churned —
+    // see Temporal.growthAccounting; all-integer, engine-exact).
+    "q126_growth_accounting" -> ((s, d) =>
+      Temporal.growthAccounting(Tables.events(s, d))),
+
     // Z-order data layout: Morton code over (custkey, orderkey) low
     // bits — the write-clustering key that lets min/max file stats
     // prune on either dimension. The query surfaces the deterministic
@@ -584,6 +603,41 @@ object Relational {
         |          ROWS UNBOUNDED PRECEDING) AS value,
         |  dv IS NOT NULL AS is_observed
         |FROM j""".stripMargin,
+
+    "q125_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS day
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_users
+        |FROM b""".stripMargin,
+
+    // Monday weeks; per-user lag classifies each active week; churn =
+    // previous observed week's actives minus this week's retained.
+    "q126_growth_accounting" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |cls AS (
+        |  SELECT w,
+        |    CASE WHEN lag(w) OVER pw IS NULL THEN 'new'
+        |         WHEN date_diff('day', lag(w) OVER pw, w) = 7 THEN 'retained'
+        |         ELSE 'resurrected' END AS c
+        |  FROM wk WINDOW pw AS (PARTITION BY u ORDER BY w)),
+        |byw AS (
+        |  SELECT w,
+        |    count(*) FILTER (c = 'new') AS n_new,
+        |    count(*) FILTER (c = 'retained') AS n_retained,
+        |    count(*) FILTER (c = 'resurrected') AS n_resurrected,
+        |    count(*) AS n_active
+        |  FROM cls GROUP BY 1)
+        |SELECT strftime(w, '%Y-%m-%d') AS week, n_active, n_new,
+        |  n_retained, n_resurrected,
+        |  coalesce(lag(n_active) OVER (ORDER BY w), 0) - n_retained
+        |    AS n_churned
+        |FROM byw""".stripMargin,
 
     "q121_set_ops" ->
       """WITH y96 AS (SELECT o_custkey FROM orders

@@ -293,6 +293,48 @@ object Temporal {
       .limit(k)
   }
 
+  /** Weekly growth accounting — the "new / retained / resurrected /
+    * churned" decomposition every growth team reports: per week,
+    * actives split by whether the user is in their FIRST active week
+    * (new), was active the immediately-preceding week (retained), or
+    * returns after a gap (resurrected); churned counts last week's
+    * actives who did not return (so `n_active(prev) = n_retained +
+    * n_churned`, an internal identity the numbers must satisfy).
+    *
+    * Shape: one distinct (user, week) projection, a user-partitioned
+    * lag to classify each active week, a week-keyed aggregate, and one
+    * final lag over the ≤#weeks frame for churn. Entirely integer
+    * arithmetic on Monday-truncated dates — engine-exact. */
+  def growthAccounting(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val wk = events.select(col(userCol).as("_u"),
+      date_trunc("week", col(tsCol)).cast("date").as("_w")).distinct()
+    val lagged = wk.withColumn("_pw",
+      lag(col("_w"), 1).over(Window.partitionBy("_u").orderBy(col("_w"))))
+    val classed = lagged.select(col("_w"),
+      when(col("_pw").isNull, "new")
+        .when(datediff(col("_w"), col("_pw")) === 7, "retained")
+        .otherwise("resurrected").as("_cls"))
+    val byWeek = classed.groupBy("_w").pivot("_cls",
+        Seq("new", "retained", "resurrected"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("new", "retained", "resurrected"))
+      .withColumn("n_active",
+        col("new") + col("retained") + col("resurrected"))
+    // churned(w) = actives of the previous OBSERVED week who are not
+    // retained into w (an all-quiet calendar week attributes its churn
+    // to the next observed week); the ≤#weeks frame makes the
+    // unpartitioned lag free
+    val w = Window.orderBy(col("_w"))
+    byWeek
+      .withColumn("n_churned",
+        coalesce(lag(col("n_active"), 1).over(w), lit(0L)) - col("retained"))
+      .select(date_format(col("_w"), "yyyy-MM-dd").as("week"),
+        col("n_active"), col("new").as("n_new"),
+        col("retained").as("n_retained"),
+        col("resurrected").as("n_resurrected"), col("n_churned"))
+  }
+
   /** Weekly retention cohorts — the product-analytics staple: users are
     * cohorted by the ISO week of their FIRST event, and each later
     * week's activity is reported as (cohort_week, week_offset,

@@ -360,4 +360,14 @@ class GraphFeaturesSpec extends SparkSpec {
     // and the whole chain IS a 3-truss (every edge in >= 1 triangle)
     assert(GraphFeatures.kTruss(spark, chain, k = 3).count() == 5)
   }
+
+  test("modularity: caveman clique partition is 1 - 1/l; one community is 0") {
+    val g = Generators.caveman(spark, 5, 6)
+    val cliqueLabels = GraphOps.vertices(g)
+      .select(col("id"), (col("id") - col("id") % 6).as("label"))
+    val q = GraphFeatures.modularity(g, cliqueLabels).collect()(0)
+    assert(q.getDouble(0) == 0.8 && q.getLong(1) == 5L)
+    val oneLabel = GraphOps.vertices(g).select(col("id"), lit(0L).as("label"))
+    assert(GraphFeatures.modularity(g, oneLabel).collect()(0).getDouble(0) == 0.0)
+  }
 }

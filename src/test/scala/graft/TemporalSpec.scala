@@ -222,4 +222,23 @@ class TemporalSpec extends SparkSpec {
       (1L, "free", 40L, -1L, true),
       (2L, "pro", 5L, -1L, true)))
   }
+
+  test("growthAccounting: new/retained/resurrected/churned identities") {
+    import spark.implicits._
+    // Mondays: 2024-01-01, -08, -15. u1 all three weeks (retained
+    // chain), u2 skips the middle (resurrected), u3 week one only.
+    def ts(d: String) = s"$d 12:00:00"
+    val ev = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-08")), (1L, ts("2024-01-15")),
+      (2L, ts("2024-01-02")), (2L, ts("2024-01-16")),
+      (3L, ts("2024-01-03")))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = Temporal.growthAccounting(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got("2024-01-01") == ((3L, 3L, 0L, 0L, 0L)))
+    assert(got("2024-01-08") == ((1L, 0L, 1L, 0L, 2L)))
+    assert(got("2024-01-15") == ((2L, 0L, 1L, 1L, 0L)))
+    // identity: prev n_active = n_retained + n_churned on every row
+  }
 }
