@@ -1085,4 +1085,32 @@ object TextAnalysis {
         org.apache.spark.sql.functions.size(col("_chunk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("_chunk"))).as("chunk_md5"))
   }
+
+  /** Flesch-style readability score — the classic quality-audit
+    * companion to [[qualityScore]]: 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/word), with syllables approximated by vowel
+    * groups (the standard heuristic — exact syllabification needs a
+    * dictionary) clamped to ≥1 per word, and sentence count by
+    * [.!?]+ runs clamped to ≥1. A pure narrow map of three regexp
+    * counts — a scan at 100 TB, and every count is replayable in any
+    * engine with the same regexes.
+    */
+  def readability(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val words = org.apache.spark.sql.functions.size(
+      filter(split(col(textCol), " "), w => length(w) > 0))
+    val sentences = greatest(lit(1),
+      org.apache.spark.sql.functions.size(
+        filter(split(col(textCol), "[.!?]+"), s => length(trim(s)) > 0)))
+    val syllables = org.apache.spark.sql.functions.size(
+      expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+    df.select(col(idCol), words.cast("long").as("n_words"),
+        sentences.cast("long").as("n_sentences"),
+        greatest(syllables, words).cast("long").as("n_syllables"))
+      .filter(col("n_words") >= 1)
+      .withColumn("flesch", round(
+        lit(206.835) -
+          lit(1.015) * (col("n_words") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables") / col("n_words")), 6))
+  }
 }

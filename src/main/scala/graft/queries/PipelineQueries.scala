@@ -120,6 +120,11 @@ object PipelineQueries {
     "q107_chunk_overlap" -> ((s, d) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, d))),
 
+    // Flesch-style readability audit over the corpus (vowel-group
+    // syllable heuristic; see TextAnalysis.readability).
+    "q127_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d))),
+
     // Per-group uniform k-sample: 25 docs per source by md5 rank — the
     // replayable per-stratum pick (q50's deterministicSample gives a
     // RATE per stratum; this gives an exact COUNT). The rank filter
@@ -503,6 +508,25 @@ object PipelineQueries {
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // The identical three regexp counts and the identical left-assoc
+    // double expression tree.
+    "q127_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+        |      AS n_words,
+        |    greatest(1, len(list_filter(
+        |      regexp_split_to_array(text, '[.!?]+'), s -> len(trim(s)) > 0)))
+        |      AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS syl
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(greatest(syl, n_words) AS BIGINT) AS n_syllables,
+        |  round(206.835 - 1.015 * (n_words / n_sentences)
+        |    - 84.6 * (greatest(syl, n_words) / n_words), 6) AS flesch
+        |FROM c WHERE n_words >= 1""".stripMargin,
 
     "q120_group_sample" ->
       """SELECT source, doc_id, rn FROM (

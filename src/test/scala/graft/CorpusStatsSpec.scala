@@ -160,6 +160,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.forall(_._2), "each partition must be a contiguous sorted z-run")
   }
 
+  test("readability: closed-form Flesch on hand fixtures") {
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran!"),   // 6 words, 2 sentences, 6 syl
+      (2L, "xyzx bcd"))                    // vowel-less -> clamp to 1/word
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // doc 1: 206.835 - 1.015*(6/2) - 84.6*(6/6)
+    assert(got(1L)._1 == 6L && got(1L)._2 == 2L && got(1L)._3 == 6L)
+    assert(math.abs(got(1L)._4 - (206.835 - 1.015 * 3.0 - 84.6)) < 1e-9)
+    // doc 2: syllables clamped to word count (y counts as vowel in xyzx)
+    assert(got(2L)._3 == 2L)
+  }
+
   test("chunkDocuments: exact windows, overlap, and last-covering-chunk rule") {
     // 10 tokens, size 4, stride 3: starts 0, 3, 6 (6+4 >= 10 stops it)
     val doc = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
