@@ -7,8 +7,8 @@ import graft.model.GraphOps
 /** Per-vertex and per-pair structural graph features — the
   * feature-engineering layer a link-prediction / graph-ML pipeline
   * computes over an edge list (beyond the reference's centrality set;
-  * the reference stops at degrees and the radial metrics,
-  * graphem_rapids/metrics.py:15-60).
+  * the reference stops at the classical centralities built in
+  * benchmark.py:73-107 and the radial metrics).
   *
   * All inputs are canonical undirected edge lists (`src < dst`, no
   * self-loops — [[GraphOps.undirect]] output). Everything here is a
@@ -619,13 +619,19 @@ object GraphFeatures {
     * its neighbors' triangles, so the cascade must re-run to a
     * fixpoint. Rounds are typically few (each round removes every
     * currently-unsupported edge at once); all shuffles key on vertex
-    * or edge pairs, lineage cut per round.
+    * or edge pairs, lineage cut per round. Input is canonicalized
+    * up front (least/greatest + distinct, self-loops dropped), so
+    * reversed or duplicated edges are handled; a cascade that has not
+    * converged within `maxRounds` throws rather than silently
+    * returning a superset of the truss.
     */
   def kTruss(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
-             k: Int, maxRounds: Int = 30): DataFrame = {
+             k: Int, maxRounds: Int = 100): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     var (e, h) = graft.util.Iterate.checkpoint(spark,
-      edges.select(col("src"), col("dst")))
+      edges.select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .filter(col("src") < col("dst")).distinct())
     var prev = -1L
     var cur = e.count()
     var round = 0
@@ -650,6 +656,11 @@ object GraphFeatures {
         prev = cur; cur = cnt
       }
     }
+    if (cur != prev && cur > 0)
+      throw new IllegalStateException(
+        s"kTruss(k=$k) did not reach a fixpoint in $maxRounds rounds " +
+          s"($cur edges remain, still shrinking) — raise maxRounds; " +
+          "returning the non-converged superset would be silently wrong")
     e
   }
 

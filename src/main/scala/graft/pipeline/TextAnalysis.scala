@@ -1088,25 +1088,28 @@ object TextAnalysis {
 
   /** Flesch-style readability score — the classic quality-audit
     * companion to [[qualityScore]]: 206.835 − 1.015·(words/sentences)
-    * − 84.6·(syllables/word), with syllables approximated by vowel
-    * groups (the standard heuristic — exact syllabification needs a
-    * dictionary) clamped to ≥1 per word, and sentence count by
-    * [.!?]+ runs clamped to ≥1. A pure narrow map of three regexp
-    * counts — a scan at 100 TB, and every count is replayable in any
-    * engine with the same regexes.
+    * − 84.6·(syllables/word), with syllables approximated PER WORD as
+    * greatest(1, vowel groups in the word) — the standard heuristic
+    * (exact syllabification needs a dictionary) with the ≥1 clamp
+    * applied to each word, so a vowel-less token ("Dr", "7") counts
+    * one syllable without stealing it from a polysyllabic neighbor —
+    * and sentence count by [.!?]+ runs clamped to ≥1. A pure narrow
+    * map of per-word regexp counts — a scan at 100 TB, and every
+    * count is replayable in any engine with the same regexes.
     */
   def readability(df: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val words = org.apache.spark.sql.functions.size(
-      filter(split(col(textCol), " "), w => length(w) > 0))
+    val wordList = filter(split(col(textCol), " "), w => length(w) > 0)
+    val words = org.apache.spark.sql.functions.size(wordList)
     val sentences = greatest(lit(1),
       org.apache.spark.sql.functions.size(
         filter(split(col(textCol), "[.!?]+"), s => length(trim(s)) > 0)))
-    val syllables = org.apache.spark.sql.functions.size(
-      expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+    val syllables = aggregate(wordList, lit(0L), (acc, w) =>
+      acc + greatest(lit(1L), org.apache.spark.sql.functions.size(
+        regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))).cast("long")))
     df.select(col(idCol), words.cast("long").as("n_words"),
         sentences.cast("long").as("n_sentences"),
-        greatest(syllables, words).cast("long").as("n_syllables"))
+        syllables.as("n_syllables"))
       .filter(col("n_words") >= 1)
       .withColumn("flesch", round(
         lit(206.835) -

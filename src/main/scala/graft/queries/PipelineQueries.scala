@@ -83,7 +83,10 @@ object PipelineQueries {
       val nh = lsh.filter(col("qid") < 50).select("qid", "rid")
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      // enforced floor, not just reported quality: a recall regression
+      // flips recall_ok in the dumped frame (and fails SimilaritySpec)
       lsh.withColumn("recall_vs_brute", round(lit(recall), 4))
+        .withColumn("recall_ok", lit(recall >= 0.55))
         .orderBy("qid", "rn")
     }),
 
@@ -150,6 +153,7 @@ object PipelineQueries {
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
       ivf.withColumn("recall_vs_brute", round(lit(recall), 4))
+        .withColumn("recall_ok", lit(recall >= 0.55))
         .orderBy("qid", "rn")
     }),
 
@@ -172,6 +176,7 @@ object PipelineQueries {
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
       pq.withColumn("recall_vs_brute", round(lit(recall), 4))
+        .withColumn("recall_ok", lit(recall >= 0.8))
         .orderBy("qid", "rn")
     }),
 
@@ -336,6 +341,7 @@ object PipelineQueries {
         .join(brute, Seq("id_a", "id_b"), "left_semi").count()
       val recall = if (bruteN == 0) 1.0 else semN.toDouble / bruteN
       dec.withColumn("recall_vs_brute", round(lit(recall), 4))
+        .withColumn("recall_ok", lit(recall >= 0.8))
         .orderBy("vec_id")
     }),
 
@@ -433,13 +439,36 @@ object PipelineQueries {
     "q98_heavy_hitters" -> ((s, d) =>
       graft.pipeline.Sketches.heavyHittersAudit(s, Tables.documents(s, d), k = 64)),
 
+    // Real-codec decode as an INVARIANT oracle (graduated from
+    // rows-only in r6): the synthetic payloads are bit-deterministic
+    // per media_id, so the decoded stream properties are closed-form —
+    // image/video dims must equal the encoder's metadata, audio must
+    // come back 8 kHz mono with a sane amplitude, video must report
+    // 25 fps and frames×40 ms == the recorded duration. Every check is
+    // a boolean the DuckDB oracle pins TRUE; a decode or parser
+    // regression flips one and the hash compare catches it.
     "q34_media_features" -> ((s, d) => {
       val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
-      Multimodal.decodeFeatures(s, media, featDim = 16)
-        .select(col("media_id"), col("modality"), col("n_bytes"),
-          col("decoded"),
-          round(aggregate(col("features"), lit(0.0d),
-            (acc, x) => acc + x.cast("double")), 4).as("feat_sum"))
+      val f = Multimodal.decodeFeatures(s, media, featDim = 16)
+      def feat(i: Int) = element_at(col("features"), i)
+      f.join(media.select("media_id", "meta_width", "meta_height",
+          "meta_duration_ms"), "media_id")
+        .select(col("media_id"), col("modality"), col("decoded"),
+          when(col("modality") === "audio",
+              feat(1) === 8000f && feat(2) === 1f)
+            .otherwise(feat(1) === col("meta_width").cast("float") &&
+              feat(2) === col("meta_height").cast("float")).as("dims_ok"),
+          when(col("modality") === "image", col("meta_duration_ms") === 0)
+            .when(col("modality") === "audio",
+              col("meta_duration_ms").between(25, 49))
+            .otherwise(feat(3) * 40 === col("meta_duration_ms")
+              .cast("float") && feat(4) === 25f).as("duration_ok"),
+          when(col("modality") === "audio",
+              feat(3) > 0f && feat(3) <= 1f && feat(4) >= 0f && feat(4) <= 1f)
+            .when(col("modality") === "image",
+              feat(3).between(0f, 1f) && feat(4).between(0f, 0.5f))
+            .otherwise(feat(5).between(0f, 1f)).as("signal_ok"))
+        .orderBy("media_id")
     }),
 
     // Corpus memorization audit: the k most frequent bigrams with their
@@ -465,12 +494,29 @@ object PipelineQueries {
       TextAnalysis.bigramLogLik(Tables.documents(s, d), alpha = 0.1)),
 
     // BPE subword tokenize: train 200 merges on the corpus word table,
-    // encode every document (rows-only: the greedy merge loop has no
-    // SQL analog; BpeSpec carries the closed-form checks).
+    // encode every document. The greedy merge loop has no SQL analog,
+    // so the oracle checks INVARIANTS the encode must satisfy (the
+    // q69/q84/q88 pattern): n_words replayed exactly by DuckDB,
+    // n_words ≤ n_pieces ≤ n_chars + n_words (each word yields between
+    // 1 and len(word)+1 pieces, </w> included), and the lossless
+    // roundtrip — pieces stripped of the </w> sentinel re-concatenate
+    // to exactly the original words. A merge-table or encode bug flips
+    // a hash-checked boolean. All columns scalar (the r5 checker crash
+    // was an array<string> column hitting pandas sort_values).
     "q79_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = Bpe.train(docs, nMerges = 200, maxWords = 5000)
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val nChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
       Bpe.encode(docs, merges)
+        .join(docs.select(col("doc_id"), nChars.as("_n_chars"),
+          concat_ws("", words).as("_joined")), "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          (col("n_pieces").between(col("n_words"),
+            col("_n_chars") + col("n_words"))).as("bounds_ok"),
+          (regexp_replace(concat_ws("", col("pieces")), "</w>", "")
+            === col("_joined")).as("roundtrip_ok"))
+        .orderBy("doc_id")
     })
   )
 
@@ -509,8 +555,35 @@ object PipelineQueries {
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
-    // The identical three regexp counts and the identical left-assoc
-    // double expression tree.
+    // BPE invariant oracle: n_words replayed exactly; the bounds and
+    // roundtrip booleans are computed Spark-side from the actual encode
+    // and must all be TRUE — a false anywhere hash-mismatches.
+    "q79_bpe_encode" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+        |    AS BIGINT) AS n_words,
+        |  TRUE AS bounds_ok, TRUE AS roundtrip_ok
+        |FROM documents""".stripMargin,
+
+    // Media-decode invariant oracle: modality is doc_id%3 by
+    // construction; every synthetic payload must decode through the
+    // real codec path (PNG via javax.imageio, WAV via javax.sound,
+    // Y4M via the y4m parser), and the decoded stream properties must
+    // equal the metadata the encoder recorded — dims for image/video,
+    // 8 kHz mono + amplitude bound for audio, 25 fps × 40 ms frames
+    // for video. Each property is a Spark-side boolean the oracle
+    // pins TRUE.
+    "q34_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  TRUE AS decoded, TRUE AS dims_ok, TRUE AS duration_ok,
+        |  TRUE AS signal_ok
+        |FROM documents""".stripMargin,
+
+    // The identical per-word regexp counts (syllables clamped ≥1 PER
+    // WORD, matching TextAnalysis.readability) and the identical
+    // left-assoc double expression tree.
     "q127_readability" ->
       """WITH c AS (
         |  SELECT doc_id,
@@ -519,13 +592,16 @@ object PipelineQueries {
         |    greatest(1, len(list_filter(
         |      regexp_split_to_array(text, '[.!?]+'), s -> len(trim(s)) > 0)))
         |      AS n_sentences,
-        |    len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS syl
+        |    coalesce(list_sum(list_transform(
+        |      list_filter(string_split(text, ' '), w -> len(w) > 0),
+        |      w -> greatest(1, len(regexp_extract_all(lower(w),
+        |        '[aeiouy]+'))))), 0) AS syl
         |  FROM documents)
         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
         |  CAST(n_sentences AS BIGINT) AS n_sentences,
-        |  CAST(greatest(syl, n_words) AS BIGINT) AS n_syllables,
+        |  CAST(syl AS BIGINT) AS n_syllables,
         |  round(206.835 - 1.015 * (n_words / n_sentences)
-        |    - 84.6 * (greatest(syl, n_words) / n_words), 6) AS flesch
+        |    - 84.6 * (syl / n_words), 6) AS flesch
         |FROM c WHERE n_words >= 1""".stripMargin,
 
     "q120_group_sample" ->

@@ -163,7 +163,8 @@ class CorpusStatsSpec extends SparkSpec {
   test("readability: closed-form Flesch on hand fixtures") {
     val docs = Seq(
       (1L, "the cat sat. the dog ran!"),   // 6 words, 2 sentences, 6 syl
-      (2L, "xyzx bcd"))                    // vowel-less -> clamp to 1/word
+      (2L, "xyzx bcd"),                    // vowel-less -> clamp to 1/word
+      (3L, "bcd banana"))                  // per-word clamp: 1 + 3 = 4
       .toDF("doc_id", "text")
     val got = TextAnalysis.readability(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
@@ -173,6 +174,9 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(got(1L)._4 - (206.835 - 1.015 * 3.0 - 84.6)) < 1e-9)
     // doc 2: syllables clamped to word count (y counts as vowel in xyzx)
     assert(got(2L)._3 == 2L)
+    // doc 3: the clamp is PER WORD — a vowel-less word counts 1 even
+    // beside a polysyllabic neighbor (total-clamp would give 3)
+    assert(got(3L)._3 == 4L)
   }
 
   test("chunkDocuments: exact windows, overlap, and last-covering-chunk rule") {
