@@ -14,7 +14,8 @@ object SparkEntry {
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracleSql),
       (_root_.graft.queries.GraphQueries.queries, _root_.graft.queries.GraphQueries.oracleSql),
-      (_root_.graft.queries.PipelineQueries.queries, _root_.graft.queries.PipelineQueries.oracleSql)
+      (_root_.graft.queries.PipelineQueries.queries, _root_.graft.queries.PipelineQueries.oracleSql),
+      (_root_.graft.queries.IoQueries.queries, _root_.graft.queries.IoQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

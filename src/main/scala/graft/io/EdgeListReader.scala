@@ -78,11 +78,12 @@ object EdgeListReader {
 
 /** S18 dispatcher (datasets.py:726-758): prefix-routed reader registry
   * plus the named catalog of the reference's 8 SNAP datasets
-  * (datasets.py:205-262). Downloading is driver-side tooling out of
-  * engine scope (SURVEY.md S17, no egress here), so a catalog entry
-  * resolves against a local root directory by its canonical filename —
-  * the same caching-by-existence convention the reference uses after
-  * its fetch step (datasets.py:56-58). */
+  * (datasets.py:205-262). A catalog entry resolves against a local
+  * root directory by its canonical filename — the same
+  * caching-by-existence convention the reference uses after its fetch
+  * step (datasets.py:56-58); the fetch itself (S17) is
+  * [[Fetch.download]]/[[Fetch.extract]], and [[Fetch.fetchAndLoad]]
+  * is the one-call download-then-parse UX. */
 object Datasets {
 
   /** Catalog metadata (datasets.py:205-262): canonical filename, SNAP
@@ -139,8 +140,8 @@ object Datasets {
   }
 
   /** Where [[load]] expects a catalog dataset on disk under `root` —
-    * the documented target for the user's own fetch step (S17:
-    * downloading is deliberately out of engine scope). */
+    * the target [[Fetch.download]] fills (S17) and the user's own
+    * fetch step can pre-populate. */
   def expectedPath(name: String, root: String): String = {
     val info = catalog.getOrElse(name,
       sys.error(s"'$name' is not a catalog dataset (known: ${catalog.keys.toSeq.sorted.mkString(", ")})"))
