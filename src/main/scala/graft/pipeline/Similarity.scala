@@ -216,7 +216,8 @@ object Similarity extends Serializable {
                 nLists: Int = 16, nProbe: Int = 2, m: Int = 8,
                 nCodes: Int = 32, refine: Int = 4, seed: Long = 42,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                dim: Int = 64, trainCap: Int = 20000): DataFrame = {
+                dim: Int = 64, trainCap: Int = 20000,
+                queriesOpt: Option[DataFrame] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     require(nCodes <= 256, "one-byte codes: nCodes must be ≤ 256")
     val dsub = dim / m
@@ -282,7 +283,11 @@ object Similarity extends Serializable {
         }
         (id, list, encode(u, list))
       }.toDF("rid", "list", "codes")
-    val qProbe = src.as[(Long, Array[Float])]
+    // queriesOpt decouples the query set from the indexed corpus — the
+    // production shape (queries ≪ corpus); default remains self-top-k.
+    val qsrc = queriesOpt.map(_.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))).getOrElse(src)
+    val qProbe = qsrc.as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val u = unit(v)
         nearestCenter(u).iterator.take(nProbe).map(l => (id, u, l))
@@ -331,16 +336,29 @@ object Similarity extends Serializable {
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // k-means++ seeding
+    // k-means++ seeding with the standard incremental min-distance
+    // update: only the newest center can lower a point's distance, so
+    // the per-round recompute of min-over-all-centers collapses to one
+    // pass vs the last center — O(n·k) total instead of O(n·k²),
+    // bit-identical samples (same running min, same rnd sequence).
+    // Matters at IVF scale: k=1024 lists over a 50k training sample is
+    // ~3·10⁹ flops here vs ~1.6·10¹² the quadratic way.
     val centers = scala.collection.mutable.ArrayBuffer(
       points(rnd.nextInt(points.length)).clone())
+    val minD = points.map(p => d2(p, centers(0)))
     while (centers.length < math.min(k, points.length)) {
-      val dists = points.map(p => centers.map(c => d2(p, c)).min)
-      val total = dists.sum
+      val total = minD.sum
       var r = rnd.nextDouble() * total
       var idx = 0
-      while (idx < points.length - 1 && r > dists(idx)) { r -= dists(idx); idx += 1 }
+      while (idx < points.length - 1 && r > minD(idx)) { r -= minD(idx); idx += 1 }
       centers += points(idx).clone()
+      val c = centers(centers.length - 1)
+      var i = 0
+      while (i < points.length) {
+        val d = d2(points(i), c)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
     }
     val cs = centers.toArray
     var it = 0
@@ -711,5 +729,89 @@ object Similarity extends Serializable {
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("id").as(idCol), col("group_id"),
         round(col("centroid_cos"), 6).as("centroid_cos"), col("keep"))
+  }
+
+  /** DISTRIBUTED Lloyd k-means over an embedding column — the
+    * first-class clustering operator behind [[semDedup]]'s internal
+    * partitioner, exposed with a self-auditing output. Per iteration:
+    * broadcast the k×dim centroid table, assign each vector to its
+    * nearest centroid in a narrow map, then recompute centroids as one
+    * (cluster, pos)-keyed aggregate over the posexploded assignments —
+    * map-side partial sums make the shuffle k·dim rows per partition
+    * regardless of n, the canonical scalable k-means dataflow. The
+    * driver only ever holds k×dim doubles. Init is the k vectors with
+    * the smallest md5("km:"‖id) — deterministic and engine-replayable.
+    *
+    * Output carries two audit booleans instead of raw centroids (which
+    * no SQL oracle could replay): `assign_ok` re-derives each argmin
+    * through the expanded form ‖x−c‖² = ‖x‖²−2x·c+‖c‖² (an
+    * independent arithmetic route — a distance or tie-break bug makes
+    * the routes disagree) and `inertia_ok` asserts the final total
+    * within-cluster distance does not exceed the first iteration's
+    * (Lloyd monotonicity). */
+  def kMeansAssign(spark: SparkSession, vectors: DataFrame, k: Int,
+                   iters: Int = 5, idCol: String = "vec_id",
+                   vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k>=1 iters>=1, got $k/$iters")
+    import spark.implicits._
+    val src = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).cache()
+    var centers: Array[Array[Double]] = src
+      .orderBy(md5(concat(lit("km:"), col("id").cast("string"))), col("id"))
+      .limit(k).as[(Long, Array[Float])].collect()
+      .map(t => t._2.map(_.toDouble))
+    def assignWith(cs: Array[Array[Double]]) = {
+      val bc = spark.sparkContext.broadcast(cs)
+      src.as[(Long, Array[Float])].map { case (id, v) =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < bc.value.length) {
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = v(i) - bc.value(c)(i); s += d * d; i += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        (id, best, bd)
+      }.toDF("id", "cluster", "d2")
+    }
+    var firstInertia = -1.0
+    var it = 0
+    while (it < iters) {
+      val assigned = assignWith(centers)
+      if (it == 0)
+        firstInertia = assigned.agg(sum("d2")).collect()(0).getDouble(0)
+      val upd = assigned.join(src, "id")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val next = centers.map(_.clone())
+      upd.foreach { case (c, p, m) => next(c)(p) = m }
+      centers = next
+      it += 1
+    }
+    val finalAssign = assignWith(centers).cache()
+    val finalInertia = finalAssign.agg(sum("d2")).collect()(0).getDouble(0)
+    val bc = spark.sparkContext.broadcast(centers)
+    val viaDot = src.as[(Long, Array[Float])].map { case (id, v) =>
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var x2 = 0.0; var xc = 0.0; var c2 = 0.0; var i = 0
+        while (i < dim) {
+          x2 += v(i).toDouble * v(i); xc += v(i) * cs(c)(i)
+          c2 += cs(c)(i) * cs(c)(i); i += 1
+        }
+        val d = x2 - 2 * xc + c2
+        if (d < bd - 1e-9) { bd = d; best = c }
+        c += 1
+      }
+      (id, best, bd)
+    }.toDF("id", "cluster2", "d2b")
+    val out = finalAssign.join(viaDot, "id")
+      .select(col("id").as(idCol),
+        (col("cluster") === col("cluster2") ||
+          abs(col("d2") - col("d2b")) < 1e-6).as("assign_ok"),
+        lit(finalInertia <= firstInertia + 1e-6).as("inertia_ok"))
+    src.unpersist()
+    out
   }
 }

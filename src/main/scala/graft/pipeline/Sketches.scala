@@ -122,4 +122,69 @@ object Sketches {
     spark.createDataFrame(
       spark.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) built from the
+    * aggregated term table: `depth` seeded hash rows × `width` buckets,
+    * each row adding f(t) to bucket h_i(t) — arithmetic-identical to
+    * streaming every token through the sketch, but one shuffle on
+    * (row, bucket) with map-side partial sums instead of a token-count
+    * stream. est(t) = min_i cms[i][h_i(t)]. The whole sketch is
+    * depth×width longs — mergeable across any partitioning, the
+    * property that makes CMS the standard distributed-frequency
+    * structure beside Misra-Gries ([[misraGries]] keeps exact heavy
+    * entries; CMS answers point queries over the full domain). */
+  def countMin(termCounts: DataFrame, depth: Int, width: Int,
+               termCol: String = "term", cntCol: String = "cnt"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1 width>=2, got $depth/$width")
+    termCounts
+      .select(col(termCol).as("term"), col(cntCol).as("cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("row"),
+        pmod(xxhash64(col("term"), col("row")), lit(width)).as("bucket"),
+        col("cnt"))
+      .groupBy("row", "bucket").agg(sum("cnt").as("sum"))
+  }
+
+  /** One-row CMS audit beside the exact counts (the
+    * [[heavyHittersAudit]] / q84 / q88 pattern): estimates for the
+    * `topQ` most frequent terms are read back from the sketch and the
+    * guarantees become hash-checked booleans — `no_underestimate`
+    * (est ≥ f, a theorem of CMS) and `overcount_ok` (est ≤ f +
+    * depth·N/width, a generous multiple of the E[N/width] per-row
+    * collision mass; deterministic for a fixed corpus + seed, so a
+    * sketch regression flips it). n_total / n_terms / n_checked are
+    * exact scalars the SQL oracle recomputes. */
+  def countMinAudit(spark: SparkSession, docs: DataFrame, depth: Int = 4,
+                    width: Int = 1024, topQ: Int = 32,
+                    textCol: String = "text"): DataFrame = {
+    val exact = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (n, nTerms) = {
+      val r = exact.agg(sum("cnt"), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val cms = countMin(exact, depth, width)
+    val heavy = exact.orderBy(col("cnt").desc, col("term")).limit(topQ)
+      .select(col("term"), col("cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("term"), col("cnt"), col("row"),
+        pmod(xxhash64(col("term"), col("row")), lit(width)).as("bucket"))
+    val est = heavy.join(cms, Seq("row", "bucket"))
+      .groupBy("term", "cnt").agg(min("sum").as("est"))
+    val slack = depth.toDouble * n / width
+    val out = est.agg(
+      lit(n).as("n_total"), lit(nTerms).as("n_terms"),
+      count(lit(1)).as("n_checked"),
+      coalesce(min(col("est") >= col("cnt")), lit(true))
+        .as("no_underestimate"),
+      coalesce(min(col("est") <= col("cnt") + slack), lit(true))
+        .as("overcount_ok"))
+    val materialized = out.collect()
+    exact.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
+  }
 }

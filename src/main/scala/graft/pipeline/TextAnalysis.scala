@@ -1116,4 +1116,103 @@ object TextAnalysis {
           lit(1.015) * (col("n_words") / col("n_sentences")) -
           lit(84.6) * (col("n_syllables") / col("n_words")), 6))
   }
+
+  /** Character-class profile — the script/encoding audit a corpus
+    * ingest runs before language ID (a doc that is 60 % digits or
+    * control bytes needs no langid pass): per-document counts and
+    * ratios of letters, digits, whitespace, and everything else, plus
+    * the `mostly_alpha` gate. Three regexp counts per row — a codegen
+    * narrow map, a scan at 100 TB, byte-replayable in any regex
+    * engine (ASCII classes only, no Unicode-property escapes whose
+    * semantics differ across engines). */
+  def scriptProfile(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def cnt(pattern: String) = org.apache.spark.sql.functions.size(
+      regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long")
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        cnt("[A-Za-z]").as("n_letter"), cnt("[0-9]").as("n_digit"),
+        cnt("[ \\t\\n\\r]").as("n_space"))
+      .filter(col("n_chars") >= 1)
+      .withColumn("n_other",
+        col("n_chars") - col("n_letter") - col("n_digit") - col("n_space"))
+      .withColumn("r_letter", round(col("n_letter") / col("n_chars"), 6))
+      .withColumn("r_digit", round(col("n_digit") / col("n_chars"), 6))
+      .withColumn("mostly_alpha", col("n_letter") * 2 > col("n_chars"))
+  }
+
+  /** Keyness: which terms are CHARACTERISTIC of one source vs the rest
+    * of the corpus — log-odds ratio with a uniform Dirichlet prior and
+    * its z-score (Monroe, Colaresi & Quinn 2008, "Fightin' Words"),
+    * the statistically-grounded replacement for raw TF-IDF diffing
+    * when comparing subcorpora. Per (source, term):
+    * δ = ln((f_s+α)/(N_s+Aα−f_s−α)) − ln((f_r+α)/(N_r+Aα−f_r−α)),
+    * z = δ/√(1/(f_s+α)+1/(f_r+α)), top-k by z per source. Two
+    * term-keyed aggregates + a broadcast of per-source totals + a
+    * per-group top-k window — shuffles bounded by the vocabulary. */
+  def keyness(df: DataFrame, k: Int = 10, alpha: Double = 0.5,
+              sourceCol: String = "source", idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val terms = df.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val bySrc = terms.groupBy("source", "term").agg(count(lit(1)).as("f_s"))
+    val byTerm = bySrc.groupBy("term").agg(sum("f_s").as("f_tot"))
+    val totals = bySrc.groupBy("source").agg(sum("f_s").as("n_s"))
+    val nTot = totals.agg(sum("n_s")).collect()(0).getLong(0)
+    val vocab = byTerm.count()
+    val aTot = alpha * vocab
+    val scored = bySrc
+      .join(broadcast(totals), "source")
+      .join(byTerm, "term")
+      .withColumn("f_r", col("f_tot") - col("f_s"))
+      .withColumn("n_r", lit(nTot) - col("n_s"))
+      .withColumn("delta",
+        log((col("f_s") + alpha) / (col("n_s") + aTot - col("f_s") - alpha)) -
+        log((col("f_r") + alpha) / (col("n_r") + aTot - col("f_r") - alpha)))
+      .withColumn("z", round(col("delta") /
+        sqrt(lit(1.0) / (col("f_s") + alpha) + lit(1.0) / (col("f_r") + alpha)), 6))
+    scored
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("source").orderBy(col("z").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("term"), col("f_s"), col("z"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** Heaps-law vocabulary growth: the cumulative (tokens seen, distinct
+    * terms seen) curve in doc_id order, with the log-log OLS fit
+    * V ≈ k·Nᵝ broadcast onto every row (the q75 Zipf companion — the
+    * two laws together are the standard corpus-scale diagnostic).
+    * First occurrences are a term-keyed min aggregate, so "new terms
+    * per doc" is one shuffle; the prefix sums use one ordered window
+    * over the per-DOC frame (bounded by corpus doc count, not token
+    * count — the denseIndex range-partitioned prefix-sum swap applies
+    * beyond driver scale, documented at GraphOps.denseIndex). */
+  def vocabGrowth(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val firstDoc = toks.groupBy("term").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val curve = perDoc.join(firstDoc, Seq("doc_id"), "left")
+      .withColumn("cum_tokens", sum("n_tok").over(w))
+      .withColumn("cum_vocab", sum(coalesce(col("n_new"), lit(0L))).over(w))
+      .select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
+    val fit = curve.filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
+      .select(log("cum_tokens").as("x"), log("cum_vocab").as("y"))
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"),
+        col("sx"), col("sy"), col("n"))
+      .select(round(col("beta"), 6).as("heaps_beta"),
+        round(exp(col("sy") / col("n") - col("beta") * col("sx") / col("n")), 6)
+          .as("heaps_k"))
+    curve.crossJoin(broadcast(fit))
+  }
 }

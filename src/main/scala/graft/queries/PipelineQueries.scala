@@ -503,6 +503,36 @@ object PipelineQueries {
     // to exactly the original words. A merge-table or encode bug flips
     // a hash-checked boolean. All columns scalar (the r5 checker crash
     // was an array<string> column hitting pandas sort_values).
+    // Count-min sketch audit beside the exact counts (q98's CMS
+    // sibling): point-query guarantee booleans hash-enforced.
+    "q132_countmin" -> ((s, d) =>
+      graft.pipeline.Sketches.countMinAudit(s, Tables.documents(s, d),
+        depth = 4, width = 1024, topQ = 32)),
+
+    // Character-class / script profile: the encoding audit before
+    // language ID. Exact oracle (pure regexp counts).
+    "q133_script_profile" -> ((s, d) =>
+      TextAnalysis.scriptProfile(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // Distributed Lloyd k-means with the dual-route argmin audit and
+    // Lloyd-monotonicity invariant (booleans oracle-pinned TRUE; the
+    // centroid table itself has no SQL analog).
+    "q134_kmeans" -> ((s, d) =>
+      Similarity.kMeansAssign(s, Tables.embeddings(s, d), k = 8, iters = 5)
+        .orderBy("vec_id")),
+
+    // Fightin'-Words keyness: per-source characteristic terms by
+    // Dirichlet log-odds z-score. Exact oracle (aggregates + log
+    // arithmetic + per-group top-k).
+    "q135_keyness" -> ((s, d) =>
+      TextAnalysis.keyness(Tables.documents(s, d), k = 10)
+        .orderBy("source", "rn")),
+
+    // Heaps-law vocabulary growth curve + log-log OLS fit (the q75
+    // Zipf companion). Exact oracle.
+    "q136_vocab_growth" -> ((s, d) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, d)).orderBy("doc_id")),
+
     "q79_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = Bpe.train(docs, nMerges = 200, maxWords = 5000)
@@ -554,6 +584,88 @@ object PipelineQueries {
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // CMS audit: exact scalars recomputed, guarantee booleans pinned.
+    "q132_countmin" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 0)) AS term FROM documents),
+        |a AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(least(32, count(*)) AS BIGINT) AS n_checked,
+        |  TRUE AS no_underestimate, TRUE AS overcount_ok
+        |FROM a""".stripMargin,
+
+    // Identical ASCII character-class regexp counts and ratio
+    // arithmetic.
+    "q133_script_profile" ->
+      """WITH c AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+        |    AS n_letter,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |  CAST(len(regexp_extract_all(text, '[ \t\n\r]')) AS BIGINT)
+        |    AS n_space
+        |  FROM documents WHERE len(text) >= 1)
+        |SELECT doc_id, n_chars, n_letter, n_digit, n_space,
+        |  n_chars - n_letter - n_digit - n_space AS n_other,
+        |  round(n_letter / n_chars, 6) AS r_letter,
+        |  round(n_digit / n_chars, 6) AS r_digit,
+        |  n_letter * 2 > n_chars AS mostly_alpha
+        |FROM c""".stripMargin,
+
+    // k-means invariant oracle: the dual-route argmin agreement and
+    // Lloyd monotonicity are Spark-side booleans pinned TRUE per row.
+    "q134_kmeans" ->
+      """SELECT vec_id, TRUE AS assign_ok, TRUE AS inertia_ok
+        |FROM embeddings""".stripMargin,
+
+    // Identical Dirichlet log-odds z arithmetic and per-source top-k.
+    "q135_keyness" ->
+      """WITH t AS (SELECT source, unnest(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 0)) AS term FROM documents),
+        |bs AS (SELECT source, term, count(*) AS f_s FROM t GROUP BY 1, 2),
+        |bt AS (SELECT term, CAST(sum(f_s) AS BIGINT) AS f_tot FROM bs
+        |  GROUP BY 1),
+        |tot AS (SELECT source, CAST(sum(f_s) AS BIGINT) AS n_s FROM bs
+        |  GROUP BY 1),
+        |g AS (SELECT CAST((SELECT sum(n_s) FROM tot) AS BIGINT) AS n_tot,
+        |  (SELECT count(*) FROM bt) AS vocab),
+        |sc AS (SELECT bs.source, bs.term, bs.f_s,
+        |  round((ln((bs.f_s + 0.5) / (tot.n_s + 0.5 * g.vocab - bs.f_s - 0.5))
+        |    - ln(((bt.f_tot - bs.f_s) + 0.5)
+        |      / ((g.n_tot - tot.n_s) + 0.5 * g.vocab
+        |        - (bt.f_tot - bs.f_s) - 0.5)))
+        |    / sqrt(1.0 / (bs.f_s + 0.5) + 1.0 / ((bt.f_tot - bs.f_s) + 0.5)),
+        |    6) AS z
+        |  FROM bs JOIN tot USING (source) JOIN bt USING (term), g)
+        |SELECT source, term, f_s, z, rn FROM (
+        |  SELECT source, term, f_s, z, row_number() OVER (
+        |    PARTITION BY source ORDER BY z DESC, term) AS rn FROM sc)
+        |WHERE rn <= 10""".stripMargin,
+
+    // Identical prefix sums and explicit-sums OLS fit in log-log space.
+    "q136_vocab_growth" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 0)) AS term FROM documents),
+        |pd AS (SELECT doc_id, count(*) AS n_tok FROM t GROUP BY 1),
+        |fd AS (SELECT doc_id, count(*) AS n_new FROM (
+        |  SELECT term, min(doc_id) AS doc_id FROM t GROUP BY 1) GROUP BY 1),
+        |c AS (SELECT pd.doc_id,
+        |  CAST(sum(pd.n_tok) OVER (ORDER BY pd.doc_id) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(coalesce(fd.n_new, 0)) OVER (ORDER BY pd.doc_id) AS BIGINT)
+        |    AS cum_vocab
+        |  FROM pd LEFT JOIN fd USING (doc_id)),
+        |f AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |  sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM (
+        |  SELECT ln(cum_tokens) AS x, ln(cum_vocab) AS y FROM c
+        |  WHERE cum_tokens > 0 AND cum_vocab > 0)),
+        |b AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+        |  sx, sy, n FROM f)
+        |SELECT c.doc_id, c.cum_tokens, c.cum_vocab,
+        |  round(b.beta, 6) AS heaps_beta,
+        |  round(exp(b.sy / b.n - b.beta * b.sx / b.n), 6) AS heaps_k
+        |FROM c, b""".stripMargin,
 
     // BPE invariant oracle: n_words replayed exactly; the bounds and
     // roundtrip booleans are computed Spark-side from the actual encode

@@ -179,6 +179,55 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(3L)._3 == 4L)
   }
 
+  test("scriptProfile: closed-form class counts and ratios") {
+    val docs = Seq((1L, "ab 12!"), (2L, "xyz")).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    // "ab 12!": 6 chars = 2 letters + 2 digits + 1 space + 1 other
+    assert(r1.getLong(r1.fieldIndex("n_chars")) == 6L)
+    assert(r1.getLong(r1.fieldIndex("n_letter")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("n_digit")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("n_space")) == 1L)
+    assert(r1.getLong(r1.fieldIndex("n_other")) == 1L)
+    assert(math.abs(r1.getDouble(r1.fieldIndex("r_letter")) - 0.333333) < 1e-9)
+    assert(!r1.getBoolean(r1.fieldIndex("mostly_alpha"))) // 2*2 !> 6
+    val r2 = got(2L)
+    assert(r2.getBoolean(r2.fieldIndex("mostly_alpha")))
+    assert(r2.getDouble(r2.fieldIndex("r_letter")) == 1.0)
+  }
+
+  test("keyness: a source-exclusive term tops its source's ranking") {
+    // "krakatoa" appears only in src A; shared filler dominates counts
+    val docs = (1L to 20L).map { i =>
+      val src = if (i <= 10) "A" else "B"
+      val extra = if (i <= 10) " krakatoa" else " mundane"
+      (i, src, s"the quick fox$extra")
+    }.toDF("doc_id", "source", "text")
+    val got = TextAnalysis.keyness(docs.select(col("doc_id"), col("source"),
+      col("text")), k = 3).collect()
+    val topA = got.filter(r => r.getString(0) == "A" && r.getLong(4) == 1L)(0)
+    val topB = got.filter(r => r.getString(0) == "B" && r.getLong(4) == 1L)(0)
+    assert(topA.getString(1) == "krakatoa")
+    assert(topB.getString(1) == "mundane")
+    // z is antisymmetric for a 2-source corpus: A's top z > 0
+    assert(topA.getDouble(3) > 0)
+  }
+
+  test("vocabGrowth: hand-computed cumulative curve and a sane fit") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c d a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // tokens: 3, 5, 9; vocab: {a,b}=2, {+c}=3, {+d}=4
+    assert(got == Map(1L -> (3L, 2L), 2L -> (5L, 3L), 3L -> (9L, 4L)))
+    val fit = TextAnalysis.vocabGrowth(docs).select("heaps_beta", "heaps_k")
+      .distinct().collect()
+    assert(fit.length == 1) // the fit is one constant pair on every row
+    val beta = fit(0).getDouble(0)
+    assert(beta > 0 && beta < 1, s"sublinear growth expected, got $beta")
+  }
+
   test("chunkDocuments: exact windows, overlap, and last-covering-chunk rule") {
     // 10 tokens, size 4, stride 3: starts 0, 3, 6 (6+4 >= 10 stops it)
     val doc = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))

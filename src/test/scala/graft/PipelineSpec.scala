@@ -415,6 +415,21 @@ class PipelineSpec extends SparkSpec {
     dec.unpersist()
   }
 
+  test("kMeansAssign: separable clusters, dual-route agreement, monotone inertia") {
+    import spark.implicits._
+    // two tight blobs far apart in dim 16: k=2 must separate them
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i < 20) 0f else 10f
+      val r = new java.util.Random(i)
+      (i, Array.tabulate(16)(_ => base + 0.1f * r.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kMeansAssign(spark, vecs, k = 2, iters = 4, dim = 16)
+      .collect()
+    assert(got.length == 40)
+    assert(got.forall(_.getBoolean(1)), "dual-route argmin must agree")
+    assert(got.forall(_.getBoolean(2)), "inertia must not increase")
+  }
+
   test("lengthQuantiles: closed-form interpolated percentiles") {
     import spark.implicits._
     // lengths 1..5 in one source: p50 = 3, p90 = 0.9*4 = rank 3.6 →

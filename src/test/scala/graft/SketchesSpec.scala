@@ -56,4 +56,37 @@ class SketchesSpec extends SparkSpec {
     val b = Sketches.heavyHittersAudit(spark, docs.repartition(8), k = 8).collect()(0)
     assert(a == b)
   }
+
+  test("countMin: point estimates never underestimate; exact when collision-free") {
+    // a wide sketch over a tiny vocab: with width ≫ vocab and 4 rows,
+    // min_i almost surely hits a collision-free row → est == f exactly
+    val counts = Seq(("a", 30L), ("b", 7L), ("c", 1L)).toDF("term", "cnt")
+    val cms = Sketches.countMin(counts, depth = 4, width = 4096).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def est(t: String): Long = (0 until 4).map { i =>
+      val b = Sketches.countMin(Seq((t, 0L)).toDF("term", "cnt"), 4, 4096)
+        .filter(col("row") === i).collect()(0).getLong(1)
+      cms.getOrElse((i, b), 0L)
+    }.min
+    assert(est("a") == 30L && est("b") == 7L && est("c") == 1L)
+  }
+
+  test("countMinAudit: exact scalars + guarantee booleans on a hand fixture") {
+    val docs = Seq((1L, "a a a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = Sketches.countMinAudit(spark, docs, depth = 4, width = 256,
+      topQ = 8).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_total")) == 7L)
+    assert(r.getLong(r.fieldIndex("n_terms")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_checked")) == 3L)
+    assert(r.getBoolean(r.fieldIndex("no_underestimate")))
+    assert(r.getBoolean(r.fieldIndex("overcount_ok")))
+  }
+
+  test("countMinAudit row is partitioning-invariant") {
+    val docs = (1L to 100L).map(i =>
+      (i, s"common w${i % 9} z$i")).toDF("doc_id", "text")
+    val a = Sketches.countMinAudit(spark, docs.repartition(1), width = 128).collect()(0)
+    val b = Sketches.countMinAudit(spark, docs.repartition(8), width = 128).collect()(0)
+    assert(a == b)
+  }
 }
