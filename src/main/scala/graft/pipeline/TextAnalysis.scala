@@ -1179,6 +1179,99 @@ object TextAnalysis {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Gini coefficient of the per-document token-count distribution
+    * within each source — the corpus-inequality diagnostic ("is this
+    * source a few huge documents or many small ones?") that decides
+    * whether downsampling should be doc-level or token-level.
+    * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the ascending-ordered
+    * counts (ties broken by doc_id so both engines rank identically).
+    * One token-count aggregate + a per-source rank window + a
+    * per-source aggregate — all shuffles key on source. */
+  def giniTokens(df: DataFrame, sourceCol: String = "source",
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perDoc = df.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      org.apache.spark.sql.functions.size(
+        filter(split(col(textCol), " "), w => length(w) > 0))
+        .cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("n_tok").asc, col("doc_id").asc)
+    perDoc.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
+        sum(col("i") * col("n_tok")).as("_iwx"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(lit(2.0) * col("_iwx") / (col("n_docs") * col("total_tokens"))
+          - (col("n_docs") + 1.0) / col("n_docs"), 6).as("gini"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between the unigram
+    * distributions of each source pair — the standard corpus-distance
+    * measure behind mixture design ("how redundant are these two
+    * sources?"). Pure dataflow, no driver loop over pairs: the
+    * (source<source) pair frame is a tiny self-join of the distinct
+    * source list, crossed with the vocabulary and left-joined to the
+    * per-source probabilities; terms absent from both sides of a pair
+    * drop out (0·ln0 ≡ 0 handled by the positivity guards). Shuffles
+    * key on term; the pair×vocab frame is |pairs|·V rows — bounded by
+    * the vocabulary, not the corpus. */
+  def jsDivergence(df: DataFrame, sourceCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val counts = df.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("source").agg(sum("cnt").as("n"))
+    val p = counts.join(broadcast(totals), "source")
+      .select(col("source"), col("term"), (col("cnt") / col("n")).as("p"))
+    val sources = totals.select("source")
+    val pairs = broadcast(sources.select(col("source").as("src_a"))
+      .crossJoin(sources.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b")))
+    val vocab = counts.select("term").distinct()
+    val grid = pairs.crossJoin(vocab)
+      .join(p.select(col("source").as("src_a"), col("term"),
+        col("p").as("pa")), Seq("src_a", "term"), "left")
+      .join(p.select(col("source").as("src_b"), col("term"),
+        col("p").as("pb")), Seq("src_b", "term"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("pa"), lit(0.0)).as("pa"),
+        coalesce(col("pb"), lit(0.0)).as("pb"))
+      .filter(col("pa") + col("pb") > 0)
+    grid.withColumn("m", (col("pa") + col("pb")) / 2)
+      .groupBy("src_a", "src_b")
+      .agg(round(sum(
+        when(col("pa") > 0, lit(0.5) * col("pa") * log(col("pa") / col("m")))
+          .otherwise(0.0) +
+        when(col("pb") > 0, lit(0.5) * col("pb") * log(col("pb") / col("m")))
+          .otherwise(0.0)), 6).as("jsd"),
+        count(lit(1)).as("n_terms_union"))
+  }
+
+  /** Compressibility filter: per-document gzip ratio
+    * (deflated bytes / raw bytes) — the cheap entropy proxy corpus
+    * pipelines use to drop boilerplate and generated spam (highly
+    * compressible) and binary junk (incompressible). A pure narrow
+    * map; gzip output is not SQL-replayable, so the query form pins
+    * invariant booleans (ratio within (0, 2]; a fixed 20-byte floor of
+    * gzip header+trailer overhead) beside the exact byte count. */
+  def compressRatio(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val gz = udf { (t: String) =>
+      if (t == null) 0L
+      else {
+        val baos = new java.io.ByteArrayOutputStream()
+        val os = new java.util.zip.GZIPOutputStream(baos)
+        os.write(t.getBytes("UTF-8")); os.close()
+        baos.size().toLong
+      }
+    }
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        gz(col(textCol)).as("gz_bytes"))
+      .filter(col("n_bytes") >= 1)
+      .withColumn("ratio", round(col("gz_bytes") / col("n_bytes"), 6))
+  }
+
   /** Heaps-law vocabulary growth: the cumulative (tokens seen, distinct
     * terms seen) curve in doc_id order, with the log-log OLS fit
     * V ≈ k·Nᵝ broadcast onto every row (the q75 Zipf companion — the

@@ -533,6 +533,26 @@ object PipelineQueries {
     "q136_vocab_growth" -> ((s, d) =>
       TextAnalysis.vocabGrowth(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // Per-source Gini of the doc-length distribution (downsampling
+    // granularity diagnostic). Exact oracle.
+    "q137_gini_tokens" -> ((s, d) =>
+      TextAnalysis.giniTokens(Tables.documents(s, d)).orderBy("source")),
+
+    // Pairwise source JS divergence over unigram distributions
+    // (mixture-design redundancy measure). Exact oracle.
+    "q138_js_divergence" -> ((s, d) =>
+      TextAnalysis.jsDivergence(Tables.documents(s, d))
+        .orderBy("src_a", "src_b")),
+
+    // gzip compressibility proxy (boilerplate/junk filter). gzip bytes
+    // are not SQL-replayable → exact n_bytes + pinned bound booleans.
+    "q139_compress_ratio" -> ((s, d) =>
+      TextAnalysis.compressRatio(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_bytes"),
+          (col("gz_bytes") > 0 && col("ratio") <= 2.0).as("ratio_ok"),
+          (col("gz_bytes") >= 20).as("overhead_floor_ok"))
+        .orderBy("doc_id")),
+
     "q79_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = Bpe.train(docs, nMerges = 200, maxWords = 5000)
@@ -584,6 +604,55 @@ object PipelineQueries {
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Identical rank-weighted Gini arithmetic (ties broken by doc_id).
+    "q137_gini_tokens" ->
+      """WITH pd AS (SELECT source, doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+        |    AS BIGINT) AS n_tok FROM documents),
+        |r AS (SELECT source, n_tok, CAST(row_number() OVER (
+        |  PARTITION BY source ORDER BY n_tok ASC, doc_id ASC) AS BIGINT)
+        |  AS i FROM pd)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  round(2.0 * sum(i * n_tok) / (count(*) * sum(n_tok))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // Identical pair×vocab grid and 0·ln0 guards.
+    "q138_js_divergence" ->
+      """WITH t AS (SELECT source, unnest(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 0)) AS term FROM documents),
+        |c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c
+        |  GROUP BY 1),
+        |p AS (SELECT c.source, c.term, c.cnt / tot.n AS p FROM c
+        |  JOIN tot USING (source)),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+        |  FROM (SELECT source FROM tot) a, (SELECT source FROM tot) b
+        |  WHERE a.source < b.source),
+        |vocab AS (SELECT DISTINCT term FROM c),
+        |grid AS (SELECT pr.src_a, pr.src_b,
+        |  coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+        |  FROM pairs pr CROSS JOIN vocab v
+        |  LEFT JOIN p pa ON pa.source = pr.src_a AND pa.term = v.term
+        |  LEFT JOIN p pb ON pb.source = pr.src_b AND pb.term = v.term
+        |  WHERE coalesce(pa.p, 0) + coalesce(pb.p, 0) > 0)
+        |SELECT src_a, src_b,
+        |  round(sum(
+        |    CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2))
+        |      ELSE 0 END +
+        |    CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2))
+        |      ELSE 0 END), 6) AS jsd,
+        |  CAST(count(*) AS BIGINT) AS n_terms_union
+        |FROM grid GROUP BY 1, 2""".stripMargin,
+
+    // gzip invariant oracle: exact byte counts, bound booleans pinned.
+    "q139_compress_ratio" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+        |    AS n_bytes,
+        |  TRUE AS ratio_ok, TRUE AS overhead_floor_ok
+        |FROM documents WHERE octet_length(encode(text)) >= 1""".stripMargin,
 
     // CMS audit: exact scalars recomputed, guarantee booleans pinned.
     "q132_countmin" ->

@@ -23,6 +23,18 @@ object Relational {
   // the DuckDB oracle (different summation order) hash-matches; raw
   // column passthrough stays unrounded (bit-identical in both engines).
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Salted two-stage aggregation (the 100 TB hot-key mitigation,
+    // util/Skew.saltedSum): the oracle replays the PLAIN one-stage
+    // groupBy, so the hash match IS the proof that salting preserves
+    // results exactly (l_quantity values are integer-valued doubles —
+    // exactly representable, associative combine).
+    "q140_salted_agg" -> ((s, d) =>
+      graft.util.Skew.saltedSum(Tables.lineitem(s, d), "l_suppkey",
+          "l_quantity", factor = 8)
+        .select(col("l_suppkey"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"), col("n_rows"))
+        .orderBy("l_suppkey")),
+
     "q01_filter_project" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
@@ -527,6 +539,13 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // The UNSALTED aggregate — equality proves the salted two-stage
+    // dataflow is result-identical.
+    "q140_salted_agg" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     // Monday-truncated weeks and integer day/7 offsets — exact in both
     // engines; the only double is the final float division.
     "q100_retention" ->

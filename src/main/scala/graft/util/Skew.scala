@@ -28,4 +28,24 @@ object Skew {
       explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Salted two-stage aggregation, result-identical to
+    * `df.groupBy(key).agg(sum(valCol))` for exactly-representable
+    * values (integers in doubles): stage 1 combines on
+    * (key, content-hash salt) so a hot key's rows split over `factor`
+    * concurrent reducers, stage 2 combines the `factor` partials per
+    * key. Spark's hash aggregate already map-side-combines, so this
+    * matters when the REDUCE side of one key exceeds a single task —
+    * the groupBy analog of [[saltedJoin]]. Deterministic: content-hash
+    * salt, associative combine. */
+  def saltedSum(df: DataFrame, key: String, valCol: String,
+                factor: Int): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    df.withColumn("_salt",
+        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(factor.toLong)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valCol)).as("_partial"), count(lit(1)).as("_n"))
+      .groupBy(col(key))
+      .agg(sum("_partial").as(s"sum_$valCol"), sum("_n").as("n_rows"))
+  }
 }

@@ -214,6 +214,39 @@ class CorpusStatsSpec extends SparkSpec {
     assert(topA.getDouble(3) > 0)
   }
 
+  test("giniTokens: 0 for uniform lengths, (n-1)/n for total concentration") {
+    val docs = Seq(
+      (1L, "u", "a b c"), (2L, "u", "d e f"), (3L, "u", "g h i"),
+      (4L, "c", ""), (5L, "c", ""), (6L, "c", ""), (7L, "c", "w x y z"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.giniTokens(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(got("u")) < 1e-9)           // perfectly equal
+    assert(math.abs(got("c") - 0.75) < 1e-9)    // one doc holds all: (4-1)/4
+  }
+
+  test("jsDivergence: 0 for identical sources, ln 2 for disjoint vocabularies") {
+    val docs = Seq(
+      (1L, "a1", "x y z"), (2L, "a2", "x y z"),        // identical dists
+      (3L, "b1", "p p q"), (4L, "b2", "r s s"))        // disjoint vocabs
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.jsDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got(("a1", "a2"))) < 1e-9)
+    assert(math.abs(got(("b1", "b2")) - math.log(2)) < 1e-6)
+  }
+
+  test("compressRatio: repetitive text deflates, tiny text pays the header") {
+    val docs = Seq((1L, "ab " * 300), (2L, "q"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.compressRatio(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L)._3 < 0.1, s"900 bytes of 'ab ' must deflate hard: ${got(1L)}")
+    assert(got(2L)._3 > 1.0, s"1-byte doc pays gzip overhead: ${got(2L)}")
+    assert(got(2L)._2 >= 20L) // gzip header(10)+trailer(8) floor
+  }
+
   test("vocabGrowth: hand-computed cumulative curve and a sane fit") {
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c d a"))
       .toDF("doc_id", "text")

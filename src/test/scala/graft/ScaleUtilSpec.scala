@@ -91,6 +91,17 @@ class ScaleUtilSpec extends SparkSpec {
     assert(saltSpread >= 6, s"hot key only spread over $saltSpread salts")
   }
 
+  test("salted sum: result-identical to the one-stage groupBy under a hot key") {
+    val big = (0 until 20000).map { i =>
+      (if (i % 10 == 0) (i % 50).toLong else 7L, (i % 97).toLong)
+    }.toDF("k", "v")
+    val plain = big.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n_rows"))
+    val salted = Skew.saltedSum(big, "k", "v", factor = 8)
+    assert(salted.columns.toSeq == Seq("k", "sum_v", "n_rows"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("compactParquet: many small files in, target-sized file count out, rows intact") {
     val in = "target/compact-in"
     val out = "target/compact-out"
