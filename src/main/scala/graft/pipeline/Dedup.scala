@@ -581,4 +581,81 @@ object Dedup {
       .filter(col("dist") <= 1)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Jaro similarity (the record-linkage classic): match window
+    * ⌊max(|a|,|b|)/2⌋−1, transpositions counted over matched chars out
+    * of order, (m/|a| + m/|b| + (m−t)/m)/3. Pure function so the spec
+    * can pin closed-form values. */
+  private[graft] def jaro(a: String, b: String): Double = {
+    if (a == b) return 1.0
+    val l1 = a.length; val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var found = false
+      while (!found && j <= hi) {
+        if (!m2(j) && a(i) == b(j)) { m1(i) = true; m2(j) = true; m += 1; found = true }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var j = 0; i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (a(i) != b(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    (m.toDouble / l1 + m.toDouble / l2 + (m - t / 2.0) / m) / 3.0
+  }
+
+  /** Jaro–Winkler: Jaro boosted by the shared prefix (≤ 4 chars,
+    * scaling 0.1) when the base similarity clears the standard 0.7
+    * threshold — the same definition DuckDB's
+    * `jaro_winkler_similarity` implements, which is what lets the
+    * blocked join below be a full cross-engine oracle row. */
+  private[graft] def jaroWinkler(a: String, b: String): Double = {
+    val j = jaro(a, b)
+    if (j <= 0.7) j
+    else {
+      var l = 0
+      val max = math.min(4, math.min(a.length, b.length))
+      while (l < max && a(l) == b(l)) l += 1
+      j + l * 0.1 * (1 - j)
+    }
+  }
+
+  /** Blocked Jaro–Winkler similarity self-join — the fuzzy
+    * record-linkage step between exact dedup and the
+    * [[editDistanceJoin]] (which only reaches distance 1): candidate
+    * pairs share a `blockLen`-char prefix (the standard blocking key —
+    * JW's prefix boost means high-similarity pairs almost always
+    * share one), then the quadratic scorer runs only within blocks.
+    * The shuffle keys on the block; a skewed block is a visible hot
+    * key a caller can salt. The scorer is a Scala UDF by the
+    * documented narrow-map exception (no Catalyst built-in; same
+    * rationale as Bpe.encode). */
+  def jaroWinklerJoin(df: DataFrame, threshold: Double, blockLen: Int = 4,
+                      idCol: String = "id", strCol: String = "s"): DataFrame = {
+    require(threshold > 0.7 && threshold <= 1.0,
+      s"threshold must be in (0.7, 1] (blocking assumes the boost regime), got $threshold")
+    val jw = udf((a: String, b: String) => jaroWinkler(a, b))
+    val keyed = df.select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .withColumn("_blk", substring(col("_s"), 1, blockLen))
+    keyed.select(col("_blk"), col("_id").as("id_a"), col("_s").as("s_a"))
+      .join(keyed.select(col("_blk"), col("_id").as("id_b"), col("_s").as("s_b")),
+        Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", round(jw(col("s_a"), col("s_b")), 6))
+      .filter(col("jw") >= threshold)
+      .select("id_a", "id_b", "jw")
+  }
 }

@@ -1179,6 +1179,44 @@ object TextAnalysis {
         col("rn").cast("long").as("rn"))
   }
 
+  /** Quantile normalization of document length within each source:
+    * percent_rank of the token count per source (ties broken by doc_id
+    * for engine-identical ranking) — maps every source's length
+    * distribution onto [0,1] so cross-source length filters compare
+    * like with like (a "long" doc in a tweets source is "short" in a
+    * books source). One rank window per source partition. */
+  def quantileNormalize(df: DataFrame, sourceCol: String = "source",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("n_tok").asc, col("doc_id").asc)
+    df.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        org.apache.spark.sql.functions.size(
+          filter(split(col(textCol), " "), x => length(x) > 0))
+          .cast("long").as("n_tok"))
+      .withColumn("qnorm", round(percent_rank().over(w), 6))
+  }
+
+  /** Deterministic stratified train/val/test split: every document
+    * draws u = md5("split:"‖doc_id) and lands in train below the
+    * `pTrain` hex threshold, val below `pTrain+pVal`, else test —
+    * the [[deterministicSample]] mechanism extended to a 3-way
+    * assignment, stratified by construction (the hash is uniform
+    * within every source slice). A narrow map, replayable anywhere,
+    * immune to repartitioning — the property that matters when the
+    * split must stay stable across pipeline re-runs at 100 TB. */
+  def splitAssign(df: DataFrame, pTrain: Double = 0.8, pVal: Double = 0.1,
+                  idCol: String = "doc_id", seed: Long = 42): DataFrame = {
+    require(pTrain > 0 && pVal >= 0 && pTrain + pVal < 1.0,
+      s"need 0 < pTrain, 0 <= pVal, pTrain+pVal < 1, got $pTrain/$pVal")
+    val u = md5(concat_ws(":", lit("split"), lit(seed.toString),
+      col(idCol).cast("string")))
+    df.select(col(idCol),
+      when(u < lit(hexThreshold(pTrain)), "train")
+        .when(u < lit(hexThreshold(pTrain + pVal)), "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Gini coefficient of the per-document token-count distribution
     * within each source — the corpus-inequality diagnostic ("is this
     * source a few huge documents or many small ones?") that decides

@@ -553,6 +553,26 @@ object PipelineQueries {
           (col("gz_bytes") >= 20).as("overhead_floor_ok"))
         .orderBy("doc_id")),
 
+    // Blocked Jaro-Winkler fuzzy join on part names (record linkage
+    // between exact dedup and editdist-1). DuckDB implements the same
+    // JW definition, so this is a full cross-engine oracle; both
+    // engines filter on the ROUNDED score to keep the cut identical.
+    "q141_jw_join" -> ((s, d) =>
+      Dedup.jaroWinklerJoin(
+        Tables.part(s, d).filter(col("p_partkey") < 500)
+          .select(col("p_partkey").as("id"), col("p_name").as("s")),
+        threshold = 0.92).orderBy("id_a", "id_b")),
+
+    // Per-source quantile normalization of doc length. Exact oracle.
+    "q142_quantile_norm" -> ((s, d) =>
+      TextAnalysis.quantileNormalize(Tables.documents(s, d))
+        .orderBy("source", "doc_id")),
+
+    // Deterministic 3-way stratified split (80/10/10). Exact oracle.
+    "q143_split_assign" -> ((s, d) =>
+      TextAnalysis.splitAssign(Tables.documents(s, d).select("doc_id"))
+        .orderBy("doc_id")),
+
     "q79_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = Bpe.train(docs, nMerges = 200, maxWords = 5000)
@@ -604,6 +624,36 @@ object PipelineQueries {
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Same blocking key, same JW definition, same rounded-score cut.
+    "q141_jw_join" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
+        |  WHERE p_partkey < 500)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
+        |FROM p a JOIN p b ON a.id < b.id
+        |  AND substr(a.s, 1, 4) = substr(b.s, 1, 4)
+        |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.92""".stripMargin,
+
+    // Identical unique-ordering percent_rank.
+    "q142_quantile_norm" ->
+      """WITH pd AS (SELECT source, doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+        |    AS BIGINT) AS n_tok FROM documents)
+        |SELECT source, doc_id, n_tok,
+        |  round(percent_rank() OVER (
+        |    PARTITION BY source ORDER BY n_tok ASC, doc_id ASC), 6) AS qnorm
+        |FROM pd""".stripMargin,
+
+    // Identical md5 thresholds: 0.8·2³² = cccccccc, 0.9·2³² = e6666666.
+    "q143_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5('split:42:' || CAST(doc_id AS VARCHAR)) < 'cccccccc'
+        |    THEN 'train'
+        |  WHEN md5('split:42:' || CAST(doc_id AS VARCHAR)) < 'e6666666'
+        |    THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     // Identical rank-weighted Gini arithmetic (ties broken by doc_id).
     "q137_gini_tokens" ->

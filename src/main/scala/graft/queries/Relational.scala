@@ -35,6 +35,11 @@ object Relational {
           round(col("sum_l_quantity"), 2).as("sum_qty"), col("n_rows"))
         .orderBy("l_suppkey")),
 
+    // Per-user maximum drawdown of the cumulative value stream (three
+    // stacked windows, one sort per user partition). Exact oracle.
+    "q144_max_drawdown" -> ((s, d) =>
+      Temporal.maxDrawdown(Tables.events(s, d)).orderBy("user_id")),
+
     "q01_filter_project" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
@@ -539,6 +544,22 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Identical stacked running-sum / running-max windows.
+    "q144_max_drawdown" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS cum
+        |  FROM events),
+        |k AS (
+        |  SELECT user_id, cum,
+        |    max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS peak
+        |  FROM c)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(max(peak - cum), 6) AS max_drawdown
+        |FROM k GROUP BY 1""".stripMargin,
+
     // The UNSALTED aggregate — equality proves the salted two-stage
     // dataflow is result-identical.
     "q140_salted_agg" ->

@@ -363,4 +363,24 @@ object Temporal {
         col("week_offset"), col("n_active"), col("cohort_size"),
         round(col("n_active") / col("cohort_size"), 6).as("retention"))
   }
+
+  /** Maximum drawdown per key: treat the ordered `valCol` stream as
+    * increments of an equity curve (running sum), track the running
+    * peak, and report the deepest peak-to-trough drop — the classic
+    * risk statistic, and in pipeline terms the worst cumulative dip of
+    * any monitored per-key metric. Three stacked window frames over
+    * the same (key × time) ordering — ONE sort per key partition, no
+    * extra shuffle between them (ties broken by `tieCol` so the curve
+    * is deterministic). */
+  def maxDrawdown(events: DataFrame, keyCol: String = "user_id",
+                  tsCol: String = "ts", valCol: String = "value",
+                  tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_cum", sum(col(valCol)).over(w))
+      .withColumn("_peak", max(col("_cum")).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("_peak") - col("_cum")), 6).as("max_drawdown"))
+  }
 }

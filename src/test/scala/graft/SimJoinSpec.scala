@@ -85,4 +85,39 @@ class SimJoinSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     assert(got.count() > 0) // non-vacuous: consecutive names differ by one digit
   }
+
+  test("jaro / jaroWinkler: the textbook closed-form pairs") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r6(Dedup.jaro("MARTHA", "MARHTA")) == 0.944444)
+    assert(r6(Dedup.jaroWinkler("MARTHA", "MARHTA")) == 0.961111)
+    assert(r6(Dedup.jaro("DWAYNE", "DUANE")) == 0.822222)
+    assert(r6(Dedup.jaroWinkler("DWAYNE", "DUANE")) == 0.84)
+    assert(r6(Dedup.jaro("DIXON", "DICKSONX")) == 0.766667)
+    assert(r6(Dedup.jaroWinkler("DIXON", "DICKSONX")) == 0.813333)
+    assert(Dedup.jaroWinkler("same", "same") == 1.0)
+    assert(Dedup.jaro("abc", "xyz") == 0.0)
+    // below the 0.7 boost threshold, NO prefix bonus applies
+    val j = Dedup.jaro("aXXXXX", "aYYYYY")
+    assert(j <= 0.7 && Dedup.jaroWinkler("aXXXXX", "aYYYYY") == j)
+  }
+
+  test("jaroWinklerJoin: blocked pairs equal brute within-block scoring") {
+    import spark.implicits._
+    val names = Seq((1L, "small ring"), (2L, "small rings"), (3L, "smell ring"),
+      (4L, "blue bolt"), (5L, "blue belt"), (6L, "red gear"))
+      .toDF("id", "s")
+    val got = Dedup.jaroWinklerJoin(names, threshold = 0.9, blockLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // blocks: {1,2,3 "smal|smel"}… "smel" differs → (1,2) only from smal;
+    // (4,5) share "blue"; 6 alone. Verify against direct scoring:
+    val all = for {
+      (ia, sa) <- Seq((1L, "small ring"), (2L, "small rings"), (3L, "smell ring"),
+        (4L, "blue bolt"), (5L, "blue belt"), (6L, "red gear"))
+      (ib, sb) <- Seq((1L, "small ring"), (2L, "small rings"), (3L, "smell ring"),
+        (4L, "blue bolt"), (5L, "blue belt"), (6L, "red gear"))
+      if ia < ib && sa.take(4) == sb.take(4)
+      if math.rint(Dedup.jaroWinkler(sa, sb) * 1e6) / 1e6 >= 0.9
+    } yield (ia, ib)
+    assert(got == all.toSet && got.contains((1L, 2L)) && got.contains((4L, 5L)))
+  }
 }

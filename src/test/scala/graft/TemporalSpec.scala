@@ -241,4 +241,27 @@ class TemporalSpec extends SparkSpec {
     assert(got("2024-01-15") == ((2L, 0L, 1L, 1L, 0L)))
     // identity: prev n_active = n_retained + n_churned on every row
   }
+
+  test("maxDrawdown: hand-computed peak-to-trough; monotone curve has 0") {
+    import spark.implicits._
+    def ts(s: String) = s
+    // user 1 increments: +5 +3 -4 -2 +1 → curve 5 8 4 2 3; peak 8 → dd 6
+    // user 2 monotone:   +1 +1 +1       → drawdown 0
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 5.0),
+      (1L, 2L, "2024-01-01 00:01:00", 3.0),
+      (1L, 3L, "2024-01-01 00:02:00", -4.0),
+      (1L, 4L, "2024-01-01 00:03:00", -2.0),
+      (1L, 5L, "2024-01-01 00:04:00", 1.0),
+      (2L, 6L, "2024-01-01 00:00:00", 1.0),
+      (2L, 7L, "2024-01-01 00:01:00", 1.0),
+      (2L, 8L, "2024-01-01 00:02:00", 1.0))
+      .toDF("user_id", "event_id", "s", "value")
+      .select(col("user_id"), col("event_id"),
+        col("s").cast("timestamp").as("ts"), col("value"))
+    val got = Temporal.maxDrawdown(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((5L, 6.0)))
+    assert(got(2L) == ((3L, 0.0)))
+  }
 }
