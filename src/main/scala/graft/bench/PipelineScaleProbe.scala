@@ -87,6 +87,43 @@ object PipelineScaleProbe {
       }.reduce(_ union _)
       Dedup.editDistanceJoin(repNames).count()
     }
+    // r6 corpus-analysis family. Source labels stay ORIGINAL (replicas
+    // only grow each source), so the JSD pair count is constant and its
+    // cost is vocabulary-bound — the linear regime; keyness likewise.
+    val corpusSrc = {
+      val b = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "source", "text")
+      (0 until reps).map { k =>
+        b.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("source"),
+          regexp_replace(col("text"), "(^| )", "$1r" + k + "_").as("text"))
+      }.reduce(_ union _).cache()
+    }
+    corpusSrc.count()
+    val (_, tGini) = time(TextAnalysis.giniTokens(corpusSrc).count())
+    val (nJsd, tJsd) = time(TextAnalysis.jsDivergence(corpusSrc).count())
+    val (_, tKey) = time(TextAnalysis.keyness(corpusSrc, k = 10).count())
+    val (_, tVg) = time(TextAnalysis.vocabGrowth(corpusSrc)
+      .agg(max("cum_vocab")).head)
+    val (_, tCms) = time(
+      graft.pipeline.Sketches.countMinAudit(spark, corpus).head)
+    val (_, tScript) = time(TextAnalysis.scriptProfile(corpus).count())
+    val (_, tGz) = time(TextAnalysis.compressRatio(corpus)
+      .agg(avg("ratio")).head)
+    // JW join on replica-prefixed part names; blockLen covers the
+    // replica tag + the base 4-char block, so replica blocks mirror the
+    // base block structure and a linear op shows a linear slope
+    val (nJw, tJw) = time {
+      val names = spark.read.parquet(s"$sfDir/part.parquet")
+        .filter(col("p_partkey") < 500)
+        .select(col("p_partkey").as("id"), col("p_name").as("s"))
+      val repNames = (0 until reps).map { k =>
+        names.select((col("id") + lit(k * 10000000L)).as("id"),
+          concat(lit(s"r$k${k}_"), col("s")).as("s"))
+      }.reduce(_ union _)
+      Dedup.jaroWinklerJoin(repNames, threshold = 0.92, blockLen = 8).count()
+    }
+    corpusSrc.unpersist()
     println(s"""{"probe":"pipeline_scale","reps":$reps,"docs":$nDocs,""" +
       s""""exact_sec":$tExact,"exact_rows":$nExact,""" +
       s""""minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
@@ -97,7 +134,11 @@ object PipelineScaleProbe {
       s""""bigram_nll_sec":$tBnll,""" +
       s""""bpe_train_sec":$tTrain,"bpe_encode_sec":$tEnc,""" +
       s""""chunk_sec":$tChunk,"chunks":$nChunks,""" +
-      s""""editdist_sec":$tEd,"editdist_pairs":$nEd}""")
+      s""""editdist_sec":$tEd,"editdist_pairs":$nEd,""" +
+      s""""gini_sec":$tGini,"jsd_sec":$tJsd,"jsd_pairs":$nJsd,""" +
+      s""""keyness_sec":$tKey,"vocab_growth_sec":$tVg,""" +
+      s""""countmin_sec":$tCms,"script_sec":$tScript,"gzip_sec":$tGz,""" +
+      s""""jw_sec":$tJw,"jw_pairs":$nJw}""")
     spark.stop()
   }
 }

@@ -91,31 +91,67 @@ object GraphQueries {
     "q19_supplier_degrees" -> ((s, d) =>
       GraphOps.degrees(supplierGraph(s, d))),
 
-    // ---- deterministic but non-SQL (rows-only driver check) ----
+    // ---- iterative numeric ops: INVARIANT oracles (r6 graduation).
+    // The grid vertex sets are closed-form, so the DuckDB oracle
+    // enumerates the ids exactly and pins the reference's own
+    // embedding invariants (all-finite, max radius < 1000,
+    // per-dimension variance > 1e-6 — tests/test_integration.py:40-46,
+    // 130-138) as per-row booleans; a solver regression flips one. ----
 
     // L1 eigen-init on the 20x20 grid: smallest nontrivial eigenvectors.
     "q20_eigen_grid" -> ((s, _) => {
       val g = Generators.roadNetwork(s, 20, 20)
-      EigenInit.init(s, g, 400, 2, seed = 42)
-        .select(col("id"), round(VecOps.norm(col("pos")), 6).as("radius"))
+      val pos = EigenInit.init(s, g, 400, 2, seed = 42)
+        .select(col("id"), VecOps.norm(col("pos")).as("r"),
+          element_at(col("pos"), 1).as("x"), element_at(col("pos"), 2).as("y"))
+      val spread = pos.agg((variance(col("x")) > 1e-6 &&
+        variance(col("y")) > 1e-6).as("spread_ok"))
+      pos.crossJoin(broadcast(spread))
+        .select(col("id"),
+          (!isnan(col("r")) && col("r") >= 0 && col("r") < 1000)
+            .as("finite_ok"), col("spread_ok"))
+        .orderBy("id")
     }),
 
-    // L2/L3 full layout on a small grid; emits final radii.
+    // L2/L3 full layout on a small grid; same invariant set on the
+    // post-iteration positions.
     "q21_layout_grid" -> ((s, _) => {
       val g = Generators.roadNetwork(s, 12, 12)
       val cfg = LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = 10,
         sampleSize = 128, nNeighbors = 8, seed = 42)
-      val pos = Layout.run(s, g, EigenInit.init(s, g, 144, 2, seed = 42), cfg)
-      pos.select(col("id"), round(VecOps.norm(col("pos")), 6).as("radius"))
+      val pos0 = Layout.run(s, g, EigenInit.init(s, g, 144, 2, seed = 42), cfg)
+      val pos = pos0.select(col("id"), VecOps.norm(col("pos")).as("r"),
+        element_at(col("pos"), 1).as("x"), element_at(col("pos"), 2).as("y"))
+      val spread = pos.agg((variance(col("x")) > 1e-6 &&
+        variance(col("y")) > 1e-6).as("spread_ok"))
+      pos.crossJoin(broadcast(spread))
+        .select(col("id"),
+          (!isnan(col("r")) && col("r") >= 0 && col("r") < 1000)
+            .as("finite_ok"), col("spread_ok"))
+        .orderBy("id")
     }),
 
-    // L4 hash-RNG independent cascade on a seeded ER graph.
+    // L4 hash-RNG independent cascade on a seeded ER graph. The
+    // activated SET is deterministic but not SQL-derivable, so the
+    // oracle row pins the cascade laws (seeds activate; k ≤ spread ≤ n)
+    // plus an in-plan DETERMINISM proof: a second run with the same
+    // seed must reproduce the set bit-for-bit (the cross-round
+    // bit-equality the influence benchmark has shown since r4, now
+    // hash-enforced every round).
     "q22_ic_spread" -> ((s, _) => {
       val g = Generators.erdosRenyi(s, 300, 0.02, 42)
       import s.implicits._
       val seeds = Seq(0L, 1L, 2L).toDF("id")
-      Influence.independentCascade(s, g, seeds, 0.3, maxRounds = 50, seed = 42)
-        .orderBy("id")
+      def run() = Influence.independentCascade(s, g, seeds, 0.3,
+        maxRounds = 50, seed = 42)
+      val a1 = run().cache()
+      val n = a1.count()
+      val seedsIn = a1.join(seeds, "id").count() == 3
+      val a2 = run()
+      val replay = a1.exceptAll(a2).isEmpty && a2.exceptAll(a1).isEmpty
+      Seq((3L, seedsIn, n >= 3 && n <= 300, replay))
+        .toDF("n_seeds", "seeds_activated", "spread_in_bounds",
+          "replay_identical")
     }),
 
     // L6 GraphX PageRank on the supplier graph. Oracle-checked: on this
@@ -148,10 +184,21 @@ object GraphQueries {
 
     // L5 greedy seed selection on a fixed generated graph (rows-only;
     // the hash-RNG cascade has no SQL analog).
+    // L5 greedy seed selection — same invariant-oracle pattern as q22:
+    // exactly k distinct in-range seeds, and the pick replays
+    // bit-identically (the hash-RNG determinism contract).
     "q39_greedy_seeds" -> ((s, _) => {
       val g = Generators.erdosRenyi(s, 120, 0.05, 21)
-      Influence.greedySeeds(s, g, k = 3, p = 0.2, simRounds = 20,
-        candidatePool = 16, seed = 21).orderBy("id")
+      import s.implicits._
+      def run() = Influence.greedySeeds(s, g, k = 3, p = 0.2, simRounds = 20,
+        candidatePool = 16, seed = 21)
+      val a1 = run().cache()
+      val ids = a1.collect().map(_.getLong(0))
+      val a2 = run()
+      val replay = a1.exceptAll(a2).isEmpty && a2.exceptAll(a1).isEmpty
+      Seq((3L, ids.length == 3 && ids.distinct.length == 3,
+        ids.forall(i => i >= 0 && i < 120), replay))
+        .toDF("k", "distinct_ok", "ids_in_range", "replay_identical")
     }),
 
     // A6/A7 correlation-benchmark pipeline on the 8x8 grid (rows-only;
@@ -384,6 +431,25 @@ object GraphQueries {
       |  GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // Closed-form grid vertex enumeration + the reference's embedding
+    // invariants pinned TRUE (see the q20/q21 query comments).
+    "q20_eigen_grid" ->
+      """SELECT CAST(range AS BIGINT) AS id, TRUE AS finite_ok,
+        |  TRUE AS spread_ok FROM range(400)""".stripMargin,
+
+    "q21_layout_grid" ->
+      """SELECT CAST(range AS BIGINT) AS id, TRUE AS finite_ok,
+        |  TRUE AS spread_ok FROM range(144)""".stripMargin,
+
+    // Cascade laws + bit-exact replay pinned TRUE.
+    "q22_ic_spread" ->
+      """SELECT CAST(3 AS BIGINT) AS n_seeds, TRUE AS seeds_activated,
+        |  TRUE AS spread_in_bounds, TRUE AS replay_identical""".stripMargin,
+
+    "q39_greedy_seeds" ->
+      """SELECT CAST(3 AS BIGINT) AS k, TRUE AS distinct_ok,
+        |  TRUE AS ids_in_range, TRUE AS replay_identical""".stripMargin,
+
     // Grid: BFS hops from the corner pair {0, 119} = the MIN of the two
     // Manhattan distances (id = row·12 + col on the 12-wide grid).
     // Tree: hops from the root = depth; the 3-ary level boundaries are
