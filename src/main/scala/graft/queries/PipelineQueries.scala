@@ -252,14 +252,39 @@ object PipelineQueries {
     // broadcast projection — emitted coords are the distributed
     // operator's output (rows-only: the eigen loop has no SQL analog;
     // PcaSpec carries recovery/orthonormality/projection correctness).
+    // Distributed PCA with the linear-algebra contracts as an INVARIANT
+    // oracle (r6 graduation, the q20/q21 pattern): component
+    // orthonormality, eigenvalues sorted nonincreasing and nonnegative,
+    // and the spectral identity var(pcₖ over the full table) = λₖ —
+    // checked against the moment-pass eigendecomposition itself, so a
+    // solver or projection regression flips a pinned boolean. Per-row
+    // finiteness rides on the enumerable vec_id < 100 projection.
     "q90_pca" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val model = graft.linalg.Pca.fit(e, "v", r = 4)
-      graft.linalg.Pca.transform(e.filter(col("vec_id") < 100), model, "v")
+      val comps = model.components
+      val ortho = (for (i <- comps.indices; j <- i until comps.length) yield {
+        val dot = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+      }).forall(identity)
+      val evalsOk = model.explainedVariance.zip(model.explainedVariance.drop(1))
+        .forall { case (a, b) => a >= b - 1e-12 } &&
+        model.explainedVariance.forall(_ >= -1e-9)
+      val full = graft.linalg.Pca.transform(e, model, "v").cache()
+      val varsOk = model.explainedVariance.indices.forall { k =>
+        val v = full.agg(var_pop(col("pc")(k))).collect()(0).getDouble(0)
+        math.abs(v - model.explainedVariance(k)) <=
+          1e-6 * math.max(1.0, model.explainedVariance(k))
+      }
+      full.filter(col("vec_id") < 100)
         .select(col("vec_id"),
-          round(col("pc")(0), 6).as("pc1"), round(col("pc")(1), 6).as("pc2"),
-          round(col("pc")(2), 6).as("pc3"), round(col("pc")(3), 6).as("pc4"))
+          (!isnan(col("pc")(0)) && !isnan(col("pc")(1)) &&
+            !isnan(col("pc")(2)) && !isnan(col("pc")(3))).as("finite_ok"),
+          lit(ortho).as("orthonormal_ok"),
+          lit(evalsOk).as("evals_sorted_ok"),
+          lit(varsOk).as("var_matches_eigenvalue"))
+        .orderBy("vec_id")
     }),
 
     // Weighted reservoir sample (Efraimidis–Spirakis): 64 docs drawn
@@ -553,6 +578,32 @@ object PipelineQueries {
           (col("gz_bytes") >= 20).as("overhead_floor_ok"))
         .orderBy("doc_id")),
 
+    // Image resize (area-average → PNG re-encode) with invariant
+    // oracle: resized payloads must decode at the requested dims and
+    // track the global luma mean within 0.1 — pooling preserves the
+    // count-weighted mean exactly, and the unweighted drift from
+    // cell imbalance on tiny non-divisible images measures max 0.045
+    // at sf0.1 (see resizeEncode doc), so 0.1 has 2× headroom while
+    // still catching channel/scale regressions. The q34 pattern on
+    // the enumerable image slice.
+    "q145_resize" -> ((s, d) => {
+      val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
+        .filter(col("modality") === "image")
+      val orig = Multimodal.decodeFeatures(s, media, featDim = 4)
+        .select(col("media_id"), element_at(col("features"), 3).as("mean0"))
+      val rs = Multimodal.resizeImages(s, media, outW = 4, outH = 4)
+      val dec = Multimodal.decodeFeatures(s, rs, featDim = 4)
+        .select(col("media_id"), col("decoded"),
+          element_at(col("features"), 1).as("w"),
+          element_at(col("features"), 2).as("h"),
+          element_at(col("features"), 3).as("mean1"))
+      dec.join(orig, "media_id")
+        .select(col("media_id"), col("decoded"),
+          (col("w") === 4f && col("h") === 4f).as("dims_ok"),
+          (abs(col("mean0") - col("mean1")) < 0.1f).as("mean_preserved"))
+        .orderBy("media_id")
+    }),
+
     // Blocked Jaro-Winkler fuzzy join on part names (record linkage
     // between exact dedup and editdist-1). DuckDB implements the same
     // JW definition, so this is a full cross-engine oracle; both
@@ -624,6 +675,12 @@ object PipelineQueries {
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Resize invariant oracle on the enumerable image slice.
+    "q145_resize" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded, TRUE AS dims_ok,
+        |  TRUE AS mean_preserved
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     // Same blocking key, same JW definition, same rounded-score cut.
     "q141_jw_join" ->
@@ -703,6 +760,12 @@ object PipelineQueries {
         |    AS n_bytes,
         |  TRUE AS ratio_ok, TRUE AS overhead_floor_ok
         |FROM documents WHERE octet_length(encode(text)) >= 1""".stripMargin,
+
+    // PCA invariant oracle over the enumerable projection slice.
+    "q90_pca" ->
+      """SELECT vec_id, TRUE AS finite_ok, TRUE AS orthonormal_ok,
+        |  TRUE AS evals_sorted_ok, TRUE AS var_matches_eigenvalue
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
 
     // CMS audit: exact scalars recomputed, guarantee booleans pinned.
     "q132_countmin" ->

@@ -1110,6 +1110,29 @@ class PipelineSpec extends SparkSpec {
     media.unpersist(); feats.unpersist()
   }
 
+  test("multimodal resize: exact dims, uniform image preserved exactly, pass-through") {
+    // a hand-built 6x4 uniform gray PNG: every pooled cell must equal
+    // the source value, so the resized mean is EXACT (no imbalance)
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val out = Multimodal.resizeEncode(baos.toByteArray, 4, 4).get
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xffffff) == 0x808080)
+    // non-decodable bytes -> None; DataFrame form passes non-images through
+    assert(Multimodal.resizeEncode("junk".getBytes, 4, 4).isEmpty)
+    val media = Multimodal.syntheticEncodedMedia(docs)
+    val rs = Multimodal.resizeImages(spark, media, 4, 4).cache()
+    assert(rs.count() == media.count())
+    assert(rs.filter(col("modality") === "image" && !col("resized")).isEmpty)
+    assert(rs.filter(col("modality") =!= "image" && col("resized")).isEmpty)
+    rs.unpersist()
+  }
+
   test("multimodal decode: schema, determinism, batch plumbing") {
     val media = Multimodal.syntheticMedia(docs)
     val f1 = Multimodal.decodeFeatures(spark, media, featDim = 16, batchSize = 32)
