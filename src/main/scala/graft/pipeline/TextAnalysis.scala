@@ -1206,15 +1206,21 @@ object TextAnalysis {
     * immune to repartitioning — the property that matters when the
     * split must stay stable across pipeline re-runs at 100 TB. */
   def splitAssign(df: DataFrame, pTrain: Double = 0.8, pVal: Double = 0.1,
-                  idCol: String = "doc_id", seed: Long = 42): DataFrame = {
+                  idCol: String = "doc_id", seed: Long = 42): DataFrame =
+    df.select(col(idCol), splitLabel(col(idCol), pTrain, pVal, seed).as("split"))
+
+  /** The split label as a pure Column — the form a streaming ingest
+    * stamps per-row without a join or state (see
+    * [[graft.streaming.DocsStream.splitOnIngest]]). */
+  def splitLabel(id: Column, pTrain: Double = 0.8, pVal: Double = 0.1,
+                 seed: Long = 42): Column = {
     require(pTrain > 0 && pVal >= 0 && pTrain + pVal < 1.0,
       s"need 0 < pTrain, 0 <= pVal, pTrain+pVal < 1, got $pTrain/$pVal")
     val u = md5(concat_ws(":", lit("split"), lit(seed.toString),
-      col(idCol).cast("string")))
-    df.select(col(idCol),
-      when(u < lit(hexThreshold(pTrain)), "train")
-        .when(u < lit(hexThreshold(pTrain + pVal)), "val")
-        .otherwise("test").as("split"))
+      id.cast("string")))
+    when(u < lit(hexThreshold(pTrain)), "train")
+      .when(u < lit(hexThreshold(pTrain + pVal)), "val")
+      .otherwise("test")
   }
 
   /** Gini coefficient of the per-document token-count distribution

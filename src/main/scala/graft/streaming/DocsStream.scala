@@ -142,6 +142,19 @@ object DocsStream {
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
   }
 
+  /** Split-routing on ingest: every arriving document gets its
+    * deterministic train/val/test label ([[graft.pipeline.TextAnalysis
+    * .splitAssign]]'s md5 bucketing) the moment it lands — the
+    * pattern that lets a live ingest write three output streams whose
+    * membership is identical to what the nightly batch job (q143)
+    * would assign, because the hash depends only on the id. Stateless
+    * narrow map: one plan serves batch and readStream, no state store,
+    * no shuffle. */
+  def splitOnIngest(docs: DataFrame, pTrain: Double = 0.8,
+                    pVal: Double = 0.1): DataFrame =
+    docs.withColumn("split",
+      graft.pipeline.TextAnalysis.splitLabel(col("doc_id"), pTrain, pVal))
+
   /** Windowed trending-term counts over the ingest stream — the live
     * twin of [[graft.pipeline.TextAnalysis.topKNgrams]]'s n=1 case: a
     * curator watches which terms surge per ingest window (a scraping

@@ -361,6 +361,27 @@ class GraphFeaturesSpec extends SparkSpec {
     assert(GraphFeatures.kTruss(spark, chain, k = 3).count() == 5)
   }
 
+  test("kTruss canonicalizes reversed/duplicated edges and drops self-loops") {
+    import spark.implicits._
+    // K4 fed as a mix of reversed and duplicated pairs + a self-loop:
+    // canonicalization must recover the clean K4 result (6 edges at k=4)
+    val messy = Seq((1L, 0L), (0L, 1L), (2L, 0L), (0L, 3L), (2L, 1L),
+      (1L, 3L), (3L, 2L), (2L, 3L), (2L, 2L)).toDF("src", "dst")
+    val got = GraphFeatures.kTruss(spark, messy, k = 4)
+    assert(got.count() == 6)
+    assert(got.filter(col("src") >= col("dst")).isEmpty)
+  }
+
+  test("kTruss refuses to return a non-converged superset") {
+    // maxRounds = 1 on the two-triangle chain: round 1 peels the
+    // support-1 edges but the middle edge still needs another round —
+    // the loud contract throws instead of returning the superset
+    val chain = edges((20L, 21L), (20L, 22L), (21L, 22L), (21L, 23L), (22L, 23L))
+    intercept[IllegalStateException] {
+      GraphFeatures.kTruss(spark, chain, k = 4, maxRounds = 1)
+    }
+  }
+
   test("modularity: caveman clique partition is 1 - 1/l; one community is 0") {
     val g = Generators.caveman(spark, 5, 6)
     val cliqueLabels = GraphOps.vertices(g)

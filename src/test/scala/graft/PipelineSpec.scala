@@ -1451,6 +1451,32 @@ class PipelineSpec extends SparkSpec {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming split routing equals the batch split assignment, row for row") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val dir = java.nio.file.Files.createTempDirectory("docs_split").toString
+    def ts(min: Int) = new java.sql.Timestamp(3600000L * 24 + min * 60000L)
+    val rows = (1L to 200L).map(i => (i, s"doc number $i", ts(i.toInt % 60)))
+    rows.toDF("doc_id", "text", "ingest_ts").coalesce(2)
+      .write.parquet(s"$dir/b0.parquet")
+    val q = DocsStream.splitOnIngest(
+      spark.readStream.schema(DocsStream.rawSchema)
+        .parquet(s"$dir/*.parquet"))
+      .writeStream.format("memory").queryName("docs_split")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("docs_split").select("doc_id", "split")
+    val batch = graft.pipeline.TextAnalysis.splitAssign(
+      rows.toDF("doc_id", "text", "ingest_ts").select("doc_id"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // all three splits populated at n=200, and proportions are sane
+    val counts = streamed.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 120 && counts("train") < 190)
+  }
+
   test("streaming sessionization equals the batch session_window") {
     val batch = EventsStream.sessions(Tables.events(spark, sf)).cache()
     assert(batch.count() > 0)
