@@ -1223,6 +1223,55 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** Pairwise source VOCABULARY overlap: |A|, |B|, |A∩B| and Jaccard
+    * over distinct token sets — the set-theoretic companion to
+    * [[jsDivergence]]'s distributional distance ("do these sources
+    * even share words?" before "do they use them alike?"). The
+    * intersection comes from a term-keyed self-join of the distinct
+    * (source, term) table: each term's posting list is the ≤|sources|
+    * sources containing it, so the join emits at most |sources|²/2
+    * rows per term — vocabulary-bound, never corpus-bound. */
+  def sourceOverlap(df: DataFrame, sourceCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val st = df.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = st.select(col("source").as("src_a"), col("term"))
+      .join(st.select(col("source").as("src_b"), col("term")), "term")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))),
+        "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("n_common"),
+        round(col("n_common") /
+          (col("na") + col("nb") - col("n_common")), 6).as("jaccard"))
+  }
+
+  /** Per-source distinct-token audit: the exact count beside Spark's
+    * HLL++ `approx_count_distinct`, with the sketch's accuracy as a
+    * pinned boolean (|est − exact| ≤ 3·rsd·exact — three standard
+    * errors of the configured sketch, deterministic for fixed data).
+    * The exact side is the oracle-replayable column; the estimate is
+    * what survives at 100 TB where exact count-distinct's Expand
+    * blow-up doesn't (the q84/q115 reasoning, now per group). */
+  def hllDistinctAudit(df: DataFrame, rsd: Double = 0.05,
+                       sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source")
+      .agg(countDistinct(col("term")).as("n_distinct"),
+        approx_count_distinct(col("term"), rsd).as("_est"))
+      .select(col("source"), col("n_distinct"),
+        (abs(col("_est") - col("n_distinct")) <=
+          lit(3 * rsd) * col("n_distinct")).as("hll_ok"))
+
   /** Gini coefficient of the per-document token-count distribution
     * within each source — the corpus-inequality diagnostic ("is this
     * source a few huge documents or many small ones?") that decides

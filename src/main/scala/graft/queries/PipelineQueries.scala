@@ -578,6 +578,18 @@ object PipelineQueries {
           (col("gz_bytes") >= 20).as("overhead_floor_ok"))
         .orderBy("doc_id")),
 
+    // Pairwise source vocabulary overlap (exact set algebra). Exact
+    // oracle.
+    "q147_source_overlap" -> ((s, d) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, d))
+        .orderBy("src_a", "src_b")),
+
+    // Per-source HLL distinct audit: exact count (oracle-replayed)
+    // beside approx_count_distinct with its 3σ accuracy pinned.
+    "q148_hll_by_source" -> ((s, d) =>
+      TextAnalysis.hllDistinctAudit(Tables.documents(s, d))
+        .orderBy("source")),
+
     // Image resize (area-average → PNG re-encode) with invariant
     // oracle: resized payloads must decode at the requested dims and
     // track the global luma mean within 0.1 — pooling preserves the
@@ -675,6 +687,32 @@ object PipelineQueries {
     "q24_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Identical distinct-set algebra over the (source, term) table.
+    "q147_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, unnest(list_filter(
+        |    string_split(text, ' '), w -> len(w) > 0)) AS term
+        |  FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_common
+        |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, CAST(na.n AS BIGINT) AS na,
+        |  CAST(nb.n AS BIGINT) AS nb, CAST(i.n_common AS BIGINT)
+        |    AS n_common,
+        |  round(i.n_common / (na.n + nb.n - i.n_common), 6) AS jaccard
+        |FROM i JOIN sz na ON i.src_a = na.source
+        |  JOIN sz nb ON i.src_b = nb.source""".stripMargin,
+
+    // Exact per-source distinct + the sketch-accuracy boolean pinned.
+    "q148_hll_by_source" ->
+      """WITH st AS (SELECT DISTINCT source, unnest(list_filter(
+        |    string_split(text, ' '), w -> len(w) > 0)) AS term
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  TRUE AS hll_ok
+        |FROM st GROUP BY 1""".stripMargin,
 
     // Resize invariant oracle on the enumerable image slice.
     "q145_resize" ->

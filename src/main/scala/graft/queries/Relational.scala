@@ -40,6 +40,12 @@ object Relational {
     "q144_max_drawdown" -> ((s, d) =>
       Temporal.maxDrawdown(Tables.events(s, d)).orderBy("user_id")),
 
+    // Daily per-type volume spike detection (trailing-7-day z-score,
+    // |z| > 3 flags). Exact oracle.
+    "q146_volume_anomaly" -> ((s, d) =>
+      Temporal.volumeAnomaly(Tables.events(s, d))
+        .orderBy("event_type", "day")),
+
     "q01_filter_project" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
@@ -544,6 +550,27 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Identical daily aggregate and trailing ROWS frame; the sd > 0
+    // guard keeps the zero-spread branch NULL in both engines.
+    "q146_volume_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE)
+        |    AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cnt,
+        |  avg(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu,
+        |  stddev_samp(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd
+        |  FROM d)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(cnt AS BIGINT) AS cnt,
+        |  CASE WHEN sd IS NOT NULL
+        |    THEN round((cnt - mu) / greatest(sd, 1.0), 6) END AS z,
+        |  coalesce(CASE WHEN sd IS NOT NULL
+        |    THEN abs((cnt - mu) / greatest(sd, 1.0)) > 3.0 END,
+        |    FALSE) AS is_anomaly
+        |FROM w""".stripMargin,
+
     // Identical stacked running-sum / running-max windows.
     "q144_max_drawdown" ->
       """WITH c AS (

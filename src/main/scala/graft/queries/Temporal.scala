@@ -364,6 +364,39 @@ object Temporal {
         round(col("n_active") / col("cohort_size"), 6).as("retention"))
   }
 
+  /** Daily-volume spike detection per event type: a trailing-window
+    * z-score of each day's event count against the previous seven days
+    * (ROWS 7 PRECEDING .. 1 PRECEDING — the current day never smooths
+    * its own spike), flagged at |z| > 3. The ops-monitoring classic;
+    * one (type, day) aggregate + one ordered window per type. Days
+    * with fewer than 2 trailing observations have no defined z and are
+    * never flagged. */
+  def volumeAnomaly(events: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts", zThresh: Double = 3.0): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        date_trunc("day", col(tsCol)).cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("_mu", avg(col("cnt")).over(w))
+      .withColumn("_sd", stddev_samp(col("cnt")).over(w))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"),
+        // denominator floored at 1 count so a spike over a CONSTANT
+        // baseline (sd = 0, the classic on-call case) still flags —
+        // and the explicit floor also keeps both engines off the
+        // divide-by-zero branch (NULL in Spark, ±inf in DuckDB). z is
+        // null only when the trailing window has < 2 observations.
+        when(col("_sd").isNotNull, round((col("cnt") - col("_mu")) /
+          greatest(col("_sd"), lit(1.0)), 6)).as("z"),
+        coalesce(when(col("_sd").isNotNull,
+          abs((col("cnt") - col("_mu")) /
+            greatest(col("_sd"), lit(1.0))) > zThresh),
+          lit(false)).as("is_anomaly"))
+  }
+
   /** Maximum drawdown per key: treat the ordered `valCol` stream as
     * increments of an equity curve (running sum), track the running
     * peak, and report the deepest peak-to-trough drop — the classic

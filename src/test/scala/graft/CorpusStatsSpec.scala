@@ -236,6 +236,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(got(("b1", "b2")) - math.log(2)) < 1e-6)
   }
 
+  test("sourceOverlap: hand-computed set algebra") {
+    val docs = Seq(
+      (1L, "A", "a b c"), (2L, "A", "c d"),      // A = {a,b,c,d}
+      (3L, "B", "c d e"),                        // B = {c,d,e}
+      (4L, "C", "x y"))                          // C = {x,y} (disjoint)
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got(("A", "B")) == ((4L, 3L, 2L, 0.4)))   // {c,d}, 2/(4+3-2)
+    assert(!got.contains(("A", "C")))                 // no shared term row
+    assert(!got.contains(("B", "C")))
+  }
+
+  test("hllDistinctAudit: exact counts and sketch accuracy on a small vocab") {
+    val docs = Seq((1L, "A", "a b c a"), (2L, "B", "x y"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.hllDistinctAudit(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got("A") == ((3L, true)) && got("B") == ((2L, true)))
+  }
+
   test("compressRatio: repetitive text deflates, tiny text pays the header") {
     val docs = Seq((1L, "ab " * 300), (2L, "q"))
       .toDF("doc_id", "text")

@@ -242,6 +242,38 @@ class TemporalSpec extends SparkSpec {
     // identity: prev n_active = n_retained + n_churned on every row
   }
 
+  test("volumeAnomaly: planted spike flagged, current day excluded from its window") {
+    import spark.implicits._
+    // type t: 8 steady days of 10 events, then a day of 100 — z huge.
+    // The spike day must not smooth itself (ROWS ..1 PRECEDING).
+    val ev = (for {
+      d <- 1 to 9
+      i <- 1 to (if (d == 9) 100 else 10)
+    } yield (s"2024-01-0$d 00:${i % 60}:00", "t")) ++
+      // a second type with CONSTANT volume: sd = 0 -> z null, never flagged
+      (for (d <- 1 to 9; i <- 1 to 5)
+        yield (s"2024-01-0$d 01:0$i:00", "u"))
+    val df = ev.toDF("s", "event_type")
+      .select(col("s").cast("timestamp").as("ts"), col("event_type"))
+    val got = Temporal.volumeAnomaly(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    val spike = got(("t", "2024-01-09"))
+    // constant baseline: sd = 0 -> denominator floors at 1 -> z = 90
+    assert(spike._1 == 100L && spike._2.contains(90.0) && spike._3,
+      s"spike must flag: $spike")
+    // steady days never flag; first day has no window -> z null, and
+    // day 2 has a single trailing observation -> sd null -> z null
+    assert(!got(("t", "2024-01-05"))._3)
+    assert(got(("t", "2024-01-01"))._2.isEmpty)
+    assert(got(("t", "2024-01-02"))._2.isEmpty)
+    // zero-spread type: z = 0 under the floored denominator, never flagged
+    (3 to 9).foreach { d =>
+      val r = got(("u", s"2024-01-0$d"))
+      assert(r._2.contains(0.0) && !r._3)
+    }
+  }
+
   test("maxDrawdown: hand-computed peak-to-trough; monotone curve has 0") {
     import spark.implicits._
     def ts(s: String) = s
