@@ -272,9 +272,10 @@ object PipelineQueries {
         .forall { case (a, b) => a >= b - 1e-12 } &&
         model.explainedVariance.forall(_ >= -1e-9)
       val full = graft.linalg.Pca.transform(e, model, "v").cache()
+      val vars = full.agg(var_pop(col("pc")(0)), var_pop(col("pc")(1)),
+        var_pop(col("pc")(2)), var_pop(col("pc")(3))).collect()(0)
       val varsOk = model.explainedVariance.indices.forall { k =>
-        val v = full.agg(var_pop(col("pc")(k))).collect()(0).getDouble(0)
-        math.abs(v - model.explainedVariance(k)) <=
+        math.abs(vars.getDouble(k) - model.explainedVariance(k)) <=
           1e-6 * math.max(1.0, model.explainedVariance(k))
       }
       full.filter(col("vec_id") < 100)
