@@ -1197,6 +1197,37 @@ object TextAnalysis {
       .withColumn("qnorm", round(percent_rank().over(w), 6))
   }
 
+  /** Per-group winsorization audit: each group's `valCol` is clamped
+    * to its own [lo, hi] exact quantiles (linear interpolation — the
+    * `percentile` ≡ `quantile_cont` definition) and the group reports
+    * raw vs winsorized means beside the clamp bounds — the outlier-
+    * robust summary a corpus-stats pass emits per source before
+    * length-based filtering is tuned.
+    *
+    * Shape: one group-keyed exact-percentile aggregate (per-group
+    * state bounded by that group's distinct values — the q67 length-
+    * quantiles contract), broadcast back onto the rows (≤|groups|
+    * rows), and one group-keyed mean aggregate. The table is scanned
+    * twice, shuffled only on the group key. At sketch-tolerant scale
+    * swap the exact percentile for approx_percentile unchanged. */
+  def winsorizedStats(df: DataFrame, groupCol: String = "source",
+                      valCol: String = "n_chars",
+                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad quantile range [$lo, $hi]")
+    val v = df.select(col(groupCol).as("grp"), col(valCol).cast("double").as("_v"))
+    val qs = v.groupBy("grp").agg(
+      percentile(col("_v"), lit(lo)).as("_plo"),
+      percentile(col("_v"), lit(hi)).as("_phi"))
+    v.join(broadcast(qs), "grp")
+      .withColumn("_w", greatest(col("_plo"), least(col("_phi"), col("_v"))))
+      .groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(first(col("_plo")), 6).as("p_lo"),
+        round(first(col("_phi")), 6).as("p_hi"),
+        round(avg(col("_v")), 6).as("mean_raw"),
+        round(avg(col("_w")), 6).as("mean_winsorized"))
+  }
+
   /** Deterministic stratified train/val/test split: every document
     * draws u = md5("split:"‖doc_id) and lands in train below the
     * `pTrain` hex threshold, val below `pTrain+pVal`, else test —

@@ -579,6 +579,13 @@ object PipelineQueries {
           (col("gz_bytes") >= 20).as("overhead_floor_ok"))
         .orderBy("doc_id")),
 
+    // Per-source winsorized length stats (p05/p95 clamp — outlier-
+    // robust corpus summary). Exact oracle: percentile ≡ quantile_cont
+    // on integer-valued doubles.
+    "q151_winsorize" -> ((s, d) =>
+      TextAnalysis.winsorizedStats(Tables.documents(s, d))
+        .orderBy("source")),
+
     // Pairwise source vocabulary overlap (exact set algebra). Exact
     // oracle.
     "q147_source_overlap" -> ((s, d) =>
@@ -792,6 +799,20 @@ object PipelineQueries {
         |      ELSE 0 END), 6) AS jsd,
         |  CAST(count(*) AS BIGINT) AS n_terms_union
         |FROM grid GROUP BY 1, 2""".stripMargin,
+
+    // Identical clamp-at-quantile arithmetic; quantile_cont matches
+    // Spark's exact percentile (linear interpolation at p·(n−1)).
+    "q151_winsorize" ->
+      """WITH v AS (SELECT source AS grp, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents),
+        |q AS (SELECT grp, quantile_cont(v, 0.05) AS plo,
+        |    quantile_cont(v, 0.95) AS phi
+        |  FROM v GROUP BY 1)
+        |SELECT grp AS source, count(*) AS n_rows,
+        |  round(plo, 6) AS p_lo, round(phi, 6) AS p_hi,
+        |  round(avg(v), 6) AS mean_raw,
+        |  round(avg(greatest(plo, least(phi, v))), 6) AS mean_winsorized
+        |FROM v JOIN q USING (grp) GROUP BY grp, plo, phi""".stripMargin,
 
     // gzip invariant oracle: exact byte counts, bound booleans pinned.
     "q139_compress_ratio" ->

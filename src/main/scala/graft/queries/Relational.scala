@@ -46,6 +46,36 @@ object Relational {
       Temporal.volumeAnomaly(Tables.events(s, d))
         .orderBy("event_type", "day")),
 
+    // Autocorrelation of the daily revenue series at lags 1..7 (the
+    // lagged-scatter correlogram — see Temporal.acf). Exact oracle.
+    "q149_acf" -> ((s, d) =>
+      Temporal.acf(Tables.events(s, d), maxLag = 7).orderBy("lag")),
+
+    // Benford first-significant-digit audit of order totals — the
+    // fraud/data-quality screen: observed digit frequencies vs the
+    // Benford expectation log10(1 + 1/d), with the per-digit X²
+    // contribution. The first digit is extracted through exact integer
+    // arithmetic (floor → bigint → leading decimal char), never
+    // through log10-of-the-value, so the bucketing is bit-identical in
+    // both engines. One 9-bucket hash aggregate + a broadcast 1-row
+    // total; the fact scan reads a single column.
+    "q150_benford" -> ((s, d) => {
+      val digits = Tables.orders(s, d)
+        .filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      val tot = digits.agg(count(lit(1)).cast("double").as("_t"))
+      val expFreq = log10(lit(1.0) + lit(1.0) / col("digit"))
+      digits.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("_t"), 6).as("obs_freq"),
+          round(expFreq, 6).as("benford_freq"),
+          round(pow(col("n") - expFreq * col("_t"), 2) /
+            (expFreq * col("_t")), 6).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
     "q01_filter_project" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
@@ -586,6 +616,46 @@ object Relational {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(max(peak - cum), 6) AS max_drawdown
         |FROM k GROUP BY 1""".stripMargin,
+
+    // Identical daily aggregate, lag shifts, and pairwise corr; the
+    // daily sum is rounded before corr so summation order can't leak.
+    "q149_acf" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(sum(value), 6) AS v
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT v,
+        |  lag(v, 1) OVER (ORDER BY day) AS l1,
+        |  lag(v, 2) OVER (ORDER BY day) AS l2,
+        |  lag(v, 3) OVER (ORDER BY day) AS l3,
+        |  lag(v, 4) OVER (ORDER BY day) AS l4,
+        |  lag(v, 5) OVER (ORDER BY day) AS l5,
+        |  lag(v, 6) OVER (ORDER BY day) AS l6,
+        |  lag(v, 7) OVER (ORDER BY day) AS l7
+        |  FROM d),
+        |u AS (
+        |  SELECT 1 AS lag, v, l1 AS lk FROM l
+        |  UNION ALL SELECT 2, v, l2 FROM l
+        |  UNION ALL SELECT 3, v, l3 FROM l
+        |  UNION ALL SELECT 4, v, l4 FROM l
+        |  UNION ALL SELECT 5, v, l5 FROM l
+        |  UNION ALL SELECT 6, v, l6 FROM l
+        |  UNION ALL SELECT 7, v, l7 FROM l)
+        |SELECT lag, count(*) AS n_pairs, round(corr(v, lk), 6) AS acf
+        |FROM u WHERE lk IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // Same exact-integer digit extraction and closed-form expectation.
+    "q150_benford" ->
+      """WITH g AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM g),
+        |c AS (SELECT digit, count(*) AS n FROM g GROUP BY 1)
+        |SELECT digit, n, round(n / t, 6) AS obs_freq,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+        |  round(pow(n - log10(1.0 + 1.0 / digit) * t, 2)
+        |    / (log10(1.0 + 1.0 / digit) * t), 6) AS chi2_term
+        |FROM c, t""".stripMargin,
 
     // The UNSALTED aggregate — equality proves the salted two-stage
     // dataflow is result-identical.

@@ -397,6 +397,38 @@ object Temporal {
           lit(false)).as("is_anomaly"))
   }
 
+  /** Autocorrelation function of the daily-aggregated series at lags
+    * `1..maxLag`: the series is the per-day sum of `valCol`, and each
+    * lag's coefficient is the Pearson correlation between the series
+    * and its k-day shift over the pairs where both exist (the lagged-
+    * scatter correlogram — the seasonality/trend screen a metrics
+    * pipeline runs before fitting anything).
+    *
+    * Shape: one (day) hash aggregate reduces the raw stream to ≤#days
+    * rows, ONE unpartitioned window sort computes all `maxLag` shifts
+    * in a single pass (bounded by the calendar, never by the corpus —
+    * the q125 contract), a `stack` unpivot turns the shifts into
+    * (lag, x, y) pairs, and a lag-keyed `corr` aggregate emits one row
+    * per lag. The raw events are touched exactly once. */
+  def acf(events: DataFrame, tsCol: String = "ts", valCol: String = "value",
+          maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"acf needs maxLag >= 1, got $maxLag")
+    val daily = events
+      .groupBy(date_trunc("day", col(tsCol)).cast("date").as("_day"))
+      .agg(round(sum(col(valCol)), 6).as("_v"))
+    val w = Window.orderBy(col("_day"))
+    val lagged = (1 to maxLag).foldLeft(daily)((df, k) =>
+      df.withColumn(s"_l$k", lag(col("_v"), k).over(w)))
+    val pairs = (1 to maxLag).map(k => s"$k, _l$k").mkString(", ")
+    lagged
+      .select(col("_v"),
+        expr(s"stack($maxLag, $pairs) AS (lag, _lk)"))
+      .filter(col("_lk").isNotNull)
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("_v"), col("_lk")), 6).as("acf"))
+  }
+
   /** Maximum drawdown per key: treat the ordered `valCol` stream as
     * increments of an equity curve (running sum), track the running
     * peak, and report the deepest peak-to-trough drop — the classic

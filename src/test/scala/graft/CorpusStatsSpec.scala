@@ -250,6 +250,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!got.contains(("B", "C")))
   }
 
+  test("winsorizedStats: hand-computed interpolated clamp bounds") {
+    // group A: 1..9 plus outlier 1000 (n=10). p05 rank = 0.45 → 1.45;
+    // p95 rank = 8.55 → 9 + 0.55·(1000−9) = 554.05. Clamped mean:
+    // (1.45 + (2+..+9) + 554.05)/10 = 59.95; raw mean 104.5.
+    val docs = ((1 to 9).map(i => (i.toLong, "A", i.toLong)) :+
+      (10L, "A", 1000L)).toDF("doc_id", "source", "n_chars")
+    val r = TextAnalysis.winsorizedStats(docs).collect().head
+    assert(r.getString(0) == "A" && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 1.45 && r.getDouble(3) == 554.05)
+    assert(r.getDouble(4) == 104.5 && r.getDouble(5) == 59.95)
+  }
+
   test("hllDistinctAudit: exact counts and sketch accuracy on a small vocab") {
     val docs = Seq((1L, "A", "a b c a"), (2L, "B", "x y"))
       .toDF("doc_id", "source", "text")

@@ -62,6 +62,20 @@ class RelationalSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q150 benford: digit partition is exact and frequencies close") {
+    val rows = SparkEntry.queries("q150_benford")(spark, sf).collect()
+    val digits = rows.map(_.getAs[Int]("digit"))
+    assert(digits.toSet.subsetOf((1 to 9).toSet) && digits.distinct.length == digits.length)
+    val nTotal = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 1.0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nTotal)
+    assert(math.abs(rows.map(_.getAs[Double]("obs_freq")).sum - 1.0) < 1e-4)
+    // the digit-1 expectation is the Benford constant log10(2)
+    val d1 = rows.find(_.getAs[Int]("digit") == 1).get
+    assert(d1.getAs[Double]("benford_freq") == 0.30103)
+    assert(rows.forall(_.getAs[Double]("chi2_term") >= 0.0))
+  }
+
   test("q84 approx distinct stays within the 5pct invariant") {
     val rows = SparkEntry.queries("q84_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)

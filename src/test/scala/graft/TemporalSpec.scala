@@ -274,6 +274,23 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("acf: alternating daily series has acf(1) = -1, acf(2) = +1") {
+    import spark.implicits._
+    // 10 days alternating 1, 5: lag-1 pairs are (5,1)/(1,5) → corr -1;
+    // lag-2 pairs are (1,1)/(5,5) → corr +1; n_pairs = 10 - lag
+    val ev = (0 until 10).map { i =>
+      (i.toLong, f"2024-01-${i + 1}%02d 12:00:00",
+        if (i % 2 == 0) 1.0 else 5.0)
+    }.toDF("event_id", "s", "value")
+      .select(col("event_id"), col("s").cast("timestamp").as("ts"),
+        col("value"))
+    val got = Temporal.acf(ev, maxLag = 3).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1) == ((9L, -1.0)))
+    assert(got(2) == ((8L, 1.0)))
+    assert(got(3) == ((7L, -1.0)))
+  }
+
   test("maxDrawdown: hand-computed peak-to-trough; monotone curve has 0") {
     import spark.implicits._
     def ts(s: String) = s
