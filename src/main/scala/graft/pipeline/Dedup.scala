@@ -108,6 +108,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Per-document duplicated n-gram statistics — the substring-level
+    * duplication signal (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): every word n-gram is counted
+    * across the whole corpus, and each document reports how many of
+    * its n-grams occur more than once corpus-wide (boilerplate
+    * headers, within-doc loops, mirrored passages all light up). Where
+    * [[passageDedup]] removes whole duplicated passages, this SCORES
+    * each document's duplication load so a quality budget can rank on
+    * it. Documents with fewer than `n` words have no n-grams and are
+    * absent from the output (both engines agree by construction).
+    *
+    * Shape: a bounded per-doc n-gram explode (|words| − n + 1 rows), a
+    * gram-keyed partial+final count (a 10⁹-replica boilerplate gram
+    * combines map-side — hot keys never concentrate raw rows), one
+    * gram-keyed equi-join back (1:1 against the count table — no
+    * posting-list self-join, so no df² blowup to valve), and a doc-
+    * keyed aggregate. At 100 TB swap the raw gram join key for
+    * xxhash64(gram) unchanged (collisions only overcount dups by
+    * ~2⁻⁶⁴). */
+  def dupNgramStats(docs: DataFrame, n: Int = 10, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"dupNgramStats needs n >= 2, got $n")
+    val grams = docs
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), w => length(w) > 0).as("_ws"))
+      .filter(size(col("_ws")) >= n)
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, size(_ws) - $n),
+           |  i -> array_join(slice(_ws, i + 1, $n), ' '))""".stripMargin))
+        .as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("_cnt"))
+    grams.join(counts, "gram")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_cnt") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_grams") / col("n_grams").cast("double"), 6))
+  }
+
   /** All-pairs set-similarity self-join with PREFIX FILTERING (the
     * AllPairs/PPJoin candidate pruning — Bayardo, Ma & Srikant 2007,
     * "Scaling Up All Pairs Similarity Search"): Jaccard ≥ `threshold`

@@ -152,6 +152,54 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Sparse TF-IDF cosine similarity join via an inverted index: pairs
+    * of documents whose TF-IDF vectors (tf · smooth-idf, the
+    * [[tfidfTopK]] weighting) have cosine ≥ `threshold`, computed
+    * without ever materializing dense vectors — the dot product is a
+    * term-keyed posting-list self-join (Σ w_a·w_b over SHARED terms
+    * only), the norms are per-doc aggregates. This is the lexical
+    * near-dup/mirror detector that complements [[graft.pipeline
+    * .Similarity]]'s embedding-space cosine: no model, exact, and
+    * SQL-replayable.
+    *
+    * Terms with document frequency above `maxDocFreq` are dropped from
+    * the space BEFORE norms are taken (norms and dots see the same
+    * capped vocabulary, so the score is a true cosine in that space):
+    * stop terms carry ~zero idf weight but df² posting-list join cost
+    * — the [[graft.pipeline.Dedup.jaccardPairs]] stop-shingle trade,
+    * applied to the weighted space. Shuffles: two term-keyed
+    * aggregates, one term-keyed self-join bounded by Σ df² over KEPT
+    * terms, two id-keyed norm joins. */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.3,
+                       maxDocFreq: Long = 100L,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val w = tf.join(dfreq, "term")
+      .select(col("id"), col("term"),
+        (col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0))
+          .as("w"))
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val dots = w.select(col("term"), col("id").as("id_a"), col("w").as("wa"))
+      .join(w.select(col("term"), col("id").as("id_b"), col("w").as("wb")),
+        "term")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("norm").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("norm").as("nb")), "id_b")
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Character-level Shannon entropy per document (bits/char) — the
     * classic cheap degenerate-text detector: base64 blobs and
     * one-char spam sit far from natural language's ~4 bits.

@@ -586,6 +586,20 @@ object PipelineQueries {
       TextAnalysis.winsorizedStats(Tables.documents(s, d))
         .orderBy("source")),
 
+    // Per-doc duplicated word-8-gram load (substring-level dup signal,
+    // Lee et al. 2022). Exact oracle: identical gram construction.
+    "q152_dup_ngrams" -> ((s, d) =>
+      Dedup.dupNgramStats(Tables.documents(s, d), n = 8)
+        .orderBy("doc_id")),
+
+    // Sparse TF-IDF cosine pairs via inverted-index join (lexical
+    // mirror detector). Exact oracle replaying the same weighted
+    // posting-list algebra.
+    "q153_tfidf_cosine" -> ((s, d) =>
+      TextAnalysis.tfidfCosinePairs(Tables.documents(s, d),
+          threshold = 0.3, maxDocFreq = 100L)
+        .orderBy("id_a", "id_b")),
+
     // Pairwise source vocabulary overlap (exact set algebra). Exact
     // oracle.
     "q147_source_overlap" -> ((s, d) =>
@@ -799,6 +813,46 @@ object PipelineQueries {
         |      ELSE 0 END), 6) AS jsd,
         |  CAST(count(*) AS BIGINT) AS n_terms_union
         |FROM grid GROUP BY 1, 2""".stripMargin,
+
+    // Identical word-8-gram slide and corpus-wide count join; docs
+    // shorter than 8 words drop out of both engines by construction.
+    "q152_dup_ngrams" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    array_to_string(list_slice(ws, i.i + 1, i.i + 8), ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(range(0, len(ws) - 7)) AS i) i),
+        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_grams,
+        |  round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+        |FROM g JOIN c USING (gram) GROUP BY 1""".stripMargin,
+
+    // Identical df-capped TF-IDF space: smooth idf, norms over the
+    // capped vocabulary, dot via the term-keyed posting join.
+    "q153_tfidf_cosine" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |        HAVING count(*) <= 100),
+        |w AS (SELECT id, tf.term,
+        |    tf.tf * (ln((nd.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
+        |  FROM tf JOIN dfq USING (term), nd),
+        |nm AS (SELECT id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+        |d AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(dot / (na.norm * nb.norm), 6) AS cosine
+        |FROM d JOIN nm na ON d.id_a = na.id JOIN nm nb ON d.id_b = nb.id
+        |WHERE dot / (na.norm * nb.norm) >= 0.3""".stripMargin,
 
     // Identical clamp-at-quantile arithmetic; quantile_cont matches
     // Spark's exact percentile (linear interpolation at p·(n−1)).

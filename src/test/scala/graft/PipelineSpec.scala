@@ -36,6 +36,43 @@ class PipelineSpec extends SparkSpec {
     assert(hit(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("dupNgramStats: cross-doc and within-doc duplicated grams counted") {
+    import spark.implicits._
+    // docs 1/2 share trigram "a b c" (1 of each doc's 2 grams → 0.5);
+    // doc 3 repeats its own trigrams ("p q p"×2, "q p q"×2 → 1.0);
+    // doc 4 is unique (0.0); doc 5 is too short for any trigram
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a b c x"), (3L, "p q p q p q"),
+      (4L, "u v w"), (5L, "s t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupNgramStats(d, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 0.5)) && got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((4L, 4L, 1.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    assert(!got.contains(5L))
+  }
+
+  test("tfidfCosinePairs: identical docs score 1, disjoint docs absent") {
+    import spark.implicits._
+    val d = Seq((1L, "x y z"), (2L, "x y z"), (3L, "p q r"), (4L, "x q"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfCosinePairs(d, threshold = 0.05,
+        maxDocFreq = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    // 4 shares one term with each side, cosine strictly between 0 and 1
+    assert(got((1L, 4L)) > 0.0 && got((1L, 4L)) < 1.0)
+    assert(got((3L, 4L)) > 0.0 && got((3L, 4L)) < 1.0)
+    // df cap at 1 keeps only the df-1 terms (p, r) — no doc PAIR
+    // shares a surviving term, so the join yields nothing
+    val capped = TextAnalysis.tfidfCosinePairs(d, threshold = 0.05,
+      maxDocFreq = 1L).collect()
+    assert(capped.isEmpty)
+  }
+
   test("jaccard stop-shingle cap drops boilerplate but keeps near-dups") {
     import spark.implicits._
     // every doc shares the same boilerplate header (a hot shingle whose
