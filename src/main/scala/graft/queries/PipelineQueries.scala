@@ -497,6 +497,54 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // Video frame sampling (q34's decode ladder, per-FRAME): decode
+    // each y4m payload and emit every 2nd frame (everyMs=80 at 25
+    // fps), then audit per clip. Invariant oracle (the q34 pattern —
+    // frame counts are seed-random, so the CONTRACT is checked, not
+    // the draw): stride exactly 2 from frame 0, timestamps exactly
+    // idx·40 ms, lumas normalized to [0,1], and ⌈frames/2⌉ ∈ {2,3}
+    // sampled rows for the 3..6-frame clips. Narrow map over video
+    // rows + one media-keyed aggregate.
+    "q154_frame_sample" -> ((s, d) => {
+      val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
+      Multimodal.frameSampleDecoded(s, media, everyMs = 80)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("_n"),
+          (min(col("frame_idx")) === 0 &&
+            max(col("frame_idx")) === (count(lit(1)) - 1) * 2 &&
+            sum(pmod(col("frame_idx"), lit(2))) === 0).as("stride_ok"),
+          (sum(abs(col("frame_ms") - col("frame_idx") * 40L)) === 0)
+            .as("timing_ok"),
+          (min(col("luma_mean")) >= 0f && max(col("luma_mean")) <= 1f)
+            .as("luma_ok"))
+        .select(col("media_id"),
+          col("_n").between(2, 3).as("count_ok"),
+          col("stride_ok"), col("timing_ok"), col("luma_ok"))
+        .orderBy("media_id")
+    }),
+
+    // Audio feature extraction audit: decode each WAV payload and pin
+    // the PHYSICS of the planted signal — a pure sine at amplitude 0.5
+    // has RMS a/√2 ≈ 0.3536 (the Dirichlet-kernel partial-period
+    // residual stays under ±0.011 for every (freq, n) the generator
+    // draws, so [0.30, 0.41] has 4× headroom), zero-crossing rate
+    // ≈ 2f/fs ∈ [0.05, 0.49988] for f ∈ [200, 1999], and every
+    // envelope segment RMS sits in [0, 1]. A decode scale/endianness/
+    // channel regression moves RMS far outside the band. Invariant
+    // oracle; narrow map over audio rows only.
+    "q155_audio_features" -> ((s, d) => {
+      val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
+        .filter(col("modality") === "audio")
+      def feat(i: Int) = element_at(col("features"), i)
+      Multimodal.decodeFeatures(s, media, featDim = 16)
+        .select(col("media_id"), col("decoded"),
+          feat(3).between(0.30f, 0.41f).as("rms_ok"),
+          feat(4).between(0.04f, 0.51f).as("zcr_ok"),
+          expr("forall(slice(features, 5, 12), " +
+            "x -> x >= 0F AND x <= 1F)").as("env_ok"))
+        .orderBy("media_id")
+    }),
+
     // Corpus memorization audit: the k most frequent bigrams with their
     // occurrence and document frequencies (TakeOrderedAndProject cut).
     "q73_top_ngrams" -> ((s, d) =>
@@ -981,6 +1029,19 @@ object PipelineQueries {
     // 8 kHz mono + amplitude bound for audio, 25 fps × 40 ms frames
     // for video. Each property is a Spark-side boolean the oracle
     // pins TRUE.
+    // Frame-sampling contract booleans for the video third of the
+    // corpus (counts are seed-random → invariant oracle, q34 pattern).
+    "q154_frame_sample" ->
+      """SELECT doc_id AS media_id, TRUE AS count_ok, TRUE AS stride_ok,
+        |  TRUE AS timing_ok, TRUE AS luma_ok
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // Audio physics booleans for the audio third (sine RMS/ZCR bands).
+    "q155_audio_features" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded, TRUE AS rms_ok,
+        |  TRUE AS zcr_ok, TRUE AS env_ok
+        |FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+
     "q34_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -995,6 +995,17 @@ class PipelineSpec extends SparkSpec {
     assert(!out(2L).getBoolean(3) && !out(3L).getBoolean(3))
   }
 
+  test("q154/q155 media audits: every contract boolean holds on sf docs") {
+    val fs = SparkEntry.queries("q154_frame_sample")(spark, sf).collect()
+    assert(fs.nonEmpty)
+    assert(fs.forall(r => r.getBoolean(1) && r.getBoolean(2) &&
+      r.getBoolean(3) && r.getBoolean(4)))
+    val au = SparkEntry.queries("q155_audio_features")(spark, sf).collect()
+    assert(au.nonEmpty)
+    assert(au.forall(r => r.getBoolean(1) && r.getBoolean(2) &&
+      r.getBoolean(3) && r.getBoolean(4)))
+  }
+
   test("ngramRepetition: planted repeats give exact fractions, short docs zero") {
     import spark.implicits._
     val d = Seq(
