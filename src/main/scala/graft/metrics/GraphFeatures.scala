@@ -77,6 +77,107 @@ object GraphFeatures {
             .otherwise(lit(0.0)), 6).as("coeff"))
   }
 
+  /** Global transitivity: `3·#triangles / #wedges` with
+    * `#wedges = Σ_v deg(v)·(deg(v)−1)/2` — the one-number clustering
+    * summary beside [[localClustering]]'s per-vertex view. One
+    * triangle enumeration (the m^(3/2)-bounded [[triangles]] plan) and
+    * one degree aggregate; both collapse to single-row frames before
+    * the final broadcast-tiny cross join. Integer counts, one rounded
+    * double division — engine-exact. */
+  def transitivity(edges: DataFrame): DataFrame = {
+    val tri = triangles(edges).agg(count(lit(1)).as("n_triangles"))
+    val wedges = GraphOps.degrees(edges)
+      .agg(sum(expr("degree * (degree - 1) div 2")).as("n_wedges"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        round(when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .otherwise(lit(0.0)), 6).as("transitivity"))
+  }
+
+  /** Per-edge neighborhood Jaccard similarity:
+    * `|N(a)∩N(b)| / |N(a)∪N(b) − {a,b}|` for every edge (a,b) — the
+    * local-similarity score graph sparsification keeps top-k of
+    * (Satuluri et al. 2011): intra-community edges score high, bridges
+    * score ~0. The common-neighbor count per edge is exactly the
+    * number of triangles THROUGH that edge, so it reuses
+    * [[triangles]]' skew-bounded enumeration (explode each triangle to
+    * its three canonical edges + one pair-keyed count) instead of a
+    * raw wedge self-join — hub degrees never square. Two broadcast-
+    * eligible degree joins finish; edges on no triangle score 0. */
+  def edgeJaccard(edges: DataFrame): DataFrame = {
+    val deg = GraphOps.degrees(edges)
+    val common = triangles(edges)
+      .select(explode(array(
+        array(col("a"), col("b")), array(col("a"), col("c")),
+        array(col("b"), col("c")))).as("p"))
+      .select(least(col("p")(0), col("p")(1)).as("src"),
+        greatest(col("p")(0), col("p")(1)).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_common"))
+    edges.join(common, Seq("src", "dst"), "left_outer")
+      .na.fill(0L, Seq("n_common"))
+      .join(deg.select(col("id").as("src"), col("degree").as("_ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("_dd")), "dst")
+      .select(col("src"), col("dst"), col("n_common"),
+        round(when(col("_ds") + col("_dd") - 2 - col("n_common") > 0,
+          col("n_common") /
+            (col("_ds") + col("_dd") - 2 - col("n_common")).cast("double"))
+          .otherwise(lit(0.0)), 6).as("jaccard"))
+  }
+
+  /** Approximate neighborhood function via HyperBall (Boldi & Vigna
+    * 2013): per vertex and radius r ∈ [0, maxR], the estimated number
+    * of vertices within ≤ r hops, maintained as an HLL sketch per
+    * vertex that each round absorbs its neighbors' sketches — the
+    * O(m·maxR) sketch-merge dataflow that computes distance
+    * distributions and effective diameters on graphs where all-pairs
+    * BFS is unthinkable (registers per vertex are constant-size; the
+    * round is one vertex-keyed join + one vertex-keyed
+    * `hll_union_agg`).
+    *
+    * Beside the sketch, an EXACT ball twin (iterated distinct
+    * (vertex, member) pairs — Σ|ball| state, affordable on bounded
+    * test graphs, the q84/q88 exact-beside-sketch audit pattern) lets
+    * the output carry `anf_ok`: the HLL estimate within
+    * `max(1, tol·exact)` of truth. At 100 TB the sketch column IS the
+    * operator; the exact twin is the harness. Each round's states are
+    * lineage-checkpointed ([[graft.util.Iterate]]); handles stay
+    * persisted because every round contributes rows to the output. */
+  def neighborhoodFunction(spark: org.apache.spark.sql.SparkSession,
+                           edges: DataFrame, maxR: Int,
+                           lgK: Int = 12, tol: Double = 0.05): DataFrame = {
+    require(maxR >= 1, s"neighborhoodFunction needs maxR >= 1, got $maxR")
+    val adj = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val vertices = adj.select(col("src").as("id")).distinct()
+    var sk = vertices.groupBy("id")
+      .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
+    var ball = vertices.select(col("id"), col("id").as("u"))
+    val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def snapshot(r: Int): DataFrame =
+      sk.select(col("id"), hll_sketch_estimate(col("sk")).as("_est"))
+        .join(ball.groupBy("id").agg(count(lit(1)).as("ball_exact")), "id")
+        .select(col("id"), lit(r).as("r"), col("ball_exact"),
+          (abs(col("_est") - col("ball_exact")) <=
+            greatest(lit(1.0), lit(tol) * col("ball_exact"))).as("anf_ok"))
+    sk = graft.util.Iterate.checkpoint(spark, sk)._1
+    ball = graft.util.Iterate.checkpoint(spark, ball)._1
+    rounds += snapshot(0)
+    for (r <- 1 to maxR) {
+      val skMsgs = adj.join(sk.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("sk"))
+      sk = graft.util.Iterate.checkpoint(spark,
+        skMsgs.union(sk).groupBy("id")
+          .agg(hll_union_agg(col("sk")).as("sk")))._1
+      val ballMsgs = adj.join(ball.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("u"))
+      ball = graft.util.Iterate.checkpoint(spark,
+        ballMsgs.union(ball).distinct())._1
+      rounds += snapshot(r)
+    }
+    rounds.reduce(_ unionByName _)
+  }
+
   /** Link-prediction candidate scores for NON-adjacent vertex pairs
     * that share at least `minCommon` neighbors: common-neighbor count,
     * Jaccard overlap of neighborhoods, and Adamic–Adar

@@ -228,6 +228,28 @@ object GraphQueries {
     "q82_assortativity" -> ((s, d) =>
       graft.metrics.GraphFeatures.degreeAssortativity(lineitemGraph(s, d))),
 
+    // Global transitivity (3·triangles / wedges) — the one-number
+    // clustering summary beside q80's per-vertex coefficients.
+    "q156_transitivity" -> ((s, d) =>
+      graft.metrics.GraphFeatures.transitivity(lineitemGraph(s, d))),
+
+    // Per-edge neighborhood Jaccard (sparsification score): common
+    // neighbors = triangles through the edge, reusing the
+    // degree-oriented enumeration.
+    "q157_edge_jaccard" -> ((s, d) =>
+      graft.metrics.GraphFeatures.edgeJaccard(lineitemGraph(s, d))
+        .orderBy("src", "dst")),
+
+    // HyperBall approximate neighborhood function on the 12×10 grid:
+    // per (vertex, radius ≤ 4) the exact ball size (closed-form
+    // Manhattan oracle) and the HLL estimate's accuracy boolean — the
+    // sketch is the 100 TB path, the exact twin is the audit
+    // (q84/q88 pattern).
+    "q158_anf_hyperball" -> ((s, _) =>
+      graft.metrics.GraphFeatures.neighborhoodFunction(s,
+          Generators.roadNetwork(s, 12, 10), maxR = 4)
+        .orderBy("id", "r")),
+
     // Pure-DataFrame connected components (large-star/small-star
     // contraction, O(log n) rounds) — the Catalyst/AQE-native twin of
     // q18's GraphX route, same closed-form oracle.
@@ -605,6 +627,54 @@ object GraphQueries {
         |  UNION ALL
         |  SELECT ed.dst, paths.d + ed.w FROM paths JOIN ed ON ed.src = paths.id)
         |SELECT id, min(d) AS dist FROM paths GROUP BY id""".stripMargin,
+
+    // Same triangle set (plain a<b<c enumeration) over 3× + the
+    // degree-wedge sum; one rounded division.
+    "q156_transitivity" ->
+      s"""WITH $lineitemGraphSql,
+         |t AS (
+         |  SELECT count(*) AS tri
+         |  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+         |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |w AS (SELECT sum(degree * (degree - 1) // 2) AS wedges FROM deg)
+         |SELECT CAST(tri AS BIGINT) AS n_triangles,
+         |  CAST(wedges AS BIGINT) AS n_wedges,
+         |  round(CASE WHEN wedges > 0
+         |    THEN 3.0 * tri / wedges ELSE 0.0 END, 6) AS transitivity
+         |FROM t, w""".stripMargin,
+
+    // Common neighbors per adjacent pair from the wedge join, then the
+    // identical |∩| / (da + db − 2 − |∩|) arithmetic.
+    "q157_edge_jaccard" ->
+      s"""WITH $lineitemGraphSql,
+         |adj AS (SELECT src AS a, dst AS b FROM e
+         |        UNION ALL SELECT dst, src FROM e),
+         |c AS (
+         |  SELECT l.a AS u, r.a AS v, count(*) AS n_common
+         |  FROM adj l JOIN adj r ON l.b = r.b AND l.a < r.a
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT e.src, e.dst, coalesce(c.n_common, 0) AS n_common
+         |  FROM e LEFT JOIN c ON c.u = e.src AND c.v = e.dst)
+         |SELECT j.src, j.dst, CAST(j.n_common AS BIGINT) AS n_common,
+         |  round(CASE WHEN ds.degree + dd.degree - 2 - j.n_common > 0
+         |    THEN j.n_common /
+         |      CAST(ds.degree + dd.degree - 2 - j.n_common AS DOUBLE)
+         |    ELSE 0.0 END, 6) AS jaccard
+         |FROM j JOIN deg ds ON ds.id = j.src
+         |JOIN deg dd ON dd.id = j.dst""".stripMargin,
+
+    // Closed-form Manhattan balls on the 12×10 grid; the HLL accuracy
+    // boolean is pinned TRUE (sparse-mode sketches are exact far below
+    // 2^lgK registers).
+    "q158_anf_hyperball" ->
+      """SELECT a.id, CAST(r.r AS INT) AS r, count(*) AS ball_exact,
+        |  TRUE AS anf_ok
+        |FROM range(120) a(id) CROSS JOIN range(5) r(r)
+        |JOIN range(120) b(id)
+        |  ON abs(a.id % 12 - b.id % 12) + abs(a.id // 12 - b.id // 12)
+        |     <= r.r
+        |GROUP BY 1, 2""".stripMargin,
 
     // Plain a<b<c triangle enumeration (the triangle SET is identical
     // to the Spark side's degree-oriented enumeration), corners

@@ -382,6 +382,44 @@ class GraphFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("transitivity: 1 on a clique, 0 on a star, closed form on a lollipop") {
+    val k4 = GraphFeatures.transitivity(complete(4)).collect()(0)
+    assert(k4.getLong(0) == 4L && k4.getLong(1) == 12L && k4.getDouble(2) == 1.0)
+    val s = GraphFeatures.transitivity(star(5)).collect()(0)
+    assert(s.getLong(0) == 0L && s.getDouble(2) == 0.0)
+    // triangle + pendant: 1 triangle; wedges 1+1+3 = 5 → 3/5
+    val lolli = GraphFeatures.transitivity(
+      edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))).collect()(0)
+    assert(lolli.getLong(0) == 1L && lolli.getLong(1) == 5L &&
+      lolli.getDouble(2) == 0.6)
+  }
+
+  test("edgeJaccard: hand-computed scores on triangle-plus-pendant") {
+    // (1,2): common {3}, union-{a,b} 1 → 1.0; (1,3)/(2,3): common 1 of
+    // 2 → 0.5; bridge (3,4): no common → 0.0
+    val got = GraphFeatures.edgeJaccard(
+      edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got((1L, 2L)) == ((1L, 1.0)))
+    assert(got((1L, 3L)) == ((1L, 0.5)) && got((2L, 3L)) == ((1L, 0.5)))
+    assert(got((3L, 4L)) == ((0L, 0.0)))
+  }
+
+  test("neighborhoodFunction: exact balls on a path, sketch within tol") {
+    // path 0-1-2-3: balls r=1 are 2,3,3,2; r=2 are 3,4,4,3
+    val p = edges((0L, 1L), (1L, 2L), (2L, 3L))
+    val got = GraphFeatures.neighborhoodFunction(spark, p, maxR = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.size == 12)
+    assert((0L to 3L).forall(v => got((v, 0)) == ((1L, true))))
+    assert(got((0L, 1)) == ((2L, true)) && got((1L, 1)) == ((3L, true)))
+    assert(got((2L, 1)) == ((3L, true)) && got((3L, 1)) == ((2L, true)))
+    assert(got((0L, 2)) == ((3L, true)) && got((1L, 2)) == ((4L, true)))
+    assert(got((2L, 2)) == ((4L, true)) && got((3L, 2)) == ((3L, true)))
+  }
+
   test("modularity: caveman clique partition is 1 - 1/l; one community is 0") {
     val g = Generators.caveman(spark, 5, 6)
     val cliqueLabels = GraphOps.vertices(g)
