@@ -682,6 +682,58 @@ object Dedup {
     * key a caller can salt. The scorer is a Scala UDF by the
     * documented narrow-map exception (no Catalyst built-in; same
     * rationale as Bpe.encode). */
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    * 1969) over prefix-blocked candidate pairs: each pair compares a
+    * fuzzy name field (Jaro–Winkler ≥ `nameThreshold`, on the ROUNDED
+    * score so both engines cut identically — the q141 contract) plus
+    * any number of exact fields, and accumulates the classic
+    * log₂-likelihood match weight — `log₂(m/u)` when a field agrees,
+    * `log₂((1−m)/(1−u))` when it disagrees — under caller-supplied
+    * per-field (m, u) parameters. Pairs at or above `matchThreshold`
+    * classify as matches.
+    *
+    * The weights are precomputed driver-side into double LITERALS, so
+    * the per-pair arithmetic is a fixed left-associated sum of
+    * constants — bit-replayable in any IEEE engine regardless of its
+    * log implementation. Blocking, skew posture, and the narrow JW
+    * kernel are [[jaroWinklerJoin]]'s; everything after the block join
+    * is a codegen'd scalar expression. */
+  def fellegiSunter(df: DataFrame, idCol: String, nameCol: String,
+                    exactCols: Seq[String], mu: Seq[(Double, Double)],
+                    nameThreshold: Double = 0.9,
+                    matchThreshold: Double = 6.0,
+                    blockLen: Int = 4): DataFrame = {
+    require(mu.length == exactCols.length + 1,
+      s"need one (m,u) pair per field: ${exactCols.length + 1}, got ${mu.length}")
+    require(mu.forall { case (m, u) =>
+      m > 0 && m < 1 && u > 0 && u < 1 && m > u },
+      s"every (m,u) needs 0 < u < m < 1, got $mu")
+    val wAgree = mu.map { case (m, u) => math.log(m / u) / math.log(2.0) }
+    val wDis = mu.map { case (m, u) =>
+      math.log((1 - m) / (1 - u)) / math.log(2.0) }
+    val jw = udf((a: String, b: String) => jaroWinkler(a, b))
+    val cols = (nameCol +: exactCols).map(col)
+    val keyed = df.select((col(idCol).as("_id") +:
+      substring(col(nameCol), 1, blockLen).as("_blk") +: cols): _*)
+    def side(tag: String) = cols.map(_.toString).foldLeft(
+      keyed.withColumnRenamed("_id", s"id_$tag"))(
+      (d, c) => d.withColumnRenamed(c, s"${c}_$tag"))
+    val pairs = side("a").join(side("b"), Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+    val agrees = (round(jw(col(s"${nameCol}_a"), col(s"${nameCol}_b")), 6)
+      >= nameThreshold) +:
+      exactCols.map(c => col(s"${c}_a") === col(s"${c}_b"))
+    val weight = agrees.zipWithIndex.map { case (a, i) =>
+      when(a, lit(wAgree(i))).otherwise(lit(wDis(i))) }
+      .reduce(_ + _)
+    pairs.select(
+      (Seq(col("id_a"), col("id_b")) ++
+        agrees.zipWithIndex.map { case (a, i) =>
+          a.as("agree_" + (if (i == 0) nameCol else exactCols(i - 1))) } ++
+        Seq(round(weight, 6).as("weight"),
+          (round(weight, 6) >= matchThreshold).as("is_match"))): _*)
+  }
+
   def jaroWinklerJoin(df: DataFrame, threshold: Double, blockLen: Int = 4,
                       idCol: String = "id", strCol: String = "s"): DataFrame = {
     require(threshold > 0.7 && threshold <= 1.0,

@@ -15,6 +15,13 @@ import graft.pipeline.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
+  // q159 Fellegi–Sunter parameters, shared by the query and its oracle
+  // so both engines sum the SAME precomputed weight literals.
+  private val fsMu = Seq((0.9, 0.02), (0.9, 0.04), (0.85, 0.025))
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+  private val fsWa = fsMu.map { case (m, u) => log2(m / u) }
+  private val fsWd = fsMu.map { case (m, u) => log2((1 - m) / (1 - u)) }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d))),
@@ -696,6 +703,19 @@ object PipelineQueries {
           .select(col("p_partkey").as("id"), col("p_name").as("s")),
         threshold = 0.92).orderBy("id_a", "id_b")),
 
+    // Fellegi–Sunter record linkage over prefix-blocked part pairs:
+    // fuzzy name (JW) + exact brand/type agreement folded into the
+    // log₂-likelihood match weight. Full cross-engine oracle — the
+    // weights are driver-precomputed literals (see fellegiSunter doc),
+    // so the sum replays bit-exactly.
+    "q159_record_linkage" -> ((s, d) =>
+      Dedup.fellegiSunter(
+        Tables.part(s, d).filter(col("p_partkey") < 800),
+        idCol = "p_partkey", nameCol = "p_name",
+        exactCols = Seq("p_brand", "p_type"),
+        mu = fsMu, nameThreshold = 0.9, matchThreshold = 6.0)
+        .orderBy("id_a", "id_b")),
+
     // Per-source quantile normalization of doc length. Exact oracle.
     "q142_quantile_norm" -> ((s, d) =>
       TextAnalysis.quantileNormalize(Tables.documents(s, d))
@@ -791,6 +811,35 @@ object PipelineQueries {
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     // Same blocking key, same JW definition, same rounded-score cut.
+    // Same block join, same rounded-JW agreement cut, and the SAME
+    // weight literals summed in the same left-assoc order.
+    "q159_record_linkage" -> {
+      val Seq(wa0, wa1, wa2) = fsWa
+      val Seq(wd0, wd1, wd2) = fsWd
+      // CAST each leg: DuckDB parses decimal literals as DECIMAL and
+      // would sum in decimal arithmetic; the weights are doubles.
+      val w = s"(CASE WHEN agree_p_name THEN CAST($wa0 AS DOUBLE) " +
+        s"ELSE CAST($wd0 AS DOUBLE) END) " +
+        s"+ (CASE WHEN agree_p_brand THEN CAST($wa1 AS DOUBLE) " +
+        s"ELSE CAST($wd1 AS DOUBLE) END) " +
+        s"+ (CASE WHEN agree_p_type THEN CAST($wa2 AS DOUBLE) " +
+        s"ELSE CAST($wd2 AS DOUBLE) END)"
+      s"""WITH p AS (SELECT p_partkey AS id, p_name, p_brand, p_type
+         |  FROM part WHERE p_partkey < 800),
+         |c AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+         |      AS agree_p_name,
+         |    a.p_brand = b.p_brand AS agree_p_brand,
+         |    a.p_type = b.p_type AS agree_p_type
+         |  FROM p a JOIN p b ON a.id < b.id
+         |    AND substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4))
+         |SELECT id_a, id_b, agree_p_name, agree_p_brand, agree_p_type,
+         |  round($w, 6) AS weight,
+         |  round($w, 6) >= 6.0 AS is_match
+         |FROM c""".stripMargin
+    },
+
     "q141_jw_join" ->
       """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
         |  WHERE p_partkey < 500)

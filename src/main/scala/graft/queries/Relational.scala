@@ -76,6 +76,21 @@ object Relational {
         .orderBy("digit")
     }),
 
+    // Correlated scalar subquery (TPC-H Q17's shape): lineitems whose
+    // quantity is below 0.2× their part's own average. Written as SQL
+    // so Catalyst's DecorrelateInnerQuery does the rewrite — the plan
+    // becomes ONE per-part partial+final average joined back to the
+    // probe side (partkey-keyed, broadcastable), never a per-row
+    // re-aggregation. Exact oracle: DuckDB decorrelates identically.
+    "q160_small_qty_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q160_lineitem")
+      s.sql("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+              |FROM q160_lineitem l
+              |WHERE l_quantity < 0.2 * (
+              |  SELECT avg(l_quantity) FROM q160_lineitem l2
+              |  WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    }),
+
     "q01_filter_project" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
@@ -616,6 +631,15 @@ object Relational {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(max(peak - cum), 6) AS max_drawdown
         |FROM k GROUP BY 1""".stripMargin,
+
+    // The identical correlated scalar subquery — both engines
+    // decorrelate to the same per-part average join.
+    "q160_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |WHERE l_quantity < 0.2 * (
+        |  SELECT avg(l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
 
     // Identical daily aggregate, lag shifts, and pairwise corr; the
     // daily sum is rounded before corr so summation order can't leak.

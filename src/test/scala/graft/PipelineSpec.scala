@@ -36,6 +36,37 @@ class PipelineSpec extends SparkSpec {
     assert(hit(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("fellegiSunter: agreement weights classify; blocking prunes") {
+    import spark.implicits._
+    val mu = Seq((0.9, 0.02), (0.9, 0.04), (0.85, 0.025))
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val d = Seq(
+      (1L, "jonathan smith", "B1", "T1"),
+      (2L, "jonathan smyth", "B1", "T1"),    // near-name, same fields
+      (3L, "jona hopper", "B2", "T2"),       // same block, all disagree
+      (4L, "zachary smith", "B1", "T1"))     // different block: no pair
+      .toDF("id", "name", "brand", "ptype")
+    val got = Dedup.fellegiSunter(d, "id", "name", Seq("brand", "ptype"),
+      mu, nameThreshold = 0.9, matchThreshold = 6.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    // (1,2): all three agree → weight = Σ log2(m/u), a match
+    val full = mu.map { case (m, u) => lg2(m / u) }.sum
+    val r12 = got((1L, 2L))
+    assert(r12._1 && r12._2 && r12._3 && r12._5)
+    assert(math.abs(r12._4 - full) < 1e-6)
+    // (1,3) and (2,3) share the 4-char block but disagree everywhere
+    val allDis = mu.map { case (m, u) => lg2((1 - m) / (1 - u)) }.sum
+    Seq((1L, 3L), (2L, 3L)).foreach { k =>
+      val r = got(k)
+      assert(!r._1 && !r._2 && !r._3 && !r._5)
+      assert(math.abs(r._4 - allDis) < 1e-6)
+    }
+    // id 4 blocks apart from everything
+    assert(!got.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
   test("dupNgramStats: cross-doc and within-doc duplicated grams counted") {
     import spark.implicits._
     // docs 1/2 share trigram "a b c" (1 of each doc's 2 grams → 0.5);
