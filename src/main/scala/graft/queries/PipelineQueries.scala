@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis, Unigram}
 
 /** Training-data pipeline surface as driver-checkable queries over the
   * documents/embeddings tables: dedup (exact, fingerprint, n-gram
@@ -726,6 +726,30 @@ object PipelineQueries {
       TextAnalysis.splitAssign(Tables.documents(s, d).select("doc_id"))
         .orderBy("doc_id")),
 
+    // Unigram-LM (SentencePiece-style) tokenize: train a 1500-piece
+    // model by Viterbi-EM on the corpus word table, Viterbi-encode
+    // every document. Same invariant-oracle shape as q79: n_words
+    // replayed exactly, piece-count bounds (1..len(word) pieces per
+    // word), lossless concat roundtrip — plus the model-level
+    // guarantee distinct from BPE's: n_pieces ≤ q79's would-be char
+    // count because multi-char pieces exist (bounds_ok's upper edge is
+    // n_chars, no </w> sentinel inflation).
+    "q161_unigram_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Unigram.train(docs, vocabSize = 1500, maxWords = 5000)
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val nChars = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      Unigram.encode(docs, model)
+        .join(docs.select(col("doc_id"), nChars.as("_n_chars"),
+          concat_ws("", words).as("_joined")), "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          col("n_pieces").between(col("n_words"), col("_n_chars"))
+            .as("bounds_ok"),
+          (concat_ws("", col("pieces")) === col("_joined"))
+            .as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+
     "q79_bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = Bpe.train(docs, nMerges = 200, maxWords = 5000)
@@ -1064,6 +1088,14 @@ object PipelineQueries {
     // roundtrip booleans are computed Spark-side from the actual encode
     // and must all be TRUE — a false anywhere hash-mismatches.
     "q79_bpe_encode" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+        |    AS BIGINT) AS n_words,
+        |  TRUE AS bounds_ok, TRUE AS roundtrip_ok
+        |FROM documents""".stripMargin,
+
+    // Same invariant shape for the unigram tokenizer (q79 pattern).
+    "q161_unigram_encode" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
         |    AS BIGINT) AS n_words,
