@@ -79,6 +79,16 @@ object GraphScaleProbe {
     val (nPpr, tPpr) = time(
       graft.metrics.Centralities.personalizedPageRank(spark, g,
         seeds = Seq(0L, 1L, 2L), iters = 3).count())
+    // r6c structural additions: transitivity rides the triangle plan,
+    // edge Jaccard adds one pair-keyed count + two degree joins, the
+    // ANF is maxR rounds of vertex-keyed HLL merges (exact twin
+    // dominates here — at probe sizes the ball pair table is the cost;
+    // the sketch half is the 100 TB path being measured)
+    val (trans, tTrans) = time(
+      GraphFeatures.transitivity(g).head.getDouble(2))
+    val (nEj, tEj) = time(GraphFeatures.edgeJaccard(g).count())
+    val (_, tAnf) = time(
+      GraphFeatures.neighborhoodFunction(spark, g, maxR = 2).count())
     println(s"""{"probe":"graph_scale","n":$n,"m":$m,"avg_deg":$avgDeg,""" +
       s""""degrees_sec":$tDeg,"triangles_sec":$tTri,"triangles":$nTri,""" +
       s""""cc_df_sec":$tCc,"components":$nComp,""" +
@@ -89,7 +99,10 @@ object GraphScaleProbe {
       s""""scc_sec":$tScc,"sccs":$nScc,""" +
       s""""mst_sec":$tMst,"mst_edges":$nMst,""" +
       s""""pseudo_diam_sec":$tDiam,"diam_lb":$lb,""" +
-      s""""ppr_sec":$tPpr,"ppr_support":$nPpr}""")
+      s""""ppr_sec":$tPpr,"ppr_support":$nPpr,""" +
+      s""""transitivity_sec":$tTrans,"transitivity":$trans,""" +
+      s""""edge_jaccard_sec":$tEj,"edge_jaccard_rows":$nEj,""" +
+      s""""anf_r2_sec":$tAnf}""")
     spark.stop()
   }
 }

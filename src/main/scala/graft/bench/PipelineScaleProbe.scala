@@ -123,6 +123,34 @@ object PipelineScaleProbe {
       }.reduce(_ union _)
       Dedup.jaroWinklerJoin(repNames, threshold = 0.92, blockLen = 8).count()
     }
+    // r6c family. Replica-disjoint tokens keep gram/term spaces
+    // disjoint: each replica reproduces the base corpus's duplicated-
+    // gram load and cosine-pair structure exactly, so both ops must
+    // scale linearly in K. Unigram mirrors BPE's regime (train bounded
+    // by maxWords, encode a narrow map).
+    val (nDup, tDup) = time(Dedup.dupNgramStats(corpus, n = 8).count())
+    val (nTc, tTc) = time(TextAnalysis.tfidfCosinePairs(corpus,
+      threshold = 0.3, maxDf = 0.25).count())
+    val (um, tUtrain) = time(graft.pipeline.Unigram.train(corpus,
+      vocabSize = 1500, maxWords = 5000))
+    val (_, tUenc) = time(
+      graft.pipeline.Unigram.encode(corpus, um).agg(sum("n_pieces")).head)
+    // FS linkage on replica-prefixed part names (the JW-probe replica
+    // scheme: distance-2 tags, blockLen covers tag + base block)
+    val (nFs, tFs) = time {
+      val parts = spark.read.parquet(s"$sfDir/part.parquet")
+        .filter(col("p_partkey") < 800)
+      val repParts = (0 until reps).map { k =>
+        parts.select((col("p_partkey") + lit(k * 10000000L)).as("p_partkey"),
+          concat(lit(s"r$k${k}_"), col("p_name")).as("p_name"),
+          col("p_brand"), col("p_type"))
+      }.reduce(_ union _)
+      Dedup.fellegiSunter(repParts, "p_partkey", "p_name",
+        Seq("p_brand", "p_type"),
+        Seq((0.9, 0.02), (0.9, 0.04), (0.85, 0.025)), blockLen = 8).count()
+    }
+    val (_, tWin) = time(TextAnalysis.winsorizedStats(
+      corpusSrc.withColumn("n_chars", length(col("text")))).count())
     corpusSrc.unpersist()
     println(s"""{"probe":"pipeline_scale","reps":$reps,"docs":$nDocs,""" +
       s""""exact_sec":$tExact,"exact_rows":$nExact,""" +
@@ -138,7 +166,11 @@ object PipelineScaleProbe {
       s""""gini_sec":$tGini,"jsd_sec":$tJsd,"jsd_pairs":$nJsd,""" +
       s""""keyness_sec":$tKey,"vocab_growth_sec":$tVg,""" +
       s""""countmin_sec":$tCms,"script_sec":$tScript,"gzip_sec":$tGz,""" +
-      s""""jw_sec":$tJw,"jw_pairs":$nJw}""")
+      s""""jw_sec":$tJw,"jw_pairs":$nJw,""" +
+      s""""dupgram_sec":$tDup,"dupgram_rows":$nDup,""" +
+      s""""tfidfcos_sec":$tTc,"tfidfcos_pairs":$nTc,""" +
+      s""""uni_train_sec":$tUtrain,"uni_encode_sec":$tUenc,""" +
+      s""""fs_sec":$tFs,"fs_pairs":$nFs,"winsor_sec":$tWin}""")
     spark.stop()
   }
 }

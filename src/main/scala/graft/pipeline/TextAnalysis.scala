@@ -162,26 +162,30 @@ object TextAnalysis {
     * .Similarity]]'s embedding-space cosine: no model, exact, and
     * SQL-replayable.
     *
-    * Terms with document frequency above `maxDocFreq` are dropped from
-    * the space BEFORE norms are taken (norms and dots see the same
-    * capped vocabulary, so the score is a true cosine in that space):
-    * stop terms carry ~zero idf weight but df² posting-list join cost
-    * — the [[graft.pipeline.Dedup.jaccardPairs]] stop-shingle trade,
-    * applied to the weighted space. Shuffles: two term-keyed
-    * aggregates, one term-keyed self-join bounded by Σ df² over KEPT
-    * terms, two id-keyed norm joins. */
+    * Terms appearing in more than a `maxDf` FRACTION of documents are
+    * dropped from the space BEFORE norms are taken (norms and dots see
+    * the same capped vocabulary, so the score is a true cosine in that
+    * space): stop terms carry ~zero idf weight but df² posting-list
+    * join cost — the [[graft.pipeline.Dedup.jaccardPairs]] stop-
+    * shingle trade, applied to the weighted space. The cap is a
+    * FRACTION (the sklearn `max_df` contract), not an absolute count:
+    * relative document frequency is the scale-invariant quantity — an
+    * absolute cap tuned on 500 docs silently empties the vocabulary at
+    * 5M. Shuffles: two term-keyed aggregates, one term-keyed self-join
+    * bounded by Σ df² over KEPT terms, two id-keyed norm joins. */
   def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.3,
-                       maxDocFreq: Long = 100L,
+                       maxDf: Double = 0.25,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    require(maxDf > 0.0 && maxDf <= 1.0, s"maxDf must be in (0,1], got $maxDf")
     val nDocs = docs.count()
     val tf = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
+      .filter(col("df") <= lit(maxDf) * nDocs)
     val w = tf.join(dfreq, "term")
       .select(col("id"), col("term"),
         (col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0))

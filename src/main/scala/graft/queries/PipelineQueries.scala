@@ -652,7 +652,7 @@ object PipelineQueries {
     // posting-list algebra.
     "q153_tfidf_cosine" -> ((s, d) =>
       TextAnalysis.tfidfCosinePairs(Tables.documents(s, d),
-          threshold = 0.3, maxDocFreq = 100L)
+          threshold = 0.3, maxDf = 0.25)
         .orderBy("id_a", "id_b")),
 
     // Pairwise source vocabulary overlap (exact set algebra). Exact
@@ -962,7 +962,7 @@ object PipelineQueries {
         |tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |        HAVING count(*) <= 100),
+        |        HAVING count(*) <= 0.25 * (SELECT n FROM nd)),
         |w AS (SELECT id, tf.term,
         |    tf.tf * (ln((nd.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
         |  FROM tf JOIN dfq USING (term), nd),

@@ -76,6 +76,72 @@ object Relational {
         .orderBy("digit")
     }),
 
+    // Two-proportion A/B z-test per event type: the event window is
+    // split at its midpoint instant and each type's "conversion"
+    // proportion (value > 100) is compared across halves with the
+    // pooled-variance z statistic — the experiment-analysis primitive.
+    // One (type, half) grid aggregate from a single scan; the z
+    // arithmetic is integer counts → one double expression, engine-
+    // exact. Types missing from a half have no defined z (null, never
+    // flagged). |z| > 1.96 flags at the 5% two-sided level.
+    "q162_ab_ztest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      // integer `div`, not `/2 + cast`: double→long casts truncate in
+      // Spark but ROUND in DuckDB — off-by-one at odd sums
+      val mid = e.agg((min(unix_micros(col("ts"))) +
+        max(unix_micros(col("ts")))).as("_s"))
+        .select(expr("_s div 2").as("_mid"))
+      val grid = e.crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          (unix_micros(col("ts")) <= col("_mid")).as("_a"),
+          (col("value") > 100.0).as("_c"))
+        .groupBy("event_type")
+        .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("_a") && col("_c"), 1L).otherwise(0L)).as("x1"),
+          sum(when(!col("_a"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("_a") && col("_c"), 1L).otherwise(0L)).as("x2"))
+      val p1 = col("x1") / col("n1")
+      val p2 = col("x2") / col("n2")
+      val pp = (col("x1") + col("x2")) / (col("n1") + col("n2"))
+      val z = (p1 - p2) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+      grid.select(col("event_type"), col("n1"), col("x1"), col("n2"), col("x2"),
+          when(col("n1") > 0 && col("n2") > 0 && pp > 0 && pp < 1,
+            round(z, 6)).as("z"),
+          coalesce(when(col("n1") > 0 && col("n2") > 0 && pp > 0 && pp < 1,
+            abs(z) > 1.96), lit(false)).as("is_significant"))
+        .orderBy("event_type")
+    }),
+
+    // Mutual information between event type and day-of-week (nats),
+    // with the marginal entropies and the normalized MI — the
+    // information-theoretic companion to q119's chi-square on the same
+    // contingency grid: same one-scan grid aggregate + broadcast
+    // margins, one Σ p·ln(...) reduction over the ≤|types|·7 cells.
+    "q163_mutual_info" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type").as("a"), dayofweek(col("ts")).as("b"))
+      val grid = e.groupBy("a", "b").agg(count(lit(1)).cast("double").as("n"))
+      val ra = grid.groupBy("a").agg(sum(col("n")).as("ra"))
+      val cb = grid.groupBy("b").agg(sum(col("n")).as("cb"))
+      val tot = grid.agg(sum(col("n")).as("t"))
+      val mi = grid.join(broadcast(ra), "a").join(broadcast(cb), "b")
+        .crossJoin(broadcast(tot))
+        .agg(sum((col("n") / col("t")) *
+          log(col("n") * col("t") / (col("ra") * col("cb")))).as("mi"))
+      val hx = ra.crossJoin(broadcast(tot))
+        .agg((sum((col("ra") / col("t")) * log(col("ra") / col("t")))
+          * lit(-1.0)).as("h_type"))
+      val hy = cb.crossJoin(broadcast(tot))
+        .agg((sum((col("cb") / col("t")) * log(col("cb") / col("t")))
+          * lit(-1.0)).as("h_dow"))
+      mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select(round(col("mi"), 6).as("mi"),
+          round(col("h_type"), 6).as("h_type"),
+          round(col("h_dow"), 6).as("h_dow"),
+          round(col("mi") / sqrt(col("h_type") * col("h_dow")), 6).as("nmi"))
+    }),
+
     // Correlated scalar subquery (TPC-H Q17's shape): lineitems whose
     // quantity is below 0.2× their part's own average. Written as SQL
     // so Catalyst's DecorrelateInnerQuery does the rewrite — the plan
@@ -631,6 +697,58 @@ object Relational {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(max(peak - cum), 6) AS max_drawdown
         |FROM k GROUP BY 1""".stripMargin,
+
+    // Identical midpoint split, grid counts, and pooled-z arithmetic.
+    "q162_ab_ztest" ->
+      """WITH m AS (SELECT (min(epoch_ns(ts) // 1000)
+        |    + max(epoch_ns(ts) // 1000)) // 2 AS mid
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN epoch_ns(ts) // 1000 <= mid THEN 1 ELSE 0 END)
+        |      AS n1,
+        |    sum(CASE WHEN epoch_ns(ts) // 1000 <= mid AND value > 100.0
+        |      THEN 1 ELSE 0 END) AS x1,
+        |    sum(CASE WHEN epoch_ns(ts) // 1000 > mid THEN 1 ELSE 0 END)
+        |      AS n2,
+        |    sum(CASE WHEN epoch_ns(ts) // 1000 > mid AND value > 100.0
+        |      THEN 1 ELSE 0 END) AS x2
+        |  FROM events, m GROUP BY 1),
+        |z AS (
+        |  SELECT event_type, n1, x1, n2, x2,
+        |    (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+        |      / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+        |        * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+        |        * (1.0 / n1 + 1.0 / n2)) AS zr,
+        |    CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pp
+        |  FROM g)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(x1 AS BIGINT) AS x1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(x2 AS BIGINT) AS x2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND pp > 0 AND pp < 1
+        |    THEN round(zr, 6) END AS z,
+        |  coalesce(CASE WHEN n1 > 0 AND n2 > 0 AND pp > 0 AND pp < 1
+        |    THEN abs(zr) > 1.96 END, FALSE) AS is_significant
+        |FROM z""".stripMargin,
+
+    // Same grid/margins; ln throughout; one-row info summary.
+    "q163_mutual_info" ->
+      """WITH g AS (
+        |  SELECT event_type AS a, dayofweek(ts) + 1 AS b,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(n) AS ra FROM g GROUP BY 1),
+        |cb AS (SELECT b, sum(n) AS cb FROM g GROUP BY 1),
+        |t AS (SELECT sum(n) AS t FROM g),
+        |mi AS (
+        |  SELECT sum((n / t) * ln(n * t / (ra * cb))) AS mi
+        |  FROM g JOIN ra USING (a) JOIN cb USING (b), t),
+        |hx AS (SELECT -sum((ra / t) * ln(ra / t)) AS h_type FROM ra, t),
+        |hy AS (SELECT -sum((cb / t) * ln(cb / t)) AS h_dow FROM cb, t)
+        |SELECT round(mi, 6) AS mi, round(h_type, 6) AS h_type,
+        |  round(h_dow, 6) AS h_dow,
+        |  round(mi / sqrt(h_type * h_dow), 6) AS nmi
+        |FROM mi, hx, hy""".stripMargin,
 
     // The identical correlated scalar subquery — both engines
     // decorrelate to the same per-part average join.

@@ -90,17 +90,17 @@ class PipelineSpec extends SparkSpec {
     val d = Seq((1L, "x y z"), (2L, "x y z"), (3L, "p q r"), (4L, "x q"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.tfidfCosinePairs(d, threshold = 0.05,
-        maxDocFreq = 100L).collect()
+        maxDf = 1.0).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(got((1L, 2L)) == 1.0)
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
     // 4 shares one term with each side, cosine strictly between 0 and 1
     assert(got((1L, 4L)) > 0.0 && got((1L, 4L)) < 1.0)
     assert(got((3L, 4L)) > 0.0 && got((3L, 4L)) < 1.0)
-    // df cap at 1 keeps only the df-1 terms (p, r) — no doc PAIR
-    // shares a surviving term, so the join yields nothing
+    // maxDf 0.25 of 4 docs caps df at 1: only the df-1 terms (p, r)
+    // survive — no doc PAIR shares one, so the join yields nothing
     val capped = TextAnalysis.tfidfCosinePairs(d, threshold = 0.05,
-      maxDocFreq = 1L).collect()
+      maxDf = 0.25).collect()
     assert(capped.isEmpty)
   }
 

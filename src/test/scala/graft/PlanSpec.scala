@@ -279,4 +279,5 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1,
       s"ewma needs exactly the user-key shuffle:\n$p")
   }
+
 }

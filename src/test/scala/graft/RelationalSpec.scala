@@ -76,6 +76,31 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("chi2_term") >= 0.0))
   }
 
+  test("q162 ab z-test: halves partition each type; flags track |z|") {
+    val rows = SparkEntry.queries("q162_ab_ztest")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n1") + r.getAs[Long]("n2")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x1") <= r.getAs[Long]("n1"))
+      assert(r.getAs[Long]("x2") <= r.getAs[Long]("n2"))
+      val z = Option(r.getAs[java.lang.Double]("z"))
+      val sig = r.getAs[Boolean]("is_significant")
+      assert(z.forall(v => !v.isNaN && !v.isInfinite))
+      assert(sig == z.exists(v => math.abs(v) > 1.96))
+    }
+  }
+
+  test("q163 mutual information: information inequalities hold") {
+    val r = SparkEntry.queries("q163_mutual_info")(spark, sf).collect()(0)
+    val (mi, hx, hy, nmi) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    assert(mi >= -1e-9, s"MI must be nonnegative, got $mi")
+    assert(mi <= math.min(hx, hy) + 1e-9, s"MI <= min(H): $mi vs $hx/$hy")
+    assert(hx > 0 && hy > 0)
+    assert(nmi >= -1e-9 && nmi <= 1 + 1e-9)
+  }
+
   test("q84 approx distinct stays within the 5pct invariant") {
     val rows = SparkEntry.queries("q84_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
