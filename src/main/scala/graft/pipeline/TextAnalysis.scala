@@ -167,25 +167,33 @@ object TextAnalysis {
     * the same capped vocabulary, so the score is a true cosine in that
     * space): stop terms carry ~zero idf weight but df² posting-list
     * join cost — the [[graft.pipeline.Dedup.jaccardPairs]] stop-
-    * shingle trade, applied to the weighted space. The cap is a
-    * FRACTION (the sklearn `max_df` contract), not an absolute count:
-    * relative document frequency is the scale-invariant quantity — an
-    * absolute cap tuned on 500 docs silently empties the vocabulary at
-    * 5M. Shuffles: two term-keyed aggregates, one term-keyed self-join
-    * bounded by Σ df² over KEPT terms, two id-keyed norm joins. */
+    * shingle trade, applied to the weighted space. The cap is BOTH a
+    * fraction (the sklearn `max_df` contract — relative df is the
+    * scale-invariant semantic) AND an absolute posting-list bound
+    * `maxDfCount`: the fraction alone lets candidate work grow as
+    * (maxDf·N)² per term on a corpus whose documents share most of
+    * their vocabulary (measured live: a 31-word synthetic corpus at
+    * maxDf=0.25 went from 0 pairs at N=5k to 49M pairs / 188 s at
+    * N=20k — the cosine structure was genuinely dense). With the
+    * absolute bound, candidate volume is ≤ vocab·maxDfCount² at ANY
+    * corpus size; a corpus with no sub-cap terms loudly yields nothing
+    * instead of silently going quadratic. Shuffles: two term-keyed
+    * aggregates, one term-keyed self-join bounded as above, two
+    * id-keyed norm joins. */
   def tfidfCosinePairs(docs: DataFrame, threshold: Double = 0.3,
-                       maxDf: Double = 0.25,
+                       maxDf: Double = 0.25, maxDfCount: Long = 1000L,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     require(threshold > 0.0, s"threshold must be > 0, got $threshold")
     require(maxDf > 0.0 && maxDf <= 1.0, s"maxDf must be in (0,1], got $maxDf")
+    require(maxDfCount >= 1, s"maxDfCount must be >= 1, got $maxDfCount")
     val nDocs = docs.count()
     val tf = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= lit(maxDf) * nDocs)
+      .filter(col("df") <= least(lit(maxDf) * nDocs, lit(maxDfCount.toDouble)))
     val w = tf.join(dfreq, "term")
       .select(col("id"), col("term"),
         (col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0))

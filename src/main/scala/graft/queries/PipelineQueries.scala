@@ -962,7 +962,8 @@ object PipelineQueries {
         |tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |        HAVING count(*) <= 0.25 * (SELECT n FROM nd)),
+        |        HAVING count(*) <=
+        |          least(0.25 * (SELECT n FROM nd), 1000.0)),
         |w AS (SELECT id, tf.term,
         |    tf.tf * (ln((nd.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
         |  FROM tf JOIN dfq USING (term), nd),
