@@ -76,6 +76,19 @@ object Relational {
         .orderBy("digit")
     }),
 
+    // Per-(user, type) event debounce at a 10-minute gap (raw-
+    // predecessor throttle — see Temporal.debounce). Exact oracle.
+    "q164_debounce" -> ((s, d) =>
+      Temporal.debounce(Tables.events(s, d), gapUs = 600000000L)
+        .orderBy("user_id", "event_type", "event_id")),
+
+    // Rolling 7-day distinct actives per day (DAU/WAU curve; explode-
+    // to-report-days, no self-join — see Temporal.rollingActives).
+    // Exact oracle.
+    "q165_rolling_actives" -> ((s, d) =>
+      Temporal.rollingActives(Tables.events(s, d), windowDays = 7)
+        .orderBy("day")),
+
     // Two-proportion A/B z-test per event type: the event window is
     // split at its midpoint instant and each type's "conversion"
     // proportion (value > 100) is compared across halves with the
@@ -697,6 +710,32 @@ object Relational {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(max(peak - cum), 6) AS max_drawdown
         |FROM k GROUP BY 1""".stripMargin,
+
+    // Identical (key, type)-partitioned lag filter.
+    "q164_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |l AS (SELECT user_id, event_type, event_id, us,
+        |    lag(us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id) AS prev
+        |  FROM e)
+        |SELECT user_id, event_type, event_id,
+        |  CAST(us - prev AS BIGINT) AS gap_us
+        |FROM l WHERE prev IS NULL OR us - prev >= 600000000""".stripMargin,
+
+    // Identical explode-to-report-days expansion (the between-join
+    // equivalent), clipped at the observed max day.
+    "q165_rolling_actives" ->
+      """WITH du AS (SELECT DISTINCT user_id AS k,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM du),
+        |x AS (SELECT k, unnest(generate_series(day,
+        |    least(CAST(day + INTERVAL 6 DAY AS DATE), hi),
+        |    INTERVAL 1 DAY)) AS rd
+        |  FROM du, b),
+        |d2 AS (SELECT DISTINCT k, CAST(rd AS DATE) AS rd FROM x)
+        |SELECT strftime(rd, '%Y-%m-%d') AS day, count(*) AS n_active
+        |FROM d2 GROUP BY 1""".stripMargin,
 
     // Identical midpoint split, grid counts, and pooled-z arithmetic.
     "q162_ab_ztest" ->

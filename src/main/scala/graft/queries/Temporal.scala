@@ -397,6 +397,54 @@ object Temporal {
           lit(false)).as("is_anomaly"))
   }
 
+  /** Event debounce (throttle): per (key, type), drop events arriving
+    * within `gapUs` microseconds of the PREVIOUS RAW event of the same
+    * (key, type) — the duplicate-click / retry-storm suppressor. This
+    * is the lag-based contract (each event compares to its raw
+    * predecessor, not to the last KEPT one — the chained variant is
+    * inherently sequential and needs the EWMA-style per-key fold);
+    * stated because the two differ on bursts longer than one gap. One
+    * window sort per (key, type) partition; ties break on `tieCol`.
+    * Emits the kept events with the gap that admitted them. */
+  def debounce(events: DataFrame, gapUs: Long,
+               keyCols: Seq[String] = Seq("user_id", "event_type"),
+               tsCol: String = "ts",
+               tieCol: String = "event_id"): DataFrame = {
+    require(gapUs > 0, s"debounce gap must be > 0 us, got $gapUs")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_us").asc, col(tieCol).asc)
+    events.withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_prev", lag(col("_us"), 1).over(w))
+      .filter(col("_prev").isNull || col("_us") - col("_prev") >= gapUs)
+      .select((keyCols.map(col) :+ col(tieCol) :+
+        (col("_us") - col("_prev")).as("gap_us")): _*)
+  }
+
+  /** Rolling 7-day distinct actives per day — the DAU/WAU staple:
+    * for every calendar day in the observed range, the number of
+    * DISTINCT keys active in the trailing 7-day window [day−6, day].
+    * Distinct-over-range resists plain window frames (COUNT(DISTINCT)
+    * isn't frame-able), so each (day, key) activity row is exploded to
+    * the ≤7 report days it contributes to and counted distinct per
+    * report day — 7× the DAILY-distinct row count (calendar-bounded),
+    * two key-partitioned shuffles, no self-join. Report days outside
+    * the observed [min, max] are clipped (no partial phantom days). */
+  def rollingActives(events: DataFrame, windowDays: Int = 7,
+                     keyCol: String = "user_id",
+                     tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"window must be >= 1 day, got $windowDays")
+    val du = events.select(col(keyCol).as("_k"),
+      date_trunc("day", col(tsCol)).cast("date").as("_day")).distinct()
+    val bounds = du.agg(min(col("_day")).as("_lo"), max(col("_day")).as("_hi"))
+    du.crossJoin(broadcast(bounds))
+      .select(col("_k"), explode(sequence(col("_day"),
+        least(date_add(col("_day"), windowDays - 1), col("_hi")),
+        expr("interval 1 day"))).as("_rd"))
+      .distinct()
+      .groupBy(date_format(col("_rd"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Autocorrelation function of the daily-aggregated series at lags
     * `1..maxLag`: the series is the per-day sum of `valCol`, and each
     * lag's coefficient is the Pearson correlation between the series

@@ -274,6 +274,41 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("debounce: raw-predecessor gaps; first event always kept") {
+    import spark.implicits._
+    // user 1 events at t = 0, 5, 16, 17s with gap 10s: raw-predecessor
+    // gaps are (—, 5, 11, 1) → keep 0 (first) and 16; 5 and 17 drop
+    val ev = Seq(
+      (1L, "c", 10L, 0L), (1L, "c", 11L, 5000000L),
+      (1L, "c", 12L, 16000000L), (1L, "c", 13L, 17000000L),
+      (2L, "c", 20L, 0L))
+      .toDF("user_id", "event_type", "event_id", "us")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = Temporal.debounce(ev, gapUs = 10000000L).collect()
+      .map(r => r.getLong(2)).toSet
+    assert(got == Set(10L, 12L, 20L))
+  }
+
+  test("rollingActives: trailing window counts distinct, clipped range") {
+    import spark.implicits._
+    // user A on day 1, user B on day 3, A again on day 9 (range 1..9)
+    def d(day: Int) = f"2024-01-$day%02d 12:00:00"
+    val ev = Seq((1L, "A", d(1)), (2L, "B", d(3)), (3L, "A", d(9)))
+      .toDF("event_id", "u", "s")
+      .select(col("event_id"), col("u").as("user_id"),
+        col("s").cast("timestamp").as("ts"))
+    val got = Temporal.rollingActives(ev, windowDays = 7).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // days 1-2: {A}; 3-7: {A,B}; 8-9: {B}+... day 8: B (3+6=9 >= 8),
+    // day 9: B(window 3..9) + A(day 9) = 2
+    assert(got("2024-01-01") == 1 && got("2024-01-02") == 1)
+    (3 to 7).foreach(i => assert(got(f"2024-01-$i%02d") == 2, s"day $i"))
+    assert(got("2024-01-08") == 1 && got("2024-01-09") == 2)
+    // nothing reported past the observed max day
+    assert(!got.contains("2024-01-10"))
+  }
+
   test("acf: alternating daily series has acf(1) = -1, acf(2) = +1") {
     import spark.implicits._
     // 10 days alternating 1, 5: lag-1 pairs are (5,1)/(1,5) → corr -1;
