@@ -347,14 +347,27 @@ object GraphFeatures {
   def bfsDistances(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
                    sources: Seq[Long], maxIter: Int = 200): DataFrame = {
     require(sources.nonEmpty, "bfsDistances needs at least one source")
+    import spark.implicits._
+    bfsDistancesFrom(spark, edges, sources.distinct.toDF("id"), maxIter)
+  }
+
+  /** [[bfsDistances]] with the source set as a DataFrame — the form a
+    * DISTRIBUTED caller needs when the sources are themselves computed
+    * (e.g. one root per component, unbounded count) and must never
+    * collect to a driver Seq. */
+  def bfsDistancesFrom(spark: org.apache.spark.sql.SparkSession,
+                       edges: DataFrame, sources: DataFrame,
+                       maxIter: Int = 200): DataFrame = {
     val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m2 = adj.count() // materialize + size the loop's shuffles
-    import spark.implicits._
-    val init = sources.distinct.toDF("id").withColumn("dist", lit(0L))
-    var (dist, handle) = graft.util.Iterate.checkpoint(spark, init)
-    var prevCount = sources.distinct.size.toLong
+    val init = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0L))
+    var (dist, handle, initCount) = graft.util.Iterate.checkpointWith(
+      spark, init)(_.count())
+    require(initCount > 0, "bfsDistancesFrom needs at least one source")
+    var prevCount = initCount
     var frontier = dist
     var round = 0
     var done = false
@@ -381,6 +394,38 @@ object GraphFeatures {
     }
     adj.unpersist()
     dist
+  }
+
+  /** Bipartiteness check with 2-coloring, per component: BFS-parity
+    * colors (distance from the component's minimum-id root, mod 2) are
+    * valid iff no edge joins two same-colored endpoints — the odd-
+    * cycle test, run on every component at once. Emits one row per
+    * component: size and `is_bipartite`.
+    *
+    * Fully distributed: components from the large-star/small-star
+    * contraction, roots as a FRAME (id = component label — never a
+    * driver-side source list, so a graph with millions of components
+    * works), one multi-source BFS ([[bfsDistancesFrom]] — rounds =
+    * max component eccentricity), one edge-conflict join, one
+    * component-keyed aggregate. */
+  def bipartiteCheck(spark: org.apache.spark.sql.SparkSession,
+                     edges: DataFrame): DataFrame = {
+    val cc = GraphOps.connectedComponentsDF(spark, edges)
+    val roots = cc.filter(col("id") === col("component")).select("id")
+    val dist = bfsDistancesFrom(spark, edges, roots)
+    val colored = cc.join(dist, "id")
+      .select(col("id"), col("component"), pmod(col("dist"), lit(2L)).as("color"))
+    val conflicted = edges
+      .join(colored.select(col("id").as("src"), col("color").as("_ca"),
+        col("component")), "src")
+      .join(colored.select(col("id").as("dst"), col("color").as("_cb")), "dst")
+      .filter(col("_ca") === col("_cb"))
+      .select("component").distinct()
+      .withColumn("_odd", lit(true))
+    colored.groupBy("component").agg(count(lit(1)).as("n_vertices"))
+      .join(conflicted, Seq("component"), "left_outer")
+      .select(col("component"), col("n_vertices"),
+        col("_odd").isNull.as("is_bipartite"))
   }
 
   /** Synchronous label-propagation community detection (Raghavan et al.

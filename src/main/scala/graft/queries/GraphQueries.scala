@@ -240,6 +240,13 @@ object GraphQueries {
       graft.metrics.GraphFeatures.edgeJaccard(lineitemGraph(s, d))
         .orderBy("src", "dst")),
 
+    // Per-component bipartiteness via multi-source BFS parity: the
+    // supplier stars are trees → every component bipartite, size s+1,
+    // labeled by its nation root — full closed-form oracle.
+    "q166_bipartite" -> ((s, d) =>
+      graft.metrics.GraphFeatures.bipartiteCheck(s, supplierGraph(s, d))
+        .orderBy("component")),
+
     // HyperBall approximate neighborhood function on the 12×10 grid:
     // per (vertex, radius ≤ 4) the exact ball size (closed-form
     // Manhattan oracle) and the HLL estimate's accuracy boolean — the
@@ -663,6 +670,13 @@ object GraphQueries {
          |    ELSE 0.0 END, 6) AS jaccard
          |FROM j JOIN deg ds ON ds.id = j.src
          |JOIN deg dd ON dd.id = j.dst""".stripMargin,
+
+    // Stars are trees: bipartite, size s+1, component = nation root.
+    "q166_bipartite" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS component,
+        |  CAST(count(*) + 1 AS BIGINT) AS n_vertices,
+        |  TRUE AS is_bipartite
+        |FROM supplier GROUP BY 1""".stripMargin,
 
     // Closed-form Manhattan balls on the 12×10 grid; the HLL accuracy
     // boolean is pinned TRUE (sparse-mode sketches are exact far below

@@ -420,6 +420,16 @@ class GraphFeaturesSpec extends SparkSpec {
     assert(got((2L, 2)) == ((4L, true)) && got((3L, 2)) == ((3L, true)))
   }
 
+  test("bipartiteCheck: even cycle true, odd cycle false, per component") {
+    // component A: 4-cycle (bipartite); component B: triangle (odd)
+    val g = edges((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val got = GraphFeatures.bipartiteCheck(spark, g).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(0L) == ((4L, true)))
+    assert(got(10L) == ((3L, false)))
+  }
+
   test("modularity: caveman clique partition is 1 - 1/l; one community is 0") {
     val g = Generators.caveman(spark, 5, 6)
     val cliqueLabels = GraphOps.vertices(g)
