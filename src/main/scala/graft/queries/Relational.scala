@@ -76,6 +76,11 @@ object Relational {
         .orderBy("digit")
     }),
 
+    // Per-user time-weighted average of the value stream (TWAP beside
+    // the plain mean it corrects — see Temporal.twap). Exact oracle.
+    "q167_twap" -> ((s, d) =>
+      Temporal.twap(Tables.events(s, d)).orderBy("user_id")),
+
     // Per-(user, type) event debounce at a 10-minute gap (raw-
     // predecessor throttle — see Temporal.debounce). Exact oracle.
     "q164_debounce" -> ((s, d) =>
@@ -710,6 +715,20 @@ object Relational {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(max(peak - cum), 6) AS max_drawdown
         |FROM k GROUP BY 1""".stripMargin,
+
+    // Identical lead-gap weighting; sum of v·Δt in DOUBLE both sides.
+    "q167_twap" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |l AS (SELECT user_id, v,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us AS dt
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(dt) AS BIGINT) AS span_us,
+        |  round(sum(v * dt) / sum(dt), 6) AS twap,
+        |  round(avg(v), 6) AS plain_avg
+        |FROM l GROUP BY 1""".stripMargin,
 
     // Identical (key, type)-partitioned lag filter.
     "q164_debounce" ->

@@ -397,6 +397,31 @@ object Temporal {
           lit(false)).as("is_anomaly"))
   }
 
+  /** Time-weighted average (TWAP) per key: each observation's value
+    * holds until the NEXT observation, so the average weights each
+    * value by its holding interval — Σ vᵢ·Δtᵢ / Σ Δtᵢ over the lead
+    * gaps. The last observation has no interval and contributes
+    * nothing; keys with a single event have no defined TWAP (null).
+    * The standard market/metrics aggregate that a plain AVG silently
+    * gets wrong on irregular sampling. One window sort per key
+    * partition + one key aggregate; interval arithmetic is integer
+    * microseconds, the single division rounds at 6. */
+  def twap(events: DataFrame, keyCol: String = "user_id",
+           tsCol: String = "ts", valCol: String = "value",
+           tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("_us").asc, col(tieCol).asc)
+    events
+      .select(col(keyCol), col(tieCol), col(valCol).cast("double").as("_v"),
+        unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_dt", lead(col("_us"), 1).over(w) - col("_us"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_dt")).as("span_us"),
+        round(sum(col("_v") * col("_dt")) / sum(col("_dt")), 6).as("twap"),
+        round(avg(col("_v")), 6).as("plain_avg"))
+  }
+
   /** Event debounce (throttle): per (key, type), drop events arriving
     * within `gapUs` microseconds of the PREVIOUS RAW event of the same
     * (key, type) — the duplicate-click / retry-storm suppressor. This

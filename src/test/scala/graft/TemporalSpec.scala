@@ -274,6 +274,27 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("twap: holding-interval weights; single-event key undefined") {
+    import spark.implicits._
+    // user 1: v=10 held 1s, v=20 held 3s, v=99 terminal (no interval)
+    // → twap = (10·1 + 20·3)/4 = 17.5, plain avg = 43.0
+    val ev = Seq(
+      (1L, 1L, 0L, 10.0), (1L, 2L, 1000000L, 20.0),
+      (1L, 3L, 4000000L, 99.0),
+      (2L, 4L, 0L, 7.0))
+      .toDF("user_id", "event_id", "us", "value")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+    val got = Temporal.twap(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getLong(1) == 3L && u1.getLong(2) == 4000000L)
+    assert(u1.getDouble(3) == 17.5)
+    assert(u1.getDouble(4) == 43.0)
+    val u2 = got(2L)
+    assert(u2.getLong(1) == 1L && u2.isNullAt(2) && u2.isNullAt(3))
+  }
+
   test("debounce: raw-predecessor gaps; first event always kept") {
     import spark.implicits._
     // user 1 events at t = 0, 5, 16, 17s with gap 10s: raw-predecessor
