@@ -76,6 +76,32 @@ object Relational {
         .orderBy("digit")
     }),
 
+    // 2-D skyline (Pareto front) of parts: minimize retail price,
+    // maximize size — no part in the result is dominated by another
+    // (≤ price AND ≥ size with one strict). The sort-based algorithm:
+    // collapse to per-price groups (one hash aggregate), one ordered
+    // window over the ≤|distinct prices| group frame for the running
+    // size max, then a broadcast-eligible join back — O(n) + a sort of
+    // the GROUP frame, never the n² dominance join (which is exactly
+    // what the DuckDB oracle replays as NOT EXISTS, making the oracle
+    // a semantic proof of the window formulation). A row survives iff
+    // it carries its price group's max size AND beats every strictly
+    // cheaper group's best size.
+    "q168_skyline" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val groups = p.groupBy("p_retailprice")
+        .agg(max(col("p_size")).as("_gmax"))
+      val wg = Window.orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val g2 = groups.withColumn("_prevmax", max(col("_gmax")).over(wg))
+      p.join(broadcast(g2), "p_retailprice")
+        .filter(col("p_size") === col("_gmax") &&
+          (col("_prevmax").isNull || col("p_size") > col("_prevmax")))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    }),
+
     // Per-user time-weighted average of the value stream (TWAP beside
     // the plain mean it corrects — see Temporal.twap). Exact oracle.
     "q167_twap" -> ((s, d) =>
@@ -715,6 +741,18 @@ object Relational {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(max(peak - cum), 6) AS max_drawdown
         |FROM k GROUP BY 1""".stripMargin,
+
+    // The DEFINITIONAL dominance query (NOT EXISTS) — quadratic, but
+    // its equality with the window formulation is the point.
+    "q168_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |      OR q.p_size > p.p_size))""".stripMargin,
 
     // Identical lead-gap weighting; sum of v·Δt in DOUBLE both sides.
     "q167_twap" ->

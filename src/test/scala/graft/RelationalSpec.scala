@@ -76,6 +76,20 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("chi2_term") >= 0.0))
   }
 
+  test("q168 skyline window formulation equals brute-force dominance") {
+    val pts = Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getAs[Number]("p_size").longValue))
+    def dominates(q: (Long, Double, Long), p: (Long, Double, Long)) =
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3)
+    val want = pts.filter(p => !pts.exists(q => dominates(q, p)))
+      .map(_._1).toSet
+    val got = SparkEntry.queries("q168_skyline")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q162 ab z-test: halves partition each type; flags track |z|") {
     val rows = SparkEntry.queries("q162_ab_ztest")(spark, sf).collect()
     assert(rows.nonEmpty)
