@@ -166,6 +166,53 @@ object EventsStream {
       }.toDF()
   }
 
+  /** Per-(user, type) throttle state: buffered not-yet-flushed events
+    * plus the timestamp of the last RAW event already processed (the
+    * raw-predecessor stitch point across flushes). */
+  case class ThrState(buf: Seq[(Long, Long)], lastUs: Option[Long])
+  /** One event the throttle kept. */
+  case class KeptEvent(user_id: Long, event_type: String,
+                       event_id: Long, gap_us: Option[Long])
+
+  /** Streaming twin of [[graft.queries.Temporal.debounce]] — the
+    * raw-predecessor throttle on ingest. Same contract as
+    * [[transitionsStream]]: events buffer per (user, type) in custom
+    * state (`lag` has no streaming built-in), each watermark advance
+    * sorts-and-flushes the ≤-watermark prefix in (ts, event_id) order,
+    * and the previous raw event's timestamp carries in state so gaps
+    * stitch exactly across flushes — output rows equal the batch
+    * form's for data at most watermark-late, independent of arrival
+    * order or micro-batching (asserted by PipelineSpec). State per key
+    * = the in-flight tail within the watermark, never the history. */
+  def throttleOnIngest(events: DataFrame, gapUs: Long = 600000000L,
+                       watermark: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = normalizeTs(events)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withWatermark("ts", watermark)
+      .as[Ev]
+    typed.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), it: Iterator[Ev], state: GroupState[ThrState]) =>
+          val st = state.getOption.getOrElse(ThrState(Nil, None))
+          val buf = st.buf ++ it.map(e => (e.us, e.event_id))
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (ready, pending) = buf.partition(_._1 <= wmUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeptEvent]
+          var last = st.lastUs
+          ready.sortBy(identity).foreach { case (us, id) =>
+            if (last.forall(l => us - l >= gapUs))
+              out += KeptEvent(key._1, key._2, id, last.map(us - _))
+            last = Some(us) // raw predecessor: advances on DROPPED too
+          }
+          state.update(ThrState(pending, last))
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          out.iterator
+      }.toDF()
+  }
+
   /** Event-time interval join: purchases within `[0, windowMin)`
     * minutes AFTER each error — the streaming form of
     * `queries/Temporal.rangeJoinBanded` (q55's pair stage), and the

@@ -1349,6 +1349,47 @@ class PipelineSpec extends SparkSpec {
     batchExpected.unpersist()
   }
 
+  test("throttleOnIngest equals the batch debounce across micro-batches") {
+    import spark.implicits._
+    import graft.queries.Temporal
+    val tmp = java.nio.file.Files.createTempDirectory("graft_thr").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val rawCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batchExpected = Temporal.debounce(Tables.events(spark, sf),
+      gapUs = 600000000L).cache()
+    assert(batchExpected.count() > 0)
+    // two time-split files → multiple micro-batches within the
+    // watermark; rows inside each file arrive in event_id order, so
+    // the event-time sorter and the cross-flush stitch are exercised
+    val medianUs = raw.stat.approxQuantile("ts_us", Array(0.5), 0.0)(0).toLong
+    raw.filter(col("ts_us") <= medianUs).select(rawCols.map(col): _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = EventsStream.throttleOnIngest(
+      spark.readStream.schema(EventsStream.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"))
+    val q = stream.writeStream.format("memory").queryName("thr_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    raw.filter(col("ts_us") > medianUs).select(rawCols.map(col): _*)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    // sentinel far-future event flushes all buffered state
+    val maxUs = raw.agg(max(col("ts_us"))).collect()(0).getLong(0)
+    Seq((-1L, maxUs + 30L * 24 * 3600 * 1000000L, -1L, "x", 0.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("thr_test").filter(col("user_id") =!= -1L)
+    assert(streamed.exceptAll(batchExpected).isEmpty &&
+      batchExpected.exceptAll(streamed).isEmpty)
+    batchExpected.unpersist()
+  }
+
   test("stream-stream interval join equals batch and the banded range join") {
     import graft.queries.Temporal
     val ev = Tables.events(spark, sf)
