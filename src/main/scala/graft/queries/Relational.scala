@@ -76,6 +76,22 @@ object Relational {
         .orderBy("digit")
     }),
 
+    // Grouped OLS: per event type, the least-squares line of value on
+    // hour-of-day (slope/intercept/R²/n) via the SQL-standard regr_*
+    // aggregates — single-pass co-moment machines, partial+final, one
+    // scan. The "does this metric drift across the day, per segment"
+    // screen; both engines implement the same textbook estimators.
+    "q169_grouped_ols" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"),
+          hour(col("ts")).cast("double").as("_h"))
+        .groupBy("event_type")
+        .agg(regr_count(col("value"), col("_h")).as("n"),
+          round(regr_slope(col("value"), col("_h")), 6).as("slope"),
+          round(regr_intercept(col("value"), col("_h")), 6).as("intercept"),
+          round(regr_r2(col("value"), col("_h")), 6).as("r2"))
+        .orderBy("event_type")),
+
     // 2-D skyline (Pareto front) of parts: minimize retail price,
     // maximize size — no part in the result is dominated by another
     // (≤ price AND ≥ size with one strict). The sort-based algorithm:
@@ -741,6 +757,17 @@ object Relational {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(max(peak - cum), 6) AS max_drawdown
         |FROM k GROUP BY 1""".stripMargin,
+
+    // Same regr_* aggregates (identical textbook estimators).
+    "q169_grouped_ols" ->
+      """SELECT event_type,
+        |  CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT)
+        |    AS n,
+        |  round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+        |  round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6)
+        |    AS intercept,
+        |  round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6) AS r2
+        |FROM events GROUP BY 1""".stripMargin,
 
     // The DEFINITIONAL dominance query (NOT EXISTS) — quadratic, but
     // its equality with the window formulation is the point.

@@ -76,6 +76,17 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("chi2_term") >= 0.0))
   }
 
+  test("q169 grouped OLS: counts partition events; r2 in [0,1]") {
+    val rows = SparkEntry.queries("q169_grouped_ols")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= -1e-9 && r2 <= 1 + 1e-9, s"r2 out of range: $r")
+    }
+  }
+
   test("q168 skyline window formulation equals brute-force dominance") {
     val pts = Tables.part(spark, sf)
       .select("p_partkey", "p_retailprice", "p_size").collect()
