@@ -54,6 +54,47 @@ object Similarity extends Serializable {
       .select(col("qid"), col("rid"), col("cos"), col("rn"))
   }
 
+  /** Contrastive-pair mining over a labeled embedding table — the
+    * metric-learning data-prep step: per anchor, the HARDEST NEGATIVE
+    * (most-similar vector with a DIFFERENT label) and the HARDEST
+    * POSITIVE (least-similar vector with the SAME label), plus the
+    * margin between them (negative margin = a triplet the current
+    * embedding gets wrong — exactly the pairs a triplet-loss trainer
+    * wants). Anchors with no same-label peer report null positives.
+    *
+    * This is the exact N·M kernel (the [[bruteForceTopK]] posture):
+    * the oracle-able baseline, and correct at audit scale. At corpus
+    * scale, mine within IVF cells instead — assign via [[ivfTopK]]'s
+    * list structure and run this kernel per cell, the [[semDedup]]
+    * cluster-bounding trade (hardest-in-cell ≈ hardest-global for the
+    * high-cos pairs that matter). One window pass per polarity over
+    * the pair frame, both partitioned by anchor. */
+  def contrastiveMining(vectors: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        labelCol: String = "label",
+                        dim: Int = 64): DataFrame = {
+    val a = vectors.select(col(idCol).as("aid"), col(vecCol).as("_av"),
+      col(labelCol).as("_alab"))
+    val b = vectors.select(col(idCol).as("_bid"), col(vecCol).as("_bv"),
+      col(labelCol).as("_blab"))
+    val pairs = a.join(b, col("aid") =!= col("_bid"))
+      .withColumn("_cos", round(cosineFixed(dim, col("_av"), col("_bv")), 6))
+    val wNeg = Window.partitionBy("aid").orderBy(col("_cos").desc, col("_bid").asc)
+    val wPos = Window.partitionBy("aid").orderBy(col("_cos").asc, col("_bid").asc)
+    val neg = pairs.filter(col("_alab") =!= col("_blab"))
+      .withColumn("_rn", row_number().over(wNeg)).filter(col("_rn") === 1)
+      .select(col("aid"), col("_bid").as("hard_neg_id"),
+        col("_cos").as("hard_neg_cos"))
+    val pos = pairs.filter(col("_alab") === col("_blab"))
+      .withColumn("_rn", row_number().over(wPos)).filter(col("_rn") === 1)
+      .select(col("aid"), col("_bid").as("hard_pos_id"),
+        col("_cos").as("hard_pos_cos"))
+    neg.join(pos, Seq("aid"), "left_outer")
+      .select(col("aid"), col("hard_neg_id"), col("hard_neg_cos"),
+        col("hard_pos_id"), col("hard_pos_cos"),
+        round(col("hard_pos_cos") - col("hard_neg_cos"), 6).as("margin"))
+  }
+
   /** Deterministic hash-seeded gaussian hyperplanes (driver-built,
     * broadcast as literals: nBits × dim doubles). */
   private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -703,6 +703,14 @@ object PipelineQueries {
           .select(col("p_partkey").as("id"), col("p_name").as("s")),
         threshold = 0.92).orderBy("id_a", "id_b")),
 
+    // Contrastive-pair mining on the labeled embeddings (hardest
+    // negative / hardest positive / margin per anchor — the triplet-
+    // loss data-prep step). Exact oracle over the bounded anchor set.
+    "q170_contrastive" -> ((s, d) =>
+      Similarity.contrastiveMining(
+        Tables.embeddings(s, d).filter(col("vec_id") < 100))
+        .orderBy("aid")),
+
     // Fellegi–Sunter record linkage over prefix-blocked part pairs:
     // fuzzy name (JW) + exact brand/type agreement folded into the
     // log₂-likelihood match weight. Full cross-engine oracle — the
@@ -1290,6 +1298,30 @@ object PipelineQueries {
         |  least(n.id, min(r.b)) = n.id AS keep
         |FROM nodes n JOIN reach r ON r.a = n.id
         |GROUP BY n.id""".stripMargin,
+
+    // Same bounded-anchor pair frame, same per-polarity windows.
+    "q170_contrastive" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id < 100),
+        |p AS (
+        |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |    a.label AS alab, b.label AS blab,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 6) AS cos
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |n AS (SELECT aid, bid AS hard_neg_id, cos AS hard_neg_cos,
+        |    row_number() OVER (PARTITION BY aid
+        |      ORDER BY cos DESC, bid ASC) AS rn
+        |  FROM p WHERE alab <> blab),
+        |q AS (SELECT aid, bid AS hard_pos_id, cos AS hard_pos_cos,
+        |    row_number() OVER (PARTITION BY aid
+        |      ORDER BY cos ASC, bid ASC) AS rn
+        |  FROM p WHERE alab = blab)
+        |SELECT n.aid, n.hard_neg_id, n.hard_neg_cos,
+        |  q.hard_pos_id, q.hard_pos_cos,
+        |  round(q.hard_pos_cos - n.hard_neg_cos, 6) AS margin
+        |FROM (SELECT * FROM n WHERE rn = 1) n
+        |LEFT JOIN (SELECT * FROM q WHERE rn = 1) q USING (aid)""".stripMargin,
 
     "q29_ann_topk" ->
       """WITH pairs AS (

@@ -36,6 +36,27 @@ class PipelineSpec extends SparkSpec {
     assert(hit(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("contrastiveMining: hand-planted geometry; lone label has null pos") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // 2-d vectors: a,b nearly parallel (label 0); c orthogonal
+    // (label 1). Anchor a: hard pos = b (cos≈0.994), hard neg = c
+    // (cos 0), margin > 0. Anchor c has no same-label peer → null pos.
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.contrastiveMining(vecs, dim = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = got(1L)
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 0.0)
+    assert(a.getLong(3) == 2L && a.getDouble(4) > 0.99)
+    assert(a.getDouble(5) > 0.99)
+    val c = got(3L)
+    assert(c.isNullAt(3) && c.isNullAt(4) && c.isNullAt(5))
+    assert(Set(1L, 2L).contains(c.getLong(1)))
+  }
+
   test("fellegiSunter: agreement weights classify; blocking prunes") {
     import spark.implicits._
     val mu = Seq((0.9, 0.02), (0.9, 0.04), (0.85, 0.025))
