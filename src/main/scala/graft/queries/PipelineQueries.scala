@@ -703,6 +703,58 @@ object PipelineQueries {
           .select(col("p_partkey").as("id"), col("p_name").as("s")),
         threshold = 0.92).orderBy("id_a", "id_b")),
 
+    // Per-dimension embedding drift between the even/odd vec_id halves
+    // (reference vs candidate batch): the feature-drift monitor a
+    // production embedding pipeline runs on every refresh. One
+    // posexplode + one (dim)-keyed aggregate — 64 output rows
+    // regardless of corpus size. Exact oracle.
+    "q171_embedding_drift" -> ((s, d) => {
+      val x = Tables.embeddings(s, d)
+        .select((col("vec_id") % 2 === 0).as("_a"),
+          posexplode(col("embedding")).as(Seq("pos", "_v")))
+      x.groupBy("pos").agg(
+          round(avg(when(col("_a"), col("_v"))), 6).as("mean_ref"),
+          round(avg(when(!col("_a"), col("_v"))), 6).as("mean_cand"))
+        .withColumn("abs_diff",
+          round(abs(col("mean_ref") - col("mean_cand")), 6))
+        .withColumn("drifted", col("abs_diff") > 0.1)
+        .orderBy("pos")
+    }),
+
+    // Train/val token-balance audit: the md5 split (q143) should leave
+    // unigram distributions statistically indistinguishable — the chi²
+    // over the (term × split) grid quantifies it. One term-keyed
+    // aggregate + a broadcast totals row; catches both a broken hash
+    // and a pathological corpus. Exact oracle (the split predicate is
+    // md5-replayable, the q143 contract).
+    "q172_split_balance" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(TextAnalysis.splitLabel(col("doc_id")).as("split"),
+          explode(filter(split(col("text"), " "), w => length(w) > 0))
+            .as("term"))
+        .filter(col("split") =!= "test")
+      val grid = terms.groupBy("term").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L))
+          .cast("double").as("ntr"),
+        sum(when(col("split") === "val", 1L).otherwise(0L))
+          .cast("double").as("nva"))
+      val tot = grid.agg(sum(col("ntr")).as("Ttr"), sum(col("nva")).as("Tva"))
+      def e(n: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+        (col("ntr") + col("nva")) * t / (col("Ttr") + col("Tva"))
+      grid.crossJoin(broadcast(tot))
+        .select(
+          (pow(col("ntr") - e(col("ntr"), col("Ttr")), 2) /
+            e(col("ntr"), col("Ttr")) +
+            pow(col("nva") - e(col("nva"), col("Tva")), 2) /
+              e(col("nva"), col("Tva"))).as("_t"),
+          col("Ttr"), col("Tva"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(first(col("Ttr")), 1).as("n_train_tokens"),
+          round(first(col("Tva")), 1).as("n_val_tokens"),
+          round(sum(col("_t")), 6).as("chi2"))
+        .withColumn("dof", col("n_terms") - 1)
+    }),
+
     // Contrastive-pair mining on the labeled embeddings (hardest
     // negative / hardest positive / margin per anchor — the triplet-
     // loss data-prep step). Exact oracle over the bounded anchor set.
@@ -1298,6 +1350,56 @@ object PipelineQueries {
         |  least(n.id, min(r.b)) = n.id AS keep
         |FROM nodes n JOIN reach r ON r.a = n.id
         |GROUP BY n.id""".stripMargin,
+
+    // Same 0-based dim explode, same conditional means off the SAME
+    // rounded columns.
+    "q171_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id % 2 = 0 AS a, CAST(u.i AS INT) AS pos,
+        |    embedding[u.i + 1] AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(0, 64)) AS i) u),
+        |m AS (
+        |  SELECT pos,
+        |    round(avg(CASE WHEN a THEN v END), 6) AS mean_ref,
+        |    round(avg(CASE WHEN NOT a THEN v END), 6) AS mean_cand
+        |  FROM x GROUP BY 1)
+        |SELECT pos, mean_ref, mean_cand,
+        |  round(abs(mean_ref - mean_cand), 6) AS abs_diff,
+        |  round(abs(mean_ref - mean_cand), 6) > 0.1 AS drifted
+        |FROM m""".stripMargin,
+
+    // The q143 md5 split predicate + the q119 chi² arithmetic over the
+    // (term × split) grid.
+    "q172_split_balance" ->
+      """WITH t AS (
+        |  SELECT CASE
+        |      WHEN md5('split:42:' || CAST(doc_id AS VARCHAR))
+        |        < 'cccccccc' THEN 'train'
+        |      WHEN md5('split:42:' || CAST(doc_id AS VARCHAR))
+        |        < 'e6666666' THEN 'val'
+        |      ELSE 'test' END AS split,
+        |    unnest(list_filter(string_split(text, ' '),
+        |      w -> len(w) > 0)) AS term
+        |  FROM documents),
+        |g AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS ntr,
+        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS nva
+        |  FROM t WHERE split <> 'test' GROUP BY 1),
+        |tt AS (SELECT sum(ntr) AS Ttr, sum(nva) AS Tva FROM g)
+        |SELECT count(*) AS n_terms,
+        |  round(first(Ttr), 1) AS n_train_tokens,
+        |  round(first(Tva), 1) AS n_val_tokens,
+        |  round(sum(
+        |    pow(ntr - (ntr + nva) * Ttr / (Ttr + Tva), 2)
+        |      / ((ntr + nva) * Ttr / (Ttr + Tva))
+        |    + pow(nva - (ntr + nva) * Tva / (Ttr + Tva), 2)
+        |      / ((ntr + nva) * Tva / (Ttr + Tva))), 6) AS chi2,
+        |  count(*) - 1 AS dof
+        |FROM g, tt""".stripMargin,
 
     // Same bounded-anchor pair frame, same per-polarity windows.
     "q170_contrastive" ->

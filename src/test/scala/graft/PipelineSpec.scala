@@ -36,6 +36,18 @@ class PipelineSpec extends SparkSpec {
     assert(hit(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("q171/q172 audits: dim coverage, nonnegative chi2, token split") {
+    val drift = SparkEntry.queries("q171_embedding_drift")(spark, sf).collect()
+    assert(drift.map(_.getInt(0)).toSet == (0 until 64).toSet)
+    drift.foreach(r => assert(r.getDouble(3) >= 0))
+    val bal = SparkEntry.queries("q172_split_balance")(spark, sf).collect()(0)
+    assert(bal.getAs[Double]("chi2") >= 0)
+    assert(bal.getAs[Long]("dof") == bal.getAs[Long]("n_terms") - 1)
+    val total = bal.getAs[Double]("n_train_tokens") +
+      bal.getAs[Double]("n_val_tokens")
+    assert(total > 0 && bal.getAs[Double]("n_train_tokens") > total / 2)
+  }
+
   test("contrastiveMining: hand-planted geometry; lone label has null pos") {
     import spark.implicits._
     import graft.pipeline.Similarity
