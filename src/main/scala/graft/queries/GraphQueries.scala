@@ -240,6 +240,34 @@ object GraphQueries {
       graft.metrics.GraphFeatures.edgeJaccard(lineitemGraph(s, d))
         .orderBy("src", "dst")),
 
+    // Rich-club coefficient φ(k) = 2·E_k / (n_k·(n_k−1)) at k ∈
+    // {2,4,8,16}: do high-degree vertices preferentially connect to
+    // each other (Colizza et al. 2006)? One degree aggregate + two
+    // broadcast degree joins onto the edges + a 4-row k explode —
+    // edge-linear at any scale, output bounded by |ks|.
+    "q174_rich_club" -> ((s, d) => {
+      import s.implicits._
+      val e = lineitemGraph(s, d)
+      val deg = GraphOps.degrees(e)
+      val ksCol = array(Seq(2, 4, 8, 16).map(lit): _*)
+      val nk = deg.select(explode(ksCol).as("k"), col("degree"))
+        .filter(col("degree") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+      val ek = e
+        .join(deg.select(col("id").as("src"), col("degree").as("_ds")), "src")
+        .join(deg.select(col("id").as("dst"), col("degree").as("_dd")), "dst")
+        .select(explode(ksCol).as("k"), col("_ds"), col("_dd"))
+        .filter(col("_ds") > col("k") && col("_dd") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_edges"))
+      Seq(2, 4, 8, 16).toDF("k")
+        .join(nk, Seq("k"), "left_outer").join(ek, Seq("k"), "left_outer")
+        .na.fill(0L, Seq("n_nodes", "n_edges"))
+        .withColumn("phi", round(when(col("n_nodes") >= 2,
+          lit(2.0) * col("n_edges") /
+            (col("n_nodes") * (col("n_nodes") - 1))).otherwise(0.0), 6))
+        .orderBy("k")
+    }),
+
     // Per-component bipartiteness via multi-source BFS parity: the
     // supplier stars are trees → every component bipartite, size s+1,
     // labeled by its nation root — full closed-form oracle.
@@ -670,6 +698,23 @@ object GraphQueries {
          |    ELSE 0.0 END, 6) AS jaccard
          |FROM j JOIN deg ds ON ds.id = j.src
          |JOIN deg dd ON dd.id = j.dst""".stripMargin,
+
+    // Same degree cuts and pair counting at each k.
+    "q174_rich_club" ->
+      s"""WITH $lineitemGraphSql,
+         |ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+         |nk AS (SELECT k, count(*) AS n FROM deg, ks
+         |       WHERE degree > k GROUP BY 1),
+         |ek AS (SELECT k, count(*) AS m
+         |  FROM e JOIN deg ds ON ds.id = e.src
+         |  JOIN deg dd ON dd.id = e.dst, ks
+         |  WHERE ds.degree > k AND dd.degree > k GROUP BY 1)
+         |SELECT ks.k, coalesce(nk.n, 0) AS n_nodes,
+         |  coalesce(ek.m, 0) AS n_edges,
+         |  round(CASE WHEN coalesce(nk.n, 0) >= 2
+         |    THEN 2.0 * coalesce(ek.m, 0) / (nk.n * (nk.n - 1))
+         |    ELSE 0.0 END, 6) AS phi
+         |FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)""".stripMargin,
 
     // Stars are trees: bipartite, size s+1, component = nation root.
     "q166_bipartite" ->

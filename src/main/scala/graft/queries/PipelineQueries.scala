@@ -703,6 +703,34 @@ object PipelineQueries {
           .select(col("p_partkey").as("id"), col("p_name").as("s")),
         threshold = 0.92).orderBy("id_a", "id_b")),
 
+    // Per-doc n-gram novelty against the ingest order: the fraction of
+    // a document's 5-grams whose FIRST corpus occurrence (by doc_id)
+    // is in that document — the "is the stream still contributing new
+    // content" curve a continual-ingest pipeline watches (novelty ~1 =
+    // fresh, ~0 = the corpus already said this). One gram explode +
+    // one gram-keyed min aggregate + a 1:1 join back — the q152 cost
+    // envelope with min instead of count. Exact oracle.
+    "q173_ngram_novelty" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => length(w) > 0).as("_ws"))
+        .filter(size(col("_ws")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(_ws) - 5),
+            |  i -> array_join(slice(_ws, i + 1, 5), ' '))""".stripMargin))
+          .as("gram"))
+      val firstSeen = grams.groupBy("gram")
+        .agg(min(col("doc_id")).as("_first"))
+      grams.join(firstSeen, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("_first") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel") / col("n_grams").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
     // Per-dimension embedding drift between the even/odd vec_id halves
     // (reference vs candidate batch): the feature-drift monitor a
     // production embedding pipeline runs on every refresh. One
@@ -1350,6 +1378,22 @@ object PipelineQueries {
         |  least(n.id, min(r.b)) = n.id AS keep
         |FROM nodes n JOIN reach r ON r.a = n.id
         |GROUP BY n.id""".stripMargin,
+
+    // Identical 5-gram slide + first-occurrence min join.
+    "q173_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    array_to_string(list_slice(ws, i.i + 1, i.i + 5), ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(range(0, len(ws) - 4)) AS i) i),
+        |f AS (SELECT gram, min(doc_id) AS first FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM g JOIN f USING (gram) GROUP BY 1""".stripMargin,
 
     // Same 0-based dim explode, same conditional means off the SAME
     // rounded columns.

@@ -36,6 +36,31 @@ class PipelineSpec extends SparkSpec {
     assert(hit(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("q173 novelty: first document is all-novel; fractions bounded") {
+    val rows = SparkEntry.queries("q173_ngram_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val nv = r.getDouble(3); assert(nv >= 0 && nv <= 1)
+    }
+    // the lowest doc_id with any grams owns every first occurrence
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getDouble(3) == 1.0)
+  }
+
+  test("q174 rich club: shrinking club, bounded density") {
+    val rows = SparkEntry.queries("q174_rich_club")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 4, 8, 16))
+    val nodes = rows.map(_.getLong(1))
+    assert(nodes.zip(nodes.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val phi = r.getDouble(3)
+      assert(phi >= 0 && phi <= 1, s"phi out of range: $r")
+      if (r.getLong(1) < 2) assert(phi == 0.0)
+    }
+  }
+
   test("q171/q172 audits: dim coverage, nonnegative chi2, token split") {
     val drift = SparkEntry.queries("q171_embedding_drift")(spark, sf).collect()
     assert(drift.map(_.getInt(0)).toSet == (0 until 64).toSet)
