@@ -271,6 +271,55 @@ class PlanSpec extends SparkSpec {
       s"chunking should stay codegen'd:\n$p")
   }
 
+  test("q152 dup-gram load: equi-joins only, counts combine map-side") {
+    val p = plan("q152_dup_ngrams")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join must stay equi:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"gram counts should combine map-side:\n$p")
+  }
+
+  test("q153 tfidf cosine: posting joins are equi, no cartesian") {
+    val p = plan("q153_tfidf_cosine")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"posting-list join must stay equi:\n$p")
+  }
+
+  test("q164 debounce: one keyed window, no join operator") {
+    val p = plan("q164_debounce")
+    assert(p.contains("Window"), s"expected the lag window:\n$p")
+    assert(!p.contains("Join"), s"debounce must not join:\n$p")
+  }
+
+  test("q165 rolling actives: explode replaces the day self-join") {
+    val p = plan("q165_rolling_actives")
+    assert(p.contains("Generate"), s"expected the report-day explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join belongs here (bounds broadcast only):\n$p")
+  }
+
+  test("q168 skyline: sorts only the price-group frame, joins broadcast") {
+    val p = plan("q168_skyline")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the join back must broadcast:\n$p")
+    assert("Window".r.findAllIn(p).size >= 1, s"expected the group window:\n$p")
+    // the window input is the per-price AGGREGATE, not the raw rows:
+    // an Aggregate must appear below the Window in the tree string
+    val wIdx = p.indexOf("Window")
+    assert(p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"running max must scan the group frame, not raw parts:\n$p")
+  }
+
+  test("q173 novelty: first-seen join is equi, aggregates partial") {
+    val p = plan("q173_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"gram join must stay equi:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"first-seen min should combine map-side:\n$p")
+  }
+
   test("q108 ewma: one key shuffle, partial collect, no window sort") {
     val p = plan("q108_ewma_smoothing")
     assert(!p.contains("Window"), s"ewma must not plan a window:\n$p")
