@@ -5,10 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // third arg: comma-separated query names; a trailing '*' on a name
+    // makes it a prefix filter (e.g. 'q3*' or 'q30_lsh_topk,q41*') so
+    // per-batch gating runs in ONE JVM launch instead of N.
     val (sfDir, outDir, only) = args match {
-      case Array(s, o)       => (s, o, None)
-      case Array(s, o, name) => (s, o, Some(name)) // single-query iteration
+      case Array(s, o)        => (s, o, None)
+      case Array(s, o, names) => (s, o, Some(names.split(',').toSeq))
     }
+    def selected(name: String): Boolean = only.forall(_.exists(p =>
+      if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +25,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => only.forall(_ == kv._1)).foreach { case (name, fn) =>
+      .filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -31,14 +31,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Fetch {
 
   /** Fetch `url` to `dest` unless `dest` already exists
-    * (cache-by-existence, datasets.py:56-58). Returns `dest`. */
-  def download(url: String, dest: File, overwrite: Boolean = false): File = {
+    * (cache-by-existence, datasets.py:56-58). Returns `dest`.
+    *
+    * The connection carries connect/read timeouts so a stalled server
+    * fails the call instead of hanging the driver, and a failed
+    * transfer deletes its `.part` temp file — the cache check only
+    * ever sees fully-renamed files. */
+  def download(url: String, dest: File, overwrite: Boolean = false,
+               connectTimeoutMs: Int = 30000,
+               readTimeoutMs: Int = 120000): File = {
     if (dest.exists() && !overwrite) return dest
     Option(dest.getParentFile).foreach(_.mkdirs())
     val tmp = new File(dest.getPath + ".part")
-    val in = new java.net.URI(url).toURL.openStream()
-    try Files.copy(in, tmp.toPath, StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    try {
+      val in = conn.getInputStream
+      try Files.copy(in, tmp.toPath, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    } catch {
+      case e: Throwable => tmp.delete(); throw e
+    }
     Files.move(tmp.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
     dest
   }

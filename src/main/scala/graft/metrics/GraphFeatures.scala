@@ -407,12 +407,23 @@ object GraphFeatures {
     * driver-side source list, so a graph with millions of components
     * works), one multi-source BFS ([[bfsDistancesFrom]] — rounds =
     * max component eccentricity), one edge-conflict join, one
-    * component-keyed aggregate. */
+    * component-keyed aggregate.
+    *
+    * `maxIter` bounds the BFS; if any component vertex is still
+    * uncolored when the bound trips (eccentricity > maxIter) the check
+    * THROWS rather than reporting an undersized component with a
+    * possibly wrong verdict — the same fail-loud posture as
+    * [[kTruss]]'s non-convergence guard. */
   def bipartiteCheck(spark: org.apache.spark.sql.SparkSession,
-                     edges: DataFrame): DataFrame = {
+                     edges: DataFrame, maxIter: Int = 200): DataFrame = {
     val cc = GraphOps.connectedComponentsDF(spark, edges)
     val roots = cc.filter(col("id") === col("component")).select("id")
-    val dist = bfsDistancesFrom(spark, edges, roots)
+    val dist = bfsDistancesFrom(spark, edges, roots, maxIter)
+    val uncolored = cc.join(dist, Seq("id"), "left_anti").count()
+    require(uncolored == 0L,
+      s"bipartiteCheck: $uncolored component vertices were not reached " +
+        s"within maxIter=$maxIter BFS rounds — a component's " +
+        "eccentricity exceeds the bound; raise maxIter")
     val colored = cc.join(dist, "id")
       .select(col("id"), col("component"), pmod(col("dist"), lit(2L)).as("color"))
     val conflicted = edges

@@ -236,12 +236,22 @@ object Multimodal {
     * (measured max 0.045 luma on the 8–16 px synthetic set at sf0.1 —
     * the basis of q145's 0.1 tolerance). A pure narrow map (decode →
     * pool → encode per row, no shuffle); None when the payload doesn't
-    * decode. */
+    * decode.
+    *
+    * Area pooling only makes sense downscaling (each source pixel maps
+    * to one target cell); on an UPSCALE axis (outW > w or outH > h)
+    * some target cells would receive no source pixel and render black,
+    * so that direction switches to nearest-neighbor sampling (every
+    * target cell reads its nearest source pixel — no empty cells, and
+    * the mean-preservation contract degrades gracefully instead of
+    * silently zeroing). */
   private[graft] def resizeEncode(bytes: Array[Byte], outW: Int,
                                      outH: Int): Option[Array[Byte]] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
+      else if (outW > img.getWidth || outH > img.getHeight)
+        upscaleNearest(img, outW, outH)
       else {
         val w = img.getWidth
         val h = img.getHeight
@@ -280,6 +290,30 @@ object Multimodal {
         Some(baos.toByteArray)
       }
     } catch { case _: Exception => None }
+
+  /** Nearest-neighbor upscale path of [[resizeEncode]]: each target
+    * cell samples the source pixel at the same relative position, so
+    * no cell is ever left unwritten. */
+  private def upscaleNearest(img: java.awt.image.BufferedImage, outW: Int,
+                             outH: Int): Option[Array[Byte]] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new java.awt.image.BufferedImage(outW, outH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(y * h / outH, h - 1)
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y, img.getRGB(math.min(x * w / outW, w - 1), sy))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    Some(baos.toByteArray)
+  }
 
   /** Batch image resize over the media table: image rows decode,
     * area-average to (outW, outH), and re-encode as PNG; other

@@ -60,7 +60,10 @@ object Similarity extends Serializable {
     * POSITIVE (least-similar vector with the SAME label), plus the
     * margin between them (negative margin = a triplet the current
     * embedding gets wrong — exactly the pairs a triplet-loss trainer
-    * wants). Anchors with no same-label peer report null positives.
+    * wants). Every anchor appears exactly once: anchors with no
+    * same-label peer report null positives, anchors with no
+    * different-label peer (single-label corpora) null negatives, and
+    * the margin is null when either side is.
     *
     * This is the exact N·M kernel (the [[bruteForceTopK]] posture):
     * the oracle-able baseline, and correct at audit scale. At corpus
@@ -89,7 +92,9 @@ object Similarity extends Serializable {
       .withColumn("_rn", row_number().over(wPos)).filter(col("_rn") === 1)
       .select(col("aid"), col("_bid").as("hard_pos_id"),
         col("_cos").as("hard_pos_cos"))
-    neg.join(pos, Seq("aid"), "left_outer")
+    a.select(col("aid"))
+      .join(neg, Seq("aid"), "left_outer")
+      .join(pos, Seq("aid"), "left_outer")
       .select(col("aid"), col("hard_neg_id"), col("hard_neg_cos"),
         col("hard_pos_id"), col("hard_pos_cos"),
         round(col("hard_pos_cos") - col("hard_neg_cos"), 6).as("margin"))

@@ -1463,11 +1463,12 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY aid
         |      ORDER BY cos ASC, bid ASC) AS rn
         |  FROM p WHERE alab = blab)
-        |SELECT n.aid, n.hard_neg_id, n.hard_neg_cos,
+        |SELECT e.vec_id AS aid, n.hard_neg_id, n.hard_neg_cos,
         |  q.hard_pos_id, q.hard_pos_cos,
         |  round(q.hard_pos_cos - n.hard_neg_cos, 6) AS margin
-        |FROM (SELECT * FROM n WHERE rn = 1) n
-        |LEFT JOIN (SELECT * FROM q WHERE rn = 1) q USING (aid)""".stripMargin,
+        |FROM e
+        |LEFT JOIN (SELECT * FROM n WHERE rn = 1) n ON e.vec_id = n.aid
+        |LEFT JOIN (SELECT * FROM q WHERE rn = 1) q ON e.vec_id = q.aid""".stripMargin,
 
     "q29_ann_topk" ->
       """WITH pairs AS (

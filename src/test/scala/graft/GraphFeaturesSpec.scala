@@ -430,6 +430,20 @@ class GraphFeaturesSpec extends SparkSpec {
     assert(got(10L) == ((3L, false)))
   }
 
+  test("bipartiteCheck: throws when maxIter leaves a component unsettled") {
+    // path of eccentricity 4 from its min-id root: maxIter=2 cannot
+    // color vertices 3,4 — the check must fail loudly, not report an
+    // undersized component (kTruss's non-convergence posture)
+    val g = edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val e = intercept[IllegalArgumentException] {
+      GraphFeatures.bipartiteCheck(spark, g, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // and the same graph settles fine with the default bound
+    val ok = GraphFeatures.bipartiteCheck(spark, g).collect()
+    assert(ok.length == 1 && ok(0).getLong(1) == 5L && ok(0).getBoolean(2))
+  }
+
   test("modularity: caveman clique partition is 1 - 1/l; one community is 0") {
     val g = Generators.caveman(spark, 5, 6)
     val cliqueLabels = GraphOps.vertices(g)

@@ -1270,6 +1270,41 @@ class PipelineSpec extends SparkSpec {
     rs.unpersist()
   }
 
+  test("multimodal resize upscale: nearest-neighbor fills every cell") {
+    // 2x2 checker upscaled to 5x3: area pooling would leave empty
+    // (black) cells; the nearest-neighbor path must reproduce only the
+    // four source colors with no zero cell
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val out = Multimodal.resizeEncode(baos.toByteArray, 5, 3).get
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back.getWidth == 5 && back.getHeight == 3)
+    val allowed = Set(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert(allowed.contains(back.getRGB(x, y) & 0xffffff))
+    // corners sample their own quadrant
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((back.getRGB(4, 2) & 0xffffff) == 0xffffff)
+  }
+
+  test("contrastiveMining: single-label corpus keeps anchors, null negatives") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.contrastiveMining(vecs, dim = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L)) // no anchor silently dropped
+    val a = got(1L)
+    assert(a.isNullAt(1) && a.isNullAt(2) && a.isNullAt(5)) // no cross-label peer
+    assert(a.getLong(3) == 2L)                              // hard pos still mined
+  }
+
   test("multimodal decode: schema, determinism, batch plumbing") {
     val media = Multimodal.syntheticMedia(docs)
     val f1 = Multimodal.decodeFeatures(spark, media, featDim = 16, batchSize = 32)

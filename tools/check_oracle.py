@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local pre-check of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [names]
+
+[names] is an optional comma-separated query filter matching graft.Verify's
+third arg ('q30_lsh_topk,q41*' — a trailing '*' is a prefix match); only
+matching oracle entries are checked.
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
 the matching SQL from oracle_sql.json in DuckDB against the sf tables,
@@ -46,6 +50,12 @@ def dtype_check(con, files, sql):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    pats = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    def selected(name):
+        if pats is None:
+            return True
+        return any(name.startswith(p[:-1]) if p.endswith("*") else name == p
+                   for p in pats)
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -55,6 +65,8 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if not selected(name):
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
