@@ -1,0 +1,51 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.Similarity
+
+/** One-off measurement of the capped-universe recall the q30/q41/q56
+  * audits enforce — prints recall per tier for a given sf dir so the
+  * enforced floors are set from data, not hope.
+  *
+  * Usage: runMain graft.bench.ProbeAnnRecall /root/testdata/sf0.01
+  */
+object ProbeAnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e, k = 5)
+      .select("qid", "rid").cache()
+    val nb = brute.count()
+    def recallOf(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val nh = df.filter(col("qid") < 50).select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      println(f"$name%-8s recall@5 = ${nh.toDouble / nb}%.4f ($nh/$nb)")
+    }
+    recallOf("lsh32x8", Similarity.lshTopK(e, k = 5, nBits = 32, bands = 8))
+    recallOf("ivf8x3", Similarity.ivfTopK(spark, e, k = 5, nLists = 8, nProbe = 3))
+    recallOf("pq_r40", Similarity.ivfPqTopK(spark, e, k = 5, nLists = 8,
+      nProbe = 6, m = 8, nCodes = 32, refine = 40))
+    recallOf("pq_m16", Similarity.ivfPqTopK(spark, e, k = 5, nLists = 8,
+      nProbe = 6, m = 16, nCodes = 32, refine = 20))
+    recallOf("pq_m16r40", Similarity.ivfPqTopK(spark, e, k = 5, nLists = 8,
+      nProbe = 6, m = 16, nCodes = 32, refine = 40))
+    // q62 pair recall on the capped universe, by cluster count
+    val bp = Similarity.cosinePairsBrute(e.filter(col("vec_id") < 200),
+      threshold = 0.35).select("id_a", "id_b").cache()
+    val nbp = bp.count()
+    for (k <- Seq(4, 8, 16)) {
+      val sp = Similarity.semDedupPairs(spark, e, threshold = 0.35, nClusters = k)
+        .filter(col("id_a") < 200 && col("id_b") < 200).select("id_a", "id_b")
+        .join(bp, Seq("id_a", "id_b"), "left_semi").count()
+      println(f"semdedup K=$k%-3d pair recall = ${sp.toDouble / nbp}%.4f ($sp/$nbp)")
+    }
+    spark.stop()
+  }
+}

@@ -201,15 +201,67 @@ object GraphQueries {
         .toDF("k", "distinct_ok", "ids_in_range", "replay_identical")
     }),
 
-    // A6/A7 correlation-benchmark pipeline on the 8x8 grid (rows-only;
-    // deterministic given the seed).
+    // A6/A7 correlation-benchmark pipeline on the 8x8 grid — r7
+    // graduation from rows-only to an INVARIANT oracle. The layout
+    // radii come out of the iterative spring loop (no SQL analog), so
+    // the ρ values themselves can't be replayed by DuckDB; what CAN be
+    // hash-enforced is the correlation algebra around them, checked on
+    // the very frame the benchmark correlates:
+    //  - route_agree_ok: Correlation.spearmanMany's local rank kernel
+    //    vs an independent DataFrame-native route (q13's machinery:
+    //    average-tie ranks via groupBy+window, Catalyst's corr over
+    //    the ranks) agree within 1e-9 for every (radius, measure) pair
+    //    — two implementations of ρ must meet;
+    //  - sym_ok / diag_ok / rho_range_ok: the full A7 matrix over
+    //    (radius + 6 centralities) is symmetric, has a unit diagonal,
+    //    and every entry is a valid ρ (|ρ| ≤ 1, non-NaN — the grid has
+    //    no constant centrality).
+    // A regression in the rank kernel, tie handling, matrix assembly,
+    // or the centrality/layout plumbing flips a pinned boolean.
     "q40_correlation_bench" -> ((s, _) => {
-      import graft.layout.LayoutConfig
+      import graft.api.GraphEm
+      import graft.metrics.{Centralities, Correlation}
+      import org.apache.spark.sql.expressions.Window
       val g = Generators.roadNetwork(s, 8, 8)
-      graft.bench.Harness.correlationBenchmark(s, g,
-        LayoutConfig(nComponents = 2, LMin = 1.0, numIterations = 5,
-          sampleSize = 64, nNeighbors = 6, seed = 13))
-        .select(col("centrality"), round(col("spearman_rho"), 6).as("rho"))
+      val em = GraphEm(s, g, LayoutConfig(nComponents = 2, LMin = 1.0,
+        numIterations = 5, sampleSize = 64, nNeighbors = 6, seed = 13))
+      em.runLayout()
+      val radii = em.positions
+        .select(col("id"), VecOps.norm(col("pos")).as("radius"))
+      val cents = Centralities.all(s, g, em.nVertices)
+      val joined = radii.join(cents, "id").persist()
+      joined.count()
+      val measures = Seq("degree_centrality", "pagerank", "eigenvector",
+        "closeness", "betweenness", "load")
+      val rhos = Correlation.spearmanMany(joined, "radius", measures)
+      // independent route: q13's rank construction + Catalyst corr
+      def rankCorr(m: String): Double = {
+        def ranks(cn: String, out: String) = {
+          val w = Window.orderBy(col("_v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          joined.select(col(cn).as("_v")).groupBy("_v")
+            .agg(count(lit(1)).as("_c"))
+            .withColumn(out, sum("_c").over(w) - (col("_c") - 1) / 2.0)
+            .withColumnRenamed("_v", cn).drop("_c")
+        }
+        joined.select("radius", m)
+          .join(ranks("radius", "rx"), "radius").join(ranks(m, "ry"), m)
+          .agg(corr(col("rx"), col("ry"))).head().getDouble(0)
+      }
+      val routeAgree = measures.forall(m =>
+        math.abs(rhos(m) - rankCorr(m)) < 1e-9)
+      val cols = "radius" +: measures
+      val mat = Correlation.matrix(s, joined, cols).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      joined.unpersist()
+      val symOk = cols.forall(a => cols.forall(b =>
+        math.abs(mat((a, b)) - mat((b, a))) < 1e-9))
+      val diagOk = cols.forall(a => mat((a, a)) == 1.0)
+      val rangeOk = mat.values.forall(v => !v.isNaN && math.abs(v) <= 1.0 + 1e-9)
+      import s.implicits._
+      measures.map(m => (m, rangeOk, symOk, diagOk, routeAgree))
+        .toDF("centrality", "rho_range_ok", "sym_ok", "diag_ok",
+          "route_agree_ok")
     }),
 
     // Per-vertex local clustering coefficient on the lineitem graph —
@@ -488,6 +540,14 @@ object GraphQueries {
       |  GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // Correlation-matrix invariant oracle (see the q40 query body):
+    // fixed measure enumeration, algebra booleans pinned TRUE.
+    "q40_correlation_bench" ->
+      """SELECT unnest(['degree_centrality', 'pagerank', 'eigenvector',
+        |    'closeness', 'betweenness', 'load']) AS centrality,
+        |  TRUE AS rho_range_ok, TRUE AS sym_ok, TRUE AS diag_ok,
+        |  TRUE AS route_agree_ok""".stripMargin,
+
     // Closed-form grid vertex enumeration + the reference's embedding
     // invariants pinned TRUE (see the q20/q21 query comments).
     "q20_eigen_grid" ->
