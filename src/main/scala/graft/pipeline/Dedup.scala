@@ -318,25 +318,93 @@ object Dedup {
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Band bucket key over a signature column: md5 over the "|"-joined
+    * band slice in md5 mode (DuckDB-identical — explicit long→string
+    * casts match DuckDB's array_to_string rendering), xxhash64 over the
+    * raw longs otherwise, cast to string so both families share one
+    * index schema. One definition serves [[minhashLsh]] and the
+    * streaming band index ([[graft.streaming.NearDupStream]]) — band
+    * keys agree across batch and stream BY CONSTRUCTION. */
+  def bandBucket(sig: Column, k: Int, bands: Int, b: Int,
+                 md5Based: Boolean): Column = {
+    val rows = k / bands
+    val slice = (b * rows until (b + 1) * rows).map(i => element_at(sig, i + 1))
+    if (md5Based) md5(concat_ws("|", slice.map(_.cast("string")): _*))
+    else xxhash64(slice: _*).cast("string")
+  }
+
+  /** ROW-LOCAL minhash signature — the same Kirsch–Mitzenmacher family
+    * as [[minhashSignatures]] computed entirely inside one row via
+    * array expressions (transform for the two base hashes, one
+    * `aggregate` min-fold per signature position): no explode, no
+    * groupBy, NO SHUFFLE — the form a stateless streaming map needs
+    * (a mid-stream groupBy(id) would be a stateful aggregation).
+    * Bit-identical to [[minhashSignatures]] on the same text
+    * (PipelineSpec pins the equality); docs with fewer than n tokens
+    * yield NULL (they have no shingles, hence no signature — the
+    * batch operator drops them from its aggregate the same way). */
+  def minhashSigExpr(text: Column, n: Int, k: Int,
+                     md5Based: Boolean = false): Column = {
+    val sh = shingles(text, n)
+    val hs =
+      if (md5Based)
+        transform(sh, { s =>
+          val m = md5(s)
+          struct(
+            conv(substring(m, 1, 16), 16, -10).cast("long").as("h1"),
+            conv(substring(m, 17, 16), 16, -10).cast("long")
+              .bitwiseOR(lit(1L)).as("h2"))
+        })
+      else
+        transform(sh, s => struct(
+          xxhash64(lit(0), s).as("h1"),
+          xxhash64(lit(1), s).bitwiseOR(lit(1L)).as("h2")))
+    val sig = array((0 until k).map { i =>
+      aggregate(hs, lit(Long.MaxValue), (acc, h) =>
+        least(acc, graft.functions.HashArith.mulAddWrap(
+          h.getField("h1"), lit(i.toLong), h.getField("h2"))))
+    }: _*)
+    when(size(sh) > 0, sig)
+  }
+
+  /** All `bands` band buckets of a row-local signature as one array —
+    * [[bandBucket]] applied per band; explode to get the (band, bucket)
+    * stream. */
+  def bandBucketsExpr(sig: Column, k: Int, bands: Int,
+                      md5Based: Boolean = false): Column =
+    array((0 until bands).map(b => bandBucket(sig, k, bands, b, md5Based)): _*)
+
+  /** Estimated Jaccard from two equal-length minhash signatures: the
+    * fraction of agreeing positions — E[agree] = J by the MinHash
+    * property. The verification measure the STREAMING near-dup gate
+    * uses (the index stores k longs per doc, never text; an exact
+    * re-shingling join against the accumulated corpus would re-shuffle
+    * the corpus every micro-batch). */
+  def sigJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x === y).cast("int")),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+
   /** MinHash + LSH banding: k hashes in `bands` bands of k/bands rows;
     * docs sharing any band bucket become candidates; candidates are
-    * verified against the true Jaccard. Returns verified pairs
+    * verified against the true Jaccard (`verify = "exact"`, default) or
+    * against the signature-estimated Jaccard (`verify = "sig"` — the
+    * fraction of agreeing minhash positions, [[sigJaccard]]).
+    *
+    * "sig" is the verification the STREAMING gate can afford (the
+    * accumulated-corpus index stores signatures, never text, so exact
+    * re-shingling isn't available), exposed on the batch operator so
+    * the stream's batch twin is this very function — one definition of
+    * "near-duplicate", two execution modes. Returns verified pairs
     * (id_a, id_b, jaccard ≥ threshold). */
   def minhashLsh(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, idCol: String = "doc_id",
-                 textCol: String = "text", md5Based: Boolean = false): DataFrame = {
+                 textCol: String = "text", md5Based: Boolean = false,
+                 verify: String = "exact"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
+    require(verify == "exact" || verify == "sig",
+      s"verify must be 'exact' or 'sig', got '$verify'")
     val sigs = minhashSignatures(docs, n, k, idCol, textCol, md5Based)
-    // band bucket key: md5 over the "|"-joined band slice in md5 mode
-    // (DuckDB-identical — explicit long→string casts match DuckDB's
-    // array_to_string rendering), xxhash64 over the raw longs otherwise
-    def bucketOf(b: Int): Column = {
-      val slice = (b * rows until (b + 1) * rows).map(i =>
-        element_at(col("sig"), i + 1))
-      if (md5Based) md5(concat_ws("|", slice.map(_.cast("string")): _*))
-      else xxhash64(slice: _*)
-    }
+    def bucketOf(b: Int): Column = bandBucket(col("sig"), k, bands, b, md5Based)
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(bucketOf): _*)).as(Seq("band", "bucket")))
     val cands = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -344,19 +412,28 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates with true n-gram Jaccard
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("s"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    cands
-      .join(sh.withColumnRenamed("id", "id_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "nb"), "id_b")
-      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    if (verify == "sig")
+      cands
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("_sa")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("_sb")), "id_b")
+        .withColumn("jaccard", round(sigJaccard(col("_sa"), col("_sb")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    else {
+      // verify candidates with true n-gram Jaccard
+      val sh = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("s"))
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      cands
+        .join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), Seq("id_b", "s"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "nb"), "id_b")
+        .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** Resolve near-duplicate PAIRS into dedup decisions: connected

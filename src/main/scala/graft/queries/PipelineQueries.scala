@@ -103,6 +103,17 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Signature-verified MinHash-LSH pairs — the batch twin of the
+    // streaming cross-batch near-dup gate (NearDupStream: the
+    // accumulated index stores signatures, never text, so the stream
+    // verifies by minhash agreement; this query puts that verification
+    // mode in the hash gate). md5 family ⟹ the ENTIRE path — signature,
+    // banding, candidate join, agreement fraction — replays in DuckDB.
+    "q175_sig_dedup" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), n = 3, k = 64, bands = 16,
+          threshold = 0.5, md5Based = true, verify = "sig")
+        .orderBy("id_a", "id_b")),
+
     "q28_simhash_pairs" -> ((s, d) =>
       // d ≤ 7 with 8-bit chunks keeps the pigeonhole full-recall
       // guarantee simhashPairs documents (and now enforces). md5Hash64
@@ -1337,6 +1348,41 @@ object PipelineQueries {
         |SELECT id_a, id_b, round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
         |FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
         |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10""".stripMargin,
+
+    // q27's md5-family replica up to the candidate join, verified by
+    // SIGNATURE agreement instead of true Jaccard (the q175 mode):
+    // jaccard = (#agreeing of 64 minhash positions)/64.
+    "q175_sig_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |hm AS (SELECT doc_id, md5(s) AS m FROM sh),
+        |hp AS (SELECT doc_id,
+        |  CAST(CAST('0x' || substr(m, 1, 16) AS UBIGINT) AS HUGEINT) AS u1,
+        |  CAST((CAST('0x' || substr(m, 17, 16) AS UBIGINT) | 1) AS HUGEINT) AS u2
+        |  FROM hm),
+        |hsg AS (SELECT doc_id,
+        |  u1 - CASE WHEN u1 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS s1,
+        |  u2 - CASE WHEN u2 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS s2
+        |  FROM hp),
+        |hs AS (SELECT doc_id, r.i, min(CAST(
+        |  ((s1 + r.i * s2 + 9223372036854775808) % 18446744073709551616
+        |    + 18446744073709551616) % 18446744073709551616
+        |    - 9223372036854775808 AS BIGINT)) AS h
+        |  FROM hsg, range(0, 64) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY 1),
+        |bb AS (SELECT doc_id, rb.b,
+        |  md5(array_to_string(sig[rb.b*4+1 : rb.b*4+4], '|')) AS bucket
+        |  FROM sig, range(0, 16) rb(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM bb a JOIN bb b2 ON a.b = b2.b AND a.bucket = b2.bucket
+        |  WHERE a.doc_id < b2.doc_id),
+        |sv AS (SELECT c.id_a, c.id_b,
+        |  round(len(list_filter(range(1, 65),
+        |    i -> sa.sig[i] = sb.sig[i])) / 64.0, 6) AS jaccard
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM sv WHERE jaccard >= 0.5""".stripMargin,
 
     // Full MinHash+LSH replica of the Kirsch–Mitzenmacher md5 family:
     // each shingle's single md5 digest splits into two 64-bit halves,

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.pipeline.Dedup
+
+/** Cross-batch NEAR-duplicate gate for streaming ingest — the gap the
+  * exact-dedup stream ([[DocsStream.dedupOnIngest]]) leaves open: md5
+  * state only catches byte-identical copies inside the watermark
+  * window, while a real ingest pipeline must reject a paraphrased or
+  * lightly-edited copy of a document the corpus absorbed WEEKS ago.
+  *
+  * Design (the accumulated-index pattern): every arriving document is
+  * fingerprinted ROW-LOCALLY — [[Dedup.minhashSigExpr]], the shuffle-
+  * free form of the q27 operator's KM minhash — and its LSH band keys
+  * ([[Dedup.bandBucketsExpr]], bit-identical to the batch banding by
+  * shared construction) are checked per micro-batch against a compacted
+  * band-key INDEX of everything that ever arrived. A band collision
+  * makes a candidate; candidates are verified by signature-estimated
+  * Jaccard ([[Dedup.sigJaccard]] ≥ threshold — the index stores k longs
+  * per doc, never text, so exact re-shingling is deliberately out of
+  * reach and the batch twin is `minhashLsh(verify = "sig")`). Verified
+  * arrivals are dropped; ALL arrivals' band keys join the index
+  * (dropped docs keep indexing, so a chain-copy of a dropped doc is
+  * still caught — the CC-conservative policy in arrival order).
+  *
+  * Scale: the index is (band, bucket, sig) — (k+2)·8 ≈ 530 bytes per
+  * band row, bands·that per doc, independent of document size. The
+  * per-batch work is one equi-join of the batch's band keys against a
+  * bucket-bucketed index plus a narrow verify — no corpus re-shuffle,
+  * no unbounded state store; watermarks are irrelevant because the
+  * index IS the state, persisted as data. foreachBatch is the right
+  * Spark surface: dedup-against-accumulated-corpus is a batch join per
+  * trigger, not a keyed state machine (flatMapGroupsWithState would key
+  * on band buckets and still need a second stateful doc-level stage —
+  * two chained stateful operators where one batch join does the job).
+  *
+  * Semantics vs the batch operator: an arrival is dropped iff it
+  * verifies against SOME earlier arrival (arrival order = doc order
+  * within a batch). This agrees with `minhashLsh(verify="sig")` +
+  * [[Dedup.dupClusters]] min-id resolution whenever every non-minimal
+  * cluster member pairs directly with an earlier member (true for
+  * planted copies; a doc whose only similar partner arrives LATER is
+  * kept by both). PipelineSpec drives a near-dup arriving two batches
+  * after its original and asserts stream ≡ batch.
+  */
+object NearDupStream {
+
+  /** Row-local banded fingerprints of a document frame — usable on a
+    * STREAM (no shuffle): (doc_id, band, bucket, sig). Docs shorter
+    * than n tokens have no shingles → no band rows (they cannot be
+    * near-dups at the n-gram level; route them through the exact gate). */
+  def bandKeys(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+               md5Based: Boolean = false, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        Dedup.minhashSigExpr(col(textCol), n, k, md5Based).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
+        posexplode(Dedup.bandBucketsExpr(col("sig"), k, bands, md5Based))
+          .as(Seq("band", "bucket")))
+      .select("doc_id", "band", "bucket", "sig")
+
+  /** One micro-batch step of the gate. `index` holds the accumulated
+    * (doc_id, band, bucket, sig) rows of every prior arrival (empty on
+    * the first batch). Returns (survivors, indexAdd): the batch rows
+    * that are NOT near-dups of anything earlier, and the batch's OWN
+    * band rows to append to the index (all arrivals, kept or dropped).
+    *
+    * Earlier-in-same-batch arrivals count as "prior": the batch's own
+    * band keys self-join with a doc_id inequality, so a near-dup and
+    * its original landing in one trigger still dedup. */
+  def filterBatch(batch: DataFrame, index: DataFrame, n: Int = 3,
+                  k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+                  md5Based: Boolean = false, idCol: String = "doc_id",
+                  textCol: String = "text"): (DataFrame, DataFrame) = {
+    val keys = bandKeys(batch, n, k, bands, md5Based, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keys.count() // materialize once: used for cands, self-join, indexAdd
+    val arrivals = keys.select(col("doc_id").as("_id"), col("band"),
+      col("bucket"), col("sig").as("_psig"))
+    // prior = accumulated index ∪ earlier-id rows of this batch
+    val candIdx = keys.join(index.select(col("band"), col("bucket"),
+        col("doc_id").as("_pid"), col("sig").as("_psig")),
+      Seq("band", "bucket"))
+    val candSelf = keys.join(arrivals.withColumnRenamed("_id", "_pid"),
+        Seq("band", "bucket"))
+      .filter(col("_pid") < col("doc_id"))
+    val dropped = candIdx.select(col("doc_id"), col("sig"), col("_psig"))
+      .unionByName(candSelf.select(col("doc_id"), col("sig"), col("_psig")))
+      .filter(Dedup.sigJaccard(col("sig"), col("_psig")) >= threshold)
+      .select("doc_id").distinct()
+    val survivors = batch.join(dropped.withColumnRenamed("doc_id", idCol),
+      Seq(idCol), "left_anti")
+    (survivors, keys)
+  }
+
+  /** Wire the gate into a running stream: foreachBatch maintains a
+    * parquet band-key index at `indexDir` and appends survivors to
+    * `outDir`. Each trigger appends one file set per batch; compact the
+    * index periodically with [[compactIndex]] (or keep it in a table
+    * format in production — the logic only needs "read current index
+    * rows", so the storage layer is swappable). */
+  def attach(stream: DataFrame, indexDir: String, outDir: String,
+             checkpointDir: String, n: Int = 3, k: Int = 64,
+             bands: Int = 16, threshold: Double = 0.5,
+             md5Based: Boolean = false): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val index = readIndex(spark, indexDir, k)
+        val (survivors, indexAdd) =
+          filterBatch(batch, index, n, k, bands, threshold, md5Based)
+        survivors.write.mode("append").parquet(outDir)
+        indexAdd.write.mode("append").parquet(indexDir)
+        indexAdd.unpersist()
+        ()
+      }
+      .start()
+
+  /** Current index rows, or an empty typed frame before first write. */
+  def readIndex(spark: SparkSession, indexDir: String, k: Int): DataFrame =
+    if (new java.io.File(indexDir).exists())
+      spark.read.parquet(indexDir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+
+  /** Rewrite the per-batch file litter as one bucket-sorted file set —
+    * the periodic compaction a long-running ingest schedules (sorting
+    * by bucket clusters each band key's rows for the per-batch join). */
+  def compactIndex(spark: SparkSession, indexDir: String, k: Int,
+                   partitions: Int = 32): Unit = {
+    val tmp = indexDir + ".compact"
+    readIndex(spark, indexDir, k)
+      .repartitionByRange(partitions, col("bucket"))
+      .sortWithinPartitions("bucket")
+      .write.mode("overwrite").parquet(tmp)
+    val dir = new java.io.File(indexDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(dir)
+    require(new java.io.File(tmp).renameTo(dir),
+      s"compactIndex: rename $tmp -> $indexDir failed")
+  }
+}

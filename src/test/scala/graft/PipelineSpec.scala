@@ -874,6 +874,104 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("minhashSigExpr: row-local signature bit-identical to the batch aggregate") {
+    for (md5b <- Seq(false, true)) {
+      val rowLocal = docs.select(col("doc_id").as("id"),
+        Dedup.minhashSigExpr(col("text"), n = 3, k = 64, md5Based = md5b).as("sig"))
+        .filter(col("sig").isNotNull)
+      val batch = Dedup.minhashSignatures(docs, n = 3, k = 64, md5Based = md5b)
+      assert(rowLocal.exceptAll(batch).isEmpty && batch.exceptAll(rowLocal).isEmpty,
+        s"md5Based=$md5b signatures diverge between routes")
+    }
+    // short doc (< n tokens) yields null, matching the batch aggregate's absence
+    import spark.implicits._
+    val short = Seq((1L, "just two")).toDF("doc_id", "text")
+    assert(short.select(Dedup.minhashSigExpr(col("text"), 3, 8)).head().isNullAt(0))
+  }
+
+  test("NearDupStream: near-dup arriving batches later is dropped; stream ≡ batch") {
+    import graft.streaming.NearDupStream
+    val base = docs.select("doc_id", "text").cache()
+    val b1 = base.filter(col("doc_id") < 40)
+    val b2 = base.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+    // batch 3 arrives LAST and carries: a near-copy of doc 0 (one word
+    // appended — the doc 0 original landed two batches earlier), an
+    // exact copy of doc 50 (one batch earlier), and fresh docs
+    val nearCopy = base.filter(col("doc_id") === 0)
+      .select(lit(20000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    val exactCopy = base.filter(col("doc_id") === 50)
+      .select(lit(20001L).as("doc_id"), col("text"))
+    val b3 = base.filter(col("doc_id") >= 80 && col("doc_id") < 100)
+      .union(nearCopy).union(exactCopy)
+    val batches = Seq(b1, b2, b3)
+    // drive the micro-batch loop directly
+    var index = NearDupStream.readIndex(spark, "/nonexistent_graft_idx", 64)
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    batches.foreach { b =>
+      val (surv, add) = NearDupStream.filterBatch(b, index, threshold = 0.5)
+      survived ++= surv.select("doc_id").collect().map(_.getLong(0))
+      index = index.unionByName(add.select("doc_id", "band", "bucket", "sig"))
+    }
+    // the cross-batch plants are dropped; doc 0's original is kept
+    // (doc 50 is itself a NATURAL near-dup of an earlier doc on the
+    // 31-word synthetic vocabulary and is legitimately dropped — its
+    // exact copy still collides with the indexed bands of a dropped
+    // arrival, which is exactly the chain-copy policy under test)
+    assert(!survived.contains(20000L) && !survived.contains(20001L))
+    assert(survived.contains(0L))
+    // stream ≡ batch: the batch twin is the SAME operator definition —
+    // minhashLsh(verify = "sig") pairs + min-id (= first-arrival here)
+    // cluster resolution over the full corpus
+    val all = batches.reduce(_ union _)
+    val pairs = Dedup.minhashLsh(all, n = 3, k = 64, bands = 16,
+      threshold = 0.5, verify = "sig").select("id_a", "id_b")
+    val droppedBatch = Dedup.dupClusters(spark, pairs)
+      .filter(!col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptBatch = all.select("doc_id").collect().map(_.getLong(0)).toSet -- droppedBatch
+    assert(survived.toSet == keptBatch,
+      s"stream/batch diverge: only-stream=${survived.toSet -- keptBatch} " +
+        s"only-batch=${keptBatch -- survived.toSet}")
+    base.unpersist()
+  }
+
+  test("NearDupStream.attach: end-to-end file stream maintains the index") {
+    import graft.streaming.NearDupStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndup").toString
+    val base = docs.select("doc_id", "text")
+    base.filter(col("doc_id") < 40).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = NearDupStream.attach(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"),
+      indexDir = s"$tmp/index", outDir = s"$tmp/out",
+      checkpointDir = s"$tmp/ckpt", threshold = 0.5)
+    q.processAllAvailable()
+    // the near-copy of doc 0 arrives a separate trigger later
+    base.filter(col("doc_id") === 0)
+      .select(lit(20000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$tmp/out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.contains(0L) && !out.contains(20000L))
+    // index holds band rows for ALL arrivals (dropped ones included)
+    val idx = spark.read.parquet(s"$tmp/index")
+    assert(idx.select("doc_id").distinct().count() == 41L)
+    // compaction preserves the row set
+    val before = idx.collect().toSet
+    NearDupStream.compactIndex(spark, s"$tmp/index", 64, partitions = 4)
+    val after = spark.read.parquet(s"$tmp/index").collect().toSet
+    assert(after == before)
+  }
+
   test("contamination: planted eval overlap measured exactly, clean docs zero") {
     import spark.implicits._
     val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
