@@ -78,6 +78,10 @@ object ProfileIvfPqScale {
     cell(1024, 16, 16, 256, 20)
     // coarser index for comparison (probe fraction matched to 3.1 %)
     cell(512, 16, 8, 32, 20)
+    // the auto-tuner's derivation at this n — ivfPqTopKAuto's cell
+    val p = Similarity.ivfPqParamsFor(nVecs, dim, 5)
+    println(s"[ivfpq-scale] auto params: $p")
+    cell(p.nLists, p.nProbe, p.m, p.nCodes, p.refine)
     spark.stop()
   }
 }

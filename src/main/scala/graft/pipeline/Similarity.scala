@@ -369,6 +369,55 @@ object Similarity extends Serializable {
       .join(src.select(col("id").as("rid"), col("v").as("rv")), "rid"), k)
   }
 
+  /** IVF-PQ parameters derived from the corpus size — the
+    * `_select_index_type` analog (reference embedder_cuvs.py:255-272
+    * routes by corpus size; this derives the knobs instead of just the
+    * tier). Encodes the MEASURED guidance from the two recall curves in
+    * BASELINE.md (r5 tiny-universe, r6 1M-vector):
+    *
+    *  - `nLists ≈ √n` (clamped [4, 65536]) — the standard IVF balance
+    *    point between list scan cost and probe fan-out;
+    *  - `nProbe = max(6, 1.6% of nLists)` — 1.6 % probe fraction hit
+    *    recall 0.996 at n=1M; the floor of 6 carries the tiny-universe
+    *    finding that < 6 probes is coverage-bounded regardless of code
+    *    quality;
+    *  - `m = dim/4` (largest divisor of dim ≤ dim/4) — the subspace
+    *    count the 1M curve showed is what recall is bound by at scale;
+    *  - `nCodes = clamp(n/16, 32, 256)` — full 8-bit codebooks once the
+    *    corpus can train them, smaller books below (256 centroids over
+    *    a few hundred residuals would memorize the sample);
+    *  - `refine = max(20, 4k)` exact-rerank depth, `trainCap =
+    *    max(20k, 40·nLists)` so coarse k-means sees ≥ ~40 samples per
+    *    centroid. */
+  case class IvfPqParams(nLists: Int, nProbe: Int, m: Int, nCodes: Int,
+                         refine: Int, trainCap: Int)
+
+  def ivfPqParamsFor(n: Long, dim: Int = 64, k: Int = 5): IvfPqParams = {
+    require(n > 0 && dim > 0 && k > 0, s"need n,dim,k > 0; got $n/$dim/$k")
+    val nLists = math.max(4, math.min(65536,
+      math.round(math.sqrt(n.toDouble)).toInt))
+    val nProbe = math.min(nLists, math.max(6, math.ceil(0.016 * nLists).toInt))
+    val m = (math.max(1, dim / 4) to 1 by -1).find(dim % _ == 0).get
+    val nCodes = math.min(256L, math.max(32L, n / 16L)).toInt
+    val refine = math.max(20, 4 * k)
+    val trainCap = math.max(20000, 40 * nLists)
+    IvfPqParams(nLists, nProbe, m, nCodes, refine, trainCap)
+  }
+
+  /** [[ivfPqTopK]] with every knob derived from the input size by
+    * [[ivfPqParamsFor]] — one call site that works at both the
+    * 500-vector audit regime and the 1M-vector production regime
+    * without hand tuning (the r6 verdict's ask). Counts the corpus
+    * once (a count-star over the id column). */
+  def ivfPqTopKAuto(spark: SparkSession, vectors: DataFrame, k: Int,
+                    seed: Long = 42, idCol: String = "vec_id",
+                    vecCol: String = "embedding", dim: Int = 64,
+                    queriesOpt: Option[DataFrame] = None): DataFrame = {
+    val p = ivfPqParamsFor(vectors.count(), dim, k)
+    ivfPqTopK(spark, vectors, k, p.nLists, p.nProbe, p.m, p.nCodes,
+      p.refine, seed, idCol, vecCol, dim, p.trainCap, queriesOpt)
+  }
+
   /** Seeded Lloyd k-means with k-means++ init on an in-memory sample
     * (quantizer training for [[ivfTopK]]); deterministic for a seed.
     * Empty clusters re-seed from the point farthest from its center. */

@@ -874,6 +874,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqParamsFor: derivation matches the recorded curve guidance") {
+    import graft.pipeline.Similarity
+    val tiny = Similarity.ivfPqParamsFor(500L)
+    assert(tiny.nLists == 22 && tiny.nProbe == 6) // √500 ≈ 22; 6-probe floor
+    assert(tiny.m == 16 && tiny.nCodes == 32 && tiny.refine == 20)
+    val big = Similarity.ivfPqParamsFor(1000000L)
+    assert(big.nLists == 1000)
+    assert(big.nProbe == 16)          // 1.6% probe fraction
+    assert(big.nCodes == 256)         // full 8-bit codebooks
+    assert(big.trainCap == 40000)     // 40 samples per coarse centroid
+    // m is the largest divisor of dim ≤ dim/4
+    assert(Similarity.ivfPqParamsFor(1000L, dim = 60).m == 15)
+  }
+
+  test("ivfPqTopKAuto: one call site works at the audit regime") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val auto = Similarity.ivfPqTopKAuto(spark, e, k = 5).cache()
+    // k results per vector, audit invariants hold
+    assert(auto.groupBy("qid").count().filter(col("count") =!= 5).isEmpty)
+    val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e, k = 5)
+      .select("qid", "rid")
+    val nb = brute.count()
+    val nh = auto.filter(col("qid") < 50).select("qid", "rid")
+      .join(brute, Seq("qid", "rid"), "left_semi").count()
+    val recall = nh.toDouble / nb
+    assert(recall >= 0.6, s"auto-tuned recall@5 too low: $recall")
+    auto.unpersist()
+  }
+
   test("minhashSigExpr: row-local signature bit-identical to the batch aggregate") {
     for (md5b <- Seq(false, true)) {
       val rowLocal = docs.select(col("doc_id").as("id"),

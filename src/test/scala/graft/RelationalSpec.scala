@@ -14,6 +14,74 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("tableProfile approx mode: schema parity and <=5% sketch drift") {
+    import graft.queries.Relational
+    val o = Tables.orders(spark, sf)
+    val exact = Relational.tableProfile(o, approx = false).cache()
+    val approx = Relational.tableProfile(o, approx = true).cache()
+    assert(exact.schema == approx.schema, "swap modes must agree on schema")
+    // the approx plan must NOT Expand the input (that's the point)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    val joined = exact.select(col("col_name"), col("n_distinct").as("nde"),
+        col("n_rows").as("nr"), col("n_null").as("nn"))
+      .join(approx.select(col("col_name"), col("n_distinct").as("nda"),
+        col("n_rows").as("nra"), col("n_null").as("nna")), "col_name")
+      .collect()
+    assert(joined.length == o.columns.length)
+    joined.foreach { r =>
+      // rows/nulls are exact in both modes; distinct drifts <= 5% (q84)
+      assert(r.getAs[Long]("nr") == r.getAs[Long]("nra"))
+      assert(r.getAs[Long]("nn") == r.getAs[Long]("nna"))
+      val e = r.getAs[Long]("nde").toDouble
+      val a = r.getAs[Long]("nda").toDouble
+      assert(math.abs(a - e) <= 0.05 * math.max(e, 1.0),
+        s"${r.getString(0)}: approx $a vs exact $e drifts > 5%")
+    }
+    // the config flag routes the driver query itself
+    spark.conf.set("spark.graft.profile.approx", "true")
+    try {
+      val viaFlag = SparkEntry.queries("q115_table_profile")(spark, sf)
+      assert(!viaFlag.queryExecution.executedPlan.toString.contains("Expand"))
+    } finally spark.conf.unset("spark.graft.profile.approx")
+    exact.unpersist(); approx.unpersist()
+  }
+
+  test("revenueDeciles range mode: schema parity, conserved totals, ordered ranges") {
+    import graft.queries.Relational
+    val rev = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice")), 2).as("rev")).cache()
+    val n = rev.count()
+    val exact = Relational.revenueDeciles(rev, rangeMode = false)
+    val ranged = Relational.revenueDeciles(rev, rangeMode = true).cache()
+    assert(exact.schema == ranged.schema)
+    // no global sort in the range plan (ntile's single-partition window)
+    val planStr = ranged.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Window"), s"range mode must not plan a window")
+    val rows = ranged.collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    // every customer lands in exactly one decile
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == n)
+    // populations near-uniform (sketch error 0.001 on distinct-ish revs)
+    rows.foreach { r =>
+      val sz = r.getAs[Long]("n_customers").toDouble
+      assert(math.abs(sz - n / 10.0) <= math.max(0.1 * n / 10.0, 2.0),
+        s"decile ${r.getInt(0)} size $sz far from ${n / 10.0}")
+    }
+    // ranges ordered and non-overlapping: decile d's min >= d+1's max
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi.getAs[Double]("min_rev") >= lo.getAs[Double]("max_rev"),
+        s"deciles ${hi.getInt(0)}/${lo.getInt(0)} ranges overlap")
+    }
+    // flag routes the driver query
+    spark.conf.set("spark.graft.deciles.range", "true")
+    try {
+      val viaFlag = SparkEntry.queries("q105_ntile_deciles")(spark, sf)
+      assert(!viaFlag.queryExecution.executedPlan.toString.contains("Window"))
+    } finally spark.conf.unset("spark.graft.deciles.range")
+    rev.unpersist(); ranged.unpersist()
+  }
+
   test("q02 aggregates partition correctly") {
     val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
     val rows = df.collect()
