@@ -1478,18 +1478,24 @@ object TextAnalysis {
       .withColumn("cum_tokens", sum("n_tok").over(w))
       .withColumn("cum_vocab", sum(coalesce(col("n_new"), lit(0L))).over(w))
       .select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
-    val fit = curve.filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
+    // CENTERED log-log OLS: β = Σ(x−x̄)(y−ȳ)/Σ(x−x̄)². The raw-moment
+    // form (n·sxy − sx·sy)/(n·sxx − sx²) cancels two ~equal O(n²x̄²)
+    // terms — fine at 500 docs, but at the 50k-doc scale point the
+    // cancellation left ~1e-7 relative error that exp() amplified into
+    // a 6th-decimal heaps_k mismatch between engines (caught by the
+    // r7 sf1-equivalent oracle run). Centering first makes both
+    // engines sum small same-sign terms; the oracle uses the identical
+    // two-pass form.
+    val xy = curve.filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
       .select(log("cum_tokens").as("x"), log("cum_vocab").as("y"))
-      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
-        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"))
-      .select(
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"),
-        col("sx"), col("sy"), col("n"))
+    val means = xy.agg(avg("x").as("mx"), avg("y").as("my"))
+    val fit = xy.crossJoin(broadcast(means))
+      .agg(first("mx").as("mx"), first("my").as("my"),
+        sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
+        sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"))
+      .select((col("sxy") / col("sxx")).as("beta"), col("mx"), col("my"))
       .select(round(col("beta"), 6).as("heaps_beta"),
-        round(exp(col("sy") / col("n") - col("beta") * col("sx") / col("n")), 6)
-          .as("heaps_k"))
+        round(exp(col("my") - col("beta") * col("mx")), 6).as("heaps_k"))
     curve.crossJoin(broadcast(fit))
   }
 }

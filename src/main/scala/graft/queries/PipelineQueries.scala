@@ -1232,7 +1232,9 @@ object PipelineQueries {
         |    PARTITION BY source ORDER BY z DESC, term) AS rn FROM sc)
         |WHERE rn <= 10""".stripMargin,
 
-    // Identical prefix sums and explicit-sums OLS fit in log-log space.
+    // Identical prefix sums and CENTERED two-pass OLS fit in log-log
+    // space (the raw-moment form cancelled catastrophically at the
+    // 50k-doc scale point — see vocabGrowth).
     "q136_vocab_growth" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
         |    w -> len(w) > 0)) AS term FROM documents),
@@ -1245,15 +1247,16 @@ object PipelineQueries {
         |  CAST(sum(coalesce(fd.n_new, 0)) OVER (ORDER BY pd.doc_id) AS BIGINT)
         |    AS cum_vocab
         |  FROM pd LEFT JOIN fd USING (doc_id)),
-        |f AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
-        |  sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM (
-        |  SELECT ln(cum_tokens) AS x, ln(cum_vocab) AS y FROM c
-        |  WHERE cum_tokens > 0 AND cum_vocab > 0)),
-        |b AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
-        |  sx, sy, n FROM f)
+        |xy AS (SELECT ln(cum_tokens) AS x, ln(cum_vocab) AS y FROM c
+        |  WHERE cum_tokens > 0 AND cum_vocab > 0),
+        |m AS (SELECT avg(x) AS mx, avg(y) AS my FROM xy),
+        |f AS (SELECT sum((x - mx) * (y - my)) AS sxy,
+        |  sum((x - mx) * (x - mx)) AS sxx,
+        |  first(mx) AS mx, first(my) AS my FROM xy, m),
+        |b AS (SELECT sxy / sxx AS beta, mx, my FROM f)
         |SELECT c.doc_id, c.cum_tokens, c.cum_vocab,
         |  round(b.beta, 6) AS heaps_beta,
-        |  round(exp(b.sy / b.n - b.beta * b.sx / b.n), 6) AS heaps_k
+        |  round(exp(b.my - b.beta * b.mx), 6) AS heaps_k
         |FROM c, b""".stripMargin,
 
     // BPE invariant oracle: n_words replayed exactly; the bounds and
