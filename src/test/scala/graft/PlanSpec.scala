@@ -329,4 +329,25 @@ class PlanSpec extends SparkSpec {
       s"ewma needs exactly the user-key shuffle:\n$p")
   }
 
+  test("NearDupStream.bandKeys plans ZERO shuffles (stateless streaming map)") {
+    // The whole point of the row-local signature: banded fingerprints
+    // of an arriving micro-batch must be a pure narrow map — any
+    // Exchange here would be a stateful/shuffling op on the stream path
+    val p = graft.streaming.NearDupStream
+      .bandKeys(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bandKeys must not shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"bandKeys must not aggregate:\n$p")
+  }
+
+  test("q115 approx profile mode plans no Expand; exact mode does") {
+    // the documented swap is now a plan property, both directions
+    val o = Tables.orders(spark, sf)
+    val exact = graft.queries.Relational.tableProfile(o, approx = false)
+      .queryExecution.executedPlan.toString
+    val approx = graft.queries.Relational.tableProfile(o, approx = true)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand") && !approx.contains("Expand"))
+  }
+
 }
