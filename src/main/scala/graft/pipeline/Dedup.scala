@@ -359,11 +359,17 @@ object Dedup {
         transform(sh, s => struct(
           xxhash64(lit(0), s).as("h1"),
           xxhash64(lit(1), s).bitwiseOR(lit(1L)).as("h2")))
-    val sig = array((0 until k).map { i =>
-      aggregate(hs, lit(Long.MaxValue), (acc, h) =>
-        least(acc, graft.functions.HashArith.mulAddWrap(
-          h.getField("h1"), lit(i.toLong), h.getField("h2"))))
-    }: _*)
+    // ONE fold over the shingles with a k-slot accumulator (zip_with
+    // against the index array), not k separate aggregates: the k-fold
+    // form re-evaluated the base-hash transform per signature position
+    // (measured 130 docs/s at the sf1eq probe; this form ~10×). min is
+    // commutative/associative over longs, so the result is bit-equal.
+    val idx = array((0 until k).map(i => lit(i.toLong)): _*)
+    val init = array_repeat(lit(Long.MaxValue), k)
+    val sig = aggregate(hs, init, (acc, h) =>
+      zip_with(acc, idx, (a, i) =>
+        least(a, graft.functions.HashArith.mulAddWrap(
+          h.getField("h1"), i, h.getField("h2")))))
     when(size(sh) > 0, sig)
   }
 
