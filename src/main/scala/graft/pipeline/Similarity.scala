@@ -418,6 +418,122 @@ object Similarity extends Serializable {
       p.refine, seed, idCol, vecCol, dim, p.trainCap, queriesOpt)
   }
 
+  /** Trained product-quantization codec: `m` per-subspace codebooks of
+    * `nCodes` centroids over `dsub = dim/m` dims each. The model is
+    * m·nCodes·dsub doubles (a few hundred KB at production settings) —
+    * driver-held, broadcast for encode/decode. */
+  case class PqCodec(dim: Int, m: Int, nCodes: Int,
+                     codebooks: Array[Array[Array[Double]]]) {
+    val dsub: Int = dim / m
+    /** Nearest-codebook-entry per subspace (ties to the lower code). */
+    def encode(v: Array[Float]): Array[Int] = {
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val cb = codebooks(s)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var d = 0.0; var j = 0
+          while (j < dsub) {
+            val x = v(s * dsub + j) - cb(c)(j); d += x * x; j += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      out
+    }
+    def decode(codes: Array[Int]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var s = 0
+      while (s < m) {
+        System.arraycopy(codebooks(s)(codes(s)), 0, out, s * dsub, dsub)
+        s += 1
+      }
+      out
+    }
+  }
+
+  /** Train a standalone PQ codec over an embedding column — embedding
+    * COMPRESSION as a first-class pipeline operator (distinct from
+    * [[ivfPqTopK]], which quantizes coarse residuals internally for
+    * search): a 100 TB embedding store keeps `m` small ints per vector
+    * (64-dim float32 → m=16 codes = 16 B, a 16× shrink) plus one
+    * driver-sized codebook table, and decodes on demand. Training is
+    * the [[ivfTopK]] sample design: deterministic hash-ordered sample
+    * → per-subspace Lloyd k-means on the driver; encode/decode are
+    * narrow maps against the broadcast codebooks — zero shuffles at
+    * any corpus size. */
+  def pqTrain(spark: SparkSession, vectors: DataFrame, m: Int = 16,
+              nCodes: Int = 32, seed: Long = 42, idCol: String = "vec_id",
+              vecCol: String = "embedding", dim: Int = 64,
+              trainCap: Int = 20000): PqCodec = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(nCodes <= 256, "one-byte-class codes: nCodes must be ≤ 256")
+    import spark.implicits._
+    val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainCap).as[(Long, Array[Float])].collect()
+      .map(_._2.map(_.toDouble))
+    val dsub = dim / m
+    val books = Array.tabulate(m) { s =>
+      val sub = train.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloydKMeans(sub, nCodes, seed + s + 1)
+    }
+    PqCodec(dim, m, nCodes, books)
+  }
+
+  /** Encode every vector to its PQ codes: (id, codes array<int>) — a
+    * pure narrow map against the broadcast codec. */
+  def pqEncode(spark: SparkSession, vectors: DataFrame, codec: PqCodec,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codec)
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, bc.value.encode(v)) }
+      .toDF(idCol, "codes")
+  }
+
+  /** Per-vector codec audit — encode, decode, and compare against the
+    * null model (the global mean vector): (id, codes_ok, mse, mse_mean,
+    * better_than_mean). A quantizer that learned nothing (or an
+    * encode/decode mismatch) fails `better_than_mean`; q176 pins the
+    * booleans through the DuckDB oracle. Two narrow passes + one
+    * dim-bounded mean aggregate. */
+  def pqReconstructionAudit(spark: SparkSession, vectors: DataFrame,
+                            m: Int = 16, nCodes: Int = 32, seed: Long = 42,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val codec = pqTrain(spark, vectors, m, nCodes, seed, idCol, vecCol, dim)
+    val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val meanVec = src.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg("x").as("mx"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val bcCodec = spark.sparkContext.broadcast(codec)
+    val bcMean = spark.sparkContext.broadcast(meanVec)
+    src.as[(Long, Array[Float])].map { case (id, v) =>
+      val c = bcCodec.value
+      val codes = c.encode(v)
+      val rec = c.decode(codes)
+      var mse = 0.0; var mseMean = 0.0
+      var i = 0
+      while (i < v.length) {
+        val d = v(i) - rec(i); mse += d * d
+        val dm = v(i) - bcMean.value(i); mseMean += dm * dm
+        i += 1
+      }
+      mse /= v.length; mseMean /= v.length
+      (id, codes.forall(x => x >= 0 && x < c.nCodes) && codes.length == c.m,
+        mse, mseMean, mse < mseMean)
+    }.toDF(idCol, "codes_ok", "mse", "mse_mean", "better_than_mean")
+  }
+
   /** Seeded Lloyd k-means with k-means++ init on an in-memory sample
     * (quantizer training for [[ivfTopK]]); deterministic for a seed.
     * Empty clusters re-seed from the point farthest from its center. */

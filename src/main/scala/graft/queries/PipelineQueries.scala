@@ -156,6 +156,17 @@ object PipelineQueries {
       annTopKAudit(e, lsh, k = 5, recall, floor = 0.55)
     }),
 
+    // PQ embedding-compression codec audit (invariant oracle): every
+    // vector's codes are in range and the reconstruction beats the
+    // null (global-mean) model — a quantizer that learned nothing, or
+    // an encode/decode mismatch, flips better_than_mean. The mse
+    // columns stay operator-side (PipelineSpec bounds them); the
+    // oracle pins the booleans per vec_id.
+    "q176_pq_codec" -> ((s, d) =>
+      Similarity.pqReconstructionAudit(s, Tables.embeddings(s, d))
+        .select(col("vec_id"), col("codes_ok"), col("better_than_mean"))
+        .orderBy("vec_id")),
+
     "q31_text_quality" -> ((s, d) =>
       TextAnalysis.keepDecision(Tables.documents(s, d))
         .select("doc_id", "n_words", "mean_word_len", "punct_ratio",
@@ -1590,6 +1601,11 @@ object PipelineQueries {
         |FROM e
         |LEFT JOIN (SELECT * FROM n WHERE rn = 1) n ON e.vec_id = n.aid
         |LEFT JOIN (SELECT * FROM q WHERE rn = 1) q ON e.vec_id = q.aid""".stripMargin,
+
+    // PQ codec invariant oracle: one row per vector, booleans pinned.
+    "q176_pq_codec" ->
+      """SELECT vec_id, TRUE AS codes_ok, TRUE AS better_than_mean
+        |FROM embeddings""".stripMargin,
 
     // SemDeDup invariant oracle: one row per input vector, decision
     // contract booleans pinned TRUE (see the q62 query body).

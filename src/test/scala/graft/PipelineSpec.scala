@@ -874,6 +874,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pq codec: exact on codebook points, beats null model, deterministic") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // 4 distinct 4-dim points, nCodes=4 per 2-dim subspace → every
+    // subspace vector IS a codebook centroid → exact reconstruction
+    val pts = Seq(
+      (0L, Array(0f, 0f, 1f, 1f)), (1L, Array(1f, 0f, 0f, 1f)),
+      (2L, Array(0f, 1f, 1f, 0f)), (3L, Array(1f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val audit = Similarity.pqReconstructionAudit(spark, pts, m = 2,
+      nCodes = 4, dim = 4).collect().map(r => r.getLong(0) -> r).toMap
+    assert(audit.size == 4)
+    audit.values.foreach { r =>
+      assert(r.getBoolean(1))                  // codes_ok
+      assert(r.getDouble(2) < 1e-12)           // exact reconstruction
+      assert(r.getBoolean(4))                  // better_than_mean
+    }
+    // real embeddings: all booleans hold and relative mse is a real
+    // compression (codes explain most of the variance)
+    val e = Tables.embeddings(spark, sf)
+    val real = Similarity.pqReconstructionAudit(spark, e).cache()
+    assert(real.filter(!col("codes_ok") || !col("better_than_mean")).isEmpty)
+    val rel = real.agg(avg(col("mse") / col("mse_mean"))).head().getDouble(0)
+    assert(rel < 0.6, s"PQ rel-mse $rel — codec barely compresses")
+    // determinism: same seed → identical codes
+    val c1 = Similarity.pqTrain(spark, e)
+    val enc1 = Similarity.pqEncode(spark, e, c1)
+    val enc2 = Similarity.pqEncode(spark, e, Similarity.pqTrain(spark, e))
+    assert(enc1.exceptAll(enc2).isEmpty && enc2.exceptAll(enc1).isEmpty)
+    real.unpersist()
+  }
+
   test("ivfPqParamsFor: derivation matches the recorded curve guidance") {
     import graft.pipeline.Similarity
     val tiny = Similarity.ivfPqParamsFor(500L)
