@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the classifier stage every large
+  * LLM corpus pipeline runs after rule cleaning (GPT-3/CCNet shape:
+  * train a small classifier, keep documents by score or use the score
+  * as a sampling weight). Features are the deterministic
+  * [[TextAnalysis]] quality features, standardized; the model is
+  * logistic regression trained by full-batch gradient descent where
+  * EACH ITERATION IS ONE AGGREGATE JOB: the gradient is d+1 averaged
+  * doubles (d ≈ 5), so the driver holds the weights and the corpus is
+  * scanned once per iteration with a map-side-combined partial
+  * aggregate — the EigenInit driver-loop design, no per-row state, no
+  * shuffle beyond the aggregate. Scoring is a codegen'd narrow map.
+  *
+  * Everything is deterministic for a fixed input partitioning (fixed
+  * zero init, fixed lr, dataframe aggregates), and the training
+  * CONTRACT — loss strictly improved over the zero model, scores are
+  * valid probabilities, AUC above a floor on a learnable label — is
+  * what q178 pins through the DuckDB oracle (the weights themselves
+  * are float-sum-order data, not replayable algebra).
+  */
+object QualityClassifier {
+
+  /** Feature columns used (order matters — weights index into this). */
+  val featureCols: Seq[String] =
+    Seq("n_words", "mean_word_len", "punct_ratio", "stopword_ratio",
+      "repetition")
+
+  /** (doc_id, features array<double>, label double) — features are the
+    * q31 quality features standardized to zero mean / unit variance
+    * (one stats pass; constant columns get std 1 so they contribute 0
+    * after centering). `labelCol` must be boolean. */
+  def featurize(docs: DataFrame, labelCol: Column,
+                textCol: String = "text"): DataFrame = {
+    val f = TextAnalysis.keepDecision(docs, textCol)
+      .withColumn("_label", labelCol.cast("double"))
+    val stats = f.select(
+      featureCols.flatMap(c => Seq(
+        avg(col(c)).as(s"_m_$c"), stddev_pop(col(c)).as(s"_s_$c"))): _*)
+    val std = f.crossJoin(broadcast(stats))
+    val feats = array(featureCols.map(c =>
+      (col(c) - col(s"_m_$c")) /
+        when(col(s"_s_$c") > 1e-12, col(s"_s_$c")).otherwise(lit(1.0))): _*)
+    std.select(col("doc_id"), feats.as("features"), col("_label").as("label"))
+  }
+
+  /** Full-batch GD on the logistic loss. Returns (weights with bias
+    * LAST, per-iteration mean log-loss — index 0 is the zero-model
+    * loss). One aggregate job per iteration. */
+  def train(featurized: DataFrame, iters: Int = 30,
+            lr: Double = 1.0): (Array[Double], Array[Double]) = {
+    val d = featureCols.length
+    val w = new Array[Double](d + 1) // zeros; bias last
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val cached = featurized.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    try {
+      for (_ <- 0 to iters) {
+        val dot = (0 until d).map(j =>
+          lit(w(j)) * element_at(col("features"), j + 1))
+          .reduce(_ + _) + lit(w(d))
+        val p = lit(1.0) / (lit(1.0) + exp(-dot))
+        // clamp for the log: p is in (0,1) analytically, but exp can
+        // saturate to exactly 0/1 in double arithmetic
+        val pc = least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
+        val err = p - col("label")
+        val aggs =
+          avg(-(col("label") * log(pc) +
+            (lit(1.0) - col("label")) * log(lit(1.0) - pc))).as("_loss") +:
+            ((0 until d).map(j =>
+              avg(err * element_at(col("features"), j + 1)).as(s"_g$j")) :+
+              avg(err).as(s"_g$d"))
+        val row = cached.agg(aggs.head, aggs.tail: _*).head()
+        losses += row.getDouble(0)
+        for (j <- 0 to d) w(j) -= lr * row.getDouble(j + 1)
+      }
+    } finally cached.unpersist(blocking = false)
+    (w, losses.toArray)
+  }
+
+  /** Sigmoid score per doc against trained weights — a narrow map. */
+  def score(featurized: DataFrame, w: Array[Double]): DataFrame = {
+    val d = featureCols.length
+    require(w.length == d + 1, s"need ${d + 1} weights, got ${w.length}")
+    val dot = (0 until d).map(j =>
+      lit(w(j)) * element_at(col("features"), j + 1))
+      .reduce(_ + _) + lit(w(d))
+    featurized.withColumn("score", lit(1.0) / (lit(1.0) + exp(-dot)))
+  }
+
+  /** Rank-based AUC (Mann–Whitney U with average ranks for ties) of a
+    * score column against a 0/1 label — one sort over the scored
+    * frame. */
+  def auc(scored: DataFrame, scoreCol: String = "score",
+          labelCol: String = "label"): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = scored.select(col(scoreCol).as("_s"), col(labelCol).as("_y"))
+      .groupBy("_s").agg(count(lit(1)).as("_c"), sum("_y").as("_pos"))
+      .withColumn("_r", sum("_c").over(w) - (col("_c") - 1) / 2.0)
+    val row = ranked.agg(
+      sum(col("_pos") * col("_r")).as("rpos"),
+      sum(col("_pos")).as("np"),
+      sum(col("_c")).as("n")).head()
+    val (rpos, np, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    val nn = n - np
+    if (np == 0 || nn == 0) Double.NaN
+    else (rpos - np * (np + 1) / 2.0) / (np * nn)
+  }
+}

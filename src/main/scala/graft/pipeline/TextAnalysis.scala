@@ -914,6 +914,40 @@ object TextAnalysis {
       col("n_words") >= 5 && col("punct_ratio") < 0.1931 &&
         col("repetition") < 0.5931)
 
+  /** C4-style rule cleaning (Raffel et al. 2020 §2.2 — the classic
+    * crawl-cleaning pass every LLM corpus runs before model-based
+    * filtering): per LINE of each document,
+    *
+    *  - keep only lines ending in terminal punctuation (. ! ? ")
+    *  - keep only lines with ≥ `minWords` words
+    *  - drop lines containing "javascript" (the enable-JS boilerplate)
+    *    or "cookie" policy fragments, case-insensitively
+    *
+    * and drop the WHOLE document when it contains "lorem ipsum" or a
+    * curly brace (leaked code/template). Emits every input row with
+    * (n_lines, n_kept, cleaned, doc_dropped) — the decision is data,
+    * so the reject path stays auditable (the qualityGateOnIngest
+    * posture). A pure narrow map (split + array lambdas, no shuffle —
+    * a scan at 100 TB) whose every rule is engine-replayable string
+    * algebra: q177's DuckDB oracle replays it exactly. */
+  def c4Clean(df: DataFrame, minWords: Int = 3,
+              textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, " "), w => length(w) > 0)) >= minWords &&
+        !lower(l).contains("javascript") && !lower(l).contains("cookie")
+    val kept = filter(lines, keepLine)
+    df.withColumn("doc_dropped",
+        lower(col(textCol)).contains("lorem ipsum") ||
+          col(textCol).contains("{"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept",
+        when(col("doc_dropped"), lit(0L)).otherwise(size(kept).cast("long")))
+      .withColumn("cleaned",
+        when(col("doc_dropped"), lit("")).otherwise(concat_ws("\n", kept)))
+  }
+
   /** Corpus-wide top-k n-grams with occurrence and document frequency —
     * the memorization/contamination audit a curator runs before
     * training ("which exact phrases dominate the corpus?").

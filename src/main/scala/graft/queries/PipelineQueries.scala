@@ -156,6 +156,30 @@ object PipelineQueries {
       annTopKAudit(e, lsh, k = 5, recall, floor = 0.55)
     }),
 
+    // Model-based quality filtering (the GPT-3/CCNet classifier stage):
+    // logistic regression on the q31 quality features, trained by
+    // one-aggregate-per-iteration full-batch GD to distill the
+    // rule-based keep gate into a soft score (the classic setup — rules
+    // label, the classifier generalizes/ranks). Invariant oracle: the
+    // weights are float-sum-order data, but the training CONTRACT is
+    // pinned per doc — scores are valid probabilities, the final loss
+    // strictly beats the zero model, and AUC against the rule labels
+    // clears 0.75 (measured 0.98+ at sf0.01/sf0.1; a learner that
+    // stopped learning fails the row hash).
+    "q178_quality_classifier" -> ((s, d) => {
+      import graft.pipeline.QualityClassifier
+      val feat = QualityClassifier.featurize(Tables.documents(s, d), col("keep"))
+      val (w, losses) = QualityClassifier.train(feat, iters = 30, lr = 1.0)
+      val scored = QualityClassifier.score(feat, w).cache()
+      val a = QualityClassifier.auc(scored)
+      scored.select(col("doc_id"),
+          (col("score") >= 0.0 && col("score") <= 1.0 &&
+            !isnan(col("score"))).as("score_range_ok"),
+          lit(losses.last < losses.head - 1e-6).as("loss_improved"),
+          lit(a >= 0.75).as("auc_ok"))
+        .orderBy("doc_id")
+    }),
+
     // PQ embedding-compression codec audit (invariant oracle): every
     // vector's codes are in range and the reconstruction beats the
     // null (global-mean) model — a quantizer that learned nothing, or
@@ -166,6 +190,25 @@ object PipelineQueries {
       Similarity.pqReconstructionAudit(s, Tables.embeddings(s, d))
         .select(col("vec_id"), col("codes_ok"), col("better_than_mean"))
         .orderBy("vec_id")),
+
+    // C4-style rule cleaning over planted multi-line documents (the
+    // synthetic corpus is single-line with no punctuation, so the query
+    // constructs the line structure in-plan — the q49 planting idiom;
+    // both engines build and clean identical strings). Line 1 is the
+    // corpus text with terminal punctuation (kept), line 2 is
+    // unterminated boilerplate — carrying "lorem ipsum" on every 7th
+    // doc, which drops the whole document — line 3 is the enable-
+    // JavaScript banner, line 4 is under the word floor. Exact oracle.
+    "q177_c4_clean" -> ((s, d) =>
+      TextAnalysis.c4Clean(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(".\n"),
+            when(col("doc_id") % 7 === 0, lit("buy now lorem ipsum"))
+              .otherwise(lit("buy now click here")),
+            lit("\nEnable JavaScript and cookies to continue.\ntoo short."))
+            .as("text")))
+        .select("doc_id", "n_lines", "n_kept", "cleaned", "doc_dropped")
+        .orderBy("doc_id")),
 
     "q31_text_quality" -> ((s, d) =>
       TextAnalysis.keepDecision(Tables.documents(s, d))
@@ -1601,6 +1644,39 @@ object PipelineQueries {
         |FROM e
         |LEFT JOIN (SELECT * FROM n WHERE rn = 1) n ON e.vec_id = n.aid
         |LEFT JOIN (SELECT * FROM q WHERE rn = 1) q ON e.vec_id = q.aid""".stripMargin,
+
+    // Identical planted-line construction + rule algebra in DuckDB.
+    "q177_c4_clean" ->
+      """WITH t AS (SELECT doc_id, text || '.' || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'buy now lorem ipsum'
+        |      ELSE 'buy now click here' END || chr(10) ||
+        |    'Enable JavaScript and cookies to continue.' || chr(10) ||
+        |    'too short.' AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  (contains(lower(text), 'lorem ipsum') OR contains(text, '{'))
+        |    AS doc_dropped,
+        |  string_split(text, chr(10)) AS ls FROM t),
+        |k AS (SELECT doc_id, doc_dropped,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+        |    AND len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 3
+        |    AND NOT contains(lower(l), 'javascript')
+        |    AND NOT contains(lower(l), 'cookie')) AS kept
+        |  FROM c)
+        |SELECT doc_id, n_lines,
+        |  CASE WHEN doc_dropped THEN 0
+        |    ELSE CAST(len(kept) AS BIGINT) END AS n_kept,
+        |  CASE WHEN doc_dropped THEN ''
+        |    ELSE array_to_string(kept, chr(10)) END AS cleaned,
+        |  doc_dropped
+        |FROM k""".stripMargin,
+
+    // Classifier training-contract oracle: one row per doc, pinned.
+    "q178_quality_classifier" ->
+      """SELECT doc_id, TRUE AS score_range_ok, TRUE AS loss_improved,
+        |  TRUE AS auc_ok
+        |FROM documents""".stripMargin,
 
     // PQ codec invariant oracle: one row per vector, booleans pinned.
     "q176_pq_codec" ->

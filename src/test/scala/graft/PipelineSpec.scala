@@ -874,6 +874,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier: learns a separable plant and the corpus rule gate") {
+    import spark.implicits._
+    import graft.pipeline.QualityClassifier
+    // separable plant: repetitive docs (label false via repetition)
+    // vs distinct-word docs — one feature carries the signal
+    val rep = (0 until 40).map(i =>
+      (i.toLong, Array.fill(30)("dup").mkString(" ")))
+    val uniq = (0 until 40).map(i =>
+      (100L + i, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+    val plant = (rep ++ uniq).toDF("doc_id", "text")
+    val pf = QualityClassifier.featurize(plant, col("repetition") < 0.5)
+    val (pw, pl) = QualityClassifier.train(pf, iters = 30, lr = 1.0)
+    assert(pl.last < pl.head / 2, s"loss barely moved: ${pl.head} -> ${pl.last}")
+    val pAuc = QualityClassifier.auc(QualityClassifier.score(pf, pw))
+    assert(pAuc > 0.99, s"separable plant AUC $pAuc")
+    // corpus: distills the q31 keep gate well above the q178 floor
+    val feat = QualityClassifier.featurize(docs, col("keep"))
+    val (w, losses) = QualityClassifier.train(feat, iters = 30, lr = 1.0)
+    assert(losses.last < losses.head)
+    val scored = QualityClassifier.score(feat, w)
+    assert(scored.filter(col("score") < 0 || col("score") > 1).isEmpty)
+    val a = QualityClassifier.auc(scored)
+    assert(a >= 0.85, s"corpus AUC $a under the comfortable margin")
+  }
+
+  test("c4Clean: every rule branch on a hand fixture") {
+    import spark.implicits._
+    val d = Seq(
+      // kept line + unterminated + javascript + short
+      (1L, "a good long line.\nno punct here at all\nenable JavaScript now.\nhi there."),
+      (2L, "Cookie policy applies here.\nanother fine sentence right here!"),
+      (3L, "this doc has lorem ipsum somewhere.\nand a fine line."),
+      (4L, "code leak { x = 1 }\nperfect sentence here."),
+      (5L, "ends with quote\"\nends with question mark?\nends wrong;"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("cleaned"), r.getAs[Boolean]("doc_dropped"))).toMap
+    assert(got(1L) == ((4L, 1L, "a good long line.", false)))
+    assert(got(2L) == ((2L, 1L, "another fine sentence right here!", false)))
+    assert(got(3L) == ((2L, 0L, "", true)))   // lorem ipsum → doc dropped
+    assert(got(4L) == ((2L, 0L, "", true)))   // brace → doc dropped
+    assert(got(5L) == ((3L, 2L,
+      "ends with quote\"\nends with question mark?", false)))
+  }
+
   test("pq codec: exact on codebook points, beats null model, deterministic") {
     import spark.implicits._
     import graft.pipeline.Similarity
