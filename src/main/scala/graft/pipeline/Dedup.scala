@@ -442,6 +442,62 @@ object Dedup {
     }
   }
 
+  /** EXACT duplicate-span REMOVAL (Lee et al. 2022's ExactSubstr
+    * policy, L-gram formulation): any L-token span whose exact text
+    * occurs more than once in the corpus is removed from every
+    * position EXCEPT the globally first occurrence (min (doc_id,
+    * idx) — internal repetition within one doc dedups the same way).
+    * Overlapping duplicated grams remove their union of token
+    * positions, so a long duplicated region disappears as one span.
+    * [[dupNgramStats]] (q152) measures the load; this operator
+    * actually edits the corpus.
+    *
+    * Returns every input row: (doc_id, n_tokens, n_removed, cleaned).
+    *
+    * Shape: one positional gram explode → one gram-keyed count/min
+    * aggregate (map-side partials) → a 1:1 join back (the q152
+    * envelope, never a posting self-join) → a doc-keyed coverage join
+    * (tokens ⋈ removal starts, per-doc bounded) → per-doc reassembly
+    * from a collect_list bounded by document length. Every key is the
+    * gram or the doc — scan-class at 100 TB; no corpus-wide sort. The
+    * first-occurrence key is the ENCODED long doc_id·10⁶ + idx so the
+    * tie-break replays bit-identically in any engine (valid while
+    * documents stay under 10⁶ tokens — longer inputs should be
+    * chunked upstream, the q107 operator). */
+  def dedupSpans(docs: DataFrame, L: Int = 8, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val ts = split(col(textCol), " ")
+    val base = docs.select(col(idCol).as("doc_id"), ts.as("_ts"))
+    val toks = base.select(col("doc_id"),
+      posexplode(col("_ts")).as(Seq("idx", "token")))
+    val grams = base.filter(size(col("_ts")) >= L)
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("_ts")) - L),
+          i => array_join(slice(col("_ts"), i + 1, lit(L)), " ")))
+        .as(Seq("idx", "gram")))
+      .withColumn("_key", col("doc_id") * 1000000L + col("idx"))
+    val firsts = grams.groupBy("gram")
+      .agg(count(lit(1)).as("_cnt"), min(col("_key")).as("_first"))
+    val rem = grams.join(firsts, "gram")
+      .filter(col("_cnt") > 1 && col("_key") =!= col("_first"))
+      .select(col("doc_id"), col("idx").as("_s"))
+    val covered = toks.join(rem,
+        toks("doc_id") === rem("doc_id") &&
+          toks("idx").between(rem("_s"), rem("_s") + (L - 1)))
+      .select(toks("doc_id"), toks("idx")).distinct()
+    val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("_nkept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("token")))),
+          s => s.getField("token"))).as("cleaned"))
+    base.select(col("doc_id"), size(col("_ts")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_nkept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Resolve near-duplicate PAIRS into dedup decisions: connected
     * components over the pair graph (near-duplication is not
     * transitive, so A~B and B~C chain into one cluster even when A!~C —

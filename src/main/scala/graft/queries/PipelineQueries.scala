@@ -156,6 +156,20 @@ object PipelineQueries {
       annTopKAudit(e, lsh, k = 5, recall, floor = 0.55)
     }),
 
+    // Lee et al. exact duplicate-SPAN removal over planted boilerplate:
+    // every 5th doc carries a 9-token tail (two duplicated 8-grams in
+    // the tail; boundary grams stay unique per doc), so the globally
+    // first plant keeps its copy and every later one loses exactly the
+    // tail. Exact oracle — both engines replay the whole edit.
+    "q179_dedup_spans" -> ((s, d) =>
+      Dedup.dedupSpans(
+        Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"),
+              lit(" zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9")))
+            .otherwise(col("text")).as("text")),
+        L = 8).orderBy("doc_id")),
+
     // Model-based quality filtering (the GPT-3/CCNet classifier stage):
     // logistic regression on the q31 quality features, trained by
     // one-aggregate-per-iteration full-batch GD to distill the
@@ -1671,6 +1685,39 @@ object PipelineQueries {
         |    ELSE array_to_string(kept, chr(10)) END AS cleaned,
         |  doc_dropped
         |FROM k""".stripMargin,
+
+    // Exact replay of the span-removal algebra: positional grams,
+    // count/min-key aggregate, coverage join, anti join, ordered
+    // reassembly.
+    "q179_dedup_spans" ->
+      """WITH t0 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9'
+        |    ELSE text END AS text FROM documents),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM t0),
+        |tok AS (SELECT doc_id, g.i AS idx, ts[g.i + 1] AS token
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, len(ts) - 1))
+        |    AS i) g),
+        |gr AS (SELECT doc_id, g.i AS idx,
+        |    array_to_string(ts[g.i + 1 : g.i + 8], ' ') AS gram,
+        |    doc_id * 1000000 + g.i AS key
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, len(ts) - 8))
+        |    AS i) g
+        |  WHERE len(ts) >= 8),
+        |f AS (SELECT gram, count(*) AS cnt, min(key) AS fk FROM gr
+        |  GROUP BY 1),
+        |rem AS (SELECT gr.doc_id, gr.idx AS s FROM gr JOIN f USING (gram)
+        |  WHERE f.cnt > 1 AND gr.key <> f.fk),
+        |cov AS (SELECT DISTINCT t.doc_id, t.idx FROM tok t JOIN rem r
+        |  ON t.doc_id = r.doc_id AND t.idx BETWEEN r.s AND r.s + 7),
+        |keep AS (SELECT t.doc_id, t.idx, t.token FROM tok t
+        |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx),
+        |rb AS (SELECT doc_id, count(*) AS nk,
+        |    array_to_string(list(token ORDER BY idx), ' ') AS cleaned
+        |  FROM keep GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.ts) - coalesce(rb.nk, 0) AS BIGINT) AS n_removed,
+        |  coalesce(rb.cleaned, '') AS cleaned
+        |FROM d LEFT JOIN rb USING (doc_id)""".stripMargin,
 
     // Classifier training-contract oracle: one row per doc, pinned.
     "q178_quality_classifier" ->

@@ -874,6 +874,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedupSpans: first occurrence survives, later copies lose the span") {
+    import spark.implicits._
+    // docs 1/2 share an 8-token boilerplate region; doc 3 repeats its
+    // own 8-gram internally; doc 4 is short and untouched
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, s"u1 u2 $boiler t1"),          // first occurrence → intact
+      (2L, s"v1 $boiler v2 v3"),          // later copy → span removed
+      (3L, s"$boiler x $boiler"),         // internal repeat → 2nd removed
+      (4L, "tiny doc here"))              // < L tokens → untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(d, L = 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned"))).toMap
+    assert(got(1L) == ((11L, 0L, s"u1 u2 $boiler t1")))
+    assert(got(2L) == ((11L, 8L, "v1 v2 v3")))
+    // doc 3: its own first "$boiler" is position (3,0)... but doc 1's
+    // copy at (1,2) is globally first, so BOTH doc-3 copies go; the
+    // middle x survives only if uncovered — grams overlapping x are
+    // unique, so x stays
+    assert(got(3L) == ((17L, 16L, "x")))
+    assert(got(4L) == ((3L, 0L, "tiny doc here")))
+  }
+
   test("quality classifier: learns a separable plant and the corpus rule gate") {
     import spark.implicits._
     import graft.pipeline.QualityClassifier
