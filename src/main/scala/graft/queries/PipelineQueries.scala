@@ -156,6 +156,27 @@ object PipelineQueries {
       annTopKAudit(e, lsh, k = 5, recall, floor = 0.55)
     }),
 
+    // CCNet head/middle/tail perplexity bucketing: per SOURCE, docs
+    // split into LM-quality tertiles by the q64 unigram NLL (CCNet
+    // §4.2 does exactly this per language with a KenLM score — head =
+    // closest to the LM, the slice pretraining keeps preferentially).
+    // The ntile window is source-partitioned (scale-safe) and orders
+    // on the ROUNDED oracle-proven NLL with a doc_id tiebreak, so the
+    // cut replays identically in both engines. Exact oracle.
+    "q180_ccnet_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val nll = TextAnalysis.unigramLogLik(docs)
+      val w = Window.partitionBy("source")
+        .orderBy(col("avg_nll"), col("doc_id"))
+      val nt = ntile(3).over(w)
+      docs.select("doc_id", "source").join(nll, "doc_id")
+        .withColumn("bucket", when(nt === 1, "head")
+          .when(nt === 2, "middle").otherwise("tail"))
+        .select(col("doc_id"), col("source"), col("avg_nll"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Lee et al. exact duplicate-SPAN removal over planted boilerplate:
     // every 5th doc carries a 9-token tail (two duplicated 8-grams in
     // the tail; boundary grams stay unique per doc), so the globally
@@ -1685,6 +1706,26 @@ object PipelineQueries {
         |    ELSE array_to_string(kept, chr(10)) END AS cleaned,
         |  doc_dropped
         |FROM k""".stripMargin,
+
+    // q64's NLL machinery + the same source-partitioned tertile cut.
+    "q180_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |gf AS (SELECT term, sum(c) AS g FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(g) AS t FROM gf),
+        |nll AS (SELECT tf.doc_id,
+        |    round(-sum(tf.c * ln(gf.g / tot.t)) / sum(tf.c), 6) AS avg_nll
+        |  FROM tf JOIN gf USING (term), tot GROUP BY 1),
+        |j AS (SELECT d.doc_id, d.source, nll.avg_nll,
+        |    ntile(3) OVER (PARTITION BY d.source
+        |      ORDER BY nll.avg_nll, d.doc_id) AS nt
+        |  FROM documents d JOIN nll ON d.doc_id = nll.doc_id)
+        |SELECT doc_id, source, avg_nll,
+        |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM j""".stripMargin,
 
     // Exact replay of the span-removal algebra: positional grams,
     // count/min-key aggregate, coverage join, anti join, ordered

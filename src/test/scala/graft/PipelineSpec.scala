@@ -874,6 +874,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q180 ccnet buckets: balanced tertiles, NLL-ordered per source") {
+    val out = SparkEntry.queries("q180_ccnet_buckets")(spark, sf).cache()
+    // tertile sizes differ by at most 1 within each source
+    val sizes = out.groupBy("source", "bucket").count()
+      .groupBy("source").agg(max("count").as("mx"), min("count").as("mn"))
+    assert(sizes.filter(col("mx") - col("mn") > 1).isEmpty)
+    // ordering: every head NLL <= every middle NLL <= every tail NLL
+    val b = out.groupBy("source").agg(
+      max(when(col("bucket") === "head", col("avg_nll"))).as("hmax"),
+      min(when(col("bucket") === "middle", col("avg_nll"))).as("mmin"),
+      max(when(col("bucket") === "middle", col("avg_nll"))).as("mmax"),
+      min(when(col("bucket") === "tail", col("avg_nll"))).as("tmin"))
+    assert(b.filter(col("hmax") > col("mmin") ||
+      col("mmax") > col("tmin")).isEmpty)
+    out.unpersist()
+  }
+
   test("dedupSpans: first occurrence survives, later copies lose the span") {
     import spark.implicits._
     // docs 1/2 share an 8-token boilerplate region; doc 3 repeats its
