@@ -948,6 +948,66 @@ object TextAnalysis {
         when(col("doc_dropped"), lit("")).otherwise(concat_ws("\n", kept)))
   }
 
+  /** Gopher repetition-free quality rules (Rae et al. 2021, Table A1 —
+    * the OTHER canonical crawl-filter family, complementary to the C4
+    * line rules): per document,
+    *
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [3, 10] characters
+    *  - symbol-to-word ratio (# and ...) ≤ 0.1
+    *  - ≤ 90% of lines start with a bullet (•, -, *)
+    *  - ≤ 30% of lines end with an ellipsis
+    *  - ≥ 80% of words contain at least one alphabetic character
+    *  - ≥ 2 distinct stop words from Gopher's 8-word list
+    *
+    * Every threshold comparison is INTEGER algebra (sum_len ≤
+    * 10·n_words, 10·n_bullet ≤ 9·n_lines, …), so no float boundary can
+    * flip a boolean between engines — the keepDecision non-round-
+    * threshold discipline taken one step further. The ratios are also
+    * emitted (rounded, as data) for downstream scoring. A pure narrow
+    * map — split + array lambdas, zero shuffles, a scan at 100 TB.
+    * Reference analog: the rule-gate stage the reference validates
+    * structurally (tests/test_generators.py:32-57 posture); exact
+    * DuckDB replay in q181. */
+  def gopherRules(df: DataFrame, minWords: Long = 50L,
+                  maxWords: Long = 100000L,
+                  textCol: String = "text"): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = filter(split(col(textCol), "[ \n]"), w => length(w) > 0)
+    val lines = split(col(textCol), "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val nHash = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))).cast("long")
+    val nEllipsis = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^[•\\-*]"))).cast("long")
+    val nEllLine = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val nStop = stops.map(s =>
+      when(array_contains(words, s), 1L).otherwise(0L)).reduce(_ + _)
+    df.withColumn("n_words", nWords)
+      .withColumn("n_lines", nLines)
+      .withColumn("mean_word_len",
+        round(sumLen.cast("double") / nWords.cast("double"), 6))
+      .withColumn("symbol_ratio",
+        round((nHash + nEllipsis).cast("double") / nWords.cast("double"), 6))
+      .withColumn("n_stopwords", nStop)
+      .withColumn("words_ok", nWords >= minWords && nWords <= maxWords)
+      .withColumn("word_len_ok",
+        sumLen >= lit(3L) * nWords && sumLen <= lit(10L) * nWords)
+      .withColumn("symbol_ok", (nHash + nEllipsis) * lit(10L) <= nWords)
+      .withColumn("bullet_ok", nBullet * lit(10L) <= nLines * lit(9L))
+      .withColumn("ellipsis_ok", nEllLine * lit(10L) <= nLines * lit(3L))
+      .withColumn("alpha_ok", nAlpha * lit(10L) >= nWords * lit(8L))
+      .withColumn("stop_ok", nStop >= lit(2L))
+      .withColumn("gopher_keep",
+        col("words_ok") && col("word_len_ok") && col("symbol_ok") &&
+          col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
+          col("stop_ok"))
+  }
+
   /** Corpus-wide top-k n-grams with occurrence and document frequency —
     * the memorization/contamination audit a curator runs before
     * training ("which exact phrases dominate the corpus?").

@@ -177,6 +177,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher quality rules over planted line/symbol structure (the
+    // corpus is single-line without bullets/ellipses/stopwords, so the
+    // query constructs each rule's trigger in-plan — the q177 planting
+    // idiom): every 3rd doc gains a bullet line plus TWO ellipsis
+    // lines (flipping ellipsis_ok), every 7th gains hash symbols
+    // (flipping symbol_ok/alpha_ok on short docs), the rest gain a
+    // stopword-rich sentence (satisfying stop_ok). All rule booleans
+    // are integer algebra — exact oracle.
+    "q181_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("\n• promo item\nread more...\nclick here..."))
+              .when(col("doc_id") % 7 === 0, lit(" ## ## ##"))
+              .otherwise(lit("\nthe end of that story and with more")))
+            .as("text")),
+        minWords = 5L)
+        .select("doc_id", "n_words", "n_lines", "mean_word_len",
+          "symbol_ratio", "n_stopwords", "words_ok", "word_len_ok",
+          "symbol_ok", "bullet_ok", "ellipsis_ok", "alpha_ok", "stop_ok",
+          "gopher_keep")
+        .orderBy("doc_id")),
+
     // Lee et al. exact duplicate-SPAN removal over planted boilerplate:
     // every 5th doc carries a 9-token tail (two duplicated 8-grams in
     // the tail; boundary grams stay unique per doc), so the globally
@@ -1726,6 +1750,67 @@ object PipelineQueries {
         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |    ELSE 'tail' END AS bucket
         |FROM j""".stripMargin,
+
+    // Identical planted construction + integer rule algebra in DuckDB.
+    "q181_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '• promo item' ||
+        |        chr(10) || 'read more...' || chr(10) || 'click here...'
+        |      WHEN doc_id % 7 = 0 THEN ' ## ## ##'
+        |      ELSE chr(10) || 'the end of that story and with more'
+        |    END AS text FROM documents),
+        |f AS (SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '[ \n]'),
+        |      w -> len(w) > 0) AS ws,
+        |    string_split(text, chr(10)) AS ls,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((len(text) - len(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ell
+        |  FROM t),
+        |g AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT)
+        |      AS sum_len,
+        |    n_hash, n_ell,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '^[•\-*]')))
+        |      AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(l, '\.\.\.$')))
+        |      AS BIGINT) AS n_ell_line,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(CAST(list_contains(ws, 'the') AS INT)
+        |      + CAST(list_contains(ws, 'be') AS INT)
+        |      + CAST(list_contains(ws, 'to') AS INT)
+        |      + CAST(list_contains(ws, 'of') AS INT)
+        |      + CAST(list_contains(ws, 'and') AS INT)
+        |      + CAST(list_contains(ws, 'that') AS INT)
+        |      + CAST(list_contains(ws, 'have') AS INT)
+        |      + CAST(list_contains(ws, 'with') AS INT) AS BIGINT)
+        |      AS n_stopwords
+        |  FROM f)
+        |SELECT doc_id, n_words, n_lines,
+        |  round(sum_len / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+        |  round((n_hash + n_ell) / CAST(n_words AS DOUBLE), 6)
+        |    AS symbol_ratio,
+        |  n_stopwords,
+        |  n_words >= 5 AND n_words <= 100000 AS words_ok,
+        |  sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        |    AS word_len_ok,
+        |  (n_hash + n_ell) * 10 <= n_words AS symbol_ok,
+        |  n_bullet * 10 <= n_lines * 9 AS bullet_ok,
+        |  n_ell_line * 10 <= n_lines * 3 AS ellipsis_ok,
+        |  n_alpha * 10 >= n_words * 8 AS alpha_ok,
+        |  n_stopwords >= 2 AS stop_ok,
+        |  (n_words >= 5 AND n_words <= 100000)
+        |    AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+        |    AND ((n_hash + n_ell) * 10 <= n_words)
+        |    AND (n_bullet * 10 <= n_lines * 9)
+        |    AND (n_ell_line * 10 <= n_lines * 3)
+        |    AND (n_alpha * 10 >= n_words * 8)
+        |    AND (n_stopwords >= 2) AS gopher_keep
+        |FROM g""".stripMargin,
 
     // Exact replay of the span-removal algebra: positional grams,
     // count/min-key aggregate, coverage join, anti join, ordered

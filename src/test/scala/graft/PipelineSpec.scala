@@ -891,6 +891,34 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("gopherRules: each rule flips on its own trigger") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox and the lazy dog ran with that pace"),
+      (2L, "tiny doc"),                                    // word floor
+      (3L, (1 to 6).map(_ => "aaaaaaaaaaaaaaa").mkString(" ")), // len 15
+      (4L, "the quick brown fox and the lazy dog ran with that pace # # #"),
+      (5L, (1 to 10).map(_ => "• the item of list").mkString("\n")),
+      (6L, "the first line of it\nread more...\nclick here...\nthe end"),
+      (7L, "1 2 3 4 5 6 7 8 the of"),                      // digits only
+      (8L, "quick brown foxes jump gates")                 // no stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(d, minWords = 5L).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("gopher_keep"))
+    assert(r(1L).getAs[Long]("n_stopwords") == 4L) // the/and/with/that
+    assert(!r(2L).getAs[Boolean]("words_ok"))
+    assert(!r(3L).getAs[Boolean]("word_len_ok"))
+    assert(!r(4L).getAs[Boolean]("symbol_ok"))
+    assert(!r(5L).getAs[Boolean]("bullet_ok"))
+    assert(!r(6L).getAs[Boolean]("ellipsis_ok"))
+    assert(!r(7L).getAs[Boolean]("alpha_ok"))
+    assert(!r(8L).getAs[Boolean]("stop_ok") &&
+      r(8L).getAs[Boolean]("alpha_ok"))
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L)
+      .forall(i => !r(i).getAs[Boolean]("gopher_keep")))
+  }
+
   test("dedupSpans: first occurrence survives, later copies lose the span") {
     import spark.implicits._
     // docs 1/2 share an 8-token boilerplate region; doc 3 repeats its
