@@ -960,6 +960,108 @@ object Similarity extends Serializable {
     * the routes disagree) and `inertia_ok` asserts the final total
     * within-cluster distance does not exceed the first iteration's
     * (Lloyd monotonicity). */
+  /** k-center greedy coreset selection (farthest-point traversal —
+    * Sener & Savarese 2018's active-learning coreset, the standard
+    * diversity-sampling pass over an embedded corpus; greedy gives the
+    * classic 2-approximation of the k-center optimum). Start from the
+    * min-id point, then k−1 times pick the point farthest (max-min
+    * squared euclidean) from the chosen set, min-id tiebreak.
+    *
+    * Shape: the driver holds the ≤k chosen centers (the EigenInit/
+    * kMeansAssign loop design); each round is ONE narrow map over
+    * broadcast centers + a TakeOrdered(1) argmax — no shuffle wider
+    * than a top-1, so a 100 TB corpus costs k scans. (For large k,
+    * the incremental form — persist a running min-distance column and
+    * compare only against the newest center — halves the arithmetic;
+    * at the audit k the recompute keeps lineage flat.)
+    *
+    * Determinism across engines: every point–center distance is
+    * rounded HALF_UP to 6 dp (positive values ⇒ floor(x·10⁶+0.5),
+    * exactly DuckDB/Spark `round`) BEFORE the min/argmax, so the
+    * greedy trajectory and the emitted radii replay bit-identically in
+    * SQL — the q180 rounded-ordering discipline. Emits (rank, vec_id,
+    * radius) where radius is the max-min distance at selection time
+    * (non-increasing in rank, the 2-approx certificate q184's spec
+    * pins). */
+  def kCenterGreedy(spark: SparkSession, vectors: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    dim: Int = 64): DataFrame = {
+    require(k >= 1, s"need k>=1, got $k")
+    import spark.implicits._
+    val src = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).cache()
+    def vecOf(id: Long): Array[Double] =
+      src.filter(col("id") === id).as[(Long, Array[Float])]
+        .collect()(0)._2.map(_.toDouble)
+    val first = src.agg(min("id")).collect()(0).getLong(0)
+    var centers = Vector((first, vecOf(first), 0.0))
+    while (centers.length < k) {
+      val bc = spark.sparkContext.broadcast(centers.map(_._2).toArray)
+      val md = src.as[(Long, Array[Float])].map { case (id, v) =>
+        var best = Double.MaxValue
+        var c = 0
+        while (c < bc.value.length) {
+          var s = 0.0; var i = 0
+          while (i < dim) {
+            val d = v(i) - bc.value(c)(i); s += d * d; i += 1
+          }
+          val r = math.floor(s * 1e6 + 0.5) / 1e6 // HALF_UP, s >= 0
+          if (r < best) best = r
+          c += 1
+        }
+        (id, best)
+      }.toDF("id", "md")
+      val sel = md.orderBy(desc("md"), asc("id")).limit(1).collect()(0)
+      centers = centers :+ ((sel.getLong(0), vecOf(sel.getLong(0)),
+        sel.getDouble(1)))
+    }
+    src.unpersist()
+    centers.zipWithIndex
+      .map { case ((id, _, r), i) => (i + 1, id, r) }
+      .toDF("rank", idCol, "radius")
+  }
+
+  /** md5-derived Rademacher sign for JL projection cell (i, j): +1
+    * when the first hex digit of md5("i:j") is 0–7, −1 otherwise —
+    * a derivation BOTH engines can compute, so the projection is
+    * exactly replayable in SQL (the q27 md5-family discipline). */
+  private[graft] def jlSign(i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003's
+    * database-friendly ±1 form): x′_j = Σ_i x_i·s_ij / √d′ with a
+    * Rademacher sign matrix — E‖x′‖² = ‖x‖², pairwise distances
+    * preserved within (1±ε) w.h.p. The 16× dimensionality cut every
+    * embedding-heavy pipeline wants before index build or pair
+    * mining, complementary to PQ (which compresses storage; JL cuts
+    * the arithmetic dimension).
+    *
+    * Shape: the d′×d sign matrix is a LITERAL (md5-derived, seedless
+    * and engine-replayable — jlSign), the projection a pure narrow
+    * map of nested array folds — zero shuffles, whole-stage-codegen
+    * friendly, a scan at 100 TB. Emits (id, dim, coord) exploded rows
+    * rounded 6 dp; q185's DuckDB oracle recomputes every coordinate
+    * from the same md5 algebra. */
+  def jlProject(vectors: DataFrame, outDim: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                dim: Int = 64): DataFrame = {
+    require(outDim >= 1 && dim >= 1, s"bad dims $dim->$outDim")
+    val signs: Seq[Seq[Double]] =
+      (0 until outDim).map(j => (0 until dim).map(i => jlSign(i, j)))
+    val signLit = typedLit(signs)
+    val scale = math.sqrt(outDim.toDouble)
+    val vecD = transform(col(vecCol), x => x.cast("double"))
+    val proj = transform(sequence(lit(1), lit(outDim)), j =>
+      round(
+        aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) =>
+          acc + element_at(vecD, i) *
+            element_at(element_at(signLit, j), i)) / scale, 6))
+    vectors.select(col(idCol), posexplode(proj).as(Seq("dim", "coord")))
+  }
+
   def kMeansAssign(spark: SparkSession, vectors: DataFrame, k: Int,
                    iters: Int = 5, idCol: String = "vec_id",
                    vecCol: String = "embedding", dim: Int = 64): DataFrame = {

@@ -1008,6 +1008,64 @@ object TextAnalysis {
           col("stop_ok"))
   }
 
+  /** Multilingual temperature sampling weights (the mC4/mT5 α-sampling
+    * rule, Xue et al. 2021 §3.1): per language, sampling weight
+    * w_l ∝ p_l^α where p_l is the language's corpus share — α < 1
+    * upweights low-resource languages. Emits the share, the
+    * normalized weight, the oversample factor w/p (how much the
+    * sampler boosts the language), and the expected document count at
+    * `budget`. Shape: ONE grouped count, then scalar-frame broadcast
+    * crossJoins over the ≤|languages|-row result — aggregate-then-
+    * tiny-frame, a scan at 100 TB. Exact oracle (q182). */
+  def temperatureWeights(df: DataFrame, alpha: Double = 0.3,
+                         budget: Long = 10000L,
+                         groupCol: String = "lang"): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("n_total"))
+    val withP = counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("pa", pow(col("p"), alpha))
+    val spa = withP.agg(sum("pa").as("spa"))
+    withP.crossJoin(broadcast(spa))
+      .select(col(groupCol), col("n_docs"),
+        round(col("p"), 6).as("p"),
+        round(col("pa") / col("spa"), 6).as("weight"),
+        round(col("pa") / col("spa") / col("p"), 6).as("oversample"),
+        round(col("pa") / col("spa") * budget, 6).as("expected_docs"))
+  }
+
+  /** Loss-based domain reweighting (the DoReMi family, Xie et al.
+    * 2023, in its static-loss closed form): domains whose text the
+    * reference LM finds harder — higher unigram NLL, the q64/q180
+    * oracle-proven score — get exponentially larger mixture weight,
+    * w_s ∝ exp(η·NLL_s). With a fixed per-domain loss vector the
+    * exponentiated-gradient iteration has exactly this fixed point, so
+    * the closed form IS the converged EG answer (documented, not
+    * approximated). Max-subtraction before exp is replayed identically
+    * in both engines (softmax stability without breaking equality).
+    * `upweight` = weight / corpus share — the boost over proportional
+    * sampling. Tiny-frame algebra after one NLL aggregate; exact
+    * oracle (q183). */
+  def domainMixWeights(df: DataFrame, eta: Double = 1.0,
+                       sourceCol: String = "source"): DataFrame = {
+    val nll = unigramLogLik(df)
+    val bySrc = df.select(col("doc_id"), col(sourceCol))
+      .join(nll, "doc_id")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("avg_nll")), 6).as("avg_nll"))
+    val tot = bySrc.agg(sum("n_docs").as("n_total"),
+      max("avg_nll").as("max_nll"))
+    val withE = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("e", exp((col("avg_nll") - col("max_nll")) * eta))
+    val se = withE.agg(sum("e").as("se"))
+    withE.crossJoin(broadcast(se))
+      .select(col(sourceCol), col("n_docs"), col("avg_nll"),
+        round(col("e") / col("se"), 6).as("weight"),
+        round(col("e") / col("se") / col("p"), 6).as("upweight"))
+  }
+
   /** Corpus-wide top-k n-grams with occurrence and document frequency —
     * the memorization/contamination audit a curator runs before
     * training ("which exact phrases dominate the corpus?").

@@ -177,6 +177,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Johnson–Lindenstrauss ±1 projection 64→16: every projected
+    // coordinate of every vector recomputed in DuckDB from the same
+    // md5-derived sign matrix. Exact oracle.
+    "q185_jl_project" -> ((s, d) =>
+      Similarity.jlProject(Tables.embeddings(s, d), outDim = 16)
+        .orderBy("vec_id", "dim")),
+
+    // k-center greedy coreset over a bounded universe (vec_id<200, the
+    // q170 capped-anchor idiom): the full greedy trajectory — picks
+    // AND max-min radii — replays in DuckDB as k chained argmax CTEs
+    // on the same rounded distances. Exact oracle.
+    "q184_kcenter_coreset" -> ((s, d) =>
+      Similarity.kCenterGreedy(s,
+        Tables.embeddings(s, d).filter(col("vec_id") < 200), k = 4)
+        .orderBy("rank")),
+
+    // mC4/mT5 α-sampling: per-language corpus shares → p^α mixture
+    // weights, oversample factors, expected docs at a 10k budget.
+    // One grouped count + tiny-frame algebra. Exact oracle.
+    "q182_temperature_sampling" -> ((s, d) =>
+      TextAnalysis.temperatureWeights(Tables.documents(s, d),
+        alpha = 0.3, budget = 10000L).orderBy("lang")),
+
+    // DoReMi-style loss-based domain reweighting (static closed form):
+    // per-source mean unigram NLL (the q64 machinery) → softmax
+    // mixture weights with identical max-subtraction in both engines.
+    // Exact oracle.
+    "q183_domain_mix_weights" -> ((s, d) =>
+      TextAnalysis.domainMixWeights(Tables.documents(s, d), eta = 1.0)
+        .orderBy("source")),
+
     // Gopher quality rules over planted line/symbol structure (the
     // corpus is single-line without bullets/ellipses/stopwords, so the
     // query constructs each rule's trigger in-plan — the q177 planting
@@ -1750,6 +1781,96 @@ object PipelineQueries {
         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |    ELSE 'tail' END AS bucket
         |FROM j""".stripMargin,
+
+    // Every coordinate from the same md5 sign algebra (0-based i:j
+    // keys, first hex digit 0-7 → +1); casts keep DOUBLE throughout.
+    "q185_jl_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |j AS (SELECT CAST(unnest(generate_series(0, 15)) AS INTEGER)
+        |  AS dim)
+        |SELECT e.vec_id, j.dim,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> e.v[i] * (CASE WHEN substr(md5((i - 1) || ':' ||
+        |        j.dim), 1, 1) BETWEEN '0' AND '7'
+        |      THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(-1.0 AS DOUBLE) END)))
+        |    / sqrt(CAST(16 AS DOUBLE)), 6) AS coord
+        |FROM e, j""".stripMargin,
+
+    // The greedy trajectory as chained argmax CTEs: c1 = min id,
+    // m_t = per-point min rounded d² to the first t centers,
+    // c_{t+1} = argmax(m_t) with id tiebreak — identical rounding
+    // points to the Scala loop.
+    "q184_kcenter_coreset" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |c1 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+        |m1 AS (SELECT e.id, e.v,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (e.v[i] - c1.v[i]) * (e.v[i] - c1.v[i]))), 6) AS md
+        |  FROM e, c1),
+        |c2 AS (SELECT id, v, md FROM m1 ORDER BY md DESC, id LIMIT 1),
+        |m2 AS (SELECT m1.id, m1.v, least(m1.md,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (m1.v[i] - c2.v[i]) * (m1.v[i] - c2.v[i]))), 6))
+        |      AS md
+        |  FROM m1, c2),
+        |c3 AS (SELECT id, v, md FROM m2 ORDER BY md DESC, id LIMIT 1),
+        |m3 AS (SELECT m2.id, m2.v, least(m2.md,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (m2.v[i] - c3.v[i]) * (m2.v[i] - c3.v[i]))), 6))
+        |      AS md
+        |  FROM m2, c3),
+        |c4 AS (SELECT id, v, md FROM m3 ORDER BY md DESC, id LIMIT 1)
+        |SELECT 1 AS rank, (SELECT id FROM c1) AS vec_id,
+        |  CAST(0.0 AS DOUBLE) AS radius
+        |UNION ALL SELECT 2, (SELECT id FROM c2), (SELECT md FROM c2)
+        |UNION ALL SELECT 3, (SELECT id FROM c3), (SELECT md FROM c3)
+        |UNION ALL SELECT 4, (SELECT id FROM c4), (SELECT md FROM c4)"""
+        .stripMargin,
+
+    // Per-language p^α weights — count, share, normalized weight,
+    // oversample factor, expected docs; same rounding points as Spark.
+    "q182_temperature_sampling" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM c),
+        |p AS (SELECT lang, n_docs, n_docs / CAST(t.n AS DOUBLE) AS p,
+        |    pow(n_docs / CAST(t.n AS DOUBLE), 0.3) AS pa FROM c, t),
+        |s AS (SELECT sum(pa) AS spa FROM p)
+        |SELECT lang, n_docs, round(p, 6) AS p,
+        |  round(pa / s.spa, 6) AS weight,
+        |  round(pa / s.spa / p, 6) AS oversample,
+        |  round(pa / s.spa * 10000, 6) AS expected_docs
+        |FROM p, s""".stripMargin,
+
+    // q64's NLL machinery → per-source mean (rounded BEFORE the
+    // softmax in both engines) → exp/normalize with max-subtraction.
+    "q183_domain_mix_weights" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |gf AS (SELECT term, sum(c) AS g FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(g) AS t FROM gf),
+        |nll AS (SELECT tf.doc_id,
+        |    round(-sum(tf.c * ln(gf.g / tot.t)) / sum(tf.c), 6)
+        |      AS avg_nll
+        |  FROM tf JOIN gf USING (term), tot GROUP BY 1),
+        |b AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    round(avg(nll.avg_nll), 6) AS avg_nll
+        |  FROM documents d JOIN nll ON d.doc_id = nll.doc_id
+        |  GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    max(avg_nll) AS max_nll FROM b),
+        |e AS (SELECT b.source, b.n_docs, b.avg_nll,
+        |    b.n_docs / CAST(t2.n_total AS DOUBLE) AS p,
+        |    exp((b.avg_nll - t2.max_nll) * 1.0) AS ev FROM b, t2),
+        |s AS (SELECT sum(ev) AS se FROM e)
+        |SELECT source, n_docs, avg_nll, round(ev / s.se, 6) AS weight,
+        |  round(ev / s.se / p, 6) AS upweight
+        |FROM e, s""".stripMargin,
 
     // Identical planted construction + integer rule algebra in DuckDB.
     "q181_gopher_rules" ->

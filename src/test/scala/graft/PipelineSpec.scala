@@ -891,6 +891,84 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("kCenterGreedy: farthest-point trajectory on planted 1-D geometry") {
+    import spark.implicits._
+    def v(x: Float) = Array.tabulate(64)(i => if (i == 0) x else 0f)
+    val d = Seq((1L, v(0f)), (2L, v(10f)), (3L, v(4f)), (4L, v(9.5f)),
+      (5L, v(0.1f))).toDF("vec_id", "embedding")
+    // start = min id (1 at x=0); farthest is 2 (d²=100); then the
+    // max-min point is 3 (min(16, 36) = 16 beats 4's 0.25 and 5's 0.01)
+    val r = Similarity.kCenterGreedy(spark, d, k = 3).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(r == Seq((1, 1L, 0.0), (2, 2L, 100.0), (3, 3L, 16.0)))
+    // corpus run: selection radii are non-increasing (the greedy
+    // max-min certificate), ids distinct
+    val c = Similarity.kCenterGreedy(spark,
+      graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 50), k = 4)
+      .orderBy("rank").collect().map(x => (x.getLong(1), x.getDouble(2)))
+    assert(c.map(_._1).distinct.length == 4)
+    assert(c.drop(1).map(_._2).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("jlProject: basis vectors reproduce the sign matrix; norms preserved on average") {
+    import spark.implicits._
+    // input 4·e_5 → coord_j = 4·sign(5,j)/√16 = sign(5,j) exactly
+    val d = Seq((1L, Array.tabulate(64)(i => if (i == 5) 4f else 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.jlProject(d).orderBy("dim").collect()
+      .map(x => x.getDouble(2))
+    assert(r.length == 16)
+    (0 until 16).foreach { j =>
+      assert(r(j) == Similarity.jlSign(5, j), s"dim $j sign mismatch")
+    }
+    // corpus: E‖x′‖² = ‖x‖² — mean norm ratio near 1 (JL at d′=16 is
+    // loose per-vector, tight in aggregate)
+    val e = graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+    val pn = Similarity.jlProject(e).groupBy("vec_id")
+      .agg(sum(col("coord") * col("coord")).as("p2"))
+    val on = e.select(col("vec_id"), aggregate(transform(col("embedding"),
+      x => x.cast("double")), lit(0.0), (a, x) => a + x * x).as("o2"))
+    val ratio = pn.join(on, "vec_id")
+      .agg(avg(sqrt(col("p2") / col("o2")))).collect()(0).getDouble(0)
+    assert(ratio > 0.8 && ratio < 1.2, s"mean norm ratio $ratio")
+  }
+
+  test("temperatureWeights: α<1 upweights the rare language, weights sum to 1") {
+    import spark.implicits._
+    val d = ((1 to 8).map(i => (i.toLong, "x", "en")) ++
+      Seq((9L, "x", "sw"))).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.temperatureWeights(d, alpha = 0.5, budget = 900L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    // p_en=8/9, p_sw=1/9; pa=sqrt(p); w_sw = (1/3)/(sqrt(8)/3 + 1/3)
+    val wSw = (1.0 / 3) / (math.sqrt(8.0) / 3 + 1.0 / 3)
+    assert(math.abs(r("sw").getAs[Double]("weight") - wSw) < 1e-6)
+    assert(math.abs(r("en").getAs[Double]("weight") +
+      r("sw").getAs[Double]("weight") - 1.0) < 1e-5)
+    // the rare language oversamples (>1), the dominant one under (<1)
+    assert(r("sw").getAs[Double]("oversample") > 1.0 &&
+      r("en").getAs[Double]("oversample") < 1.0)
+    assert(math.abs(r("sw").getAs[Double]("expected_docs") -
+      900.0 * wSw) < 1e-3)
+  }
+
+  test("domainMixWeights: higher-NLL source gets upweight > 1, softmax sums to 1") {
+    import spark.implicits._
+    // s1 text is all common tokens; s2 carries rare tokens → higher NLL
+    val d = (Seq.tabulate(6)(i => (i.toLong, "a a a b", "s1")) ++
+      Seq((10L, "z1 z2 a", "s2"), (11L, "z3 z4 b", "s2")))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.domainMixWeights(d, eta = 1.0)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("s2").getAs[Double]("avg_nll") >
+      r("s1").getAs[Double]("avg_nll"))
+    assert(math.abs(r("s1").getAs[Double]("weight") +
+      r("s2").getAs[Double]("weight") - 1.0) < 1e-5)
+    // the hard (rare-token) minority domain is boosted over its share
+    assert(r("s2").getAs[Double]("upweight") > 1.0 &&
+      r("s1").getAs[Double]("upweight") < 1.0)
+  }
+
   test("gopherRules: each rule flips on its own trigger") {
     import spark.implicits._
     val d = Seq(
