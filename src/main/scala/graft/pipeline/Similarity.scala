@@ -1021,6 +1021,55 @@ object Similarity extends Serializable {
       .toDF("rank", idCol, "radius")
   }
 
+  /** Per-label embedding outlier audit — the mislabeled/noise-vector
+    * screen an embedding-curation pass runs before training (far-from-
+    * own-centroid points are label noise or out-of-distribution
+    * samples). Per label: centroid (per-dim mean), each vector's
+    * squared distance to its OWN label's centroid, the within-label
+    * z-score of that distance, and the outlier flag.
+    *
+    * Shape: one (label, pos) aggregate builds the ≤|labels|·dim
+    * centroid table, COLLECTED to the driver (bounded — the
+    * kMeansAssign posture) and broadcast; d² is then a pure narrow
+    * map, label stats a tiny aggregate broadcast back — two scans and
+    * no wide shuffle at any corpus size. d² is rounded HALF_UP 6 dp
+    * before the stats and z before the flag (both engines), and the
+    * threshold is deliberately non-round (2.4931, the keepDecision
+    * discipline) so no boundary tie can flip the boolean. Exact
+    * oracle (q187). */
+  def labelOutliers(spark: SparkSession, vectors: DataFrame,
+                    zThresh: Double = 2.4931, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label",
+                    dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val expl = vectors.select(col(labelCol).cast("int").as("lab"),
+      posexplode(transform(col(vecCol), x => x.cast("double")))
+        .as(Seq("pos", "x")))
+    val cent: Map[Int, Array[Double]] = expl.groupBy("lab", "pos")
+      .agg(avg("x").as("m")).collect()
+      .groupBy(_.getInt(0)).map { case (l, rs) =>
+        val a = new Array[Double](dim)
+        rs.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+        l -> a
+      }
+    val bc = spark.sparkContext.broadcast(cent)
+    val d2df = vectors.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("int").as("lab"), col(vecCol).as("v"))
+      .as[(Long, Int, Array[Float])].map { case (id, lab, v) =>
+        val c = bc.value(lab)
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = v(i) - c(i); s += d * d; i += 1 }
+        (id, lab, math.floor(s * 1e6 + 0.5) / 1e6) // HALF_UP, s >= 0
+      }.toDF("id", "lab", "d2")
+    val stats = d2df.groupBy("lab")
+      .agg(avg("d2").as("mu"), stddev("d2").as("sd"))
+    d2df.join(broadcast(stats), "lab")
+      .select(col("id").as(idCol), col("lab").as(labelCol), col("d2"),
+        round((col("d2") - col("mu")) / col("sd"), 6).as("z"))
+      .withColumn("is_outlier", col("z") > zThresh)
+  }
+
   /** md5-derived Rademacher sign for JL projection cell (i, j): +1
     * when the first hex digit of md5("i:j") is 0–7, −1 otherwise —
     * a derivation BOTH engines can compute, so the projection is

@@ -1008,6 +1008,34 @@ object TextAnalysis {
           col("stop_ok"))
   }
 
+  /** Text normalization (the NFKC-lite canonicalization every corpus
+    * runs before tokenizer training so surface variants don't split
+    * the vocabulary): lowercase, collapse whitespace runs to one
+    * space, collapse repeated terminal punctuation (!!! → !), trim.
+    * A pure narrow map of codegen'd string kernels — zero shuffles, a
+    * scan at 100 TB.
+    *
+    * Normalization must be IDEMPOTENT (or re-normalizing merged
+    * corpora drifts); the audit is in-plan: `idempotent` recomputes
+    * the kernel on its own output and compares — a rule that isn't a
+    * fixed point (e.g. a replacement that re-creates its own trigger)
+    * flips the boolean, and q186's oracle hash-fails. */
+  def normalizeText(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // per-char punctuation collapse (no backreferences — the oracle's
+    // RE2 engine doesn't support them; identical chains both sides)
+    def kernel(c: Column): Column = {
+      val ws = regexp_replace(lower(c), "[ \t\n]+", " ")
+      val collapsed = Seq("\\.", "!", "\\?", ",", ";", ":")
+        .foldLeft(ws)((acc, p) =>
+          regexp_replace(acc, p + "{2,}", p.replace("\\", "")))
+      trim(collapsed)
+    }
+    val once = kernel(col(textCol))
+    df.withColumn("normalized", once)
+      .withColumn("changed", col(textCol) =!= once)
+      .withColumn("idempotent", kernel(once) === once)
+  }
+
   /** Multilingual temperature sampling weights (the mC4/mT5 α-sampling
     * rule, Xue et al. 2021 §3.1): per language, sampling weight
     * w_l ∝ p_l^α where p_l is the language's corpus share — α < 1

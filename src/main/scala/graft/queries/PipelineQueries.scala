@@ -177,6 +177,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-label embedding outlier audit: every vector's d² to its own
+    // label centroid, within-label z, non-round-threshold flag — all
+    // recomputed in DuckDB. Exact oracle.
+    "q187_label_outliers" -> ((s, d) =>
+      Similarity.labelOutliers(s, Tables.embeddings(s, d))
+        .orderBy("vec_id")),
+
+    // Text normalization over planted mess (the corpus is already
+    // clean lowercase, so the query plants mixed case, whitespace
+    // runs, and repeated punctuation — q177 idiom); the idempotence
+    // audit is recomputed in BOTH engines. Exact oracle.
+    "q186_normalize_text" -> ((s, d) =>
+      TextAnalysis.normalizeText(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("  MiXeD\tCASE  "), col("text"),
+            when(col("doc_id") % 4 === 0, lit(" Wow!!!  Really??"))
+              .otherwise(lit("\nnew  line,,, end.")))
+            .as("text")))
+        .select("doc_id", "normalized", "changed", "idempotent")
+        .orderBy("doc_id")),
+
     // Johnson–Lindenstrauss ±1 projection 64→16: every projected
     // coordinate of every vector recomputed in DuckDB from the same
     // md5-derived sign matrix. Exact oracle.
@@ -1781,6 +1802,54 @@ object PipelineQueries {
         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |    ELSE 'tail' END AS bucket
         |FROM j""".stripMargin,
+
+    // Same centroid/d²/z algebra with the same rounding points; DuckDB
+    // stddev is sample stddev like Spark's.
+    "q187_label_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, label, g.i AS pos, v[g.i] AS x
+        |  FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+        |    g),
+        |c AS (SELECT label, pos, avg(x) AS m FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, x.label,
+        |    round(sum((x.x - c.m) * (x.x - c.m)), 6) AS d2
+        |  FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+        |  GROUP BY 1, 2),
+        |s AS (SELECT label, avg(d2) AS mu, stddev(d2) AS sd FROM d
+        |  GROUP BY 1)
+        |SELECT d.vec_id, d.label, d.d2,
+        |  round((d.d2 - s.mu) / s.sd, 6) AS z,
+        |  round((d.d2 - s.mu) / s.sd, 6) > 2.4931 AS is_outlier
+        |FROM d JOIN s USING (label)""".stripMargin,
+
+    // Identical planted mess + the same lowercase/whitespace/punct
+    // collapse chain (expanded per char — RE2 has no backreferences);
+    // idempotence recomputed on the normalized output.
+    "q186_normalize_text" ->
+      """WITH t AS (SELECT doc_id, '  MiXeD' || chr(9) || 'CASE  ' ||
+        |    text || CASE WHEN doc_id % 4 = 0 THEN ' Wow!!!  Really??'
+        |      ELSE chr(10) || 'new  line,,, end.' END AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, text, trim(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(lower(text),
+        |      '[ ' || chr(9) || chr(10) || ']+', ' ', 'g'),
+        |      '\.{2,}', '.', 'g'), '!{2,}', '!', 'g'),
+        |      '\?{2,}', '?', 'g'), ',{2,}', ',', 'g'),
+        |      ';{2,}', ';', 'g'), ':{2,}', ':', 'g')) AS normalized
+        |  FROM t)
+        |SELECT doc_id, normalized, text <> normalized AS changed,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(lower(normalized),
+        |      '[ ' || chr(9) || chr(10) || ']+', ' ', 'g'),
+        |      '\.{2,}', '.', 'g'), '!{2,}', '!', 'g'),
+        |      '\?{2,}', '?', 'g'), ',{2,}', ',', 'g'),
+        |      ';{2,}', ';', 'g'), ':{2,}', ':', 'g')) = normalized
+        |    AS idempotent
+        |FROM n""".stripMargin,
 
     // Every coordinate from the same md5 sign algebra (0-based i:j
     // keys, first hex digit 0-7 → +1); casts keep DOUBLE throughout.

@@ -891,6 +891,46 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("normalizeText: collapse rules, fixed point, clean text untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "  MiXed\t\tCASE   runs!!!  here??  ,,, end...  "),
+      (2L, "already clean."),
+      (3L, "a\nb\nc")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeText(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[String]("normalized") ==
+      "mixed case runs! here? , end.")
+    assert(r(1L).getAs[Boolean]("changed") &&
+      r(1L).getAs[Boolean]("idempotent"))
+    assert(r(2L).getAs[String]("normalized") == "already clean." &&
+      !r(2L).getAs[Boolean]("changed"))
+    assert(r(3L).getAs[String]("normalized") == "a b c")
+    // fixed point holds on every corpus doc too
+    val corpus = TextAnalysis.normalizeText(
+      graft.Tables.documents(spark, sf))
+    assert(corpus.filter(!col("idempotent")).isEmpty)
+  }
+
+  test("labelOutliers: planted far point flags, cluster points do not") {
+    import spark.implicits._
+    def v(x: Float) = Array.tabulate(64)(i => if (i == 0) x else 0f)
+    val d = ((1 to 20).map(i => (i.toLong, v(0f), 0)) ++
+      Seq((21L, v(10f), 0))).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelOutliers(spark, d).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Double]("z"), x.getAs[Boolean]("is_outlier"))).toMap
+    // centroid x=10/21; z of the far point = 86.17/19.74 ≈ 4.37
+    assert(r(21L)._2 && r(21L)._1 > 4.0)
+    assert((1 to 20).forall(i => !r(i.toLong)._2 && r(i.toLong)._1 < 0))
+    // corpus: z standardization sane — per-label mean z near 0
+    val c = Similarity.labelOutliers(spark,
+      graft.Tables.embeddings(spark, sf))
+      .groupBy("label").agg(avg("z").as("mz"))
+    assert(c.filter(abs(col("mz")) > 0.01).isEmpty)
+  }
+
   test("kCenterGreedy: farthest-point trajectory on planted 1-D geometry") {
     import spark.implicits._
     def v(x: Float) = Array.tabulate(64)(i => if (i == 0) x else 0f)
