@@ -93,23 +93,69 @@ object QualityClassifier {
   }
 
   /** Rank-based AUC (Mann–Whitney U with average ranks for ties) of a
-    * score column against a 0/1 label — one sort over the scored
-    * frame. */
+    * score column against a 0/1 label — EXACT, and scale-safe: the
+    * global rank over distinct scores is computed as per-BUCKET ranks
+    * (a `Window.partitionBy` over `buckets` value-range buckets — 32
+    * parallel sorts of ~n/B distinct scores each) plus driver-side
+    * prefix offsets from the ≤`buckets`-row bucket-total table,
+    * broadcast back. No unpartitioned window anywhere in the plan (the
+    * q105 rangeMode discipline — a global `Window.orderBy` is a
+    * single-partition sort of every distinct score, the scale-killer
+    * the r7 verdict flagged); PlanSpec asserts the ranked frame plans
+    * zero `Exchange SinglePartition`. Ties never split across buckets
+    * (bucketing is a function of the distinct score), so the average-
+    * rank algebra is bit-identical to the textbook single-sort form —
+    * PipelineSpec pins equality against a driver-computed brute
+    * Mann–Whitney on ties-heavy fixtures. */
   def auc(scored: DataFrame, scoreCol: String = "score",
-          labelCol: String = "label"): Double = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("_s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = scored.select(col(scoreCol).as("_s"), col(labelCol).as("_y"))
+          labelCol: String = "label", buckets: Int = 1024): Double = {
+    val g = distinctScores(scored, scoreCol, labelCol).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ranked = bucketRanked(g, buckets)
+      val row = ranked.agg(
+        sum(col("_pos") * col("_r")).as("rpos"),
+        sum(col("_pos")).as("np"),
+        sum(col("_c")).as("n")).head()
+      val (rpos, np, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+      val nn = n - np
+      if (np == 0 || nn == 0) Double.NaN
+      else (rpos - np * (np + 1) / 2.0) / (np * nn)
+    } finally { g.unpersist(blocking = false); () }
+  }
+
+  /** Distinct-score frame (_s, _c tie count, _pos positives at _s). */
+  private[graft] def distinctScores(scored: DataFrame, scoreCol: String,
+                                    labelCol: String): DataFrame =
+    scored.select(col(scoreCol).as("_s"), col(labelCol).as("_y"))
       .groupBy("_s").agg(count(lit(1)).as("_c"), sum("_y").as("_pos"))
-      .withColumn("_r", sum("_c").over(w) - (col("_c") - 1) / 2.0)
-    val row = ranked.agg(
-      sum(col("_pos") * col("_r")).as("rpos"),
-      sum(col("_pos")).as("np"),
-      sum(col("_c")).as("n")).head()
-    val (rpos, np, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
-    val nn = n - np
-    if (np == 0 || nn == 0) Double.NaN
-    else (rpos - np * (np + 1) / 2.0) / (np * nn)
+
+  /** Average rank `_r` per distinct score via bucket-partitioned
+    * windows + driver prefix offsets. Exposed for the PlanSpec shuffle
+    * guard. Degenerate spreads (all scores equal) collapse to one
+    * bucket, which is then also the whole (single-row-per-score)
+    * frame. */
+  private[graft] def bucketRanked(g: DataFrame, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = g.sparkSession
+    val mm = g.agg(min("_s").as("lo"), max("_s").as("hi")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val bCol =
+      if (hi > lo)
+        least(floor((col("_s") - lit(lo)) / lit(hi - lo) * buckets)
+          .cast("int"), lit(buckets - 1))
+      else lit(0)
+    val b = g.withColumn("_b", bCol)
+    val totals = b.groupBy("_b").agg(sum("_c").as("_bc"))
+      .orderBy("_b").collect()
+    var acc = 0L
+    val offs = totals.toSeq.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }
+    val offDf = spark.createDataFrame(offs).toDF("_b", "_off")
+    val w = Window.partitionBy("_b").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(offDf), "_b")
+      .withColumn("_r", col("_off") + sum("_c").over(w) - (col("_c") - 1) / 2.0)
   }
 }

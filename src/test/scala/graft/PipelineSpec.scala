@@ -1087,6 +1087,48 @@ class PipelineSpec extends SparkSpec {
     assert(a >= 0.85, s"corpus AUC $a under the comfortable margin")
   }
 
+  test("auc: bucket-offset ranks ≡ brute Mann–Whitney (ties, few buckets, degenerate)") {
+    import spark.implicits._
+    import graft.pipeline.QualityClassifier
+    def brute(rows: Seq[(Double, Double)]): Double = {
+      // textbook single-sort average-rank U
+      val byScore = rows.sortBy(_._1)
+      val ranks = scala.collection.mutable.Map.empty[Double, Double]
+      var i = 0
+      while (i < byScore.length) {
+        var j = i
+        while (j < byScore.length && byScore(j)._1 == byScore(i)._1) j += 1
+        ranks(byScore(i)._1) = (i + 1 + j) / 2.0 // avg of ranks i+1..j
+        i = j
+      }
+      val np = rows.count(_._2 == 1.0).toDouble
+      val nn = rows.length - np
+      if (np == 0 || nn == 0) Double.NaN
+      else {
+        val rpos = rows.filter(_._2 == 1.0).map(r => ranks(r._1)).sum
+        (rpos - np * (np + 1) / 2.0) / (np * nn)
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    // ties-heavy: scores quantized to 20 distinct values, 500 rows
+    val tiesy = (0 until 500).map(_ =>
+      (rnd.nextInt(20) / 20.0, if (rnd.nextBoolean()) 1.0 else 0.0))
+    // continuous: all-distinct scores
+    val cont = (0 until 300).map(i =>
+      (rnd.nextDouble(), if (i % 3 == 0) 1.0 else 0.0))
+    // degenerate: one distinct score (lo == hi bucket path)
+    val degen = (0 until 50).map(i => (0.5, if (i < 20) 1.0 else 0.0))
+    for ((rows, name) <- Seq((tiesy, "ties"), (cont, "cont"), (degen, "degen"));
+         buckets <- Seq(4, 1024)) {
+      val df = rows.toDF("score", "label")
+      val got = QualityClassifier.auc(df, buckets = buckets)
+      val want = brute(rows)
+      assert(math.abs(got - want) < 1e-12,
+        s"$name/buckets=$buckets: got $got want $want")
+    }
+    assert(QualityClassifier.auc(degen.take(20).toDF("score", "label")).isNaN)
+  }
+
   test("c4Clean: every rule branch on a hand fixture") {
     import spark.implicits._
     val d = Seq(

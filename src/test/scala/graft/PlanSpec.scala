@@ -340,6 +340,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"bandKeys must not aggregate:\n$p")
   }
 
+  test("auc rank frame plans NO single-partition Exchange (bucketed window)") {
+    // The r7 weak item: a global Window.orderBy over distinct scores is
+    // a single-partition sort of ~n rows at corpus scale. The bucketed
+    // rank must plan a hash-partitioned window (Exchange hashpartitioning
+    // on _b) and nothing SinglePartition.
+    import graft.pipeline.QualityClassifier
+    val scored = Tables.documents(spark, sf)
+      .select((col("doc_id") % 97 / 97.0).as("score"),
+        (col("doc_id") % 2).cast("double").as("label"))
+    val g = QualityClassifier.distinctScores(scored, "score", "label")
+    val p = QualityClassifier.bucketRanked(g, 1024)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"auc rank frame must not plan a single-partition exchange:\n$p")
+    assert(p.contains("Window"), s"expected the bucketed window:\n$p")
+    assert(p.contains("hashpartitioning(_b"),
+      s"window partitioning must key on the bucket:\n$p")
+  }
+
   test("q115 approx profile mode plans no Expand; exact mode does") {
     // the documented swap is now a plan property, both directions
     val o = Tables.orders(spark, sf)
