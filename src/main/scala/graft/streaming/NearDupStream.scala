@@ -80,10 +80,15 @@ object NearDupStream {
     keys.count() // materialize once: used for cands, self-join, indexAdd
     val arrivals = keys.select(col("doc_id").as("_id"), col("band"),
       col("bucket"), col("sig").as("_psig"))
-    // prior = accumulated index ∪ earlier-id rows of this batch
+    // prior = accumulated index ∪ earlier-id rows of this batch. The
+    // _pid =!= doc_id guard is the replay defense: if a crash-replayed
+    // batch's own rows ever reach the index frame (e.g. an index
+    // compaction folded a not-yet-committed batch), a doc must never
+    // verify against ITSELF (sigJaccard = 1) and silently drop.
     val candIdx = keys.join(index.select(col("band"), col("bucket"),
         col("doc_id").as("_pid"), col("sig").as("_psig")),
       Seq("band", "bucket"))
+      .filter(col("_pid") =!= col("doc_id"))
     val candSelf = keys.join(arrivals.withColumnRenamed("_id", "_pid"),
         Seq("band", "bucket"))
       .filter(col("_pid") < col("doc_id"))
@@ -97,11 +102,20 @@ object NearDupStream {
   }
 
   /** Wire the gate into a running stream: foreachBatch maintains a
-    * parquet band-key index at `indexDir` and appends survivors to
-    * `outDir`. Each trigger appends one file set per batch; compact the
-    * index periodically with [[compactIndex]] (or keep it in a table
-    * format in production — the logic only needs "read current index
-    * rows", so the storage layer is swappable). */
+    * parquet band-key index at `indexDir` and writes survivors to
+    * `outDir`. Both writes are IDEMPOTENT under streaming failure
+    * replay: each batch lands in its own `batch=<batchId>` partition
+    * directory with overwrite semantics, so a batch replayed after a
+    * write-committed/checkpoint-lost crash rewrites the SAME files
+    * instead of appending duplicates, and the index join excludes the
+    * batch's own partition (plus the `_pid =!= doc_id` self-guard in
+    * [[filterBatch]]) so a replayed batch can never drop its documents
+    * against its own earlier write. Compact the index periodically with
+    * [[compactIndex]] while the stream is quiesced (compaction folds
+    * partitions together, so it must only see committed batches; keep
+    * the index in a table format with atomic commit in production — the
+    * logic only needs "read current index rows", so the storage layer
+    * is swappable). */
   def attach(stream: DataFrame, indexDir: String, outDir: String,
              checkpointDir: String, n: Int = 3, k: Int = 64,
              bands: Int = 16, threshold: Double = 0.5,
@@ -109,23 +123,47 @@ object NearDupStream {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val index = readIndex(spark, indexDir, k)
+        val index = readIndex(spark, indexDir, k, excludeBatch = batchId)
         val (survivors, indexAdd) =
           filterBatch(batch, index, n, k, bands, threshold, md5Based)
-        survivors.write.mode("append").parquet(outDir)
-        indexAdd.write.mode("append").parquet(indexDir)
+        survivors.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        indexAdd.select("doc_id", "band", "bucket", "sig")
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         indexAdd.unpersist()
         ()
       }
       .start()
 
-  /** Current index rows, or an empty typed frame before first write. */
-  def readIndex(spark: SparkSession, indexDir: String, k: Int): DataFrame =
-    if (new java.io.File(indexDir).exists())
-      spark.read.parquet(indexDir)
-    else
+  /** Current index rows (doc_id, band, bucket, sig), or an empty typed
+    * frame before first write. Existence goes through the Hadoop
+    * FileSystem API so an HDFS/S3 `indexDir` works — `java.io.File`
+    * would silently read every remote index as absent and disable
+    * cross-batch dedup without error. `excludeBatch` drops one
+    * `batch=` partition (the replaying batch's own rows). Self-heals a
+    * compaction interrupted between its two renames by restoring the
+    * `.old` directory. */
+  def readIndex(spark: SparkSession, indexDir: String, k: Int,
+                excludeBatch: Long = Long.MinValue): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldPath = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    if (!fs.exists(path) && fs.exists(oldPath)) {
+      // a compaction crashed after renaming the live index away but
+      // before installing the compacted one — the .old copy is complete
+      require(fs.rename(oldPath, path),
+        s"readIndex: could not restore $oldPath -> $indexDir")
+    }
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
+      val raw = spark.read.parquet(indexDir)
+      val scoped =
+        if (raw.columns.contains("batch"))
+          raw.filter(col("batch") =!= lit(excludeBatch))
+        else raw
+      scoped.select("doc_id", "band", "bucket", "sig")
+    } else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
@@ -137,24 +175,35 @@ object NearDupStream {
           org.apache.spark.sql.types.StructField("sig",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.LongType)))))
+  }
 
-  /** Rewrite the per-batch file litter as one bucket-sorted file set —
-    * the periodic compaction a long-running ingest schedules (sorting
-    * by bucket clusters each band key's rows for the per-batch join). */
+  /** Rewrite the per-batch partition litter as one bucket-sorted file
+    * set under `batch=-1` — the periodic compaction a long-running
+    * ingest schedules while the stream is quiesced (sorting by bucket
+    * clusters each band key's rows for the per-batch join). The swap
+    * uses the Hadoop FileSystem API (works on HDFS/S3, unlike
+    * `java.io.File`) and removes the old directory only AFTER the
+    * compacted one is renamed into place: write tmp → rename live to
+    * `.old` → rename tmp to live → delete `.old`. A crash between the
+    * renames leaves `.old` intact and [[readIndex]] restores it. */
   def compactIndex(spark: SparkSession, indexDir: String, k: Int,
                    partitions: Int = 32): Unit = {
     val tmp = indexDir + ".compact"
     readIndex(spark, indexDir, k)
       .repartitionByRange(partitions, col("bucket"))
       .sortWithinPartitions("bucket")
-      .write.mode("overwrite").parquet(tmp)
-    val dir = new java.io.File(indexDir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(dir)
-    require(new java.io.File(tmp).renameTo(dir),
+      .write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val oldP = new org.apache.hadoop.fs.Path(indexDir + ".old")
+    if (fs.exists(oldP)) { fs.delete(oldP, true); () }
+    require(fs.rename(live, oldP),
+      s"compactIndex: rename $indexDir -> $oldP failed")
+    require(fs.rename(tmpP, live),
       s"compactIndex: rename $tmp -> $indexDir failed")
+    fs.delete(oldP, true)
+    ()
   }
 }

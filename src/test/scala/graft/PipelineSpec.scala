@@ -1302,13 +1302,65 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(out.contains(0L) && !out.contains(20000L))
     // index holds band rows for ALL arrivals (dropped ones included)
-    val idx = spark.read.parquet(s"$tmp/index")
+    val idx = NearDupStream.readIndex(spark, s"$tmp/index", 64)
     assert(idx.select("doc_id").distinct().count() == 41L)
-    // compaction preserves the row set
+    // compaction preserves the logical row set
     val before = idx.collect().toSet
     NearDupStream.compactIndex(spark, s"$tmp/index", 64, partitions = 4)
-    val after = spark.read.parquet(s"$tmp/index").collect().toSet
+    val after = NearDupStream.readIndex(spark, s"$tmp/index", 64)
+      .collect().toSet
     assert(after == before)
+    // a compaction crash between the two renames (live index moved to
+    // .old, compacted copy not yet installed) self-heals on next read
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/index")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/index"),
+      new org.apache.hadoop.fs.Path(s"$tmp/index.old")))
+    val healed = NearDupStream.readIndex(spark, s"$tmp/index", 64)
+      .collect().toSet
+    assert(healed == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/index.old")))
+  }
+
+  test("NearDupStream: batch replay is idempotent (no self-drop, no dup survivors)") {
+    import graft.streaming.NearDupStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ndup_rp").toString
+    val base = docs.select("doc_id", "text")
+    // the attach foreachBatch body, inlined (the unit under test is the
+    // replay semantics of the per-batch writes, not the stream driver)
+    def runBatch(b: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val index = NearDupStream.readIndex(spark, s"$tmp/index", 64,
+        excludeBatch = batchId)
+      val (surv, add) = NearDupStream.filterBatch(b, index, threshold = 0.5)
+      surv.write.mode("overwrite").parquet(s"$tmp/out/batch=$batchId")
+      add.select("doc_id", "band", "bucket", "sig")
+        .write.mode("overwrite").parquet(s"$tmp/index/batch=$batchId")
+      add.unpersist()
+      ()
+    }
+    val b0 = base.filter(col("doc_id") < 40)
+    val b1 = base.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+      .union(base.filter(col("doc_id") === 0)
+        .select(lit(20000L).as("doc_id"),
+          concat(col("text"), lit(" extraword")).as("text")))
+    runBatch(b0, 0L)
+    runBatch(b1, 1L)
+    val out1 = spark.read.parquet(s"$tmp/out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val idx1 = NearDupStream.readIndex(spark, s"$tmp/index", 64)
+      .collect().toSet
+    // crash-replay batch 1: index write committed, checkpoint lost →
+    // the SAME batch runs again against an index that already contains
+    // its own rows. Survivors and index must come out identical — no
+    // batch self-annihilation, no duplicate rows.
+    runBatch(b1, 1L)
+    val out2 = spark.read.parquet(s"$tmp/out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val idx2 = NearDupStream.readIndex(spark, s"$tmp/index", 64)
+      .collect().toSet
+    assert(out2 == out1, s"replay changed survivors: $out1 -> $out2")
+    assert(idx2 == idx1, "replay changed the index row set")
+    assert(out1.contains(0L) && !out1.contains(20000L))
   }
 
   test("contamination: planted eval overlap measured exactly, clean docs zero") {
