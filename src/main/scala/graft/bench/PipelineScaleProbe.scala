@@ -152,6 +152,22 @@ object PipelineScaleProbe {
     val (_, tWin) = time(TextAnalysis.winsorizedStats(
       corpusSrc.withColumn("n_chars", length(col("text")))).count())
     corpusSrc.unpersist()
+    // exact duplicate-span removal (q179): replica-disjoint tokens keep
+    // each replica's gram space separate, so the duplicated-gram load
+    // and the coverage join scale linearly in K (r7 verdict #6)
+    val (nSp, tSp) = time(Dedup.dedupSpans(corpus, L = 8).count())
+    // k-center greedy (q184, incremental form): fixed k over a K×
+    // replicated embedding table — the slope must be the k-scan linear
+    // term, not the O(k²·n) recompute the r7 form paid (r7 verdict #5)
+    val (nKc, tKc) = time {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val repE = (0 until reps).map { k =>
+        e.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _)
+      graft.pipeline.Similarity.kCenterGreedy(spark, repE, k = 16).count()
+    }
     println(s"""{"probe":"pipeline_scale","reps":$reps,"docs":$nDocs,""" +
       s""""exact_sec":$tExact,"exact_rows":$nExact,""" +
       s""""minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
@@ -170,7 +186,9 @@ object PipelineScaleProbe {
       s""""dupgram_sec":$tDup,"dupgram_rows":$nDup,""" +
       s""""tfidfcos_sec":$tTc,"tfidfcos_pairs":$nTc,""" +
       s""""uni_train_sec":$tUtrain,"uni_encode_sec":$tUenc,""" +
-      s""""fs_sec":$tFs,"fs_pairs":$nFs,"winsor_sec":$tWin}""")
+      s""""fs_sec":$tFs,"fs_pairs":$nFs,"winsor_sec":$tWin,""" +
+      s""""dedupspans_sec":$tSp,"dedupspans_rows":$nSp,""" +
+      s""""kcenter_sec":$tKc,"kcenter_rows":$nKc}""")
     spark.stop()
   }
 }

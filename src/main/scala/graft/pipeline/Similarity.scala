@@ -967,17 +967,27 @@ object Similarity extends Serializable {
     * min-id point, then k−1 times pick the point farthest (max-min
     * squared euclidean) from the chosen set, min-id tiebreak.
     *
-    * Shape: the driver holds the ≤k chosen centers (the EigenInit/
-    * kMeansAssign loop design); each round is ONE narrow map over
-    * broadcast centers + a TakeOrdered(1) argmax — no shuffle wider
-    * than a top-1, so a 100 TB corpus costs k scans. (For large k,
-    * the incremental form — persist a running min-distance column and
-    * compare only against the newest center — halves the arithmetic;
-    * at the audit k the recompute keeps lineage flat.)
+    * Shape (incremental farthest-point form): the state is ONE
+    * persisted (id, v, md) frame where md is the running min distance
+    * to the chosen set; each round is a TakeOrdered(1) argmax that
+    * returns the selected row WITH its vector, then a narrow map that
+    * min's md against the ONE new center — k jobs and O(k·n)
+    * arithmetic total (the r7 recompute form paid 2k jobs and O(k²·n):
+    * a full all-centers recompute plus a vecOf re-fetch per round).
+    * The driver holds only the ≤k chosen (id, radius) pairs plus one
+    * broadcast center per round, so a 100 TB corpus costs k scans.
+    *
+    * Exhaustion: requires k ≤ n (counted once), and stops early when
+    * the max-min distance hits 0 — every remaining point then
+    * coincides with a chosen center, so continuing would only emit
+    * redundant zero-radius duplicates (the emitted coreset never
+    * repeats a vec_id).
     *
     * Determinism across engines: every point–center distance is
     * rounded HALF_UP to 6 dp (positive values ⇒ floor(x·10⁶+0.5),
-    * exactly DuckDB/Spark `round`) BEFORE the min/argmax, so the
+    * exactly DuckDB/Spark `round`) BEFORE the min/argmax, and the
+    * running min of per-center rounded distances equals the min over
+    * all centers of rounded distances (min is associative), so the
     * greedy trajectory and the emitted radii replay bit-identically in
     * SQL — the q180 rounded-ordering discipline. Emits (rank, vec_id,
     * radius) where radius is the max-min distance at selection time
@@ -986,38 +996,50 @@ object Similarity extends Serializable {
   def kCenterGreedy(spark: SparkSession, vectors: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     dim: Int = 64): DataFrame = {
-    require(k >= 1, s"need k>=1, got $k")
     import spark.implicits._
     val src = vectors.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("v")).cache()
-    def vecOf(id: Long): Array[Double] =
-      src.filter(col("id") === id).as[(Long, Array[Float])]
-        .collect()(0)._2.map(_.toDouble)
-    val first = src.agg(min("id")).collect()(0).getLong(0)
-    var centers = Vector((first, vecOf(first), 0.0))
-    while (centers.length < k) {
-      val bc = spark.sparkContext.broadcast(centers.map(_._2).toArray)
-      val md = src.as[(Long, Array[Float])].map { case (id, v) =>
-        var best = Double.MaxValue
-        var c = 0
-        while (c < bc.value.length) {
-          var s = 0.0; var i = 0
-          while (i < dim) {
-            val d = v(i) - bc.value(c)(i); s += d * d; i += 1
-          }
-          val r = math.floor(s * 1e6 + 0.5) / 1e6 // HALF_UP, s >= 0
-          if (r < best) best = r
-          c += 1
-        }
-        (id, best)
-      }.toDF("id", "md")
-      val sel = md.orderBy(desc("md"), asc("id")).limit(1).collect()(0)
-      centers = centers :+ ((sel.getLong(0), vecOf(sel.getLong(0)),
-        sel.getDouble(1)))
+      col(vecCol).as("v")).as[(Long, Array[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = src.count()
+    require(k >= 1 && k <= n, s"need 1 <= k <= n=$n vectors, got k=$k")
+    def distTo(center: Array[Double])(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = v(i) - center(i); s += d * d; i += 1 }
+      math.floor(s * 1e6 + 0.5) / 1e6 // HALF_UP, s >= 0
     }
-    src.unpersist()
+    // round 1: min-id point, fetched WITH its vector in one action
+    val firstRow = src.orderBy(asc("id")).limit(1).collect()(0)
+    var centers = Vector((firstRow._1, 0.0))
+    var newCenter = firstRow._2.map(_.toDouble)
+    // state: (id, v, md = min rounded distance to the chosen set)
+    var state: org.apache.spark.sql.Dataset[(Long, Array[Float], Double)] = null
+    while (centers.length < k && newCenter != null) {
+      val bc = spark.sparkContext.broadcast(newCenter)
+      val next =
+        if (state == null)
+          src.map { case (id, v) => (id, v, distTo(bc.value)(v)) }
+        else
+          state.map { case (id, v, md) =>
+            (id, v, math.min(md, distTo(bc.value)(v))) }
+      val nextP = next.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // argmax (max md, min-id tiebreak) carries the winner's vector —
+      // the one job of this round; it also materializes nextP
+      val sel = nextP.toDF("id", "v", "md")
+        .orderBy(desc("md"), asc("id")).limit(1)
+        .as[(Long, Array[Float], Double)].collect()(0)
+      if (state != null) { state.unpersist(blocking = false); () }
+      state = nextP
+      if (sel._3 == 0.0) newCenter = null // exhausted: all points coincide
+      else {
+        centers = centers :+ ((sel._1, sel._3))
+        newCenter = sel._2.map(_.toDouble)
+      }
+    }
+    if (state != null) { state.unpersist(blocking = false); () }
+    src.unpersist(blocking = false)
     centers.zipWithIndex
-      .map { case ((id, _, r), i) => (i + 1, id, r) }
+      .map { case ((id, r), i) => (i + 1, id, r) }
       .toDF("rank", idCol, "radius")
   }
 

@@ -951,6 +951,22 @@ class PipelineSpec extends SparkSpec {
       w.length < 2 || w(0) >= w(1)))
   }
 
+  test("kCenterGreedy: k > n refused; duplicate vectors stop early, no dup ids") {
+    import spark.implicits._
+    def v(x: Float) = Array.tabulate(64)(i => if (i == 0) x else 0f)
+    val d = Seq((1L, v(0f)), (2L, v(10f)), (3L, v(0f)), (4L, v(10f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(spark, d, k = 5)
+    }
+    // two distinct positions, four points: after centers {1, 2} every
+    // remaining point coincides with a center (max-min distance 0) —
+    // the traversal must stop at 2 rows, never emitting a duplicate id
+    val r = Similarity.kCenterGreedy(spark, d, k = 4).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(r == Seq((1, 1L, 0.0), (2, 2L, 100.0)), s"got $r")
+  }
+
   test("jlProject: basis vectors reproduce the sign matrix; norms preserved on average") {
     import spark.implicits._
     // input 4·e_5 → coord_j = 4·sign(5,j)/√16 = sign(5,j) exactly
