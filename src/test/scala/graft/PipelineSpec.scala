@@ -951,6 +951,37 @@ class PipelineSpec extends SparkSpec {
       w.length < 2 || w(0) >= w(1)))
   }
 
+  test("ANN topK: under-filled queries are padded to exactly k by exact fallback") {
+    import spark.implicits._
+    // 12 well-separated random vectors at one band of 16 bits: buckets
+    // are near-singletons, so most queries come back with < k
+    // candidates — exactly the data-dependent shortfall the q30/q41/q56
+    // audits' pinned k_ok used to be exposed to
+    val rnd = new scala.util.Random(3)
+    val d = (0L until 12L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(d, k = 5, nBits = 16, bands = 1).cache()
+    // exactly k per query, for every input vector
+    val counts = got.groupBy("qid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 12L).forall(counts.get(_).contains(5L)), s"got $counts")
+    // a query with ZERO band collisions gets the TRUE top-k (the pad is
+    // an exact re-rank, not filler)
+    val brute = Similarity.bruteForceTopK(d, d, k = 5)
+    val b0 = brute.filter(col("qid") === 0).orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val g0 = got.filter(col("qid") === 0).orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(g0 == b0, s"padded query diverges from brute: $g0 vs $b0")
+    got.unpersist()
+    // ivf route: nProbe=1 over many lists under-fills too — same contract
+    val ivf = Similarity.ivfTopK(spark, d, k = 5, nLists = 8, nProbe = 1)
+    val ic = ivf.groupBy("qid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 12L).forall(ic.get(_).contains(5L)), s"got $ic")
+  }
+
   test("kCenterGreedy: k > n refused; duplicate vectors stop early, no dup ids") {
     import spark.implicits._
     def v(x: Float) = Array.tabulate(64)(i => if (i == 0) x else 0f)
