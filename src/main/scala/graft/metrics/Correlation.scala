@@ -363,6 +363,79 @@ object Correlation {
     rows.toDF("col_x", "col_y", "rho", "p_value", "ci_lo", "ci_hi")
   }
 
+  /** A8 bootstrap CI of Spearman ρ in the ORACLE-REPLAYABLE form (the
+    * q87/q92 md5 discipline, r7 verdict #4): every (row, resample)
+    * Poisson(1) weight derives from md5(seed:key:i) on a STABLE row
+    * key — not [[bootstrapCi]]'s physical-order `ridx` — so a SQL
+    * engine replays every resample's weights, weighted average-tie
+    * ranks, ρ, and the percentile cut bit-for-bit. u is the exact
+    * (v+1)/2^52 construction (first 13 md5 hex digits; both the
+    * integer and the power-of-two division are exact in doubles);
+    * ranks and weighted moments are exact half/quarter-integer sums,
+    * so ρ agrees to the last bit and the 6-dp rounding is belt and
+    * braces. Emits one row per resample (i, rho) with the CI bounds
+    * (order statistics of the rounded ρs at the same indices
+    * [[bootstrapCi]] cuts) as constant columns — the whole trajectory
+    * sits in the hash gate, not just the two bounds.
+    *
+    * Scale shape: the weight explode is a narrow map (B md5s per row),
+    * ranks are windows PARTITIONED by resample, ρ one grouped
+    * aggregate; the only global sort is over the B-row ρ frame
+    * (constant-bounded). */
+  def bootstrapCiMd5(df: DataFrame, keyCol: String, x: String, y: String,
+                     resamples: Int = 200, alpha: Double = 0.05,
+                     seed: Long = 42): DataFrame = {
+    def pois(u: Column): Column =
+      when(u < 0.3678794411714423, 0).when(u < 0.7357588823428846, 1)
+        .when(u < 0.9196986029286058, 2).when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4).when(u < 0.9994058151824183, 5)
+        .when(u < 0.9999167588507119, 6).otherwise(7)
+    val base = df.select(col(keyCol).cast("string").as("k"),
+        col(x).cast("double").as("xv"), col(y).cast("double").as("yv"))
+      .filter(col("xv").isNotNull && col("yv").isNotNull)
+    val weighted = base
+      .select(col("xv"), col("yv"),
+        explode(sequence(lit(0), lit(resamples - 1))).as("i"),
+        col("k"))
+      .withColumn("_v", conv(substring(
+        md5(concat_ws(":", lit(seed.toString), col("k"), col("i"))),
+        1, 13), 16, 10).cast("long"))
+      .withColumn("w", pois((col("_v") + lit(1L)) / lit(4503599627370496.0)))
+      .filter(col("w") > 0)
+      .select("i", "xv", "yv", "w")
+    def rankOf(v: String, rankCol: String): DataFrame = {
+      val w = Window.partitionBy("i").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weighted.groupBy(col("i"), col(v)).agg(sum("w").as("_cw"))
+        .withColumn(rankCol, sum("_cw").over(w) - (col("_cw") - 1) / 2.0)
+        .select(col("i"), col(v), col(rankCol))
+    }
+    val rhos = weighted
+      .join(rankOf("xv", "_rx"), Seq("i", "xv"))
+      .join(rankOf("yv", "_ry"), Seq("i", "yv"))
+      .groupBy("i").agg(
+        sum("w").as("sw"),
+        sum(col("w") * col("_rx")).as("sx"),
+        sum(col("w") * col("_ry")).as("sy"),
+        sum(col("w") * col("_rx") * col("_rx")).as("sxx"),
+        sum(col("w") * col("_ry") * col("_ry")).as("syy"),
+        sum(col("w") * col("_rx") * col("_ry")).as("sxy"))
+      .select(col("i"),
+        round((col("sw") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("sw") * col("sxx") - col("sx") * col("sx")) *
+            (col("sw") * col("syy") - col("sy") * col("sy"))), 6).as("rho"))
+      .filter(col("rho").isNotNull && !isnan(col("rho")))
+    // order-statistic cut at bootstrapCi's indices over the B-row frame
+    val loIdx = math.max(0, (alpha / 2 * resamples).toInt) + 1
+    val hiIdx = math.min(resamples - 1,
+      ((1 - alpha / 2) * resamples).toInt) + 1
+    val wRho = Window.orderBy(col("rho"), col("i"))
+    val cut = rhos.withColumn("_rn", row_number().over(wRho))
+      .filter(col("_rn") === loIdx || col("_rn") === hiIdx)
+      .agg(min("rho").as("ci_lo"), max("rho").as("ci_hi"))
+    rhos.crossJoin(broadcast(cut)).select("i", "rho", "ci_lo", "ci_hi")
+  }
+
   /** A8 bootstrap CI of ρ (visualization.py:31-46) as ONE grouped job
     * via the Poisson bootstrap: each (row, resample) pair draws a
     * deterministic Poisson(1) weight from a hash of the row's values —

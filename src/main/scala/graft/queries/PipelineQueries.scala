@@ -302,6 +302,22 @@ object PipelineQueries {
         .select(col("vec_id"), col("codes_ok"), col("better_than_mean"))
         .orderBy("vec_id")),
 
+    // A8 bootstrap CI of Spearman rho — the LAST §2 operator without a
+    // driver-gate row (reference visualization.py:31-46). md5-keyed
+    // Poisson resampling on doc_id (the q87/q92 discipline): DuckDB
+    // replays every resample's weights, weighted tie-ranks, rho, and
+    // the 2.5/97.5 percentile cut. x = token count, y = char count —
+    // correlated but not perfectly (doc-length ties), so the resampled
+    // rho distribution has genuine spread for the CI to measure.
+    "q188_bootstrap_ci" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("xv"),
+        col("n_chars").cast("double").as("yv"))
+      graft.metrics.Correlation.bootstrapCiMd5(base, "doc_id", "xv", "yv",
+          resamples = 200)
+        .orderBy("i")
+    }),
+
     // C4-style rule cleaning over planted multi-line documents (the
     // synthetic corpus is single-line with no punctuation, so the query
     // constructs the line structure in-plan — the q49 planting idiom;
@@ -2045,6 +2061,62 @@ object PipelineQueries {
     "q176_pq_codec" ->
       """SELECT vec_id, TRUE AS codes_ok, TRUE AS better_than_mean
         |FROM embeddings""".stripMargin,
+
+    // Full bootstrap replay: md5 uniforms → Poisson(1) weights →
+    // weighted average-tie ranks per resample → weighted Pearson over
+    // ranks → order-statistic cut at rn 6/196 (= bootstrapCi's
+    // floor(alpha/2*B)+1 and floor((1-alpha/2)*B)+1 for B=200). All
+    // rank/moment sums are exact half/quarter-integer arithmetic, so
+    // both engines agree bit-for-bit before the 6-dp round.
+    "q188_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS xv,
+        |    CAST(n_chars AS DOUBLE) AS yv
+        |  FROM documents),
+        |u AS (
+        |  SELECT CAST(i.range AS INTEGER) AS i, b.xv, b.yv,
+        |    (CAST('0x' || substr(md5('42:' || b.doc_id || ':' || i.range),
+        |       1, 13) AS BIGINT) + 1) / 4503599627370496.0 AS u
+        |  FROM base b CROSS JOIN range(200) i),
+        |w AS (
+        |  SELECT i, xv, yv,
+        |    CASE WHEN u < 0.3678794411714423 THEN 0
+        |         WHEN u < 0.7357588823428846 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.9999167588507119 THEN 6
+        |         ELSE 7 END AS w
+        |  FROM u),
+        |wf AS (SELECT * FROM w WHERE w > 0),
+        |rxg AS (SELECT i, xv, sum(w) AS cw FROM wf GROUP BY 1, 2),
+        |rxr AS (SELECT i, xv,
+        |    sum(cw) OVER (PARTITION BY i ORDER BY xv) - (cw - 1) / 2.0 AS rx
+        |  FROM rxg),
+        |ryg AS (SELECT i, yv, sum(w) AS cw FROM wf GROUP BY 1, 2),
+        |ryr AS (SELECT i, yv,
+        |    sum(cw) OVER (PARTITION BY i ORDER BY yv) - (cw - 1) / 2.0 AS ry
+        |  FROM ryg),
+        |j AS (
+        |  SELECT wf.i, wf.w, rxr.rx, ryr.ry
+        |  FROM wf
+        |  JOIN rxr ON wf.i = rxr.i AND wf.xv = rxr.xv
+        |  JOIN ryr ON wf.i = ryr.i AND wf.yv = ryr.yv),
+        |rho AS (
+        |  SELECT i,
+        |    round((sum(w) * sum(w * rx * ry) - sum(w * rx) * sum(w * ry)) /
+        |      sqrt((sum(w) * sum(w * rx * rx) - sum(w * rx) * sum(w * rx)) *
+        |           (sum(w) * sum(w * ry * ry) - sum(w * ry) * sum(w * ry))),
+        |      6) AS rho
+        |  FROM j GROUP BY i),
+        |cut AS (
+        |  SELECT min(rho) AS ci_lo, max(rho) AS ci_hi FROM (
+        |    SELECT rho, row_number() OVER (ORDER BY rho, i) AS rn FROM rho)
+        |  WHERE rn IN (6, 196))
+        |SELECT r.i, r.rho, c.ci_lo, c.ci_hi
+        |FROM rho r CROSS JOIN cut c ORDER BY r.i""".stripMargin,
 
     // SemDeDup invariant oracle: one row per input vector, decision
     // contract booleans pinned TRUE (see the q62 query body).

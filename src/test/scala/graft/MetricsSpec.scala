@@ -218,6 +218,29 @@ class MetricsSpec extends SparkSpec {
     assert(lo <= rho && rho <= hi)
   }
 
+  test("bootstrapCiMd5: replayable form agrees with the ridx form") {
+    val df = (1 to 60).map(i =>
+      (i.toLong, i.toDouble, i + (i % 6).toDouble)).toDF("id", "x", "y")
+    val rho = Correlation.spearman(df, "x", "y")
+    val out = Correlation.bootstrapCiMd5(df, "id", "x", "y",
+      resamples = 200).collect()
+    assert(out.length == 200)
+    val (lo, hi) = (out.head.getDouble(2), out.head.getDouble(3))
+    assert(out.forall(r => r.getDouble(2) == lo && r.getDouble(3) == hi))
+    assert(lo <= rho && rho <= hi, s"[$lo,$hi] should bracket $rho")
+    assert(lo < hi, "resampled rho distribution should have spread")
+    // every per-resample rho is a valid correlation, and the bounds are
+    // order statistics of the emitted rhos
+    val rhos = out.map(_.getDouble(1)).sorted
+    assert(rhos.forall(r => r >= -1.0 && r <= 1.0))
+    assert(rhos(5) == lo && rhos(195) == hi)
+    // the two RNG families (md5-keyed vs ridx-hash) estimate the SAME
+    // sampling distribution: CIs overlap substantially
+    val (lo2, hi2) = Correlation.bootstrapCi(spark, df, "x", "y",
+      resamples = 200)
+    assert(lo < hi2 && lo2 < hi, s"disjoint CIs: [$lo,$hi] vs [$lo2,$hi2]")
+  }
+
   test("correlation report: matrix + CI + p per off-diagonal pair") {
     val df = (1 to 25).map { i =>
       (i.toDouble, i + (i % 4).toDouble, 26.0 - i)
