@@ -82,6 +82,63 @@ object QualityClassifier {
     (w, losses.toArray)
   }
 
+  /** A frozen scorer: training-time standardization stats + weights.
+    * This is what ships to the ingest path — scoring must standardize
+    * with the stats of the TRAINING corpus (frozen at fit time), never
+    * re-estimate them per micro-batch. */
+  case class TextScorer(means: Array[Double], stds: Array[Double],
+                        weights: Array[Double], losses: Array[Double])
+
+  /** Train end-to-end and freeze the scorer: one stats pass (means /
+    * guarded stds over the quality features), GD on the standardized
+    * features, and the (stats, weights) bundle [[scoreText]] and the
+    * streaming gate apply as a stateless narrow map. The featurization
+    * here uses the SAME collected doubles as literals that
+    * [[featurize]] reads from its broadcast stats row, so
+    * fit-then-scoreText reproduces featurize-then-score bit-for-bit
+    * (PipelineSpec pins it). */
+  def fit(docs: DataFrame, labelCol: Column, textCol: String = "text",
+          iters: Int = 30, lr: Double = 1.0): TextScorer = {
+    val d = featureCols.length
+    val f = TextAnalysis.keepDecision(docs, textCol)
+    val statsRow = f.select(featureCols.flatMap(c =>
+      Seq(avg(col(c)), stddev_pop(col(c)))): _*).head()
+    val means = Array.tabulate(d)(j => statsRow.getDouble(2 * j))
+    val stds = Array.tabulate(d) { j =>
+      val s = statsRow.getDouble(2 * j + 1)
+      if (s > 1e-12) s else 1.0
+    }
+    val feats = array(featureCols.zipWithIndex.map { case (c, j) =>
+      (col(c) - lit(means(j))) / lit(stds(j)) }: _*)
+    val featurized = f.withColumn("_label", labelCol.cast("double"))
+      .select(col("doc_id"), feats.as("features"),
+        col("_label").as("label"))
+    val (w, losses) = train(featurized, iters, lr)
+    TextScorer(means, stds, w, losses)
+  }
+
+  /** Score raw documents with a frozen scorer — quality features,
+    * frozen-stat standardization and the sigmoid are ONE stateless
+    * narrow map over the text column (no aggregate, no shuffle, no
+    * state store), so the same plan serves batch tables and
+    * readStream micro-batches: the model-based filtering stage of the
+    * canonical ingest chain (rules → classifier → exact dedup →
+    * near-dup). Emits the input columns plus the feature columns and
+    * `score`. */
+  def scoreText(docs: DataFrame, scorer: TextScorer,
+                textCol: String = "text"): DataFrame = {
+    val d = featureCols.length
+    require(scorer.weights.length == d + 1 &&
+      scorer.means.length == d && scorer.stds.length == d,
+      s"scorer shape mismatch for ${d}-feature model")
+    val dot = featureCols.zipWithIndex.map { case (c, j) =>
+      lit(scorer.weights(j)) *
+        ((col(c) - lit(scorer.means(j))) / lit(scorer.stds(j)))
+    }.reduce(_ + _) + lit(scorer.weights(d))
+    TextAnalysis.keepDecision(docs, textCol)
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-dot)))
+  }
+
   /** Sigmoid score per doc against trained weights — a narrow map. */
   def score(featurized: DataFrame, w: Array[Double]): DataFrame = {
     val d = featureCols.length

@@ -142,6 +142,24 @@ object DocsStream {
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
   }
 
+  /** Model-based quality scoring on ingest — the classifier stage of
+    * the canonical chain (rules → classifier → exact dedup → near-dup
+    * gate), completing it as streaming surface: [[qualityGateOnIngest]]
+    * is the rule gate, this is the GPT-3/CCNet-style model gate, and
+    * [[dedupOnIngest]] / [[graft.streaming.NearDupStream]] are the two
+    * dedup rungs. The scorer is FROZEN at train time
+    * ([[graft.pipeline.QualityClassifier.fit]] bundles standardization
+    * stats + weights): scoring is a stateless narrow map (features,
+    * frozen-stat standardization, sigmoid — all column expressions),
+    * so the same plan serves batch and readStream with no aggregate,
+    * no state store, no shuffle — at 100 TB/day a pure scan whose
+    * throughput scales with input partitions. PipelineSpec asserts
+    * stream ≡ batch on a scored fixture. */
+  def classifierScoreOnIngest(docs: DataFrame,
+                              scorer: graft.pipeline.QualityClassifier.TextScorer,
+                              textCol: String = "text"): DataFrame =
+    graft.pipeline.QualityClassifier.scoreText(docs, scorer, textCol)
+
   /** Split-routing on ingest: every arriving document gets its
     * deterministic train/val/test label ([[graft.pipeline.TextAnalysis
     * .splitAssign]]'s md5 bucketing) the moment it lands — the

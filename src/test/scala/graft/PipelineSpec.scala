@@ -2097,6 +2097,45 @@ class PipelineSpec extends SparkSpec {
     assert(kept == batchKeep)
   }
 
+  test("classifier scoring on ingest: frozen scorer, stream ≡ batch ≡ featurize+score") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    import graft.pipeline.QualityClassifier
+    // fit on the corpus rule gate (the q178 setup), freeze the scorer
+    val scorer = QualityClassifier.fit(docs, col("keep"))
+    assert(scorer.losses.last < scorer.losses.head)
+    // frozen-scorer route ≡ the batch featurize+score route, per doc
+    val viaText = QualityClassifier.scoreText(docs, scorer)
+      .select("doc_id", "score")
+    val viaFeat = QualityClassifier.score(
+      QualityClassifier.featurize(docs, col("keep")), scorer.weights)
+      .select("doc_id", "score")
+    val diff = viaText.join(viaFeat.withColumnRenamed("score", "s2"), "doc_id")
+      .filter(abs(col("score") - col("s2")) > 1e-12)
+    assert(diff.isEmpty, s"routes diverge on ${diff.count()} docs")
+    // streaming: the SAME transform over a file stream scores identically
+    val dir = java.nio.file.Files.createTempDirectory("docs_clf").toString
+    def ts(min: Int) = new java.sql.Timestamp(3600000L * 24 + min * 60000L)
+    val fixture = docs.limit(60).select(col("doc_id"), col("text"),
+      lit(ts(0)).as("ingest_ts"))
+    fixture.coalesce(1).write.parquet(s"$dir/b0.parquet")
+    val q = DocsStream.classifierScoreOnIngest(
+      spark.readStream.schema(DocsStream.rawSchema).parquet(s"$dir/*.parquet"),
+      scorer)
+      .select("doc_id", "score")
+      .writeStream.format("memory").queryName("docs_clf")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamScores = spark.table("docs_clf").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batchScores = QualityClassifier.scoreText(fixture, scorer)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamScores == batchScores, "stream and batch scores diverge")
+    assert(streamScores.size == 60)
+  }
+
   test("streaming decontamination-on-ingest equals the batch join route") {
     import spark.implicits._
     import graft.streaming.DocsStream

@@ -340,6 +340,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"bandKeys must not aggregate:\n$p")
   }
 
+  test("classifier scoreText plans ZERO shuffles (stateless ingest map)") {
+    // frozen-scorer scoring is the model gate on the ingest path: any
+    // Exchange or aggregate here would be a stateful op on the stream
+    import graft.pipeline.QualityClassifier
+    val scorer = QualityClassifier.TextScorer(
+      Array.fill(5)(0.0), Array.fill(5)(1.0), Array.fill(6)(0.1),
+      Array(1.0, 0.5))
+    val p = QualityClassifier.scoreText(Tables.documents(spark, sf), scorer)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"scoreText must not shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"scoreText must not aggregate:\n$p")
+  }
+
   test("auc rank frame plans NO single-partition Exchange (bucketed window)") {
     // The r7 weak item: a global Window.orderBy over distinct scores is
     // a single-partition sort of ~n rows at corpus scale. The bucketed
