@@ -15,6 +15,8 @@ object SparkEntry {
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracleSql),
       (_root_.graft.queries.GraphQueries.queries, _root_.graft.queries.GraphQueries.oracleSql),
       (_root_.graft.queries.PipelineQueries.queries, _root_.graft.queries.PipelineQueries.oracleSql),
+      (_root_.graft.queries.PipelineDedupQueries.queries, _root_.graft.queries.PipelineDedupQueries.oracleSql),
+      (_root_.graft.queries.PipelineSimilarityQueries.queries, _root_.graft.queries.PipelineSimilarityQueries.oracleSql),
       (_root_.graft.queries.IoQueries.queries, _root_.graft.queries.IoQueries.oracleSql)
     )
 

@@ -11,19 +11,32 @@ import graft.streaming.NearDupStream
   * size / survivor count — the evidence that per-batch cost tracks
   * BATCH size (the index side is an equi-join probe), not corpus size.
   *
-  * Usage: runMain graft.bench.ProbeNearDupStream /tmp/sf1eq [batchRows]
+  * `reps` replicates the corpus with replica-disjoint token spaces
+  * (the PipelineScaleProbe scheme: every token prefixed `r<k>_`, ids
+  * offset), growing the accumulated index an order of magnitude past
+  * the r7d run while each replica reproduces the base corpus's exact
+  * near-dup structure — the flatness claim is only proven as far as
+  * the index has actually grown (r7 verdict #6).
+  *
+  * Usage: runMain graft.bench.ProbeNearDupStream /tmp/sf1eq [batchRows] [reps]
   */
 object ProbeNearDupStream {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sf1eq")
     val batchRows = args.lift(1).map(_.toInt).getOrElse(10000)
+    val reps = args.lift(2).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text").cache()
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val nBase = base.count()
+    val docs = (0 until reps).map { k =>
+      base.select((col("doc_id") + lit(k * nBase)).as("doc_id"),
+        regexp_replace(col("text"), "(^| )", "$1r" + k + "_").as("text"))
+    }.reduce(_ union _).cache()
     val n = docs.count()
     val idxDir = java.nio.file.Files
       .createTempDirectory("ndup_idx").toString + "/index"

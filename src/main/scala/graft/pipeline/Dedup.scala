@@ -466,6 +466,52 @@ object Dedup {
     * chunked upstream, the q107 operator). */
   def dedupSpans(docs: DataFrame, L: Int = 8, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
+    val (base, toks, grams) = spanFrames(docs, L, idCol, textCol)
+    val firsts = grams.groupBy("gram")
+      .agg(count(lit(1)).as("_cnt"), min(col("_key")).as("_first"))
+    val rem = grams.join(firsts, "gram")
+      .filter(col("_cnt") > 1 && col("_key") =!= col("_first"))
+      .select(col("doc_id"), col("idx").as("_s"))
+    removeSpansTail(base, toks, rem, L)
+  }
+
+  /** Span-level eval-set DECONTAMINATION (the companion to
+    * [[dedupSpans]], and the removal form of [[contamination]]'s
+    * measurement: Lee et al. 2022 §4 / the train-test-overlap scrub
+    * every frontier-model data pipeline runs before training): any
+    * ≥L-token span of a TRAINING document that appears verbatim
+    * anywhere in the EVAL corpus is removed — all training occurrences
+    * go (there is no "first copy keeps it" here; the eval text is the
+    * protected set), overlapping hits merge into maximal spans through
+    * the same coverage join. Returns every training row:
+    * (doc_id, n_tokens, n_removed, cleaned).
+    *
+    * Shape: the training side is the [[dedupSpans]] envelope
+    * (positional gram explode, gram-keyed joins, doc-keyed coverage —
+    * scan-class at 100 TB); the eval side contributes a distinct-gram
+    * frame met with a LEFT SEMI join on the gram key, so eval corpora
+    * of any size stream through the same gram-keyed shuffle and
+    * nothing is collected or broadcast. */
+  def decontaminateSpans(train: DataFrame, eval: DataFrame, L: Int = 8,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val (base, toks, grams) = spanFrames(train, L, idCol, textCol)
+    val ets = split(col(textCol), " ")
+    val evalGrams = eval.filter(size(ets) >= L)
+      .select(explode(transform(
+          sequence(lit(0), size(ets) - L),
+          i => array_join(slice(ets, i + 1, lit(L)), " "))).as("gram"))
+      .distinct()
+    val rem = grams.join(evalGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("idx").as("_s"))
+    removeSpansTail(base, toks, rem, L)
+  }
+
+  /** Shared positional frames for the span operators: (base(doc_id,
+    * _ts), tokens(doc_id, idx, token), grams(doc_id, idx, gram, _key))
+    * with the engine-replayable doc_id·10⁶+idx first-occurrence key. */
+  private def spanFrames(docs: DataFrame, L: Int, idCol: String,
+                         textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val ts = split(col(textCol), " ")
     val base = docs.select(col(idCol).as("doc_id"), ts.as("_ts"))
     val toks = base.select(col("doc_id"),
@@ -476,11 +522,15 @@ object Dedup {
           i => array_join(slice(col("_ts"), i + 1, lit(L)), " ")))
         .as(Seq("idx", "gram")))
       .withColumn("_key", col("doc_id") * 1000000L + col("idx"))
-    val firsts = grams.groupBy("gram")
-      .agg(count(lit(1)).as("_cnt"), min(col("_key")).as("_first"))
-    val rem = grams.join(firsts, "gram")
-      .filter(col("_cnt") > 1 && col("_key") =!= col("_first"))
-      .select(col("doc_id"), col("idx").as("_s"))
+    (base, toks, grams)
+  }
+
+  /** Shared removal tail for the span operators: drop every token
+    * covered by a [s, s+L-1] removal window and rebuild each document
+    * from its surviving tokens (coverage join doc-keyed and bounded by
+    * document length; reassembly a per-doc collect_list). */
+  private def removeSpansTail(base: DataFrame, toks: DataFrame,
+                              rem: DataFrame, L: Int): DataFrame = {
     val covered = toks.join(rem,
         toks("doc_id") === rem("doc_id") &&
           toks("idx").between(rem("_s"), rem("_s") + (L - 1)))

@@ -380,6 +380,43 @@ object TextAnalysis {
       phone, "<PHONE>")
   }
 
+  /** Luhn checksum validity of an all-digit string column — the
+    * check-digit algebra (mod-10, every second digit from the right
+    * doubled, >9 reduced by 9) payment-card numbers carry. Pure
+    * integer column expressions over a per-character fold, so both
+    * engines compute the identical boolean — no float anywhere. Yields
+    * null (falsy under `when`) for non-digit input. */
+  def luhnValid(t: Column): Column = {
+    val n = length(t)
+    val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = t.substr(i, lit(1)).cast("int")
+      val dd = when((n - i) % 2 === 1, d * 2).otherwise(d)
+      acc + when(dd > 9, dd - 9).otherwise(dd)
+    })
+    total % 10 === 0
+  }
+
+  /** Payment-card scrubbing — the [[scrubPii]] family's high-stakes
+    * member, with VERIFICATION: a whitespace token is redacted to
+    * `<CARD>` only when it is 13–19 digits AND Luhn-valid (the check
+    * every production PII pass applies — pattern-only matching would
+    * redact order ids and timestamps wholesale, exactly the
+    * false-positive class the checksum exists to reject). A pure
+    * narrow map (split → per-token fold → rejoin), scan-class at any
+    * corpus size; the [[luhnValid]] algebra replays in SQL so q190's
+    * oracle reproduces every redaction decision. Emits the input rows
+    * plus (n_cards, scrubbed_cards). */
+  def scrubCreditCards(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val hit = (t: Column) =>
+      t.rlike("^[0-9]{13,19}$") && coalesce(luhnValid(t), lit(false))
+    df.withColumn("n_cards",
+        size(filter(toks, t => hit(t))).cast("long"))
+      .withColumn("scrubbed_cards",
+        concat_ws(" ", transform(toks,
+          t => when(hit(t), lit("<CARD>")).otherwise(t))))
+  }
+
   /** Hex threshold for [[deterministicSample]]: first 8 hex digits of
     * p·2³², zero-extended semantics via string compare (an md5 hex
     * digest d is kept iff d < threshold, i.e. iff its first 8 digits

@@ -15,147 +15,7 @@ import graft.pipeline.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis, Unigram
   */
 object PipelineQueries {
 
-  // q159 Fellegi–Sunter parameters, shared by the query and its oracle
-  // so both engines sum the SAME precomputed weight literals.
-  private val fsMu = Seq((0.9, 0.02), (0.9, 0.04), (0.85, 0.025))
-  private def log2(x: Double) = math.log(x) / math.log(2.0)
-  private val fsWa = fsMu.map { case (m, u) => log2(m / u) }
-  private val fsWd = fsMu.map { case (m, u) => log2((1 - m) / (1 - u)) }
-
-  /** Invariant-oracle audit shape shared by the approximate top-k
-    * queries (q30/q41/q56) — the r7 graduation of the last `no_oracle`
-    * rows (the q34/q79/q90/q161 pattern): instead of dumping (qid,
-    * rid, cos, rn) rows whose rid depends on hash buckets no SQL engine
-    * can replay, emit one row per input vector with the CONTRACT the
-    * operator must satisfy as booleans the DuckDB oracle pins TRUE —
-    *
-    *  - `k_ok`: exactly k results came back for this query vector
-    *    (a vector missing from the output, or short-listed, fails);
-    *  - `distinct_ok` / `no_self_ok`: result ids are distinct and
-    *    never the query itself;
-    *  - `range_ok` / `sorted_ok`: emitted cosines are valid cosines
-    *    and non-increasing in rank (the re-rank window's contract);
-    *  - `recall_ok`: the measured capped-universe recall vs the brute
-    *    twin clears the operator's enforced floor.
-    *
-    * Any regression — a dropped query vector, duplicate hits, a broken
-    * re-rank, a recall collapse — flips a boolean and hash-fails the
-    * row. The value-level top-k semantics stay covered by q29's exact
-    * oracle; SimilaritySpec keeps the kernel-level assertions. */
-  private def annTopKAudit(vectors: DataFrame, topk: DataFrame, k: Int,
-                           recall: Double, floor: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy("rn")
-    val per = topk
-      .withColumn("_prev", lag(col("cos"), 1).over(w))
-      .groupBy("qid").agg(
-        count(lit(1)).as("_n"),
-        countDistinct(col("rid")).as("_nd"),
-        max(col("rid") === col("qid")).as("_self"),
-        min(col("cos").between(-1.000001, 1.000001)).as("_range"),
-        min(coalesce(col("_prev") >= col("cos"), lit(true))).as("_sorted"))
-    vectors.select(col("vec_id").cast("long").as("qid"))
-      .join(per, Seq("qid"), "left")
-      .select(col("qid"),
-        (coalesce(col("_n"), lit(0L)) === k).as("k_ok"),
-        coalesce(col("_nd") === col("_n"), lit(false)).as("distinct_ok"),
-        coalesce(!col("_self"), lit(false)).as("no_self_ok"),
-        coalesce(col("_range"), lit(false)).as("range_ok"),
-        coalesce(col("_sorted"), lit(false)).as("sorted_ok"),
-        lit(recall >= floor).as("recall_ok"))
-      .orderBy("qid")
-  }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q24_dedup_exact" -> ((s, d) =>
-      Dedup.exact(Tables.documents(s, d))),
-
-    "q25_fingerprint" -> ((s, d) =>
-      Dedup.fingerprint(Tables.documents(s, d))),
-
-    "q26_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.10)),
-
-    // recall_vs_brute on the approximate queries (q27/q30/q41): the
-    // approximation quality surfaces as DATA in the dumped frame, not
-    // just a row count — computed against the exact twin (over a capped
-    // query set for the top-k ops), identical on every row.
-    "q27_minhash_lsh" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // md5-family hashes (signature mins + band buckets) so the whole
-      // LSH candidate generation is DuckDB-replicable — q27 graduates
-      // from rows-only to a full hash-checked oracle row
-      val lsh = Dedup.minhashLsh(docs, n = 3, k = 64, bands = 16,
-        threshold = 0.10, md5Based = true).cache()
-      // recall measured on a capped universe (doc_id < 1000, like
-      // q30/q41's query caps): the exact-jaccard twin is quadratic-ish
-      // in docs, and the capped measure is the same estimator at a
-      // tenth of the cost at sf0.1
-      val capped = docs.filter(col("doc_id") < 1000)
-      val brute = Dedup.jaccardPairs(capped, n = 3, threshold = 0.10)
-        .select("id_a", "id_b")
-      val nb = brute.count()
-      val nh = lsh.filter(col("id_a") < 1000 && col("id_b") < 1000)
-        .select("id_a", "id_b")
-        .join(brute, Seq("id_a", "id_b"), "left_semi").count()
-      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
-      lsh.withColumn("recall_vs_brute", round(lit(recall), 4))
-        .orderBy("id_a", "id_b")
-    }),
-
-    // Signature-verified MinHash-LSH pairs — the batch twin of the
-    // streaming cross-batch near-dup gate (NearDupStream: the
-    // accumulated index stores signatures, never text, so the stream
-    // verifies by minhash agreement; this query puts that verification
-    // mode in the hash gate). md5 family ⟹ the ENTIRE path — signature,
-    // banding, candidate join, agreement fraction — replays in DuckDB.
-    "q175_sig_dedup" -> ((s, d) =>
-      Dedup.minhashLsh(Tables.documents(s, d), n = 3, k = 64, bands = 16,
-          threshold = 0.5, md5Based = true, verify = "sig")
-        .orderBy("id_a", "id_b")),
-
-    "q28_simhash_pairs" -> ((s, d) =>
-      // d ≤ 7 with 8-bit chunks keeps the pigeonhole full-recall
-      // guarantee simhashPairs documents (and now enforces). md5Hash64
-      // token hashes make the fingerprints — and therefore the exact
-      // pair set — DuckDB-replicable (the oracle brute-forces pairs;
-      // pigeonhole and brute agree because the bucketing is full-recall
-      // by construction, so the oracle doubles as a recall proof).
-      Dedup.simhashPairs(Tables.documents(s, d), maxDist = 7, chunks = 8,
-          hasher = Dedup.md5Hash64)
-        .orderBy("id_a", "id_b")),
-
-    // Dedup cluster resolution over the q26 pair graph: GraphX CC
-    // labels every paired doc with the min doc_id of its component.
-    "q44_dedup_clusters" -> ((s, d) =>
-      Dedup.dupClusters(s,
-        Dedup.jaccardPairs(Tables.documents(s, d), n = 3, threshold = 0.10))),
-
-    "q29_ann_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e, k = 5)
-    }),
-
-    // Operating point set from the measured recall curve (ProbeAnnRecall,
-    // r7): (nBits=32, bands=8) keeps 4-bit bands — collision prob 1/16
-    // per band, so candidate volume stays ~n²/2 at 8 bands — and
-    // measures recall@5 0.664 (sf0.01) / 0.720 (sf0.1) on the
-    // near-random synthetic vectors; the old (16, 4) point measured
-    // 0.41/0.50, under the floor the audit now ENFORCES.
-    "q30_lsh_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val lsh = Similarity.lshTopK(e, k = 5, nBits = 32, bands = 8).cache()
-      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
-        k = 5).select("qid", "rid")
-      val nb = brute.count()
-      val nh = lsh.filter(col("qid") < 50).select("qid", "rid")
-        .join(brute, Seq("qid", "rid"), "left_semi").count()
-      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
-      // enforced floor, not just reported quality: a recall regression
-      // flips recall_ok in the dumped frame (and fails SimilaritySpec)
-      annTopKAudit(e, lsh, k = 5, recall, floor = 0.55)
-    }),
-
     // CCNet head/middle/tail perplexity bucketing: per SOURCE, docs
     // split into LM-quality tertiles by the q64 unigram NLL (CCNet
     // §4.2 does exactly this per language with a KenLM score — head =
@@ -177,13 +37,6 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // Per-label embedding outlier audit: every vector's d² to its own
-    // label centroid, within-label z, non-round-threshold flag — all
-    // recomputed in DuckDB. Exact oracle.
-    "q187_label_outliers" -> ((s, d) =>
-      Similarity.labelOutliers(s, Tables.embeddings(s, d))
-        .orderBy("vec_id")),
-
     // Text normalization over planted mess (the corpus is already
     // clean lowercase, so the query plants mixed case, whitespace
     // runs, and repeated punctuation — q177 idiom); the idempotence
@@ -197,22 +50,6 @@ object PipelineQueries {
             .as("text")))
         .select("doc_id", "normalized", "changed", "idempotent")
         .orderBy("doc_id")),
-
-    // Johnson–Lindenstrauss ±1 projection 64→16: every projected
-    // coordinate of every vector recomputed in DuckDB from the same
-    // md5-derived sign matrix. Exact oracle.
-    "q185_jl_project" -> ((s, d) =>
-      Similarity.jlProject(Tables.embeddings(s, d), outDim = 16)
-        .orderBy("vec_id", "dim")),
-
-    // k-center greedy coreset over a bounded universe (vec_id<200, the
-    // q170 capped-anchor idiom): the full greedy trajectory — picks
-    // AND max-min radii — replays in DuckDB as k chained argmax CTEs
-    // on the same rounded distances. Exact oracle.
-    "q184_kcenter_coreset" -> ((s, d) =>
-      Similarity.kCenterGreedy(s,
-        Tables.embeddings(s, d).filter(col("vec_id") < 200), k = 4)
-        .orderBy("rank")),
 
     // mC4/mT5 α-sampling: per-language corpus shares → p^α mixture
     // weights, oversample factors, expected docs at a 10k budget.
@@ -253,20 +90,6 @@ object PipelineQueries {
           "gopher_keep")
         .orderBy("doc_id")),
 
-    // Lee et al. exact duplicate-SPAN removal over planted boilerplate:
-    // every 5th doc carries a 9-token tail (two duplicated 8-grams in
-    // the tail; boundary grams stay unique per doc), so the globally
-    // first plant keeps its copy and every later one loses exactly the
-    // tail. Exact oracle — both engines replay the whole edit.
-    "q179_dedup_spans" -> ((s, d) =>
-      Dedup.dedupSpans(
-        Tables.documents(s, d).select(col("doc_id"),
-          when(col("doc_id") % 5 === 0,
-            concat(col("text"),
-              lit(" zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9")))
-            .otherwise(col("text")).as("text")),
-        L = 8).orderBy("doc_id")),
-
     // Model-based quality filtering (the GPT-3/CCNet classifier stage):
     // logistic regression on the q31 quality features, trained by
     // one-aggregate-per-iteration full-batch GD to distill the
@@ -290,17 +113,6 @@ object PipelineQueries {
           lit(a >= 0.75).as("auc_ok"))
         .orderBy("doc_id")
     }),
-
-    // PQ embedding-compression codec audit (invariant oracle): every
-    // vector's codes are in range and the reconstruction beats the
-    // null (global-mean) model — a quantizer that learned nothing, or
-    // an encode/decode mismatch, flips better_than_mean. The mse
-    // columns stay operator-side (PipelineSpec bounds them); the
-    // oracle pins the booleans per vec_id.
-    "q176_pq_codec" -> ((s, d) =>
-      Similarity.pqReconstructionAudit(s, Tables.embeddings(s, d))
-        .select(col("vec_id"), col("codes_ok"), col("better_than_mean"))
-        .orderBy("vec_id")),
 
     // A8 bootstrap CI of Spearman rho — the LAST §2 operator without a
     // driver-gate row (reference visualization.py:31-46). md5-keyed
@@ -351,19 +163,6 @@ object PipelineQueries {
         TextAnalysis.wordCount(col("text")).as("n_words"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
 
-    "q38_cosine_pairs" -> ((s, d) =>
-      Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)),
-
-    // Edit-distance-1 similarity join via FastSS deletion neighborhoods
-    // on customer names (capped at custkey < 2000 so the ORACLE's brute
-    // quadratic levenshtein stays runnable — the operator itself never
-    // goes quadratic). The hash match against brute enumeration is the
-    // losslessness proof for the deletion-key candidate filter.
-    "q106_editdist_join" -> ((s, d) =>
-      graft.pipeline.Dedup.editDistanceJoin(
-        Tables.customer(s, d).filter(col("c_custkey") < 2000)
-          .select(col("c_custkey").as("id"), col("c_name").as("s")))),
-
     // Overlapping sliding-window chunking (RAG pre-processing): 64-token
     // windows advancing by 48 over each document — a pure narrow map
     // (see TextAnalysis.chunkDocuments).
@@ -390,92 +189,6 @@ object PipelineQueries {
         .select(col("source"), col("doc_id"), col("rn"))
     }),
 
-    // nProbe=3 of 8 lists: measured recall@5 0.676 at BOTH sf0.01 and
-    // sf0.1 (ProbeAnnRecall, r7) — nProbe=2 measured 0.54, under the
-    // enforced 0.55 floor.
-    "q41_ivf_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val ivf = Similarity.ivfTopK(s, e, k = 5, nLists = 8, nProbe = 3).cache()
-      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
-        k = 5).select("qid", "rid")
-      val nb = brute.count()
-      val nh = ivf.filter(col("qid") < 50).select("qid", "rid")
-        .join(brute, Seq("qid", "rid"), "left_semi").count()
-      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
-      annTopKAudit(e, ivf, k = 5, recall, floor = 0.55)
-    }),
-
-    // IVF-PQ (the reference ladder's >1M-vector tier): product-
-    // quantized inverted lists + exact refine; recall measured against
-    // the brute twin on the same capped query universe as q30/q41.
-    // Parameters picked from the recorded ProfileIvfPq recall curve
-    // (BASELINE.md r5) and re-measured in r7 (ProbeAnnRecall): nProbe
-    // ≤ 4 is probe-coverage-bounded no matter how good the codes, so
-    // the ≥0.8 regime needs 6+ probes; and m=8 (8-byte codes) is
-    // code-quality-bounded at sf0.1 (0.744, under the floor) while
-    // m=16 — the dim/4 production guidance from the 1M-vector curve —
-    // measures 0.916 (sf0.01) / 0.920 (sf0.1) at 16 bytes/vector.
-    "q56_ivfpq_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val pq = Similarity.ivfPqTopK(s, e, k = 5, nLists = 8, nProbe = 6,
-        m = 16, nCodes = 32, refine = 20).cache()
-      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
-        k = 5).select("qid", "rid")
-      val nb = brute.count()
-      val nh = pq.filter(col("qid") < 50).select("qid", "rid")
-        .join(brute, Seq("qid", "rid"), "left_semi").count()
-      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
-      annTopKAudit(e, pq, k = 5, recall, floor = 0.8)
-    }),
-
-    "q45_winnow_fp" -> ((s, d) =>
-      TextAnalysis.winnowFingerprints(Tables.documents(s, d), k = 4, w = 4)),
-
-    "q46_winnow_pairs" -> ((s, d) =>
-      TextAnalysis.winnowPairs(Tables.documents(s, d), k = 4, w = 4,
-        minShared = 2)),
-
-    // End-to-end MOSS dedup: winnow fingerprints → shared-fp candidate
-    // pairs → connected-component cluster resolution. The composition
-    // that a real pipeline runs, oracle-checked all the way through.
-    "q47_winnow_clusters" -> ((s, d) =>
-      Dedup.dupClusters(s,
-        TextAnalysis.winnowPairs(Tables.documents(s, d), k = 4, w = 4,
-          minShared = 2).select(col("id_a"), col("id_b")))),
-
-    // Decontamination: every 20th document stands in for the eval set;
-    // per training doc, the fraction of its 3-gram shingles found
-    // anywhere in that set.
-    "q48_contamination" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.contamination(docs, docs.filter(col("doc_id") % 20 === 0), n = 3)
-    }),
-
-    // Bloom screen twin of q48 (same ref slice): per-doc flagged count
-    // carries the exact count beside it so approximation quality is
-    // data the driver sees (cf. recall_vs_brute on q27/q30/q41) —
-    // bloom_minus_exact counts false positives, never negatives.
-    // Bloom screen vs exact contamination. The Bloom count itself is
-    // sketch-dependent (not DuckDB-expressible), but its one provable
-    // property — no false negatives, so n_flagged_ub >= n_exact on
-    // EVERY row — is: ub_ge_exact must be uniformly true, and the
-    // oracle hash-checks it alongside the exact counts. A Bloom
-    // implementation with false negatives flips the flag and fails the
-    // row hash.
-    "q69_contamination_bloom" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val ref = docs.filter(col("doc_id") % 20 === 0)
-      val bloom = Dedup.contaminationBloom(docs, ref, n = 3)
-        .select(col("doc_id"), col("n_shingles"), col("n_flagged_ub"))
-      val exact = Dedup.contamination(docs, ref, n = 3)
-        .select(col("doc_id"), col("n_contaminated"))
-      bloom.join(exact, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_contaminated"), lit(0L)).as("n_exact"),
-          (col("n_flagged_ub") >=
-            coalesce(col("n_contaminated"), lit(0L))).as("ub_ge_exact"))
-    }),
-
     // PII scrubbing over text with planted email/IP/phone (planted in
     // the query so both engines construct and scrub identical strings —
     // the synthetic corpus itself contains no PII).
@@ -487,6 +200,27 @@ object PipelineQueries {
           (col("doc_id") % 256).cast("string"),
           lit(".7 call +14155552671"))).as("scrubbed"))),
 
+    // Payment-card scrubbing with Luhn VERIFICATION (planted in the
+    // query, the q49 idiom): a valid 16-digit Visa and a valid
+    // 15-digit Amex are redacted; a 16-digit Luhn-FAILING near-miss
+    // and a 10-digit number (card-invalid length) survive — the
+    // checksum decision, not just the pattern, is what the oracle
+    // replays per token.
+    "q190_card_scrub" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" 4111111111111111"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" 4111111111111112"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(" 1234567890 371449635398431")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.scrubCreditCards(planted)
+        .select(col("doc_id"), col("n_cards"), col("scrubbed_cards"))
+        .orderBy("doc_id")
+    }),
+
     // Language-balanced deterministic sampling: md5-threshold Bernoulli
     // per stratum — replayable on any topology, oracle-checkable.
     "q50_stratified_sample" -> ((s, d) =>
@@ -494,47 +228,6 @@ object PipelineQueries {
         Tables.documents(s, d).select("doc_id", "lang"),
         stratumCol = "lang", keyCol = "doc_id",
         fractions = Map("en" -> 0.5, "de" -> 0.25), defaultP = 0.1)),
-
-    // Distributed PCA: one treeAggregate moment pass + driver Jacobi
-    // (the EigenInit driver-route reasoning), then the codegen'd
-    // broadcast projection — emitted coords are the distributed
-    // operator's output (rows-only: the eigen loop has no SQL analog;
-    // PcaSpec carries recovery/orthonormality/projection correctness).
-    // Distributed PCA with the linear-algebra contracts as an INVARIANT
-    // oracle (r6 graduation, the q20/q21 pattern): component
-    // orthonormality, eigenvalues sorted nonincreasing and nonnegative,
-    // and the spectral identity var(pcₖ over the full table) = λₖ —
-    // checked against the moment-pass eigendecomposition itself, so a
-    // solver or projection regression flips a pinned boolean. Per-row
-    // finiteness rides on the enumerable vec_id < 100 projection.
-    "q90_pca" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val model = graft.linalg.Pca.fit(e, "v", r = 4)
-      val comps = model.components
-      val ortho = (for (i <- comps.indices; j <- i until comps.length) yield {
-        val dot = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
-        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
-      }).forall(identity)
-      val evalsOk = model.explainedVariance.zip(model.explainedVariance.drop(1))
-        .forall { case (a, b) => a >= b - 1e-12 } &&
-        model.explainedVariance.forall(_ >= -1e-9)
-      val full = graft.linalg.Pca.transform(e, model, "v").cache()
-      val vars = full.agg(var_pop(col("pc")(0)), var_pop(col("pc")(1)),
-        var_pop(col("pc")(2)), var_pop(col("pc")(3))).collect()(0)
-      val varsOk = model.explainedVariance.indices.forall { k =>
-        math.abs(vars.getDouble(k) - model.explainedVariance(k)) <=
-          1e-6 * math.max(1.0, model.explainedVariance(k))
-      }
-      full.filter(col("vec_id") < 100)
-        .select(col("vec_id"),
-          (!isnan(col("pc")(0)) && !isnan(col("pc")(1)) &&
-            !isnan(col("pc")(2)) && !isnan(col("pc")(3))).as("finite_ok"),
-          lit(ortho).as("orthonormal_ok"),
-          lit(evalsOk).as("evals_sorted_ok"),
-          lit(varsOk).as("var_matches_eigenvalue"))
-        .orderBy("vec_id")
-    }),
 
     // Weighted reservoir sample (Efraimidis–Spirakis): 64 docs drawn
     // proportional to n_chars, deterministic md5 uniforms — the rounded
@@ -550,17 +243,6 @@ object PipelineQueries {
     // Sequence packing: concatenate-and-slice token layout at L=512.
     "q51_pack_sequences" -> ((s, d) =>
       TextAnalysis.packSequences(Tables.documents(s, d), seqLen = 512)),
-
-    // Canonical-survivor selection: the full dedup pipeline ending —
-    // jaccard pairs → cluster resolution → keep the highest-quality doc
-    // per cluster (ties to smallest id), singletons keep themselves.
-    "q53_dedup_keep" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.keepBest(s,
-        TextAnalysis.qualityScore(docs),
-        Dedup.jaccardPairs(docs, n = 3, threshold = 0.10)
-          .select("id_a", "id_b"))
-    }),
 
     // Every payload is a REAL encoded container (PNG / WAV / Y4M) and
     // every row runs the genuine decoder — `decoded` must be all-true.
@@ -588,59 +270,6 @@ object PipelineQueries {
     // Corpus audit: per-source docs/tokens/vocab/hapax/type-token ratio.
     "q61_lexical_stats" -> ((s, d) =>
       TextAnalysis.lexicalStats(Tables.documents(s, d))),
-
-    // SemDeDup (arXiv:2303.09540): k-means-bounded semantic dedup —
-    // within-cluster exact pairs → CC → keep the least-redundant doc
-    // per duplicate group. Recall measured against the unclustered
-    // brute pair set at the same threshold (the cost SemDeDup pays for
-    // turning Θ(n²) into K·Θ((n/K)²) is exactly cross-cluster pairs).
-    "q62_semdedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      // semDedupPairs returns an already-persisted frame (it must
-      // materialize before dropping its cluster assignment)
-      val pairs = Similarity.semDedupPairs(s, e, threshold = 0.35,
-        nClusters = 8)
-      val dec = Similarity.semDedup(s, e, threshold = 0.35, nClusters = 8,
-        precomputedPairs = Some(pairs))
-      // recall on a capped universe (vec_id < 200, like q27/q30/q41's
-      // query caps): the brute twin is Θ(n²) and would dominate the
-      // query at scale; the capped measure is the same estimator at
-      // fixed cost as data grows
-      val brute = Similarity
-        .cosinePairsBrute(e.filter(col("vec_id") < 200), threshold = 0.35)
-        .select("id_a", "id_b")
-      val bruteN = brute.count()
-      val semN = pairs.filter(col("id_a") < 200 && col("id_b") < 200)
-        .select("id_a", "id_b")
-        .join(brute, Seq("id_a", "id_b"), "left_semi").count()
-      val recall = if (bruteN == 0) 1.0 else semN.toDouble / bruteN
-      // r7 graduation to an invariant oracle (the annTopKAudit shape):
-      // one row per input vector with the decision contract pinned —
-      // exactly one keeper per duplicate group, group labels are the
-      // group's min id (the CC contract), every dropped vector has a
-      // same-group witness, centroid cosines are valid, and the
-      // capped-universe recall clears the enforced floor. Floor set
-      // from measurement (ProbeAnnRecall, r7): on the NEAR-RANDOM
-      // synthetic embeddings the θ=0.35 pair population has no cluster
-      // structure, so single-assignment SemDeDup measures pair recall
-      // 0.366 (sf0.01) / 0.350 (sf0.1) at K=8 — the K·(n/K)² trade the
-      // paper accepts (cross-cluster pairs are exactly the cost). A
-      // BROKEN assignment ceilings at ~1/K ≈ 0.125 and a broken pair
-      // join at 0, so 0.25 separates working from broken with margin
-      // on both sides.
-      import org.apache.spark.sql.expressions.Window
-      val wg = Window.partitionBy("group_id")
-      dec
-        .withColumn("_nkeep", sum(when(col("keep"), 1L).otherwise(0L)).over(wg))
-        .withColumn("_gsz", count(lit(1)).over(wg))
-        .select(col("vec_id"),
-          (col("_nkeep") === 1L).as("one_keeper_ok"),
-          (col("group_id") <= col("vec_id")).as("group_min_ok"),
-          (col("keep") || col("_gsz") >= 2L).as("witness_ok"),
-          col("centroid_cos").between(-1.000001, 1.000001).as("range_ok"),
-          lit(recall >= 0.25).as("recall_ok"))
-        .orderBy("vec_id")
-    }),
 
     // Training-mix construction: per-source token budgets → replayable
     // md5 Bernoulli rates computed in-plan (oracle-checkable even
@@ -681,51 +310,6 @@ object PipelineQueries {
     "q71_quality_budget" -> ((s, d) =>
       TextAnalysis.qualityBudgetSelect(Tables.documents(s, d),
         Map("src0" -> 30000L, "src1" -> 8000L, "src2" -> 0L))),
-
-    // Passage-level boilerplate removal: 15-token windows, drop
-    // non-first occurrences of globally duplicated passages, reassemble.
-    "q68_dedup_passages" -> ((s, d) =>
-      Dedup.dedupPassages(Tables.documents(s, d), window = 15)),
-
-    // Multimodal near-dup: aHash + pigeonhole hamming pairs over the
-    // encoded-image table with ids<60 images re-planted under offset
-    // ids — each planted copy must pair with its source at dist 0.
-    // Planted-duplicate recovery through the full decode → aHash →
-    // pigeonhole-bucket → verify pipeline: every image with media_id <
-    // 60 is copied byte-identically to id+1e6, so each planted pair
-    // MUST surface at Hamming distance 0. The output is the per-plant
-    // verdict — deterministic and DuckDB-expressible (the oracle
-    // enumerates the planted ids from `documents`; the pixel pipeline
-    // itself can't run in SQL, its effect is what's checked). A broken
-    // hash/bucket path drops `recovered` to false and fails the hash.
-    "q72_image_dup_pairs" -> ((s, d) => {
-      val media = Multimodal.syntheticEncodedMedia(Tables.documents(s, d))
-      val planted = media
-        .filter(col("modality") === "image" && col("media_id") < 60)
-        .withColumn("media_id", col("media_id") + 1000000L)
-      val pairs = Multimodal.imageDupPairs(s, media.unionByName(planted))
-      val expected = Tables.documents(s, d)
-        .filter(col("doc_id") % 3 === 0 && col("doc_id") < 60)
-        .select(col("doc_id").as("id_a"),
-          (col("doc_id") + 1000000L).as("id_b"))
-      expected.join(pairs, Seq("id_a", "id_b"), "left")
-        .select(col("id_a"), col("id_b"),
-          col("dist").isNotNull.as("recovered"),
-          coalesce(col("dist"), lit(-1)).as("dist"))
-    }),
-
-    // Prefix-filtered set-similarity self-join (AllPairs) over the SAME
-    // 3-gram shingle space as q26: the prefix filter is LOSSLESS, so
-    // the pair set must equal the brute posting-list join's — the
-    // oracle replays the brute form and the hash compare doubles as a
-    // correctness proof of the pruning. τ=0.5 is the operator's
-    // operating point (near-dup level): the indexed prefix is
-    // |x|−⌈τ|x|⌉+1 ≈ half of each document, so the candidate volume
-    // halves-squared vs the full posting join — at τ→0 the prefix
-    // approaches the whole set and the algorithm degenerates to q26's
-    // brute form by design (SimJoinSpec pins equality at τ=0.10 too).
-    "q96_setsim_join" -> ((s, d) =>
-      Dedup.setSimilarityJoin(Tables.documents(s, d), threshold = 0.5, n = 3)),
 
     // Misra–Gries heavy-hitters audit (k=64) beside the exact term
     // counts: one deterministic invariant row (the q84/q88 pattern) —
@@ -859,13 +443,6 @@ object PipelineQueries {
     "q133_script_profile" -> ((s, d) =>
       TextAnalysis.scriptProfile(Tables.documents(s, d)).orderBy("doc_id")),
 
-    // Distributed Lloyd k-means with the dual-route argmin audit and
-    // Lloyd-monotonicity invariant (booleans oracle-pinned TRUE; the
-    // centroid table itself has no SQL analog).
-    "q134_kmeans" -> ((s, d) =>
-      Similarity.kMeansAssign(s, Tables.embeddings(s, d), k = 8, iters = 5)
-        .orderBy("vec_id")),
-
     // Fightin'-Words keyness: per-source characteristic terms by
     // Dirichlet log-odds z-score. Exact oracle (aggregates + log
     // arithmetic + per-group top-k).
@@ -957,16 +534,6 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
-    // Blocked Jaro-Winkler fuzzy join on part names (record linkage
-    // between exact dedup and editdist-1). DuckDB implements the same
-    // JW definition, so this is a full cross-engine oracle; both
-    // engines filter on the ROUNDED score to keep the cut identical.
-    "q141_jw_join" -> ((s, d) =>
-      Dedup.jaroWinklerJoin(
-        Tables.part(s, d).filter(col("p_partkey") < 500)
-          .select(col("p_partkey").as("id"), col("p_name").as("s")),
-        threshold = 0.92).orderBy("id_a", "id_b")),
-
     // Per-doc n-gram novelty against the ingest order: the fraction of
     // a document's 5-grams whose FIRST corpus occurrence (by doc_id)
     // is in that document — the "is the stream still contributing new
@@ -993,24 +560,6 @@ object PipelineQueries {
         .withColumn("novelty",
           round(col("n_novel") / col("n_grams").cast("double"), 6))
         .orderBy("doc_id")
-    }),
-
-    // Per-dimension embedding drift between the even/odd vec_id halves
-    // (reference vs candidate batch): the feature-drift monitor a
-    // production embedding pipeline runs on every refresh. One
-    // posexplode + one (dim)-keyed aggregate — 64 output rows
-    // regardless of corpus size. Exact oracle.
-    "q171_embedding_drift" -> ((s, d) => {
-      val x = Tables.embeddings(s, d)
-        .select((col("vec_id") % 2 === 0).as("_a"),
-          posexplode(col("embedding")).as(Seq("pos", "_v")))
-      x.groupBy("pos").agg(
-          round(avg(when(col("_a"), col("_v"))), 6).as("mean_ref"),
-          round(avg(when(!col("_a"), col("_v"))), 6).as("mean_cand"))
-        .withColumn("abs_diff",
-          round(abs(col("mean_ref") - col("mean_cand")), 6))
-        .withColumn("drifted", col("abs_diff") > 0.1)
-        .orderBy("pos")
     }),
 
     // Train/val token-balance audit: the md5 split (q143) should leave
@@ -1046,27 +595,6 @@ object PipelineQueries {
           round(sum(col("_t")), 6).as("chi2"))
         .withColumn("dof", col("n_terms") - 1)
     }),
-
-    // Contrastive-pair mining on the labeled embeddings (hardest
-    // negative / hardest positive / margin per anchor — the triplet-
-    // loss data-prep step). Exact oracle over the bounded anchor set.
-    "q170_contrastive" -> ((s, d) =>
-      Similarity.contrastiveMining(
-        Tables.embeddings(s, d).filter(col("vec_id") < 100))
-        .orderBy("aid")),
-
-    // Fellegi–Sunter record linkage over prefix-blocked part pairs:
-    // fuzzy name (JW) + exact brand/type agreement folded into the
-    // log₂-likelihood match weight. Full cross-engine oracle — the
-    // weights are driver-precomputed literals (see fellegiSunter doc),
-    // so the sum replays bit-exactly.
-    "q159_record_linkage" -> ((s, d) =>
-      Dedup.fellegiSunter(
-        Tables.part(s, d).filter(col("p_partkey") < 800),
-        idCol = "p_partkey", nameCol = "p_name",
-        exactCols = Seq("p_brand", "p_type"),
-        mu = fsMu, nameThreshold = 0.9, matchThreshold = 6.0)
-        .orderBy("id_a", "id_b")),
 
     // Per-source quantile normalization of doc length. Exact oracle.
     "q142_quantile_norm" -> ((s, d) =>
@@ -1116,22 +644,10 @@ object PipelineQueries {
           (regexp_replace(concat_ws("", col("pieces")), "</w>", "")
             === col("_joined")).as("roundtrip_ok"))
         .orderBy("doc_id")
-    })
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
-    // Brute-force quadratic levenshtein over the capped universe — the
-    // ground truth the deletion-neighborhood join must reproduce
-    // exactly (losslessness proof; FastSS guarantees no false
-    // negatives at d ≤ 1, the verify step removes false positives).
-    "q106_editdist_join" ->
-      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
-        |  WHERE c_custkey < 2000)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
-        |FROM c a JOIN c b ON a.id < b.id
-        |WHERE levenshtein(a.s, b.s) <= 1""".stripMargin,
-
     // The same chunk grid: token list, last-start = clamped
     // ceil((n-64)/48), list_slice per start (1-based, end-clamped like
     // Spark's slice), md5 of the re-joined window. Trunc-vs-floor
@@ -1149,10 +665,6 @@ object PipelineQueries {
         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c""".stripMargin,
-
-    "q24_dedup_exact" ->
-      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin,
 
     // Identical distinct-set algebra over the (source, term) table.
     "q147_source_overlap" ->
@@ -1185,45 +697,6 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, TRUE AS decoded, TRUE AS dims_ok,
         |  TRUE AS mean_preserved
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
-
-    // Same blocking key, same JW definition, same rounded-score cut.
-    // Same block join, same rounded-JW agreement cut, and the SAME
-    // weight literals summed in the same left-assoc order.
-    "q159_record_linkage" -> {
-      val Seq(wa0, wa1, wa2) = fsWa
-      val Seq(wd0, wd1, wd2) = fsWd
-      // CAST each leg: DuckDB parses decimal literals as DECIMAL and
-      // would sum in decimal arithmetic; the weights are doubles.
-      val w = s"(CASE WHEN agree_p_name THEN CAST($wa0 AS DOUBLE) " +
-        s"ELSE CAST($wd0 AS DOUBLE) END) " +
-        s"+ (CASE WHEN agree_p_brand THEN CAST($wa1 AS DOUBLE) " +
-        s"ELSE CAST($wd1 AS DOUBLE) END) " +
-        s"+ (CASE WHEN agree_p_type THEN CAST($wa2 AS DOUBLE) " +
-        s"ELSE CAST($wd2 AS DOUBLE) END)"
-      s"""WITH p AS (SELECT p_partkey AS id, p_name, p_brand, p_type
-         |  FROM part WHERE p_partkey < 800),
-         |c AS (
-         |  SELECT a.id AS id_a, b.id AS id_b,
-         |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
-         |      AS agree_p_name,
-         |    a.p_brand = b.p_brand AS agree_p_brand,
-         |    a.p_type = b.p_type AS agree_p_type
-         |  FROM p a JOIN p b ON a.id < b.id
-         |    AND substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4))
-         |SELECT id_a, id_b, agree_p_name, agree_p_brand, agree_p_type,
-         |  round($w, 6) AS weight,
-         |  round($w, 6) >= 6.0 AS is_match
-         |FROM c""".stripMargin
-    },
-
-    "q141_jw_join" ->
-      """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
-        |  WHERE p_partkey < 500)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |  round(jaro_winkler_similarity(a.s, b.s), 6) AS jw
-        |FROM p a JOIN p b ON a.id < b.id
-        |  AND substr(a.s, 1, 4) = substr(b.s, 1, 4)
-        |WHERE round(jaro_winkler_similarity(a.s, b.s), 6) >= 0.92""".stripMargin,
 
     // Identical unique-ordering percent_rank.
     "q142_quantile_norm" ->
@@ -1349,12 +822,6 @@ object PipelineQueries {
         |  TRUE AS ratio_ok, TRUE AS overhead_floor_ok
         |FROM documents WHERE octet_length(encode(text)) >= 1""".stripMargin,
 
-    // PCA invariant oracle over the enumerable projection slice.
-    "q90_pca" ->
-      """SELECT vec_id, TRUE AS finite_ok, TRUE AS orthonormal_ok,
-        |  TRUE AS evals_sorted_ok, TRUE AS var_matches_eigenvalue
-        |FROM embeddings WHERE vec_id < 100""".stripMargin,
-
     // CMS audit: exact scalars recomputed, guarantee booleans pinned.
     "q132_countmin" ->
       """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
@@ -1382,12 +849,6 @@ object PipelineQueries {
         |  round(n_digit / n_chars, 6) AS r_digit,
         |  n_letter * 2 > n_chars AS mostly_alpha
         |FROM c""".stripMargin,
-
-    // k-means invariant oracle: the dual-route argmin agreement and
-    // Lloyd monotonicity are Spark-side booleans pinned TRUE per row.
-    "q134_kmeans" ->
-      """SELECT vec_id, TRUE AS assign_ok, TRUE AS inertia_ok
-        |FROM embeddings""".stripMargin,
 
     // Identical Dirichlet log-odds z arithmetic and per-source top-k.
     "q135_keyness" ->
@@ -1517,170 +978,6 @@ object PipelineQueries {
         |      ORDER BY md5('gs:' || doc_id), doc_id) AS rn
         |  FROM documents) WHERE rn <= 25""".stripMargin,
 
-    "q25_fingerprint" ->
-      """SELECT doc_id, md5(array_to_string(
-        |  list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
-        |FROM documents""".stripMargin,
-
-    "q26_jaccard_pairs" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
-        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT id_a, id_b, round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
-        |FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
-        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10""".stripMargin,
-
-    // q27's md5-family replica up to the candidate join, verified by
-    // SIGNATURE agreement instead of true Jaccard (the q175 mode):
-    // jaccard = (#agreeing of 64 minhash positions)/64.
-    "q175_sig_dedup" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
-        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
-        |hm AS (SELECT doc_id, md5(s) AS m FROM sh),
-        |hp AS (SELECT doc_id,
-        |  CAST(CAST('0x' || substr(m, 1, 16) AS UBIGINT) AS HUGEINT) AS u1,
-        |  CAST((CAST('0x' || substr(m, 17, 16) AS UBIGINT) | 1) AS HUGEINT) AS u2
-        |  FROM hm),
-        |hsg AS (SELECT doc_id,
-        |  u1 - CASE WHEN u1 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS s1,
-        |  u2 - CASE WHEN u2 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS s2
-        |  FROM hp),
-        |hs AS (SELECT doc_id, r.i, min(CAST(
-        |  ((s1 + r.i * s2 + 9223372036854775808) % 18446744073709551616
-        |    + 18446744073709551616) % 18446744073709551616
-        |    - 9223372036854775808 AS BIGINT)) AS h
-        |  FROM hsg, range(0, 64) r(i) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY 1),
-        |bb AS (SELECT doc_id, rb.b,
-        |  md5(array_to_string(sig[rb.b*4+1 : rb.b*4+4], '|')) AS bucket
-        |  FROM sig, range(0, 16) rb(b)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-        |  FROM bb a JOIN bb b2 ON a.b = b2.b AND a.bucket = b2.bucket
-        |  WHERE a.doc_id < b2.doc_id),
-        |sv AS (SELECT c.id_a, c.id_b,
-        |  round(len(list_filter(range(1, 65),
-        |    i -> sa.sig[i] = sb.sig[i])) / 64.0, 6) AS jaccard
-        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
-        |  JOIN sig sb ON sb.doc_id = c.id_b)
-        |SELECT id_a, id_b, jaccard FROM sv WHERE jaccard >= 0.5""".stripMargin,
-
-    // Full MinHash+LSH replica of the Kirsch–Mitzenmacher md5 family:
-    // each shingle's single md5 digest splits into two 64-bit halves,
-    // h_i = h1 + i·(h2|1) with two's-complement wrap — rebuilt here with
-    // HUGEINT mod-2^64 arithmetic (DuckDB BIGINT ops raise on overflow,
-    // so the wrap is made explicit; the ±2^63 shuffle converts between
-    // the unsigned hex value and Spark's signed long). Band bucket =
-    // md5 of the "|"-joined 4-hash slice, candidates verified against
-    // true Jaccard, and the recall_vs_brute constant recomputed from
-    // the capped (<1000) brute twin — cell-identical to the Spark frame.
-    "q27_minhash_lsh" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
-        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
-        |hm AS (SELECT doc_id, md5(s) AS m FROM sh),
-        |hp AS (SELECT doc_id,
-        |  CAST(CAST('0x' || substr(m, 1, 16) AS UBIGINT) AS HUGEINT) AS u1,
-        |  CAST((CAST('0x' || substr(m, 17, 16) AS UBIGINT) | 1) AS HUGEINT) AS u2
-        |  FROM hm),
-        |hsg AS (SELECT doc_id,
-        |  u1 - CASE WHEN u1 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS s1,
-        |  u2 - CASE WHEN u2 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS s2
-        |  FROM hp),
-        |hs AS (SELECT doc_id, r.i, min(CAST(
-        |  ((s1 + r.i * s2 + 9223372036854775808) % 18446744073709551616
-        |    + 18446744073709551616) % 18446744073709551616
-        |    - 9223372036854775808 AS BIGINT)) AS h
-        |  FROM hsg, range(0, 64) r(i) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY 1),
-        |bb AS (SELECT doc_id, rb.b,
-        |  md5(array_to_string(sig[rb.b*4+1 : rb.b*4+4], '|')) AS bucket
-        |  FROM sig, range(0, 16) rb(b)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-        |  FROM bb a JOIN bb b2 ON a.b = b2.b AND a.bucket = b2.bucket
-        |  WHERE a.doc_id < b2.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT c.id_a, c.id_b, count(*) AS c
-        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
-        |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2),
-        |ver AS (SELECT id_a, id_b, round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
-        |  FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
-        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10),
-        |bru AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |  FROM sh a JOIN sh b USING (s)
-        |  WHERE a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
-        |  GROUP BY 1, 2),
-        |brup AS (SELECT id_a, id_b
-        |  FROM bru JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
-        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10),
-        |hit AS (SELECT count(*) AS nb, count(*) FILTER (WHERE EXISTS
-        |  (SELECT 1 FROM ver v WHERE v.id_a = brup.id_a AND v.id_b = brup.id_b)) AS nh
-        |  FROM brup),
-        |rec AS (SELECT CASE WHEN nb = 0 THEN 1.0 ELSE round(nh * 1.0 / nb, 4) END
-        |  AS recall_vs_brute FROM hit)
-        |SELECT v.id_a, v.id_b, v.jaccard, rec.recall_vs_brute
-        |FROM ver v CROSS JOIN rec""".stripMargin,
-
-    // SimHash brute-force twin: md5Hash64 token hashes rebuilt as
-    // CAST('0x'||substr(md5(w),1,16) AS UBIGINT) (identical 64 bits),
-    // majority-vote fingerprint assembled bit by bit, and ALL pairs
-    // scanned at distance ≤ 7 — the pigeonhole-bucketed Spark operator
-    // must produce the identical set (full recall by construction), so
-    // this oracle row doubles as a recall proof. The 64 per-bit sums
-    // are generated, not hand-written.
-    "q28_simhash_pairs" -> {
-      val sums = (0 until 64).map(b =>
-        s"sum(CAST((h >> $b) & 1 AS BIGINT)) AS c$b").mkString(",\n  ")
-      // toUnsignedString: bit 63's constant must print as 2^63, not
-      // Long.MinValue's negative literal, to cast into UBIGINT
-      val fp = (0 until 64).map(b =>
-        s"CASE WHEN 2*c$b > n THEN ${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT ELSE 0::UBIGINT END")
-        .mkString(" + ")
-      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-         |  FROM documents),
-         |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS h
-         |  FROM tok),
-         |bits AS (SELECT doc_id, count(*) AS n,
-         |  $sums
-         |  FROM h GROUP BY 1),
-         |fp AS (SELECT doc_id, $fp AS fp FROM bits),
-         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS dist
-         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 7""".stripMargin
-    },
-
-    // Connected components via transitive closure (recursive CTE) over
-    // the q26 pair graph; cluster label = min reachable id. Feasible in
-    // SQL because the closure is bounded by dup-cluster sizes, not the
-    // corpus.
-    "q44_dedup_clusters" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
-        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b
-        |  FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
-        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10),
-        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |      UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-        |nodes AS (SELECT DISTINCT a AS id FROM e)
-        |SELECT n.id AS doc_id, least(n.id, min(r.b)) AS keep_id,
-        |  least(n.id, min(r.b)) = n.id AS keep
-        |FROM nodes n JOIN reach r ON r.a = n.id
-        |GROUP BY n.id""".stripMargin,
-
     // Identical 5-gram slide + first-occurrence min join.
     "q173_ngram_novelty" ->
       """WITH w AS (SELECT doc_id,
@@ -1696,24 +993,6 @@ object PipelineQueries {
         |  round(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END)
         |    / CAST(count(*) AS DOUBLE), 6) AS novelty
         |FROM g JOIN f USING (gram) GROUP BY 1""".stripMargin,
-
-    // Same 0-based dim explode, same conditional means off the SAME
-    // rounded columns.
-    "q171_embedding_drift" ->
-      """WITH x AS (
-        |  SELECT vec_id % 2 = 0 AS a, CAST(u.i AS INT) AS pos,
-        |    embedding[u.i + 1] AS v
-        |  FROM embeddings,
-        |    LATERAL (SELECT unnest(range(0, 64)) AS i) u),
-        |m AS (
-        |  SELECT pos,
-        |    round(avg(CASE WHEN a THEN v END), 6) AS mean_ref,
-        |    round(avg(CASE WHEN NOT a THEN v END), 6) AS mean_cand
-        |  FROM x GROUP BY 1)
-        |SELECT pos, mean_ref, mean_cand,
-        |  round(abs(mean_ref - mean_cand), 6) AS abs_diff,
-        |  round(abs(mean_ref - mean_cand), 6) > 0.1 AS drifted
-        |FROM m""".stripMargin,
 
     // The q143 md5 split predicate + the q119 chi² arithmetic over the
     // (term × split) grid.
@@ -1746,31 +1025,6 @@ object PipelineQueries {
         |      / ((ntr + nva) * Tva / (Ttr + Tva))), 6) AS chi2,
         |  count(*) - 1 AS dof
         |FROM g, tt""".stripMargin,
-
-    // Same bounded-anchor pair frame, same per-polarity windows.
-    "q170_contrastive" ->
-      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings
-        |  WHERE vec_id < 100),
-        |p AS (
-        |  SELECT a.vec_id AS aid, b.vec_id AS bid,
-        |    a.label AS alab, b.label AS blab,
-        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |      b.embedding::DOUBLE[]), 6) AS cos
-        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-        |n AS (SELECT aid, bid AS hard_neg_id, cos AS hard_neg_cos,
-        |    row_number() OVER (PARTITION BY aid
-        |      ORDER BY cos DESC, bid ASC) AS rn
-        |  FROM p WHERE alab <> blab),
-        |q AS (SELECT aid, bid AS hard_pos_id, cos AS hard_pos_cos,
-        |    row_number() OVER (PARTITION BY aid
-        |      ORDER BY cos ASC, bid ASC) AS rn
-        |  FROM p WHERE alab = blab)
-        |SELECT e.vec_id AS aid, n.hard_neg_id, n.hard_neg_cos,
-        |  q.hard_pos_id, q.hard_pos_cos,
-        |  round(q.hard_pos_cos - n.hard_neg_cos, 6) AS margin
-        |FROM e
-        |LEFT JOIN (SELECT * FROM n WHERE rn = 1) n ON e.vec_id = n.aid
-        |LEFT JOIN (SELECT * FROM q WHERE rn = 1) q ON e.vec_id = q.aid""".stripMargin,
 
     // Identical planted-line construction + rule algebra in DuckDB.
     "q177_c4_clean" ->
@@ -1819,26 +1073,6 @@ object PipelineQueries {
         |    ELSE 'tail' END AS bucket
         |FROM j""".stripMargin,
 
-    // Same centroid/d²/z algebra with the same rounding points; DuckDB
-    // stddev is sample stddev like Spark's.
-    "q187_label_outliers" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |x AS (SELECT vec_id, label, g.i AS pos, v[g.i] AS x
-        |  FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
-        |    g),
-        |c AS (SELECT label, pos, avg(x) AS m FROM x GROUP BY 1, 2),
-        |d AS (SELECT x.vec_id, x.label,
-        |    round(sum((x.x - c.m) * (x.x - c.m)), 6) AS d2
-        |  FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
-        |  GROUP BY 1, 2),
-        |s AS (SELECT label, avg(d2) AS mu, stddev(d2) AS sd FROM d
-        |  GROUP BY 1)
-        |SELECT d.vec_id, d.label, d.d2,
-        |  round((d.d2 - s.mu) / s.sd, 6) AS z,
-        |  round((d.d2 - s.mu) / s.sd, 6) > 2.4931 AS is_outlier
-        |FROM d JOIN s USING (label)""".stripMargin,
-
     // Identical planted mess + the same lowercase/whitespace/punct
     // collapse chain (expanded per char — RE2 has no backreferences);
     // idempotence recomputed on the normalized output.
@@ -1866,54 +1100,6 @@ object PipelineQueries {
         |      ';{2,}', ';', 'g'), ':{2,}', ':', 'g')) = normalized
         |    AS idempotent
         |FROM n""".stripMargin,
-
-    // Every coordinate from the same md5 sign algebra (0-based i:j
-    // keys, first hex digit 0-7 → +1); casts keep DOUBLE throughout.
-    "q185_jl_project" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |j AS (SELECT CAST(unnest(generate_series(0, 15)) AS INTEGER)
-        |  AS dim)
-        |SELECT e.vec_id, j.dim,
-        |  round(list_sum(list_transform(generate_series(1, 64),
-        |    i -> e.v[i] * (CASE WHEN substr(md5((i - 1) || ':' ||
-        |        j.dim), 1, 1) BETWEEN '0' AND '7'
-        |      THEN CAST(1.0 AS DOUBLE)
-        |      ELSE CAST(-1.0 AS DOUBLE) END)))
-        |    / sqrt(CAST(16 AS DOUBLE)), 6) AS coord
-        |FROM e, j""".stripMargin,
-
-    // The greedy trajectory as chained argmax CTEs: c1 = min id,
-    // m_t = per-point min rounded d² to the first t centers,
-    // c_{t+1} = argmax(m_t) with id tiebreak — identical rounding
-    // points to the Scala loop.
-    "q184_kcenter_coreset" ->
-      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-        |  FROM embeddings WHERE vec_id < 200),
-        |c1 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
-        |m1 AS (SELECT e.id, e.v,
-        |    round(list_sum(list_transform(generate_series(1, 64),
-        |      i -> (e.v[i] - c1.v[i]) * (e.v[i] - c1.v[i]))), 6) AS md
-        |  FROM e, c1),
-        |c2 AS (SELECT id, v, md FROM m1 ORDER BY md DESC, id LIMIT 1),
-        |m2 AS (SELECT m1.id, m1.v, least(m1.md,
-        |    round(list_sum(list_transform(generate_series(1, 64),
-        |      i -> (m1.v[i] - c2.v[i]) * (m1.v[i] - c2.v[i]))), 6))
-        |      AS md
-        |  FROM m1, c2),
-        |c3 AS (SELECT id, v, md FROM m2 ORDER BY md DESC, id LIMIT 1),
-        |m3 AS (SELECT m2.id, m2.v, least(m2.md,
-        |    round(list_sum(list_transform(generate_series(1, 64),
-        |      i -> (m2.v[i] - c3.v[i]) * (m2.v[i] - c3.v[i]))), 6))
-        |      AS md
-        |  FROM m2, c3),
-        |c4 AS (SELECT id, v, md FROM m3 ORDER BY md DESC, id LIMIT 1)
-        |SELECT 1 AS rank, (SELECT id FROM c1) AS vec_id,
-        |  CAST(0.0 AS DOUBLE) AS radius
-        |UNION ALL SELECT 2, (SELECT id FROM c2), (SELECT md FROM c2)
-        |UNION ALL SELECT 3, (SELECT id FROM c3), (SELECT md FROM c3)
-        |UNION ALL SELECT 4, (SELECT id FROM c4), (SELECT md FROM c4)"""
-        .stripMargin,
 
     // Per-language p^α weights — count, share, normalized weight,
     // oversample factor, expected docs; same rounding points as Spark.
@@ -2018,49 +1204,11 @@ object PipelineQueries {
         |    AND (n_stopwords >= 2) AS gopher_keep
         |FROM g""".stripMargin,
 
-    // Exact replay of the span-removal algebra: positional grams,
-    // count/min-key aggregate, coverage join, anti join, ordered
-    // reassembly.
-    "q179_dedup_spans" ->
-      """WITH t0 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
-        |    THEN text || ' zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9'
-        |    ELSE text END AS text FROM documents),
-        |d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM t0),
-        |tok AS (SELECT doc_id, g.i AS idx, ts[g.i + 1] AS token
-        |  FROM d, LATERAL (SELECT unnest(generate_series(0, len(ts) - 1))
-        |    AS i) g),
-        |gr AS (SELECT doc_id, g.i AS idx,
-        |    array_to_string(ts[g.i + 1 : g.i + 8], ' ') AS gram,
-        |    doc_id * 1000000 + g.i AS key
-        |  FROM d, LATERAL (SELECT unnest(generate_series(0, len(ts) - 8))
-        |    AS i) g
-        |  WHERE len(ts) >= 8),
-        |f AS (SELECT gram, count(*) AS cnt, min(key) AS fk FROM gr
-        |  GROUP BY 1),
-        |rem AS (SELECT gr.doc_id, gr.idx AS s FROM gr JOIN f USING (gram)
-        |  WHERE f.cnt > 1 AND gr.key <> f.fk),
-        |cov AS (SELECT DISTINCT t.doc_id, t.idx FROM tok t JOIN rem r
-        |  ON t.doc_id = r.doc_id AND t.idx BETWEEN r.s AND r.s + 7),
-        |keep AS (SELECT t.doc_id, t.idx, t.token FROM tok t
-        |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx),
-        |rb AS (SELECT doc_id, count(*) AS nk,
-        |    array_to_string(list(token ORDER BY idx), ' ') AS cleaned
-        |  FROM keep GROUP BY 1)
-        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
-        |  CAST(len(d.ts) - coalesce(rb.nk, 0) AS BIGINT) AS n_removed,
-        |  coalesce(rb.cleaned, '') AS cleaned
-        |FROM d LEFT JOIN rb USING (doc_id)""".stripMargin,
-
     // Classifier training-contract oracle: one row per doc, pinned.
     "q178_quality_classifier" ->
       """SELECT doc_id, TRUE AS score_range_ok, TRUE AS loss_improved,
         |  TRUE AS auc_ok
         |FROM documents""".stripMargin,
-
-    // PQ codec invariant oracle: one row per vector, booleans pinned.
-    "q176_pq_codec" ->
-      """SELECT vec_id, TRUE AS codes_ok, TRUE AS better_than_mean
-        |FROM embeddings""".stripMargin,
 
     // Full bootstrap replay: md5 uniforms → Poisson(1) weights →
     // weighted average-tie ranks per resample → weighted Pearson over
@@ -2118,47 +1266,6 @@ object PipelineQueries {
         |SELECT r.i, r.rho, c.ci_lo, c.ci_hi
         |FROM rho r CROSS JOIN cut c ORDER BY r.i""".stripMargin,
 
-    // SemDeDup invariant oracle: one row per input vector, decision
-    // contract booleans pinned TRUE (see the q62 query body).
-    "q62_semdedup" ->
-      """SELECT vec_id, TRUE AS one_keeper_ok, TRUE AS group_min_ok,
-        |  TRUE AS witness_ok, TRUE AS range_ok, TRUE AS recall_ok
-        |FROM embeddings""".stripMargin,
-
-    // ANN-ladder invariant oracles (annTopKAudit): one row per input
-    // vector, every contract boolean pinned TRUE. A dropped query
-    // vector changes the row count; any broken invariant flips a
-    // boolean; a recall collapse below the enforced floor flips
-    // recall_ok — all caught by the driver's hash compare.
-    "q30_lsh_topk" ->
-      """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
-        |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
-        |  TRUE AS recall_ok
-        |FROM embeddings""".stripMargin,
-
-    "q41_ivf_topk" ->
-      """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
-        |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
-        |  TRUE AS recall_ok
-        |FROM embeddings""".stripMargin,
-
-    "q56_ivfpq_topk" ->
-      """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
-        |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
-        |  TRUE AS recall_ok
-        |FROM embeddings""".stripMargin,
-
-    "q29_ann_topk" ->
-      """WITH pairs AS (
-        |  SELECT q.vec_id AS qid, r.vec_id AS rid,
-        |    round(list_cosine_similarity(q.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos
-        |  FROM embeddings q JOIN embeddings r ON q.vec_id <> r.vec_id
-        |  WHERE q.vec_id < 50),
-        |ranked AS (SELECT qid, rid, cos,
-        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, rid ASC) AS rn
-        |  FROM pairs)
-        |SELECT qid, rid, cos, rn FROM ranked WHERE rn <= 5""".stripMargin,
-
     "q31_text_quality" ->
       """WITH f AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_words,
@@ -2198,84 +1305,6 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
         |FROM documents""".stripMargin,
 
-    // Winnowing (Schleimer et al. 2003): k-gram md5 hashes, window-min
-    // selection, distinct survivors. DuckDB list lambdas mirror the
-    // Spark transform/slice/array_min pipeline exactly; md5 hex compares
-    // identically in both engines.
-    "q45_winnow_fp" ->
-      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |  CASE WHEN len(t) >= 4
-        |    THEN list_transform(range(1, len(t) - 4 + 2),
-        |           i -> md5(array_to_string(t[i:i+3], ' ')))
-        |    ELSE [md5(text)] END AS h
-        |  FROM d),
-        |m AS (SELECT doc_id,
-        |  list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1),
-        |    i -> list_aggregate(h[i:i+3], 'min')) AS mins
-        |  FROM g)
-        |SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m""".stripMargin,
-
-    "q46_winnow_pairs" ->
-      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |  CASE WHEN len(t) >= 4
-        |    THEN list_transform(range(1, len(t) - 4 + 2),
-        |           i -> md5(array_to_string(t[i:i+3], ' ')))
-        |    ELSE [md5(text)] END AS h
-        |  FROM d),
-        |m AS (SELECT doc_id,
-        |  list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1),
-        |    i -> list_aggregate(h[i:i+3], 'min')) AS mins
-        |  FROM g),
-        |fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-        |FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-
-    "q47_winnow_clusters" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |  CASE WHEN len(t) >= 4
-        |    THEN list_transform(range(1, len(t) - 4 + 2),
-        |           i -> md5(array_to_string(t[i:i+3], ' ')))
-        |    ELSE [md5(text)] END AS h
-        |  FROM d),
-        |m AS (SELECT doc_id,
-        |  list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1),
-        |    i -> list_aggregate(h[i:i+3], 'min')) AS mins
-        |  FROM g),
-        |fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |      UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-        |nodes AS (SELECT DISTINCT a AS id FROM e)
-        |SELECT n.id AS doc_id, least(n.id, min(r.b)) AS keep_id,
-        |  least(n.id, min(r.b)) = n.id AS keep
-        |FROM nodes n JOIN reach r ON r.a = n.id
-        |GROUP BY n.id""".stripMargin,
-
-    "q48_contamination" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
-        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
-        |ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
-        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
-        |hit AS (SELECT doc_id, count(*) AS n_hit FROM sh
-        |        WHERE s IN (SELECT s FROM ref) GROUP BY 1)
-        |SELECT tot.doc_id, tot.n_shingles,
-        |  coalesce(hit.n_hit, 0) AS n_contaminated,
-        |  round(coalesce(hit.n_hit, 0) * 1.0 / tot.n_shingles, 6) AS contamination
-        |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin,
-
     "q49_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(
@@ -2286,6 +1315,30 @@ object PipelineQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    // Per-token Luhn replay: try_cast keeps non-digit tokens NULL-safe
+    // (DuckDB's AND does not short-circuit in vectorized eval), the
+    // mod-10 fold is pure integer algebra in both engines.
+    "q190_card_scrub" ->
+      """WITH t0 AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' 4111111111111111' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' 4111111111111112' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' 1234567890 371449635398431' ELSE '' END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id, list_transform(string_split(text, ' '), t ->
+        |    CASE WHEN regexp_matches(t, '^[0-9]{13,19}$') AND
+        |      list_sum(list_transform(range(1, len(t) + 1), i ->
+        |        CASE WHEN (len(t) - i) % 2 = 1
+        |          THEN CASE WHEN try_cast(t[i] AS INT) * 2 > 9
+        |            THEN try_cast(t[i] AS INT) * 2 - 9
+        |            ELSE try_cast(t[i] AS INT) * 2 END
+        |          ELSE try_cast(t[i] AS INT) END)) % 10 = 0
+        |    THEN '<CARD>' ELSE t END) AS st FROM t0)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(st, x -> x = '<CARD>')) AS BIGINT) AS n_cards,
+        |  array_to_string(st, ' ') AS scrubbed_cards
+        |FROM m""".stripMargin,
 
     // (v+1)/2^52 with v = first 13 md5 hex digits — exact in doubles,
     // so the key arithmetic replays bit-for-bit (ln at ulp scale only).
@@ -2399,49 +1452,6 @@ object PipelineQueries {
         |SELECT doc_id, round(score, 6) AS bm25 FROM sc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
-    // Exact contamination counts replicated in SQL; the Bloom screen's
-    // no-false-negative invariant is the literal TRUE the Spark side
-    // must reproduce on every row.
-    "q69_contamination_bloom" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
-        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
-        |ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
-        |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
-        |hit AS (SELECT sh.doc_id, count(*) AS n_exact
-        |  FROM sh JOIN ref USING (s) GROUP BY 1)
-        |SELECT doc.doc_id, coalesce(cnt.n_shingles, 0) AS n_shingles,
-        |  coalesce(hit.n_exact, 0) AS n_exact, TRUE AS ub_ge_exact
-        |FROM documents doc
-        |LEFT JOIN cnt ON cnt.doc_id = doc.doc_id
-        |LEFT JOIN hit ON hit.doc_id = doc.doc_id""".stripMargin,
-
-    // Planted-duplicate ground truth: images are doc_id % 3 = 0 (the
-    // synthetic media modality rule); every planted copy must come back
-    // recovered at distance 0 through the decode→aHash→bucket pipeline.
-    "q72_image_dup_pairs" ->
-      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
-        |  TRUE AS recovered, 0 AS dist
-        |FROM documents WHERE doc_id % 3 = 0 AND doc_id < 60""".stripMargin,
-
-    "q68_dedup_passages" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |p AS (SELECT doc_id, CAST(i AS INT) AS pidx,
-        |    array_to_string(ts[(CAST(i AS INT)*15+1):(CAST(i AS INT)*15+15)],
-        |      ' ') AS passage
-        |  FROM t, unnest(range(0, CAST(ceil(len(ts)/15.0) AS BIGINT))) AS u(i)),
-        |k AS (SELECT doc_id, pidx, passage,
-        |    count(*) OVER (PARTITION BY passage) AS n_copies,
-        |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, pidx) AS rn
-        |  FROM p),
-        |r AS (SELECT doc_id, string_agg(passage, ' ' ORDER BY pidx)
-        |    AS text_deduped, count(*) AS n_kept
-        |  FROM k WHERE n_copies < 2 OR rn = 1 GROUP BY 1)
-        |SELECT t.doc_id, coalesce(r.text_deduped, '') AS text_deduped,
-        |  CAST(ceil(len(t.ts)/15.0) AS BIGINT) AS n_passages,
-        |  coalesce(r.n_kept, 0) AS n_kept
-        |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
-
     "q67_length_quantiles" ->
       """WITH t AS (SELECT source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
@@ -2533,21 +1543,6 @@ object PipelineQueries {
         |  ELSE 0.0 END AS dup_ngram_frac
         |FROM tot LEFT JOIN agg USING (doc_id)""".stripMargin,
 
-    // The q26 brute posting-list join with the overlap count carried —
-    // the prefix-filtered Spark plan must reproduce it EXACTLY (the
-    // filter is lossless), so this row is both an oracle and a proof.
-    "q96_setsim_join" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
-        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT id_a, id_b, c AS n_common,
-        |  round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
-        |FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
-        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5""".stripMargin,
-
     // The Misra–Gries guarantees are theorems, so the oracle states the
     // exact-side facts (total tokens, how many terms exceed n/(k+1))
     // and TRUE for both invariant booleans; a sketch bug that broke
@@ -2563,51 +1558,6 @@ object PipelineQueries {
         |   WHERE c > n.n_total / 65.0) AS n_heavy,
         |  true AS all_heavy_found, true AS bounds_ok
         |FROM n""".stripMargin,
-
-    "q38_cosine_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin,
-
-    // q44's recursive-CTE closure + q31's quality components composed
-    // into the survivor selection: same cluster labels, same rounded
-    // quality formula (round-then-multiply order mirrors the Spark
-    // column expression so the doubles are bit-identical).
-    "q53_dedup_keep" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
-        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b
-        |  FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
-        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10),
-        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |      UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-        |clusters AS (
-        |  SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a),
-        |q AS (SELECT doc_id,
-        |  (CASE WHEN len(string_split(text, ' ')) < 5
-        |      THEN 0.1::DOUBLE ELSE 1.0::DOUBLE END)
-        |    * (1.0 - least(round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0 /
-        |        greatest(length(text), 1), 6) * 4, 1.0::DOUBLE) * 0.5)
-        |    * (1.0 - round(1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 /
-        |        greatest(len(string_split(text, ' ')), 1), 6) * 0.5) AS quality
-        |  FROM documents),
-        |lab AS (SELECT q.doc_id, coalesce(c.keep_id, q.doc_id) AS cluster_id,
-        |  q.quality FROM q LEFT JOIN clusters c ON c.doc_id = q.doc_id)
-        |SELECT doc_id, cluster_id, quality,
-        |  row_number() OVER (PARTITION BY cluster_id
-        |    ORDER BY quality DESC, doc_id ASC) = 1 AS keep
-        |FROM lab""".stripMargin,
 
     "q73_top_ngrams" ->
       """WITH d AS (SELECT doc_id,
@@ -2689,6 +1639,6 @@ object PipelineQueries {
         |  round(-sum(db.c * ln((cb.c12 + 0.1) / (cu.c1 + 0.1 * v.vsz)))
         |    / sum(db.c), 6) AS avg_nll
         |FROM db JOIN cb USING (w1, w2) JOIN cu USING (w1), v
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
   )
 }

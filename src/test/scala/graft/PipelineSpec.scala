@@ -1109,6 +1109,49 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == ((3L, 0L, "tiny doc here")))
   }
 
+  test("decontaminateSpans: eval-overlapping spans removed, all occurrences") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"e$i").mkString(" ")
+    val train = Seq(
+      (1L, s"u1 u2 $boiler t1"),          // contains the eval span → cut
+      (2L, s"$boiler x $boiler"),         // BOTH copies cut (no first-keeps)
+      (3L, "clean text with no overlap at all here ok"),
+      (4L, "tiny doc"))                   // < L tokens → untouched
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, s"prefix $boiler suffix")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(train, eval, L = 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned"))).toMap
+    assert(got(1L) == ((11L, 8L, "u1 u2 t1")))
+    assert(got(2L) == ((17L, 16L, "x")))
+    assert(got(3L) == ((9L, 0L, "clean text with no overlap at all here ok")))
+    assert(got(4L) == ((2L, 0L, "tiny doc")))
+    // and an eval set with no ≥L doc removes nothing
+    val evShort = Seq((100L, "too short")).toDF("doc_id", "text")
+    assert(Dedup.decontaminateSpans(train, evShort, L = 8)
+      .agg(sum("n_removed")).head.getLong(0) == 0L)
+  }
+
+  test("scrubCreditCards: Luhn-verified redaction, pattern-only matches survive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "pay 4111111111111111 now"),          // valid visa → redacted
+      (2L, "ref 4111111111111112 kept"),         // luhn-fails → kept
+      (3L, "order 1234567890 id"),               // 10 digits, not card length
+      (4L, "amex 371449635398431 works"),        // valid 15-digit → redacted
+      (5L, "plain words only here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scrubCreditCards(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_cards"), r.getAs[String]("scrubbed_cards"))).toMap
+    assert(got(1L) == ((1L, "pay <CARD> now")))
+    assert(got(2L) == ((0L, "ref 4111111111111112 kept")))
+    assert(got(3L) == ((0L, "order 1234567890 id")))
+    assert(got(4L) == ((1L, "amex <CARD> works")))
+    assert(got(5L) == ((0L, "plain words only here")))
+  }
+
   test("quality classifier: learns a separable plant and the corpus rule gate") {
     import spark.implicits._
     import graft.pipeline.QualityClassifier
