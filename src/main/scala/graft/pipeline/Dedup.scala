@@ -108,6 +108,104 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Document-level duplicate-passage DROP policy — the Dolma/CCNet
+    * corpus rule ("drop a document when most of its paragraphs were
+    * already seen elsewhere"): per document, the fraction of its
+    * fixed-`window`-token passages whose FIRST corpus occurrence (by
+    * the engine-replayable doc_id·10⁶+pidx key) lies in an EARLIER
+    * document; documents above `threshold` are dropped. Differs from
+    * [[dedupPassages]] in the unit of action — that operator EDITS
+    * each doc down to its surviving passages, this one makes the
+    * whole-document keep/drop DECISION a curation pipeline applies
+    * before anything is rewritten (a mirror page is dropped outright,
+    * not stitched from leftovers). Internal repeats do not count:
+    * self-duplication is q57/q152's signal, cross-document
+    * duplication is this one's.
+    *
+    * Shape: one passage explode → one passage-keyed min/count
+    * aggregate → a 1:1 join back → a doc-keyed aggregate. Scan-class
+    * at 100 TB (the q68 envelope); no pair join anywhere. Emits every
+    * input row: (doc_id, n_passages, n_dup, dup_frac, keep). */
+  def docsByDupPassages(docs: DataFrame, window: Int = 15,
+                        threshold: Double = 0.3, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = tokens(col(textCol))
+    val nPass = ((size(toks) + window - 1) / window).cast("int")
+    val idxs = when(nPass > 0, sequence(lit(0), nPass - 1))
+      .otherwise(array().cast("array<int>"))
+    val passages = docs.select(col(idCol).as("doc_id"),
+        posexplode(transform(idxs,
+          i => concat_ws(" ", slice(toks, i * window + 1, lit(window))))))
+      .select(col("doc_id"), col("pos").as("pidx"), col("col").as("passage"))
+      .withColumn("_key", col("doc_id") * 1000000L + col("pidx"))
+    val firsts = passages.groupBy("passage")
+      .agg(min(col("_key")).as("_fk"))
+    val flagged = passages.join(firsts, "passage")
+      // integer div, not floor(double /): exact at any id magnitude and
+      // identical to DuckDB's `//` (the q-memory cast-rounding trap)
+      .withColumn("_dup",
+        (expr("_fk div 1000000") < col("doc_id")).cast("int"))
+    val per = flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_passages"),
+      sum(col("_dup")).as("n_dup"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_passages") > 0,
+          round(col("n_dup") / col("n_passages"), 6)).otherwise(lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= threshold)
+  }
+
+  /** Asymmetric CONTAINMENT join — |A∩B| / |A| ≥ threshold over
+    * n-gram shingle sets: finds documents mostly CONTAINED in another
+    * (quotes, excerpts, truncated mirrors — pairs symmetric Jaccard
+    * misses because a short excerpt of a long page has tiny union
+    * overlap but near-total containment). Emits BOTH directions when
+    * both clear the threshold ((id_a, id_b) ordered pairs, id_a the
+    * contained side): containment is not symmetric and the direction
+    * IS the signal.
+    *
+    * Same posting-list envelope and skew valve as [[jaccardPairs]] —
+    * df-capped shingle join, pair-keyed count, size join back; the
+    * valve dies loudly rather than letting a stop-shingle emit df²
+    * candidates. */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxDocFreq: Option[Long] = None,
+                       skewFailDocFreq: Long = 100000L): DataFrame = {
+    val shAll = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val freq = shAll.groupBy("s").agg(count(lit(1)).as("_df"))
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        shAll.join(freq.filter(col("_df") <= cap).select("s"), "s")
+      case None =>
+        shAll.join(freq, "s")
+          .filter(assert_true(col("_df") <= skewFailDocFreq,
+            concat(lit("containmentPairs: shingle '"), col("s"),
+              lit(s"' appears in "), col("_df"),
+              lit(s" documents (> skewFailDocFreq=$skewFailDocFreq); " +
+                "set maxDocFreq to drop stop-shingles, or raise " +
+                "skewFailDocFreq to force the quadratic join."))).isNull)
+          .drop("_df")
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("id").as("id_a"), col("s"))
+      .join(sh.select(col("id").as("id_b"), col("s")), "s")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "na"), "id_a")
+      .withColumn("containment", col("c") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Per-document duplicated n-gram statistics — the substring-level
     * duplication signal (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better"): every word n-gram is counted

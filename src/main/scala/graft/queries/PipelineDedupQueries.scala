@@ -23,7 +23,7 @@ object PipelineDedupQueries {
   private val fsWa = fsMu.map { case (m, u) => log2(m / u) }
   private val fsWd = fsMu.map { case (m, u) => log2((1 - m) / (1 - u)) }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = spanQueries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = r8Queries ++ Map(
     "q24_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d))),
 
@@ -213,8 +213,8 @@ object PipelineDedupQueries {
         .orderBy("id_a", "id_b")),
   )
 
-  /** Register the span-decontamination query beside its dedup twin. */
-  private def spanQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Round-8 additions, registered beside the r7 surface. */
+  private def r8Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Span-level eval-set decontamination (Lee et al. 2022 §4 — the
     // train/test-overlap REMOVAL pass, where q48/q69 only measure):
     // eval = every 11th document, so those docs (and any training doc
@@ -226,9 +226,27 @@ object PipelineDedupQueries {
       Dedup.decontaminateSpans(docs.select("doc_id", "text"),
           docs.filter(col("doc_id") % 11 === 5).select("text"), L = 8)
         .orderBy("doc_id")
-    }))
+    }),
 
-  private def spanOracles: Map[String, String] = Map(
+    // Dolma-style whole-document drop policy by duplicate-PASSAGE
+    // fraction: where q68 edits each doc down to surviving passages,
+    // this keeps/drops the document outright when > 30% of its
+    // passages first occurred in an earlier doc. Exact oracle (q68's
+    // passage split + the doc_id·10⁶+pidx first-key algebra).
+    "q191_passage_dup_docs" -> ((s, d) =>
+      Dedup.docsByDupPassages(Tables.documents(s, d), window = 15,
+        threshold = 0.3).orderBy("doc_id")),
+
+    // Asymmetric containment join (|A∩B|/|A| ≥ 0.8): excerpt/quote
+    // detection — the pairs symmetric Jaccard (q26) misses because a
+    // short excerpt of a long page has tiny union overlap. Ordered
+    // pairs, contained side first; exact oracle (the q26 posting-list
+    // brute with the asymmetric denominator).
+    "q192_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), n = 3,
+        threshold = 0.8).orderBy("id_a", "id_b")))
+
+  private def r8Oracles: Map[String, String] = Map(
     "q189_decontaminate_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |ev AS (SELECT string_split(text, ' ') AS ts FROM documents
@@ -257,9 +275,49 @@ object PipelineDedupQueries {
         |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
         |  CAST(len(d.ts) - coalesce(rb.nk, 0) AS BIGINT) AS n_removed,
         |  coalesce(rb.cleaned, '') AS cleaned
-        |FROM d LEFT JOIN rb USING (doc_id)""".stripMargin)
+        |FROM d LEFT JOIN rb USING (doc_id)""".stripMargin,
 
-  def oracleSql: Map[String, String] = spanOracles ++ Map(
+    // q68's passage split + first-occurrence key, aggregated to the
+    // per-document drop decision; keep compares the ROUNDED fraction
+    // in both engines so no float boundary can flip it.
+    "q191_passage_dup_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |p AS (SELECT doc_id, CAST(i AS INT) AS pidx,
+        |    array_to_string(ts[(CAST(i AS INT)*15+1):(CAST(i AS INT)*15+15)],
+        |      ' ') AS passage
+        |  FROM t, unnest(range(0, CAST(ceil(len(ts)/15.0) AS BIGINT))) AS u(i)),
+        |f AS (SELECT passage, min(doc_id * 1000000 + pidx) AS fk
+        |  FROM p GROUP BY 1),
+        |per AS (SELECT p.doc_id, count(*) AS n_passages,
+        |    CAST(sum(CASE WHEN f.fk // 1000000 < p.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dup
+        |  FROM p JOIN f USING (passage) GROUP BY 1),
+        |g AS (SELECT t.doc_id,
+        |    CAST(coalesce(per.n_passages, 0) AS BIGINT) AS n_passages,
+        |    coalesce(per.n_dup, 0) AS n_dup
+        |  FROM t LEFT JOIN per USING (doc_id)),
+        |h AS (SELECT doc_id, n_passages, n_dup,
+        |    CASE WHEN n_passages > 0
+        |      THEN round(n_dup * 1.0 / n_passages, 6) ELSE 0.0 END AS dup_frac
+        |  FROM g)
+        |SELECT doc_id, n_passages, n_dup, dup_frac,
+        |  dup_frac <= 0.3 AS keep FROM h""".stripMargin,
+
+    // The q26 posting-list brute with the asymmetric |A∩B|/|A|
+    // denominator and both pair directions kept.
+    "q192_containment_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c * 1.0 / na.n, 6) AS containment
+        |FROM inter JOIN sz na ON na.doc_id = id_a
+        |WHERE c * 1.0 / na.n >= 0.8""".stripMargin)
+
+  def oracleSql: Map[String, String] = r8Oracles ++ Map(
     // Brute-force quadratic levenshtein over the capped universe — the
     // ground truth the deletion-neighborhood join must reproduce
     // exactly (losslessness proof; FastSS guarantees no false

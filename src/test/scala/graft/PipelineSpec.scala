@@ -1133,6 +1133,49 @@ class PipelineSpec extends SparkSpec {
       .agg(sum("n_removed")).head.getLong(0) == 0L)
   }
 
+  test("docsByDupPassages: cross-doc duplication drops, internal repeats don't") {
+    import spark.implicits._
+    val p1 = (1 to 15).map(i => s"a$i").mkString(" ")
+    val p2 = (1 to 15).map(i => s"b$i").mkString(" ")
+    val p3 = (1 to 15).map(i => s"c$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$p1 $p2"),        // original: 0/2 dup → keep
+      (2L, s"$p1 $p3"),        // 1/2 passages first seen in doc 1 → 0.5 > 0.3 → drop
+      (3L, s"$p3 $p3"),        // internal repeat only: first occurrence doc 2 for p3!
+      (4L, "fresh short doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.docsByDupPassages(d, window = 15, threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got(1L) == ((2L, 0L, 0.0, true)))
+    assert(got(2L) == ((2L, 1L, 0.5, false)))
+    // doc 3: both its passages are p3, whose first occurrence is doc 2
+    // (earlier doc) → both dup → dropped. Cross-doc, not internal.
+    assert(got(3L) == ((2L, 2L, 1.0, false)))
+    assert(got(4L) == ((1L, 0L, 0.0, true)))
+    // pure internal repetition with NO earlier external copy is kept
+    val solo = Seq((7L, s"$p1 $p1"), (9L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val s7 = Dedup.docsByDupPassages(solo, window = 15, threshold = 0.3)
+      .filter(col("doc_id") === 7).head()
+    assert(s7.getLong(2) == 0L && s7.getBoolean(4))
+  }
+
+  test("containmentPairs: excerpt found at high containment, Jaccard misses it") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (5 to 12).map(i => s"w$i").mkString(" ") // 8 of the 40
+    val d = Seq((1L, long), (2L, excerpt), (3L, "other words entirely distinct"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, n = 3, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // excerpt's 6 shingles all appear in doc 1 → containment 1.0 (2→1);
+    // the reverse direction is 6/38 → absent
+    assert(got.toSeq == Seq((2L, 1L, 1.0)), s"got ${got.toSeq}")
+    // symmetric Jaccard at the same threshold finds nothing
+    assert(Dedup.jaccardPairs(d, n = 3, threshold = 0.8).isEmpty)
+  }
+
   test("scrubCreditCards: Luhn-verified redaction, pattern-only matches survive") {
     import spark.implicits._
     val d = Seq(
