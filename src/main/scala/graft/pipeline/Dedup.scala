@@ -540,6 +540,59 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus near-duplicate gate, BATCH form — dedup a NEW corpus
+    * (this month's crawl) against an existing REFERENCE corpus without
+    * ever self-joining either side: the incremental-ingest operation
+    * the streaming gate ([[graft.streaming.NearDupStream]]) runs per
+    * micro-batch, exposed as one batch job for backfills and
+    * corpus-merge audits. A new document is dropped when any LSH band
+    * bucket it shares with a reference document verifies at
+    * signature-estimated Jaccard ≥ threshold ([[sigJaccard]] — the
+    * same measure the stream uses, so gate decisions agree by
+    * construction).
+    *
+    * Returns one row PER NEW DOCUMENT: (doc_id, keep, n_matches,
+    * matched_ref) — matched_ref the smallest verifying reference id
+    * (null when kept), n_matches the count of verifying reference
+    * docs; the decision stays auditable rather than pre-filtered.
+    * Docs shorter than n tokens have no signature and are kept.
+    *
+    * Shape: two signature scans (narrow maps), one band equi-join
+    * new×ref (bucket-keyed — never |new|·|ref|), one verify filter,
+    * one doc-keyed rollup. The reference side shuffles once by band
+    * bucket regardless of its size — at 100 TB of reference corpus
+    * this is the only viable join geometry, and it is the same one the
+    * accumulated stream index uses. */
+  def dedupAgainst(newDocs: DataFrame, ref: DataFrame, n: Int = 3,
+                   k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   md5Based: Boolean = false): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    // candidate pairs dedupe on ids ONLY (the lshTopK discipline — a
+    // distinct over the k-long signatures would shuffle the payload
+    // once per band collision); signatures join back after the pair
+    // set shrinks.
+    val sigN = minhashSignatures(newDocs, n, k, idCol, textCol, md5Based)
+    val sigR = minhashSignatures(ref, n, k, idCol, textCol, md5Based)
+    def banded(sigs: DataFrame, side: String): DataFrame =
+      sigs.select(col("id").as(s"_id$side"),
+        posexplode(bandBucketsExpr(col("sig"), k, bands, md5Based))
+          .as(Seq("band", "bucket")))
+    val cands = banded(sigN, "N").join(banded(sigR, "R"), Seq("band", "bucket"))
+      .select("_idN", "_idR").distinct()
+    val hits = cands
+      .join(sigN.select(col("id").as("_idN"), col("sig").as("_sigN")), "_idN")
+      .join(sigR.select(col("id").as("_idR"), col("sig").as("_sigR")), "_idR")
+      .filter(round(sigJaccard(col("_sigN"), col("_sigR")), 6) >= threshold)
+      .groupBy(col("_idN").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("_idR")).as("matched_ref"))
+    newDocs.select(col(idCol).as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("matched_ref").isNull.as("keep"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("matched_ref"))
+  }
+
   /** EXACT duplicate-span REMOVAL (Lee et al. 2022's ExactSubstr
     * policy, L-gram formulation): any L-token span whose exact text
     * occurs more than once in the corpus is removed from every

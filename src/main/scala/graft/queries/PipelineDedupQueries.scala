@@ -237,6 +237,20 @@ object PipelineDedupQueries {
       Dedup.docsByDupPassages(Tables.documents(s, d), window = 15,
         threshold = 0.3).orderBy("doc_id")),
 
+    // Cross-corpus near-dup gate, batch form (the incremental-crawl
+    // operation: dedup this month's crawl against the accumulated
+    // corpus). ref = even docs, new = odd docs — the synthetic
+    // corpus's natural cross-parity near-dups exercise both outcomes.
+    // md5 family ⟹ DuckDB replays signatures, banding, the cross-side
+    // candidate join, the agreement verify, and the keep rollup.
+    "q193_dedup_against" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainst(docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          n = 3, k = 64, bands = 16, threshold = 0.5, md5Based = true)
+        .orderBy("doc_id")
+    }),
+
     // Asymmetric containment join (|A∩B|/|A| ≥ 0.8): excerpt/quote
     // detection — the pairs symmetric Jaccard (q26) misses because a
     // short excerpt of a long page has tiny union overlap. Ordered
@@ -302,6 +316,47 @@ object PipelineDedupQueries {
         |  FROM g)
         |SELECT doc_id, n_passages, n_dup, dup_frac,
         |  dup_frac <= 0.3 AS keep FROM h""".stripMargin,
+
+    // The q175 md5 signature/banding replay with a cross-parity
+    // candidate join and the per-new-doc keep rollup.
+    "q193_dedup_against" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |hm AS (SELECT doc_id, md5(s) AS m FROM sh),
+        |hp AS (SELECT doc_id,
+        |  CAST(CAST('0x' || substr(m, 1, 16) AS UBIGINT) AS HUGEINT) AS u1,
+        |  CAST((CAST('0x' || substr(m, 17, 16) AS UBIGINT) | 1) AS HUGEINT) AS u2
+        |  FROM hm),
+        |hsg AS (SELECT doc_id,
+        |  u1 - CASE WHEN u1 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS s1,
+        |  u2 - CASE WHEN u2 >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS s2
+        |  FROM hp),
+        |hs AS (SELECT doc_id, r.i, min(CAST(
+        |  ((s1 + r.i * s2 + 9223372036854775808) % 18446744073709551616
+        |    + 18446744073709551616) % 18446744073709551616
+        |    - 9223372036854775808 AS BIGINT)) AS h
+        |  FROM hsg, range(0, 64) r(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hs GROUP BY 1),
+        |bb AS (SELECT doc_id, rb.b,
+        |  md5(array_to_string(sig[rb.b*4+1 : rb.b*4+4], '|')) AS bucket
+        |  FROM sig, range(0, 16) rb(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS idn, b2.doc_id AS idr
+        |  FROM bb a JOIN bb b2 ON a.b = b2.b AND a.bucket = b2.bucket
+        |  WHERE a.doc_id % 2 = 1 AND b2.doc_id % 2 = 0),
+        |sv AS (SELECT c.idn, c.idr FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.idn
+        |  JOIN sig sb ON sb.doc_id = c.idr
+        |  WHERE round(len(list_filter(range(1, 65),
+        |    i -> sa.sig[i] = sb.sig[i])) / 64.0, 6) >= 0.5),
+        |hits AS (SELECT idn AS doc_id, count(*) AS n_matches,
+        |    min(idr) AS matched_ref
+        |  FROM sv GROUP BY 1)
+        |SELECT d0.doc_id, h.matched_ref IS NULL AS keep,
+        |  CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
+        |  h.matched_ref
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d0
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     // The q26 posting-list brute with the asymmetric |A∩B|/|A|
     // denominator and both pair directions kept.

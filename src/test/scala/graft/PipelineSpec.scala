@@ -1161,6 +1161,28 @@ class PipelineSpec extends SparkSpec {
     assert(s7.getLong(2) == 0L && s7.getBoolean(4))
   }
 
+  test("dedupAgainst: new-vs-ref gate drops ref near-copies, keeps new-only dups") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val ref = Seq((100L, base), (102L, "completely different reference text here"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1L, base + " extra"),                   // near-copy of ref 100 → drop
+      (3L, "fresh new content nothing shared alpha beta gamma delta"),
+      (5L, "fresh new content nothing shared alpha beta gamma delta"), // dup of ANOTHER NEW doc → kept (not this op's job)
+      (7L, "tiny"))                            // < n tokens → kept
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainst(newDocs, ref, md5Based = true).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) == ((false, 1L, 100L)), s"got ${got(1L)}")
+    assert(got(3L) == ((true, 0L, -1L)))
+    assert(got(5L) == ((true, 0L, -1L)))
+    assert(got(7L) == ((true, 0L, -1L)))
+    assert(got.size == 4)
+  }
+
   test("containmentPairs: excerpt found at high containment, Jaccard misses it") {
     import spark.implicits._
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
