@@ -1099,6 +1099,64 @@ object TextAnalysis {
         round(col("pa") / col("spa") * budget, 6).as("expected_docs"))
   }
 
+  /** Length-distribution MATCHING resample — deterministic importance
+    * resampling that reshapes a source corpus's token-length profile
+    * to a target/reference corpus's (the distribution-matching baseline
+    * DSIR §3 generalizes; a pretraining mix that should "look like"
+    * a curated reference starts here). Per length bucket b (token
+    * count div `bucketWidth`): importance weight w_b = (t_b/|T|) /
+    * (s_b/|S|), normalized by max_b w_b into a keep probability
+    * p_b ∈ [0, 1], applied as the md5-threshold Bernoulli of
+    * [[deterministicSample]] — so the kept set is replayable on any
+    * cluster shape, and the most-underrepresented bucket keeps
+    * everything (the max-normalized form retains the largest corpus
+    * consistent with the target shape). Buckets absent from the
+    * target keep nothing.
+    *
+    * Shape: two grouped counts (source/target) + tiny-frame broadcast
+    * algebra (the q182 posture) + one narrow keep map — two scans at
+    * any corpus size. Every arithmetic step is the same expression
+    * tree in both engines (exact integer counts → one double division
+    * chain → floor at 2⁻³² resolution), so the oracle replays each
+    * keep decision exactly (q194). Emits every source row:
+    * (doc_id, n_tokens, bucket, p_keep, keep). */
+  def lengthMatchResample(source: DataFrame, target: DataFrame,
+                          bucketWidth: Int = 10, seed: Long = 42,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+    val sCnt = bucketed(source).groupBy("bucket")
+      .agg(count(lit(1)).as("_s"))
+    val tCnt = bucketed(target).groupBy("bucket")
+      .agg(count(lit(1)).as("_t"))
+    val sTot = sCnt.agg(sum("_s").as("_stot"))
+    val tTot = tCnt.agg(sum("_t").as("_ttot"))
+    val w = sCnt.join(tCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(sTot)).crossJoin(broadcast(tTot))
+      .withColumn("_w",
+        (coalesce(col("_t"), lit(0L)).cast("double") / col("_ttot")) /
+          (col("_s").cast("double") / col("_stot")))
+    val wMax = w.agg(max("_w").as("_wmax"))
+    val p = w.crossJoin(broadcast(wMax))
+      .withColumn("p_keep", col("_w") / col("_wmax"))
+      .select(col("bucket"), col("p_keep"))
+    val thr = when(col("p_keep") >= 1.0, lit("g"))
+      .otherwise(lower(lpad(hex(
+        floor(col("p_keep") * 4294967296.0).cast("long")), 8, "0")))
+    source.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .join(broadcast(p), Seq("bucket"))
+      .withColumn("keep",
+        md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+          < thr)
+      .select(col(idCol), col("n_tokens"), col("bucket"),
+        round(col("p_keep"), 6).as("p_keep"), col("keep"))
+  }
+
   /** Loss-based domain reweighting (the DoReMi family, Xie et al.
     * 2023, in its static-loss closed form): domains whose text the
     * reference LM finds harder — higher unigram NLL, the q64/q180

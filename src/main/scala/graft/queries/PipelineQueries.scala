@@ -200,6 +200,20 @@ object PipelineQueries {
           (col("doc_id") % 256).cast("string"),
           lit(".7 call +14155552671"))).as("scrubbed"))),
 
+    // Length-distribution matching resample: the target slice is the
+    // short-doc subset (< 60 tokens), so matching downweights long
+    // buckets; the most-underrepresented bucket keeps everything
+    // (max-normalized importance weights), md5-threshold Bernoulli
+    // keeps the decision replayable. Exact oracle — counts, the
+    // division chain, the 2^-32 threshold and every keep bit.
+    "q194_length_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lengthMatchResample(docs,
+          docs.filter(size(split(col("text"), " ")) < 60),
+          bucketWidth = 10)
+        .orderBy("doc_id")
+    }),
+
     // Payment-card scrubbing with Luhn VERIFICATION (planted in the
     // query, the q49 idiom): a valid 16-digit Visa and a valid
     // 15-digit Amex are redacted; a 16-digit Luhn-FAILING near-miss
@@ -1315,6 +1329,34 @@ object PipelineQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    // Exact replay of the matching algebra: grouped counts, the
+    // identical double division chain, floor at 2^-32, hex-threshold
+    // string compare against md5('42:' || doc_id).
+    "q194_length_match" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT n_tokens FROM s WHERE n_tokens < 60),
+        |sc AS (SELECT n_tokens // 10 AS bucket, count(*) AS sn
+        |  FROM s GROUP BY 1),
+        |tc AS (SELECT n_tokens // 10 AS bucket, count(*) AS tn
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(sn) FROM sc) AS stot,
+        |    (SELECT sum(tn) FROM tc) AS ttot),
+        |w AS (SELECT sc.bucket,
+        |    (CAST(coalesce(tc.tn, 0) AS DOUBLE) / tot.ttot) /
+        |      (CAST(sc.sn AS DOUBLE) / tot.stot) AS w
+        |  FROM sc LEFT JOIN tc USING (bucket), tot),
+        |mx AS (SELECT max(w) AS wmax FROM w),
+        |p AS (SELECT bucket, w.w / mx.wmax AS p_keep FROM w, mx)
+        |SELECT s.doc_id, s.n_tokens, s.n_tokens // 10 AS bucket,
+        |  round(p.p_keep, 6) AS p_keep,
+        |  md5('42:' || s.doc_id) <
+        |    CASE WHEN p.p_keep >= 1.0 THEN 'g'
+        |      ELSE printf('%08x',
+        |        CAST(floor(p.p_keep * 4294967296.0) AS BIGINT)) END AS keep
+        |FROM s JOIN p ON p.bucket = s.n_tokens // 10""".stripMargin,
 
     // Per-token Luhn replay: try_cast keeps non-digit tokens NULL-safe
     // (DuckDB's AND does not short-circuit in vectorized eval), the

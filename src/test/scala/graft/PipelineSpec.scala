@@ -1161,6 +1161,43 @@ class PipelineSpec extends SparkSpec {
     assert(s7.getLong(2) == 0L && s7.getBoolean(4))
   }
 
+  test("lengthMatchResample: kept distribution tracks the target shape") {
+    import spark.implicits._
+    // source: 200 short + 200 long; target: short-only → long buckets
+    // get p≈0... but a target drawn from source's short half keeps the
+    // short bucket at p=1 (max-normalized) and drops the long bucket
+    val src = ((0 until 200).map(i => (i.toLong, (1 to 15).map(j => s"s$j").mkString(" "))) ++
+      (200 until 400).map(i => (i.toLong, (1 to 95).map(j => s"l$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val tgt = src.filter(col("doc_id") < 200)
+    val r = graft.pipeline.TextAnalysis
+      .lengthMatchResample(src, tgt, bucketWidth = 10).cache()
+    val byBucket = r.groupBy("bucket").agg(
+      avg(col("p_keep")).as("p"),
+      sum(col("keep").cast("long")).as("kept"),
+      count(lit(1)).as("n")).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getLong(2), x.getLong(3))).toMap
+    // short bucket (15 div 10 = 1): only target bucket → p = 1, all kept
+    assert(byBucket(1L)._1 == 1.0 && byBucket(1L)._2 == 200L)
+    // long bucket (95 div 10 = 9): absent from target → p = 0, none kept
+    assert(byBucket(9L)._1 == 0.0 && byBucket(9L)._2 == 0L)
+    assert(r.count() == 400) // every source row emitted with its decision
+    r.unpersist()
+    // a 50/50 target over a 25/75 source: underrepresented bucket keeps
+    // all, overrepresented keeps ~1/3 in expectation
+    val src2 = ((0 until 100).map(i => (i.toLong, (1 to 15).map(j => s"s$j").mkString(" "))) ++
+      (100 until 400).map(i => (i.toLong, (1 to 95).map(j => s"l$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val tgt2 = src2.filter(col("doc_id") < 100)
+      .union(src2.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    val r2 = graft.pipeline.TextAnalysis
+      .lengthMatchResample(src2, tgt2, bucketWidth = 10)
+    val p2 = r2.groupBy("bucket").agg(avg("p_keep").as("p")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(p2(1L) == 1.0)
+    assert(math.abs(p2(9L) - 1.0 / 3.0) < 1e-6, s"got ${p2(9L)}") // p_keep is 6dp-rounded
+  }
+
   test("dedupAgainst: new-vs-ref gate drops ref near-copies, keeps new-only dups") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"t$i").mkString(" ")
