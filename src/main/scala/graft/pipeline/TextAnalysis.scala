@@ -1099,6 +1099,43 @@ object TextAnalysis {
         round(col("pa") / col("spa") * budget, 6).as("expected_docs"))
   }
 
+  /** Boilerplate LINE stripping by document frequency (the CCNet §3.1
+    * line-level dedup: nav bars, cookie banners and copyright footers
+    * repeat across a site's pages, so a line occurring in ≥ `minDocs`
+    * DISTINCT documents is boilerplate and is removed from all of
+    * them). Differs from [[c4Clean]] (per-line RULES, no corpus
+    * context) and from passage dedup (fixed token windows, first copy
+    * kept): here the unit is the natural line, the signal is corpus
+    * document frequency, and every occurrence goes. Emits every input
+    * row: (doc_id, n_lines, n_removed, cleaned).
+    *
+    * Shape: one line explode → one line-keyed distinct-doc count →
+    * anti join → per-doc ordered reassembly (bounded by document
+    * size). Line-keyed and doc-keyed only — scan-class at 100 TB.
+    * Exact oracle (q195). */
+  def stripBoilerplateLines(docs: DataFrame, minDocs: Long = 10,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("lidx", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") >= minDocs).select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("_nkept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("lidx"), col("line")))),
+          s => s.getField("line"))).as("cleaned"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("_nkept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Length-distribution MATCHING resample — deterministic importance
     * resampling that reshapes a source corpus's token-length profile
     * to a target/reference corpus's (the distribution-matching baseline

@@ -200,6 +200,25 @@ object PipelineQueries {
           (col("doc_id") % 256).cast("string"),
           lit(".7 call +14155552671"))).as("scrubbed"))),
 
+    // CCNet-style boilerplate line stripping over constructed
+    // multi-line docs (the q177 planting idiom): line 1 is the unique
+    // corpus text (kept), line 2 a shared copyright footer on every
+    // even doc (df ≈ N/2 ≥ 10 → stripped everywhere), line 3 a
+    // per-doc unique footer on every 3rd doc (df = 1 → kept). Exact
+    // oracle — both engines build and strip identical strings.
+    "q195_boilerplate_lines" -> ((s, d) => {
+      val built = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\ncopyright footer all rights reserved"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("\nunique footer "), col("doc_id").cast("string")))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.stripBoilerplateLines(built, minDocs = 10)
+        .orderBy("doc_id")
+    }),
+
     // Length-distribution matching resample: the target slice is the
     // short-doc subset (< 60 tokens), so matching downweights long
     // buckets; the most-underrepresented bucket keeps everything
@@ -1329,6 +1348,34 @@ object PipelineQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    // Line explode → distinct-doc count → anti join → ordered rebuild,
+    // over the same constructed strings.
+    "q195_boilerplate_lines" ->
+      """WITH t0 AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN chr(10) || 'copyright footer all rights reserved'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || 'unique footer ' || CAST(doc_id AS VARCHAR)
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t0),
+        |ln AS (SELECT doc_id, g.i AS lidx, ls[g.i + 1] AS line
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, len(ls) - 1))
+        |    AS i) g),
+        |b AS (SELECT line FROM
+        |  (SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1)
+        |  WHERE df >= 10),
+        |keep AS (SELECT ln.doc_id, ln.lidx, ln.line FROM ln
+        |  ANTI JOIN b ON ln.line = b.line),
+        |rb AS (SELECT doc_id, count(*) AS nk,
+        |    string_agg(line, chr(10) ORDER BY lidx) AS cleaned
+        |  FROM keep GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_lines,
+        |  CAST(len(d.ls) - coalesce(rb.nk, 0) AS BIGINT) AS n_removed,
+        |  coalesce(rb.cleaned, '') AS cleaned
+        |FROM d LEFT JOIN rb USING (doc_id)""".stripMargin,
 
     // Exact replay of the matching algebra: grouped counts, the
     // identical double division chain, floor at 2^-32, hex-threshold

@@ -1161,6 +1161,30 @@ class PipelineSpec extends SparkSpec {
     assert(s7.getLong(2) == 0L && s7.getBoolean(4))
   }
 
+  test("stripBoilerplateLines: df-frequent lines removed everywhere, rare kept") {
+    import spark.implicits._
+    val boiler = "all rights reserved"
+    val d = (0 until 20).map { i =>
+      val unique = s"article body number $i"
+      val lines = if (i % 2 == 0) Seq(unique, boiler) else Seq(unique)
+      (i.toLong, lines.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis
+      .stripBoilerplateLines(d, minDocs = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    (0 until 20).foreach { i =>
+      val (nl, nr, cleaned) = got(i.toLong)
+      if (i % 2 == 0) assert(nl == 2L && nr == 1L && cleaned == s"article body number $i")
+      else assert(nl == 1L && nr == 0L && cleaned == s"article body number $i")
+    }
+    // below the df threshold nothing is stripped
+    val few = (0 until 3).map(i => (i.toLong, s"body $i\n$boiler"))
+      .toDF("doc_id", "text")
+    assert(graft.pipeline.TextAnalysis.stripBoilerplateLines(few, minDocs = 5)
+      .agg(sum("n_removed")).head.getLong(0) == 0L)
+  }
+
   test("lengthMatchResample: kept distribution tracks the target shape") {
     import spark.implicits._
     // source: 200 short + 200 long; target: short-only → long buckets
