@@ -80,6 +80,61 @@ object DocsStream {
       .drop("_sh")
   }
 
+  /** Span-level eval-set decontamination on ingest — the REMOVAL twin
+    * of [[contaminationOnIngest]]'s measurement and the streaming twin
+    * of [[graft.pipeline.Dedup.decontaminateSpans]]: any ≥L-token span
+    * of an arriving document found verbatim in the (static, broadcast)
+    * eval corpus is cut before the document lands. The edit is
+    * ROW-LOCAL (each doc's grams checked against the broadcast set,
+    * coverage union, rebuild — one compiled function per row, no join,
+    * no state store), so the same transform serves batch and
+    * readStream and throughput scales with input partitions; the batch
+    * operator's gram-keyed join form is the right geometry only when
+    * the eval set is itself corpus-sized. `maxEvalGrams` guards the
+    * collect with a loud failure (the contaminationOnIngest contract).
+    * PipelineSpec pins row-for-row equality with the batch operator. */
+  def decontaminateOnIngest(docs: DataFrame, ref: DataFrame, L: Int = 8,
+                            textCol: String = "text",
+                            maxEvalGrams: Long = 10000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ets = split(col(textCol), " ")
+    val grams = ref.filter(size(ets) >= L)
+      .select(explode(transform(sequence(lit(0), size(ets) - L),
+        i => concat_ws(" ", slice(ets, i + 1, lit(L))))).as("g"))
+      .distinct().as[String]
+      .limit(math.min(maxEvalGrams, Int.MaxValue - 1L).toInt + 1).collect()
+    require(grams.length <= maxEvalGrams,
+      s"reference corpus exceeds $maxEvalGrams distinct $L-grams — " +
+        "decontamination-on-ingest broadcasts the eval gram set; for " +
+        "corpus-sized references use the batch Dedup.decontaminateSpans join")
+    val bc = spark.sparkContext.broadcast(grams.toSet)
+    val clean = udf { (text: String) =>
+      val ts = text.split(" ", -1)
+      if (ts.length < L) (ts.length.toLong, 0L, text)
+      else {
+        val set = bc.value
+        val covered = new Array[Boolean](ts.length)
+        var i = 0
+        while (i + L <= ts.length) {
+          if (set.contains(ts.slice(i, i + L).mkString(" "))) {
+            var j = i
+            while (j < i + L) { covered(j) = true; j += 1 }
+          }
+          i += 1
+        }
+        val kept = ts.indices.filterNot(covered).map(ts)
+        (ts.length.toLong, (ts.length - kept.length).toLong,
+          kept.mkString(" "))
+      }
+    }
+    docs.withColumn("_c", clean(col(textCol)))
+      .withColumn("n_tokens", col("_c._1"))
+      .withColumn("n_removed", col("_c._2"))
+      .withColumn("cleaned", col("_c._3"))
+      .drop("_c")
+  }
+
   /** Passage-level dedup on ingest: the streaming twin of
     * [[graft.pipeline.Dedup.dedupPassages]] (q68). Documents are
     * exploded into fixed `window`-token passages as they arrive and a

@@ -2305,6 +2305,33 @@ class PipelineSpec extends SparkSpec {
     assert(streamScores.size == 60)
   }
 
+  test("decontaminateOnIngest: row-local removal ≡ batch decontaminateSpans; stream run") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val evalSet = docs.filter(col("doc_id") % 11 === 5).select("text")
+    val train = docs.limit(120).select("doc_id", "text")
+    val viaStreamOp = DocsStream.decontaminateOnIngest(train, evalSet, L = 8)
+      .select("doc_id", "n_tokens", "n_removed", "cleaned")
+    val viaBatch = Dedup.decontaminateSpans(train, evalSet, L = 8)
+    assert(viaStreamOp.exceptAll(viaBatch).isEmpty &&
+      viaBatch.exceptAll(viaStreamOp).isEmpty,
+      "row-local and gram-join routes diverge")
+    // and it runs as an actual file stream
+    val dir = java.nio.file.Files.createTempDirectory("docs_despan").toString
+    def ts(min: Int) = new java.sql.Timestamp(3600000L * 24 + min * 60000L)
+    train.limit(30).select(col("doc_id"), col("text"), lit(ts(0)).as("ingest_ts"))
+      .coalesce(1).write.parquet(s"$dir/b0.parquet")
+    val q = DocsStream.decontaminateOnIngest(
+      spark.readStream.schema(DocsStream.rawSchema).parquet(s"$dir/*.parquet"),
+      evalSet)
+      .select("doc_id", "n_removed")
+      .writeStream.format("memory").queryName("docs_despan")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("docs_despan").count() == 30)
+  }
+
   test("streaming decontamination-on-ingest equals the batch join route") {
     import spark.implicits._
     import graft.streaming.DocsStream
