@@ -1615,6 +1615,34 @@ object TextAnalysis {
   /** The split label as a pure Column — the form a streaming ingest
     * stamps per-row without a join or state (see
     * [[graft.streaming.DocsStream.splitOnIngest]]). */
+  /** Leakage-safe train/val/test splits — the dedup-aware form of
+    * [[splitAssign]]: documents in the same NEAR-DUP cluster (connected
+    * component of the supplied pair graph, [[Dedup.dupClusters]]) are
+    * assigned by their cluster representative's hash, so a document and
+    * its paraphrase can never straddle train and test (the eval-leakage
+    * failure mode per-doc hashing is structurally blind to — the whole
+    * reason dedup-before-split is a rule). Docs in no pair split by
+    * their own id, which equals the degenerate one-member-cluster case.
+    * Emits (doc_id, group_id, split) for every doc.
+    *
+    * Scale: the pair graph is O(dups), cluster resolution is
+    * [[Dedup.dupClusters]]'s routed union-find/GraphX; the split
+    * itself stays the stateless md5 bucketing. Exact oracle (q196:
+    * the q44 recursive-CTE components + the q143 threshold algebra). */
+  def leakageSafeSplits(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, pairs: DataFrame,
+                        pTrain: Double = 0.8, pVal: Double = 0.1,
+                        idCol: String = "doc_id",
+                        seed: Long = 42): DataFrame = {
+    val clusters = Dedup.dupClusters(spark, pairs)
+      .select(col("doc_id"), col("keep_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("keep_id"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"),
+        splitLabel(col("group_id"), pTrain, pVal, seed).as("split"))
+  }
+
   def splitLabel(id: Column, pTrain: Double = 0.8, pVal: Double = 0.1,
                  seed: Long = 42): Column = {
     require(pTrain > 0 && pVal >= 0 && pTrain + pVal < 1.0,

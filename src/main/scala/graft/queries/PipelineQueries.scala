@@ -200,6 +200,16 @@ object PipelineQueries {
           (col("doc_id") % 256).cast("string"),
           lit(".7 call +14155552671"))).as("scrubbed"))),
 
+    // Leakage-safe splits: near-dup clusters (q26 pair graph → q44
+    // components) are split by their representative's hash, so a doc
+    // and its paraphrase can never straddle train/test. Exact oracle.
+    "q196_leakage_safe_splits" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.leakageSafeSplits(s, docs,
+          Dedup.jaccardPairs(docs, n = 3, threshold = 0.10))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style boilerplate line stripping over constructed
     // multi-line docs (the q177 planting idiom): line 1 is the unique
     // corpus text (kept), line 2 a shared copyright footer on every
@@ -1348,6 +1358,41 @@ object PipelineQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    // q44's recursive-CTE connected components + q143's md5 threshold
+    // algebra, keyed on the cluster representative.
+    "q196_leakage_safe_splits" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM d),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sz na ON na.doc_id = id_a
+        |  JOIN sz nb ON nb.doc_id = id_b
+        |  WHERE c * 1.0 / (na.n + nb.n - c) >= 0.10),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |cl AS (SELECT n.id AS doc_id, least(n.id, min(r.b)) AS keep_id
+        |  FROM nodes n JOIN reach r ON r.a = n.id GROUP BY n.id),
+        |g AS (SELECT dd.doc_id, coalesce(cl.keep_id, dd.doc_id) AS group_id
+        |  FROM (SELECT doc_id FROM documents) dd LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, group_id,
+        |  CASE WHEN md5('split:42:' || CAST(group_id AS VARCHAR)) < 'cccccccc'
+        |    THEN 'train'
+        |  WHEN md5('split:42:' || CAST(group_id AS VARCHAR)) < 'e6666666'
+        |    THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM g""".stripMargin,
 
     // Line explode → distinct-doc count → anti join → ordered rebuild,
     // over the same constructed strings.

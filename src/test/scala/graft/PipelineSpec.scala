@@ -1161,6 +1161,31 @@ class PipelineSpec extends SparkSpec {
     assert(s7.getLong(2) == 0L && s7.getBoolean(4))
   }
 
+  test("leakageSafeSplits: near-dup clusters never straddle splits") {
+    import spark.implicits._
+    // planted cluster: three near-identical docs; singletons around it
+    val base = (1 to 20).map(i => s"c$i").mkString(" ")
+    val d = (Seq((10L, base), (11L, base + " x"), (12L, base + " y")) ++
+      (100 until 160).map(i => (i.toLong, (0 until 20).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(d, n = 3, threshold = 0.10)
+    val r = graft.pipeline.TextAnalysis.leakageSafeSplits(spark, d, pairs).cache()
+    // the cluster shares one group and one split
+    val cluster = r.filter(col("doc_id").isin(10L, 11L, 12L)).collect()
+    assert(cluster.map(_.getLong(1)).toSet == Set(10L), "cluster keyed by min id")
+    assert(cluster.map(_.getString(2)).toSet.size == 1, "cluster straddles splits")
+    // invariant on the whole frame: one split per group
+    assert(r.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") =!= 1).isEmpty)
+    // singleton groups are split exactly as per-doc splitAssign would
+    val solo = r.filter(col("doc_id") >= 100).select("doc_id", "split")
+    val direct = d.filter(col("doc_id") >= 100).select(col("doc_id"),
+      graft.pipeline.TextAnalysis.splitLabel(col("doc_id")).as("split"))
+    assert(solo.exceptAll(direct).isEmpty)
+    r.unpersist()
+  }
+
   test("stripBoilerplateLines: df-frequent lines removed everywhere, rare kept") {
     import spark.implicits._
     val boiler = "all rights reserved"
