@@ -540,6 +540,27 @@ object Dedup {
     }
   }
 
+  /** Corpus VERSION diff — the dataset-audit primitive behind every
+    * "what changed between v1 and v2" question (a refreshed crawl, a
+    * re-run cleaning pass, a backfill): full outer join on the doc id
+    * comparing content fingerprints (md5 of text — 16 bytes per doc on
+    * the wire, never text), emitting one row per id in either version
+    * with status ∈ added / removed / changed / unchanged. One
+    * id-keyed join at any corpus size; pairs with [[graft.pipeline
+    * .TextAnalysis.shardManifest]] (shard-level equality) the way a
+    * diff pairs with a checksum. Exact oracle (q199). */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val a = v1.select(col(idCol).as("doc_id"), md5(col(textCol)).as("_h1"))
+    val b = v2.select(col(idCol).as("doc_id"), md5(col(textCol)).as("_h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_h1").isNull, "added")
+          .when(col("_h2").isNull, "removed")
+          .when(col("_h1") === col("_h2"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Cross-corpus near-duplicate gate, BATCH form — dedup a NEW corpus
     * (this month's crawl) against an existing REFERENCE corpus without
     * ever self-joining either side: the incremental-ingest operation

@@ -1099,6 +1099,59 @@ object TextAnalysis {
         round(col("pa") / col("spa") * budget, 6).as("expected_docs"))
   }
 
+  /** Vocabulary-coverage / OOV audit — the tokenizer-fit check a
+    * pipeline runs before committing to a vocab: with the corpus's
+    * top-`vocabSize` words (count desc, word asc — deterministic at
+    * the boundary) as the closed vocabulary, report per document the
+    * word count, OOV count and OOV rate. High-OOV documents are the
+    * ones a fixed tokenizer will shred into bytes (wrong-language,
+    * gibberish, code) — the audit feeds both vocab sizing and doc
+    * filtering. One grouped count + a tiny broadcast top-V join + a
+    * doc-keyed rollup; scan-class. Exact oracle (q197). */
+  def oovAudit(docs: DataFrame, vocabSize: Int = 20,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(1).as("_in"))
+    words.join(broadcast(top), Seq("w"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(col("_in").isNull.cast("long")).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_words"), 6))
+  }
+
+  /** Shard manifest with integrity checksums — the data-logistics
+    * artifact a 100 TB corpus ships with: each md5-bucketed shard
+    * reports its document count, token count and a CONTENT hash (md5
+    * of the per-doc text md5s concatenated in doc_id order), so a
+    * re-run, a copy, or a backfill can be verified shard-by-shard
+    * without rereading text — two manifests are equal iff the shards'
+    * contents are. Shard-keyed aggregate only; the per-shard hash
+    * concat is bounded by shard size. Exact oracle (q198). */
+  def shardManifest(docs: DataFrame, nShards: Int = 16, seed: Long = 42,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val shard = (conv(substring(md5(concat_ws(":", lit(seed.toString),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      % nShards).cast("int")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .withColumn("_shard", shard)
+      .groupBy("_shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("_t"), " ")).cast("long")).as("n_tokens"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), md5(col("_t")).as("_h")))),
+          s => s.getField("_h")))).as("content_hash"))
+      .select(col("_shard").as("shard"), col("n_docs"), col("n_tokens"),
+        col("content_hash"))
+  }
+
   /** Boilerplate LINE stripping by document frequency (the CCNet §3.1
     * line-level dedup: nav bars, cookie banners and copyright footers
     * repeat across a site's pages, so a line occurring in ≥ `minDocs`

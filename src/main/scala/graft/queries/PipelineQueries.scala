@@ -200,6 +200,36 @@ object PipelineQueries {
           (col("doc_id") % 256).cast("string"),
           lit(".7 call +14155552671"))).as("scrubbed"))),
 
+    // Vocabulary-coverage / OOV audit against the corpus top-20 vocab
+    // (the 31-word synthetic vocabulary leaves 11 words OOV, so rates
+    // are meaningful). Exact oracle — deterministic boundary ordering.
+    "q197_oov_audit" -> ((s, d) =>
+      TextAnalysis.oovAudit(Tables.documents(s, d), vocabSize = 20)
+        .orderBy("doc_id")),
+
+    // Shard manifest with integrity checksums: md5-bucketed shards,
+    // per-shard doc/token counts and a content hash over the per-doc
+    // text md5s in doc_id order. Exact oracle.
+    "q198_shard_manifest" -> ((s, d) =>
+      TextAnalysis.shardManifest(Tables.documents(s, d), nShards = 16)
+        .orderBy("shard")),
+
+    // Corpus version diff: v2 drops every 13th doc, edits every 10th,
+    // and adds a renumbered copy of every 17th — the full outer
+    // fingerprint join labels each id added/removed/changed/unchanged.
+    // Exact oracle.
+    "q199_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      Dedup.corpusDiff(docs, v2).orderBy("doc_id")
+    }),
+
     // Leakage-safe splits: near-dup clusters (q26 pair graph → q44
     // components) are split by their representative's hash, so a doc
     // and its paraphrase can never straddle train/test. Exact oracle.
@@ -1358,6 +1388,50 @@ object PipelineQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    // Top-V vocab with deterministic boundary ordering, left-join OOV
+    // rollup.
+    "q197_oov_audit" ->
+      """WITH wt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |top AS (SELECT w FROM (SELECT w, count(*) AS c FROM wt GROUP BY 1
+        |  ORDER BY c DESC, w LIMIT 20)),
+        |per AS (SELECT wt.doc_id, count(*) AS n_words,
+        |    CAST(sum(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM wt LEFT JOIN top t USING (w) GROUP BY 1)
+        |SELECT doc_id, n_words, n_oov,
+        |  round(n_oov * 1.0 / n_words, 6) AS oov_rate FROM per""".stripMargin,
+
+    // md5 shard bucketing + ordered per-shard content hash.
+    "q198_shard_manifest" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    CAST('0x' || substr(md5('42:' || doc_id), 1, 8) AS BIGINT) % 16
+        |      AS shard
+        |  FROM documents)
+        |SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(md5(text), '' ORDER BY doc_id)) AS content_hash
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // Fingerprint full-outer join over the same planted v2.
+    "q199_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' edited' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |b AS (SELECT doc_id, md5(text) AS h2 FROM v2)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.h1 = b.h2 THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
 
     // q44's recursive-CTE connected components + q143's md5 threshold
     // algebra, keyed on the cluster representative.

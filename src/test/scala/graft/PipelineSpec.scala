@@ -1161,6 +1161,36 @@ class PipelineSpec extends SparkSpec {
     assert(s7.getLong(2) == 0L && s7.getBoolean(4))
   }
 
+  test("oovAudit / shardManifest / corpusDiff: audit primitives on hand fixtures") {
+    import spark.implicits._
+    // OOV: 4 docs over {a,b} plus rare words; vocabSize=2 → {a,b} in-vocab
+    val d = Seq((1L, "a a b"), (2L, "a zz"), (3L, "qq rr"), (4L, "b"))
+      .toDF("doc_id", "text")
+    val oov = graft.pipeline.TextAnalysis.oovAudit(d, vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(oov(1L) == ((3L, 0L, 0.0)))
+    assert(oov(2L) == ((2L, 1L, 0.5)))
+    assert(oov(3L) == ((2L, 2L, 1.0)))
+    assert(oov(4L) == ((1L, 0L, 0.0)))
+    // manifest: content hash invariant under row order, sensitive to text
+    val m1 = graft.pipeline.TextAnalysis.shardManifest(d, nShards = 2)
+    val m2 = graft.pipeline.TextAnalysis.shardManifest(
+      d.orderBy(col("doc_id").desc), nShards = 2)
+    assert(m1.collect().toSet == m2.collect().toSet)
+    val m3 = graft.pipeline.TextAnalysis.shardManifest(
+      d.withColumn("text", concat(col("text"), lit(" !"))), nShards = 2)
+    assert(m1.select("content_hash").collect().toSet
+      != m3.select("content_hash").collect().toSet)
+    // diff: all four statuses
+    val v2 = Seq((1L, "a a b"), (2L, "a zz CHANGED"), (9L, "brand new"))
+      .toDF("doc_id", "text")
+    val diff = Dedup.corpusDiff(d, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "removed", 9L -> "added"))
+  }
+
   test("leakageSafeSplits: near-dup clusters never straddle splits") {
     import spark.implicits._
     // planted cluster: three near-identical docs; singletons around it
