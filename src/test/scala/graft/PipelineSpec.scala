@@ -856,7 +856,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("approximate queries q27/q30/q41/q56/q62 enforce their recall floors") {
-    val qs = graft.queries.PipelineQueries.queries
+    val qs = graft.SparkEntry.queries
     // q27 still carries the raw recall value
     val q27 = qs("q27_minhash_lsh")(spark, sf)
       .select("recall_vs_brute").distinct().collect()

@@ -340,6 +340,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"bandKeys must not aggregate:\n$p")
   }
 
+  test("r8 ops plan shapes: broadcast vocab, bucket-keyed manifest, narrow decontam") {
+    // oovAudit: the top-V vocab must reach the corpus side as a
+    // BroadcastExchange, never a shuffled join
+    val p1 = graft.pipeline.TextAnalysis
+      .oovAudit(Tables.documents(spark, sf), vocabSize = 20)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastExchange"),
+      s"top-V vocab should broadcast:\n$p1")
+    // lengthMatchResample: per-bucket probabilities broadcast back; no
+    // single-partition exchange anywhere (the q105/q178 discipline)
+    val docs = Tables.documents(spark, sf)
+    val p2 = graft.pipeline.TextAnalysis
+      .lengthMatchResample(docs, docs.filter(col("n_chars") < 300))
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange SinglePartition") ||
+      // the two scalar count aggregates are allowed their 1-row finals
+      !p2.contains("Window"),
+      s"lengthMatchResample must not plan a windowed global sort:\n$p2")
+    assert(p2.contains("BroadcastExchange"),
+      s"bucket probabilities should broadcast:\n$p2")
+    // decontaminateOnIngest: a pure narrow map over the stream side
+    val evalSet = docs.filter(col("doc_id") % 50 === 0).select("text")
+    val p3 = graft.streaming.DocsStream
+      .decontaminateOnIngest(docs.select("doc_id", "text"), evalSet)
+      .queryExecution.executedPlan.toString
+    assert(!p3.contains("Exchange"),
+      s"row-local decontamination must not shuffle:\n$p3")
+  }
+
   test("classifier scoreText plans ZERO shuffles (stateless ingest map)") {
     // frozen-scorer scoring is the model gate on the ingest path: any
     // Exchange or aggregate here would be a stateful op on the stream
