@@ -393,6 +393,10 @@ object Correlation {
     val base = df.select(col(keyCol).cast("string").as("k"),
         col(x).cast("double").as("xv"), col(y).cast("double").as("yv"))
       .filter(col("xv").isNotNull && col("yv").isNotNull)
+    // persisted: consumed three times (two rank subplans + the pair
+    // frame). Unlike bootstrapCi's ridx form this is DETERMINISTIC on
+    // recompute — the persist is purely the B×n explode's cost, not a
+    // correctness requirement (the q27 lsh.cache() posture).
     val weighted = base
       .select(col("xv"), col("yv"),
         explode(sequence(lit(0), lit(resamples - 1))).as("i"),
@@ -403,6 +407,7 @@ object Correlation {
       .withColumn("w", pois((col("_v") + lit(1L)) / lit(4503599627370496.0)))
       .filter(col("w") > 0)
       .select("i", "xv", "yv", "w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def rankOf(v: String, rankCol: String): DataFrame = {
       val w = Window.partitionBy("i").orderBy(col(v))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
