@@ -1161,6 +1161,37 @@ class PipelineSpec extends SparkSpec {
     assert(s7.getLong(2) == 0L && s7.getBoolean(4))
   }
 
+  test("Curate.corpus: end-to-end chain — monotone stages, clean output, no split leaks") {
+    import graft.pipeline.Curate
+    val (curated, audit) = Curate.corpus(spark, docs)
+    val a = audit.cache()
+    val c = curated.cache()
+    val n = docs.count()
+    assert(a.count() == n, "audit must cover every input row")
+    // stage monotonicity: each keep set is a subset of the previous
+    // (the model gate alone may pass rule-rejects — the score
+    // generalizes — but the PIPELINE gate is their intersection)
+    assert(a.filter(col("exact_keep") &&
+      !(col("rule_keep") && col("model_keep"))).isEmpty,
+      "exact-dedup survivors must have passed both gates")
+    assert(a.filter(col("neardup_keep") && !col("exact_keep")).isEmpty,
+      "near-dup survivors must be exact-dedup survivors")
+    // curated = audit's kept set, enriched
+    assert(c.count() == a.filter(col("kept")).count())
+    // no exact duplicates survive
+    assert(c.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1).isEmpty, "exact dup in curated output")
+    // no verifying near-dup pair survives inside the curated set
+    val survPairs = Dedup.minhashLsh(c.select("doc_id", "text"),
+      n = 3, k = 64, bands = 16, threshold = 0.5)
+    assert(survPairs.isEmpty, "near-dup pair survived curation")
+    // split sanity: all three labels present, groups never straddle
+    assert(c.select("split").distinct().count() == 3)
+    assert(c.groupBy("group_id").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") =!= 1).isEmpty)
+    a.unpersist(); c.unpersist()
+  }
+
   test("oovAudit / shardManifest / corpusDiff: audit primitives on hand fixtures") {
     import spark.implicits._
     // OOV: 4 docs over {a,b} plus rare words; vocabSize=2 → {a,b} in-vocab
