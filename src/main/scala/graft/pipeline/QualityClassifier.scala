@@ -49,36 +49,90 @@ object QualityClassifier {
 
   /** Full-batch GD on the logistic loss. Returns (weights with bias
     * LAST, per-iteration mean log-loss — index 0 is the zero-model
-    * loss). One aggregate job per iteration. */
+    * loss). Two routes, same arithmetic per row (left-to-right dot,
+    * Math.exp/log, the 1e-12 clamp): ≤ `driverMaxRows` the rows
+    * collect once and the loop runs on the driver (GD is sequential —
+    * the distributed loop pays `iters` × job-scheduling latency for
+    * microseconds of math at audit scale); above it, one
+    * map-side-combined aggregate job per iteration whose weights live
+    * in the map CLOSURE, not the plan, so all iterations share one
+    * codegen compilation (the r7 literal-expression form re-planned
+    * and re-Janino'd a fresh stage per iteration — ~10 s of compiler
+    * wall for 30 iterations). Routes differ only in float summation
+    * order (sequential vs per-partition partial); PipelineSpec pins
+    * their parity at 1e-9. */
   def train(featurized: DataFrame, iters: Int = 30,
-            lr: Double = 1.0): (Array[Double], Array[Double]) = {
+            lr: Double = 1.0,
+            driverMaxRows: Long = 100000L): (Array[Double], Array[Double]) = {
     val d = featureCols.length
     val w = new Array[Double](d + 1) // zeros; bias last
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val cached = featurized.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = featurized.sparkSession
+    import spark.implicits._
+    val ds = featurized.select(col("features"), col("label"))
+      .as[(Seq[Double], Double)]
+    // dual route (the dupClusters / centralities discipline): GD is
+    // inherently sequential, so at audit scale the distributed loop
+    // pays `iters` × per-job scheduling latency for microseconds of
+    // arithmetic — below `driverMaxRows` the (features, label) rows
+    // (d+1 doubles each) collect once and the SAME loop runs on the
+    // driver; above it, one map-side-combined aggregate job per
+    // iteration, the only shape that scans a corpus-sized frame.
+    if (driverMaxRows > 0) {
+      val probe = ds.limit(math.min(driverMaxRows, Int.MaxValue - 2L).toInt + 1)
+        .collect()
+      if (probe.length <= driverMaxRows) {
+        val n = probe.length
+        require(n > 0, "train: empty featurized frame")
+        for (_ <- 0 to iters) {
+          var lossSum = 0.0
+          val gSum = new Array[Double](d + 1)
+          probe.foreach { case (f, y) =>
+            var dot = 0.0
+            var j = 0
+            while (j < d) { dot += w(j) * f(j); j += 1 }
+            dot += w(d)
+            val p = 1.0 / (1.0 + math.exp(-dot))
+            val pc = math.min(math.max(p, 1e-12), 1.0 - 1e-12)
+            lossSum += -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
+            val err = p - y
+            var k = 0
+            while (k < d) { gSum(k) += err * f(k); k += 1 }
+            gSum(d) += err
+          }
+          losses += lossSum / n
+          for (j <- 0 to d) w(j) -= lr * gSum(j) / n
+        }
+        return (w, losses.toArray)
+      }
+    }
+    val cached = ds
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cached.count()
     try {
       for (_ <- 0 to iters) {
-        val dot = (0 until d).map(j =>
-          lit(w(j)) * element_at(col("features"), j + 1))
-          .reduce(_ + _) + lit(w(d))
-        val p = lit(1.0) / (lit(1.0) + exp(-dot))
-        // clamp for the log: p is in (0,1) analytically, but exp can
-        // saturate to exactly 0/1 in double arithmetic
-        val pc = least(greatest(p, lit(1e-12)), lit(1.0 - 1e-12))
-        val err = p - col("label")
-        val aggs =
-          avg(-(col("label") * log(pc) +
-            (lit(1.0) - col("label")) * log(lit(1.0) - pc))).as("_loss") +:
-            ((0 until d).map(j =>
-              avg(err * element_at(col("features"), j + 1)).as(s"_g$j")) :+
-              avg(err).as(s"_g$d"))
-        val row = cached.agg(aggs.head, aggs.tail: _*).head()
+        val wc = w.clone()
+        val row = cached.map { case (f, y) =>
+          var dot = 0.0
+          var j = 0
+          while (j < wc.length - 1) { dot += wc(j) * f(j); j += 1 }
+          dot += wc(wc.length - 1)
+          val p = 1.0 / (1.0 + math.exp(-dot))
+          // clamp for the log: p is in (0,1) analytically, but exp can
+          // saturate to exactly 0/1 in double arithmetic
+          val pc = math.min(math.max(p, 1e-12), 1.0 - 1e-12)
+          val loss = -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
+          val err = p - y
+          (loss, Seq.tabulate(wc.length)(j =>
+            if (j < wc.length - 1) err * f(j) else err))
+        }.toDF("_loss", "_g")
+          .agg(avg(col("_loss")).as("_l"),
+            (0 to d).map(j => avg(element_at(col("_g"), j + 1)).as(s"_g$j")): _*)
+          .head()
         losses += row.getDouble(0)
         for (j <- 0 to d) w(j) -= lr * row.getDouble(j + 1)
       }
-    } finally cached.unpersist(blocking = false)
+    } finally { cached.unpersist(blocking = false); () }
     (w, losses.toArray)
   }
 

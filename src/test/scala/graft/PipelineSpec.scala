@@ -1389,6 +1389,25 @@ class PipelineSpec extends SparkSpec {
     assert(a >= 0.85, s"corpus AUC $a under the comfortable margin")
   }
 
+  test("classifier train: driver and distributed routes agree to 1e-9") {
+    import spark.implicits._
+    import graft.pipeline.QualityClassifier
+    val plant = ((0 until 30).map(i =>
+      (i.toLong, Array.fill(25)("dup").mkString(" "))) ++
+      (0 until 30).map(i =>
+        (100L + i, (0 until 25).map(j => s"w${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val feat = QualityClassifier.featurize(plant, col("repetition") < 0.5)
+    val (wD, lD) = QualityClassifier.train(feat, iters = 10)
+    val (wX, lX) = QualityClassifier.train(feat, iters = 10,
+      driverMaxRows = 0L) // force the distributed aggregate route
+    assert(wD.length == wX.length && lD.length == lX.length)
+    wD.zip(wX).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"weight route divergence: $a vs $b") }
+    lD.zip(lX).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"loss route divergence: $a vs $b") }
+  }
+
   test("auc: bucket-offset ranks ≡ brute Mann–Whitney (ties, few buckets, degenerate)") {
     import spark.implicits._
     import graft.pipeline.QualityClassifier
