@@ -209,17 +209,21 @@ object Similarity extends Serializable {
     import spark.implicits._
     val t = topk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val present = t.groupBy("qid").agg(count(lit(1)).as("_n"))
+    // limit-probe BEFORE collecting (the contaminationOnIngest valve
+    // pattern): cap+1 rows decide pass/fail without ever pulling an
+    // unbounded short set onto the driver
     val short = queries.select(col("id").cast("long").as("qid"), col("v"))
       .join(present, Seq("qid"), "left")
       .filter(coalesce(col("_n"), lit(0L)) < k)
       .select(col("qid"), col("v"))
+      .limit(maxFallback + 1)
       .as[(Long, Array[Float])].collect()
     if (short.isEmpty) t
     else {
       require(short.length <= maxFallback,
-        s"ANN fallback would brute-force ${short.length} queries " +
-          s"(> $maxFallback): the index parameters are wrong for this " +
-          "corpus — raise bands/nProbe or the fallback cap explicitly")
+        s"ANN fallback would brute-force more than $maxFallback " +
+          "queries: the index parameters are wrong for this corpus — " +
+          "raise bands/nProbe or the fallback cap explicitly")
       val shortDf = short.toSeq.toDF("qid", "qv")
       val joined = broadcast(shortDf)
         .join(refs.select(col("id").cast("long").as("rid"), col("v").as("rv")),
