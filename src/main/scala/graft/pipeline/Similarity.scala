@@ -583,6 +583,142 @@ object Similarity extends Serializable {
     }.toDF(idCol, "codes_ok", "mse", "mse_mean", "better_than_mean")
   }
 
+  /** Trained int8 scalar-quantization codec (the FAISS `SQ8` family):
+    * one (min, max) pair per dimension; a 64-dim float vector encodes
+    * to 64 one-byte codes — a 4× shrink with no codebook search at
+    * encode time (the cheap sibling of [[PqCodec]]'s 16×). The model
+    * is 2·dim doubles — broadcast-sized at any corpus size. */
+  case class SqCodec(mins: Array[Double], maxs: Array[Double]) {
+    val dim: Int = mins.length
+    def encode(v: Array[Float]): Array[Int] = {
+      val out = new Array[Int](dim)
+      var i = 0
+      while (i < dim) {
+        val mn = mins(i); val mx = maxs(i)
+        val t = if (mx == mn) 0.0 else (v(i) - mn) * 255.0 / (mx - mn)
+        val c = math.floor(t + 0.5).toLong
+        out(i) = math.min(255L, math.max(0L, c)).toInt
+        i += 1
+      }
+      out
+    }
+    def decode(codes: Array[Int]): Array[Double] = {
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        out(i) = mins(i) + codes(i).toDouble * (maxs(i) - mins(i)) / 255.0
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Train an [[SqCodec]]: ONE dim-bounded aggregate (per-dimension
+    * min/max — `dim` rows collected, nothing else leaves the
+    * executors). Unlike [[pqTrain]] there is no sample or k-means:
+    * the model is the exact corpus envelope, so training cost is a
+    * single scan at any scale. */
+  def sqTrain(spark: SparkSession, vectors: DataFrame,
+              vecCol: String = "embedding"): SqCodec = {
+    val stats = vectors
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy("pos").collect()
+    SqCodec(stats.map(_.getDouble(1)), stats.map(_.getDouble(2)))
+  }
+
+  /** Encode every vector to int8 codes: (id, codes array<int>) — a
+    * pure narrow map against the broadcast codec (the [[pqEncode]]
+    * shape; zero shuffles at any corpus size). */
+  def sqEncode(spark: SparkSession, vectors: DataFrame, codec: SqCodec,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codec)
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, bc.value.encode(v)) }
+      .toDF(idCol, "codes")
+  }
+
+  /** In-plan SQ8 quantization audit — the oracle-able, whole-corpus
+    * form of the codec: one row per (vector, dimension) carrying the
+    * integer code plus the reconstruction contract
+    * `|decode(code) − x| ≤ step/2` (which holds BY CONSTRUCTION for
+    * round-to-nearest inside the trained envelope — any arithmetic
+    * drift between engines, a wrong scale, or a clamped overflow flips
+    * it).
+    *
+    * Plan shape: the per-dim stats are one dim-bounded aggregate
+    * (`dim` rows, broadcast back); the encode itself is a narrow
+    * posexplode + broadcast-hash join — no shuffle touches the corpus,
+    * so the layout survives a 100× scale-up unchanged. All arithmetic
+    * is double IEEE in a fixed order (`floor((x−mn)·255/(mx−mn)+0.5)`)
+    * so DuckDB replays every code exactly. */
+  def sqQuantizeAudit(spark: SparkSession, vectors: DataFrame,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val stats = vectors
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    vectors
+      .select(col(idCol).cast("long").as(idCol),
+        posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .join(broadcast(stats), "pos")
+      .withColumn("_t", when(col("mx") === col("mn"), lit(0.0))
+        .otherwise((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))
+      .withColumn("code",
+        least(lit(255L), greatest(lit(0L), floor(col("_t") + lit(0.5)))))
+      .withColumn("_dec",
+        col("mn") + col("code").cast("double") * (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("within_half_step",
+        abs(col("_dec") - col("x")) <=
+          (col("mx") - col("mn")) / lit(255.0) * lit(0.5) + lit(1e-9))
+      .select(col(idCol), col("pos"), col("code"), col("within_half_step"))
+  }
+
+  /** Matryoshka (MRL) truncation audit: how much exact top-k retrieval
+    * survives when vectors are cut to their first `dims` coordinates
+    * (Kusupati et al. 2022 — nested-representation retrieval, the
+    * modern cheap-first-pass ladder rung BELOW sign-LSH: no index at
+    * all, just shorter vectors). For each query in the capped universe
+    * it computes the exact top-k under the full dimension and under
+    * the prefix, and emits the per-query overlap — the measured recall
+    * a deployment would get from storing only `dims/dim` of every
+    * embedding.
+    *
+    * Both top-k sets are the [[bruteForceTopK]] kernel (cosines
+    * rounded to 6, ties by neighbor id), so every row replays exactly
+    * in DuckDB; the overlap count is integer arithmetic on top. */
+  def matryoshkaRecallAudit(spark: SparkSession, vectors: DataFrame,
+                            dims: Int = 16, k: Int = 5, nQueries: Int = 50,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            dim: Int = 64): DataFrame = {
+    require(dims >= 1 && dims < dim, s"prefix dims=$dims must be in [1, $dim)")
+    val qs = vectors.filter(col(idCol) < nQueries)
+    val full = bruteForceTopK(qs, vectors, k, idCol, vecCol, dim)
+      .select(col("qid"), col("rid"))
+    val truncAll = vectors.select(col(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    val trunc = bruteForceTopK(truncAll.filter(col(idCol) < nQueries),
+      truncAll, k, idCol, vecCol, dims).select(col("qid"), col("rid"))
+    val overlap = trunc.join(full, Seq("qid", "rid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    qs.select(col(idCol).cast("long").as("qid"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+      .orderBy("qid")
+  }
+
   /** Seeded Lloyd k-means with k-means++ init on an in-memory sample
     * (quantizer training for [[ivfTopK]]); deterministic for a seed.
     * Empty clusters re-seed from the point farthest from its center. */

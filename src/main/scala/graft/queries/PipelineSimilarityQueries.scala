@@ -313,6 +313,24 @@ object PipelineSimilarityQueries {
       Similarity.contrastiveMining(
         Tables.embeddings(s, d).filter(col("vec_id") < 100))
         .orderBy("aid")),
+
+    // Int8 scalar-quantization codec (FAISS SQ8 family) over the FULL
+    // corpus: every (vector, dim) code is exact double arithmetic both
+    // engines replay, plus the half-step reconstruction contract. The
+    // plan is one dim-bounded stats aggregate + a narrow encode map —
+    // no corpus shuffle at any scale.
+    "q200_sq8_codec" -> ((s, d) =>
+      Similarity.sqQuantizeAudit(s, Tables.embeddings(s, d))
+        .orderBy("vec_id", "pos")),
+
+    // Matryoshka truncation audit: exact top-5 under the first-16-dim
+    // prefix vs the full 64-dim top-5, per-query overlap on the capped
+    // query universe — the measured recall of storing 1/4 of every
+    // embedding (Kusupati et al. 2022). Exact oracle: DuckDB replays
+    // both brute top-k sets (q29 rounding discipline) and the count.
+    "q201_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaRecallAudit(s, Tables.embeddings(s, d),
+        dims = 16, k = 5, nQueries = 50)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -498,5 +516,59 @@ object PipelineSimilarityQueries {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin,
+
+    // SQ8: identical fixed-order double arithmetic —
+    // floor((x−mn)·255/(mx−mn)+0.5) clamped — replays every code.
+    "q200_sq8_codec" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    embedding[i]::DOUBLE AS x
+        |  FROM embeddings, generate_series(1, 64) g(i)),
+        |s AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM u GROUP BY 1),
+        |c AS (
+        |  SELECT u.vec_id, u.pos, u.x, s.mn, s.mx,
+        |    CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(least(255.0, greatest(0.0,
+        |        floor((u.x - s.mn) * 255.0 / (s.mx - s.mn) + 0.5))) AS BIGINT)
+        |      END AS code
+        |  FROM u JOIN s USING (pos))
+        |SELECT vec_id, pos, code,
+        |  abs(mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0 - x)
+        |    <= (mx - mn) / 255.0 * 0.5 + 1e-9 AS within_half_step
+        |FROM c""".stripMargin,
+
+    // Matryoshka: both top-5 sets under the q29 rounding discipline
+    // (round-6 cosine DESC, rid ASC), then the integer overlap.
+    "q201_matryoshka" ->
+      """WITH fullk AS (
+        |  SELECT qid, rid FROM (
+        |    SELECT q.vec_id AS qid, r.vec_id AS rid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |          r.embedding::DOUBLE[]), 6) DESC, r.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings r ON q.vec_id <> r.vec_id
+        |    WHERE q.vec_id < 50)
+        |  WHERE rn <= 5),
+        |tk AS (
+        |  SELECT qid, rid FROM (
+        |    SELECT q.vec_id AS qid, r.vec_id AS rid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(
+        |          (q.embedding::DOUBLE[])[1:16],
+        |          (r.embedding::DOUBLE[])[1:16]), 6) DESC,
+        |        r.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings r ON q.vec_id <> r.vec_id
+        |    WHERE q.vec_id < 50)
+        |  WHERE rn <= 5),
+        |ov AS (
+        |  SELECT t.qid, count(*) AS n_common
+        |  FROM tk t JOIN fullk f ON f.qid = t.qid AND f.rid = t.rid
+        |  GROUP BY 1)
+        |SELECT e.vec_id AS qid,
+        |  coalesce(ov.n_common, 0) AS n_common,
+        |  round(coalesce(ov.n_common, 0) / 5.0, 6) AS recall_at_k
+        |FROM embeddings e LEFT JOIN ov ON ov.qid = e.vec_id
+        |WHERE e.vec_id < 50
+        |ORDER BY qid""".stripMargin,
   )
 }
