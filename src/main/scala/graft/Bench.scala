@@ -265,14 +265,24 @@ object Bench {
     val cD = s"""{"n":4039,"m":${centDist._1},"sources_cap":256,""" +
       s""""time":${centDist._2},"routed_time":$centRouted}"""
     val icD = s"""{"n":200,"spread":${icDist._1},"time":${icDist._2}}"""
-    println(s"""{"metric":"total","value":$total,"core_total":$coreTotal,"unit":"sec","queries":$qs,""" +
+    val fullLine =
+      s"""{"metric":"total","value":$total,"core_total":$coreTotal,"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,""" +
       s""""layout_bench":$layout,"influence_bench":$infl,""" +
       s""""dataset_bench":$ds,""" +
       s""""dataset_bench_distributed":$dsD,"layout_lsh":$dsL,""" +
       s""""centralities_distributed":$cD,"ic_distributed":$icD,""" +
       s""""generator_sweep":$genSweepJson,"influence_sweep":$inflSweepJson,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(fullLine)
+    // Persist the FULL per-query line when asked (r8 verdict: BENCH_r*
+    // artifacts keep only a 2000-char stdout tail, so round-over-round
+    // per-query regression diffs need a committed file —
+    // bench_results/bench_rN.json; compare with tools/bench_diff.py).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
+      ()
+    }
     // The full line above is ~6 kB; harnesses that keep only a short
     // tail of stdout truncate its head and can no longer parse it. Emit
     // a compact headline summary LAST so the final line always fits a

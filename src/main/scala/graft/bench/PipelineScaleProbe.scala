@@ -168,6 +168,26 @@ object PipelineScaleProbe {
       }.reduce(_ union _)
       graft.pipeline.Similarity.kCenterGreedy(spark, repE, k = 16).count()
     }
+    // equi-depth AUC (r9): rank over a CALIBRATED-PILE score
+    // distribution — sigmoid(12·(u−½)) piles scores against 0 and 1,
+    // exactly the regime that skewed the old uniform-value bucket
+    // cuts. Distinct scores grow ~linearly in K (replica-disjoint
+    // texts), so the slope must be the scan + bucketed-window linear
+    // term; the probe also reports the max bucket share so balance is
+    // a measured number, not a spec-sized claim.
+    val (aucStats, tAuc) = time {
+      val scored = corpus.select(
+        (abs(xxhash64(col("text"))) % 1000000L).cast("double").as("_u"),
+        (abs(xxhash64(col("text"), lit(7))) % 2L).cast("double").as("label"))
+        .withColumn("score", lit(1.0) /
+          (lit(1.0) + exp(lit(-12.0) * (col("_u") / 1000000.0 - lit(0.5)))))
+      val a = graft.pipeline.QualityClassifier.auc(scored)
+      val g = graft.pipeline.QualityClassifier
+        .distinctScores(scored, "score", "label")
+      val byB = graft.pipeline.QualityClassifier.bucketRanked(g, 1024)
+        .groupBy("_b").count().agg(max("count"), sum("count")).head()
+      (a, byB.getLong(0).toDouble / byB.getLong(1))
+    }
     println(s"""{"probe":"pipeline_scale","reps":$reps,"docs":$nDocs,""" +
       s""""exact_sec":$tExact,"exact_rows":$nExact,""" +
       s""""minhash_sec":$tMh,"minhash_pairs":$nMh,""" +
@@ -188,7 +208,9 @@ object PipelineScaleProbe {
       s""""uni_train_sec":$tUtrain,"uni_encode_sec":$tUenc,""" +
       s""""fs_sec":$tFs,"fs_pairs":$nFs,"winsor_sec":$tWin,""" +
       s""""dedupspans_sec":$tSp,"dedupspans_rows":$nSp,""" +
-      s""""kcenter_sec":$tKc,"kcenter_rows":$nKc}""")
+      s""""kcenter_sec":$tKc,"kcenter_rows":$nKc,""" +
+      s""""auc_sec":$tAuc,"auc":${aucStats._1},""" +
+      s""""auc_max_bucket_share":${aucStats._2}}""")
     spark.stop()
   }
 }

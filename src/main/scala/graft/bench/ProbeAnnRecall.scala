@@ -36,6 +36,18 @@ object ProbeAnnRecall {
       nProbe = 6, m = 16, nCodes = 32, refine = 20))
     recallOf("pq_m16r40", Similarity.ivfPqTopK(spark, e, k = 5, nLists = 8,
       nProbe = 6, m = 16, nCodes = 32, refine = 40))
+    // two-stage rungs (r9): prefix-dim / SQ8-code shortlist + exact re-rank
+    val q50 = e.filter(col("vec_id") < 50)
+    for (sl <- Seq(15, 30, 50)) {
+      recallOf(s"mrl16s$sl", Similarity.matryoshkaTopK(q50, e, k = 5,
+        dims = 16, shortlist = sl))
+      recallOf(s"mrl32s$sl", Similarity.matryoshkaTopK(q50, e, k = 5,
+        dims = 32, shortlist = sl))
+    }
+    for (sl <- Seq(10, 30)) {
+      recallOf(s"sq8s$sl", Similarity.sqTopK(spark, q50, e, k = 5,
+        shortlist = sl))
+    }
     // q62 pair recall on the capped universe, by cluster count
     val bp = Similarity.cosinePairsBrute(e.filter(col("vec_id") < 200),
       threshold = 0.35).select("id_a", "id_b").cache()

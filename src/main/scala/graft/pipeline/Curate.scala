@@ -37,15 +37,25 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** `scorer = Some(...)` runs the model gate with a FROZEN pre-trained
+    * scorer instead of training on `docs` — the streaming twin's
+    * posture ([[graft.streaming.CurateStream]]), letting spec/parity
+    * runs feed the identical model to both routes. `verify = "sig"`
+    * selects signature-estimated near-dup verification (the only mode
+    * a signature-resident stream index can afford); "exact" (default)
+    * re-shingles. */
   def corpus(spark: SparkSession, docs: DataFrame,
              minScore: Double = 0.5, n: Int = 3, k: Int = 64,
              bands: Int = 16, threshold: Double = 0.5,
              pTrain: Double = 0.8, pVal: Double = 0.1,
              idCol: String = "doc_id",
-             textCol: String = "text"): (DataFrame, DataFrame) = {
+             textCol: String = "text",
+             scorer: Option[QualityClassifier.TextScorer] = None,
+             verify: String = "exact"): (DataFrame, DataFrame) = {
     // 1+2: rule gate labels, classifier distills them, model gate cuts
-    val scorer = QualityClassifier.fit(docs, col("keep"), textCol)
-    val scored = QualityClassifier.scoreText(docs, scorer, textCol)
+    val theScorer = scorer.getOrElse(
+      QualityClassifier.fit(docs, col("keep"), textCol))
+    val scored = QualityClassifier.scoreText(docs, theScorer, textCol)
       .select(col(idCol), col("keep").as("rule_keep"),
         round(col("score"), 6).as("score"))
       .withColumn("model_keep", col("score") >= minScore)
@@ -58,7 +68,7 @@ object Curate {
     val exacted = gated.join(exactKeep, Seq(idCol), "left_semi")
     // 4: near-dup pairs + min-id cluster resolution
     val pairs = Dedup.minhashLsh(exacted, n, k, bands, threshold,
-      idCol, textCol)
+      idCol, textCol, verify = verify)
     val clusters = Dedup.dupClusters(spark, pairs.select("id_a", "id_b"))
     val nearKeep = exacted.select(col(idCol))
       .join(clusters.filter(!col("keep"))

@@ -694,7 +694,16 @@ object Similarity extends Serializable {
     *
     * Both top-k sets are the [[bruteForceTopK]] kernel (cosines
     * rounded to 6, ties by neighbor id), so every row replays exactly
-    * in DuckDB; the overlap count is integer arithmetic on top. */
+    * in DuckDB; the overlap count is integer arithmetic on top.
+    *
+    * DENSE-VECTOR ASSUMPTION (r8 ADVICE): the Spark cosine adds 1e-12
+    * to the denominator (a zero-norm prefix scores 0.0) while DuckDB's
+    * `list_cosine_similarity` has no epsilon (zero-norm → NULL), so a
+    * vector whose first `dims` coordinates are ALL exactly zero would
+    * rank differently in the two engines. Real embedding models emit
+    * dense floats where an all-zero 16-dim prefix does not occur; if a
+    * corpus can contain such vectors, filter or re-normalize them
+    * upstream before auditing. */
   def matryoshkaRecallAudit(spark: SparkSession, vectors: DataFrame,
                             dims: Int = 16, k: Int = 5, nQueries: Int = 50,
                             idCol: String = "vec_id",
@@ -718,6 +727,101 @@ object Similarity extends Serializable {
           .as("recall_at_k"))
       .orderBy("qid")
   }
+
+  /** Matryoshka TWO-STAGE retrieval (the operator q201's audit was
+    * measuring for): stage 1 short-lists `shortlist` candidates per
+    * query under the first-`dims` PREFIX of every vector — `dims/dim`
+    * of the flops and, in a deployment that stores the prefix column
+    * in the hot tier, `dims/dim` of the bytes scanned — and stage 2
+    * re-ranks only those candidates with the EXACT full-dimension
+    * cosine (the shared [[rerankTopK]] kernel). The q201 recall number
+    * graduates from a report to the thing this operator's floor is set
+    * from: with `shortlist` ≫ k, the full-dim re-rank recovers true
+    * top-k members the prefix ordering alone would misrank, so
+    * two-stage recall ≥ the q201 prefix-only recall by construction.
+    *
+    * Stage 1 here is the exact prefix kernel (oracle-replayable, the
+    * audit posture); at corpus scale the same two-stage shape drops in
+    * an index rung on the prefix column instead ([[ivfTopK]] /
+    * [[lshTopK]] over `slice(v, 1, dims)` — the prefix is just a
+    * shorter vector). Under-filled queries (corpus smaller than k+1)
+    * fall back through [[padShortQueries]] like every other rung. */
+  def matryoshkaTopK(queries: DataFrame, refs: DataFrame, k: Int,
+                     dims: Int = 16, shortlist: Int = 30,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dim: Int = 64): DataFrame = {
+    require(dims >= 1 && dims < dim, s"prefix dims=$dims must be in [1, $dim)")
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val qPref = queries.select(col(idCol).cast("long").as("id"),
+      slice(col(vecCol), 1, dims).as("v"))
+    val rPref = refs.select(col(idCol).cast("long").as("id"),
+      slice(col(vecCol), 1, dims).as("v"))
+    val sl = bruteForceTopK(qPref, rPref, shortlist, "id", "v", dims)
+      .select("qid", "rid")
+    val qv = refsFrame(queries, idCol, vecCol)
+    val rv = refsFrame(refs, idCol, vecCol)
+    val joined = sl
+      .join(qv.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(rv.select(col("id").as("rid"), col("v").as("rv")), "rid")
+    padShortQueries(rerankTopK(joined, k), qv, rv, k)
+  }
+
+  /** SQ8-compressed retrieval rung — the [[SqCodec]] consumer: refs
+    * live as int8 CODES (4× smaller than the float corpus; the frame a
+    * deployment keeps memory-resident), stage 1 short-lists per query
+    * by the ASYMMETRIC cosine — full-precision query against
+    * `codec.decode(codes)` (the FAISS SQ search posture: only the
+    * stored side pays quantization error) — and stage 2 re-ranks the
+    * shortlist with the exact full-precision kernel ([[rerankTopK]]).
+    *
+    * The decode arithmetic is the codec's own (`SqCodec.decode` — the
+    * PipelineSpec pins `sqEncode` ≡ [[sqQuantizeAudit]] codes
+    * row-for-row, so the in-plan audit q200 gates and this rung
+    * consumes ONE quantization algebra). Plan shape: codec training is
+    * the dim-bounded [[sqTrain]] aggregate; encode is a narrow map;
+    * the shortlist pass touches only (id, codes) rows; full vectors
+    * are joined back for the ≤ |Q|·shortlist re-rank rows only. */
+  def sqTopK(spark: SparkSession, queries: DataFrame, refs: DataFrame,
+             k: Int, shortlist: Int = 30, idCol: String = "vec_id",
+             vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val codec = sqTrain(spark, refs, vecCol)
+    val codes = sqEncode(spark, refs, codec, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(codec)
+    val q = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
+    val sl = q.join(codes.select(col(idCol).cast("long").as("rid"),
+        col("codes")), col("qid") =!= col("rid"))
+      .select(col("qid"), col("qv"), col("rid"), col("codes"))
+      .as[(Long, Array[Float], Long, Array[Int])]
+      .map { case (qid, qv, rid, cs) =>
+        val dv = bc.value.decode(cs)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < qv.length) {
+          val a = qv(i).toDouble; val b = dv(i)
+          dot += a * b; na += a * a; nb += b * b
+          i += 1
+        }
+        (qid, rid, dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12))
+      }.toDF("qid", "rid", "cos_raw")
+      .withColumn("cos", round(col("cos_raw"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "rid")
+    val qv = refsFrame(queries, idCol, vecCol)
+    val rv = refsFrame(refs, idCol, vecCol)
+    val joined = sl
+      .join(qv.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(rv.select(col("id").as("rid"), col("v").as("rv")), "rid")
+    padShortQueries(rerankTopK(joined, k), qv, rv, k)
+  }
+
+  /** (id, v) normal form shared by the two-stage rungs. */
+  private def refsFrame(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
 
   /** Seeded Lloyd k-means with k-means++ init on an in-memory sample
     * (quantizer training for [[ivfTopK]]); deterministic for a seed.

@@ -331,6 +331,51 @@ object PipelineSimilarityQueries {
     "q201_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaRecallAudit(s, Tables.embeddings(s, d),
         dims = 16, k = 5, nQueries = 50)),
+
+    // Matryoshka TWO-STAGE retrieval (the operator q201's audit
+    // measures for): 32-dim prefix shortlist of 50 → exact full-dim
+    // re-rank. EXACT oracle — DuckDB replays the whole two-stage
+    // trajectory (prefix row_number shortlist, full-dim re-rank, q29
+    // rounding discipline) AND the global recall-vs-brute boolean.
+    // Operating point from ProbeAnnRecall (r9): dims=32/shortlist=50
+    // measures recall@5 0.776 (sf0.01) / 0.672 (sf0.1) on the
+    // NEAR-RANDOM synthetic embeddings — a structural cap: a random
+    // prefix carries ~sqrt(dims/dim) of the cosine signal, where an
+    // MRL-TRAINED embedding packs most of it into the prefix
+    // (Kusupati et al. 2022). dims=16 measured 0.29-0.58, under the
+    // floor. 0.55 separates working from broken (a prefix-ignoring
+    // bug reads ~0; a shortlist bug fails k_ok/row-count first).
+    "q202_matryoshka_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 50)
+      val two = Similarity.matryoshkaTopK(qs, e, k = 5, dims = 32,
+        shortlist = 50).cache()
+      val brute = Similarity.bruteForceTopK(qs, e, k = 5).select("qid", "rid")
+      val nb = brute.count()
+      val nh = two.select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      two.withColumn("recall_ok", lit(recall >= 0.55)).orderBy("qid", "rn")
+    }),
+
+    // SQ8-compressed retrieval (the SqCodec consumer): int8-code
+    // shortlist by asymmetric cosine → exact re-rank. EXACT oracle:
+    // DuckDB re-derives the codes (the q200 algebra), decodes them,
+    // replays the asymmetric shortlist and the full re-rank. 255-level
+    // codes are near-faithful, so recall@5 measures 1.000 at BOTH
+    // sf0.01 and sf0.1 even at shortlist=10 (ProbeAnnRecall r9);
+    // floor 0.9 — any quantization or decode drift collapses it.
+    "q203_sq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 50)
+      val sq = Similarity.sqTopK(s, qs, e, k = 5, shortlist = 10).cache()
+      val brute = Similarity.bruteForceTopK(qs, e, k = 5).select("qid", "rid")
+      val nb = brute.count()
+      val nh = sq.select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      sq.withColumn("recall_ok", lit(recall >= 0.9)).orderBy("qid", "rn")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -518,12 +563,14 @@ object PipelineSimilarityQueries {
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin,
 
     // SQ8: identical fixed-order double arithmetic —
-    // floor((x−mn)·255/(mx−mn)+0.5) clamped — replays every code.
+    // floor((x−mn)·255/(mx−mn)+0.5) clamped — replays every code. The
+    // series bound is the row's OWN array length (lateral unnest), so
+    // a fixture dim change can never desync the two engines.
     "q200_sq8_codec" ->
       """WITH u AS (
-        |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
-        |    embedding[i]::DOUBLE AS x
-        |  FROM embeddings, generate_series(1, 64) g(i)),
+        |  SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS pos,
+        |    embedding[g.i]::DOUBLE AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)),
         |s AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM u GROUP BY 1),
         |c AS (
         |  SELECT u.vec_id, u.pos, u.x, s.mn, s.mx,
@@ -570,5 +617,103 @@ object PipelineSimilarityQueries {
         |FROM embeddings e LEFT JOIN ov ON ov.qid = e.vec_id
         |WHERE e.vec_id < 50
         |ORDER BY qid""".stripMargin,
+
+    // Two-stage Matryoshka: the 32-dim-prefix shortlist (rn <= 50),
+    // the exact full-dim re-rank, AND the global recall-vs-brute
+    // boolean, all replayed (q29 rounding discipline throughout).
+    "q202_matryoshka_topk" ->
+      """WITH sl AS (
+        |  SELECT qid, rid FROM (
+        |    SELECT q.vec_id AS qid, r.vec_id AS rid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity((q.embedding::DOUBLE[])[1:32],
+        |          (r.embedding::DOUBLE[])[1:32]), 6) DESC, r.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings r ON q.vec_id <> r.vec_id
+        |    WHERE q.vec_id < 50)
+        |  WHERE rn <= 50),
+        |rr AS (
+        |  SELECT qid, rid, cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, rid ASC) AS rn
+        |  FROM (
+        |    SELECT sl.qid, sl.rid,
+        |      round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |        r.embedding::DOUBLE[]), 6) AS cos
+        |    FROM sl
+        |    JOIN embeddings q ON q.vec_id = sl.qid
+        |    JOIN embeddings r ON r.vec_id = sl.rid)),
+        |two AS (SELECT * FROM rr WHERE rn <= 5),
+        |fullk AS (
+        |  SELECT qid, rid FROM (
+        |    SELECT q.vec_id AS qid, r.vec_id AS rid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |          r.embedding::DOUBLE[]), 6) DESC, r.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings r ON q.vec_id <> r.vec_id
+        |    WHERE q.vec_id < 50)
+        |  WHERE rn <= 5),
+        |rec AS (
+        |  SELECT (SELECT count(*) FROM two t JOIN fullk f
+        |      ON f.qid = t.qid AND f.rid = t.rid)::DOUBLE
+        |    / nullif((SELECT count(*) FROM fullk), 0) >= 0.55 AS r_ok)
+        |SELECT two.qid, two.rid, two.cos, two.rn,
+        |  coalesce(rec.r_ok, TRUE) AS recall_ok
+        |FROM two, rec
+        |ORDER BY qid, rn""".stripMargin,
+
+    // SQ8 two-stage: codes re-derived (the q200 algebra), decoded,
+    // asymmetric shortlist (rn <= 10), exact re-rank, recall boolean.
+    "q203_sq_topk" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS pos,
+        |    embedding[g.i]::DOUBLE AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)),
+        |s AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM u GROUP BY 1),
+        |dec AS (
+        |  SELECT u.vec_id, array_agg(
+        |      s.mn + (CASE WHEN s.mx = s.mn THEN 0.0
+        |        ELSE least(255.0, greatest(0.0,
+        |          floor((u.x - s.mn) * 255.0 / (s.mx - s.mn) + 0.5)))
+        |        END) * (s.mx - s.mn) / 255.0
+        |      ORDER BY u.pos) AS dv
+        |  FROM u JOIN s USING (pos) GROUP BY u.vec_id),
+        |sl AS (
+        |  SELECT qid, rid FROM (
+        |    SELECT q.vec_id AS qid, d.vec_id AS rid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[], d.dv), 6)
+        |          DESC, d.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN dec d ON q.vec_id <> d.vec_id
+        |    WHERE q.vec_id < 50)
+        |  WHERE rn <= 10),
+        |rr AS (
+        |  SELECT qid, rid, cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, rid ASC) AS rn
+        |  FROM (
+        |    SELECT sl.qid, sl.rid,
+        |      round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |        r.embedding::DOUBLE[]), 6) AS cos
+        |    FROM sl
+        |    JOIN embeddings q ON q.vec_id = sl.qid
+        |    JOIN embeddings r ON r.vec_id = sl.rid)),
+        |two AS (SELECT * FROM rr WHERE rn <= 5),
+        |fullk AS (
+        |  SELECT qid, rid FROM (
+        |    SELECT q.vec_id AS qid, r.vec_id AS rid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |          r.embedding::DOUBLE[]), 6) DESC, r.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings r ON q.vec_id <> r.vec_id
+        |    WHERE q.vec_id < 50)
+        |  WHERE rn <= 5),
+        |rec AS (
+        |  SELECT (SELECT count(*) FROM two t JOIN fullk f
+        |      ON f.qid = t.qid AND f.rid = t.rid)::DOUBLE
+        |    / nullif((SELECT count(*) FROM fullk), 0) >= 0.9 AS r_ok)
+        |SELECT two.qid, two.rid, two.cos, two.rn,
+        |  coalesce(rec.r_ok, TRUE) AS recall_ok
+        |FROM two, rec
+        |ORDER BY qid, rn""".stripMargin,
   )
 }

@@ -137,6 +137,54 @@ object NearDupStream {
       }
       .start()
 
+  /** [[graft.pipeline.Dedup.dedupAgainst]] probing the gate's
+    * ACCUMULATED band-key index instead of re-signaturing the
+    * reference corpus — the incremental-crawl backfill sharing state
+    * with the streaming gate (r8 verdict #8): once the stream has
+    * indexed a corpus (ideally [[compactIndex]]-ed, so each bucket's
+    * rows are clustered), a batch backfill dedups against it at the
+    * cost of ONE band equi-join — the reference side's signature scan,
+    * the expensive half of `dedupAgainst` at 100 TB of reference, is
+    * already paid.
+    *
+    * Same output contract as `dedupAgainst`: one row per new doc,
+    * (doc_id, keep, n_matches, matched_ref), decisions identical by
+    * construction ([[bandKeys]] is the same minhash/banding algebra;
+    * verification is the same round-6 [[Dedup.sigJaccard]] cut) —
+    * PipelineSpec pins route equality. Collisions verify BEFORE the
+    * id-pair dedup (the [[filterBatch]] shape: both sigs ride the
+    * collision row, so nothing joins signatures back); `n_matches`
+    * counts distinct verifying reference docs. */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame, n: Int = 3,
+                        k: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.5,
+                        md5Based: Boolean = false, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val keys = bandKeys(newDocs, n, k, bands, md5Based, idCol, textCol)
+    val hits = keys
+      .join(index.select(col("band"), col("bucket"),
+        col("doc_id").as("_pid"), col("sig").as("_psig")),
+        Seq("band", "bucket"))
+      .filter(round(Dedup.sigJaccard(col("sig"), col("_psig")), 6)
+        >= threshold)
+      .select(col("doc_id"), col("_pid")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("_pid")).as("matched_ref"))
+    newDocs.select(col(idCol).as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("matched_ref").isNull.as("keep"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("matched_ref"))
+  }
+
+  /** [[dedupAgainstIndex]] against the index directory a running
+    * [[attach]] maintains. */
+  def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+                        indexDir: String, n: Int, k: Int, bands: Int,
+                        threshold: Double): DataFrame =
+    dedupAgainstIndex(newDocs, readIndex(spark, indexDir, k), n, k, bands,
+      threshold)
+
   /** Current index rows (doc_id, band, bucket, sig), or an empty typed
     * frame before first write. Existence goes through the Hadoop
     * FileSystem API so an HDFS/S3 `indexDir` works — `java.io.File`

@@ -1553,6 +1553,122 @@ class PipelineSpec extends SparkSpec {
     real.unpersist()
   }
 
+  test("sq codec: encode ≡ in-plan audit codes, half-step round-trip, clamp/flat branches") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // hand fixture with a FLAT dimension (all rows equal → mx == mn →
+    // code 0, decode == mn exactly) next to spread dimensions
+    val pts = Seq(
+      (0L, Array(0.0f, 7.5f, -1.0f, 0.25f)),
+      (1L, Array(1.0f, 7.5f, 3.0f, 0.50f)),
+      (2L, Array(0.5f, 7.5f, 1.0f, 0.75f)))
+      .toDF("vec_id", "embedding")
+    val codec = Similarity.sqTrain(spark, pts)
+    assert(codec.dim == 4)
+    assert(codec.mins(1) == 7.5 && codec.maxs(1) == 7.5) // flat dim
+    // codec encode ≡ the in-plan audit's codes, row for row (the r8
+    // ADVICE item: the audit re-derives the quantization algebra in
+    // Column expressions — any drift between the two must fail here)
+    def auditCodes(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Long] =
+      Similarity.sqQuantizeAudit(spark, df).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def encCodes(df: org.apache.spark.sql.DataFrame,
+                 c: Similarity.SqCodec): Map[(Long, Int), Long] =
+      Similarity.sqEncode(spark, df, c).collect().flatMap { r =>
+        r.getSeq[Int](1).zipWithIndex.map { case (code, pos) =>
+          (r.getLong(0), pos) -> code.toLong }
+      }.toMap
+    assert(encCodes(pts, codec) == auditCodes(pts))
+    // round-trip within half a step per dimension; flat dim exact
+    pts.collect().foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val dec = codec.decode(codec.encode(v))
+      for (i <- v.indices) {
+        val step = (codec.maxs(i) - codec.mins(i)) / 255.0
+        assert(math.abs(dec(i) - v(i)) <= step / 2 + 1e-9,
+          s"dim $i: ${dec(i)} vs ${v(i)} step $step")
+      }
+      assert(dec(1) == 7.5) // flat dimension reconstructs exactly
+    }
+    // clamp branch: values OUTSIDE the trained envelope pin to 0/255
+    val out = codec.encode(Array(-100f, 7.5f, 100f, 0.5f))
+    assert(out(0) == 0 && out(2) == 255)
+    // real embeddings: codec ≡ audit on the full corpus too
+    val e = Tables.embeddings(spark, sf)
+    val realCodec = Similarity.sqTrain(spark, e)
+    assert(encCodes(e, realCodec) == auditCodes(e))
+  }
+
+  test("matryoshka: prefix-preserving vs prefix-breaking geometry; two-stage recovers") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // PRESERVING plant: all signal in the prefix dims, zero tail —
+    // truncation changes nothing, audit recall must be exactly 1
+    val rnd = new scala.util.Random(3)
+    val keep = (0L until 12L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat()) ++ Array.fill(4)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val aKeep = Similarity.matryoshkaRecallAudit(spark, keep, dims = 4,
+      k = 3, nQueries = 5, dim = 8).collect()
+    assert(aKeep.length == 5)
+    aKeep.foreach(r => assert(r.getDouble(2) == 1.0,
+      s"preserving plant: recall ${r.getDouble(2)} for qid ${r.getLong(0)}"))
+    // BREAKING plant: identical prefix, all signal in the tail — the
+    // prefix ordering is a pure rid-asc tie-break, so the true
+    // neighbors (planted at HIGH rids) are invisible to the prefix
+    val base = Array.fill(4)(1.0f)
+    val brk = ((0L until 10L).map(i =>
+      (i, base ++ Array.fill(4)(rnd.nextFloat() - 0.5f))) :+
+      // 20..21: near-identical tails to query 0's — its true neighbors
+      (20L, base ++ Array(0.9f, 0.9f, 0.9f, 0.9f)) :+
+      (21L, base ++ Array(0.89f, 0.9f, 0.9f, 0.9f)) :+
+      (0L, base ++ Array(0.9f, 0.9f, 0.9f, 0.91f)))
+      .groupBy(_._1).map(_._2.head).toSeq // dedupe the replanted id 0
+      .toDF("vec_id", "embedding")
+    // with a shortlist smaller than the corpus the prefix tie-break
+    // (rid asc) picks LOW rids, so the high-rid true neighbors of
+    // query 0 are cut: the two-stage result must MISS them...
+    val small = Similarity.matryoshkaTopK(brk.filter(col("vec_id") === 0L),
+      brk, k = 2, dims = 4, shortlist = 5, dim = 8)
+      .select("rid").as[Long].collect().toSet
+    assert(!small.contains(20L) && !small.contains(21L),
+      s"shortlist 5 should cut the high-rid neighbors, got $small")
+    // ...and with shortlist covering the corpus, the exact full-dim
+    // re-rank recovers them: two-stage ≡ brute, row for row
+    val qs = brk.filter(col("vec_id") < 5)
+    val two = Similarity.matryoshkaTopK(qs, brk, k = 3, dims = 4,
+      shortlist = 11, dim = 8)
+    val brute = Similarity.bruteForceTopK(qs, brk, k = 3, dim = 8)
+    assert(two.exceptAll(brute).isEmpty && brute.exceptAll(two).isEmpty)
+  }
+
+  test("sqTopK: full-shortlist run equals brute exactly; short shortlist keeps k_ok") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 6)
+    // shortlist = corpus: stage 2 is an exact re-rank over everything,
+    // so the SQ8 shortlist ordering cannot cost recall — must equal
+    // the brute kernel row for row
+    val sq = Similarity.sqTopK(spark, qs, vecs, k = 4, shortlist = 29, dim = 8)
+    val brute = Similarity.bruteForceTopK(qs, vecs, k = 4, dim = 8)
+    assert(sq.exceptAll(brute).isEmpty && brute.exceptAll(sq).isEmpty)
+    // tight shortlist: still exactly k rows per query (k_ok posture),
+    // and 255-level codes are faithful enough that recall stays 1.0
+    // on a spread fixture
+    val tight = Similarity.sqTopK(spark, qs, vecs, k = 4, shortlist = 6, dim = 8)
+    val counts = tight.groupBy("qid").count().select("count")
+      .as[Long].collect()
+    assert(counts.length == 6 && counts.forall(_ == 4L))
+    val nb = brute.select("qid", "rid").count()
+    val nh = tight.select("qid", "rid")
+      .join(brute.select("qid", "rid"), Seq("qid", "rid"), "left_semi").count()
+    assert(nh == nb, s"SQ8 tight-shortlist recall $nh/$nb on faithful codes")
+  }
+
   test("ivfPqParamsFor: derivation matches the recorded curve guidance") {
     import graft.pipeline.Similarity
     val tiny = Similarity.ivfPqParamsFor(500L)
@@ -1642,6 +1758,127 @@ class PipelineSpec extends SparkSpec {
       s"stream/batch diverge: only-stream=${survived.toSet -- keptBatch} " +
         s"only-batch=${keptBatch -- survived.toSet}")
     base.unpersist()
+  }
+
+  test("CurateStream: micro-batched chain ≡ Curate.corpus keep set and splits") {
+    import graft.streaming.{CurateStream, NearDupStream}
+    import graft.pipeline.{Curate, QualityClassifier}
+    // ordered fixture (arrival order = id order, the parity premise)
+    // with plants exercising every gate across batch boundaries: an
+    // exact copy and a near-copy of batch-1 docs arriving in batch 3
+    val base = docs.select("doc_id", "text")
+    val nearCopy = base.filter(col("doc_id") === 0)
+      .select(lit(30000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    val exactCopy = base.filter(col("doc_id") === 2)
+      .select(lit(30001L).as("doc_id"), col("text"))
+    val all = base.filter(col("doc_id") < 90)
+      .union(nearCopy).union(exactCopy).cache()
+    // one frozen scorer feeds BOTH routes (the streaming posture)
+    val scorer = QualityClassifier.fit(all, col("keep"))
+    // batch route: same verification mode the stream index affords
+    val (curatedB, _) = Curate.corpus(spark, all, minScore = 0.3,
+      threshold = 0.5, scorer = Some(scorer), verify = "sig")
+    val keptBatch = curatedB.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // stream route: three id-ordered micro-batches through curateBatch
+    val batches = Seq(all.filter(col("doc_id") < 40),
+      all.filter(col("doc_id") >= 40 && col("doc_id") < 90),
+      all.filter(col("doc_id") >= 30000))
+    var fpIdx = CurateStream.readFpIndex(spark, "/nonexistent_graft_fp")
+    var bandIdx = NearDupStream.readIndex(spark, "/nonexistent_graft_idx", 64)
+    val keptStream = scala.collection.mutable.Map.empty[Long, String]
+    batches.foreach { b =>
+      val (curated, fpAdd, bandAdd) = CurateStream.curateBatch(b, scorer,
+        fpIdx, bandIdx, minScore = 0.3, threshold = 0.5)
+      curated.select("doc_id", "split").collect()
+        .foreach(r => keptStream(r.getLong(0)) = r.getString(1))
+      fpIdx = fpIdx.unionByName(fpAdd)
+      bandIdx = bandIdx.unionByName(
+        bandAdd.select("doc_id", "band", "bucket", "sig"))
+      bandAdd.unpersist()
+    }
+    // the cross-batch plants died in the right gates
+    assert(!keptStream.contains(30001L), "exact copy must be cut")
+    assert(!keptStream.contains(30000L), "near copy must be cut")
+    assert(keptStream.toMap == keptBatch,
+      s"stream/batch diverge: only-stream=${keptStream.keySet -- keptBatch.keySet} " +
+        s"only-batch=${keptBatch.keySet -- keptStream.keySet} " +
+        s"split-diff=${keptStream.toMap.toSet.diff(keptBatch.toSet).take(5)}")
+    all.unpersist()
+  }
+
+  test("CurateStream.attach: end-to-end stream maintains both indexes") {
+    import graft.streaming.{CurateStream, NearDupStream}
+    import graft.pipeline.QualityClassifier
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val base = docs.select("doc_id", "text")
+    val scorer = QualityClassifier.fit(base, col("keep"))
+    base.filter(col("doc_id") < 40).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = CurateStream.attach(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), scorer,
+      fpIndexDir = s"$tmp/fp", bandIndexDir = s"$tmp/band",
+      outDir = s"$tmp/out", checkpointDir = s"$tmp/ckpt",
+      minScore = 0.3, threshold = 0.5)
+    q.processAllAvailable()
+    val firstKept = spark.read.parquet(s"$tmp/out").count()
+    // an exact copy of doc 2 arrives a trigger later → cut by the fp index
+    base.filter(col("doc_id") === 2)
+      .select(lit(30001L).as("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == firstKept, "cross-trigger exact copy slipped through")
+    assert(out.filter(col("doc_id") === 30001L).isEmpty)
+    // batch is the per-trigger partition directory surfacing as a column
+    assert(out.columns.toSet == Set("doc_id", "text", "score", "split", "batch"))
+    // both indexes accumulated rows for gated arrivals
+    assert(CurateStream.readFpIndex(spark, s"$tmp/fp").count() > 0)
+    assert(NearDupStream.readIndex(spark, s"$tmp/band", 64).count() > 0)
+  }
+
+  test("dedupAgainstIndex ≡ dedupAgainst: index probe and re-signature routes agree") {
+    import graft.streaming.NearDupStream
+    // reference corpus indexed the way the streaming gate indexes it;
+    // new corpus carries an exact copy, a near copy, and fresh docs
+    val ref = docs.select("doc_id", "text").filter(col("doc_id") < 60).cache()
+    val fresh = docs.select((col("doc_id") + 5000).as("doc_id"), col("text"))
+      .filter(col("doc_id") >= 5060 && col("doc_id") < 5080)
+    val exactCopy = ref.filter(col("doc_id") === 3)
+      .select(lit(9000L).as("doc_id"), col("text"))
+    val nearCopy = ref.filter(col("doc_id") === 4)
+      .select(lit(9001L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+    val neu = fresh.union(exactCopy).union(nearCopy)
+    val index = NearDupStream.bandKeys(ref).cache()
+    val viaIndex = NearDupStream.dedupAgainstIndex(neu, index, threshold = 0.5)
+    val viaRef = Dedup.dedupAgainst(neu, ref, threshold = 0.5)
+    assert(viaIndex.exceptAll(viaRef).isEmpty &&
+      viaRef.exceptAll(viaIndex).isEmpty,
+      s"routes diverge:\nindex=${viaIndex.orderBy("doc_id").collect().mkString}\n" +
+        s"ref=${viaRef.orderBy("doc_id").collect().mkString}")
+    // the plants verify against their sources; output is one row per doc
+    val got = viaIndex.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.get(3))).toMap
+    assert(got(9000L)._1 == false && got(9000L)._2 == 3L)
+    assert(got(9001L)._1 == false)
+    assert(got.size == neu.count())
+    // and probing a COMPACTED on-disk index is the same decision set
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dai").toString
+    index.write.mode("overwrite").parquet(s"$tmp/idx/batch=0")
+    NearDupStream.compactIndex(spark, s"$tmp/idx", 64, partitions = 2)
+    val viaDir = NearDupStream.dedupAgainstIndex(spark, neu, s"$tmp/idx",
+      n = 3, k = 64, bands = 16, threshold = 0.5)
+    assert(viaDir.exceptAll(viaRef).isEmpty && viaRef.exceptAll(viaDir).isEmpty)
+    ref.unpersist(); index.unpersist()
   }
 
   test("NearDupStream.attach: end-to-end file stream maintains the index") {

@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Per-query bench diff between two committed bench JSON files.
+
+Usage: python3 tools/bench_diff.py bench_results/bench_r8.json bench_results/bench_r9.json [threshold]
+
+Prints queries whose wall time changed by more than `threshold`
+(default 1.5x in either direction, ignoring sub-100ms rows where
+scheduling noise dominates), plus the totals. Exit code 0 always —
+this is a diagnostic, the correctness gate is check_oracle.py.
+"""
+import json
+import sys
+
+def load(p):
+    with open(p) as f:
+        return json.loads(f.read().strip().splitlines()[-1])
+
+def main():
+    a, b = load(sys.argv[1]), load(sys.argv[2])
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    qa, qb = a.get("queries", {}), b.get("queries", {})
+    print(f"total: {a.get('core_total', a.get('value')):.1f}s "
+          f"({len(qa)} queries) -> {b.get('core_total', b.get('value')):.1f}s "
+          f"({len(qb)} queries)")
+    for name in sorted(set(qa) | set(qb)):
+        ta, tb = qa.get(name), qb.get(name)
+        if ta is None:
+            print(f"  NEW     {name:<28} {tb:8.2f}s")
+        elif tb is None:
+            print(f"  REMOVED {name:<28} {ta:8.2f}s")
+        elif max(ta, tb) >= 0.1 and (tb > ta * thr or ta > tb * thr):
+            print(f"  {'SLOWER' if tb > ta else 'FASTER':<7} {name:<28} "
+                  f"{ta:8.2f}s -> {tb:8.2f}s ({tb / ta:5.2f}x)")
+
+if __name__ == "__main__":
+    main()
