@@ -168,6 +168,25 @@ object PipelineScaleProbe {
       }.reduce(_ union _)
       graft.pipeline.Similarity.kCenterGreedy(spark, repE, k = 16).count()
     }
+    // two-stage retrieval rungs (r9): fixed 50-query side against a
+    // K×-replicated embedding corpus — stage 1 is the 50×n prefix/code
+    // scan (linear in K), stage 2 re-ranks a fixed 50×shortlist set,
+    // so the rungs must show the scan's linear slope
+    val repE = {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      (0 until reps).map { k =>
+        e.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _).cache()
+    }
+    val nVecs = repE.count()
+    val q50 = repE.filter(col("vec_id") < 50)
+    val (nMrl, tMrl) = time(graft.pipeline.Similarity
+      .matryoshkaTopK(q50, repE, k = 5, dims = 32, shortlist = 50).count())
+    val (nSq, tSq) = time(graft.pipeline.Similarity
+      .sqTopK(spark, q50, repE, k = 5, shortlist = 10).count())
+    repE.unpersist()
     // equi-depth AUC (r9): rank over a CALIBRATED-PILE score
     // distribution — sigmoid(12·(u−½)) piles scores against 0 and 1,
     // exactly the regime that skewed the old uniform-value bucket
@@ -210,7 +229,9 @@ object PipelineScaleProbe {
       s""""dedupspans_sec":$tSp,"dedupspans_rows":$nSp,""" +
       s""""kcenter_sec":$tKc,"kcenter_rows":$nKc,""" +
       s""""auc_sec":$tAuc,"auc":${aucStats._1},""" +
-      s""""auc_max_bucket_share":${aucStats._2}}""")
+      s""""auc_max_bucket_share":${aucStats._2},""" +
+      s""""vecs":$nVecs,"mrl_topk_sec":$tMrl,"mrl_topk_rows":$nMrl,""" +
+      s""""sq_topk_sec":$tSq,"sq_topk_rows":$nSq}""")
     spark.stop()
   }
 }
