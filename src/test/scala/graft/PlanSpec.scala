@@ -401,6 +401,28 @@ class PlanSpec extends SparkSpec {
       s"window partitioning must key on the bucket:\n$p")
   }
 
+  test("two-stage rungs: top-k pushed to WindowGroupLimit, no single-partition Exchange") {
+    // both shortlist and re-rank windows must partition by qid (never a
+    // global sort) and plan the rank-limit pushdown; the joins stay
+    // broadcast (stats pick the under-threshold side, which at corpus
+    // scale is the 50-row query frame / the |Q|·shortlist candidate set)
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val qs = e.filter(col("vec_id") < 50)
+    for ((name, df) <- Seq(
+      ("matryoshkaTopK", Similarity.matryoshkaTopK(qs, e, k = 5,
+        dims = 32, shortlist = 50)),
+      ("sqTopK", Similarity.sqTopK(spark, qs, e, k = 5, shortlist = 10)))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name plans a single-partition exchange:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$name misses the rank-limit pushdown:\n$p")
+      assert(p.contains("hashpartitioning(qid"),
+        s"$name window must partition by qid:\n$p")
+    }
+  }
+
   test("q115 approx profile mode plans no Expand; exact mode does") {
     // the documented swap is now a plan property, both directions
     val o = Tables.orders(spark, sf)
