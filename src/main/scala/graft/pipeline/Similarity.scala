@@ -252,31 +252,85 @@ object Similarity extends Serializable {
               trainCap: Int = 20000): DataFrame = {
     import spark.implicits._
     val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
-      .limit(trainCap).as[(Long, Array[Float])].collect()
-      .map(_._2.map(_.toDouble))
-    val centers = lloydKMeans(train, nLists, seed)
+    val centers = ivfTrainCentroids(spark, vectors, nLists, seed, idCol,
+      vecCol, trainCap)
     val bc = spark.sparkContext.broadcast(centers)
-    def nearest(v: Array[Float], howMany: Int): Array[Int] = {
-      val cs = bc.value
-      val d2 = Array.tabulate(cs.length) { c =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { val d = v(i) - cs(c)(i); s += d * d; i += 1 }
-        s
-      }
-      (0 until cs.length).sortBy(c => (d2(c), c)).take(howMany).toArray
-    }
     val assigned = src.as[(Long, Array[Float])]
-      .map { case (id, v) => (id, v, nearest(v, 1)(0)) }
+      .map { case (id, v) => (id, v, ivfNearest(bc.value, v, 1)(0)) }
       .toDF("rid", "rv", "list")
     val qProbe = src.as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        nearest(v, nProbe).iterator.map(l => (id, v, l)) }
+        ivfNearest(bc.value, v, nProbe).iterator.map(l => (id, v, l)) }
       .toDF("qid", "qv", "list")
     // every ref sits in exactly one list, so a (qid, rid) pair appears
     // at most once — no dedupe needed before the re-rank.
     padShortQueries(rerankTopK(qProbe.join(assigned, "list")
       .filter(col("qid") =!= col("rid")), k), src, src, k)
+  }
+
+  /** Train the IVF coarse quantizer alone — extracted from [[ivfTopK]]
+    * (bit-identical sample order and Lloyd path) so the streaming
+    * vector ingest ([[graft.streaming.IvfStream]]) and the
+    * index-probing search ([[ivfTopKFromIndex]]) share ONE quantizer
+    * with the batch operator. */
+  def ivfTrainCentroids(spark: SparkSession, vectors: DataFrame,
+                        nLists: Int = 16, seed: Long = 42,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        trainCap: Int = 20000): Array[Array[Double]] = {
+    import spark.implicits._
+    val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainCap).as[(Long, Array[Float])].collect()
+      .map(_._2.map(_.toDouble))
+    lloydKMeans(train, nLists, seed)
+  }
+
+  /** Nearest `howMany` centroid ids by L2, deterministic tie-break on
+    * centroid index — THE assignment arithmetic, one definition for
+    * the batch operator, the streaming ingest, and the index probe. */
+  private[graft] def ivfNearest(cs: Array[Array[Double]], v: Array[Float],
+                                howMany: Int): Array[Int] = {
+    val d2 = Array.tabulate(cs.length) { c =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - cs(c)(i); s += d * d; i += 1 }
+      s
+    }
+    (0 until cs.length).sortBy(c => (d2(c), c)).take(howMany).toArray
+  }
+
+  /** IVF search over a PRE-ASSIGNED index frame (idCol, vecCol, list)
+    * — the query half of the accumulated-index pattern: the corpus was
+    * assigned once (at ingest, by [[graft.streaming.IvfStream]], or by
+    * a one-off [[graft.streaming.IvfStream.assignOnIngest]] batch) and
+    * search never re-trains or re-assigns.
+    *
+    * The probed lists are a ≤nLists driver-side set (nLists is a
+    * parameter, not data), so the index is FILTERED on them before the
+    * join — when the index lives list-partitioned on disk (the
+    * [[graft.streaming.IvfStream.attach]] layout) that filter becomes
+    * parquet `PartitionFilters` and a probe READS nProbe/nLists of the
+    * index bytes: the IVF contract made physical. PlanSpec pins the
+    * pruned scan; route equality with [[ivfTopK]] under shared
+    * centroids is pinned by PipelineSpec. */
+  def ivfTopKFromIndex(spark: SparkSession, queries: DataFrame,
+                       index: DataFrame, centers: Array[Array[Double]],
+                       k: Int, nProbe: Int = 2, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centers)
+    val q = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val probe = q.as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        ivfNearest(bc.value, v, nProbe).iterator.map(l => (id, v, l)) }
+      .toDF("qid", "qv", "list")
+    val lists = probe.select("list").distinct().as[Int].collect().toSeq
+    val idx = index.filter(col("list").isin(lists: _*))
+      .select(col(idCol).cast("long").as("rid"), col(vecCol).as("rv"),
+        col("list"))
+    padShortQueries(rerankTopK(probe.join(idx, "list")
+      .filter(col("qid") =!= col("rid")), k), q,
+      index.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), k)
   }
 
   /** IVF-PQ: coarse inverted lists + product-quantized residuals +

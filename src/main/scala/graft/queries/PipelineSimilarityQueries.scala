@@ -332,6 +332,28 @@ object PipelineSimilarityQueries {
       Similarity.matryoshkaRecallAudit(s, Tables.embeddings(s, d),
         dims = 16, k = 5, nQueries = 50)),
 
+    // IVF search over the INGEST-ASSIGNED index frame (the IvfStream
+    // route: frozen quantizer, stateless assignment, list-partitioned
+    // accumulated index, probed-list partition pruning) — same
+    // quantizer and assignment arithmetic as q41's batch operator, so
+    // rows are identical by the PipelineSpec route pin; the audit
+    // re-measures recall against the brute twin anyway and enforces
+    // q41's floor.
+    "q204_ivf_index_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centers = Similarity.ivfTrainCentroids(s, e, nLists = 8)
+      val index = graft.streaming.IvfStream.assignOnIngest(e, centers)
+      val ivf = Similarity.ivfTopKFromIndex(s, e, index, centers,
+        k = 5, nProbe = 3).cache()
+      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        k = 5).select("qid", "rid")
+      val nb = brute.count()
+      val nh = ivf.filter(col("qid") < 50).select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      annTopKAudit(e, ivf, k = 5, recall, floor = 0.55)
+    }),
+
     // Matryoshka TWO-STAGE retrieval (the operator q201's audit
     // measures for): 32-dim prefix shortlist of 50 → exact full-dim
     // re-rank. EXACT oracle — DuckDB replays the whole two-stage
@@ -526,6 +548,13 @@ object PipelineSimilarityQueries {
         |FROM embeddings""".stripMargin,
 
     "q41_ivf_topk" ->
+      """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
+        |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
+        |  TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
+
+    // IvfStream index route: the same per-query contract booleans.
+    "q204_ivf_index_topk" ->
       """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
         |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
         |  TRUE AS recall_ok

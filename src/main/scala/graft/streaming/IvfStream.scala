@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.pipeline.Similarity
+
+/** Streaming VECTOR ingest into an IVF index — the embedding-side twin
+  * of the document gates: a live pipeline that embeds arriving
+  * documents needs its vectors SEARCHABLE without nightly re-indexing,
+  * and IVF's structure is exactly what makes that a stateless stream:
+  * the coarse quantizer is FROZEN at train time (the
+  * [[DocsStream.classifierScoreOnIngest]] posture — centroids are
+  * nLists·dim doubles, broadcast-sized anywhere), so assignment is one
+  * narrow typed map per arrival, no aggregate, no state store, no
+  * shuffle.
+  *
+  * The index accrues as list-partitioned parquet
+  * (`indexDir/batch=<id>/list=<l>/`) with the [[NearDupStream.attach]]
+  * idempotency pattern — one overwritten batch partition per trigger,
+  * so crash replay rewrites the same files. Search goes through
+  * [[Similarity.ivfTopKFromIndex]]: probed lists are a ≤nLists
+  * driver-side set, so the probe filter lands in the parquet scan as
+  * `PartitionFilters` and a query reads nProbe/nLists of the index
+  * bytes — at 100 TB of accumulated vectors that pruning IS the
+  * difference between an ANN index and a full scan. Route equality
+  * with the batch [[Similarity.ivfTopK]] under shared centroids is
+  * pinned by PipelineSpec; the assignment arithmetic is ONE definition
+  * ([[Similarity.ivfNearest]]) for all three call sites.
+  *
+  * Re-train cadence is the caller's: k-means centroids drift as the
+  * corpus distribution does, so production re-trains offline
+  * ([[Similarity.ivfTrainCentroids]]) and re-attaches — the accrued
+  * index re-assigns with one batch `assignOnIngest` pass, not a
+  * re-shuffle (assignment is a narrow map at any size). */
+object IvfStream {
+
+  /** Stateless list assignment: (idCol, vecCol, list) — one plan
+    * serves batch and readStream. */
+  def assignOnIngest(vecs: DataFrame, centers: Array[Array[Double]],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centers)
+    vecs.select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, Similarity.ivfNearest(bc.value, v, 1)(0)) }
+      .toDF(idCol, vecCol, "list")
+  }
+
+  /** Wire vector ingest into a running stream: each micro-batch is
+    * assigned against the frozen centroids and lands in its own
+    * idempotent `batch=<id>` partition, sub-partitioned by list. */
+  def attach(stream: DataFrame, centers: Array[Array[Double]],
+             indexDir: String, checkpointDir: String,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        assignOnIngest(batch, centers, idCol, vecCol)
+          .write.partitionBy("list").mode("overwrite")
+          .parquet(s"$indexDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Accumulated index rows (idCol, vecCol, list), or an empty typed
+    * frame before the first write (the [[NearDupStream.readIndex]]
+    * Hadoop-FS shape). */
+  def readIndex(spark: SparkSession, indexDir: String,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      spark.read.parquet(indexDir).select(idCol, vecCol, "list")
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(vecCol,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("list",
+            org.apache.spark.sql.types.IntegerType))))
+  }
+}

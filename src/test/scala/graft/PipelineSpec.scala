@@ -1881,6 +1881,54 @@ class PipelineSpec extends SparkSpec {
     ref.unpersist(); index.unpersist()
   }
 
+  test("IvfStream: index-probing search ≡ batch ivfTopK under shared centroids") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+    // ingest-assigned index frame, probed — must equal the batch
+    // operator row for row (one assignment arithmetic, one quantizer)
+    val index = IvfStream.assignOnIngest(e, centers)
+    val got = Similarity.ivfTopKFromIndex(spark, e, index, centers,
+      k = 5, nProbe = 3)
+    val want = Similarity.ivfTopK(spark, e, k = 5, nLists = 8, nProbe = 3)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    e.unpersist()
+  }
+
+  test("IvfStream.attach: vectors accrue across triggers; probe sees them all") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding").cache()
+    // quantizer trained on the corpus the batch twin will train on, so
+    // the two routes share centroids exactly
+    val centers = Similarity.ivfTrainCentroids(spark,
+      e.filter(col("vec_id") < 200), nLists = 8)
+    e.filter(col("vec_id") < 100).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = e.schema
+    val q = IvfStream.attach(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), centers,
+      indexDir = s"$tmp/index", checkpointDir = s"$tmp/ckpt")
+    q.processAllAvailable()
+    e.filter(col("vec_id") >= 100 && col("vec_id") < 200).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    val index = IvfStream.readIndex(spark, s"$tmp/index")
+    assert(index.count() == 200)
+    // the second trigger's vectors are findable, and the probe matches
+    // the batch operator over the SAME 200-vector corpus
+    val corpus = e.filter(col("vec_id") < 200)
+    val got = Similarity.ivfTopKFromIndex(spark, corpus, index, centers,
+      k = 5, nProbe = 3)
+    val want = Similarity.ivfTopK(spark, corpus, k = 5, nLists = 8, nProbe = 3)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    e.unpersist()
+  }
+
   test("NearDupStream.attach: end-to-end file stream maintains the index") {
     import graft.streaming.NearDupStream
     val tmp = java.nio.file.Files.createTempDirectory("graft_ndup").toString

@@ -423,6 +423,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKFromIndex prunes the on-disk index to the probed list partitions") {
+    // the IVF contract made physical: with the index list-partitioned
+    // on disk (the IvfStream.attach layout), the ≤nLists probed-list
+    // filter must land in the parquet scan as PartitionFilters — a
+    // probe reads nProbe/nLists of the index bytes, not all of them
+    import graft.pipeline.Similarity
+    import graft.streaming.IvfStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfplan").toString
+    val e = Tables.embeddings(spark, sf)
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+    IvfStream.assignOnIngest(e, centers)
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=0")
+    val index = IvfStream.readIndex(spark, tmp)
+    val p = Similarity.ivfTopKFromIndex(spark,
+        e.filter(col("vec_id") < 3), index, centers, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("list") &&
+      !l.contains("PartitionFilters: []")),
+      s"index scan must carry a list partition filter:\n$p")
+  }
+
   test("q115 approx profile mode plans no Expand; exact mode does") {
     // the documented swap is now a plan property, both directions
     val o = Tables.orders(spark, sf)
