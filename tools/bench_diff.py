@@ -33,4 +33,7 @@ def main():
                   f"{ta:8.2f}s -> {tb:8.2f}s ({tb / ta:5.2f}x)")
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:
+        pass
