@@ -320,17 +320,27 @@ object Similarity extends Serializable {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centers)
     val q = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // persist the probe before collecting the list set: the collected
+    // filter and the join below must see ONE materialization (a
+    // non-deterministic queries frame could otherwise diverge between
+    // the two evaluations, and the assignment pass would run twice
+    // regardless — r9 ADVICE)
     val probe = q.as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         ivfNearest(bc.value, v, nProbe).iterator.map(l => (id, v, l)) }
       .toDF("qid", "qv", "list")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lists = probe.select("list").distinct().as[Int].collect().toSeq
     val idx = index.filter(col("list").isin(lists: _*))
       .select(col(idCol).cast("long").as("rid"), col(vecCol).as("rv"),
         col("list"))
-    padShortQueries(rerankTopK(probe.join(idx, "list")
+    val out = padShortQueries(rerankTopK(probe.join(idx, "list")
       .filter(col("qid") =!= col("rid")), k), q,
       index.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), k)
+    // padShortQueries persisted + materialized its own output, so the
+    // probe cache has served both consumers by now
+    probe.unpersist()
+    out
   }
 
   /** IVF-PQ: coarse inverted lists + product-quantized residuals +

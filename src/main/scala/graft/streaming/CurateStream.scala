@@ -46,7 +46,11 @@ object CurateStream {
     * Returns (curated, fpAdd, bandAdd): the batch's surviving rows
     * with (score, split), and the rows to append to each index — ALL
     * gated arrivals index, kept or dropped, so chain-copies of a
-    * dropped doc are still caught. */
+    * dropped doc are still caught. Both index frames come back
+    * PERSISTED (they were materialized once for the batch's own
+    * joins); the caller selects its index columns, writes, and then
+    * unpersists BOTH — [[attach]] does — so a long-running stream
+    * holds zero cached frames between triggers. */
   def curateBatch(batch: DataFrame, scorer: QualityClassifier.TextScorer,
                   exactIndex: DataFrame, bandIndex: DataFrame,
                   minScore: Double = 0.5, n: Int = 3, k: Int = 64,
@@ -80,7 +84,7 @@ object CurateStream {
       .join(scored.select(col(idCol), col("score")), Seq(idCol))
       .withColumn("split",
         TextAnalysis.splitLabel(col(idCol), pTrain, pVal))
-    (curated, fp.select("fp"), bandAdd)
+    (curated, fp, bandAdd)
   }
 
   /** Wire the chain into a running stream: foreachBatch maintains the
@@ -111,9 +115,14 @@ object CurateStream {
           fpIdx, bandIdx, minScore, n, k, bands, threshold, pTrain, pVal,
           md5Based)
         curated.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        fpAdd.write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
+        fpAdd.select("fp")
+          .write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
         bandAdd.select("doc_id", "band", "bucket", "sig")
           .write.mode("overwrite").parquet(s"$bandIndexDir/batch=$batchId")
+        // unpersist BOTH per-batch caches (r9 ADVICE: fp leaked one
+        // cached frame per trigger — over the millions of triggers a
+        // 100 TB ingest implies, unbounded block-manager growth)
+        fpAdd.unpersist()
         bandAdd.unpersist()
         ()
       }

@@ -165,6 +165,11 @@ object NearDupStream {
       .join(index.select(col("band"), col("bucket"),
         col("doc_id").as("_pid"), col("sig").as("_psig")),
         Seq("band", "bucket"))
+      // the same self-match guard as [[filterBatch]]: a backfill doc
+      // whose id already sits in the index (replayed backfill, id
+      // overlap with the ingested corpus) must never verify against
+      // ITSELF (sigJaccard = 1) and silently drop (r9 ADVICE)
+      .filter(col("_pid") =!= col("doc_id"))
       .filter(round(Dedup.sigJaccard(col("sig"), col("_psig")), 6)
         >= threshold)
       .select(col("doc_id"), col("_pid")).distinct()
@@ -178,12 +183,20 @@ object NearDupStream {
   }
 
   /** [[dedupAgainstIndex]] against the index directory a running
-    * [[attach]] maintains. */
+    * [[attach]] maintains. `excludeBatch` scopes out one `batch=`
+    * partition (a replaying backfill's own earlier write — the
+    * [[readIndex]] replay defense, exposed here per r9 ADVICE). */
+  def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+                        indexDir: String, n: Int, k: Int, bands: Int,
+                        threshold: Double, excludeBatch: Long): DataFrame =
+    dedupAgainstIndex(newDocs, readIndex(spark, indexDir, k, excludeBatch),
+      n, k, bands, threshold)
+
   def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
                         indexDir: String, n: Int, k: Int, bands: Int,
                         threshold: Double): DataFrame =
-    dedupAgainstIndex(newDocs, readIndex(spark, indexDir, k), n, k, bands,
-      threshold)
+    dedupAgainstIndex(spark, newDocs, indexDir, n, k, bands, threshold,
+      excludeBatch = Long.MinValue)
 
   /** Current index rows (doc_id, band, bucket, sig), or an empty typed
     * frame before first write. Existence goes through the Hadoop

@@ -29,8 +29,9 @@ def main():
         elif tb is None:
             print(f"  REMOVED {name:<28} {ta:8.2f}s")
         elif max(ta, tb) >= 0.1 and (tb > ta * thr or ta > tb * thr):
+            ratio = f"{tb / ta:5.2f}x" if ta > 0 else "  infx"
             print(f"  {'SLOWER' if tb > ta else 'FASTER':<7} {name:<28} "
-                  f"{ta:8.2f}s -> {tb:8.2f}s ({tb / ta:5.2f}x)")
+                  f"{ta:8.2f}s -> {tb:8.2f}s ({ratio})")
 
 if __name__ == "__main__":
     try:
