@@ -186,6 +186,26 @@ object PipelineScaleProbe {
       .matryoshkaTopK(q50, repE, k = 5, dims = 32, shortlist = 50).count())
     val (nSq, tSq) = time(graft.pipeline.Similarity
       .sqTopK(spark, q50, repE, k = 5, shortlist = 10).count())
+    // matryoshka-IVF (r10): the index is built ONCE outside the timer
+    // (ingest-amortized in production — IvfStream.assignOnIngest is the
+    // streaming twin) and written list-partitioned; the timed probe
+    // reads nProbe/nLists of the prefix bytes through partition
+    // pruning. With nLists grown ~√n (the ivfPqParamsFor rule) the
+    // probed fraction SHRINKS as the corpus grows — the stage-1 linear
+    // term mrl_topk pays is gone from the probe wall.
+    val mivfLists = math.max(8,
+      math.round(math.sqrt(nVecs.toDouble)).toInt)
+    val mivfDir = java.nio.file.Files.createTempDirectory("graft_mivf_probe")
+      .toString
+    val (mivfCenters, mivfIndex) = graft.pipeline.Similarity
+      .matryoshkaIvfBuildIndex(spark, repE, dims = 32, nLists = mivfLists)
+    val (_, tMivfBuild) = time(mivfIndex.write.partitionBy("list")
+      .mode("overwrite").parquet(s"$mivfDir/batch=0"))
+    val mivfOnDisk = spark.read.parquet(mivfDir)
+      .select("vec_id", "embedding", "list")
+    val (nMivf, tMivf) = time(graft.pipeline.Similarity
+      .matryoshkaIvfTopKFromIndex(spark, q50, mivfOnDisk, mivfCenters,
+        repE, k = 5, dims = 32, shortlist = 50, nProbe = 6).count())
     repE.unpersist()
     // equi-depth AUC (r9): rank over a CALIBRATED-PILE score
     // distribution — sigmoid(12·(u−½)) piles scores against 0 and 1,
@@ -231,7 +251,9 @@ object PipelineScaleProbe {
       s""""auc_sec":$tAuc,"auc":${aucStats._1},""" +
       s""""auc_max_bucket_share":${aucStats._2},""" +
       s""""vecs":$nVecs,"mrl_topk_sec":$tMrl,"mrl_topk_rows":$nMrl,""" +
-      s""""sq_topk_sec":$tSq,"sq_topk_rows":$nSq}""")
+      s""""sq_topk_sec":$tSq,"sq_topk_rows":$nSq,""" +
+      s""""mivf_lists":$mivfLists,"mivf_build_sec":$tMivfBuild,""" +
+      s""""mivf_topk_sec":$tMivf,"mivf_topk_rows":$nMivf}""")
     spark.stop()
   }
 }

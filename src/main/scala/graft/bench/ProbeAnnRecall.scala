@@ -48,6 +48,15 @@ object ProbeAnnRecall {
       recallOf(s"sq8s$sl", Similarity.sqTopK(spark, q50, e, k = 5,
         shortlist = sl))
     }
+    // matryoshka-IVF (r10): IVF probe on the 32-dim prefix + exact
+    // full-dim re-rank — recall compounds prefix truncation × probe
+    // coverage, so the operating point needs its own measurement
+    for ((nl, np) <- Seq((8, 3), (8, 4), (8, 6), (16, 6));
+         sl <- Seq(50, 80)) {
+      recallOf(f"mivf${nl}x$np%ss$sl",
+        Similarity.matryoshkaIvfTopK(spark, q50, e, k = 5, dims = 32,
+          shortlist = sl, nLists = nl, nProbe = np))
+    }
     // q62 pair recall on the capped universe, by cluster count
     val bp = Similarity.cosinePairsBrute(e.filter(col("vec_id") < 200),
       threshold = 0.35).select("id_a", "id_b").cache()

@@ -830,6 +830,91 @@ object Similarity extends Serializable {
     padShortQueries(rerankTopK(joined, k), qv, rv, k)
   }
 
+  /** Build the Matryoshka PREFIX IVF index: train a coarse quantizer
+    * over the first-`dims` prefix of every vector and assign each
+    * ref's prefix to its nearest list. Returns (centers, index) where
+    * the index frame is (idCol, vecCol = `dims`-float prefix, list) —
+    * write it `partitionBy("list")` and [[matryoshkaIvfTopKFromIndex]]
+    * probes read `nProbe/nLists` of the bytes via parquet
+    * `PartitionFilters` (PlanSpec pins it). Training is the
+    * [[ivfTrainCentroids]] sample design (bit-identical sample order);
+    * assignment is one narrow map — the
+    * [[graft.streaming.IvfStream.assignOnIngest]] arithmetic over the
+    * prefix column, so the index can also accrue from a stream. */
+  def matryoshkaIvfBuildIndex(spark: SparkSession, refs: DataFrame,
+                              dims: Int = 32, nLists: Int = 16,
+                              seed: Long = 42, idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              trainCap: Int = 20000)
+      : (Array[Array[Double]], DataFrame) = {
+    import spark.implicits._
+    val pref = refs.select(col(idCol).cast("long").as(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    val centers = ivfTrainCentroids(spark, pref, nLists, seed, idCol,
+      vecCol, trainCap)
+    val bc = spark.sparkContext.broadcast(centers)
+    val index = pref.as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, ivfNearest(bc.value, v, 1)(0)) }
+      .toDF(idCol, vecCol, "list")
+    (centers, index)
+  }
+
+  /** Matryoshka-IVF two-stage retrieval over a PRE-BUILT prefix index
+    * — the production ANN geometry the two-stage ladder builds toward
+    * (r9 verdict #1): stage 1 probes the IVF index on the `dims`-float
+    * PREFIX column ([[ivfTopKFromIndex]], so a list-partitioned
+    * on-disk index is read through partition pruning — a probe touches
+    * `nProbe/nLists` of `dims/dim` of the corpus bytes, the product of
+    * both ladders' savings), stage 2 re-ranks the ≤|Q|·shortlist
+    * survivors with the exact full-dimension kernel ([[rerankTopK]]).
+    *
+    * Unlike [[matryoshkaTopK]]'s exact prefix scan (the
+    * oracle-replayable audit posture, O(|Q|·n) stage 1 — r9e measured
+    * its linear term emerging at 16× corpus), stage-1 cost here is the
+    * probed fraction of the index: the linear term carries a
+    * `nProbe/nLists · dims/dim` constant that the index layout turns
+    * into bytes actually not read. Recall compounds both
+    * approximations (prefix truncation × probe coverage) and is
+    * re-measured against the brute twin by q205's enforced floor.
+    * Kusupati et al. 2022 (MRL) describe exactly this composition:
+    * ANN over the low-dim prefix, re-rank with the full vector. */
+  def matryoshkaIvfTopKFromIndex(spark: SparkSession, queries: DataFrame,
+                                 prefixIndex: DataFrame,
+                                 centers: Array[Array[Double]],
+                                 refs: DataFrame, k: Int, dims: Int = 32,
+                                 shortlist: Int = 50, nProbe: Int = 4,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val qPref = queries.select(col(idCol).cast("long").as(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    val sl = ivfTopKFromIndex(spark, qPref, prefixIndex, centers,
+      k = shortlist, nProbe = nProbe, idCol = idCol, vecCol = vecCol)
+      .select("qid", "rid")
+    val qv = refsFrame(queries, idCol, vecCol)
+    val rv = refsFrame(refs, idCol, vecCol)
+    val joined = sl
+      .join(qv.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(rv.select(col("id").as("rid"), col("v").as("rv")), "rid")
+    padShortQueries(rerankTopK(joined, k), qv, rv, k)
+  }
+
+  /** [[matryoshkaIvfTopKFromIndex]] with the index built inline — the
+    * self-contained form for one-shot retrieval; a deployment builds
+    * the index once ([[matryoshkaIvfBuildIndex]], written
+    * list-partitioned) and probes many times. */
+  def matryoshkaIvfTopK(spark: SparkSession, queries: DataFrame,
+                        refs: DataFrame, k: Int, dims: Int = 32,
+                        shortlist: Int = 50, nLists: Int = 16,
+                        nProbe: Int = 4, seed: Long = 42,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val (centers, index) = matryoshkaIvfBuildIndex(spark, refs, dims,
+      nLists, seed, idCol, vecCol)
+    matryoshkaIvfTopKFromIndex(spark, queries, index, centers, refs, k,
+      dims, shortlist, nProbe, idCol, vecCol)
+  }
+
   /** SQ8-compressed retrieval rung — the [[SqCodec]] consumer: refs
     * live as int8 CODES (4× smaller than the float corpus; the frame a
     * deployment keeps memory-resident), stage 1 short-lists per query

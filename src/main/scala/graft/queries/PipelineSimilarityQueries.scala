@@ -398,6 +398,33 @@ object PipelineSimilarityQueries {
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
       sq.withColumn("recall_ok", lit(recall >= 0.9)).orderBy("qid", "rn")
     }),
+
+    // Matryoshka-IVF two-stage (the production geometry q202's exact
+    // prefix scan is the audit for — r9 verdict #1): IVF probe on the
+    // 32-dim PREFIX index (built once, probed per query; on disk the
+    // list partitioning makes the probe read nProbe/nLists of dims/dim
+    // of the bytes — PlanSpec pins the pruning) → exact full-dim
+    // re-rank. Invariant oracle (the q204 pattern): the rid set
+    // depends on k-means lists no SQL engine replays, so the contract
+    // booleans + the enforced recall floor gate instead. Operating
+    // point from ProbeAnnRecall (r10): nLists=8/nProbe=6/shortlist=50
+    // measures recall@5 0.752 (sf0.01) / 0.656 (sf0.1) — recall
+    // compounds prefix truncation × probe coverage, so it tracks
+    // q202's 0.776/0.672 prefix-only ceiling from below; floor 0.55.
+    "q205_mrl_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (centers, index) = Similarity.matryoshkaIvfBuildIndex(s, e,
+        dims = 32, nLists = 8)
+      val two = Similarity.matryoshkaIvfTopKFromIndex(s, e, index, centers,
+        e, k = 5, dims = 32, shortlist = 50, nProbe = 6).cache()
+      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        k = 5).select("qid", "rid")
+      val nb = brute.count()
+      val nh = two.filter(col("qid") < 50).select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      annTopKAudit(e, two, k = 5, recall, floor = 0.55)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -548,6 +575,15 @@ object PipelineSimilarityQueries {
         |FROM embeddings""".stripMargin,
 
     "q41_ivf_topk" ->
+      """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
+        |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
+        |  TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
+
+    // Matryoshka-IVF two-stage: the same per-query contract booleans
+    // (stage-1 lists are k-means artifacts; recall_ok carries the
+    // enforced floor).
+    "q205_mrl_ivf_topk" ->
       """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
         |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
         |  TRUE AS recall_ok

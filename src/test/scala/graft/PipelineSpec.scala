@@ -1669,6 +1669,40 @@ class PipelineSpec extends SparkSpec {
     assert(nh == nb, s"SQ8 tight-shortlist recall $nh/$nb on faithful codes")
   }
 
+  test("matryoshkaIvfTopK: full probe ≡ exact prefix two-stage; disk index ≡ inline") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val qs = e.filter(col("vec_id") < 20)
+    // nProbe = nLists scans every list, so stage 1 degenerates to the
+    // exact prefix shortlist — the IVF composition must then equal
+    // matryoshkaTopK (the q202 audit posture) row for row; any drift
+    // in the prefix slicing, assignment, or re-rank breaks this
+    val viaIvf = Similarity.matryoshkaIvfTopK(spark, qs, e, k = 5,
+      dims = 32, shortlist = 30, nLists = 8, nProbe = 8)
+    val viaExact = Similarity.matryoshkaTopK(qs, e, k = 5, dims = 32,
+      shortlist = 30)
+    assert(viaIvf.exceptAll(viaExact).isEmpty &&
+      viaExact.exceptAll(viaIvf).isEmpty,
+      "full-probe matryoshka-IVF must equal the exact prefix two-stage")
+    // the deployment route — index built once, written list-partitioned,
+    // probed from disk — must equal the inline route under shared
+    // centers (the ivfTopKFromIndex ≡ ivfTopK pattern, prefix column)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mivf").toString
+    val (centers, index) = Similarity.matryoshkaIvfBuildIndex(spark, e,
+      dims = 32, nLists = 8)
+    index.write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=0")
+    val onDisk = spark.read.parquet(tmp)
+      .select("vec_id", "embedding", "list")
+    val viaDisk = Similarity.matryoshkaIvfTopKFromIndex(spark, qs, onDisk,
+      centers, e, k = 5, dims = 32, shortlist = 30, nProbe = 4)
+    val viaMem = Similarity.matryoshkaIvfTopKFromIndex(spark, qs, index,
+      centers, e, k = 5, dims = 32, shortlist = 30, nProbe = 4)
+    assert(viaDisk.exceptAll(viaMem).isEmpty &&
+      viaMem.exceptAll(viaDisk).isEmpty,
+      "on-disk and in-memory prefix-index routes diverge")
+    e.unpersist()
+  }
+
   test("ivfPqParamsFor: derivation matches the recorded curve guidance") {
     import graft.pipeline.Similarity
     val tiny = Similarity.ivfPqParamsFor(500L)

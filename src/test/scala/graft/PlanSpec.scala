@@ -445,6 +445,33 @@ class PlanSpec extends SparkSpec {
       s"index scan must carry a list partition filter:\n$p")
   }
 
+  test("matryoshkaIvfTopKFromIndex prunes the prefix index and group-limits both stages") {
+    // the r10 production rung: the prefix-IVF probe must read only the
+    // probed list partitions of the on-disk prefix index (the
+    // ivfTopKFromIndex pruning, composed), and both the stage-1
+    // shortlist and the stage-2 re-rank windows must plan as
+    // WindowGroupLimit (rank-limit pushdown) partitioned by qid
+    import graft.pipeline.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mivfplan").toString
+    val e = Tables.embeddings(spark, sf)
+    val (centers, index) = Similarity.matryoshkaIvfBuildIndex(spark, e,
+      dims = 32, nLists = 8)
+    index.write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=0")
+    val onDisk = spark.read.parquet(tmp).select("vec_id", "embedding", "list")
+    val p = Similarity.matryoshkaIvfTopKFromIndex(spark,
+        e.filter(col("vec_id") < 3), onDisk, centers, e, k = 5,
+        dims = 32, shortlist = 20, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("list") &&
+      !l.contains("PartitionFilters: []")),
+      s"prefix index scan must carry a list partition filter:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"two-stage re-rank misses the rank-limit pushdown:\n$p")
+    assert(p.contains("hashpartitioning(qid"),
+      s"re-rank windows must partition by qid:\n$p")
+  }
+
   test("q115 approx profile mode plans no Expand; exact mode does") {
     // the documented swap is now a plan property, both directions
     val o = Tables.orders(spark, sf)
