@@ -1,0 +1,102 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.{CurateStream, IvfStream}
+import graft.pipeline.Similarity
+
+/** Index-maintenance cost probe (r10): the two offline helpers a
+  * long-running ingest schedules while quiesced, measured against
+  * grown state so their cost claims are numbers.
+  *
+  *  A) [[IvfStream.reassign]] wall vs accrued index size (sf0.1
+  *     embeddings replicated 1/4/16×, the r9e scheme) — the quantizer
+  *     refresh is one narrow assignment pass + a list-partitioned
+  *     rewrite, so the slope must be the write's linear term.
+  *  B) the exact-dedup gate's per-batch fp probe as the fingerprint
+  *     index accrues one partition per trigger (the r8b drift physics)
+  *     and after ONE [[CurateStream.compactFpIndex]] — the probe wall
+  *     must drop back to the early-index level.
+  *
+  * Usage: runMain graft.bench.ProbeIndexMaint /root/testdata/sf0.1 [reps] [batches]
+  */
+object ProbeIndexMaint {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val maxReps = args.lift(1).map(_.toInt).getOrElse(16)
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(24)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](b: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = b; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // A) reassign cost vs index size
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    Seq(1, 4, maxReps).distinct.filter(_ <= maxReps).foreach { reps =>
+      val repE = (0 until reps).map { k =>
+        e.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _).cache()
+      val n = repE.count()
+      val dir = java.nio.file.Files.createTempDirectory("ivf_re").toString +
+        "/idx"
+      val centersA = Similarity.ivfTrainCentroids(spark, repE, nLists = 32,
+        seed = 42)
+      IvfStream.assignOnIngest(repE, centersA)
+        .write.partitionBy("list").mode("overwrite").parquet(s"$dir/batch=0")
+      val centersB = Similarity.ivfTrainCentroids(spark, repE, nLists = 32,
+        seed = 7)
+      val (_, tRe) = time(IvfStream.reassign(spark, dir, centersB))
+      println(f"[ivf-reassign] vecs=$n wall=$tRe%.2fs " +
+        f"(${n / tRe}%.0f vecs/s)")
+      repE.unpersist()
+    }
+
+    // B) fp-index probe drift + compaction recovery. Replicated docs
+    // (replica-disjoint texts → disjoint fingerprints) arrive in
+    // nBatches triggers; each trigger probes the accumulated index
+    // (the curateBatch exact-gate join) and appends its partition.
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val nBase = base.count()
+    val docs = (0 until maxReps).map { k =>
+      base.select((col("doc_id") + lit(k * nBase)).as("doc_id"),
+        regexp_replace(col("text"), "(^| )", "$1r" + k + "_").as("text"))
+    }.reduce(_ union _).cache()
+    val n = docs.count()
+    val fpDir = java.nio.file.Files.createTempDirectory("fp_idx").toString +
+      "/fp"
+    val batchRows = n / nBatches + 1
+    def probeBatch(b: org.apache.spark.sql.DataFrame, id: Long): Double = {
+      val idx = CurateStream.readFpIndex(spark, fpDir, excludeBatch = id)
+      val fp = b.select(col("doc_id"), md5(col("text")).as("fp"))
+      val (_, dt) = time(fp.join(idx, Seq("fp"), "left_semi").count())
+      fp.select("fp").write.mode("overwrite").parquet(s"$fpDir/batch=$id")
+      dt
+    }
+    var walls = Seq.empty[Double]
+    (0L until nBatches.toLong).foreach { id =>
+      val b = docs.filter(col("doc_id") >= id * batchRows &&
+        col("doc_id") < (id + 1) * batchRows)
+      walls :+= probeBatch(b, id)
+    }
+    println(f"[fp-probe] batches=$nBatches rows/batch=$batchRows " +
+      f"first3=${walls.take(3).map(w => f"$w%.2f").mkString(",")}s " +
+      f"last3=${walls.takeRight(3).map(w => f"$w%.2f").mkString(",")}s " +
+      f"(files grow 1/trigger)")
+    val (_, tCompact) = time(CurateStream.compactFpIndex(spark, fpDir))
+    // one more arrival probes the COMPACTED index
+    val extra = base.select((col("doc_id") + lit(maxReps * nBase))
+      .as("doc_id"),
+      regexp_replace(col("text"), "(^| )", "$1rX_").as("text"))
+    val wAfter = probeBatch(extra, nBatches.toLong)
+    println(f"[fp-probe] compact=$tCompact%.2fs post-compaction " +
+      f"probe=$wAfter%.2fs (index ${n} fps in one sorted partition set)")
+    spark.stop()
+  }
+}

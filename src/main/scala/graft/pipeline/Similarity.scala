@@ -933,10 +933,61 @@ object Similarity extends Serializable {
   def sqTopK(spark: SparkSession, queries: DataFrame, refs: DataFrame,
              k: Int, shortlist: Int = 30, idCol: String = "vec_id",
              vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val (codec, codes) = sqBuildIndex(spark, refs, idCol, vecCol)
+    sqTopKFromIndex(spark, queries, codes, codec, refs, k, shortlist,
+      idCol, vecCol)
+  }
+
+  /** Build the SQ8 index ONCE: train the codec (one dim-bounded
+    * aggregate) and encode the corpus (one narrow map) — the (codec,
+    * codes) pair a deployment persists ([[sqWriteIndex]]) or keeps
+    * memory-resident and probes many times ([[sqTopKFromIndex]]).
+    * [[sqTopK]] re-derived both on every call (r9 verdict #4: the
+    * audit posture, paying two full-precision corpus scans per query
+    * batch); this is the build/probe split the IVF side already has
+    * ([[graft.streaming.IvfStream]] / [[ivfTopKFromIndex]]). */
+  def sqBuildIndex(spark: SparkSession, refs: DataFrame,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): (SqCodec, DataFrame) = {
+    val codec = sqTrain(spark, refs, vecCol)
+    (codec, sqEncode(spark, refs, codec, idCol, vecCol))
+  }
+
+  /** Persist the SQ8 index: int8 codes as parquet (`dir/codes`) and
+    * the codec envelope as `dim` (pos, mn, mx) rows (`dir/codec`) —
+    * engine-neutral, so any reader can re-derive [[SqCodec.decode]].
+    * Returns the trained codec. */
+  def sqWriteIndex(spark: SparkSession, refs: DataFrame, dir: String,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): SqCodec = {
+    import spark.implicits._
+    val (codec, codes) = sqBuildIndex(spark, refs, idCol, vecCol)
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    codec.mins.indices.map(i => (i, codec.mins(i), codec.maxs(i)))
+      .toDF("pos", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codec")
+    codec
+  }
+
+  /** Load a persisted SQ8 index: (codec, codes frame). */
+  def sqReadIndex(spark: SparkSession, dir: String): (SqCodec, DataFrame) = {
+    val stats = spark.read.parquet(s"$dir/codec").orderBy("pos").collect()
+    (SqCodec(stats.map(_.getDouble(1)), stats.map(_.getDouble(2))),
+      spark.read.parquet(s"$dir/codes"))
+  }
+
+  /** The probe half of [[sqTopK]]: asymmetric shortlist over a
+    * PRE-BUILT codes frame (full-precision query vs decoded ref — only
+    * (id, codes) rows are scanned; the FAISS SQ search posture), exact
+    * full-precision re-rank of the ≤|Q|·shortlist survivors. `refs`
+    * supplies the true vectors for the re-rank join only. */
+  def sqTopKFromIndex(spark: SparkSession, queries: DataFrame,
+                      codes: DataFrame, codec: SqCodec, refs: DataFrame,
+                      k: Int, shortlist: Int = 30,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
-    val codec = sqTrain(spark, refs, vecCol)
-    val codes = sqEncode(spark, refs, codec, idCol, vecCol)
     val bc = spark.sparkContext.broadcast(codec)
     val q = queries.select(col(idCol).cast("long").as("qid"),
       col(vecCol).as("qv"))

@@ -95,7 +95,7 @@ object CurateStream {
     * excluding the replaying batch's own partition — so crash-replay
     * rewrites the same files and never drops a doc against its own
     * earlier write. Compact the indexes while quiesced with
-    * [[NearDupStream.compactIndex]] (band) and plain parquet rewrite
+    * [[NearDupStream.compactIndex]] (band) and [[compactFpIndex]]
     * (fp). */
   def attach(stream: DataFrame, scorer: QualityClassifier.TextScorer,
              fpIndexDir: String, bandIndexDir: String, outDir: String,
@@ -128,11 +128,85 @@ object CurateStream {
       }
       .start()
 
+  /** The FULL live pipeline in one foreachBatch — gate documents, then
+    * make exactly the kept ones searchable: [[curateBatch]] curates
+    * each arriving micro-batch and the SURVIVORS' embedding vectors
+    * are assigned into the list-partitioned IVF index
+    * ([[IvfStream.assignOnIngest]] under the same frozen-model posture
+    * as the scorer: centroids trained offline, broadcast, stateless
+    * narrow assignment). The embedding column rides the document
+    * stream (`embedCol`); all four writes use the per-batch
+    * idempotent-partition pattern, so crash replay rewrites the same
+    * files on every surface. Per trigger, the searchable id set
+    * equals the curated id set BY CONSTRUCTION of the same `curated`
+    * frame feeding both writes — PipelineSpec pins it end-to-end, plus
+    * that an [[Similarity.ivfTopKFromIndex]] probe over the accrued
+    * index only ever returns curated documents. */
+  def attachWithIvf(stream: DataFrame, scorer: QualityClassifier.TextScorer,
+                    centers: Array[Array[Double]], fpIndexDir: String,
+                    bandIndexDir: String, ivfIndexDir: String,
+                    outDir: String, checkpointDir: String,
+                    minScore: Double = 0.5, n: Int = 3, k: Int = 64,
+                    bands: Int = 16, threshold: Double = 0.5,
+                    pTrain: Double = 0.8, pVal: Double = 0.1,
+                    md5Based: Boolean = false, idCol: String = "doc_id",
+                    embedCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fpIdx = readFpIndex(spark, fpIndexDir, excludeBatch = batchId)
+        val bandIdx = NearDupStream.readIndex(spark, bandIndexDir, k,
+          excludeBatch = batchId)
+        val (curated, fpAdd, bandAdd) = curateBatch(batch, scorer,
+          fpIdx, bandIdx, minScore, n, k, bands, threshold, pTrain, pVal,
+          md5Based, idCol)
+        val kept = curated.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kept.drop(embedCol).write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        graft.streaming.IvfStream.assignOnIngest(
+            kept.select(col(idCol), col(embedCol)), centers, idCol, embedCol)
+          .write.partitionBy("list").mode("overwrite")
+          .parquet(s"$ivfIndexDir/batch=$batchId")
+        fpAdd.select("fp")
+          .write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
+        bandAdd.select("doc_id", "band", "bucket", "sig")
+          .write.mode("overwrite").parquet(s"$bandIndexDir/batch=$batchId")
+        kept.unpersist()
+        fpAdd.unpersist()
+        bandAdd.unpersist()
+        ()
+      }
+      .start()
+
+  /** Compact the fingerprint index's per-batch partition litter into
+    * one fp-sorted file set under `batch=-1` — the [[NearDupStream
+    * .compactIndex]] twin the fp index was missing (r9 verdict #5: its
+    * partition count otherwise grows one per trigger forever, and the
+    * r8b probe showed per-batch probe drift tracks un-compacted file
+    * count). Sorting by `fp` clusters each 16-byte key for the
+    * per-batch left_semi probe; the swap is the [[IndexSwap]] crash
+    * discipline (an interrupted run self-heals on the next read).
+    * Run while the stream is quiesced. */
+  def compactFpIndex(spark: SparkSession, fpIndexDir: String,
+                     partitions: Int = 32): Unit = {
+    val tmp = fpIndexDir + ".compact"
+    readFpIndex(spark, fpIndexDir)
+      .repartitionByRange(partitions, col("fp"))
+      .sortWithinPartitions("fp")
+      .write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    IndexSwap.swap(spark, fpIndexDir, tmp)
+  }
+
   /** Accumulated fingerprint rows (`fp`), or an empty typed frame
     * before the first write — the [[NearDupStream.readIndex]] shape
-    * (Hadoop-FS existence check, `excludeBatch` replay scoping). */
+    * (Hadoop-FS existence check, `excludeBatch` replay scoping, the
+    * interrupted-[[compactFpIndex]] self-heal). */
   def readFpIndex(spark: SparkSession, fpIndexDir: String,
                   excludeBatch: Long = Long.MinValue): DataFrame = {
+    IndexSwap.restoreIfInterrupted(spark, fpIndexDir)
     val path = new org.apache.hadoop.fs.Path(fpIndexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path) && fs.listStatus(path).nonEmpty) {

@@ -67,12 +67,40 @@ object IvfStream {
       }
       .start()
 
+  /** Offline quantizer refresh for the ACCRUED index — the re-train
+    * path the frozen-quantizer design prescribes (quantizer drift is
+    * the known failure mode of frozen IVF as the corpus distribution
+    * moves): train new centroids offline
+    * ([[Similarity.ivfTrainCentroids]] over [[readIndex]] or a fresh
+    * sample), then ONE [[assignOnIngest]] pass re-lists every indexed
+    * vector and the directory is atomically replaced with the
+    * compacted list-partitioned result (`batch=-1`, the
+    * [[NearDupStream.compactIndex]] layout + [[IndexSwap]] crash
+    * discipline — a crash mid-swap self-heals on the next read).
+    * Assignment is a narrow map against broadcast centroids at any
+    * index size — no shuffle; the rewritten layout keeps
+    * [[Similarity.ivfTopKFromIndex]]'s `PartitionFilters` pruning.
+    * Run while the ingest stream is quiesced, then resume [[attach]]
+    * with the NEW centroids (one frozen quantizer per epoch). */
+  def reassign(spark: SparkSession, indexDir: String,
+               newCenters: Array[Array[Double]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): Unit = {
+    val tmp = indexDir + ".compact"
+    assignOnIngest(readIndex(spark, indexDir, idCol, vecCol)
+        .select(idCol, vecCol), newCenters, idCol, vecCol)
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
+    IndexSwap.swap(spark, indexDir, tmp)
+  }
+
   /** Accumulated index rows (idCol, vecCol, list), or an empty typed
     * frame before the first write (the [[NearDupStream.readIndex]]
-    * Hadoop-FS shape). */
+    * Hadoop-FS shape, including the interrupted-[[reassign]]
+    * self-heal). */
   def readIndex(spark: SparkSession, indexDir: String,
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
+    IndexSwap.restoreIfInterrupted(spark, indexDir)
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path) && fs.listStatus(path).nonEmpty)

@@ -208,15 +208,9 @@ object NearDupStream {
     * `.old` directory. */
   def readIndex(spark: SparkSession, indexDir: String, k: Int,
                 excludeBatch: Long = Long.MinValue): DataFrame = {
+    IndexSwap.restoreIfInterrupted(spark, indexDir)
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val oldPath = new org.apache.hadoop.fs.Path(indexDir + ".old")
-    if (!fs.exists(path) && fs.exists(oldPath)) {
-      // a compaction crashed after renaming the live index away but
-      // before installing the compacted one — the .old copy is complete
-      require(fs.rename(oldPath, path),
-        s"readIndex: could not restore $oldPath -> $indexDir")
-    }
     if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
       val raw = spark.read.parquet(indexDir)
       val scoped =
@@ -254,17 +248,6 @@ object NearDupStream {
       .repartitionByRange(partitions, col("bucket"))
       .sortWithinPartitions("bucket")
       .write.mode("overwrite").parquet(s"$tmp/batch=-1")
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val live = new org.apache.hadoop.fs.Path(indexDir)
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    val oldP = new org.apache.hadoop.fs.Path(indexDir + ".old")
-    if (fs.exists(oldP)) { fs.delete(oldP, true); () }
-    require(fs.rename(live, oldP),
-      s"compactIndex: rename $indexDir -> $oldP failed")
-    require(fs.rename(tmpP, live),
-      s"compactIndex: rename $tmp -> $indexDir failed")
-    fs.delete(oldP, true)
-    ()
+    IndexSwap.swap(spark, indexDir, tmp)
   }
 }

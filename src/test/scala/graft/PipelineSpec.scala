@@ -1890,6 +1890,151 @@ class PipelineSpec extends SparkSpec {
         s"after=${spark.sparkContext.getPersistentRDDs.size}")
   }
 
+  test("IvfStream.reassign: refreshed index ≡ fresh-built under the new centroids") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfre").toString
+    // epoch 1: index accrued under centersA (two batch partitions, the
+    // attach layout)
+    val centersA = Similarity.ivfTrainCentroids(spark, e, nLists = 8,
+      seed = 42)
+    IvfStream.assignOnIngest(e.filter(col("vec_id") < 250), centersA)
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/idx/batch=0")
+    IvfStream.assignOnIngest(e.filter(col("vec_id") >= 250), centersA)
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/idx/batch=1")
+    // epoch 2: the corpus distribution "drifted" — re-train offline
+    // under a different seed and refresh the accrued index in place
+    val centersB = Similarity.ivfTrainCentroids(spark, e, nLists = 8,
+      seed = 7)
+    IvfStream.reassign(spark, s"$tmp/idx", centersB)
+    val refreshed = IvfStream.readIndex(spark, s"$tmp/idx")
+    val fresh = IvfStream.assignOnIngest(e, centersB)
+    assert(refreshed.exceptAll(fresh).isEmpty &&
+      fresh.exceptAll(refreshed).isEmpty,
+      "reassigned index rows diverge from a fresh build under centersB")
+    // a probe over the refreshed index ≡ probing the fresh index
+    val qs = e.filter(col("vec_id") < 20)
+    val got = Similarity.ivfTopKFromIndex(spark, qs, refreshed, centersB,
+      k = 5, nProbe = 3)
+    val want = Similarity.ivfTopKFromIndex(spark, qs, fresh, centersB,
+      k = 5, nProbe = 3)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the rewritten layout stays list-partitioned (pruning contract)
+    // and compacted to the single batch=-1 partition
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/idx")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val batches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/idx"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    assert(batches.toSeq == Seq("batch=-1"), s"layout: ${batches.toSeq}")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/idx/batch=-1"))
+      .exists(_.getPath.getName.startsWith("list=")))
+    e.unpersist()
+  }
+
+  test("CurateStream.compactFpIndex: fp set preserved; crash mid-swap self-heals") {
+    import graft.streaming.CurateStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fpc").toString
+    val fp = docs.select(md5(col("text")).as("fp"))
+    // three per-trigger partitions, the attach litter pattern
+    fp.filter(col("fp") < lit("6")).write.parquet(s"$tmp/fp/batch=0")
+    fp.filter(col("fp") >= lit("6") && col("fp") < lit("b"))
+      .write.parquet(s"$tmp/fp/batch=1")
+    fp.filter(col("fp") >= lit("b")).write.parquet(s"$tmp/fp/batch=2")
+    val before = CurateStream.readFpIndex(spark, s"$tmp/fp")
+      .collect().map(_.getString(0)).toSeq.sorted
+    CurateStream.compactFpIndex(spark, s"$tmp/fp", partitions = 2)
+    val after = CurateStream.readFpIndex(spark, s"$tmp/fp")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(after == before, "compaction changed the fingerprint set")
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/fp")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val batches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/fp"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    assert(batches.toSeq == Seq("batch=-1"), s"layout: ${batches.toSeq}")
+    // a crash between the two renames (live moved to .old, compacted
+    // copy not installed) self-heals on the next read
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/fp"),
+      new org.apache.hadoop.fs.Path(s"$tmp/fp.old")))
+    val healed = CurateStream.readFpIndex(spark, s"$tmp/fp")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(healed == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/fp.old")))
+  }
+
+  test("CurateStream.attachWithIvf: searchable vector set ≡ curated doc set per trigger") {
+    import graft.streaming.{CurateStream, IvfStream}
+    import graft.pipeline.{QualityClassifier, Similarity}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cvivf").toString
+    // documents carrying their embedding (doc_id aligned with vec_id)
+    val e = Tables.embeddings(spark, sf)
+    val base = docs.select("doc_id", "text")
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .filter(col("doc_id") < 80).cache()
+    val scorer = QualityClassifier.fit(docs, col("keep"))
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+    // two triggers: first 40 docs, then 40 more plus an exact copy of
+    // doc 2 (gated out by the fp index → must never become searchable)
+    base.filter(col("doc_id") < 40).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = base.schema
+    val q = CurateStream.attachWithIvf(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), scorer, centers,
+      fpIndexDir = s"$tmp/fp", bandIndexDir = s"$tmp/band",
+      ivfIndexDir = s"$tmp/ivf", outDir = s"$tmp/out",
+      checkpointDir = s"$tmp/ckpt", minScore = 0.3, threshold = 0.5)
+    q.processAllAvailable()
+    base.filter(col("doc_id") >= 40)
+      .union(base.filter(col("doc_id") === 2)
+        .select(lit(30001L).as("doc_id"), col("text"), col("embedding")))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    // per trigger AND overall: the searchable ids ARE the curated ids
+    val out = spark.read.parquet(s"$tmp/out").select("doc_id", "batch")
+    val idx = spark.read.parquet(s"$tmp/ivf")
+      .select(col("doc_id"), col("batch"))
+    assert(out.exceptAll(idx).isEmpty && idx.exceptAll(out).isEmpty,
+      "searchable (id, trigger) set diverges from the curated set")
+    assert(out.filter(col("doc_id") === 30001L).isEmpty,
+      "the gated exact copy leaked into the curated output")
+    // and a probe over the accrued index returns only curated docs
+    val curatedIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curatedIds.nonEmpty)
+    val hits = Similarity.ivfTopKFromIndex(spark,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        IvfStream.readIndex(spark, s"$tmp/ivf", idCol = "doc_id"),
+        centers, k = 3, nProbe = 3, idCol = "doc_id")
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.subsetOf(curatedIds),
+      s"probe surfaced uncurated docs: ${hits -- curatedIds}")
+    base.unpersist()
+  }
+
+  test("sqTopKFromIndex: build-once/probe-many ≡ sqTopK; disk roundtrip exact") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val qs = e.filter(col("vec_id") < 20)
+    val inOne = Similarity.sqTopK(spark, qs, e, k = 5, shortlist = 10)
+    val (codec, codes) = Similarity.sqBuildIndex(spark, e)
+    val viaIdx = Similarity.sqTopKFromIndex(spark, qs, codes, codec, e,
+      k = 5, shortlist = 10)
+    assert(viaIdx.exceptAll(inOne).isEmpty && inOne.exceptAll(viaIdx).isEmpty,
+      "persisted-codes probe diverges from the in-one-call operator")
+    // parquet roundtrip: codec envelope and codes reload exactly
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqidx").toString
+    val written = Similarity.sqWriteIndex(spark, e, tmp)
+    val (codec2, codes2) = Similarity.sqReadIndex(spark, tmp)
+    assert(codec2.mins.sameElements(written.mins) &&
+      codec2.maxs.sameElements(written.maxs))
+    val viaDisk = Similarity.sqTopKFromIndex(spark, qs, codes2, codec2, e,
+      k = 5, shortlist = 10)
+    assert(viaDisk.exceptAll(inOne).isEmpty && inOne.exceptAll(viaDisk).isEmpty)
+    e.unpersist()
+  }
+
   test("dedupAgainstIndex ≡ dedupAgainst: index probe and re-signature routes agree") {
     import graft.streaming.NearDupStream
     // reference corpus indexed the way the streaming gate indexes it;
