@@ -48,6 +48,14 @@ object ProbeAnnRecall {
       recallOf(s"sq8s$sl", Similarity.sqTopK(spark, q50, e, k = 5,
         shortlist = sl))
     }
+    // IVF-SQ8 (r10): codes-resident inverted lists — coverage is the
+    // IVF term (codes are near-faithful at 255 levels, the sq8s10
+    // finding), so recall tracks the ivf rung at equal probes
+    for ((nl, np) <- Seq((8, 3), (8, 4), (8, 6)); sl <- Seq(10, 30)) {
+      recallOf(f"ivfsq${nl}x$np%ss$sl",
+        Similarity.ivfSqTopK(spark, q50, e, k = 5, nLists = nl,
+          nProbe = np, shortlist = sl))
+    }
     // matryoshka-IVF (r10): IVF probe on the 32-dim prefix + exact
     // full-dim re-rank — recall compounds prefix truncation × probe
     // coverage, so the operating point needs its own measurement

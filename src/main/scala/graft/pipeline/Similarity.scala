@@ -1019,6 +1019,107 @@ object Similarity extends Serializable {
     padShortQueries(rerankTopK(joined, k), qv, rv, k)
   }
 
+  /** Build the IVF-SQ8 index — the faiss `IVF,SQ8` composition: coarse
+    * inverted lists ([[ivfTrainCentroids]] + one-map assignment) whose
+    * entries are the [[SqCodec]]'s int8 CODES instead of float
+    * vectors. Index rows (idCol, codes, list): 4× smaller than the
+    * float index [[graft.streaming.IvfStream]] accrues, and written
+    * `partitionBy("list")` a probe reads `nProbe/nLists` of THOSE
+    * bytes — the two ladders' savings compose on the stored side the
+    * way [[matryoshkaIvfTopK]] composes them on the dimension side. */
+  def ivfSqBuildIndex(spark: SparkSession, refs: DataFrame,
+                      nLists: Int = 16, seed: Long = 42,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding", trainCap: Int = 20000)
+      : (Array[Array[Double]], SqCodec, DataFrame) = {
+    import spark.implicits._
+    val centers = ivfTrainCentroids(spark, refs, nLists, seed, idCol,
+      vecCol, trainCap)
+    val codec = sqTrain(spark, refs, vecCol)
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcQ = spark.sparkContext.broadcast(codec)
+    val index = refs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, bcQ.value.encode(v), ivfNearest(bcC.value, v, 1)(0)) }
+      .toDF(idCol, "codes", "list")
+    (centers, codec, index)
+  }
+
+  /** IVF-SQ8 search over a pre-built codes index: queries probe
+    * `nProbe` lists ([[ivfNearest]], the shared assignment arithmetic),
+    * candidates in the probed lists are scored by the ASYMMETRIC
+    * cosine (full-precision query vs `codec.decode(codes)` — the
+    * [[sqTopKFromIndex]] scoring, only (id, codes) rows scanned), and
+    * the per-query `shortlist` survivors re-rank against the true
+    * vectors ([[rerankTopK]]). With `nProbe = nLists` the probe covers
+    * every list and the result equals [[sqTopK]] at the same shortlist
+    * exactly (PipelineSpec pins it); at production settings the probe
+    * reads the probed fraction of a 4×-compressed index. */
+  def ivfSqTopKFromIndex(spark: SparkSession, queries: DataFrame,
+                         index: DataFrame, centers: Array[Array[Double]],
+                         codec: SqCodec, refs: DataFrame, k: Int,
+                         shortlist: Int = 30, nProbe: Int = 2,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcQ = spark.sparkContext.broadcast(codec)
+    val q = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qv"))
+    val probe = q.as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        ivfNearest(bcC.value, v, nProbe).iterator.map(l => (id, v, l)) }
+      .toDF("qid", "qv", "list")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = probe.select("list").distinct().as[Int].collect().toSeq
+    val idx = index.filter(col("list").isin(lists: _*))
+      .select(col(idCol).cast("long").as("rid"), col("codes"), col("list"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("rid").asc)
+    val sl = probe.join(idx, "list")
+      .filter(col("qid") =!= col("rid"))
+      .select(col("qid"), col("qv"), col("rid"), col("codes"))
+      .as[(Long, Array[Float], Long, Array[Int])]
+      .map { case (qid, qv, rid, cs) =>
+        val dv = bcQ.value.decode(cs)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < qv.length) {
+          val a = qv(i).toDouble; val b = dv(i)
+          dot += a * b; na += a * a; nb += b * b
+          i += 1
+        }
+        (qid, rid, dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12))
+      }.toDF("qid", "rid", "cos_raw")
+      .withColumn("cos", round(col("cos_raw"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "rid")
+    val qv = refsFrame(queries, idCol, vecCol)
+    val rv = refsFrame(refs, idCol, vecCol)
+    val joined = sl
+      .join(qv.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(rv.select(col("id").as("rid"), col("v").as("rv")), "rid")
+    val out = padShortQueries(rerankTopK(joined, k), qv, rv, k)
+    probe.unpersist()
+    out
+  }
+
+  /** [[ivfSqTopKFromIndex]] with the index built inline — the
+    * self-contained one-shot form. */
+  def ivfSqTopK(spark: SparkSession, queries: DataFrame, refs: DataFrame,
+                k: Int, nLists: Int = 16, nProbe: Int = 2,
+                shortlist: Int = 30, seed: Long = 42,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val (centers, codec, index) = ivfSqBuildIndex(spark, refs, nLists,
+      seed, idCol, vecCol)
+    ivfSqTopKFromIndex(spark, queries, index, centers, codec, refs, k,
+      shortlist, nProbe, idCol, vecCol)
+  }
+
   /** (id, v) normal form shared by the two-stage rungs. */
   private def refsFrame(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))

@@ -425,6 +425,29 @@ object PipelineSimilarityQueries {
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
       annTopKAudit(e, two, k = 5, recall, floor = 0.55)
     }),
+
+    // IVF-SQ8 (the faiss `IVF,SQ8` composition): coarse inverted lists
+    // whose entries are int8 codes — 4× smaller stored side, probed
+    // lists scanned by the asymmetric cosine, exact re-rank. Invariant
+    // oracle (the q204/q205 pattern). Operating point from
+    // ProbeAnnRecall (r10): nLists=8/nProbe=6/shortlist=10 measures
+    // recall@5 0.920 (sf0.01) / 0.928 (sf0.1) — coverage-bound (the
+    // 255-level codes are near-faithful, the q203 finding, so recall
+    // is the IVF probe term); floor 0.7.
+    "q206_ivfsq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (centers, codec, index) = Similarity.ivfSqBuildIndex(s, e,
+        nLists = 8)
+      val sq = Similarity.ivfSqTopKFromIndex(s, e, index, centers, codec,
+        e, k = 5, shortlist = 10, nProbe = 6).cache()
+      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        k = 5).select("qid", "rid")
+      val nb = brute.count()
+      val nh = sq.filter(col("qid") < 50).select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      annTopKAudit(e, sq, k = 5, recall, floor = 0.7)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -584,6 +607,13 @@ object PipelineSimilarityQueries {
     // (stage-1 lists are k-means artifacts; recall_ok carries the
     // enforced floor).
     "q205_mrl_ivf_topk" ->
+      """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
+        |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
+        |  TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
+
+    // IVF-SQ8 composition: the same per-query contract booleans.
+    "q206_ivfsq_topk" ->
       """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
         |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
         |  TRUE AS recall_ok

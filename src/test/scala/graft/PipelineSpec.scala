@@ -2035,6 +2035,33 @@ class PipelineSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("ivfSqTopK: full probe ≡ sqTopK; codes index is 4x-compressed coverage") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val qs = e.filter(col("vec_id") < 20)
+    // nProbe = nLists covers every inverted list, so the asymmetric
+    // codes shortlist sees the whole corpus — the IVF-SQ composition
+    // must then equal the flat SQ8 rung row for row (one codec algebra,
+    // one asymmetric scoring, one re-rank kernel)
+    val viaIvfSq = Similarity.ivfSqTopK(spark, qs, e, k = 5, nLists = 8,
+      nProbe = 8, shortlist = 10)
+    val viaSq = Similarity.sqTopK(spark, qs, e, k = 5, shortlist = 10)
+    assert(viaIvfSq.exceptAll(viaSq).isEmpty &&
+      viaSq.exceptAll(viaIvfSq).isEmpty,
+      "full-probe IVF-SQ diverges from the flat SQ8 rung")
+    // the index frame carries codes, not vectors (the 4x contract) and
+    // every code round-trips through the shared codec algebra
+    val (_, codec, index) = Similarity.ivfSqBuildIndex(spark, e, nLists = 8)
+    assert(index.columns.toSet == Set("vec_id", "codes", "list"))
+    val audited = Similarity.sqEncode(spark, e, codec)
+      .withColumnRenamed("codes", "_want")
+    assert(index.select(col("vec_id"), col("codes"))
+      .join(audited, "vec_id")
+      .filter(col("codes") =!= col("_want")).isEmpty,
+      "index codes diverge from sqEncode under the same codec")
+    e.unpersist()
+  }
+
   test("dedupAgainstIndex ≡ dedupAgainst: index probe and re-signature routes agree") {
     import graft.streaming.NearDupStream
     // reference corpus indexed the way the streaming gate indexes it;
