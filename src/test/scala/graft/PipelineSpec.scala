@@ -2502,11 +2502,15 @@ class PipelineSpec extends SparkSpec {
     // (and any shuffle-partition count) produces identical rows
     val s2 = TextAnalysis.shuffleShards(docs.repartition(13), nShards = 8)
     assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
-    // and it matches the single-partition window formulation
+    // and it matches the single-partition window formulation (the
+    // partitionBy(lit(0)) constant keeps the global total order while
+    // defining a partition — fixture-only, so the WindowExec warning
+    // log stays clean of test noise; see the SparkSpec note)
     val naive = docs.select(col("doc_id"),
         md5(concat(lit("42:"), col("doc_id").cast("string"))).as("h"))
       .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("h", "doc_id")) - 1)
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy("h", "doc_id")) - 1)
       .select(col("doc_id"), col("pos"), (col("pos") % 8).as("shard"))
     assert(s1.exceptAll(naive).isEmpty && naive.exceptAll(s1).isEmpty)
     s1.unpersist()
