@@ -193,6 +193,18 @@ object PipelineScaleProbe {
     // pruning. With nLists grown ~√n (the ivfPqParamsFor rule) the
     // probed fraction SHRINKS as the corpus grows — the stage-1 linear
     // term mrl_topk pays is gone from the probe wall.
+    // SQ8 build-once/probe-many (r10): codec + codes built OUTSIDE the
+    // timer (the sqTopK wall above pays train+encode per call — the
+    // audit posture); the probe scans codes only, so its slope is the
+    // 4×-fewer-bytes scan term
+    val (sqCodec, sqCodes) = graft.pipeline.Similarity.sqBuildIndex(spark,
+      repE)
+    val sqCodesC = sqCodes.cache()
+    sqCodesC.count()
+    val (nSqIdx, tSqIdx) = time(graft.pipeline.Similarity
+      .sqTopKFromIndex(spark, q50, sqCodesC, sqCodec, repE, k = 5,
+        shortlist = 10).count())
+    sqCodesC.unpersist()
     val mivfLists = math.max(8,
       math.round(math.sqrt(nVecs.toDouble)).toInt)
     val mivfDir = java.nio.file.Files.createTempDirectory("graft_mivf_probe")
@@ -252,6 +264,7 @@ object PipelineScaleProbe {
       s""""auc_max_bucket_share":${aucStats._2},""" +
       s""""vecs":$nVecs,"mrl_topk_sec":$tMrl,"mrl_topk_rows":$nMrl,""" +
       s""""sq_topk_sec":$tSq,"sq_topk_rows":$nSq,""" +
+      s""""sqidx_topk_sec":$tSqIdx,"sqidx_topk_rows":$nSqIdx,""" +
       s""""mivf_lists":$mivfLists,"mivf_build_sec":$tMivfBuild,""" +
       s""""mivf_topk_sec":$tMivf,"mivf_topk_rows":$nMivf}""")
     spark.stop()

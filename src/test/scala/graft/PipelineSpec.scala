@@ -2035,6 +2035,43 @@ class PipelineSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("matryoshka-IVF over a STREAMED prefix index ≡ the batch-built index") {
+    // the full composition: IvfStream ingests the PREFIX column (a
+    // prefix is just a shorter vector — same frozen quantizer, same
+    // stateless assignment), and the accrued list-partitioned index is
+    // the stage-1 rung of matryoshkaIvfTopKFromIndex. Streamed accrual
+    // must be search-equivalent to the batch build.
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mivfs").toString
+    val e = Tables.embeddings(spark, sf).cache()
+    val (centers, batchIndex) = Similarity.matryoshkaIvfBuildIndex(spark, e,
+      dims = 32, nLists = 8)
+    // stream the prefix column in two triggers
+    val pref = e.select(col("vec_id"), slice(col("embedding"), 1, 32)
+      .as("embedding"))
+    pref.filter(col("vec_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val q = IvfStream.attach(
+      spark.readStream.schema(pref.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), centers,
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt")
+    q.processAllAvailable()
+    pref.filter(col("vec_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = IvfStream.readIndex(spark, s"$tmp/idx")
+    val qs = e.filter(col("vec_id") < 20)
+    val got = Similarity.matryoshkaIvfTopKFromIndex(spark, qs, streamed,
+      centers, e, k = 5, dims = 32, shortlist = 30, nProbe = 4)
+    val want = Similarity.matryoshkaIvfTopKFromIndex(spark, qs, batchIndex,
+      centers, e, k = 5, dims = 32, shortlist = 30, nProbe = 4)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed prefix index diverges from the batch build")
+    e.unpersist()
+  }
+
   test("ivfSqTopK: full probe ≡ sqTopK; codes index is 4x-compressed coverage") {
     import graft.pipeline.Similarity
     val e = Tables.embeddings(spark, sf).cache()
