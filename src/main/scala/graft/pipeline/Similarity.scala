@@ -376,45 +376,54 @@ object Similarity extends Serializable {
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 dim: Int = 64, trainCap: Int = 20000,
                 queriesOpt: Option[DataFrame] = None): DataFrame = {
-    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
-    require(nCodes <= 256, "one-byte codes: nCodes must be ≤ 256")
-    val dsub = dim / m
-    import spark.implicits._
-    val src = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    def unit(v: Array[Float]): Array[Double] = unitOf(v, dim)
-    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
-      .limit(trainCap).as[(Long, Array[Float])].collect().map(t => unit(t._2))
-    val centers = lloydKMeans(train, nLists, seed)
-    def nearestCenter(v: Array[Double]): Array[Int] = {
+    val (model, index) = ivfPqBuildIndex(spark, vectors, nLists, m,
+      nCodes, seed, idCol, vecCol, dim, trainCap)
+    ivfPqTopKFromIndex(spark, queriesOpt.getOrElse(vectors), index, model,
+      vectors, k, nProbe, refine, idCol, vecCol)
+  }
+
+  /** Trained IVF-PQ model: coarse centers over UNIT vectors + the
+    * per-subspace RESIDUAL codebooks — (nLists + m·nCodes/m)·dim
+    * doubles, driver-held, broadcast for encode and probe. One
+    * definition of every arithmetic step (normalization, assignment,
+    * encode, ADC) for the build, the probe, and any streamed ingest. */
+  case class IvfPqModel(dim: Int, m: Int,
+                        centers: Array[Array[Double]],
+                        codebooks: Array[Array[Array[Double]]]) {
+    val dsub: Int = dim / m
+    private[graft] def unit(v: Array[Float]): Array[Double] = unitOf(v, dim)
+    /** First strict minimum — the assignment tie-break (lowest id). */
+    private[graft] def argminCenter(u: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < centers.length) {
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = u(i) - centers(c)(i); s += d * d; i += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      best
+    }
+    /** All centroid ids by ascending L2, ties to the lower id — the
+      * probe order (prefix of it = the probed lists). */
+    private[graft] def nearestCenters(u: Array[Double]): Array[Int] = {
       val d2 = Array.tabulate(centers.length) { c =>
         var s = 0.0; var i = 0
-        while (i < dim) { val d = v(i) - centers(c)(i); s += d * d; i += 1 }
+        while (i < dim) { val d = u(i) - centers(c)(i); s += d * d; i += 1 }
         s
       }
       centers.indices.sortBy(c => (d2(c), c)).toArray
     }
-    // per-subspace codebooks over residuals of the training sample
-    val residuals = train.map { v =>
-      val c = centers(nearestCenter(v)(0))
-      Array.tabulate(dim)(i => v(i) - c(i))
-    }
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
-      lloydKMeans(sub, nCodes, seed + s + 1)
-    }
-    val bcC = spark.sparkContext.broadcast(centers)
-    val bcB = spark.sparkContext.broadcast(codebooks)
-    def encode(v: Array[Double], list: Int): Array[Byte] = {
-      val c = bcC.value(list)
+    private[graft] def encode(u: Array[Double], list: Int): Array[Byte] = {
+      val c = centers(list)
       val out = new Array[Byte](m)
       var s = 0
       while (s < m) {
-        val cb = bcB.value(s)
+        val cb = codebooks(s)
         var best = 0; var bd = Double.MaxValue; var cc = 0
         while (cc < cb.length) {
           var d = 0.0; var j = 0
           while (j < dsub) {
-            val x = v(s * dsub + j) - c(s * dsub + j) - cb(cc)(j)
+            val x = u(s * dsub + j) - c(s * dsub + j) - cb(cc)(j)
             d += x * x; j += 1
           }
           if (d < bd) { bd = d; best = cc }
@@ -425,61 +434,161 @@ object Similarity extends Serializable {
       }
       out
     }
-    val assigned = src.as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val u = unit(v)
-        val list = {
-          val cs = bcC.value
-          var best = 0; var bd = Double.MaxValue; var c = 0
-          while (c < cs.length) {
-            var s = 0.0; var i = 0
-            while (i < dim) { val d = u(i) - cs(c)(i); s += d * d; i += 1 }
-            if (s < bd) { bd = s; best = c }
-            c += 1
-          }
-          best
+    /** ADC: squared L2 between the exact unit query and
+      * center + decoded residual — no float vector rehydrated. */
+    private[graft] def adc(qu: Array[Double], list: Int,
+                           codes: Array[Byte]): Double = {
+      val c = centers(list)
+      var d = 0.0
+      var s = 0
+      while (s < m) {
+        val cb = codebooks(s)(codes(s) & 0xff)
+        var j = 0
+        while (j < dsub) {
+          val x = qu(s * dsub + j) - c(s * dsub + j) - cb(j)
+          d += x * x; j += 1
         }
-        (id, list, encode(u, list))
-      }.toDF("rid", "list", "codes")
-    // queriesOpt decouples the query set from the indexed corpus — the
-    // production shape (queries ≪ corpus); default remains self-top-k.
-    val qsrc = queriesOpt.map(_.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("v"))).getOrElse(src)
+        s += 1
+      }
+      d
+    }
+  }
+
+  /** Build the IVF-PQ index ONCE: train both quantizers on the
+    * deterministic hash-ordered sample and encode the corpus in one
+    * narrow pass — (model, index) where the index frame is (idCol,
+    * list, codes: m bytes/row, a 32× shrink at m=8/dim=64). The
+    * build/probe split [[sqBuildIndex]]/[[ivfTopKFromIndex]]
+    * established, applied to the top rung: a deployment persists the
+    * codes `partitionBy("list")` and probes many times
+    * ([[ivfPqTopKFromIndex]] prunes to the probed lists);
+    * [[ivfPqTopK]] (the q56 audit surface) delegates here, so the
+    * one-call and index routes share every bit of arithmetic. */
+  def ivfPqBuildIndex(spark: SparkSession, refs: DataFrame,
+                      nLists: Int = 16, m: Int = 8, nCodes: Int = 32,
+                      seed: Long = 42, idCol: String = "vec_id",
+                      vecCol: String = "embedding", dim: Int = 64,
+                      trainCap: Int = 20000): (IvfPqModel, DataFrame) = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(nCodes <= 256, "one-byte codes: nCodes must be ≤ 256")
+    val dsub = dim / m
+    import spark.implicits._
+    val src = refs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val train = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainCap).as[(Long, Array[Float])].collect()
+      .map(t => unitOf(t._2, dim))
+    val centers = lloydKMeans(train, nLists, seed)
+    val coarse = IvfPqModel(dim, m, centers, Array.empty)
+    // per-subspace codebooks over residuals of the training sample
+    val residuals = train.map { v =>
+      val c = centers(coarse.argminCenter(v))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val sub = residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
+      lloydKMeans(sub, nCodes, seed + s + 1)
+    }
+    val model = IvfPqModel(dim, m, centers, codebooks)
+    val bc = spark.sparkContext.broadcast(model)
+    val index = src.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val mm = bc.value
+        val u = mm.unit(v)
+        val list = mm.argminCenter(u)
+        (id, list, mm.encode(u, list))
+      }.toDF(idCol, "list", "codes")
+    (model, index)
+  }
+
+  /** Persist the IVF-PQ index: codes list-partitioned
+    * (`dir/codes/batch=0/list=*` — the [[ivfTopKFromIndex]] pruning
+    * layout), coarse centers and codebooks as plain rows. Returns the
+    * model. */
+  def ivfPqWriteIndex(spark: SparkSession, refs: DataFrame, dir: String,
+                      nLists: Int = 16, m: Int = 8, nCodes: Int = 32,
+                      seed: Long = 42, idCol: String = "vec_id",
+                      vecCol: String = "embedding", dim: Int = 64,
+                      trainCap: Int = 20000): IvfPqModel = {
+    import spark.implicits._
+    val (model, index) = ivfPqBuildIndex(spark, refs, nLists, m, nCodes,
+      seed, idCol, vecCol, dim, trainCap)
+    index.write.partitionBy("list").mode("overwrite")
+      .parquet(s"$dir/codes/batch=0")
+    model.centers.indices.map(c => (c, model.centers(c)))
+      .toDF("list", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    (for (s <- model.codebooks.indices; c <- model.codebooks(s).indices)
+      yield (s, c, model.codebooks(s)(c)))
+      .toDF("s", "c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    model
+  }
+
+  /** Load a persisted IVF-PQ index: (model, codes frame). */
+  def ivfPqReadIndex(spark: SparkSession, dir: String,
+                     idCol: String = "vec_id"): (IvfPqModel, DataFrame) = {
+    val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val bookRows = spark.read.parquet(s"$dir/books").orderBy("s", "c")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val books = Array.tabulate(m)(s =>
+      bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
+    val dim = centers(0).length
+    (IvfPqModel(dim, m, centers, books),
+      spark.read.parquet(s"$dir/codes").select(idCol, "list", "codes"))
+  }
+
+  /** The probe half of [[ivfPqTopK]] over a PRE-BUILT codes index:
+    * queries probe `nProbe` lists, the index is FILTERED to the probed
+    * list set before the join (a ≤nLists driver-side set — on the
+    * [[ivfPqWriteIndex]] layout that filter is parquet
+    * `PartitionFilters`, so a probe reads `nProbe/nLists` of the
+    * m-byte codes), candidates are ADC-scored, and the `k·refine`
+    * shortlist re-ranks against the true vectors for exact emitted
+    * cosines. */
+  def ivfPqTopKFromIndex(spark: SparkSession, queries: DataFrame,
+                         index: DataFrame, model: IvfPqModel,
+                         refs: DataFrame, k: Int, nProbe: Int = 2,
+                         refine: Int = 4, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val src = refs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val qsrc = queries.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
     val qProbe = qsrc.as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        val u = unit(v)
-        nearestCenter(u).iterator.take(nProbe).map(l => (id, u, l))
+        val mm = bc.value
+        val u = mm.unit(v)
+        mm.nearestCenters(u).iterator.take(nProbe).map(l => (id, u, l))
       }.toDF("qid", "qu", "list")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = qProbe.select("list").distinct().as[Int].collect().toSeq
+    val idx = index.filter(col("list").isin(lists: _*))
+      .select(col(idCol).cast("long").as("rid"), col("list"), col("codes"))
     // ADC scan: exact normalized query vs (center + decoded residual);
     // only (qid, rid, approx) leaves the join — the shortlist window
     // then bounds what the refine join must rehydrate.
-    val adc = qProbe.join(assigned, "list")
+    val adc = qProbe.join(idx, "list")
       .filter(col("qid") =!= col("rid"))
       .select(col("qid"), col("qu"), col("list"), col("rid"), col("codes"))
       .as[(Long, Array[Double], Int, Long, Array[Byte])]
       .map { case (qid, qu, list, rid, codes) =>
-        val c = bcC.value(list)
-        var d = 0.0
-        var s = 0
-        while (s < m) {
-          val cb = bcB.value(s)(codes(s) & 0xff)
-          var j = 0
-          while (j < dsub) {
-            val x = qu(s * dsub + j) - c(s * dsub + j) - cb(j)
-            d += x * x; j += 1
-          }
-          s += 1
-        }
-        (qid, rid, d)
+        (qid, rid, bc.value.adc(qu, list, codes))
       }.toDF("qid", "rid", "approx")
     val wApprox = Window.partitionBy("qid").orderBy(col("approx").asc, col("rid").asc)
     val shortlist = adc.withColumn("srn", row_number().over(wApprox))
       .filter(col("srn") <= k * refine)
       .select("qid", "rid")
-    padShortQueries(rerankTopK(shortlist
+    val out = padShortQueries(rerankTopK(shortlist
       .join(qsrc.select(col("id").as("qid"), col("v").as("qv")), "qid")
       .join(src.select(col("id").as("rid"), col("v").as("rv")), "rid"), k),
       qsrc, src, k)
+    qProbe.unpersist()
+    out
   }
 
   /** IVF-PQ parameters derived from the corpus size — the
@@ -1105,6 +1214,38 @@ object Similarity extends Serializable {
     val out = padShortQueries(rerankTopK(joined, k), qv, rv, k)
     probe.unpersist()
     out
+  }
+
+  /** Persist the IVF-SQ8 index: codes list-partitioned (the pruning
+    * layout), coarse centers and the codec envelope as plain rows. */
+  def ivfSqWriteIndex(spark: SparkSession, refs: DataFrame, dir: String,
+                      nLists: Int = 16, seed: Long = 42,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding", trainCap: Int = 20000)
+      : (Array[Array[Double]], SqCodec) = {
+    import spark.implicits._
+    val (centers, codec, index) = ivfSqBuildIndex(spark, refs, nLists,
+      seed, idCol, vecCol, trainCap)
+    index.write.partitionBy("list").mode("overwrite")
+      .parquet(s"$dir/codes/batch=0")
+    centers.indices.map(c => (c, centers(c))).toDF("list", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    codec.mins.indices.map(i => (i, codec.mins(i), codec.maxs(i)))
+      .toDF("pos", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codec")
+    (centers, codec)
+  }
+
+  /** Load a persisted IVF-SQ8 index: (centers, codec, codes frame). */
+  def ivfSqReadIndex(spark: SparkSession, dir: String,
+                     idCol: String = "vec_id")
+      : (Array[Array[Double]], SqCodec, DataFrame) = {
+    val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val stats = spark.read.parquet(s"$dir/codec").orderBy("pos").collect()
+    (centers,
+      SqCodec(stats.map(_.getDouble(1)), stats.map(_.getDouble(2))),
+      spark.read.parquet(s"$dir/codes").select(idCol, "codes", "list"))
   }
 
   /** [[ivfSqTopKFromIndex]] with the index built inline — the

@@ -2072,6 +2072,37 @@ class PipelineSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("ivfPqTopKFromIndex: build-once/probe-many ≡ ivfPqTopK; disk roundtrip exact") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val qs = e.filter(col("vec_id") < 20)
+    // the q56 one-call surface delegates to build+probe, so this pins
+    // that an EXTERNALLY persisted index gives the same rows as the
+    // monolithic call (one model, one arithmetic)
+    val inOne = Similarity.ivfPqTopK(spark, e, k = 3, nLists = 8,
+      nProbe = 4, m = 8, nCodes = 32, refine = 10, queriesOpt = Some(qs))
+    val (model, index) = Similarity.ivfPqBuildIndex(spark, e, nLists = 8,
+      m = 8, nCodes = 32)
+    val viaIdx = Similarity.ivfPqTopKFromIndex(spark, qs, index, model, e,
+      k = 3, nProbe = 4, refine = 10)
+    assert(viaIdx.exceptAll(inOne).isEmpty && inOne.exceptAll(viaIdx).isEmpty,
+      "pre-built-index probe diverges from the one-call operator")
+    // parquet roundtrip: model and codes reload exactly, and a probe
+    // over the list-partitioned on-disk codes matches
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    val written = Similarity.ivfPqWriteIndex(spark, e, tmp, nLists = 8,
+      m = 8, nCodes = 32)
+    val (model2, codes2) = Similarity.ivfPqReadIndex(spark, tmp)
+    assert(model2.dim == written.dim && model2.m == written.m)
+    assert(model2.centers.zip(written.centers).forall(p => p._1.sameElements(p._2)))
+    assert(model2.codebooks.zip(written.codebooks).forall { case (a, b) =>
+      a.zip(b).forall(p => p._1.sameElements(p._2)) })
+    val viaDisk = Similarity.ivfPqTopKFromIndex(spark, qs, codes2, model2,
+      e, k = 3, nProbe = 4, refine = 10)
+    assert(viaDisk.exceptAll(inOne).isEmpty && inOne.exceptAll(viaDisk).isEmpty)
+    e.unpersist()
+  }
+
   test("ivfSqTopK: full probe ≡ sqTopK; codes index is 4x-compressed coverage") {
     import graft.pipeline.Similarity
     val e = Tables.embeddings(spark, sf).cache()
@@ -2096,6 +2127,20 @@ class PipelineSpec extends SparkSpec {
       .join(audited, "vec_id")
       .filter(col("codes") =!= col("_want")).isEmpty,
       "index codes diverge from sqEncode under the same codec")
+    // disk roundtrip: centers + codec + list-partitioned codes reload
+    // and probe identically to the in-memory build
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfsqidx").toString
+    val (wc, wcodec) = Similarity.ivfSqWriteIndex(spark, e, tmp, nLists = 8)
+    val (rc, rcodec, rcodes) = Similarity.ivfSqReadIndex(spark, tmp)
+    assert(rc.zip(wc).forall(p => p._1.sameElements(p._2)))
+    assert(rcodec.mins.sameElements(wcodec.mins) &&
+      rcodec.maxs.sameElements(wcodec.maxs))
+    val viaDisk = Similarity.ivfSqTopKFromIndex(spark, qs, rcodes, rc,
+      rcodec, e, k = 5, shortlist = 10, nProbe = 4)
+    val viaMem = Similarity.ivfSqTopK(spark, qs, e, k = 5, nLists = 8,
+      nProbe = 4, shortlist = 10)
+    assert(viaDisk.exceptAll(viaMem).isEmpty && viaMem.exceptAll(viaDisk).isEmpty,
+      "on-disk IVF-SQ probe diverges from the inline build")
     e.unpersist()
   }
 

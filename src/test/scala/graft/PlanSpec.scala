@@ -472,6 +472,28 @@ class PlanSpec extends SparkSpec {
       s"re-rank windows must partition by qid:\n$p")
   }
 
+  test("ivfPqTopKFromIndex prunes the on-disk codes to the probed lists") {
+    // the IVF-PQ deployment shape: codes persisted list-partitioned,
+    // the probe's ≤nLists list set must land as PartitionFilters so a
+    // probe reads nProbe/nLists of the m-byte codes
+    import graft.pipeline.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqplan").toString
+    val e = Tables.embeddings(spark, sf)
+    val model = Similarity.ivfPqWriteIndex(spark, e, tmp, nLists = 8,
+      m = 8, nCodes = 32)
+    val (_, codes) = Similarity.ivfPqReadIndex(spark, tmp)
+    val p = Similarity.ivfPqTopKFromIndex(spark,
+        e.filter(col("vec_id") < 3), codes, model, e, k = 3, nProbe = 2,
+        refine = 10)
+      .queryExecution.executedPlan.toString
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("list") &&
+      !l.contains("PartitionFilters: []")),
+      s"codes scan must carry a list partition filter:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"shortlist window misses the rank-limit pushdown:\n$p")
+  }
+
   test("q115 approx profile mode plans no Expand; exact mode does") {
     // the documented swap is now a plan property, both directions
     val o = Tables.orders(spark, sf)
