@@ -914,11 +914,13 @@ object Similarity extends Serializable {
     * two-stage recall ≥ the q201 prefix-only recall by construction.
     *
     * Stage 1 here is the exact prefix kernel (oracle-replayable, the
-    * audit posture); at corpus scale the same two-stage shape drops in
-    * an index rung on the prefix column instead ([[ivfTopK]] /
-    * [[lshTopK]] over `slice(v, 1, dims)` — the prefix is just a
-    * shorter vector). Under-filled queries (corpus smaller than k+1)
-    * fall back through [[padShortQueries]] like every other rung. */
+    * audit posture); at corpus scale the same two-stage shape uses the
+    * SHIPPED index rung on the prefix column instead —
+    * [[matryoshkaIvfTopK]] / [[matryoshkaIvfTopKFromIndex]] (IVF over
+    * `slice(v, 1, dims)` with partition-pruned probes; full-probe
+    * route equality with this operator is spec-pinned). Under-filled
+    * queries (corpus smaller than k+1) fall back through
+    * [[padShortQueries]] like every other rung. */
   def matryoshkaTopK(queries: DataFrame, refs: DataFrame, k: Int,
                      dims: Int = 16, shortlist: Int = 30,
                      idCol: String = "vec_id", vecCol: String = "embedding",

@@ -2072,6 +2072,42 @@ class PipelineSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("IvfStream.attachSq: streamed codes index ≡ batch ivfSqBuildIndex") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqstream").toString
+    val e = Tables.embeddings(spark, sf).cache()
+    // quantizers frozen once (trained on the full corpus, the batch
+    // route's own training), then the stream encodes arrivals
+    val (centers, codec, batchIndex) = Similarity.ivfSqBuildIndex(spark, e,
+      nLists = 8)
+    e.select("vec_id", "embedding").filter(col("vec_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = e.select("vec_id", "embedding").schema
+    val q = IvfStream.attachSq(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), centers, codec,
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt")
+    q.processAllAvailable()
+    e.select("vec_id", "embedding").filter(col("vec_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    // accrued codes rows ≡ the batch build's frame, row for row
+    val streamed = IvfStream.readCodesIndex(spark, s"$tmp/idx")
+    assert(streamed.exceptAll(batchIndex).isEmpty &&
+      batchIndex.exceptAll(streamed).isEmpty,
+      "streamed codes index diverges from the batch build")
+    // and the search route over the streamed directory ≡ the inline op
+    val qs = e.filter(col("vec_id") < 20)
+    val got = Similarity.ivfSqTopKFromIndex(spark, qs, streamed, centers,
+      codec, e, k = 5, shortlist = 10, nProbe = 4)
+    val want = Similarity.ivfSqTopK(spark, qs, e, k = 5, nLists = 8,
+      nProbe = 4, shortlist = 10)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    e.unpersist()
+  }
+
   test("ivfPqTopKFromIndex: build-once/probe-many ≡ ivfPqTopK; disk roundtrip exact") {
     import graft.pipeline.Similarity
     val e = Tables.embeddings(spark, sf).cache()
