@@ -337,8 +337,12 @@ object Similarity extends Serializable {
     val out = padShortQueries(rerankTopK(probe.join(idx, "list")
       .filter(col("qid") =!= col("rid")), k), q,
       index.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), k)
-    // padShortQueries persisted + materialized its own output, so the
-    // probe cache has served both consumers by now
+    // padShortQueries persisted + fully materialized its own output,
+    // so the probe cache has served both consumers by now. Caveat: the
+    // single-materialization guarantee holds only while that downstream
+    // cache survives — if its blocks are evicted AND the queries frame
+    // is non-deterministic, a late action recomputes the probe (r10
+    // ADVICE). Deterministic sources (parquet tables) are unaffected.
     probe.unpersist()
     out
   }
@@ -587,6 +591,8 @@ object Similarity extends Serializable {
       .join(qsrc.select(col("id").as("qid"), col("v").as("qv")), "qid")
       .join(src.select(col("id").as("rid"), col("v").as("rv")), "rid"), k),
       qsrc, src, k)
+    // see ivfTopKFromIndex: safe while the padShortQueries cache
+    // survives; only non-deterministic query frames are exposed
     qProbe.unpersist()
     out
   }
@@ -1214,6 +1220,8 @@ object Similarity extends Serializable {
       .join(qv.select(col("id").as("qid"), col("v").as("qv")), "qid")
       .join(rv.select(col("id").as("rid"), col("v").as("rv")), "rid")
     val out = padShortQueries(rerankTopK(joined, k), qv, rv, k)
+    // see ivfTopKFromIndex: safe while the padShortQueries cache
+    // survives; only non-deterministic query frames are exposed
     probe.unpersist()
     out
   }

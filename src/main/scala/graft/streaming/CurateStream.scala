@@ -192,6 +192,7 @@ object CurateStream {
     * Run while the stream is quiesced. */
   def compactFpIndex(spark: SparkSession, fpIndexDir: String,
                      partitions: Int = 32): Unit = {
+    IndexSwap.requireLive(spark, fpIndexDir, "compactFpIndex")
     val tmp = fpIndexDir + ".compact"
     readFpIndex(spark, fpIndexDir)
       .repartitionByRange(partitions, col("fp"))

@@ -8,37 +8,123 @@ import org.apache.hadoop.fs.Path
   * [[CurateStream.compactFpIndex]], [[IvfStream.reassign]]): the
   * caller writes the replacement content under a `.compact` temp dir,
   * then `swap` renames live → `.old` → installs tmp → deletes `.old`.
-  * A crash between the renames leaves `.old` intact and the next
-  * `restoreIfInterrupted` (every index reader calls it) installs it
-  * back — the index is never observable in a half-written state.
+  *
+  * Two sibling marker files make the discipline mechanical:
+  *
+  *  - `<live>.swapping` exists while a swap is running (or crashed
+  *    mid-run). A reader that finds it with NEITHER a live index nor a
+  *    complete `.old` fails fast with a clear message instead of
+  *    silently reading an empty index.
+  *  - `<live>.old.complete` is created only AFTER the live → `.old`
+  *    rename has returned, so its presence certifies `.old` is a
+  *    complete copy. This matters on object stores (S3A), where a
+  *    directory "rename" is a non-atomic client-side copy+delete: a
+  *    crash mid-rename leaves a PARTIAL `.old`, and installing that as
+  *    the live index would be silent data loss. `restoreIfInterrupted`
+  *    restores `.old` only when the marker is present and refuses —
+  *    loudly — otherwise. (On local/HDFS the rename is atomic, so the
+  *    unmarked window is only the instant between the rename and the
+  *    marker create; a crash there fails loud, never corrupts.)
+  *
+  * A crash BETWEEN the two renames (the common case: live moved aside,
+  * replacement not yet installed) therefore self-heals on the next
+  * read, exactly as before, and the markers are cleaned up with it.
   * Everything goes through the Hadoop FileSystem API so an HDFS/S3
-  * index directory behaves the same as a local one. */
-private[streaming] object IndexSwap {
+  * index directory works like a local one.
+  *
+  * CONCURRENCY CONTRACT: swap runs while readers and the ingest stream
+  * are QUIESCED (every call site documents it). The markers detect and
+  * contain crashes; they do not make concurrent reader-vs-swap races
+  * safe. */
+private[graft] object IndexSwap {
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
 
   def swap(spark: SparkSession, liveDir: String, tmpDir: String): Unit = {
     val live = new Path(liveDir)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsOf(spark, live)
     val tmpP = new Path(tmpDir)
     val oldP = new Path(liveDir + ".old")
+    val oldOk = new Path(liveDir + ".old.complete")
+    val inprog = new Path(liveDir + ".swapping")
+    // heal (or fail loudly) BEFORE touching .old: a direct call on an
+    // interrupted index must not delete the sole surviving copy
+    restoreIfInterrupted(spark, liveDir)
+    require(fs.exists(live),
+      s"IndexSwap: live index $liveDir does not exist — nothing to " +
+        "swap (write the initial index directly)")
+    require(fs.exists(tmpP),
+      s"IndexSwap: replacement $tmpDir does not exist")
+    fs.create(inprog, true).close()
     if (fs.exists(oldP)) { fs.delete(oldP, true); () }
     require(fs.rename(live, oldP),
       s"IndexSwap: rename $liveDir -> $oldP failed")
+    fs.create(oldOk, true).close() // .old certified complete from here
     require(fs.rename(tmpP, live),
       s"IndexSwap: rename $tmpDir -> $liveDir failed")
     fs.delete(oldP, true)
+    fs.delete(oldOk, false)
+    fs.delete(inprog, false)
     ()
   }
 
   /** Self-heal a maintenance run that crashed after renaming the live
-    * index away but before installing the replacement — the `.old`
-    * copy is complete by construction. */
+    * index away but before installing the replacement; clean up marker
+    * litter from a crash after the install. Fails fast (clear message)
+    * when `.old` lacks its completion marker — a possibly-partial copy
+    * is never silently installed — or when a crashed swap left neither
+    * a live index nor a restorable `.old`. */
   def restoreIfInterrupted(spark: SparkSession, liveDir: String): Unit = {
     val live = new Path(liveDir)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsOf(spark, live)
     val oldP = new Path(liveDir + ".old")
-    if (!fs.exists(live) && fs.exists(oldP)) {
-      require(fs.rename(oldP, live),
-        s"IndexSwap: could not restore $oldP -> $liveDir")
+    val oldOk = new Path(liveDir + ".old.complete")
+    val inprog = new Path(liveDir + ".swapping")
+    if (!fs.exists(live)) {
+      if (fs.exists(oldP)) {
+        require(fs.exists(oldOk),
+          s"IndexSwap: $oldP exists WITHOUT its completion marker " +
+            s"($oldOk) — the live->.old rename itself was interrupted, " +
+            "so .old may be a PARTIAL copy (object-store rename is a " +
+            "non-atomic copy+delete). Refusing to install it as the " +
+            s"live index; recover $liveDir manually.")
+        require(fs.rename(oldP, live),
+          s"IndexSwap: could not restore $oldP -> $liveDir")
+        fs.delete(oldOk, false)
+        fs.delete(inprog, false)
+        ()
+      } else {
+        require(!fs.exists(inprog),
+          s"IndexSwap: a swap of $liveDir is in progress or crashed " +
+            s"($inprog exists) and neither the live index nor a " +
+            "complete .old copy is present — refusing to read. If no " +
+            "maintenance job is running, restore the index from its " +
+            "replacement source.")
+        // neither live nor .old nor marker: the index simply does not
+        // exist yet — a legitimate empty read
+      }
+    } else if (fs.exists(inprog)) {
+      // live is a complete index (the crashed swap either finished the
+      // install or never moved live); clear the crash litter so the
+      // next swap starts clean
+      if (fs.exists(oldP)) { fs.delete(oldP, true); () }
+      if (fs.exists(oldOk)) { fs.delete(oldOk, false); () }
+      fs.delete(inprog, false)
+      ()
     }
+  }
+
+  /** Maintenance-helper precondition: heal if needed, then require the
+    * live directory exists BEFORE the caller spends a job writing its
+    * temp replacement (an absent index used to surface as a confusing
+    * mid-swap rename failure AFTER the compact write — r10 ADVICE). */
+  private[graft] def requireLive(spark: SparkSession, liveDir: String,
+                                 op: String): Unit = {
+    restoreIfInterrupted(spark, liveDir)
+    val live = new Path(liveDir)
+    require(fsOf(spark, live).exists(live),
+      s"$op: index directory $liveDir does not exist — nothing to " +
+        "maintain (build or attach the index first)")
   }
 }

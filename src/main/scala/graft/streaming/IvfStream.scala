@@ -154,6 +154,7 @@ object IvfStream {
                newCenters: Array[Array[Double]],
                idCol: String = "vec_id",
                vecCol: String = "embedding"): Unit = {
+    IndexSwap.requireLive(spark, indexDir, "IvfStream.reassign")
     val tmp = indexDir + ".compact"
     assignOnIngest(readIndex(spark, indexDir, idCol, vecCol)
         .select(idCol, vecCol), newCenters, idCol, vecCol)

@@ -243,6 +243,7 @@ object NearDupStream {
     * renames leaves `.old` intact and [[readIndex]] restores it. */
   def compactIndex(spark: SparkSession, indexDir: String, k: Int,
                    partitions: Int = 32): Unit = {
+    IndexSwap.requireLive(spark, indexDir, "compactIndex")
     val tmp = indexDir + ".compact"
     readIndex(spark, indexDir, k)
       .repartitionByRange(partitions, col("bucket"))

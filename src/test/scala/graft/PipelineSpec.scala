@@ -1952,14 +1952,19 @@ class PipelineSpec extends SparkSpec {
     val batches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/fp"))
       .map(_.getPath.getName).filter(_.startsWith("batch="))
     assert(batches.toSeq == Seq("batch=-1"), s"layout: ${batches.toSeq}")
-    // a crash between the two renames (live moved to .old, compacted
-    // copy not installed) self-heals on the next read
+    // a crash between the two renames (live moved to .old — with its
+    // completion marker, as the swap writes it — compacted copy not
+    // installed) self-heals on the next read, markers cleaned up
     assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/fp"),
       new org.apache.hadoop.fs.Path(s"$tmp/fp.old")))
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/fp.old.complete"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/fp.swapping"), true).close()
     val healed = CurateStream.readFpIndex(spark, s"$tmp/fp")
       .collect().map(_.getString(0)).toSeq.sorted
     assert(healed == before)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/fp.old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/fp.old.complete")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/fp.swapping")))
   }
 
   test("CurateStream.attachWithIvf: searchable vector set ≡ curated doc set per trigger") {
@@ -2314,15 +2319,20 @@ class PipelineSpec extends SparkSpec {
       .collect().toSet
     assert(after == before)
     // a compaction crash between the two renames (live index moved to
-    // .old, compacted copy not yet installed) self-heals on next read
+    // .old with its completion marker, compacted copy not yet
+    // installed) self-heals on next read, markers cleaned up
     val fs = new org.apache.hadoop.fs.Path(s"$tmp/index")
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/index"),
       new org.apache.hadoop.fs.Path(s"$tmp/index.old")))
+    fs.create(new org.apache.hadoop.fs.Path(s"$tmp/index.old.complete"),
+      true).close()
     val healed = NearDupStream.readIndex(spark, s"$tmp/index", 64)
       .collect().toSet
     assert(healed == before)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/index.old")))
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$tmp/index.old.complete")))
   }
 
   test("NearDupStream: batch replay is idempotent (no self-drop, no dup survivors)") {
@@ -3313,5 +3323,73 @@ class PipelineSpec extends SparkSpec {
       .filter(col("term") =!= "sentinel")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed === batch)
+  }
+
+  test("IndexSwap: partial-.old refusal, reader fail-fast, litter cleanup, missing-live precondition") {
+    import spark.implicits._
+    import graft.streaming.IndexSwap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_swap").toString
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$tmp/$s")
+    // 1. .old WITHOUT its completion marker = possibly-partial copy
+    //    (object-store rename interrupted): restore must REFUSE loudly,
+    //    and .old must survive untouched for manual recovery
+    Seq((1L, "a")).toDF("id", "x").write.parquet(s"$tmp/idx.old")
+    val e1 = intercept[IllegalArgumentException] {
+      IndexSwap.restoreIfInterrupted(spark, s"$tmp/idx")
+    }
+    assert(e1.getMessage.contains("PARTIAL"))
+    assert(fs.exists(p("idx.old")), ".old must not be destroyed")
+    // ... and a direct swap on that state must fail the same way
+    // BEFORE deleting the sole surviving copy (r10 ADVICE)
+    Seq((2L, "b")).toDF("id", "x").write.parquet(s"$tmp/idx.compact")
+    intercept[IllegalArgumentException] {
+      IndexSwap.swap(spark, s"$tmp/idx", s"$tmp/idx.compact")
+    }
+    assert(fs.exists(p("idx.old")), ".old must still exist after failed swap")
+    fs.delete(p("idx.old"), true)
+    // 2. reader fail-fast: in-progress marker with neither live nor
+    //    .old present = a crashed swap lost the index — loud, not an
+    //    empty read
+    fs.create(p("idx2.swapping"), true).close()
+    val e2 = intercept[IllegalArgumentException] {
+      IndexSwap.restoreIfInterrupted(spark, s"$tmp/idx2")
+    }
+    assert(e2.getMessage.contains("refusing to read"))
+    fs.delete(p("idx2.swapping"), false)
+    // 3. crash AFTER the install (live = new index, .old + markers
+    //    linger): read succeeds on live and cleans up the litter
+    Seq((3L, "new")).toDF("id", "x").write.parquet(s"$tmp/idx3")
+    Seq((4L, "old")).toDF("id", "x").write.parquet(s"$tmp/idx3.old")
+    fs.create(p("idx3.old.complete"), true).close()
+    fs.create(p("idx3.swapping"), true).close()
+    IndexSwap.restoreIfInterrupted(spark, s"$tmp/idx3")
+    assert(fs.exists(p("idx3")))
+    assert(!fs.exists(p("idx3.old")) && !fs.exists(p("idx3.old.complete"))
+      && !fs.exists(p("idx3.swapping")))
+    assert(spark.read.parquet(s"$tmp/idx3").select("x")
+      .as[String].collect().toSeq == Seq("new"))
+    // 4. maintenance on a never-built index: clear precondition error
+    //    BEFORE any temp write (r10 ADVICE), from both helpers
+    val e4 = intercept[IllegalArgumentException] {
+      graft.streaming.CurateStream.compactFpIndex(spark, s"$tmp/nofp")
+    }
+    assert(e4.getMessage.contains("does not exist"))
+    assert(!fs.exists(p("nofp.compact")), "no temp write before the check")
+    val e5 = intercept[IllegalArgumentException] {
+      graft.streaming.IvfStream.reassign(spark, s"$tmp/noivf",
+        Array(Array(0.0)))
+    }
+    assert(e5.getMessage.contains("does not exist"))
+    assert(!fs.exists(p("noivf.compact")))
+    // 5. a healthy swap round-trips and leaves zero marker litter
+    Seq((5L, "live")).toDF("id", "x").write.parquet(s"$tmp/idx5")
+    Seq((6L, "repl")).toDF("id", "x").write.parquet(s"$tmp/idx5.compact")
+    IndexSwap.swap(spark, s"$tmp/idx5", s"$tmp/idx5.compact")
+    assert(spark.read.parquet(s"$tmp/idx5").select("x")
+      .as[String].collect().toSeq == Seq("repl"))
+    assert(!fs.exists(p("idx5.old")) && !fs.exists(p("idx5.old.complete"))
+      && !fs.exists(p("idx5.swapping")) && !fs.exists(p("idx5.compact")))
   }
 }
