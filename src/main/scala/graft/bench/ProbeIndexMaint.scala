@@ -97,6 +97,31 @@ object ProbeIndexMaint {
     val wAfter = probeBatch(extra, nBatches.toLong)
     println(f"[fp-probe] compact=$tCompact%.2fs post-compaction " +
       f"probe=$wAfter%.2fs (index ${n} fps in one sorted partition set)")
+
+    // C) cached-memory footprint of the SQ8 codes frame vs the float
+    // corpus — the claim the byte-width change (r11) makes true IN
+    // MEMORY, not just in parquet: measure both frames' block-manager
+    // bytes under the same storage level.
+    docs.unpersist(blocking = true)
+    def cachedBytes(df: org.apache.spark.sql.DataFrame,
+                    name: String): Long = {
+      val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      p.count()
+      val sz = spark.sparkContext.getRDDStorageInfo
+        .filter(i => !before.contains(i.id) && i.numCachedPartitions > 0)
+        .map(_.memSize).sum
+      println(f"[sq-mem] $name cached=${sz / 1048576.0}%.1f MiB")
+      p.unpersist(blocking = true)
+      sz
+    }
+    val floats = cachedBytes(e.select(col("vec_id"), col("embedding")),
+      "float64d corpus")
+    val codec = Similarity.sqTrain(spark, e)
+    val bytes = cachedBytes(Similarity.sqEncode(spark, e, codec),
+      "sq8 codes")
+    println(f"[sq-mem] shrink=${floats.toDouble / bytes}%.2fx " +
+      "(float array<float> rows vs binary byte-code rows)")
     spark.stop()
   }
 }

@@ -766,26 +766,33 @@ object Similarity extends Serializable {
     * one (min, max) pair per dimension; a 64-dim float vector encodes
     * to 64 one-byte codes — a 4× shrink with no codebook search at
     * encode time (the cheap sibling of [[PqCodec]]'s 16×). The model
-    * is 2·dim doubles — broadcast-sized at any corpus size. */
+    * is 2·dim doubles — broadcast-sized at any corpus size.
+    *
+    * Codes are `Array[Byte]` (Spark BinaryType) so the shrink is real
+    * in EVERY tier — parquet, shuffle wire, AND cached/memory-resident
+    * frames (r10 verdict #1: the previous `array<int>` form was 4
+    * bytes-plus-array-overhead per code in memory, true only on disk).
+    * The unsigned value 0..255 is recovered as `code & 0xff` at every
+    * decode site — [[IvfPqModel]]'s byte-code convention. */
   case class SqCodec(mins: Array[Double], maxs: Array[Double]) {
     val dim: Int = mins.length
-    def encode(v: Array[Float]): Array[Int] = {
-      val out = new Array[Int](dim)
+    def encode(v: Array[Float]): Array[Byte] = {
+      val out = new Array[Byte](dim)
       var i = 0
       while (i < dim) {
         val mn = mins(i); val mx = maxs(i)
         val t = if (mx == mn) 0.0 else (v(i) - mn) * 255.0 / (mx - mn)
         val c = math.floor(t + 0.5).toLong
-        out(i) = math.min(255L, math.max(0L, c)).toInt
+        out(i) = math.min(255L, math.max(0L, c)).toByte
         i += 1
       }
       out
     }
-    def decode(codes: Array[Int]): Array[Double] = {
+    def decode(codes: Array[Byte]): Array[Double] = {
       val out = new Array[Double](dim)
       var i = 0
       while (i < dim) {
-        out(i) = mins(i) + codes(i).toDouble * (maxs(i) - mins(i)) / 255.0
+        out(i) = mins(i) + (codes(i) & 0xff).toDouble * (maxs(i) - mins(i)) / 255.0
         i += 1
       }
       out
@@ -808,9 +815,10 @@ object Similarity extends Serializable {
     SqCodec(stats.map(_.getDouble(1)), stats.map(_.getDouble(2)))
   }
 
-  /** Encode every vector to int8 codes: (id, codes array<int>) — a
-    * pure narrow map against the broadcast codec (the [[pqEncode]]
-    * shape; zero shuffles at any corpus size). */
+  /** Encode every vector to int8 codes: (id, codes binary — dim
+    * bytes/row in memory AND on disk) — a pure narrow map against the
+    * broadcast codec (the [[pqEncode]] shape; zero shuffles at any
+    * corpus size). */
   def sqEncode(spark: SparkSession, vectors: DataFrame, codec: SqCodec,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
@@ -1112,7 +1120,7 @@ object Similarity extends Serializable {
     val sl = q.join(codes.select(col(idCol).cast("long").as("rid"),
         col("codes")), col("qid") =!= col("rid"))
       .select(col("qid"), col("qv"), col("rid"), col("codes"))
-      .as[(Long, Array[Float], Long, Array[Int])]
+      .as[(Long, Array[Float], Long, Array[Byte])]
       .map { case (qid, qv, rid, cs) =>
         val dv = bc.value.decode(cs)
         var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -1198,7 +1206,7 @@ object Similarity extends Serializable {
     val sl = probe.join(idx, "list")
       .filter(col("qid") =!= col("rid"))
       .select(col("qid"), col("qv"), col("rid"), col("codes"))
-      .as[(Long, Array[Float], Long, Array[Int])]
+      .as[(Long, Array[Float], Long, Array[Byte])]
       .map { case (qid, qv, rid, cs) =>
         val dv = bcQ.value.decode(cs)
         var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -129,8 +129,7 @@ object IvfStream {
           org.apache.spark.sql.types.StructField(idCol,
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("codes",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.IntegerType)),
+            org.apache.spark.sql.types.BinaryType),
           org.apache.spark.sql.types.StructField("list",
             org.apache.spark.sql.types.IntegerType))))
   }

@@ -1568,17 +1568,24 @@ class PipelineSpec extends SparkSpec {
     assert(codec.mins(1) == 7.5 && codec.maxs(1) == 7.5) // flat dim
     // codec encode ≡ the in-plan audit's codes, row for row (the r8
     // ADVICE item: the audit re-derives the quantization algebra in
-    // Column expressions — any drift between the two must fail here)
+    // Column expressions — any drift between the two must fail here).
+    // This is also the BYTE ≡ INT route equality for the r11 binary
+    // codes change: the audit computes each code as unbounded integer
+    // SQL arithmetic, the codec as a signed byte — `& 0xff` must
+    // recover exactly the audit's 0..255 value for every cell.
     def auditCodes(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Long] =
       Similarity.sqQuantizeAudit(spark, df).collect()
         .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     def encCodes(df: org.apache.spark.sql.DataFrame,
                  c: Similarity.SqCodec): Map[(Long, Int), Long] =
       Similarity.sqEncode(spark, df, c).collect().flatMap { r =>
-        r.getSeq[Int](1).zipWithIndex.map { case (code, pos) =>
-          (r.getLong(0), pos) -> code.toLong }
+        r.getAs[Array[Byte]](1).zipWithIndex.map { case (code, pos) =>
+          (r.getLong(0), pos) -> (code & 0xff).toLong }
       }.toMap
     assert(encCodes(pts, codec) == auditCodes(pts))
+    // the stored form really is one byte per dimension
+    assert(Similarity.sqEncode(spark, pts, codec).schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
     // round-trip within half a step per dimension; flat dim exact
     pts.collect().foreach { r =>
       val v = r.getSeq[Float](1).toArray
@@ -1591,8 +1598,9 @@ class PipelineSpec extends SparkSpec {
       assert(dec(1) == 7.5) // flat dimension reconstructs exactly
     }
     // clamp branch: values OUTSIDE the trained envelope pin to 0/255
+    // (255 is byte -1; the unsigned view is what the algebra pins)
     val out = codec.encode(Array(-100f, 7.5f, 100f, 0.5f))
-    assert(out(0) == 0 && out(2) == 255)
+    assert((out(0) & 0xff) == 0 && (out(2) & 0xff) == 255)
     // real embeddings: codec ≡ audit on the full corpus too
     val e = Tables.embeddings(spark, sf)
     val realCodec = Similarity.sqTrain(spark, e)
