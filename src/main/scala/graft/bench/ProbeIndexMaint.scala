@@ -122,6 +122,56 @@ object ProbeIndexMaint {
       "sq8 codes")
     println(f"[sq-mem] shrink=${floats.toDouble / bytes}%.2fx " +
       "(float array<float> rows vs binary byte-code rows)")
+
+    // D) compressed-index maintenance costs (r11): the codes twins of
+    // section A — reassignSq re-encodes from the original corpus (the
+    // lossy-codes physics), compactCodesIndex merges trigger litter,
+    // ivfPqRefreshIndex rebuilds the persisted PQ layout atomically.
+    Seq(1, 4, maxReps).distinct.filter(_ <= maxReps).foreach { reps =>
+      val repE = (0 until reps).map { k =>
+        e.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _).cache()
+      val n = repE.count()
+      val root = java.nio.file.Files.createTempDirectory("sq_re").toString
+      val centersA = Similarity.ivfTrainCentroids(spark, repE, nLists = 32,
+        seed = 42)
+      val codecA = Similarity.sqTrain(spark, repE)
+      IvfStream.assignAndEncodeOnIngest(repE, centersA, codecA)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=0")
+      val centersB = Similarity.ivfTrainCentroids(spark, repE, nLists = 32,
+        seed = 7)
+      val (_, tSq) = time(IvfStream.reassignSq(spark, s"$root/idx", repE,
+        centersB, codecA))
+      val (_, tCmp) = time(IvfStream.compactCodesIndex(spark, s"$root/idx"))
+      Similarity.ivfPqWriteIndex(spark, repE, s"$root/pq", nLists = 32,
+        m = 16, nCodes = 32, seed = 42)
+      val (_, tPq) = time(Similarity.ivfPqRefreshIndex(spark, repE,
+        s"$root/pq", nLists = 32, m = 16, nCodes = 32, seed = 7))
+      println(f"[codes-maint] vecs=$n reassignSq=$tSq%.2fs " +
+        f"(${n / tSq}%.0f vecs/s) compactCodes=$tCmp%.2fs " +
+        f"pqRefresh=$tPq%.2fs (${n / tPq}%.0f vecs/s)")
+      repE.unpersist()
+    }
+
+    // E) the staleness decision loop: healthy → shifted (signal rises)
+    // → after retrain (signal resets). One narrow map + tiny agg per
+    // reading — the per-trigger cost a live ingest would pay.
+    val centersH = Similarity.ivfTrainCentroids(spark, e, nLists = 32)
+    def reading(df: org.apache.spark.sql.DataFrame,
+                cs: Array[Array[Double]], tag: String): Unit = {
+      val (r, dt) = time(IvfStream.quantizerStaleness(df, cs).collect()(0))
+      println(f"[staleness] $tag n=${r.getLong(0)} " +
+        f"mean_d2=${r.getDouble(1)}%.4f max_list_frac=${r.getDouble(2)}%.4f " +
+        f"wall=$dt%.2fs")
+    }
+    reading(e, centersH, "healthy")
+    val drifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    reading(drifted, centersH, "shifted")
+    val centersR = Similarity.ivfTrainCentroids(spark, drifted, nLists = 32)
+    reading(drifted, centersR, "after-retrain")
     spark.stop()
   }
 }

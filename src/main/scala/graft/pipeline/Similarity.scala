@@ -514,9 +514,19 @@ object Similarity extends Serializable {
                       seed: Long = 42, idCol: String = "vec_id",
                       vecCol: String = "embedding", dim: Int = 64,
                       trainCap: Int = 20000): IvfPqModel = {
-    import spark.implicits._
     val (model, index) = ivfPqBuildIndex(spark, refs, nLists, m, nCodes,
       seed, idCol, vecCol, dim, trainCap)
+    ivfPqWriteLayout(spark, model, index, dir)
+    model
+  }
+
+  /** One writer for the IVF-PQ on-disk layout (codes list-partitioned
+    * under `batch=0`, centers + codebooks as plain rows) — shared by
+    * the initial [[ivfPqWriteIndex]] and the [[ivfPqRefreshIndex]]
+    * temp-dir write so both produce byte-compatible directories. */
+  private def ivfPqWriteLayout(spark: SparkSession, model: IvfPqModel,
+                               index: DataFrame, dir: String): Unit = {
+    import spark.implicits._
     index.write.partitionBy("list").mode("overwrite")
       .parquet(s"$dir/codes/batch=0")
     model.centers.indices.map(c => (c, model.centers(c)))
@@ -526,12 +536,38 @@ object Similarity extends Serializable {
       yield (s, c, model.codebooks(s)(c)))
       .toDF("s", "c", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+  }
+
+  /** Quantizer refresh for a PERSISTED IVF-PQ index (the
+    * [[ivfPqWriteIndex]] layout) — the compressed-tier maintenance
+    * path (r10 verdict: PQ codes are lossy, so drift repair needs the
+    * ORIGINAL corpus, exactly like [[graft.streaming.IvfStream
+    * .reassignSq]]): retrain both quantizers on `refs` under the new
+    * parameters/seed, re-encode in the one narrow build pass, write
+    * the complete replacement layout to a temp root, and atomically
+    * swap the WHOLE directory (codes + centers + books move together —
+    * a reader can never see new codes under old codebooks). A crash
+    * mid-swap self-heals on the next [[ivfPqReadIndex]]. Run while
+    * probes are quiesced. */
+  def ivfPqRefreshIndex(spark: SparkSession, refs: DataFrame, dir: String,
+                        nLists: Int = 16, m: Int = 8, nCodes: Int = 32,
+                        seed: Long = 42, idCol: String = "vec_id",
+                        vecCol: String = "embedding", dim: Int = 64,
+                        trainCap: Int = 20000): IvfPqModel = {
+    graft.streaming.IndexSwap.requireLive(spark, dir, "ivfPqRefreshIndex")
+    val tmp = dir + ".compact"
+    val (model, index) = ivfPqBuildIndex(spark, refs, nLists, m, nCodes,
+      seed, idCol, vecCol, dim, trainCap)
+    ivfPqWriteLayout(spark, model, index, tmp)
+    graft.streaming.IndexSwap.swap(spark, dir, tmp)
     model
   }
 
-  /** Load a persisted IVF-PQ index: (model, codes frame). */
+  /** Load a persisted IVF-PQ index: (model, codes frame). Self-heals
+    * an interrupted [[ivfPqRefreshIndex]] swap first. */
   def ivfPqReadIndex(spark: SparkSession, dir: String,
                      idCol: String = "vec_id"): (IvfPqModel, DataFrame) = {
+    graft.streaming.IndexSwap.restoreIfInterrupted(spark, dir)
     val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray)
     val bookRows = spark.read.parquet(s"$dir/books").orderBy("s", "c")
@@ -1094,8 +1130,10 @@ object Similarity extends Serializable {
     codec
   }
 
-  /** Load a persisted SQ8 index: (codec, codes frame). */
+  /** Load a persisted SQ8 index: (codec, codes frame). Self-heals an
+    * interrupted maintenance swap first. */
   def sqReadIndex(spark: SparkSession, dir: String): (SqCodec, DataFrame) = {
+    graft.streaming.IndexSwap.restoreIfInterrupted(spark, dir)
     val stats = spark.read.parquet(s"$dir/codec").orderBy("pos").collect()
     (SqCodec(stats.map(_.getDouble(1)), stats.map(_.getDouble(2))),
       spark.read.parquet(s"$dir/codes"))
@@ -1254,10 +1292,12 @@ object Similarity extends Serializable {
     (centers, codec)
   }
 
-  /** Load a persisted IVF-SQ8 index: (centers, codec, codes frame). */
+  /** Load a persisted IVF-SQ8 index: (centers, codec, codes frame).
+    * Self-heals an interrupted maintenance swap first. */
   def ivfSqReadIndex(spark: SparkSession, dir: String,
                      idCol: String = "vec_id")
       : (Array[Array[Double]], SqCodec, DataFrame) = {
+    graft.streaming.IndexSwap.restoreIfInterrupted(spark, dir)
     val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray)
     val stats = spark.read.parquet(s"$dir/codec").orderBy("pos").collect()

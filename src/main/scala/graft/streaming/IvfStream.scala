@@ -161,6 +161,112 @@ object IvfStream {
     IndexSwap.swap(spark, indexDir, tmp)
   }
 
+  /** Offline quantizer refresh for the accrued CODES index — the
+    * [[reassign]] twin the compressed tier needs (r10 verdict: codes
+    * are lossy, so re-listing/re-encoding cannot start from the stored
+    * index; it needs the ORIGINAL vectors). `refs` supplies them; the
+    * refreshed index keeps exactly the currently-indexed id set
+    * (a `left_semi` against the index ids), re-assigned against
+    * `newCenters` and re-encoded under `newCodec` in the ONE
+    * [[assignAndEncodeOnIngest]] narrow pass, then atomically swapped
+    * in (the [[IndexSwap]] discipline; also compacts the per-batch
+    * litter into `batch=-1` as a side effect, like [[reassign]]).
+    *
+    * LOUD VALVE: refs that do not cover every indexed id would
+    * silently shrink the searchable corpus — the refresh REFUSES with
+    * the missing count instead. Run while the ingest stream is
+    * quiesced; resume [[attachSq]] with the new (centers, codec). */
+  def reassignSq(spark: SparkSession, indexDir: String, refs: DataFrame,
+                 newCenters: Array[Array[Double]],
+                 newCodec: Similarity.SqCodec,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Unit = {
+    IndexSwap.requireLive(spark, indexDir, "IvfStream.reassignSq")
+    val tmp = indexDir + ".compact"
+    val indexedIds = readCodesIndex(spark, indexDir, idCol).select(idCol)
+    val src = refs.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    val missing = indexedIds.join(src.select(idCol), Seq(idCol), "left_anti")
+      .count()
+    require(missing == 0L,
+      s"reassignSq: $missing indexed ids are absent from refs — " +
+        "refreshing from an incomplete corpus would silently drop " +
+        "indexed vectors. Pass the full original corpus (codes are " +
+        "lossy; the index cannot re-encode itself).")
+    assignAndEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
+        newCenters, newCodec, idCol, vecCol)
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
+    IndexSwap.swap(spark, indexDir, tmp)
+  }
+
+  /** Compact the accrued codes directory's per-batch partition litter
+    * (one `batch=<id>` per trigger, the [[CurateStream.compactFpIndex]]
+    * physics reborn one rung up — r10 verdict) into one
+    * list-partitioned file set under `batch=-1`. The shuffle keys on
+    * `list` so each inverted list lands contiguous; probes keep their
+    * `PartitionFilters` pruning through the identical layout. Run
+    * while the stream is quiesced. */
+  def compactCodesIndex(spark: SparkSession, indexDir: String,
+                        idCol: String = "vec_id"): Unit = {
+    IndexSwap.requireLive(spark, indexDir, "IvfStream.compactCodesIndex")
+    val tmp = indexDir + ".compact"
+    readCodesIndex(spark, indexDir, idCol)
+      .repartition(col("list"))
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
+    IndexSwap.swap(spark, indexDir, tmp)
+  }
+
+  /** Quantizer-staleness signal — the metric that tells a deployment
+    * WHEN to schedule [[reassign]]/[[reassignSq]] (r10 verdict: the
+    * refresh existed, nothing signalled drift). One row per call:
+    *
+    *  - `n_vecs` — batch size;
+    *  - `mean_d2` — mean squared L2 from each vector to its assigned
+    *    centroid (the k-means inertia per vector): rises monotonically
+    *    as the arriving distribution drifts away from the frozen
+    *    quantizer's, and resets after a refresh re-trains on current
+    *    data;
+    *  - `max_list_frac` — the largest list's share of the batch
+    *    (1/nLists when balanced, →1 as drift funnels arrivals into
+    *    few lists — the probe-cost failure mode: a probe of a skewed
+    *    list scans a constant fraction of the corpus).
+    *
+    * Cost: the same narrow assignment map as ingest (shared
+    * [[Similarity.ivfNearest]] arithmetic via the d2-carrying twin)
+    * plus a ≤nLists-row aggregate — safe to emit EVERY trigger.
+    * Wire it inside foreachBatch next to [[assignOnIngest]] and alert
+    * on a threshold; ProbeIndexMaint measures the rise-under-shift /
+    * reset-after-reassign cycle. */
+  def quantizerStaleness(vecs: DataFrame, centers: Array[Array[Double]],
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centers)
+    val nLists = centers.length
+    val assigned = vecs
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (_, v) =>
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          var s = 0.0; var i = 0
+          while (i < v.length) { val d = v(i) - cs(c)(i); s += d * d; i += 1 }
+          if (s < bd) { bd = s; best = c } // first strict min = ivfNearest tie-break
+          c += 1
+        }
+        (best, bd)
+      }.toDF("list", "d2")
+    assigned.groupBy("list")
+      .agg(count(lit(1)).as("_n"), sum("d2").as("_s"))
+      .agg(sum("_n").as("n_vecs"),
+        (sum("_s") / sum("_n")).as("mean_d2"),
+        (max("_n") / sum("_n")).as("max_list_frac"))
+      .select(col("n_vecs"), round(col("mean_d2"), 6).as("mean_d2"),
+        round(col("max_list_frac"), 6).as("max_list_frac"),
+        lit(nLists).as("n_lists"))
+  }
+
   /** Accumulated index rows (idCol, vecCol, list), or an empty typed
     * frame before the first write (the [[NearDupStream.readIndex]]
     * Hadoop-FS shape, including the interrupted-[[reassign]]

@@ -1940,6 +1940,168 @@ class PipelineSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("IvfStream.reassignSq: refreshed codes index ≡ fresh-built; incomplete refs refused") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqre").toString
+    // epoch 1: codes accrued under (centersA, codecA) across two
+    // trigger partitions (the attachSq layout)
+    val centersA = Similarity.ivfTrainCentroids(spark, e, nLists = 8,
+      seed = 42)
+    val codecA = Similarity.sqTrain(spark, e.filter(col("vec_id") < 250))
+    IvfStream.assignAndEncodeOnIngest(e.filter(col("vec_id") < 250),
+        centersA, codecA)
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/idx/batch=0")
+    IvfStream.assignAndEncodeOnIngest(e.filter(col("vec_id") >= 250),
+        centersA, codecA)
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/idx/batch=1")
+    // epoch 2: refresh BOTH quantizers offline (codes are lossy, so
+    // the refresh re-encodes from the original corpus)
+    val centersB = Similarity.ivfTrainCentroids(spark, e, nLists = 8,
+      seed = 7)
+    val codecB = Similarity.sqTrain(spark, e)
+    IvfStream.reassignSq(spark, s"$tmp/idx", e, centersB, codecB)
+    val refreshed = IvfStream.readCodesIndex(spark, s"$tmp/idx")
+    val fresh = IvfStream.assignAndEncodeOnIngest(e, centersB, codecB)
+    assert(refreshed.exceptAll(fresh).isEmpty &&
+      fresh.exceptAll(refreshed).isEmpty,
+      "refreshed codes rows diverge from a fresh encode under the new model")
+    // probe equality through the searcher under the new model
+    val qs = e.filter(col("vec_id") < 20)
+    val got = Similarity.ivfSqTopKFromIndex(spark, qs, refreshed, centersB,
+      codecB, e, k = 5, shortlist = 10, nProbe = 3)
+    val want = Similarity.ivfSqTopKFromIndex(spark, qs, fresh, centersB,
+      codecB, e, k = 5, shortlist = 10, nProbe = 3)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // layout compacted to batch=-1, still list-partitioned
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/idx")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val batches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/idx"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    assert(batches.toSeq == Seq("batch=-1"), s"layout: ${batches.toSeq}")
+    // LOUD VALVE: refs missing an indexed id must refuse, and the live
+    // index must be untouched by the failed refresh
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+        r.getInt(2))).toSet
+    val before = codeRows(IvfStream.readCodesIndex(spark, s"$tmp/idx"))
+    val err = intercept[IllegalArgumentException] {
+      IvfStream.reassignSq(spark, s"$tmp/idx",
+        e.filter(col("vec_id") =!= 3), centersB, codecB)
+    }
+    assert(err.getMessage.contains("absent from refs"))
+    assert(codeRows(IvfStream.readCodesIndex(spark, s"$tmp/idx"))
+      == before, "failed refresh must leave the live index untouched")
+    e.unpersist()
+  }
+
+  test("IvfStream.compactCodesIndex: code set preserved, probe parity, batch=-1 layout") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqc").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+    val codec = Similarity.sqTrain(spark, e)
+    // three trigger partitions of litter
+    Seq(col("vec_id") < 150,
+        col("vec_id") >= 150 && col("vec_id") < 300,
+        col("vec_id") >= 300).zipWithIndex.foreach { case (f, i) =>
+      IvfStream.assignAndEncodeOnIngest(e.filter(f), centers, codec)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$tmp/idx/batch=$i")
+    }
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq,
+        r.getInt(2))).toSet
+    val before = codeRows(IvfStream.readCodesIndex(spark, s"$tmp/idx"))
+    val qs = e.filter(col("vec_id") < 20)
+    val probeBefore = Similarity.ivfSqTopKFromIndex(spark, qs,
+      IvfStream.readCodesIndex(spark, s"$tmp/idx"), centers, codec, e,
+      k = 5, shortlist = 10, nProbe = 3)
+    IvfStream.compactCodesIndex(spark, s"$tmp/idx")
+    val after = codeRows(IvfStream.readCodesIndex(spark, s"$tmp/idx"))
+    assert(after == before, "compaction changed the code set")
+    val probeAfter = Similarity.ivfSqTopKFromIndex(spark, qs,
+      IvfStream.readCodesIndex(spark, s"$tmp/idx"), centers, codec, e,
+      k = 5, shortlist = 10, nProbe = 3)
+    assert(probeAfter.exceptAll(probeBefore).isEmpty &&
+      probeBefore.exceptAll(probeAfter).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/idx")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val batches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/idx"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    assert(batches.toSeq == Seq("batch=-1"), s"layout: ${batches.toSeq}")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/idx/batch=-1"))
+      .exists(_.getPath.getName.startsWith("list=")))
+    e.unpersist()
+  }
+
+  test("ivfPqRefreshIndex: refresh ≡ fresh build under new params; mid-swap self-heals") {
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqre").toString
+    val dir = s"$tmp/pq"
+    Similarity.ivfPqWriteIndex(spark, e, dir, nLists = 8, m = 16,
+      nCodes = 32, seed = 42)
+    // drift repair: retrain under a new seed from the original corpus,
+    // whole-directory atomic swap (codes + centers + books together)
+    val model2 = Similarity.ivfPqRefreshIndex(spark, e, dir, nLists = 8,
+      m = 16, nCodes = 32, seed = 7)
+    val (rm, rcodes) = Similarity.ivfPqReadIndex(spark, dir)
+    val (fm, fcodes) = Similarity.ivfPqBuildIndex(spark, e, nLists = 8,
+      m = 16, nCodes = 32, seed = 7)
+    assert(rm.centers.zip(fm.centers).forall(p => p._1.sameElements(p._2)))
+    assert(model2.centers.zip(fm.centers).forall(p => p._1.sameElements(p._2)))
+    assert(rcodes.exceptAll(fcodes).isEmpty && fcodes.exceptAll(rcodes).isEmpty,
+      "refreshed codes diverge from a fresh build under the new seed")
+    val qs = e.filter(col("vec_id") < 20)
+    val got = Similarity.ivfPqTopKFromIndex(spark, qs, rcodes, rm, e,
+      k = 5, nProbe = 6, refine = 20)
+    val want = Similarity.ivfPqTopKFromIndex(spark, qs, fcodes, fm, e,
+      k = 5, nProbe = 6, refine = 20)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // crash between the two renames (live root moved to .old with its
+    // marker, replacement not installed): the next read self-heals
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$dir.old")))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir.old.complete"),
+      true).close()
+    val (hm, hcodes) = Similarity.ivfPqReadIndex(spark, dir)
+    assert(hm.centers.zip(rm.centers).forall(p => p._1.sameElements(p._2)))
+    assert(hcodes.exceptAll(rcodes).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.old")))
+    e.unpersist()
+  }
+
+  test("quantizerStaleness: rises under distribution shift, resets after reassign") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+    val base = IvfStream.quantizerStaleness(e, centers).collect()(0)
+    assert(base.getLong(0) == e.count())
+    assert(base.getDouble(2) <= 1.0 && base.getDouble(2) >= 1.0 / 8)
+    // drifted arrivals: every coordinate shifted by a constant — the
+    // frozen quantizer's centroids are all far away, so mean_d2 must
+    // rise strictly and the skew signal is free to move
+    val drifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    val shifted = IvfStream.quantizerStaleness(drifted, centers).collect()(0)
+    assert(shifted.getDouble(1) > base.getDouble(1),
+      s"mean_d2 ${shifted.getDouble(1)} must exceed ${base.getDouble(1)} under shift")
+    // refresh: retrain on the drifted distribution — the signal resets
+    // to the healthy regime (the schedule-reassign decision loop)
+    val centersB = Similarity.ivfTrainCentroids(spark, drifted, nLists = 8)
+    val reset = IvfStream.quantizerStaleness(drifted, centersB).collect()(0)
+    assert(reset.getDouble(1) < shifted.getDouble(1) / 2,
+      s"mean_d2 ${reset.getDouble(1)} must reset after retrain " +
+        s"(was ${shifted.getDouble(1)})")
+    e.unpersist()
+  }
+
   test("CurateStream.compactFpIndex: fp set preserved; crash mid-swap self-heals") {
     import graft.streaming.CurateStream
     val tmp = java.nio.file.Files.createTempDirectory("graft_fpc").toString
