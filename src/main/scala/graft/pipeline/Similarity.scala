@@ -1020,6 +1020,43 @@ object Similarity extends Serializable {
     (centers, index)
   }
 
+  /** Persist the Matryoshka prefix index: the (idCol, prefix, list)
+    * frame list-partitioned under `dir/prefix/batch=0` (the layout the
+    * [[matryoshkaIvfTopKFromIndex]] probe prunes via parquet
+    * `PartitionFilters`) and the coarse centers as plain rows — the
+    * [[ivfPqWriteIndex]]/[[sqWriteIndex]] symmetry this rung was
+    * missing (r10 verdict #3: callers had to `partitionBy("list")` by
+    * hand, one more way to write the layout wrong). Returns the
+    * centers. */
+  def matryoshkaIvfWriteIndex(spark: SparkSession, refs: DataFrame,
+                              dir: String, dims: Int = 32,
+                              nLists: Int = 16, seed: Long = 42,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              trainCap: Int = 20000): Array[Array[Double]] = {
+    import spark.implicits._
+    val (centers, index) = matryoshkaIvfBuildIndex(spark, refs, dims,
+      nLists, seed, idCol, vecCol, trainCap)
+    index.write.partitionBy("list").mode("overwrite")
+      .parquet(s"$dir/prefix/batch=0")
+    centers.indices.map(c => (c, centers(c))).toDF("list", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    centers
+  }
+
+  /** Load a persisted Matryoshka prefix index: (centers, index frame).
+    * Self-heals an interrupted maintenance swap first. */
+  def matryoshkaIvfReadIndex(spark: SparkSession, dir: String,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding")
+      : (Array[Array[Double]], DataFrame) = {
+    graft.streaming.IndexSwap.restoreIfInterrupted(spark, dir)
+    val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
+      .collect().map(_.getSeq[Double](1).toArray)
+    (centers,
+      spark.read.parquet(s"$dir/prefix").select(idCol, vecCol, "list"))
+  }
+
   /** Matryoshka-IVF two-stage retrieval over a PRE-BUILT prefix index
     * — the production ANN geometry the two-stage ladder builds toward
     * (r9 verdict #1): stage 1 probes the IVF index on the `dims`-float

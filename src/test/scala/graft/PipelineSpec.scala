@@ -1692,15 +1692,19 @@ class PipelineSpec extends SparkSpec {
     assert(viaIvf.exceptAll(viaExact).isEmpty &&
       viaExact.exceptAll(viaIvf).isEmpty,
       "full-probe matryoshka-IVF must equal the exact prefix two-stage")
-    // the deployment route — index built once, written list-partitioned,
-    // probed from disk — must equal the inline route under shared
-    // centers (the ivfTopKFromIndex ≡ ivfTopK pattern, prefix column)
+    // the deployment route — index built once, written through the
+    // r11 write/read trio, probed from disk — must equal the inline
+    // route under shared centers (the ivfTopKFromIndex ≡ ivfTopK
+    // pattern, prefix column)
     val tmp = java.nio.file.Files.createTempDirectory("graft_mivf").toString
-    val (centers, index) = Similarity.matryoshkaIvfBuildIndex(spark, e,
+    val written = Similarity.matryoshkaIvfWriteIndex(spark, e, tmp,
       dims = 32, nLists = 8)
-    index.write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=0")
-    val onDisk = spark.read.parquet(tmp)
-      .select("vec_id", "embedding", "list")
+    val (centers, onDisk) = Similarity.matryoshkaIvfReadIndex(spark, tmp)
+    assert(centers.zip(written).forall(p => p._1.sameElements(p._2)),
+      "read-back centers diverge from the written ones")
+    // the in-memory twin for the equality: same build arithmetic
+    val (_, index) = Similarity.matryoshkaIvfBuildIndex(spark, e,
+      dims = 32, nLists = 8)
     val viaDisk = Similarity.matryoshkaIvfTopKFromIndex(spark, qs, onDisk,
       centers, e, k = 5, dims = 32, shortlist = 30, nProbe = 4)
     val viaMem = Similarity.matryoshkaIvfTopKFromIndex(spark, qs, index,

@@ -454,10 +454,12 @@ class PlanSpec extends SparkSpec {
     import graft.pipeline.Similarity
     val tmp = java.nio.file.Files.createTempDirectory("graft_mivfplan").toString
     val e = Tables.embeddings(spark, sf)
-    val (centers, index) = Similarity.matryoshkaIvfBuildIndex(spark, e,
+    // the layout comes from the shipped writer (r11): the pruning pin
+    // reads through the write/read trio, not a hand-rolled partitionBy
+    val written = Similarity.matryoshkaIvfWriteIndex(spark, e, tmp,
       dims = 32, nLists = 8)
-    index.write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=0")
-    val onDisk = spark.read.parquet(tmp).select("vec_id", "embedding", "list")
+    val (centers, onDisk) = Similarity.matryoshkaIvfReadIndex(spark, tmp)
+    assert(centers.zip(written).forall(p => p._1.sameElements(p._2)))
     val p = Similarity.matryoshkaIvfTopKFromIndex(spark,
         e.filter(col("vec_id") < 3), onDisk, centers, e, k = 5,
         dims = 32, shortlist = 20, nProbe = 2)
