@@ -181,6 +181,63 @@ object CurateStream {
       }
       .start()
 
+  /** [[attachWithIvf]] writing the 4×-COMPRESSED index: survivors'
+    * vectors are assigned AND int8-encoded in the one
+    * [[IvfStream.assignAndEncodeOnIngest]] narrow pass (both
+    * quantizers frozen broadcasts, the scorer posture), so the live
+    * pipeline accrues the [[graft.pipeline.Similarity.ivfSqBuildIndex]]
+    * codes layout instead of float vectors — at 100 TB of arriving
+    * embeddings the difference between the searchable index fitting
+    * the hot tier or not. Search the accrued directory with
+    * [[graft.pipeline.Similarity.ivfSqTopKFromIndex]] over
+    * [[IvfStream.readCodesIndex]]; maintain it with
+    * [[IvfStream.reassignSq]] / [[IvfStream.compactCodesIndex]] while
+    * quiesced. Same per-batch idempotent-partition pattern on all four
+    * writes; searchable ids ≡ curated ids per trigger by construction
+    * (PipelineSpec pins it end-to-end). */
+  def attachWithIvfSq(stream: DataFrame,
+                      scorer: QualityClassifier.TextScorer,
+                      centers: Array[Array[Double]],
+                      codec: graft.pipeline.Similarity.SqCodec,
+                      fpIndexDir: String, bandIndexDir: String,
+                      ivfIndexDir: String, outDir: String,
+                      checkpointDir: String, minScore: Double = 0.5,
+                      n: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5, pTrain: Double = 0.8,
+                      pVal: Double = 0.1, md5Based: Boolean = false,
+                      idCol: String = "doc_id",
+                      embedCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fpIdx = readFpIndex(spark, fpIndexDir, excludeBatch = batchId)
+        val bandIdx = NearDupStream.readIndex(spark, bandIndexDir, k,
+          excludeBatch = batchId)
+        val (curated, fpAdd, bandAdd) = curateBatch(batch, scorer,
+          fpIdx, bandIdx, minScore, n, k, bands, threshold, pTrain, pVal,
+          md5Based, idCol)
+        val kept = curated.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kept.drop(embedCol).write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        graft.streaming.IvfStream.assignAndEncodeOnIngest(
+            kept.select(col(idCol), col(embedCol)), centers, codec,
+            idCol, embedCol)
+          .write.partitionBy("list").mode("overwrite")
+          .parquet(s"$ivfIndexDir/batch=$batchId")
+        fpAdd.select("fp")
+          .write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
+        bandAdd.select("doc_id", "band", "bucket", "sig")
+          .write.mode("overwrite").parquet(s"$bandIndexDir/batch=$batchId")
+        kept.unpersist()
+        fpAdd.unpersist()
+        bandAdd.unpersist()
+        ()
+      }
+      .start()
+
   /** Compact the fingerprint index's per-batch partition litter into
     * one fp-sorted file set under `batch=-1` — the [[NearDupStream
     * .compactIndex]] twin the fp index was missing (r9 verdict #5: its

@@ -2192,6 +2192,70 @@ class PipelineSpec extends SparkSpec {
     base.unpersist()
   }
 
+  test("CurateStream.attachWithIvfSq: compressed searchable set ≡ curated set; zero cache leak") {
+    import graft.streaming.{CurateStream, IvfStream}
+    import graft.pipeline.{QualityClassifier, Similarity}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cvsq").toString
+    val e = Tables.embeddings(spark, sf)
+    val base = docs.select("doc_id", "text")
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .filter(col("doc_id") < 80).cache()
+    val scorer = QualityClassifier.fit(docs, col("keep"))
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+    val codec = Similarity.sqTrain(spark, e)
+    base.filter(col("doc_id") < 40).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val q = CurateStream.attachWithIvfSq(
+      spark.readStream.schema(base.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), scorer, centers, codec,
+      fpIndexDir = s"$tmp/fp", bandIndexDir = s"$tmp/band",
+      ivfIndexDir = s"$tmp/ivf", outDir = s"$tmp/out",
+      checkpointDir = s"$tmp/ckpt", minScore = 0.3, threshold = 0.5)
+    q.processAllAvailable()
+    // trigger 2: more docs plus an exact copy of doc 2 (fp-gated —
+    // must never become searchable)
+    base.filter(col("doc_id") >= 40)
+      .union(base.filter(col("doc_id") === 2)
+        .select(lit(30001L).as("doc_id"), col("text"), col("embedding")))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    // zero cached frames survive the stream (the r9/r10 leak pin) —
+    // asserted BEFORE the probe below, whose returned frame is
+    // persisted by design (the padShortQueries contract)
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      s"stream leaked cached frames: before=$cachedBefore " +
+        s"after=${spark.sparkContext.getPersistentRDDs.size}")
+    // per trigger AND overall: the searchable ids ARE the curated ids
+    val out = spark.read.parquet(s"$tmp/out").select("doc_id", "batch")
+    val idx = spark.read.parquet(s"$tmp/ivf").select("doc_id", "batch")
+    assert(out.exceptAll(idx).isEmpty && idx.exceptAll(out).isEmpty,
+      "searchable (id, trigger) set diverges from the curated set")
+    assert(out.filter(col("doc_id") === 30001L).isEmpty)
+    // the accrued payload is CODES (the 4x contract), searchable via
+    // the IVF-SQ probe, and only curated docs ever surface
+    val streamed = IvfStream.readCodesIndex(spark, s"$tmp/ivf",
+      idCol = "doc_id")
+    assert(streamed.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val curatedIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curatedIds.nonEmpty)
+    // refs for the exact re-rank = the curated corpus (the deployment
+    // pairing: the codes index and the vector store hold the same ids)
+    val curatedVecs = base.join(out.select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("embedding"))
+    val hits = Similarity.ivfSqTopKFromIndex(spark,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        streamed, centers, codec, curatedVecs, k = 3,
+        shortlist = 6, nProbe = 3, idCol = "doc_id")
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.subsetOf(curatedIds),
+      s"probe surfaced uncurated docs: ${hits -- curatedIds}")
+    base.unpersist()
+  }
+
   test("sqTopKFromIndex: build-once/probe-many ≡ sqTopK; disk roundtrip exact") {
     import graft.pipeline.Similarity
     val e = Tables.embeddings(spark, sf).cache()
