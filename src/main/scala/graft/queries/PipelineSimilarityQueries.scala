@@ -15,6 +15,30 @@ import graft.pipeline.{Multimodal, Similarity}
   */
 object PipelineSimilarityQueries {
 
+  /** ONE exact ground truth per Verify/Bench run (r10 verdict #5): the
+    * six ANN audit queries plus q29/q202/q203 each measured recall
+    * against the IDENTICAL brute top-5 over the capped vec_id<50 query
+    * universe, re-paying the full exact scan up to nine times per run
+    * (~50 s of the r10 core). The frame is computed once per (session,
+    * table dir), persisted (250 rows at k=5), and shared — the audits'
+    * floors and the dumped contract booleans are unchanged because the
+    * VALUES are identical by construction. Keyed by session identity
+    * so test suites with fresh sessions never see a stale plan. */
+  private object BruteTruth {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, (DataFrame, Long)]
+    /** (full brute top-5 frame for vec_id<50 queries — persisted,
+      * columns (qid, rid, cos, rn) —, its row count). */
+    def topK(s: SparkSession, d: String): (DataFrame, Long) =
+      cache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+        val e = Tables.embeddings(s, d)
+        val b = Similarity
+          .bruteForceTopK(e.filter(col("vec_id") < 50), e, k = 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (b, b.count())
+      })
+  }
+
   /** Invariant-oracle audit shape shared by the approximate top-k
     * queries (q30/q41/q56) — the r7 graduation of the last `no_oracle`
     * rows (the q34/q79/q90/q161 pattern): instead of dumping (qid,
@@ -60,10 +84,7 @@ object PipelineSimilarityQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q29_ann_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e, k = 5)
-    }),
+    "q29_ann_topk" -> ((s, d) => BruteTruth.topK(s, d)._1),
 
     // Operating point set from the measured recall curve (ProbeAnnRecall,
     // r7): (nBits=32, bands=8) keeps 4-bit bands — collision prob 1/16
@@ -74,9 +95,8 @@ object PipelineSimilarityQueries {
     "q30_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val lsh = Similarity.lshTopK(e, k = 5, nBits = 32, bands = 8).cache()
-      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
-        k = 5).select("qid", "rid")
-      val nb = brute.count()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
       val nh = lsh.filter(col("qid") < 50).select("qid", "rid")
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
@@ -128,9 +148,8 @@ object PipelineSimilarityQueries {
     "q41_ivf_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val ivf = Similarity.ivfTopK(s, e, k = 5, nLists = 8, nProbe = 3).cache()
-      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
-        k = 5).select("qid", "rid")
-      val nb = brute.count()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
       val nh = ivf.filter(col("qid") < 50).select("qid", "rid")
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
@@ -151,9 +170,8 @@ object PipelineSimilarityQueries {
       val e = Tables.embeddings(s, d)
       val pq = Similarity.ivfPqTopK(s, e, k = 5, nLists = 8, nProbe = 6,
         m = 16, nCodes = 32, refine = 20).cache()
-      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
-        k = 5).select("qid", "rid")
-      val nb = brute.count()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
       val nh = pq.filter(col("qid") < 50).select("qid", "rid")
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
@@ -345,9 +363,8 @@ object PipelineSimilarityQueries {
       val index = graft.streaming.IvfStream.assignOnIngest(e, centers)
       val ivf = Similarity.ivfTopKFromIndex(s, e, index, centers,
         k = 5, nProbe = 3).cache()
-      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
-        k = 5).select("qid", "rid")
-      val nb = brute.count()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
       val nh = ivf.filter(col("qid") < 50).select("qid", "rid")
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
@@ -372,8 +389,8 @@ object PipelineSimilarityQueries {
       val qs = e.filter(col("vec_id") < 50)
       val two = Similarity.matryoshkaTopK(qs, e, k = 5, dims = 32,
         shortlist = 50).cache()
-      val brute = Similarity.bruteForceTopK(qs, e, k = 5).select("qid", "rid")
-      val nb = brute.count()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
       val nh = two.select("qid", "rid")
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
@@ -391,8 +408,8 @@ object PipelineSimilarityQueries {
       val e = Tables.embeddings(s, d)
       val qs = e.filter(col("vec_id") < 50)
       val sq = Similarity.sqTopK(s, qs, e, k = 5, shortlist = 10).cache()
-      val brute = Similarity.bruteForceTopK(qs, e, k = 5).select("qid", "rid")
-      val nb = brute.count()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
       val nh = sq.select("qid", "rid")
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
@@ -417,9 +434,8 @@ object PipelineSimilarityQueries {
         dims = 32, nLists = 8)
       val two = Similarity.matryoshkaIvfTopKFromIndex(s, e, index, centers,
         e, k = 5, dims = 32, shortlist = 50, nProbe = 6).cache()
-      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
-        k = 5).select("qid", "rid")
-      val nb = brute.count()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
       val nh = two.filter(col("qid") < 50).select("qid", "rid")
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
@@ -440,9 +456,8 @@ object PipelineSimilarityQueries {
         nLists = 8)
       val sq = Similarity.ivfSqTopKFromIndex(s, e, index, centers, codec,
         e, k = 5, shortlist = 10, nProbe = 6).cache()
-      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
-        k = 5).select("qid", "rid")
-      val nb = brute.count()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
       val nh = sq.filter(col("qid") < 50).select("qid", "rid")
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
