@@ -463,9 +463,121 @@ object PipelineSimilarityQueries {
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
       annTopKAudit(e, sq, k = 5, recall, floor = 0.7)
     }),
+
+    // Index-MAINTENANCE cycle audit (r11): the offline helpers a
+    // long-running ingest schedules, gated per run as contract
+    // booleans — the q204/q205 invariant-oracle posture applied to
+    // the operational surface instead of a retrieval rung. One row:
+    //  - refresh_eq_fresh: reassignSq over a two-trigger accrued codes
+    //    index ≡ a fresh encode under the epoch-B quantizers (codes
+    //    are lossy, so the refresh re-encodes from the corpus);
+    //  - refresh_valve_ok: refs missing an indexed id REFUSE loudly
+    //    and leave the live index untouched;
+    //  - compact_preserves: compactCodesIndex keeps the exact code
+    //    set while collapsing trigger litter to batch=-1;
+    //  - heal_ok: a crash between the swap's two renames (live moved
+    //    aside with its completion marker) self-heals on next read;
+    //  - pq_refresh_eq_fresh: ivfPqRefreshIndex's whole-directory
+    //    swap ≡ a fresh ivfPqBuildIndex under the new seed;
+    //  - staleness_rises / staleness_resets: the quantizerStaleness
+    //    signal moves the way the reassign scheduling loop needs.
+    "q207_index_maint" -> ((s, d) => {
+      import graft.streaming.IvfStream
+      val e = Tables.embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q207").toString
+      def codeRows(df: DataFrame): Set[(Long, Seq[Byte], Int)] =
+        df.collect().map(r => (r.getLong(0),
+          r.getAs[Array[Byte]](1).toSeq, r.getInt(2))).toSet
+      // epoch A: codes accrue across two triggers
+      val centersA = Similarity.ivfTrainCentroids(s, e, nLists = 8,
+        seed = 42)
+      val codecA = Similarity.sqTrain(s, e.filter(col("vec_id") % 2 === 0))
+      IvfStream.assignAndEncodeOnIngest(
+          e.filter(col("vec_id") % 2 === 0), centersA, codecA)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=0")
+      IvfStream.assignAndEncodeOnIngest(
+          e.filter(col("vec_id") % 2 =!= 0), centersA, codecA)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=1")
+      // staleness under epoch A: healthy vs a shifted distribution
+      val healthy = IvfStream.quantizerStaleness(e, centersA)
+        .collect()(0).getDouble(1)
+      val drifted = e.select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+      val shiftedD2 = IvfStream.quantizerStaleness(drifted, centersA)
+        .collect()(0).getDouble(1)
+      // the valve BEFORE the refresh: incomplete refs refuse and the
+      // live index is untouched
+      val beforeValve = codeRows(IvfStream.readCodesIndex(s, s"$root/idx"))
+      val centersB = Similarity.ivfTrainCentroids(s, e, nLists = 8,
+        seed = 7)
+      val codecB = Similarity.sqTrain(s, e)
+      val valveOk = (try {
+        IvfStream.reassignSq(s, s"$root/idx",
+          e.filter(col("vec_id") =!= 3), centersB, codecB)
+        false
+      } catch { case _: IllegalArgumentException => true }) &&
+        codeRows(IvfStream.readCodesIndex(s, s"$root/idx")) == beforeValve
+      // epoch B refresh ≡ fresh encode
+      IvfStream.reassignSq(s, s"$root/idx", e, centersB, codecB)
+      val refreshEq =
+        codeRows(IvfStream.readCodesIndex(s, s"$root/idx")) ==
+          codeRows(IvfStream.assignAndEncodeOnIngest(e, centersB, codecB))
+      // one more trigger of NEW arrivals, then compaction
+      IvfStream.assignAndEncodeOnIngest(
+          e.select((col("vec_id") + 10000000L).as("vec_id"),
+            col("embedding")), centersB, codecB)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=2")
+      val beforeCompact = codeRows(IvfStream.readCodesIndex(s, s"$root/idx"))
+      IvfStream.compactCodesIndex(s, s"$root/idx")
+      val compactOk =
+        codeRows(IvfStream.readCodesIndex(s, s"$root/idx")) == beforeCompact
+      // crash between the two renames self-heals on the next read
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.rename(new org.apache.hadoop.fs.Path(s"$root/idx"),
+        new org.apache.hadoop.fs.Path(s"$root/idx.old"))
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/idx.old.complete"),
+        true).close()
+      val healOk =
+        codeRows(IvfStream.readCodesIndex(s, s"$root/idx")) == beforeCompact
+      // persisted IVF-PQ: refresh ≡ fresh build under the new seed
+      Similarity.ivfPqWriteIndex(s, e, s"$root/pq", nLists = 8, m = 16,
+        nCodes = 32, seed = 42)
+      Similarity.ivfPqRefreshIndex(s, e, s"$root/pq", nLists = 8, m = 16,
+        nCodes = 32, seed = 7)
+      val (rm, rcodes) = Similarity.ivfPqReadIndex(s, s"$root/pq")
+      val (fm, fcodes) = Similarity.ivfPqBuildIndex(s, e, nLists = 8,
+        m = 16, nCodes = 32, seed = 7)
+      val pqEq = rm.centers.zip(fm.centers)
+        .forall(p => p._1.sameElements(p._2)) &&
+        rcodes.exceptAll(fcodes).isEmpty && fcodes.exceptAll(rcodes).isEmpty
+      // staleness resets after a retrain on the drifted distribution
+      val centersR = Similarity.ivfTrainCentroids(s, drifted, nLists = 8)
+      val resetD2 = IvfStream.quantizerStaleness(drifted, centersR)
+        .collect()(0).getDouble(1)
+      import s.implicits._
+      Seq((refreshEq, valveOk, compactOk, healOk, pqEq,
+        shiftedD2 > healthy * 2, resetD2 < shiftedD2 / 2))
+        .toDF("refresh_eq_fresh", "refresh_valve_ok", "compact_preserves",
+          "heal_ok", "pq_refresh_eq_fresh", "staleness_rises",
+          "staleness_resets")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Maintenance-cycle invariant oracle: one row, every contract
+    // boolean pinned TRUE (see the q207 query body — refresh ≡ fresh,
+    // valve, compaction, self-heal, PQ refresh, staleness cycle).
+    "q207_index_maint" ->
+      """SELECT TRUE AS refresh_eq_fresh, TRUE AS refresh_valve_ok,
+        |  TRUE AS compact_preserves, TRUE AS heal_ok,
+        |  TRUE AS pq_refresh_eq_fresh, TRUE AS staleness_rises,
+        |  TRUE AS staleness_resets""".stripMargin,
+
     // PCA invariant oracle over the enumerable projection slice.
     "q90_pca" ->
       """SELECT vec_id, TRUE AS finite_ok, TRUE AS orthonormal_ok,
