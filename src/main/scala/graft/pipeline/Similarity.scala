@@ -1360,6 +1360,131 @@ object Similarity extends Serializable {
   private def refsFrame(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists (Cormack,
+    * Clarke & Büttcher 2009 — the standard hybrid-search combiner:
+    * every production lexical+vector stack fuses this way because it
+    * needs no score calibration between the two retrievers):
+    * `score(d) = Σ_i 1/(kRrf + rank_i(d))`, a document missing from a
+    * list contributes 0 from it. `kRrf = 60` is the paper's constant.
+    *
+    * Inputs are (id, rank) frames whose size is k-BOUNDED BY
+    * CONSTRUCTION (each is a top-k list from [[bruteForceTopK]] /
+    * an index rung / `bm25TopK`), so the full-outer rank join and the
+    * final global rank window run over ≤ |a|+|b| ≤ 2k rows at any
+    * corpus size — the documented bounded-global-window class. Fused
+    * rank orders by the ROUNDED score (6 dp, both engines' round)
+    * with the id tie-break, so the output replays exactly in SQL. */
+  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int = 60,
+              idCol: String = "doc_id", rankACol: String = "rank_a",
+              rankBCol: String = "rank_b"): DataFrame = {
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val joined = a.select(col(idCol), col(rankACol))
+      .join(b.select(col(idCol), col(rankBCol)), Seq(idCol), "full_outer")
+    val score = round(
+      coalesce(lit(1.0) / (lit(kRrf) + col(rankACol)), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf) + col(rankBCol)), lit(0.0)), 6)
+    joined.withColumn("rrf_score", score)
+      .withColumn("fused_rank", row_number().over(Window
+        .partitionBy(lit(0)) // constant partition: ≤2k rows by construction
+        .orderBy(col("rrf_score").desc, col(idCol).asc)))
+      .select(col(idCol), col(rankACol), col(rankBCol),
+        col("rrf_score"), col("fused_rank"))
+  }
+
+  /** Spark/DuckDB `round(x, 6)` for signed doubles in compiled code:
+    * HALF_UP away from zero — the manual twin of the Column-level
+    * rounding every emitted cosine goes through. */
+  private def round6(x: Double): Double =
+    if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+    else -math.floor(-x * 1e6 + 0.5) / 1e6
+
+  /** Maximal-marginal-relevance diversity re-rank (Carbonell &
+    * Goldstein 1998) — the post-retrieval step a training-data
+    * curation or RAG pipeline runs so the selected k are not k
+    * near-copies: greedily pick, from a per-query candidate shortlist,
+    * `argmax_d λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`.
+    *
+    * Input `shortlist` is a (qid, rid, cos) frame — the output shape
+    * of every retrieval rung, cos already rounded 6 dp; `vectors`
+    * supplies candidate vectors for the pairwise-diversity term.
+    * Candidates per query are shortlist-BOUNDED by construction, so
+    * the greedy runs per query INSIDE an executor via mapGroups — the
+    * N²+kN work is embarrassingly parallel across queries, no driver
+    * loop, no shuffle beyond the vector join and the qid grouping; at
+    * 100 TB the cost profile is the shortlist join's.
+    *
+    * Determinism: pairwise cosines use the [[cosineFixed]] double
+    * convention rounded HALF_UP 6 dp ([[round6]]), the greedy argmax
+    * compares the ROUNDED composite score with the rid tie-break, and
+    * candidates iterate in rid order — the whole trajectory replays as
+    * k chained argmax CTEs in SQL (the q184 pattern). Emits (qid, rid,
+    * mmr_rank, mmr_score ∈ rounded 6dp, cos). */
+  def mmrRerank(spark: SparkSession, shortlist: DataFrame,
+                vectors: DataFrame, k: Int, lambda: Double = 0.7,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                dim: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    import spark.implicits._
+    val vecs = vectors.select(col(idCol).cast("long").as("rid"),
+      col(vecCol).as("rv"))
+    val cands = shortlist.select(col("qid").cast("long"), col("rid").cast("long"),
+        col("cos").cast("double"))
+      .join(vecs, "rid")
+      .select(col("qid"), col("rid"), col("cos"), col("rv"))
+      .as[(Long, Long, Double, Array[Float])]
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray.sortBy(_._2) // rid order: deterministic
+        val n = cs.length
+        def pairSim(i: Int, j: Int): Double = {
+          val a = cs(i)._4; val b = cs(j)._4
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var d = 0
+          while (d < dim) {
+            val x = a(d).toDouble; val y = b(d).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            d += 1
+          }
+          round6(dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxRel = Array.fill(n)(Double.NegativeInfinity)
+        val picked = Array.fill(n)(false)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Int, Double, Double)]
+        var step = 0
+        while (step < math.min(k, n)) {
+          var best = -1; var bs = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val div = if (selected.isEmpty) 0.0 else maxRel(i)
+              val s = round6(lambda * cs(i)._3 - (1 - lambda) * div)
+              if (s > bs || (s == bs && (best < 0 || cs(i)._2 < cs(best)._2))) {
+                bs = s; best = i
+              }
+            }
+            i += 1
+          }
+          picked(best) = true
+          selected += best
+          out += ((qid, cs(best)._2, step + 1, bs, cs(best)._3))
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val ps = pairSim(j, best)
+              if (ps > maxRel(j)) maxRel(j) = ps
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "rid", "mmr_rank", "mmr_score", "cos")
+  }
+
   /** Seeded Lloyd k-means with k-means++ init on an in-memory sample
     * (quantizer training for [[ivfTopK]]); deterministic for a seed.
     * Empty clusters re-seed from the point farthest from its center. */

@@ -566,6 +566,44 @@ object PipelineSimilarityQueries {
           "heal_ok", "pq_refresh_eq_fresh", "staleness_rises",
           "staleness_resets")
     }),
+
+    // Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    // (Cormack et al. 2009, kRrf=60): the q70 BM25 top-20 fused with
+    // the exact cosine top-20 for the vec_id-0 query vector (doc_id ≡
+    // vec_id, the established alignment). EXACT oracle: DuckDB replays
+    // the BM25 ranks (the q70 replica), the vector ranks (the q29
+    // pattern), the full-outer rank join, the 1/(60+rank) sum, and the
+    // rounded-score fused ordering.
+    "q208_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.pipeline.TextAnalysis
+        .bm25TopK(Tables.documents(s, d), "spark table join", k = 20)
+        .withColumn("rank_a", row_number().over(Window
+          .partitionBy(lit(0)) // ≤20 rows by construction
+          .orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank_a"))
+      val e = Tables.embeddings(s, d)
+      val vec = Similarity
+        .bruteForceTopK(e.filter(col("vec_id") === 0), e, k = 20)
+        .select(col("rid").as("doc_id"), col("rn").as("rank_b"))
+      Similarity.rrfFuse(lex, vec, kRrf = 60).orderBy("fused_rank")
+    }),
+
+    // MMR diversity re-rank (Carbonell & Goldstein 1998, λ=0.7) of the
+    // vec_id-0 query's exact top-20 down to 5 — the anti-redundancy
+    // selection a curation/RAG pipeline runs after retrieval. EXACT
+    // oracle: the greedy trajectory replays as 5 chained argmax CTEs
+    // (the q184 pattern) over the same rounded cosines and the same
+    // rounded composite score; the oracle casts its λ constants to
+    // DOUBLE so (1 − λ) is the identical IEEE double in both engines.
+    "q209_mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cands = Similarity
+        .bruteForceTopK(e.filter(col("vec_id") === 0), e, k = 20)
+        .select("qid", "rid", "cos")
+      Similarity.mmrRerank(s, cands, e, k = 5, lambda = 0.7)
+        .orderBy("mmr_rank")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -577,6 +615,107 @@ object PipelineSimilarityQueries {
         |  TRUE AS compact_preserves, TRUE AS heal_ok,
         |  TRUE AS pq_refresh_eq_fresh, TRUE AS staleness_rises,
         |  TRUE AS staleness_resets""".stripMargin,
+
+    // RRF: BM25 ranks (the q70 replica), exact-cosine vector ranks
+    // (the q29 pattern, qid 0), full-outer rank join, the 1/(60+rank)
+    // sum rounded 6dp, fused rank on (score DESC, id ASC).
+    "q208_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |l AS (SELECT doc_id, len(ts) AS dl FROM t),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM l),
+        |tok AS (SELECT doc_id, unnest(ts) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'table', 'join') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, sum(
+        |    ln(1 + (stats.n - dfreq.dfq + 0.5) / (dfreq.dfq + 0.5)) *
+        |    tf.tf * (1.2 + 1) /
+        |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / stats.avgdl))) AS score
+        |  FROM tf JOIN dfreq USING (term) JOIN l USING (doc_id), stats
+        |  GROUP BY 1),
+        |lex AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY round(score, 6) DESC, doc_id ASC) AS rank_a
+        |  FROM (SELECT doc_id, score FROM sc
+        |        ORDER BY round(score, 6) DESC, doc_id LIMIT 20)),
+        |vec AS (SELECT rid AS doc_id, rn AS rank_b FROM (
+        |    SELECT r.vec_id AS rid,
+        |      row_number() OVER (ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |          r.embedding::DOUBLE[]), 6) DESC, r.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings r ON r.vec_id <> q.vec_id
+        |    WHERE q.vec_id = 0)
+        |  WHERE rn <= 20),
+        |fused AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+        |    lex.rank_a, vec.rank_b,
+        |    round(coalesce(1.0 / (60 + lex.rank_a), 0.0) +
+        |          coalesce(1.0 / (60 + vec.rank_b), 0.0), 6) AS rrf_score
+        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT doc_id, rank_a, rank_b, rrf_score,
+        |  row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+        |    AS fused_rank
+        |FROM fused
+        |ORDER BY fused_rank""".stripMargin,
+
+    // MMR: candidates = exact top-20 for qid 0 (q29 rounding
+    // discipline); pairwise candidate cosines rounded 6dp; five
+    // chained argmax CTEs replay the greedy with the rid tie-break.
+    // Constants are CAST(0.7 AS DOUBLE) so both engines compute the
+    // identical IEEE doubles (a bare 0.7 is DECIMAL in DuckDB and
+    // (1 - 0.7) would be exactly 0.3, one ulp from Spark's 1 - 0.7).
+    "q209_mmr_rerank" ->
+      """WITH cand AS (SELECT rid, cos FROM (
+        |    SELECT r.vec_id AS rid,
+        |      round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |        r.embedding::DOUBLE[]), 6) AS cos,
+        |      row_number() OVER (ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |          r.embedding::DOUBLE[]), 6) DESC, r.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings r ON r.vec_id <> q.vec_id
+        |    WHERE q.vec_id = 0)
+        |  WHERE rn <= 20),
+        |ps AS (SELECT a.rid AS ra, b.rid AS rb,
+        |    round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |      eb.embedding::DOUBLE[]), 6) AS s
+        |  FROM cand a JOIN cand b ON a.rid <> b.rid
+        |  JOIN embeddings ea ON ea.vec_id = a.rid
+        |  JOIN embeddings eb ON eb.vec_id = b.rid),
+        |p1 AS (SELECT rid, cos, round(CAST(0.7 AS DOUBLE) * cos, 6) AS score FROM cand
+        |  ORDER BY score DESC, rid LIMIT 1),
+        |p2 AS (SELECT c.rid, c.cos, round(CAST(0.7 AS DOUBLE) * c.cos - (1 - CAST(0.7 AS DOUBLE)) *
+        |    (SELECT max(s) FROM ps WHERE ps.ra = c.rid
+        |      AND ps.rb IN (SELECT rid FROM p1)), 6) AS score
+        |  FROM cand c WHERE c.rid NOT IN (SELECT rid FROM p1)
+        |  ORDER BY score DESC, c.rid LIMIT 1),
+        |p3 AS (SELECT c.rid, c.cos, round(CAST(0.7 AS DOUBLE) * c.cos - (1 - CAST(0.7 AS DOUBLE)) *
+        |    (SELECT max(s) FROM ps WHERE ps.ra = c.rid
+        |      AND ps.rb IN (SELECT rid FROM p1
+        |        UNION SELECT rid FROM p2)), 6) AS score
+        |  FROM cand c WHERE c.rid NOT IN (SELECT rid FROM p1
+        |    UNION SELECT rid FROM p2)
+        |  ORDER BY score DESC, c.rid LIMIT 1),
+        |p4 AS (SELECT c.rid, c.cos, round(CAST(0.7 AS DOUBLE) * c.cos - (1 - CAST(0.7 AS DOUBLE)) *
+        |    (SELECT max(s) FROM ps WHERE ps.ra = c.rid
+        |      AND ps.rb IN (SELECT rid FROM p1 UNION SELECT rid FROM p2
+        |        UNION SELECT rid FROM p3)), 6) AS score
+        |  FROM cand c WHERE c.rid NOT IN (SELECT rid FROM p1
+        |    UNION SELECT rid FROM p2 UNION SELECT rid FROM p3)
+        |  ORDER BY score DESC, c.rid LIMIT 1),
+        |p5 AS (SELECT c.rid, c.cos, round(CAST(0.7 AS DOUBLE) * c.cos - (1 - CAST(0.7 AS DOUBLE)) *
+        |    (SELECT max(s) FROM ps WHERE ps.ra = c.rid
+        |      AND ps.rb IN (SELECT rid FROM p1 UNION SELECT rid FROM p2
+        |        UNION SELECT rid FROM p3 UNION SELECT rid FROM p4)), 6)
+        |      AS score
+        |  FROM cand c WHERE c.rid NOT IN (SELECT rid FROM p1
+        |    UNION SELECT rid FROM p2 UNION SELECT rid FROM p3
+        |    UNION SELECT rid FROM p4)
+        |  ORDER BY score DESC, c.rid LIMIT 1)
+        |SELECT CAST(0 AS BIGINT) AS qid, rid, 1 AS mmr_rank, score AS mmr_score, cos
+        |  FROM p1
+        |UNION ALL SELECT 0, rid, 2, score, cos FROM p2
+        |UNION ALL SELECT 0, rid, 3, score, cos FROM p3
+        |UNION ALL SELECT 0, rid, 4, score, cos FROM p4
+        |UNION ALL SELECT 0, rid, 5, score, cos FROM p5
+        |ORDER BY mmr_rank""".stripMargin,
 
     // PCA invariant oracle over the enumerable projection slice.
     "q90_pca" ->

@@ -3563,6 +3563,67 @@ class PipelineSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("rrfFuse: closed-form scores on a hand fixture; one-sided docs fused correctly") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // doc 1 ranks 1st in both lists; doc 2 lexical-only; doc 3
+    // vector-only; doc 4 mid in both
+    val lex = Seq((1L, 1), (2L, 2), (4L, 3)).toDF("doc_id", "rank_a")
+    val vec = Seq((1L, 1), (4L, 2), (3L, 3)).toDF("doc_id", "rank_b")
+    val fused = Similarity.rrfFuse(lex, vec, kRrf = 60)
+      .orderBy("fused_rank").collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = Map(
+      1L -> r6(1.0 / 61 + 1.0 / 61),
+      4L -> r6(1.0 / 63 + 1.0 / 62),
+      2L -> r6(1.0 / 62),
+      3L -> r6(1.0 / 63))
+    assert(fused.map(_.getLong(0)).toSeq == Seq(1L, 4L, 2L, 3L),
+      "fused order: both-lists docs above one-sided, rank sums decide")
+    fused.foreach { r =>
+      assert(r.getDouble(3) == want(r.getLong(0)),
+        s"doc ${r.getLong(0)}: ${r.getDouble(3)} vs ${want(r.getLong(0))}")
+    }
+    // one-sided rows carry a null for the missing rank
+    assert(fused.find(_.getLong(0) == 2L).get.isNullAt(2))
+    assert(fused.find(_.getLong(0) == 3L).get.isNullAt(1))
+  }
+
+  test("mmrRerank: skips the near-duplicate; lambda=1 degenerates to cosine order") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // planted geometry (dim 4): candidates 10 and 11 are IDENTICAL
+    // vectors (cos 1.0 to each other), both very close to the query;
+    // candidate 12 is distinct but still relevant. Plain cosine order
+    // is 10, 11, 12 — MMR at λ=0.5 must pick 10 then SKIP the clone 11
+    // in favor of the diverse 12 (hand math: clone 0.5·0.98 − 0.5·1.0
+    // = −0.010 vs 12's 0.5·0.8 − 0.5·0.784 = +0.008).
+    val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val clone = Array(0.98f, 0.2f, 0.0f, 0.0f)
+    val distinct12 = Array(0.8f, 0.0f, 0.6f, 0.0f)
+    val far = Array(0.1f, 0.1f, 0.1f, 0.97f)
+    val vecs = Seq((0L, q), (10L, clone), (11L, clone),
+      (12L, distinct12), (13L, far)).toDF("vec_id", "embedding")
+    val cands = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, k = 4, dim = 4)
+      .select("qid", "rid", "cos")
+    val mmr = Similarity.mmrRerank(spark, cands, vecs, k = 3,
+      lambda = 0.5, dim = 4).orderBy("mmr_rank").collect()
+    assert(mmr.map(_.getLong(1)).toSeq == Seq(10L, 12L, 11L),
+      s"MMR must demote the clone: got ${mmr.map(_.getLong(1)).toSeq}")
+    // λ=1: the diversity term vanishes — MMR ≡ the cosine order
+    val plain = Similarity.mmrRerank(spark, cands, vecs, k = 4,
+      lambda = 1.0, dim = 4).orderBy("mmr_rank").collect()
+    val byCos = cands.orderBy(col("cos").desc, col("rid").asc)
+      .collect().map(_.getLong(1)).toSeq
+    assert(plain.map(_.getLong(1)).toSeq == byCos)
+    // scores are the rounded composite, non-increasing never required
+    // (diversity can raise later steps) but rank 1 must be λ·cos
+    val top = mmr(0)
+    assert(top.getDouble(3) ==
+      math.floor(0.5 * top.getDouble(4) * 1e6 + 0.5) / 1e6)
+  }
+
   test("IndexSwap: partial-.old refusal, reader fail-fast, litter cleanup, missing-live precondition") {
     import spark.implicits._
     import graft.streaming.IndexSwap
