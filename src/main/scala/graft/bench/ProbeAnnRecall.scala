@@ -48,6 +48,13 @@ object ProbeAnnRecall {
       recallOf(s"sq8s$sl", Similarity.sqTopK(spark, q50, e, k = 5,
         shortlist = sl))
     }
+    // binary quantization (r11): 1-bit sign codes, symmetric Hamming
+    // shortlist + exact re-rank — recall is bounded by how much angle
+    // survives 1 bit/dim, so the shortlist is the knob
+    for (sl <- Seq(10, 20, 30, 50)) {
+      recallOf(s"bq_s$sl", Similarity.bqTopK(spark, q50, e, k = 5,
+        shortlist = sl))
+    }
     // IVF-SQ8 (r10): codes-resident inverted lists — coverage is the
     // IVF term (codes are near-faithful at 255 levels, the sq8s10
     // finding), so recall tracks the ivf rung at equal probes

@@ -1219,6 +1219,84 @@ object Similarity extends Serializable {
     padShortQueries(rerankTopK(joined, k), qv, rv, k)
   }
 
+  /** 1-bit binary quantization: the sign bit of every dimension,
+    * packed 8 dims/byte — dim=64 floats (256 B) become 8 bytes, a 32×
+    * shrink, the bottom rung of the codec ladder (BQ 32× → PQ 16× →
+    * SQ8 4× → float). This is the "binary quantization" tier modern
+    * vector stores ship for billion-scale first-pass scans: Hamming
+    * distance between sign patterns is a monotone proxy for angle
+    * (P[sign differs] = θ/π per random hyperplane — here the
+    * coordinate axes), costs one XOR+popcount per byte, and the exact
+    * re-rank restores true cosine order within the shortlist.
+    * Encode is a pure narrow map (the [[sqEncode]] shape). Bit i of
+    * byte i/8 is set iff v(i) > 0 — replayable in SQL from the floats
+    * without any packing. */
+  def bqEncode(spark: SparkSession, vectors: DataFrame,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, bqBits(v)) }
+      .toDF(idCol, "codes")
+  }
+
+  /** Sign-bit packing shared by encode and search: bit (i % 8) of
+    * byte (i / 8) set iff v(i) > 0 (strict — zeros pack as 0 in both
+    * engines). */
+  private[graft] def bqBits(v: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte]((v.length + 7) / 8)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0f) out(i / 8) = (out(i / 8) | (1 << (i % 8))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** BQ retrieval: SYMMETRIC Hamming shortlist (both sides binarized —
+    * one XOR+popcount per 8 dims over the 32×-compressed codes; the
+    * frame a billion-vector first pass keeps memory-resident), exact
+    * full-precision re-rank of the per-query `shortlist` survivors
+    * (the [[sqTopKFromIndex]] stage-2 posture). Shortlist cut orders
+    * by (hamming ASC, rid ASC) — ties are common at 1 bit/dim, and
+    * the rid tie-break keeps the cut engine-replayable. Recall is
+    * bounded by how much angle survives 1-bit quantization; the q210
+    * audit measures it against the brute twin and enforces the floor.
+    * `queries` is the caller-capped query frame ([[sqTopK]]'s
+    * contract); cost is |Q|·n byte-ops for stage 1. */
+  def bqTopK(spark: SparkSession, queries: DataFrame, refs: DataFrame,
+             k: Int, shortlist: Int = 30, idCol: String = "vec_id",
+             vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val qb = bqEncode(spark, queries, idCol, vecCol)
+      .select(col(idCol).as("qid"), col("codes").as("qc"))
+    val rb = bqEncode(spark, refs, idCol, vecCol)
+      .select(col(idCol).as("rid"), col("codes").as("rc"))
+    val w = Window.partitionBy("qid").orderBy(col("ham").asc, col("rid").asc)
+    val sl = qb.join(rb, col("qid") =!= col("rid"))
+      .select(col("qid"), col("qc"), col("rid"), col("rc"))
+      .as[(Long, Array[Byte], Long, Array[Byte])]
+      .map { case (qid, qc, rid, rc) =>
+        var h = 0; var i = 0
+        while (i < qc.length) {
+          h += java.lang.Integer.bitCount((qc(i) ^ rc(i)) & 0xff)
+          i += 1
+        }
+        (qid, rid, h)
+      }.toDF("qid", "rid", "ham")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "rid")
+    val qv = refsFrame(queries, idCol, vecCol)
+    val rv = refsFrame(refs, idCol, vecCol)
+    val joined = sl
+      .join(qv.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(rv.select(col("id").as("rid"), col("v").as("rv")), "rid")
+    padShortQueries(rerankTopK(joined, k), qv, rv, k)
+  }
+
   /** Build the IVF-SQ8 index — the faiss `IVF,SQ8` composition: coarse
     * inverted lists ([[ivfTrainCentroids]] + one-map assignment) whose
     * entries are the [[SqCodec]]'s int8 CODES instead of float

@@ -567,6 +567,32 @@ object PipelineSimilarityQueries {
           "staleness_resets")
     }),
 
+    // Binary-quantization retrieval (1-bit sign codes, 32× smaller
+    // than float32 — the bottom codec-ladder rung modern vector
+    // stores ship for billion-scale first passes): symmetric Hamming
+    // shortlist + exact re-rank. EXACT oracle: DuckDB re-derives every
+    // sign bit from the floats, replays the Hamming shortlist (ham
+    // ASC, rid ASC — ties are common at 1 bit/dim, the id break keeps
+    // the cut deterministic), the exact re-rank, and the recall
+    // boolean. Operating point from ProbeAnnRecall (r11):
+    // shortlist=50 measures recall@5 0.700 (sf0.01) / 0.480 (sf0.1)
+    // on the NEAR-RANDOM synthetic vectors — structurally capped like
+    // q202's prefix (true neighbors here sit at cos≈0.4-0.5, where
+    // sign patterns carry ~θ/π of the signal; production near-dup
+    // targets at cos≈1 have near-identical sign patterns). Floor 0.3:
+    // a sign bug or broken shortlist reads ≈ shortlist/n ≈ 0.03.
+    "q210_bq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 50)
+      val bq = Similarity.bqTopK(s, qs, e, k = 5, shortlist = 50).cache()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
+      val nh = bq.select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      bq.withColumn("recall_ok", lit(recall >= 0.3)).orderBy("qid", "rn")
+    }),
+
     // Hybrid lexical+vector retrieval via reciprocal-rank fusion
     // (Cormack et al. 2009, kRrf=60): the q70 BM25 top-20 fused with
     // the exact cosine top-20 for the vec_id-0 query vector (doc_id ≡
@@ -615,6 +641,52 @@ object PipelineSimilarityQueries {
         |  TRUE AS compact_preserves, TRUE AS heal_ok,
         |  TRUE AS pq_refresh_eq_fresh, TRUE AS staleness_rises,
         |  TRUE AS staleness_resets""".stripMargin,
+
+    // BQ: sign bits re-derived from the floats, Hamming shortlist
+    // (rn <= 50, ham ASC rid ASC), exact re-rank, recall boolean —
+    // the q203 oracle structure with Hamming as stage 1.
+    "q210_bq_topk" ->
+      """WITH sl AS (
+        |  SELECT qid, rid FROM (
+        |    SELECT q.vec_id AS qid, r.vec_id AS rid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(
+        |          generate_series(1, len(q.embedding)),
+        |          i -> CASE WHEN (q.embedding[i] > 0) <>
+        |              (r.embedding[i] > 0) THEN 1 ELSE 0 END)) ASC,
+        |        r.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings r ON q.vec_id <> r.vec_id
+        |    WHERE q.vec_id < 50)
+        |  WHERE rn <= 50),
+        |rr AS (
+        |  SELECT qid, rid, cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, rid ASC) AS rn
+        |  FROM (
+        |    SELECT sl.qid, sl.rid,
+        |      round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |        r.embedding::DOUBLE[]), 6) AS cos
+        |    FROM sl
+        |    JOIN embeddings q ON q.vec_id = sl.qid
+        |    JOIN embeddings r ON r.vec_id = sl.rid)),
+        |two AS (SELECT * FROM rr WHERE rn <= 5),
+        |fullk AS (
+        |  SELECT qid, rid FROM (
+        |    SELECT q.vec_id AS qid, r.vec_id AS rid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+        |          r.embedding::DOUBLE[]), 6) DESC, r.vec_id ASC) AS rn
+        |    FROM embeddings q JOIN embeddings r ON q.vec_id <> r.vec_id
+        |    WHERE q.vec_id < 50)
+        |  WHERE rn <= 5),
+        |rec AS (
+        |  SELECT (SELECT count(*) FROM two t JOIN fullk f
+        |      ON f.qid = t.qid AND f.rid = t.rid)::DOUBLE
+        |    / nullif((SELECT count(*) FROM fullk), 0) >= 0.3 AS r_ok)
+        |SELECT two.qid, two.rid, two.cos, two.rn,
+        |  coalesce(rec.r_ok, TRUE) AS recall_ok
+        |FROM two, rec
+        |ORDER BY qid, rn""".stripMargin,
 
     // RRF: BM25 ranks (the q70 replica), exact-cosine vector ranks
     // (the q29 pattern, qid 0), full-outer rank join, the 1/(60+rank)

@@ -3563,6 +3563,43 @@ class PipelineSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("bqTopK: sign-clone at Hamming 0 always shortlists; full shortlist ≡ brute") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // bit packing: signs land in the right bit of the right byte
+    val bits = Similarity.bqBits(
+      Array(1f, -1f, 0f, 2f, -3f, 1f, 1f, 1f, /*byte 1:*/ -1f, 1f))
+    assert((bits(0) & 0xff) == 0xE9, f"byte0=${bits(0) & 0xff}%02x") // 1,0,0,1,0,1,1,1
+    assert((bits(1) & 0xff) == 0x02) // 0,1
+    // planted geometry (dim 8): id 20 is a SCALED copy of query 0's
+    // vector (identical sign pattern, Hamming 0) — it must survive any
+    // shortlist ≥ 1 even among closer-by-cosine distractors
+    val rnd = new scala.util.Random(11)
+    val qv = Array(0.9f, -0.8f, 0.7f, -0.6f, 0.5f, -0.4f, 0.3f, -0.2f)
+    val clone = qv.map(_ * 0.1f)
+    val vecs = ((0L, qv) +: (1L until 15L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))) :+ (20L, clone))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") === 0)
+    val tight = Similarity.bqTopK(spark, qs, vecs, k = 2, shortlist = 2,
+      dim = 8).select("rid").as[Long].collect().toSet
+    assert(tight.contains(20L),
+      s"the Hamming-0 sign clone must shortlist first, got $tight")
+    // shortlist = corpus: stage 2 re-ranks everything exactly — must
+    // equal the brute kernel row for row (the sqTopK degeneracy)
+    val q5 = vecs.filter(col("vec_id") < 5)
+    val bq = Similarity.bqTopK(spark, q5, vecs, k = 3, shortlist = 15,
+      dim = 8)
+    val brute = Similarity.bruteForceTopK(q5, vecs, k = 3, dim = 8)
+    assert(bq.exceptAll(brute).isEmpty && brute.exceptAll(bq).isEmpty)
+    // codes are dim/8 bytes (the 32x contract)
+    val codes = Similarity.bqEncode(spark, vecs, vecCol = "embedding")
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(codes.select("codes").collect()
+      .forall(_.getAs[Array[Byte]](0).length == 1))
+  }
+
   test("rrfFuse: closed-form scores on a hand fixture; one-sided docs fused correctly") {
     import spark.implicits._
     import graft.pipeline.Similarity
