@@ -218,6 +218,11 @@ object PipelineScaleProbe {
     val (nMivf, tMivf) = time(graft.pipeline.Similarity
       .matryoshkaIvfTopKFromIndex(spark, q50, mivfOnDisk, mivfCenters,
         repE, k = 5, dims = 32, shortlist = 50, nProbe = 6).count())
+    // binary quantization (r11): symmetric Hamming over 1-bit codes —
+    // the 50×n stage-1 scan touches 8 bytes/ref, so the slope is the
+    // 32×-fewer-bytes linear term (the cheapest full-scan rung)
+    val (nBq, tBq) = time(graft.pipeline.Similarity
+      .bqTopK(spark, q50, repE, k = 5, shortlist = 50).count())
     repE.unpersist()
     // equi-depth AUC (r9): rank over a CALIBRATED-PILE score
     // distribution — sigmoid(12·(u−½)) piles scores against 0 and 1,
@@ -266,7 +271,8 @@ object PipelineScaleProbe {
       s""""sq_topk_sec":$tSq,"sq_topk_rows":$nSq,""" +
       s""""sqidx_topk_sec":$tSqIdx,"sqidx_topk_rows":$nSqIdx,""" +
       s""""mivf_lists":$mivfLists,"mivf_build_sec":$tMivfBuild,""" +
-      s""""mivf_topk_sec":$tMivf,"mivf_topk_rows":$nMivf}""")
+      s""""mivf_topk_sec":$tMivf,"mivf_topk_rows":$nMivf,""" +
+      s""""bq_topk_sec":$tBq,"bq_topk_rows":$nBq}""")
     spark.stop()
   }
 }

@@ -51,11 +51,19 @@ object IvfStream {
 
   /** Wire vector ingest into a running stream: each micro-batch is
     * assigned against the frozen centroids and lands in its own
-    * idempotent `batch=<id>` partition, sub-partitioned by list. */
+    * idempotent `batch=<id>` partition, sub-partitioned by list.
+    *
+    * `stalenessDir`: when set, each trigger also writes its
+    * [[quantizerStaleness]] reading (one row) to an idempotent
+    * `batch=<id>` partition there — the per-trigger drift log a
+    * deployment alerts on to schedule [[reassign]] (one extra narrow
+    * map + ≤nLists-row aggregate per trigger, the signal's documented
+    * price). */
   def attach(stream: DataFrame, centers: Array[Array[Double]],
              indexDir: String, checkpointDir: String,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): StreamingQuery =
+             vecCol: String = "embedding",
+             stalenessDir: Option[String] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -63,6 +71,11 @@ object IvfStream {
         assignOnIngest(batch, centers, idCol, vecCol)
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
+        stalenessDir.foreach { dir =>
+          quantizerStaleness(batch, centers, idCol, vecCol)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/batch=$batchId")
+        }
         ()
       }
       .start()
@@ -101,7 +114,8 @@ object IvfStream {
   def attachSq(stream: DataFrame, centers: Array[Array[Double]],
                codec: Similarity.SqCodec, indexDir: String,
                checkpointDir: String, idCol: String = "vec_id",
-               vecCol: String = "embedding"): StreamingQuery =
+               vecCol: String = "embedding",
+               stalenessDir: Option[String] = None): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -109,6 +123,11 @@ object IvfStream {
         assignAndEncodeOnIngest(batch, centers, codec, idCol, vecCol)
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
+        stalenessDir.foreach { dir =>
+          quantizerStaleness(batch, centers, idCol, vecCol)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/batch=$batchId")
+        }
         ()
       }
       .start()

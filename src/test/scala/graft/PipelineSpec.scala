@@ -2330,7 +2330,8 @@ class PipelineSpec extends SparkSpec {
     val q = IvfStream.attachSq(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/in"), centers, codec,
-      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt")
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt",
+      stalenessDir = Some(s"$tmp/stale"))
     q.processAllAvailable()
     e.select("vec_id", "embedding").filter(col("vec_id") >= 250).coalesce(1)
       .write.mode("append").parquet(s"$tmp/in")
@@ -2348,6 +2349,18 @@ class PipelineSpec extends SparkSpec {
     val want = Similarity.ivfSqTopK(spark, qs, e, k = 5, nLists = 8,
       nProbe = 4, shortlist = 10)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the per-trigger staleness log: one row per trigger, counts sum
+    // to the ingested corpus, readings in the healthy regime (the
+    // quantizer WAS trained on this distribution)
+    val stale = spark.read.parquet(s"$tmp/stale")
+    assert(stale.count() == 2L, "one staleness row per trigger")
+    assert(stale.agg(sum("n_vecs")).head.getLong(0) == e.count())
+    stale.collect().foreach { r =>
+      val d2 = r.getAs[Double]("mean_d2")
+      val skew = r.getAs[Double]("max_list_frac")
+      assert(d2 > 0 && d2 < 10, s"healthy-regime mean_d2, got $d2")
+      assert(skew >= 1.0 / 8 && skew <= 1.0, s"skew in range, got $skew")
+    }
     e.unpersist()
   }
 
