@@ -63,6 +63,12 @@ object ProbeAnnRecall {
         Similarity.ivfSqTopK(spark, q50, e, k = 5, nLists = nl,
           nProbe = np, shortlist = sl))
     }
+    // IVF-BQ (r11): recall compounds probe coverage × 1-bit signal
+    for ((nl, np) <- Seq((8, 4), (8, 6)); sl <- Seq(50, 80)) {
+      recallOf(f"ivfbq${nl}x$np%ss$sl",
+        Similarity.ivfBqTopK(spark, q50, e, k = 5, nLists = nl,
+          nProbe = np, shortlist = sl))
+    }
     // matryoshka-IVF (r10): IVF probe on the 32-dim prefix + exact
     // full-dim re-rank — recall compounds prefix truncation × probe
     // coverage, so the operating point needs its own measurement

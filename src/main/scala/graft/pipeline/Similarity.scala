@@ -1297,6 +1297,99 @@ object Similarity extends Serializable {
     padShortQueries(rerankTopK(joined, k), qv, rv, k)
   }
 
+  /** Build the IVF-BQ index — inverted lists whose entries are the
+    * 1-BIT sign codes ([[bqBits]]): the [[ivfSqBuildIndex]] shape at
+    * the 32× compression point (8 bytes/vector at dim=64). Written
+    * `partitionBy("list")`, a probe reads `nProbe/nLists` of an index
+    * that is 32× smaller than the float corpus — the cheapest
+    * composition on the ladder, the faiss binary-IVF posture. */
+  def ivfBqBuildIndex(spark: SparkSession, refs: DataFrame,
+                      nLists: Int = 16, seed: Long = 42,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding", trainCap: Int = 20000)
+      : (Array[Array[Double]], DataFrame) = {
+    import spark.implicits._
+    val centers = ivfTrainCentroids(spark, refs, nLists, seed, idCol,
+      vecCol, trainCap)
+    val bc = spark.sparkContext.broadcast(centers)
+    val index = refs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, bqBits(v), ivfNearest(bc.value, v, 1)(0)) }
+      .toDF(idCol, "codes", "list")
+    (centers, index)
+  }
+
+  /** IVF-BQ search over a pre-built codes index: queries probe
+    * `nProbe` lists ([[ivfNearest]]), candidates in the probed lists
+    * are Hamming-shortlisted against the query's own sign bits (the
+    * [[bqTopK]] symmetric stage 1 — XOR+popcount over 1-bit codes,
+    * ties broken on rid), and the `shortlist` survivors re-rank
+    * against the true vectors. With `nProbe = nLists` the result
+    * equals [[bqTopK]] at the same shortlist exactly (spec-pinned
+    * degeneracy); at production settings the probe reads the probed
+    * fraction of a 32×-compressed index. */
+  def ivfBqTopKFromIndex(spark: SparkSession, queries: DataFrame,
+                         index: DataFrame, centers: Array[Array[Double]],
+                         refs: DataFrame, k: Int, shortlist: Int = 50,
+                         nProbe: Int = 2, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val bc = spark.sparkContext.broadcast(centers)
+    val probe = queries
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val qc = bqBits(v)
+        ivfNearest(bc.value, v, nProbe).iterator.map(l => (id, qc, l)) }
+      .toDF("qid", "qc", "list")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = probe.select("list").distinct().as[Int].collect().toSeq
+    val idx = index.filter(col("list").isin(lists: _*))
+      .select(col(idCol).cast("long").as("rid"), col("codes"), col("list"))
+    val w = Window.partitionBy("qid").orderBy(col("ham").asc, col("rid").asc)
+    val sl = probe.join(idx, "list")
+      .filter(col("qid") =!= col("rid"))
+      .select(col("qid"), col("qc"), col("rid"), col("codes"))
+      .as[(Long, Array[Byte], Long, Array[Byte])]
+      .map { case (qid, qc, rid, rc) =>
+        var h = 0; var i = 0
+        while (i < qc.length) {
+          h += java.lang.Integer.bitCount((qc(i) ^ rc(i)) & 0xff)
+          i += 1
+        }
+        (qid, rid, h)
+      }.toDF("qid", "rid", "ham")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "rid")
+    val qv = refsFrame(queries, idCol, vecCol)
+    val rv = refsFrame(refs, idCol, vecCol)
+    val joined = sl
+      .join(qv.select(col("id").as("qid"), col("v").as("qv")), "qid")
+      .join(rv.select(col("id").as("rid"), col("v").as("rv")), "rid")
+    val out = padShortQueries(rerankTopK(joined, k), qv, rv, k)
+    // see ivfTopKFromIndex: safe while the padShortQueries cache
+    // survives; only non-deterministic query frames are exposed
+    probe.unpersist()
+    out
+  }
+
+  /** [[ivfBqTopKFromIndex]] with the index built inline — the
+    * self-contained one-shot form. */
+  def ivfBqTopK(spark: SparkSession, queries: DataFrame, refs: DataFrame,
+                k: Int, nLists: Int = 16, nProbe: Int = 2,
+                shortlist: Int = 50, seed: Long = 42,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val (centers, index) = ivfBqBuildIndex(spark, refs, nLists, seed,
+      idCol, vecCol)
+    ivfBqTopKFromIndex(spark, queries, index, centers, refs, k,
+      shortlist, nProbe, idCol, vecCol)
+  }
+
   /** Build the IVF-SQ8 index — the faiss `IVF,SQ8` composition: coarse
     * inverted lists ([[ivfTrainCentroids]] + one-map assignment) whose
     * entries are the [[SqCodec]]'s int8 CODES instead of float

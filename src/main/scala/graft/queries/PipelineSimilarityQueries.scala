@@ -567,6 +567,28 @@ object PipelineSimilarityQueries {
           "staleness_resets")
     }),
 
+    // IVF-BQ composition (r11): inverted lists whose entries are the
+    // 1-bit sign codes — a probe reads nProbe/nLists of an index 32×
+    // smaller than the float corpus, the cheapest composition on the
+    // ladder. Invariant oracle (the q204/q205/q206 pattern: k-means
+    // lists aren't SQL-replayable). Operating point from
+    // ProbeAnnRecall (r11): nLists=8/nProbe=6/shortlist=80 measures
+    // recall@5 0.784 (sf0.01) / 0.636 (sf0.1) — probe coverage ×
+    // 1-bit signal, the larger shortlist buying back what 1-bit codes
+    // blur (the q210 structural-cap note applies). Floor 0.4.
+    "q211_ivfbq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (centers, index) = Similarity.ivfBqBuildIndex(s, e, nLists = 8)
+      val bq = Similarity.ivfBqTopKFromIndex(s, e, index, centers, e,
+        k = 5, shortlist = 80, nProbe = 6).cache()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
+      val nh = bq.filter(col("qid") < 50).select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      annTopKAudit(e, bq, k = 5, recall, floor = 0.4)
+    }),
+
     // Binary-quantization retrieval (1-bit sign codes, 32× smaller
     // than float32 — the bottom codec-ladder rung modern vector
     // stores ship for billion-scale first passes): symmetric Hamming
@@ -641,6 +663,13 @@ object PipelineSimilarityQueries {
         |  TRUE AS compact_preserves, TRUE AS heal_ok,
         |  TRUE AS pq_refresh_eq_fresh, TRUE AS staleness_rises,
         |  TRUE AS staleness_resets""".stripMargin,
+
+    // IVF-BQ composition: the same per-query contract booleans.
+    "q211_ivfbq_topk" ->
+      """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
+        |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
+        |  TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
 
     // BQ: sign bits re-derived from the floats, Hamming shortlist
     // (rn <= 50, ham ASC rid ASC), exact re-rank, recall boolean —

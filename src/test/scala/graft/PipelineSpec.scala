@@ -3613,6 +3613,35 @@ class PipelineSpec extends SparkSpec {
       .forall(_.getAs[Array[Byte]](0).length == 1))
   }
 
+  test("ivfBqTopK: full probe ≡ flat bqTopK; pruned probe parity mem vs disk layout") {
+    import graft.pipeline.Similarity
+    import graft.streaming.IvfStream
+    val e = Tables.embeddings(spark, sf).cache()
+    val qs = e.filter(col("vec_id") < 20)
+    // nProbe = nLists covers every list → the Hamming shortlist sees
+    // the whole corpus, so the composition must equal the flat BQ rung
+    // row for row (the ivfSq ≡ sq degeneracy, 1-bit edition)
+    val viaIvf = Similarity.ivfBqTopK(spark, qs, e, k = 5, nLists = 8,
+      nProbe = 8, shortlist = 20)
+    val viaFlat = Similarity.bqTopK(spark, qs, e, k = 5, shortlist = 20)
+    assert(viaIvf.exceptAll(viaFlat).isEmpty &&
+      viaFlat.exceptAll(viaIvf).isEmpty,
+      "full-probe IVF-BQ diverges from the flat BQ rung")
+    // list-partitioned disk layout probes identically to the in-memory
+    // build (the pruning layout contract)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfbq").toString
+    val (centers, index) = Similarity.ivfBqBuildIndex(spark, e, nLists = 8)
+    index.write.partitionBy("list").mode("overwrite")
+      .parquet(s"$tmp/idx/batch=0")
+    val onDisk = IvfStream.readCodesIndex(spark, s"$tmp/idx")
+    val got = Similarity.ivfBqTopKFromIndex(spark, qs, onDisk, centers,
+      e, k = 5, shortlist = 20, nProbe = 4)
+    val want = Similarity.ivfBqTopKFromIndex(spark, qs, index, centers,
+      e, k = 5, shortlist = 20, nProbe = 4)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    e.unpersist()
+  }
+
   test("rrfFuse: closed-form scores on a hand fixture; one-sided docs fused correctly") {
     import spark.implicits._
     import graft.pipeline.Similarity
