@@ -1593,7 +1593,7 @@ object Similarity extends Serializable {
   def mmrRerank(spark: SparkSession, shortlist: DataFrame,
                 vectors: DataFrame, k: Int, lambda: Double = 0.7,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                dim: Int = 64): DataFrame = {
+                dim: Int = 64, maxCandidates: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
     import spark.implicits._
@@ -1606,7 +1606,16 @@ object Similarity extends Serializable {
       .as[(Long, Long, Double, Array[Float])]
     cands.groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
-        val cs = it.toArray.sortBy(_._2) // rid order: deterministic
+        // LOUD VALVE (the cosinePairs posture): per-query greedy is
+        // O(N²) pairwise cosines held in one executor — a caller that
+        // feeds an unbounded frame instead of a retrieval shortlist
+        // must fail with the size, never silently OOM the task
+        val cs = it.take(maxCandidates + 1).toArray.sortBy(_._2)
+        require(cs.length <= maxCandidates,
+          s"mmrRerank: query $qid has more than $maxCandidates " +
+            "candidates — pass a per-query retrieval SHORTLIST (the " +
+            "top-k output shape), or raise maxCandidates explicitly " +
+            "to accept the O(N²) per-query cost")
         val n = cs.length
         def pairSim(i: Int, j: Int): Double = {
           val a = cs(i)._4; val b = cs(j)._4

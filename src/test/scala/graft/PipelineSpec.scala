@@ -3701,6 +3701,14 @@ class PipelineSpec extends SparkSpec {
     val top = mmr(0)
     assert(top.getDouble(3) ==
       math.floor(0.5 * top.getDouble(4) * 1e6 + 0.5) / 1e6)
+    // LOUD VALVE: an unbounded candidate frame refuses with the cap
+    // instead of silently holding O(N²) in one task
+    val err = intercept[org.apache.spark.SparkException] {
+      Similarity.mmrRerank(spark, cands, vecs, k = 2, lambda = 0.5,
+        dim = 4, maxCandidates = 2).collect()
+    }
+    assert(err.getMessage.contains("maxCandidates") ||
+      Option(err.getCause).exists(_.getMessage.contains("maxCandidates")))
   }
 
   test("IndexSwap: partial-.old refusal, reader fail-fast, litter cleanup, missing-live precondition") {
