@@ -1377,6 +1377,37 @@ object Similarity extends Serializable {
     out
   }
 
+  /** Persist the IVF-BQ index: 1-bit codes list-partitioned (the
+    * pruning layout) and the coarse centers as plain rows — the
+    * [[ivfSqWriteIndex]] symmetry (no codec table: the sign transform
+    * is parameter-free). */
+  def ivfBqWriteIndex(spark: SparkSession, refs: DataFrame, dir: String,
+                      nLists: Int = 16, seed: Long = 42,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding", trainCap: Int = 20000)
+      : Array[Array[Double]] = {
+    import spark.implicits._
+    val (centers, index) = ivfBqBuildIndex(spark, refs, nLists, seed,
+      idCol, vecCol, trainCap)
+    index.write.partitionBy("list").mode("overwrite")
+      .parquet(s"$dir/codes/batch=0")
+    centers.indices.map(c => (c, centers(c))).toDF("list", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    centers
+  }
+
+  /** Load a persisted IVF-BQ index: (centers, codes frame). Self-heals
+    * an interrupted maintenance swap first. */
+  def ivfBqReadIndex(spark: SparkSession, dir: String,
+                     idCol: String = "vec_id")
+      : (Array[Array[Double]], DataFrame) = {
+    graft.streaming.IndexSwap.restoreIfInterrupted(spark, dir)
+    val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
+      .collect().map(_.getSeq[Double](1).toArray)
+    (centers,
+      spark.read.parquet(s"$dir/codes").select(idCol, "codes", "list"))
+  }
+
   /** [[ivfBqTopKFromIndex]] with the index built inline — the
     * self-contained one-shot form. */
   def ivfBqTopK(spark: SparkSession, queries: DataFrame, refs: DataFrame,

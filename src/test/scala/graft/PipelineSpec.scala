@@ -3627,13 +3627,15 @@ class PipelineSpec extends SparkSpec {
     assert(viaIvf.exceptAll(viaFlat).isEmpty &&
       viaFlat.exceptAll(viaIvf).isEmpty,
       "full-probe IVF-BQ diverges from the flat BQ rung")
-    // list-partitioned disk layout probes identically to the in-memory
-    // build (the pruning layout contract)
+    // list-partitioned disk layout (written through the trio) probes
+    // identically to the in-memory build (the pruning layout contract)
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivfbq").toString
-    val (centers, index) = Similarity.ivfBqBuildIndex(spark, e, nLists = 8)
-    index.write.partitionBy("list").mode("overwrite")
-      .parquet(s"$tmp/idx/batch=0")
-    val onDisk = IvfStream.readCodesIndex(spark, s"$tmp/idx")
+    val written = Similarity.ivfBqWriteIndex(spark, e, s"$tmp/idx",
+      nLists = 8)
+    val (centers, onDisk) = Similarity.ivfBqReadIndex(spark, s"$tmp/idx")
+    assert(centers.zip(written).forall(p => p._1.sameElements(p._2)),
+      "read-back centers diverge from the written ones")
+    val (_, index) = Similarity.ivfBqBuildIndex(spark, e, nLists = 8)
     val got = Similarity.ivfBqTopKFromIndex(spark, qs, onDisk, centers,
       e, k = 5, shortlist = 20, nProbe = 4)
     val want = Similarity.ivfBqTopKFromIndex(spark, qs, index, centers,
