@@ -55,6 +55,13 @@ object ProbeAnnRecall {
       recallOf(s"bq_s$sl", Similarity.bqTopK(spark, q50, e, k = 5,
         shortlist = sl))
     }
+    // asymmetric BQ (r12): full-precision query vs sign codes —
+    // dot(q, sign(r)) keeps the query's per-dim magnitudes, the
+    // standard recall lift at identical index bytes (r11 verdict #3)
+    for (sl <- Seq(10, 20, 30, 50)) {
+      recallOf(s"bqa_s$sl", Similarity.bqTopK(spark, q50, e, k = 5,
+        shortlist = sl, asymmetric = true))
+    }
     // IVF-SQ8 (r10): codes-resident inverted lists — coverage is the
     // IVF term (codes are near-faithful at 255 levels, the sq8s10
     // finding), so recall tracks the ivf rung at equal probes

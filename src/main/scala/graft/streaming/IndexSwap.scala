@@ -105,14 +105,64 @@ private[graft] object IndexSwap {
         // exist yet — a legitimate empty read
       }
     } else if (fs.exists(inprog)) {
-      // live is a complete index (the crashed swap either finished the
-      // install or never moved live); clear the crash litter so the
-      // next swap starts clean
+      // live + .swapping + an UNMARKED .old is AMBIGUOUS (r11 ADVICE):
+      // on an object store the live->.old rename is copy-then-delete,
+      // so a crash in the COPY phase leaves live complete + .old
+      // partial, while a crash in the DELETE phase leaves live PARTIAL
+      // + .old complete — indistinguishable without the marker. The
+      // old code deleted .old unconditionally, which in the second
+      // case destroys the sole complete copy and hands readers the
+      // partial live index silently. Refuse instead.
+      require(!fs.exists(oldP) || fs.exists(oldOk),
+        s"IndexSwap: a swap of $liveDir crashed mid-rename — $liveDir " +
+          s"and $oldP both exist and $oldP has NO completion marker, " +
+          "so EITHER may be a partial object-store copy. Refusing to " +
+          "auto-clean: compare the two directories; keep the complete " +
+          s"one as $liveDir, delete the other and the marker files.")
+      // .old certified complete (crash after the install, before the
+      // cleanup) or absent (crash before live moved): live is a
+      // complete index — clear the crash litter so the next swap
+      // starts clean
       if (fs.exists(oldP)) { fs.delete(oldP, true); () }
       if (fs.exists(oldOk)) { fs.delete(oldOk, false); () }
       fs.delete(inprog, false)
       ()
     }
+    healInterruptedDelete(spark, liveDir)
+  }
+
+  /** Heal a [[graft.streaming.IndexDelete]] partition-scoped delete
+    * that crashed mid-run: the top-level `<live>.deleting` marker
+    * scopes a walk that finds every partition-level `.swapping` marker
+    * and heals it through [[restoreIfInterrupted]]'s own discipline
+    * (each affected partition was being swapped with the standard
+    * marker protocol), then clears the delete's temp tree. Costs one
+    * recursive listing, paid ONLY when the marker exists — the normal
+    * read path never walks. Idempotent: re-running [[IndexDelete
+    * .deleteIds]] with the same id set after the heal completes the
+    * delete. */
+  private[graft] def healInterruptedDelete(spark: SparkSession,
+                                           liveDir: String): Unit = {
+    val live = new Path(liveDir)
+    val fs = fsOf(spark, live)
+    val deleting = new Path(liveDir + ".deleting")
+    if (!fs.exists(deleting)) return
+    if (fs.exists(live)) {
+      // walk for partition-level ".swapping" markers left by a crash
+      // between a partition's two renames; heal each partition dir
+      val it = fs.listFiles(live, true)
+      val marked = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".swapping"))
+          marked += f.toString.stripSuffix(".swapping")
+      }
+      marked.foreach(p => restoreIfInterrupted(spark, p))
+    }
+    val tmpRoot = new Path(liveDir + ".delete")
+    if (fs.exists(tmpRoot)) { fs.delete(tmpRoot, true); () }
+    fs.delete(deleting, false)
+    ()
   }
 
   /** Maintenance-helper precondition: heal if needed, then require the

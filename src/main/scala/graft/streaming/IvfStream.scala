@@ -132,6 +132,86 @@ object IvfStream {
       }
       .start()
 
+  /** Stateless assign-and-SIGN-encode: (idCol, codes, list) — the
+    * [[assignAndEncodeOnIngest]] twin for the 32×-compressed IVF-BQ
+    * index ([[Similarity.ivfBqBuildIndex]]'s frame shape, r11 verdict
+    * #2: BQ was the one rung without a streaming story). The sign
+    * transform (the shared [[Similarity]] sign packing, one definition with the batch build)
+    * is parameter-free, so the only frozen model is the coarse
+    * quantizer — the smallest member of the ingest family. */
+  def assignAndBqEncodeOnIngest(vecs: DataFrame,
+                                centers: Array[Array[Double]],
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centers)
+    vecs.select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, Similarity.bqBits(v), Similarity.ivfNearest(bc.value, v, 1)(0)) }
+      .toDF(idCol, "codes", "list")
+  }
+
+  /** Wire 1-BIT codes ingest into a running stream — the [[attachSq]]
+    * layout (idempotent `batch=<id>` partitions, sub-partitioned by
+    * list) with sign codes as the stored payload: at dim=64 the
+    * accrued searchable index is 32× smaller than the float corpus.
+    * Search with [[Similarity.ivfBqTopKFromIndex]] over
+    * [[readCodesIndex]] (the codes layouts are identical); maintain
+    * with [[reassignBq]]/[[compactCodesIndex]]; route equality with
+    * the batch [[Similarity.ivfBqBuildIndex]] is PipelineSpec-pinned.
+    * The per-trigger staleness log flows exactly as in [[attach]]. */
+  def attachBq(stream: DataFrame, centers: Array[Array[Double]],
+               indexDir: String, checkpointDir: String,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               stalenessDir: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        assignAndBqEncodeOnIngest(batch, centers, idCol, vecCol)
+          .write.partitionBy("list").mode("overwrite")
+          .parquet(s"$indexDir/batch=$batchId")
+        stalenessDir.foreach { dir =>
+          quantizerStaleness(batch, centers, idCol, vecCol)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Offline quantizer refresh for the accrued 1-BIT codes index —
+    * the [[reassignSq]] twin (sign codes are lossy too: the stored
+    * bits cannot recover the float vector the LIST assignment needs,
+    * even though the re-ENCODE would be a no-op). Same loud
+    * incomplete-refs valve, same single narrow re-list pass, same
+    * atomic [[IndexSwap]] (also compacts trigger litter into
+    * `batch=-1`). Run while the ingest stream is quiesced; resume
+    * [[attachBq]] with the new centers. */
+  def reassignBq(spark: SparkSession, indexDir: String, refs: DataFrame,
+                 newCenters: Array[Array[Double]],
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Unit = {
+    IndexSwap.requireLive(spark, indexDir, "IvfStream.reassignBq")
+    val tmp = indexDir + ".compact"
+    val indexedIds = readCodesIndex(spark, indexDir, idCol).select(idCol)
+    val src = refs.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    val missing = indexedIds.join(src.select(idCol), Seq(idCol), "left_anti")
+      .count()
+    require(missing == 0L,
+      s"reassignBq: $missing indexed ids are absent from refs — " +
+        "refreshing from an incomplete corpus would silently drop " +
+        "indexed vectors. Pass the full original corpus (sign codes " +
+        "are lossy; the index cannot re-list itself).")
+    assignAndBqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
+        newCenters, idCol, vecCol)
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
+    IndexSwap.swap(spark, indexDir, tmp)
+  }
+
   /** Accumulated CODES index rows (idCol, codes, list), or an empty
     * typed frame before the first write. */
   def readCodesIndex(spark: SparkSession, indexDir: String,
@@ -140,7 +220,8 @@ object IvfStream {
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path) && fs.listStatus(path).nonEmpty)
-      spark.read.parquet(indexDir).select(idCol, "codes", "list")
+      Similarity.requireBinaryCodes(spark.read.parquet(indexDir),
+        "IvfStream.readCodesIndex").select(idCol, "codes", "list")
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -276,11 +357,15 @@ object IvfStream {
         }
         (best, bd)
       }.toDF("list", "d2")
+    // an EMPTY trigger must emit (0, 0.0, 0.0), not an all-null row
+    // (r11 ADVICE: the global agg over zero groups is null, and a null
+    // n_vecs/mean_d2 row in the per-trigger log NPEs getDouble
+    // consumers and corrupts sum-of-counts checks)
     assigned.groupBy("list")
       .agg(count(lit(1)).as("_n"), sum("d2").as("_s"))
-      .agg(sum("_n").as("n_vecs"),
-        (sum("_s") / sum("_n")).as("mean_d2"),
-        (max("_n") / sum("_n")).as("max_list_frac"))
+      .agg(coalesce(sum("_n"), lit(0L)).as("n_vecs"),
+        coalesce(sum("_s") / sum("_n"), lit(0.0)).as("mean_d2"),
+        coalesce(max("_n") / sum("_n"), lit(0.0)).as("max_list_frac"))
       .select(col("n_vecs"), round(col("mean_d2"), 6).as("mean_d2"),
         round(col("max_list_frac"), 6).as("max_list_frac"),
         lit(nLists).as("n_lists"))

@@ -2364,6 +2364,69 @@ class PipelineSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("IvfStream.attachBq: streamed 1-bit index ≡ batch ivfBqBuildIndex; reassignBq refresh + valve") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bqstream").toString
+    val e = Tables.embeddings(spark, sf).cache()
+    val (centers, batchIndex) = Similarity.ivfBqBuildIndex(spark, e,
+      nLists = 8)
+    e.select("vec_id", "embedding").filter(col("vec_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = e.select("vec_id", "embedding").schema
+    val q = IvfStream.attachBq(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), centers,
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt",
+      stalenessDir = Some(s"$tmp/stale"))
+    q.processAllAvailable()
+    e.select("vec_id", "embedding").filter(col("vec_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    // accrued sign-code rows ≡ the batch build's frame, row for row
+    val streamed = IvfStream.readCodesIndex(spark, s"$tmp/idx")
+    assert(streamed.exceptAll(batchIndex).isEmpty &&
+      batchIndex.exceptAll(streamed).isEmpty,
+      "streamed 1-bit codes index diverges from the batch build")
+    // search route over the streamed directory ≡ the inline operator
+    val qs = e.filter(col("vec_id") < 20)
+    val got = Similarity.ivfBqTopKFromIndex(spark, qs, streamed, centers,
+      e, k = 5, shortlist = 20, nProbe = 4)
+    val want = Similarity.ivfBqTopK(spark, qs, e, k = 5, nLists = 8,
+      nProbe = 4, shortlist = 20)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // staleness log flows exactly like the float/SQ8 tiers
+    val stale = spark.read.parquet(s"$tmp/stale")
+    assert(stale.count() == 2L, "one staleness row per trigger")
+    assert(stale.agg(sum("n_vecs")).head.getLong(0) == e.count())
+    // reassignBq: refresh under NEW centers ≡ a fresh batch build
+    // (sign codes are centroid-independent; only the listing moves)
+    val centersB = Similarity.ivfTrainCentroids(spark, e, nLists = 8,
+      seed = 7)
+    IvfStream.reassignBq(spark, s"$tmp/idx", e, centersB)
+    val refreshed = IvfStream.readCodesIndex(spark, s"$tmp/idx")
+    val (_, freshB) = Similarity.ivfBqBuildIndex(spark, e, nLists = 8,
+      seed = 7)
+    assert(refreshed.exceptAll(freshB).isEmpty &&
+      freshB.exceptAll(refreshed).isEmpty,
+      "reassignBq diverges from a fresh build under the new centers")
+    // loud valve: refs missing an indexed id refuse, index untouched
+    val before = refreshed.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2)))
+      .toSet
+    val err = intercept[IllegalArgumentException] {
+      IvfStream.reassignBq(spark, s"$tmp/idx",
+        e.filter(col("vec_id") =!= 3), centers)
+    }
+    assert(err.getMessage.contains("absent from refs"))
+    val after = IvfStream.readCodesIndex(spark, s"$tmp/idx").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getInt(2)))
+      .toSet
+    assert(after == before, "refused refresh must leave the index untouched")
+    e.unpersist()
+  }
+
   test("ivfPqTopKFromIndex: build-once/probe-many ≡ ivfPqTopK; disk roundtrip exact") {
     import graft.pipeline.Similarity
     val e = Tables.embeddings(spark, sf).cache()
@@ -3594,15 +3657,14 @@ class PipelineSpec extends SparkSpec {
       (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))) :+ (20L, clone))
       .toDF("vec_id", "embedding")
     val qs = vecs.filter(col("vec_id") === 0)
-    val tight = Similarity.bqTopK(spark, qs, vecs, k = 2, shortlist = 2,
-      dim = 8).select("rid").as[Long].collect().toSet
+    val tight = Similarity.bqTopK(spark, qs, vecs, k = 2, shortlist = 2)
+      .select("rid").as[Long].collect().toSet
     assert(tight.contains(20L),
       s"the Hamming-0 sign clone must shortlist first, got $tight")
     // shortlist = corpus: stage 2 re-ranks everything exactly — must
     // equal the brute kernel row for row (the sqTopK degeneracy)
     val q5 = vecs.filter(col("vec_id") < 5)
-    val bq = Similarity.bqTopK(spark, q5, vecs, k = 3, shortlist = 15,
-      dim = 8)
+    val bq = Similarity.bqTopK(spark, q5, vecs, k = 3, shortlist = 15)
     val brute = Similarity.bruteForceTopK(q5, vecs, k = 3, dim = 8)
     assert(bq.exceptAll(brute).isEmpty && brute.exceptAll(bq).isEmpty)
     // codes are dim/8 bytes (the 32x contract)
@@ -3779,5 +3841,102 @@ class PipelineSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("repl"))
     assert(!fs.exists(p("idx5.old")) && !fs.exists(p("idx5.old.complete"))
       && !fs.exists(p("idx5.swapping")) && !fs.exists(p("idx5.compact")))
+  }
+
+  test("IndexSwap: live + .swapping + UNMARKED .old is ambiguous — refuse, never delete .old") {
+    import spark.implicits._
+    import graft.streaming.IndexSwap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_swap2").toString
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$tmp/$s")
+    // r11 ADVICE (medium): on an object store the live->.old rename is
+    // copy-then-delete; a crash in the DELETE phase leaves a PARTIAL
+    // live plus a complete-but-unmarked .old. The old cleanup deleted
+    // .old unconditionally — destroying the sole complete copy.
+    Seq((1L, "maybe-partial-live")).toDF("id", "x").write.parquet(s"$tmp/idx")
+    Seq((2L, "maybe-complete-old")).toDF("id", "x")
+      .write.parquet(s"$tmp/idx.old")
+    fs.create(p("idx.swapping"), true).close() // no idx.old.complete
+    val e = intercept[IllegalArgumentException] {
+      IndexSwap.restoreIfInterrupted(spark, s"$tmp/idx")
+    }
+    assert(e.getMessage.contains("EITHER may be a partial"))
+    assert(fs.exists(p("idx.old")),
+      ".old must survive the ambiguous state for manual recovery")
+    assert(fs.exists(p("idx")), "live must also be left untouched")
+    // the marked sibling state (crash AFTER install) still auto-cleans
+    fs.create(p("idx.old.complete"), true).close()
+    IndexSwap.restoreIfInterrupted(spark, s"$tmp/idx")
+    assert(!fs.exists(p("idx.old")) && !fs.exists(p("idx.old.complete"))
+      && !fs.exists(p("idx.swapping")))
+  }
+
+  test("legacy array<int> codes layout fails loudly at read time with a rebuild message") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    // the pre-r11 on-disk layout: codes as array<int>
+    Seq((0L, Seq(1, 2, 3), 0), (1L, Seq(4, 5, 6), 1))
+      .toDF("vec_id", "codes", "list")
+      .write.partitionBy("list").parquet(s"$tmp/sq/codes")
+    Seq((0, 0.0, 1.0)).toDF("pos", "mn", "mx")
+      .write.parquet(s"$tmp/sq/codec")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.sqReadIndex(spark, s"$tmp/sq")
+    }
+    assert(e1.getMessage.contains("array<int>") &&
+      e1.getMessage.contains("Rebuild"),
+      s"want an explicit migrate/rebuild message, got: ${e1.getMessage}")
+    Seq((0L, Seq(1, 2), 0)).toDF("vec_id", "codes", "list")
+      .write.parquet(s"$tmp/stream/batch=0")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.IvfStream.readCodesIndex(spark, s"$tmp/stream")
+    }
+    assert(e2.getMessage.contains("pre-r11"))
+  }
+
+  test("quantizerStaleness: empty micro-batch emits an all-zero row, never nulls") {
+    import spark.implicits._
+    val centers = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val r = graft.streaming.IvfStream.quantizerStaleness(empty, centers)
+      .collect()
+    assert(r.length == 1)
+    // getLong/getDouble on a null would throw — the r11 ADVICE NPE class
+    assert(r(0).getLong(0) == 0L)
+    assert(r(0).getDouble(1) == 0.0 && r(0).getDouble(2) == 0.0)
+    assert(r(0).getInt(3) == 2)
+  }
+
+  test("bqTopK asymmetric: ≡ symmetric on sign-pattern queries; query-count valve refuses") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(7)
+    // refs: arbitrary vectors; queries: SIGN PATTERNS (±1 per dim) —
+    // dot(q, sign(r)) = dim − 2·hamming(sign(q), sign(r)), so the two
+    // stage-1 orderings coincide exactly (same rid tie-break) and the
+    // whole rung must return identical rows
+    val refs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq(
+      (100L, Array(1f, -1f, 1f, 1f, -1f, -1f, 1f, -1f)),
+      (101L, Array(-1f, -1f, 1f, -1f, 1f, 1f, -1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val all = refs.unionByName(qs)
+    val sym = Similarity.bqTopK(spark, qs, all, k = 3, shortlist = 6,
+      asymmetric = false)
+    val asym = Similarity.bqTopK(spark, qs, all, k = 3, shortlist = 6,
+      asymmetric = true)
+    assert(sym.exceptAll(asym).isEmpty && asym.exceptAll(sym).isEmpty,
+      "sign-pattern queries must order identically under both scorings")
+    // LOUD VALVE (r11 verdict #7): stage 1 is |Q|·n by design — an
+    // unbounded query frame must refuse with the cap, never silently
+    // go quadratic
+    val err = intercept[IllegalArgumentException] {
+      Similarity.bqTopK(spark, all, all, k = 3, shortlist = 6,
+        maxQueries = 10)
+    }
+    assert(err.getMessage.contains("maxQueries"))
   }
 }
