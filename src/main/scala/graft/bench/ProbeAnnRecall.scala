@@ -85,6 +85,27 @@ object ProbeAnnRecall {
         Similarity.matryoshkaIvfTopK(spark, q50, e, k = 5, dims = 32,
           shortlist = sl, nLists = nl, nProbe = np))
     }
+    // filtered ANN (r12): recall vs the brute-on-FILTERED twin at the
+    // q213 operating point (label=2 universe, metadata in the index)
+    {
+      val pred = col("label") === 2
+      val fb = Similarity.bruteForceTopK(q50, e.filter(pred), k = 5)
+        .select("qid", "rid").cache()
+      val nfb = fb.count()
+      val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+      val idx = graft.streaming.IvfStream.assignOnIngestWithMeta(e,
+        centers, metaCols = Seq("label"))
+      for (np <- Seq(2, 3, 4, 6)) {
+        val f = Similarity.ivfTopKFromIndexFiltered(spark, q50, idx,
+          centers, 5, pred, nProbe = np)
+        val nh = f.select("qid", "rid")
+          .join(fb, Seq("qid", "rid"), "left_semi").count()
+        println(f"fivf8x$np%-2s filtered recall@5 = " +
+          f"${nh.toDouble / nfb}%.4f ($nh/$nfb)")
+      }
+      fb.unpersist()
+    }
+
     // q62 pair recall on the capped universe, by cluster count
     val bp = Similarity.cosinePairsBrute(e.filter(col("vec_id") < 200),
       threshold = 0.35).select("id_a", "id_b").cache()

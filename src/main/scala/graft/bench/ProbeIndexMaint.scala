@@ -172,6 +172,63 @@ object ProbeIndexMaint {
     reading(drifted, centersH, "shifted")
     val centersR = Similarity.ivfTrainCentroids(spark, drifted, nLists = 32)
     reading(drifted, centersR, "after-retrain")
+
+    // E2) the cheap rung below a full retrain (r12): mini-batch
+    // centroid refresh (one narrow pass + nLists·dim agg) vs the
+    // driver Lloyd retrain, and how much drifted mean_d2 each buys
+    // back.
+    {
+      val (cFull, tFull) = time(Similarity.ivfTrainCentroids(spark,
+        drifted, nLists = 32))
+      val (cMini, tMini) = time(IvfStream.refreshCentroids(drifted,
+        centersH))
+      val dFull = IvfStream.quantizerStaleness(drifted, cFull)
+        .collect()(0).getDouble(1)
+      val dMini = IvfStream.quantizerStaleness(drifted, cMini)
+        .collect()(0).getDouble(1)
+      val dStale = IvfStream.quantizerStaleness(drifted, centersH)
+        .collect()(0).getDouble(1)
+      println(f"[minibatch] stale_d2=$dStale%.3f full-retrain: " +
+        f"wall=$tFull%.2fs d2=$dFull%.3f; minibatch-refresh: " +
+        f"wall=$tMini%.2fs d2=$dMini%.3f")
+    }
+
+    // F) delete cost tracks the DELETED partitions, not the corpus
+    // (r12): same delete-set size against a 1× and a maxReps× index —
+    // a 1-list delete must stay near the single-leaf rewrite cost while
+    // the full-rewrite yardstick (compactCodesIndex) grows with the
+    // corpus.
+    import graft.streaming.IndexDelete
+    Seq(1, maxReps).distinct.foreach { reps =>
+      val repE = (0 until reps).map { k =>
+        e.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _).cache()
+      val n = repE.count()
+      val root = java.nio.file.Files.createTempDirectory("del_pr").toString
+      val centers = Similarity.ivfTrainCentroids(spark, repE, nLists = 32)
+      val assigned = IvfStream.assignOnIngest(repE, centers)
+        .cache()
+      assigned.write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=0")
+      // 100 ids confined to ONE list vs 100 ids spread across lists
+      val oneList = assigned.filter(col("list") === 0).select("vec_id")
+        .limit(100).collect().map(_.getLong(0)).toSeq
+      val spread = assigned.select("vec_id").limit(3200)
+        .collect().map(_.getLong(0)).grouped(32).map(_.head).toSeq
+      assigned.unpersist()
+      val (r1, t1) = time(IndexDelete.deleteIds(spark, s"$root/idx",
+        oneList, "vec_id"))
+      val (r2, t2) = time(IndexDelete.deleteIds(spark, s"$root/idx",
+        spread, "vec_id"))
+      val (_, tFull) = time(IvfStream.reassign(spark, s"$root/idx", centers))
+      println(f"[delete] vecs=$n one-list: wall=$t1%.2fs " +
+        f"parts=${r1.partitionsRewritten}/${r1.partitionsTotal} " +
+        f"rows=${r1.rowsDeleted}; spread: wall=$t2%.2fs " +
+        f"parts=${r2.partitionsRewritten}/${r2.partitionsTotal} " +
+        f"rows=${r2.rowsDeleted}; full-rewrite yardstick=$tFull%.2fs")
+      repE.unpersist()
+    }
     spark.stop()
   }
 }

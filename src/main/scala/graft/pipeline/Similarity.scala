@@ -347,6 +347,65 @@ object Similarity extends Serializable {
     out
   }
 
+  /** Metadata-FILTERED IVF search (r11 verdict #4): "top-k among refs
+    * WHERE <pred>" — the filter-then-search side of the problem every
+    * production vector store solves (search-then-filter under-fills
+    * when the predicate is selective; post-filtering a top-k can
+    * return FEWER than k among the allowed refs).
+    *
+    * `refFilter` is applied to the index frame BEFORE the probed-list
+    * join, so on a persisted index (the [[graft.streaming.IvfStream
+    * .attach]] layout, metadata columns written alongside via
+    * [[graft.streaming.IvfStream.assignOnIngestWithMeta]]) the
+    * predicate lands in the parquet scan as `PushedFilters` NEXT TO
+    * the probed-list `PartitionFilters` — a probe reads nProbe/nLists
+    * of the index bytes and row-group-skips the metadata miss inside
+    * them (PlanSpec pins both). The under-fill guarantee is
+    * [[padShortQueries]] running against the FILTERED universe:
+    * queries whose probed lists hold too few allowed refs are
+    * brute-forced over the allowed refs only — exactly k against the
+    * filtered corpus, always (when it holds ≥ k+1 vectors at all).
+    *
+    * Semantics: ≡ [[ivfTopKFromIndex]] over `index.filter(refFilter)`
+    * (this IS the implementation — one probe route, no twin to
+    * drift), and with `nProbe = nLists` ≡ [[bruteForceTopK]] over the
+    * allowed refs (spec-pinned). */
+  def ivfTopKFromIndexFiltered(spark: SparkSession, queries: DataFrame,
+                               index: DataFrame,
+                               centers: Array[Array[Double]], k: Int,
+                               refFilter: Column, nProbe: Int = 2,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame =
+    ivfTopKFromIndex(spark, queries, index.filter(refFilter), centers, k,
+      nProbe, idCol, vecCol)
+
+  /** [[ivfTopKFromIndexFiltered]] for the IVF-SQ8 rung: the predicate
+    * must be evaluable on BOTH the codes index frame and the float
+    * `refs` frame (same metadata columns on each, or an id
+    * predicate) — stage 1 scans only allowed codes, the exact re-rank
+    * and the under-fill pad run against the allowed refs. */
+  def ivfSqTopKFromIndexFiltered(spark: SparkSession, queries: DataFrame,
+                                 index: DataFrame,
+                                 centers: Array[Array[Double]],
+                                 codec: SqCodec, refs: DataFrame, k: Int,
+                                 refFilter: Column, shortlist: Int = 30,
+                                 nProbe: Int = 2, idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame =
+    ivfSqTopKFromIndex(spark, queries, index.filter(refFilter), centers,
+      codec, refs.filter(refFilter), k, shortlist, nProbe, idCol, vecCol)
+
+  /** [[ivfTopKFromIndexFiltered]] for the IVF-BQ rung (same predicate
+    * contract as the SQ8 variant). */
+  def ivfBqTopKFromIndexFiltered(spark: SparkSession, queries: DataFrame,
+                                 index: DataFrame,
+                                 centers: Array[Array[Double]],
+                                 refs: DataFrame, k: Int,
+                                 refFilter: Column, shortlist: Int = 50,
+                                 nProbe: Int = 2, idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame =
+    ivfBqTopKFromIndex(spark, queries, index.filter(refFilter), centers,
+      refs.filter(refFilter), k, shortlist, nProbe, idCol, vecCol)
+
   /** IVF-PQ: coarse inverted lists + product-quantized residuals +
     * exact refine — the top rung of the reference's ANN ladder
     * (embedder_cuvs.py:264-272 routes >1M vectors to ivf_pq).

@@ -575,12 +575,171 @@ object PipelineSimilarityQueries {
       val centersR = Similarity.ivfTrainCentroids(s, drifted, nLists = 8)
       val resetD2 = IvfStream.quantizerStaleness(drifted, centersR)
         .collect()(0).getDouble(1)
+      // staleness-DRIVEN policy (r11 verdict #5): the r11c drift/reset
+      // cycle hands-free on a bounded slice — a healthy log reading
+      // must NOT fire maintain; a drifted reading must fire it (full
+      // retrain on the index's own contents + reassign + log cleared),
+      // after which the signal sits back under threshold and the next
+      // call no-ops.
+      val policyFired = {
+        val esub = e.filter(col("vec_id") < 2000)
+        val dsub = drifted.filter(col("vec_id") < 2000)
+        IvfStream.assignOnIngest(dsub, centersA)
+          .write.partitionBy("list").mode("overwrite")
+          .parquet(s"$root/p/idx/batch=0")
+        IvfStream.quantizerStaleness(esub, centersA).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/p/log/batch=0")
+        val policy = IvfStream.MaintainPolicy(meanD2Max = healthy * 2)
+        val (repCalm, _) = IvfStream.maintain(s, s"$root/p/idx",
+          s"$root/p/log", centersA, policy)
+        IvfStream.quantizerStaleness(dsub, centersA).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/p/log/batch=1")
+        val (repDrift, newC) = IvfStream.maintain(s, s"$root/p/idx",
+          s"$root/p/log", centersA, policy)
+        val postD2 = newC.map(c => IvfStream.quantizerStaleness(dsub, c)
+          .collect()(0).getDouble(1))
+        val logCleared = !fs.exists(
+          new org.apache.hadoop.fs.Path(s"$root/p/log"))
+        val (repAfter, _) = IvfStream.maintain(s, s"$root/p/idx",
+          s"$root/p/log", newC.getOrElse(centersA), policy)
+        !repCalm.fired && repDrift.fired && logCleared &&
+          postD2.exists(_ < shiftedD2 / 2) && !repAfter.fired
+      }
       import s.implicits._
       Seq((refreshEq, valveOk, compactOk, healOk, pqEq,
-        shiftedD2 > healthy * 2, resetD2 < shiftedD2 / 2))
+        shiftedD2 > healthy * 2, resetD2 < shiftedD2 / 2, policyFired))
         .toDF("refresh_eq_fresh", "refresh_valve_ok", "compact_preserves",
           "heal_ok", "pq_refresh_eq_fresh", "staleness_rises",
-          "staleness_resets")
+          "staleness_resets", "policy_fired")
+    }),
+
+    // Index DELETION cycle audit (r12, r11 verdict #1): the takedown /
+    // right-to-be-forgotten path, gated end-to-end as contract
+    // booleans (the q207 posture) —
+    //  - delete_removes: post-delete the index holds none of the
+    //    deleted ids and no probe ever returns one;
+    //  - survivors_identical: probes over the rewritten directory ≡
+    //    the same probe over the in-memory index minus the deleted
+    //    rows (byte-identical results for every surviving ref);
+    //  - untouched_leaves_ok: leaf partitions holding no deleted row
+    //    keep their exact files — the cost-tracks-deleted-partitions
+    //    contract made physical;
+    //  - cost_tracks_deleted: the report counts exactly the doomed
+    //    rows/leaves and rewrote a strict subset of the index;
+    //  - readd_searchable: the deleted vectors re-arrive as a new
+    //    trigger partition and are immediately searchable (each
+    //    original vector finds its re-added copy at cosine 1).
+    "q212_index_delete" -> ((s, d) => {
+      import graft.streaming.{IndexDelete, IvfStream}
+      import org.apache.hadoop.fs.Path
+      val e = Tables.embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q212").toString
+      val centers = Similarity.ivfTrainCentroids(s, e, nLists = 8)
+      IvfStream.assignOnIngest(e.filter(col("vec_id") % 2 === 0), centers)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=0")
+      IvfStream.assignOnIngest(e.filter(col("vec_id") % 2 =!= 0), centers)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=1")
+      val doomed = Seq(1L, 2L, 5L, 8L, 13L)
+      val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
+      def files(dir: String): Set[(String, Long)] = {
+        val it = fs.listFiles(new Path(dir), true)
+        val b = Set.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val f = it.next(); b += ((f.getPath.toString, f.getLen))
+        }
+        b.result()
+      }
+      val doomedLeaves = IvfStream.readIndex(s, s"$root/idx")
+        .filter(col("vec_id").isin(doomed: _*))
+        .select((col("vec_id") % 2).cast("int").as("b"), col("list"))
+        .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      def untouchedFiles(): Set[(String, Long)] = (for {
+        b <- 0 to 1; l <- centers.indices
+        if !doomedLeaves.contains((b, l)) &&
+          fs.exists(new Path(s"$root/idx/batch=$b/list=$l"))
+      } yield files(s"$root/idx/batch=$b/list=$l")).flatten.toSet
+      val untouchedBefore = untouchedFiles()
+      val report = IndexDelete.deleteIds(s, s"$root/idx", doomed, "vec_id")
+      val after = IvfStream.readIndex(s, s"$root/idx")
+      val qs = e.filter(col("vec_id") < 50)
+      val got = Similarity.ivfTopKFromIndex(s, qs, after, centers,
+        k = 5, nProbe = 3).cache()
+      val deleteRemoves =
+        after.filter(col("vec_id").isin(doomed: _*)).count() == 0L &&
+          got.filter(col("rid").isin(doomed: _*)).count() == 0L
+      val want = Similarity.ivfTopKFromIndex(s, qs,
+        IvfStream.assignOnIngest(e, centers)
+          .filter(!col("vec_id").isin(doomed: _*)),
+        centers, k = 5, nProbe = 3)
+      val survivorsIdentical =
+        got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+      val untouchedOk = untouchedFiles() == untouchedBefore
+      val costOk = report.rowsDeleted == doomed.length &&
+        report.partitionsRewritten == doomedLeaves.size &&
+        report.partitionsRewritten < report.partitionsTotal
+      IvfStream.assignOnIngest(
+          e.filter(col("vec_id").isin(doomed: _*))
+            .select((col("vec_id") + 20000000L).as("vec_id"),
+              col("embedding")), centers)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=2")
+      val reProbe = Similarity.ivfTopKFromIndex(s,
+        e.filter(col("vec_id").isin(doomed: _*)),
+        IvfStream.readIndex(s, s"$root/idx"), centers, k = 1, nProbe = 1)
+      val readdOk = reProbe
+        .filter(col("rid") === col("qid") + 20000000L)
+        .count() == doomed.length
+      import s.implicits._
+      Seq((deleteRemoves, survivorsIdentical, untouchedOk, costOk, readdOk))
+        .toDF("delete_removes", "survivors_identical",
+          "untouched_leaves_ok", "cost_tracks_deleted", "readd_searchable")
+    }),
+
+    // Metadata-FILTERED ANN (r12, r11 verdict #4): "top-k among refs
+    // WHERE label = 2" — the filter-then-search problem every
+    // production vector store solves. The index is WRITTEN with the
+    // label column riding inside the list partitions
+    // (assignOnIngestWithMeta), read back from disk, and probed with
+    // the predicate applied INSIDE the probed-list scan (PlanSpec pins
+    // PartitionFilters + PushedFilters on this exact shape). Invariant
+    // oracle (the q204 pattern) + filter_ok (no returned ref may
+    // violate the predicate — the guarantee post-filtering a top-k
+    // cannot give) + recall vs the brute-on-filtered twin. Operating
+    // point from ProbeAnnRecall (r12): filtering RAISES the probe
+    // count a rung needs — the allowed true neighbors sit at lower
+    // cosine, spread across more lists, so nProbe=3 measures only
+    // 0.524/0.532 (under q41's unfiltered 0.676 at the same probes)
+    // while nProbe=6 measures 0.888 (sf0.01) / 0.884 (sf0.1);
+    // floor 0.7 (the q206 margin: a probe-coverage regression to the
+    // unfiltered operating point fails the gate, a broken filter or
+    // shortlist reads ≈0).
+    "q213_filtered_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q213").toString
+      val centers = Similarity.ivfTrainCentroids(s, e, nLists = 8)
+      graft.streaming.IvfStream
+        .assignOnIngestWithMeta(e, centers, metaCols = Seq("label"))
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=0")
+      val idx = s.read.parquet(s"$root/idx")
+      val pred = col("label") === 2
+      val got = Similarity.ivfTopKFromIndexFiltered(s, e, idx, centers,
+        5, pred, nProbe = 6).cache()
+      val labels = e.select(col("vec_id").as("rid"), col("label"))
+      val filterOk = got.join(labels, "rid")
+        .filter(col("label") =!= 2).count() == 0L
+      val brute = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50),
+        e.filter(pred), k = 5).select("qid", "rid")
+      val nb = brute.count()
+      val nh = got.filter(col("qid") < 50).select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      annTopKAudit(e, got, k = 5, recall, floor = 0.7)
+        .withColumn("filter_ok", lit(filterOk))
     }),
 
     // IVF-BQ composition (r11): inverted lists whose entries are the
@@ -683,7 +842,24 @@ object PipelineSimilarityQueries {
       """SELECT TRUE AS refresh_eq_fresh, TRUE AS refresh_valve_ok,
         |  TRUE AS compact_preserves, TRUE AS heal_ok,
         |  TRUE AS pq_refresh_eq_fresh, TRUE AS staleness_rises,
-        |  TRUE AS staleness_resets""".stripMargin,
+        |  TRUE AS staleness_resets, TRUE AS policy_fired""".stripMargin,
+
+    // Index-deletion invariant oracle: one row, every contract
+    // boolean pinned TRUE (see the q212 query body — delete removes,
+    // survivors byte-identical, untouched leaves untouched, cost
+    // tracks deleted partitions, re-add searchable).
+    "q212_index_delete" ->
+      """SELECT TRUE AS delete_removes, TRUE AS survivors_identical,
+        |  TRUE AS untouched_leaves_ok, TRUE AS cost_tracks_deleted,
+        |  TRUE AS readd_searchable""".stripMargin,
+
+    // Filtered ANN: the q204-family contract booleans plus the
+    // predicate guarantee (filter_ok) the operator enforces.
+    "q213_filtered_ann" ->
+      """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
+        |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
+        |  TRUE AS recall_ok, TRUE AS filter_ok
+        |FROM embeddings""".stripMargin,
 
     // IVF-BQ composition: the same per-query contract booleans.
     "q211_ivfbq_topk" ->

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Targeted ID DELETION from an accrued parquet index — the
+  * takedown / right-to-be-forgotten / bad-batch-rollback path every
+  * long-lived 100 TB deployment eventually needs (r11 verdict #1: all
+  * index families were append-only + compaction, so a single deleted
+  * document meant rebuilding the index from the corpus).
+  *
+  * Works on EVERY index layout this library accrues, because they all
+  * share one physical shape — a parquet directory tree partitioned by
+  * `batch=<id>` and (for the IVF families) `list=<l>`:
+  *
+  *  - the streamed IVF float index ([[IvfStream.attach]]) and its
+  *    SQ8 / BQ codes twins ([[IvfStream.attachSq]]/[[IvfStream
+  *    .attachBq]]), idCol `vec_id`;
+  *  - the persisted batch indexes (pass `<dir>/codes` of the
+  *    [[graft.pipeline.Similarity.ivfSqWriteIndex]] /
+  *    `ivfBqWriteIndex` / `ivfPqWriteIndex` /
+  *    `matryoshkaIvfWriteIndex` layouts), idCol `vec_id`;
+  *  - the near-dup band-key index ([[NearDupStream.attach]]) and the
+  *    curation fingerprint index ([[CurateStream]]), idCol `doc_id` —
+  *    deleting a doc removes ALL its band/fingerprint rows.
+  *
+  * Cost tracks the DELETED partitions, not the corpus: discovery is
+  * one column-pruned scan of (idCol + partition columns) semi-joined
+  * with the id set — parquet reads just the id column's bytes — and
+  * the rewrite then touches ONLY the leaf partition directories that
+  * actually hold a deleted row. Unaffected leaves keep their exact
+  * files (spec-pinned byte-identity). A delete set spanning most
+  * partitions degenerates to a full rewrite — at that point run
+  * [[IvfStream.compactCodesIndex]]-style maintenance instead.
+  *
+  * Crash discipline (the [[IndexSwap]] markers, one level down): a
+  * top-level `<dir>.deleting` marker scopes the run; each affected
+  * leaf is replaced with the STANDARD swap protocol (`.swapping` /
+  * `.old.complete` markers on the leaf path), so a crash anywhere
+  * leaves every leaf either fully old or fully new, and the next read
+  * ([[IndexSwap.restoreIfInterrupted]] →
+  * [[IndexSwap.healInterruptedDelete]]) walks the marker litter, heals
+  * each leaf, and clears the temp tree. Re-running `deleteIds` with
+  * the same id set after a heal completes the delete — already-clean
+  * leaves are simply no longer affected. Runs while readers and the
+  * ingest stream are QUIESCED, like every maintenance helper here.
+  */
+object IndexDelete {
+
+  /** What a delete did: rows removed, leaf partitions rewritten, and
+    * the index's total leaf-partition count (the denominator a
+    * deployment alerts on — rewritten/total near 1 means the delete
+    * set should have been a compaction). */
+  final case class DeleteReport(rowsDeleted: Long,
+                                partitionsRewritten: Int,
+                                partitionsTotal: Int)
+
+  /** Delete every row whose `idCol` appears in `ids` (a 1-column
+    * frame; extra columns are ignored) from the index at `indexDir`.
+    * No-op (and no markers) when nothing matches. */
+  def deleteIds(spark: SparkSession, indexDir: String, ids: DataFrame,
+                idCol: String = "vec_id"): DeleteReport = {
+    IndexSwap.requireLive(spark, indexDir, "IndexDelete.deleteIds")
+    val live = new Path(indexDir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+
+    val idsN = ids.select(col(ids.columns.head).cast("long").as("_del_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idsN.count() // one materialization serves discovery + every leaf
+
+    val df = spark.read.parquet(indexDir)
+    // the two partition columns every accrued layout uses, in their
+    // directory-nesting order (batch above list)
+    val partCols = Seq("batch", "list").filter(df.columns.contains)
+    require(partCols.nonEmpty,
+      s"IndexDelete.deleteIds: $indexDir has neither a batch= nor a " +
+        "list= partition level — not an accrued index layout (a flat " +
+        "directory would need a full rewrite; use the compaction path)")
+
+    // discovery: which leaf partitions hold a deleted row, and how
+    // many rows each loses. Column-pruned to (idCol, partition cols);
+    // the collect is bounded by the partition count, never the corpus.
+    val affected = df.select((partCols :+ idCol).map(col): _*)
+      .join(idsN, col(idCol) === col("_del_id"), "left_semi")
+      .groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+    val totalParts = df.select(partCols.map(col): _*).distinct().count().toInt
+    if (affected.isEmpty) {
+      idsN.unpersist()
+      return DeleteReport(0L, 0, totalParts)
+    }
+
+    def leafRel(r: org.apache.spark.sql.Row): String =
+      partCols.indices.map(i => s"${partCols(i)}=${r.get(i)}").mkString("/")
+
+    val deleting = new Path(indexDir + ".deleting")
+    val tmpRoot = indexDir + ".delete"
+    fs.create(deleting, true).close()
+    var rows = 0L
+    affected.foreach { r =>
+      val rel = leafRel(r)
+      val leafLive = s"$indexDir/$rel"
+      val leafTmp = s"$tmpRoot/$rel"
+      // rewrite = read ONLY this leaf (data columns; the partition
+      // values stay encoded in the directory path), drop deleted ids,
+      // land the survivors next door, swap with the marker protocol
+      spark.read.parquet(leafLive)
+        .join(idsN, col(idCol) === col("_del_id"), "left_anti")
+        .write.mode("overwrite").parquet(leafTmp)
+      IndexSwap.swap(spark, leafLive, leafTmp)
+      rows += r.getLong(partCols.length)
+    }
+    val tmpRootP = new Path(tmpRoot)
+    if (fs.exists(tmpRootP)) { fs.delete(tmpRootP, true); () }
+    fs.delete(deleting, false)
+    idsN.unpersist()
+    DeleteReport(rows, affected.length, totalParts)
+  }
+
+  /** [[deleteIds]] for a driver-side id set. */
+  def deleteIds(spark: SparkSession, indexDir: String, ids: Seq[Long],
+                idCol: String): DeleteReport = {
+    import spark.implicits._
+    deleteIds(spark, indexDir, ids.toDF("_del_id"), idCol)
+  }
+}

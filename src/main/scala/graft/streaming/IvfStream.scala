@@ -80,6 +80,30 @@ object IvfStream {
       }
       .start()
 
+  /** [[assignOnIngest]] KEEPING metadata columns (r11 verdict #4):
+    * (idCol, vecCol, metaCols…, list) — the frame shape a
+    * metadata-FILTERED index needs. Written `partitionBy("list")`,
+    * the metadata rides inside each list partition's parquet, so a
+    * [[graft.pipeline.Similarity.ivfTopKFromIndexFiltered]] probe
+    * gets `PartitionFilters` on the probed lists AND `PushedFilters`
+    * on the predicate in ONE scan (PlanSpec pins both). Same
+    * assignment arithmetic as [[assignOnIngest]]
+    * ([[Similarity.ivfNearest]], spec-pinned equal), as a UDF so
+    * arbitrary extra columns pass through untouched. */
+  def assignOnIngestWithMeta(vecs: DataFrame,
+                             centers: Array[Array[Double]],
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             metaCols: Seq[String] = Seq.empty): DataFrame = {
+    val spark = vecs.sparkSession
+    val bc = spark.sparkContext.broadcast(centers)
+    val assign = udf((v: Seq[Float]) =>
+      Similarity.ivfNearest(bc.value, v.toArray, 1)(0))
+    vecs.select(col(idCol).cast("long").as(idCol) +:
+        col(vecCol) +: metaCols.map(col): _*)
+      .withColumn("list", assign(col(vecCol)))
+  }
+
   /** Stateless assign-and-ENCODE: (idCol, codes, list) — the
     * [[assignOnIngest]] twin for the 4×-compressed IVF-SQ8 index
     * ([[Similarity.ivfSqBuildIndex]]'s frame shape). Both quantizers
@@ -370,6 +394,203 @@ object IvfStream {
         round(col("max_list_frac"), 6).as("max_list_frac"),
         lit(nLists).as("n_lists"))
   }
+
+  /** Mini-batch centroid refresh (Sculley 2010, "Web-Scale K-Means
+    * Clustering" — the standard cheap rung below a full Lloyd
+    * retrain): one narrow assignment pass over `vecs` (the staleness
+    * pass's arithmetic, [[Similarity.ivfNearest]]), a (list, dim)-
+    * keyed partial-sum aggregate (≤ nLists·dim result rows at ANY
+    * input size — no driver-side k-means iterations, no trainCap
+    * collect), then the blended update
+    *
+    *   c' = (priorWeight·c + Σ assigned) / (priorWeight + n_list)
+    *
+    * — with `priorWeight = 0` each refreshed center is exactly its
+    * list's batch mean (ONE Lloyd step on the batch, spec-pinned);
+    * a positive priorWeight damps the move for small batches (the
+    * per-center learning-rate form of the paper). Lists that receive
+    * no vectors keep their center. The refreshed centers REDUCE
+    * mean_d2 on the data they were refreshed from (Lloyd's descent
+    * step — spec-pinned on the r11c drift scenario); they are the
+    * cheap `miniBatch = true` rung of [[maintain]], costing one
+    * narrow pass where [[Similarity.ivfTrainCentroids]] costs a
+    * sample collect + driver Lloyd. */
+  def refreshCentroids(vecs: DataFrame, centers: Array[Array[Double]],
+                       priorWeight: Double = 0.0,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding")
+      : Array[Array[Double]] = {
+    require(priorWeight >= 0.0, s"priorWeight must be >= 0, got $priorWeight")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centers)
+    val sums = vecs
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (_, v) =>
+        (Similarity.ivfNearest(bc.value, v, 1)(0), v.map(_.toDouble)) }
+      .toDF("list", "v")
+      .select(col("list"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("list", "pos")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect()
+    val out = centers.map(_.clone())
+    sums.foreach { r =>
+      val l = r.getInt(0); val pos = r.getInt(1)
+      val n = r.getLong(2); val s = r.getDouble(3)
+      out(l)(pos) = (priorWeight * centers(l)(pos) + s) / (priorWeight + n)
+    }
+    out
+  }
+
+  /** WHEN-to-maintain thresholds for [[maintain]]/[[maintainSq]]/
+    * [[maintainBq]] — the decision the r11 staleness log recorded but
+    * nothing consumed (r11 verdict #5): fire when the volume-weighted
+    * `mean_d2` since the last maintenance exceeds `meanD2Max`, or any
+    * trigger's `max_list_frac` exceeded `maxListFracMax` (the probe-
+    * cost failure mode: one list absorbing the corpus). `minVecs`
+    * refuses to decide on thin evidence. Calibrate `meanD2Max` from a
+    * healthy reading (e.g. 2× the post-train mean_d2 — the r11c
+    * drift/reset measurements: 0.887 healthy vs 572.4 drifted). */
+  final case class MaintainPolicy(meanD2Max: Double,
+                                  maxListFracMax: Double = 1.0,
+                                  minVecs: Long = 1L)
+
+  /** What [[maintain]] decided and the reading it decided on. */
+  final case class MaintainReport(fired: Boolean, reason: String,
+                                  nVecs: Long, meanD2: Double,
+                                  maxListFrac: Double)
+
+  /** Volume-weighted reading of everything logged since the last
+    * maintenance (firing CLEARS the log, so "all current rows" IS
+    * "since the last maintenance" — and post-refresh readings measure
+    * the NEW quantizer, never mixing epochs). */
+  private def readStaleness(spark: SparkSession, stalenessDir: String)
+      : Option[(Long, Double, Double)] = {
+    val p = new org.apache.hadoop.fs.Path(stalenessDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    else {
+      val r = spark.read.parquet(stalenessDir).agg(
+        coalesce(sum("n_vecs"), lit(0L)).as("n"),
+        coalesce(sum(col("mean_d2") * col("n_vecs")) / sum("n_vecs"),
+          lit(0.0)).as("d2"),
+        coalesce(max("max_list_frac"), lit(0.0)).as("frac"))
+        .collect()(0)
+      Some((r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    }
+  }
+
+  private def clearStaleness(spark: SparkSession,
+                             stalenessDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stalenessDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Staleness-DRIVEN maintenance for the float index: read the
+    * [[attach]] drift log at `stalenessDir`, fire
+    * [[reassign]] when `policy` is breached, no-op otherwise — the
+    * hands-free form of the r11c manual cycle. On fire, new centroids
+    * come from the INDEX's own current contents (the corpus the
+    * quantizer must serve): a full [[Similarity.ivfTrainCentroids]]
+    * retrain by default, or the one-pass [[refreshCentroids]] rung
+    * with `miniBatch = true`; then the one-pass rewrite, then the
+    * consumed log is cleared (its rows measured the retired
+    * quantizer). Returns the decision and, when fired, the new
+    * centers the resumed [[attach]] MUST use. Run quiesced, like
+    * every maintenance helper. */
+  def maintain(spark: SparkSession, indexDir: String, stalenessDir: String,
+               centers: Array[Array[Double]], policy: MaintainPolicy,
+               seed: Long = 42, idCol: String = "vec_id",
+               vecCol: String = "embedding", miniBatch: Boolean = false)
+      : (MaintainReport, Option[Array[Array[Double]]]) =
+    decide(spark, stalenessDir, policy) match {
+      case Left(report) => (report, None)
+      case Right(report) =>
+        val idx = readIndex(spark, indexDir, idCol, vecCol)
+        val newCenters =
+          if (miniBatch)
+            refreshCentroids(idx.select(idCol, vecCol), centers, 0.0,
+              idCol, vecCol)
+          else
+            Similarity.ivfTrainCentroids(spark, idx, centers.length, seed,
+              idCol, vecCol)
+        reassign(spark, indexDir, newCenters, idCol, vecCol)
+        clearStaleness(spark, stalenessDir)
+        (report, Some(newCenters))
+    }
+
+  /** [[maintain]] for the SQ8 codes tier: fires
+    * [[reassignSq]] (codes are lossy — `refs` must supply the full
+    * original corpus, same loud valve) with centers AND codec
+    * retrained on `refs`. */
+  def maintainSq(spark: SparkSession, indexDir: String,
+                 stalenessDir: String, refs: DataFrame,
+                 centers: Array[Array[Double]], policy: MaintainPolicy,
+                 seed: Long = 42, idCol: String = "vec_id",
+                 vecCol: String = "embedding", miniBatch: Boolean = false)
+      : (MaintainReport, Option[(Array[Array[Double]], Similarity.SqCodec)]) =
+    decide(spark, stalenessDir, policy) match {
+      case Left(report) => (report, None)
+      case Right(report) =>
+        val newCenters =
+          if (miniBatch) refreshCentroids(refs, centers, 0.0, idCol, vecCol)
+          else Similarity.ivfTrainCentroids(spark, refs, centers.length,
+            seed, idCol, vecCol)
+        val newCodec = Similarity.sqTrain(spark, refs, vecCol)
+        reassignSq(spark, indexDir, refs, newCenters, newCodec, idCol, vecCol)
+        clearStaleness(spark, stalenessDir)
+        (report, Some((newCenters, newCodec)))
+    }
+
+  /** [[maintain]] for the 1-bit codes tier: fires [[reassignBq]]
+    * (sign codes need no codec retrain — only the coarse quantizer
+    * moves). */
+  def maintainBq(spark: SparkSession, indexDir: String,
+                 stalenessDir: String, refs: DataFrame,
+                 centers: Array[Array[Double]], policy: MaintainPolicy,
+                 seed: Long = 42, idCol: String = "vec_id",
+                 vecCol: String = "embedding", miniBatch: Boolean = false)
+      : (MaintainReport, Option[Array[Array[Double]]]) =
+    decide(spark, stalenessDir, policy) match {
+      case Left(report) => (report, None)
+      case Right(report) =>
+        val newCenters =
+          if (miniBatch) refreshCentroids(refs, centers, 0.0, idCol, vecCol)
+          else Similarity.ivfTrainCentroids(spark, refs, centers.length,
+            seed, idCol, vecCol)
+        reassignBq(spark, indexDir, refs, newCenters, idCol, vecCol)
+        clearStaleness(spark, stalenessDir)
+        (report, Some(newCenters))
+    }
+
+  /** Shared policy evaluation: Left = no-op (with why), Right = fire
+    * (with the breaching reading). */
+  private def decide(spark: SparkSession, stalenessDir: String,
+                     policy: MaintainPolicy)
+      : Either[MaintainReport, MaintainReport] =
+    readStaleness(spark, stalenessDir) match {
+      case None =>
+        Left(MaintainReport(fired = false,
+          s"no staleness log at $stalenessDir", 0L, 0.0, 0.0))
+      case Some((n, d2, frac)) if n < policy.minVecs =>
+        Left(MaintainReport(fired = false,
+          s"insufficient evidence: $n vecs < minVecs=${policy.minVecs}",
+          n, d2, frac))
+      case Some((n, d2, frac)) =>
+        val why = Seq(
+          if (d2 > policy.meanD2Max)
+            Some(f"mean_d2 $d2%.4f > ${policy.meanD2Max}%.4f") else None,
+          if (frac > policy.maxListFracMax)
+            Some(f"max_list_frac $frac%.4f > ${policy.maxListFracMax}%.4f")
+          else None).flatten
+        if (why.isEmpty)
+          Left(MaintainReport(fired = false, "within thresholds", n, d2,
+            frac))
+        else Right(MaintainReport(fired = true, why.mkString("; "), n, d2,
+          frac))
+    }
 
   /** Accumulated index rows (idCol, vecCol, list), or an empty typed
     * frame before the first write (the [[NearDupStream.readIndex]]

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+import graft.streaming.IvfStream
+
+/** [[graft.streaming.IvfStream.refreshCentroids]] (the mini-batch
+  * k-means rung, r11 verdict #8) and the staleness-DRIVEN
+  * [[graft.streaming.IvfStream.maintain]] family (r11 verdict #5):
+  * the r11c drift/reset cycle replayed hands-free. */
+class IvfMaintainSpec extends SparkSpec {
+
+  private def d2(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("refreshCentroids with priorWeight=0 is one exact Lloyd step " +
+    "(per-list batch means); empty lists keep their centers") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val refreshed = IvfStream.refreshCentroids(e, centers)
+    // expected: per-list mean of the assigned vectors, computed
+    // driver-side from the same assignment arithmetic
+    val rows = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val byList = rows.groupBy(v =>
+      Similarity.ivfNearest(centers,
+        v.map(_.toFloat), 1)(0))
+    centers.indices.foreach { l =>
+      byList.get(l) match {
+        case Some(vs) =>
+          val mean = Array.tabulate(centers(l).length)(i =>
+            vs.map(_(i)).sum / vs.length)
+          assert(d2(refreshed(l), mean) < 1e-12,
+            s"list $l refreshed center is not the batch mean")
+        case None =>
+          assert(refreshed(l).sameElements(centers(l)),
+            s"empty list $l must keep its center")
+      }
+    }
+    // a positive prior damps the move toward the batch mean
+    val damped = IvfStream.refreshCentroids(e, centers,
+      priorWeight = 1e9)
+    centers.indices.foreach(l =>
+      assert(d2(damped(l), centers(l)) < 1e-6,
+        s"a huge prior must pin list $l near its old center"))
+    e.unpersist()
+  }
+
+  test("refreshCentroids reduces mean_d2 on drifted data (the cheap " +
+    "rung's job) at a fraction of a full retrain's information") {
+    val e = Tables.embeddings(spark, sf)
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val drifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    val before = IvfStream.quantizerStaleness(drifted, centers)
+      .collect()(0).getDouble(1)
+    val refreshed = IvfStream.refreshCentroids(drifted, centers)
+    val after = IvfStream.quantizerStaleness(drifted, refreshed)
+      .collect()(0).getDouble(1)
+    assert(after < before / 2,
+      f"refresh must at least halve drifted mean_d2: $before%.3f -> $after%.3f")
+  }
+
+  test("maintain: no-op without evidence or under threshold; fires on " +
+    "breach, reassigns, returns new centers, clears the log") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_mnt").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val drifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    IvfStream.assignOnIngest(drifted, centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/idx/batch=0")
+    val healthy = IvfStream.quantizerStaleness(e, centers)
+      .collect()(0).getDouble(1)
+    val policy = IvfStream.MaintainPolicy(meanD2Max = healthy * 2)
+
+    // no log at all → no-op
+    val (r0, c0) = IvfStream.maintain(spark, s"$root/idx", s"$root/log",
+      centers, policy)
+    assert(!r0.fired && c0.isEmpty && r0.reason.contains("no staleness"))
+
+    // healthy reading → no-op, log kept
+    IvfStream.quantizerStaleness(e, centers).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/log/batch=0")
+    val (r1, c1) = IvfStream.maintain(spark, s"$root/idx", s"$root/log",
+      centers, policy)
+    assert(!r1.fired && c1.isEmpty && r1.reason == "within thresholds")
+
+    // drifted reading → fires: retrain on index contents, reassign,
+    // clear the consumed log
+    IvfStream.quantizerStaleness(drifted, centers).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/log/batch=1")
+    val (r2, c2) = IvfStream.maintain(spark, s"$root/idx", s"$root/log",
+      centers, policy)
+    assert(r2.fired && r2.reason.contains("mean_d2") && c2.nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/log")),
+      "firing must clear the consumed staleness log")
+    // the rewritten index is listed under the NEW centers exactly
+    val reassigned = IvfStream.readIndex(spark, s"$root/idx")
+    val want = IvfStream.assignOnIngest(drifted, c2.get)
+    assert(reassigned.exceptAll(want).isEmpty &&
+      want.exceptAll(reassigned).isEmpty)
+    // post-refresh signal sits under threshold → next call no-ops
+    IvfStream.quantizerStaleness(drifted, c2.get).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/log/batch=2")
+    val (r3, _) = IvfStream.maintain(spark, s"$root/idx", s"$root/log",
+      c2.get, policy)
+    assert(!r3.fired)
+
+    // minVecs refuses thin evidence even over threshold
+    val tiny = IvfStream.quantizerStaleness(
+      drifted.filter(col("vec_id") < 3), c2.get)
+    tiny.coalesce(1).write.mode("overwrite").parquet(s"$root/log2/batch=0")
+    val (r4, _) = IvfStream.maintain(spark, s"$root/idx", s"$root/log2",
+      c2.get, IvfStream.MaintainPolicy(meanD2Max = 0.0, minVecs = 1000L))
+    assert(!r4.fired && r4.reason.contains("insufficient"))
+    e.unpersist()
+  }
+
+  test("maintain miniBatch=true fires the one-pass refresh rung and " +
+    "still resets the drift signal") {
+    val e = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_mntmb").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val drifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    IvfStream.assignOnIngest(drifted, centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/idx/batch=0")
+    IvfStream.quantizerStaleness(drifted, centers).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/log/batch=0")
+    val before = IvfStream.quantizerStaleness(drifted, centers)
+      .collect()(0).getDouble(1)
+    val (rep, newC) = IvfStream.maintain(spark, s"$root/idx", s"$root/log",
+      centers, IvfStream.MaintainPolicy(meanD2Max = before / 10),
+      miniBatch = true)
+    assert(rep.fired && newC.nonEmpty)
+    val after = IvfStream.quantizerStaleness(drifted, newC.get)
+      .collect()(0).getDouble(1)
+    assert(after < before / 2)
+    // the refreshed centers ARE the one-Lloyd-step centers over the
+    // index contents (route pin vs the standalone rung)
+    val expect = IvfStream.refreshCentroids(drifted, centers)
+    newC.get.indices.foreach(l =>
+      assert(d2(newC.get(l), expect(l)) < 1e-9))
+  }
+
+  test("maintainSq fires reassignSq: codes re-encoded under the " +
+    "retrained (centers, codec), log cleared; maintainBq mirrors it") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_mntsq").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val codec = Similarity.sqTrain(spark, e)
+    val drifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    // the index holds the DRIFTED corpus encoded under the stale pair
+    IvfStream.assignAndEncodeOnIngest(drifted, centers, codec)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/sq/batch=0")
+    IvfStream.quantizerStaleness(drifted, centers).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/slog/batch=0")
+    val healthy = IvfStream.quantizerStaleness(e, centers)
+      .collect()(0).getDouble(1)
+    val policy = IvfStream.MaintainPolicy(meanD2Max = healthy * 2)
+    val (rep, out) = IvfStream.maintainSq(spark, s"$root/sq",
+      s"$root/slog", drifted, centers, policy)
+    assert(rep.fired && out.nonEmpty)
+    val (newC, newQ) = out.get
+    val got = IvfStream.readCodesIndex(spark, s"$root/sq")
+    val want = IvfStream.assignAndEncodeOnIngest(drifted, newC, newQ)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getAs[Array[Byte]](1).toSeq, r.getInt(2))).toSet
+    assert(rows(got) == rows(want))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/slog")))
+
+    // BQ tier: same decision loop, sign codes need no codec
+    IvfStream.assignAndBqEncodeOnIngest(drifted, centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/bq/batch=0")
+    IvfStream.quantizerStaleness(drifted, centers).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/blog/batch=0")
+    val (repB, outB) = IvfStream.maintainBq(spark, s"$root/bq",
+      s"$root/blog", drifted, centers, policy)
+    assert(repB.fired && outB.nonEmpty)
+    val gotB = IvfStream.readCodesIndex(spark, s"$root/bq")
+    val wantB = IvfStream.assignAndBqEncodeOnIngest(drifted, outB.get)
+    assert(rows(gotB) == rows(wantB))
+    e.unpersist()
+  }
+}

@@ -445,6 +445,35 @@ class PlanSpec extends SparkSpec {
       s"index scan must carry a list partition filter:\n$p")
   }
 
+  test("ivfTopKFromIndexFiltered: metadata predicate pushed into the " +
+    "SAME pruned scan as the probed-list partition filter") {
+    // the filtered-ANN contract made physical (r11 verdict #4): one
+    // scan carries BOTH PartitionFilters on the probed lists (reads
+    // nProbe/nLists of the bytes) and PushedFilters on the metadata
+    // predicate (row-group-skips the misses inside them) — filter-
+    // then-search, never scan-then-post-filter
+    import graft.pipeline.Similarity
+    import graft.streaming.IvfStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fplan").toString
+    val e = Tables.embeddings(spark, sf)
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+    IvfStream.assignOnIngestWithMeta(e, centers, metaCols = Seq("label"))
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=0")
+    val index = spark.read.parquet(tmp)
+    val p = Similarity.ivfTopKFromIndexFiltered(spark,
+        e.filter(col("vec_id") < 3), index, centers, 5,
+        col("label") === 2, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("list") &&
+      !l.contains("PartitionFilters: []")),
+      s"filtered index scan must keep the list partition filter:\n$p")
+    val pushedLines = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushedLines.exists(l => l.contains("label") &&
+      !l.contains("PushedFilters: []")),
+      s"metadata predicate must reach the parquet scan as PushedFilters:\n$p")
+  }
+
   test("matryoshkaIvfTopKFromIndex prunes the prefix index and group-limits both stages") {
     // the r10 production rung: the prefix-IVF probe must read only the
     // probed list partitions of the on-disk prefix index (the
