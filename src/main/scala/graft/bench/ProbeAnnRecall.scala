@@ -76,6 +76,14 @@ object ProbeAnnRecall {
         Similarity.ivfBqTopK(spark, q50, e, k = 5, nLists = nl,
           nProbe = np, shortlist = sl))
     }
+    // asymmetric IVF-BQ (r12): the flat rung's signed-dot stage 1
+    // inside the probed lists — the same recall lift at identical
+    // index bytes, composed with the probe pruning
+    for ((nl, np) <- Seq((8, 4), (8, 6)); sl <- Seq(30, 50, 80)) {
+      recallOf(f"ivfbqa${nl}x$np%ss$sl",
+        Similarity.ivfBqTopK(spark, q50, e, k = 5, nLists = nl,
+          nProbe = np, shortlist = sl, asymmetric = true))
+    }
     // matryoshka-IVF (r10): IVF probe on the 32-dim prefix + exact
     // full-dim re-rank — recall compounds prefix truncation × probe
     // coverage, so the operating point needs its own measurement

@@ -394,6 +394,36 @@ object Similarity extends Serializable {
     ivfSqTopKFromIndex(spark, queries, index.filter(refFilter), centers,
       codec, refs.filter(refFilter), k, shortlist, nProbe, idCol, vecCol)
 
+  /** [[ivfTopKFromIndexFiltered]] for the IVF-PQ rung (same predicate
+    * contract as the SQ8 variant: evaluable on both the codes index
+    * frame and the float refs frame). */
+  def ivfPqTopKFromIndexFiltered(spark: SparkSession, queries: DataFrame,
+                                 index: DataFrame, model: IvfPqModel,
+                                 refs: DataFrame, k: Int,
+                                 refFilter: Column, nProbe: Int = 2,
+                                 refine: Int = 4, idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame =
+    ivfPqTopKFromIndex(spark, queries, index.filter(refFilter), model,
+      refs.filter(refFilter), k, nProbe, refine, idCol, vecCol)
+
+  /** [[ivfTopKFromIndexFiltered]] for the matryoshka-IVF rung (same
+    * predicate contract; the prefix index frame carries whatever
+    * metadata the caller built into it). */
+  def matryoshkaIvfTopKFromIndexFiltered(spark: SparkSession,
+                                         queries: DataFrame,
+                                         index: DataFrame,
+                                         centers: Array[Array[Double]],
+                                         refs: DataFrame, k: Int,
+                                         refFilter: Column, dims: Int = 32,
+                                         shortlist: Int = 50,
+                                         nProbe: Int = 2,
+                                         idCol: String = "vec_id",
+                                         vecCol: String = "embedding")
+      : DataFrame =
+    matryoshkaIvfTopKFromIndex(spark, queries, index.filter(refFilter),
+      centers, refs.filter(refFilter), k, dims, shortlist, nProbe,
+      idCol, vecCol)
+
   /** [[ivfTopKFromIndexFiltered]] for the IVF-BQ rung (same predicate
     * contract as the SQ8 variant). */
   def ivfBqTopKFromIndexFiltered(spark: SparkSession, queries: DataFrame,
@@ -402,9 +432,11 @@ object Similarity extends Serializable {
                                  refs: DataFrame, k: Int,
                                  refFilter: Column, shortlist: Int = 50,
                                  nProbe: Int = 2, idCol: String = "vec_id",
-                                 vecCol: String = "embedding"): DataFrame =
+                                 vecCol: String = "embedding",
+                                 asymmetric: Boolean = false): DataFrame =
     ivfBqTopKFromIndex(spark, queries, index.filter(refFilter), centers,
-      refs.filter(refFilter), k, shortlist, nProbe, idCol, vecCol)
+      refs.filter(refFilter), k, shortlist, nProbe, idCol, vecCol,
+      asymmetric)
 
   /** IVF-PQ: coarse inverted lists + product-quantized residuals +
     * exact refine — the top rung of the reference's ANN ladder
@@ -1458,48 +1490,85 @@ object Similarity extends Serializable {
 
   /** IVF-BQ search over a pre-built codes index: queries probe
     * `nProbe` lists ([[ivfNearest]]), candidates in the probed lists
-    * are Hamming-shortlisted against the query's own sign bits (the
-    * [[bqTopK]] symmetric stage 1 — XOR+popcount over 1-bit codes,
-    * ties broken on rid), and the `shortlist` survivors re-rank
-    * against the true vectors. With `nProbe = nLists` the result
-    * equals [[bqTopK]] at the same shortlist exactly (spec-pinned
-    * degeneracy); at production settings the probe reads the probed
-    * fraction of a 32×-compressed index. */
+    * are shortlisted against the stored sign bits, and the
+    * `shortlist` survivors re-rank against the true vectors. Stage 1
+    * is [[bqTopK]]'s, both scorings (r12 — the composition had been
+    * symmetric-only while the flat rung gained the faiss asymmetric
+    * convention in r11 verdict #3):
+    *
+    *  - `asymmetric = false`: XOR+popcount Hamming between the
+    *    query's own sign bits and the stored codes (ham ASC, rid ASC);
+    *  - `asymmetric = true`: dot(q, sign(r)) — the full-precision
+    *    query's per-dim magnitudes weight the stored bits; strictly
+    *    more signal at identical index bytes (round6(score) DESC,
+    *    rid ASC — engine-replayable like the flat rung).
+    *
+    * With `nProbe = nLists` the result equals [[bqTopK]] at the same
+    * (shortlist, asymmetric) exactly (spec-pinned degeneracy); at
+    * production settings the probe reads the probed fraction of a
+    * 32×-compressed index. */
   def ivfBqTopKFromIndex(spark: SparkSession, queries: DataFrame,
                          index: DataFrame, centers: Array[Array[Double]],
                          refs: DataFrame, k: Int, shortlist: Int = 50,
                          nProbe: Int = 2, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         asymmetric: Boolean = false): DataFrame = {
     import spark.implicits._
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val bc = spark.sparkContext.broadcast(centers)
+    // one probe row per (query, probed list), carrying BOTH the float
+    // vector (asymmetric scoring) and its sign bits (symmetric) so
+    // neither route re-derives per candidate pair
     val probe = queries
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val qc = bqBits(v)
-        ivfNearest(bc.value, v, nProbe).iterator.map(l => (id, qc, l)) }
-      .toDF("qid", "qc", "list")
+        ivfNearest(bc.value, v, nProbe).iterator.map(l => (id, v, qc, l)) }
+      .toDF("qid", "qv", "qc", "list")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lists = probe.select("list").distinct().as[Int].collect().toSeq
     val idx = index.filter(col("list").isin(lists: _*))
       .select(col(idCol).cast("long").as("rid"), col("codes"), col("list"))
-    val w = Window.partitionBy("qid").orderBy(col("ham").asc, col("rid").asc)
-    val sl = probe.join(idx, "list")
-      .filter(col("qid") =!= col("rid"))
-      .select(col("qid"), col("qc"), col("rid"), col("codes"))
-      .as[(Long, Array[Byte], Long, Array[Byte])]
-      .map { case (qid, qc, rid, rc) =>
-        var h = 0; var i = 0
-        while (i < qc.length) {
-          h += java.lang.Integer.bitCount((qc(i) ^ rc(i)) & 0xff)
-          i += 1
-        }
-        (qid, rid, h)
-      }.toDF("qid", "rid", "ham")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= shortlist)
-      .select("qid", "rid")
+    val sl =
+      if (asymmetric) {
+        val w = Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("rid").asc)
+        probe.join(idx, "list")
+          .filter(col("qid") =!= col("rid"))
+          .select(col("qid"), col("qv"), col("rid"), col("codes"))
+          .as[(Long, Array[Float], Long, Array[Byte])]
+          .map { case (qid, qv, rid, rc) =>
+            var s = 0.0; var i = 0
+            while (i < qv.length) {
+              val plus = (rc(i / 8) & (1 << (i % 8))) != 0
+              s += (if (plus) qv(i).toDouble else -qv(i).toDouble)
+              i += 1
+            }
+            (qid, rid, round6(s))
+          }.toDF("qid", "rid", "score")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= shortlist)
+          .select("qid", "rid")
+      } else {
+        val w = Window.partitionBy("qid")
+          .orderBy(col("ham").asc, col("rid").asc)
+        probe.join(idx, "list")
+          .filter(col("qid") =!= col("rid"))
+          .select(col("qid"), col("qc"), col("rid"), col("codes"))
+          .as[(Long, Array[Byte], Long, Array[Byte])]
+          .map { case (qid, qc, rid, rc) =>
+            var h = 0; var i = 0
+            while (i < qc.length) {
+              h += java.lang.Integer.bitCount((qc(i) ^ rc(i)) & 0xff)
+              i += 1
+            }
+            (qid, rid, h)
+          }.toDF("qid", "rid", "ham")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= shortlist)
+          .select("qid", "rid")
+      }
     val qv = refsFrame(queries, idCol, vecCol)
     val rv = refsFrame(refs, idCol, vecCol)
     val joined = sl
@@ -1550,11 +1619,12 @@ object Similarity extends Serializable {
                 k: Int, nLists: Int = 16, nProbe: Int = 2,
                 shortlist: Int = 50, seed: Long = 42,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                asymmetric: Boolean = false): DataFrame = {
     val (centers, index) = ivfBqBuildIndex(spark, refs, nLists, seed,
       idCol, vecCol)
     ivfBqTopKFromIndex(spark, queries, index, centers, refs, k,
-      shortlist, nProbe, idCol, vecCol)
+      shortlist, nProbe, idCol, vecCol, asymmetric)
   }
 
   /** Build the IVF-SQ8 index — the faiss `IVF,SQ8` composition: coarse

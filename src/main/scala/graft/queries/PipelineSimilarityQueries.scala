@@ -746,22 +746,25 @@ object PipelineSimilarityQueries {
     // 1-bit sign codes — a probe reads nProbe/nLists of an index 32×
     // smaller than the float corpus, the cheapest composition on the
     // ladder. Invariant oracle (the q204/q205/q206 pattern: k-means
-    // lists aren't SQL-replayable). Operating point from
-    // ProbeAnnRecall (r11): nLists=8/nProbe=6/shortlist=80 measures
-    // recall@5 0.784 (sf0.01) / 0.636 (sf0.1) — probe coverage ×
-    // 1-bit signal, the larger shortlist buying back what 1-bit codes
-    // blur (the q210 structural-cap note applies). Floor 0.4.
+    // lists aren't SQL-replayable). ASYMMETRIC stage 1 since r12 (the
+    // flat rung's r11-verdict-#3 signed-dot scoring, composed with
+    // the probe pruning): ProbeAnnRecall at nLists=8/nProbe=6/
+    // shortlist=80 measures recall@5 0.900 (sf0.01) / 0.816 (sf0.1)
+    // vs the symmetric route's 0.784/0.636 at identical index bytes.
+    // Floor 0.65 — above the symmetric ceiling, so a regression to
+    // thrown-away query magnitudes fails the gate; a broken shortlist
+    // reads ≈ shortlist/n ≈ 0.04.
     "q211_ivfbq_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val (centers, index) = Similarity.ivfBqBuildIndex(s, e, nLists = 8)
       val bq = Similarity.ivfBqTopKFromIndex(s, e, index, centers, e,
-        k = 5, shortlist = 80, nProbe = 6).cache()
+        k = 5, shortlist = 80, nProbe = 6, asymmetric = true).cache()
       val (bruteFull, nb) = BruteTruth.topK(s, d)
       val brute = bruteFull.select("qid", "rid")
       val nh = bq.filter(col("qid") < 50).select("qid", "rid")
         .join(brute, Seq("qid", "rid"), "left_semi").count()
       val recall = if (nb == 0) 1.0 else nh.toDouble / nb
-      annTopKAudit(e, bq, k = 5, recall, floor = 0.4)
+      annTopKAudit(e, bq, k = 5, recall, floor = 0.65)
     }),
 
     // Binary-quantization retrieval (1-bit sign codes, 32× smaller

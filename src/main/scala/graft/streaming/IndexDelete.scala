@@ -21,9 +21,12 @@ import org.apache.hadoop.fs.Path
   *    [[graft.pipeline.Similarity.ivfSqWriteIndex]] /
   *    `ivfBqWriteIndex` / `ivfPqWriteIndex` /
   *    `matryoshkaIvfWriteIndex` layouts), idCol `vec_id`;
-  *  - the near-dup band-key index ([[NearDupStream.attach]]) and the
-  *    curation fingerprint index ([[CurateStream]]), idCol `doc_id` —
-  *    deleting a doc removes ALL its band/fingerprint rows.
+  *  - the near-dup band-key index ([[NearDupStream.attach]]), idCol
+  *    `doc_id` — deleting a doc removes ALL its band rows;
+  *  - the curation fingerprint index ([[CurateStream]]), whose only
+  *    column IS the key: pass idCol `fp` and the md5 fingerprints of
+  *    the documents to forget (the key type comes from the index, so
+  *    string keys delete through the same path as long ids).
   *
   * Cost tracks the DELETED partitions, not the corpus: discovery is
   * one column-pruned scan of (idCol + partition columns) semi-joined
@@ -65,12 +68,16 @@ object IndexDelete {
     val live = new Path(indexDir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
 
-    val idsN = ids.select(col(ids.columns.head).cast("long").as("_del_id"))
+    val df = spark.read.parquet(indexDir)
+    // key type comes from the INDEX, so a long-keyed vector index and
+    // a string-keyed fingerprint index (CurateStream's fp column)
+    // both delete through the one code path
+    val idsN = ids
+      .select(col(ids.columns.head).cast(df.schema(idCol).dataType)
+        .as("_del_id"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     idsN.count() // one materialization serves discovery + every leaf
-
-    val df = spark.read.parquet(indexDir)
     // the two partition columns every accrued layout uses, in their
     // directory-nesting order (batch above list)
     val partCols = Seq("batch", "list").filter(df.columns.contains)
@@ -125,5 +132,31 @@ object IndexDelete {
                 idCol: String): DeleteReport = {
     import spark.implicits._
     deleteIds(spark, indexDir, ids.toDF("_del_id"), idCol)
+  }
+
+  /** Document-level takedown across the TEXT-side indexes in one
+    * call — the "forget these documents" composition a
+    * right-to-be-forgotten request actually needs (a doc leaves
+    * traces in every gate's state, not just one): the curation
+    * fingerprint index keys on `md5(text)`, the near-dup band index
+    * on `doc_id`; each present index gets its own [[deleteIds]] (same
+    * partition-scoped rewrite, same crash discipline). Embedding-side
+    * indexes key on `vec_id` — delete those directly with
+    * [[deleteIds]] under the pipeline's doc→vec id mapping. Returns
+    * one report per swept index. */
+  def forgetDocs(spark: SparkSession, docs: DataFrame,
+                 fpIndexDir: Option[String] = None,
+                 bandIndexDir: Option[String] = None,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): Map[String, DeleteReport] = {
+    val out = Map.newBuilder[String, DeleteReport]
+    fpIndexDir.foreach { d =>
+      out += "fp" -> deleteIds(spark, d,
+        docs.select(md5(col(textCol)).as("fp")), "fp")
+    }
+    bandIndexDir.foreach { d =>
+      out += "band" -> deleteIds(spark, d, docs.select(col(idCol)), idCol)
+    }
+    out.result()
   }
 }

@@ -111,5 +111,28 @@ class FilteredAnnSpec extends SparkSpec {
       wantBq.exceptAll(gotBq).isEmpty)
     assert(gotBq.select("rid").collect()
       .forall(r => allowed.contains(r.getLong(0))))
+
+    val (pqModel, pqIdx) = Similarity.ivfPqBuildIndex(spark, e,
+      nLists = 4, m = 8, nCodes = 16)
+    val gotPq = Similarity.ivfPqTopKFromIndexFiltered(spark, qs, pqIdx,
+      pqModel, e, 3, idPred, nProbe = 4, refine = 4)
+    val wantPq = Similarity.ivfPqTopKFromIndex(spark, qs,
+      pqIdx.filter(idPred), pqModel, e.filter(idPred), k = 3,
+      nProbe = 4, refine = 4)
+    assert(gotPq.exceptAll(wantPq).isEmpty &&
+      wantPq.exceptAll(gotPq).isEmpty)
+    assert(gotPq.select("rid").collect()
+      .forall(r => allowed.contains(r.getLong(0))))
+
+    val (mCenters, mIdx) = Similarity.matryoshkaIvfBuildIndex(spark, e,
+      dims = 32, nLists = 4)
+    val gotM = Similarity.matryoshkaIvfTopKFromIndexFiltered(spark, qs,
+      mIdx, mCenters, e, 3, idPred, dims = 32, shortlist = 10, nProbe = 4)
+    val wantM = Similarity.matryoshkaIvfTopKFromIndex(spark, qs,
+      mIdx.filter(idPred), mCenters, e.filter(idPred), k = 3, dims = 32,
+      shortlist = 10, nProbe = 4)
+    assert(gotM.exceptAll(wantM).isEmpty && wantM.exceptAll(gotM).isEmpty)
+    assert(gotM.select("rid").collect()
+      .forall(r => allowed.contains(r.getLong(0))))
   }
 }

@@ -207,6 +207,64 @@ class IndexDeleteSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("deleteIds on the string-keyed fp index: forgotten fingerprints " +
+    "re-admit the doc at the exact gate") {
+    import spark.implicits._
+    import graft.streaming.CurateStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delfp").toString
+    val docs = Seq((0L, "alpha bravo charlie"), (1L, "delta echo foxtrot"))
+      .toDF("doc_id", "text")
+    docs.select(md5(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$tmp/fp/batch=0")
+    // a byte-identical copy arriving later hits the exact gate
+    val probe = Seq((10L, "alpha bravo charlie")).toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    assert(probe.join(CurateStream.readFpIndex(spark, s"$tmp/fp"),
+      Seq("fp"), "left_semi").count() === 1L)
+    // takedown: forget doc 0's fingerprint (the key type is the
+    // index's own STRING — same delete path as the long-keyed indexes)
+    val rep = IndexDelete.deleteIds(spark, s"$tmp/fp",
+      docs.filter(col("doc_id") === 0L).select(md5(col("text")).as("fp")),
+      "fp")
+    assert(rep.rowsDeleted === 1L && rep.partitionsRewritten === 1)
+    val after = CurateStream.readFpIndex(spark, s"$tmp/fp")
+    assert(after.count() === 1L)
+    assert(probe.join(after, Seq("fp"), "left_semi").count() === 0L,
+      "the forgotten fingerprint must no longer gate arrivals")
+  }
+
+  test("forgetDocs sweeps the fp AND band indexes in one call; both " +
+    "gates re-admit the forgotten document") {
+    import spark.implicits._
+    import graft.streaming.CurateStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    val doomedText = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, doomedText),
+      (2L, "completely unrelated text about distributed query planning")
+    ).toDF("doc_id", "text")
+    docs.select(md5(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$tmp/fp/batch=0")
+    NearDupStream.bandKeys(docs).select("doc_id", "band", "bucket", "sig")
+      .write.mode("overwrite").parquet(s"$tmp/band/batch=0")
+    val reports = IndexDelete.forgetDocs(spark,
+      docs.filter(col("doc_id") === 0L),
+      fpIndexDir = Some(s"$tmp/fp"), bandIndexDir = Some(s"$tmp/band"))
+    assert(reports.keySet === Set("fp", "band"))
+    assert(reports("fp").rowsDeleted === 1L)
+    assert(reports("band").rowsDeleted > 0L)
+    // exact gate: the byte-identical copy no longer collides
+    val copyFp = Seq((10L, doomedText)).toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    assert(copyFp.join(CurateStream.readFpIndex(spark, s"$tmp/fp"),
+      Seq("fp"), "left_semi").count() === 0L)
+    // near-dup gate: the paraphrase-level copy is KEPT now
+    val copy = Seq((10L, doomedText)).toDF("doc_id", "text")
+    val dec = NearDupStream.dedupAgainstIndex(spark, copy, s"$tmp/band",
+      n = 3, k = 64, bands = 16, threshold = 0.5)
+    assert(dec.filter(col("keep")).count() === 1L)
+  }
+
   test("deleteIds refuses a flat (non-partitioned) directory") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_delfl").toString

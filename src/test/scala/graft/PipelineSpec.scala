@@ -3703,6 +3703,15 @@ class PipelineSpec extends SparkSpec {
     val want = Similarity.ivfBqTopKFromIndex(spark, qs, index, centers,
       e, k = 5, shortlist = 20, nProbe = 4)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // ASYMMETRIC composition (r12): full probe coverage must equal
+    // the flat asymmetric rung row for row — the same degeneracy pin
+    // the symmetric route carries above
+    val aIvf = Similarity.ivfBqTopK(spark, qs, e, k = 5, nLists = 8,
+      nProbe = 8, shortlist = 20, asymmetric = true)
+    val aFlat = Similarity.bqTopK(spark, qs, e, k = 5, shortlist = 20,
+      asymmetric = true)
+    assert(aIvf.exceptAll(aFlat).isEmpty && aFlat.exceptAll(aIvf).isEmpty,
+      "full-probe asymmetric IVF-BQ diverges from the flat asymmetric rung")
     e.unpersist()
   }
 
