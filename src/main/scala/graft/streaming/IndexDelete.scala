@@ -106,18 +106,30 @@ object IndexDelete {
     val deleting = new Path(indexDir + ".deleting")
     val tmpRoot = indexDir + ".delete"
     fs.create(deleting, true).close()
+    // ONE partition-pruned job writes every affected leaf's survivors
+    // into the temp tree (r12 probe: per-leaf jobs cost ~0.25 s of
+    // driver latency EACH, so a spread delete paid N job walls — one
+    // scan-and-write job pays one). The affected-leaf predicate is an
+    // OR-chain of partition-column equalities, so the scan carries
+    // PartitionFilters and reads only the affected leaves' bytes.
+    val leafPred = affected.map { r =>
+      partCols.indices.map(i => col(partCols(i)) === lit(r.get(i)))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    spark.read.option("basePath", indexDir).parquet(indexDir)
+      .filter(leafPred)
+      .join(idsN, col(idCol) === col("_del_id"), "left_anti")
+      .write.partitionBy(partCols: _*).mode("overwrite").parquet(tmpRoot)
     var rows = 0L
     affected.foreach { r =>
       val rel = leafRel(r)
-      val leafLive = s"$indexDir/$rel"
-      val leafTmp = s"$tmpRoot/$rel"
-      // rewrite = read ONLY this leaf (data columns; the partition
-      // values stay encoded in the directory path), drop deleted ids,
-      // land the survivors next door, swap with the marker protocol
-      spark.read.parquet(leafLive)
-        .join(idsN, col(idCol) === col("_del_id"), "left_anti")
-        .write.mode("overwrite").parquet(leafTmp)
-      IndexSwap.swap(spark, leafLive, leafTmp)
+      val leafTmpP = new Path(s"$tmpRoot/$rel")
+      // a leaf whose every row is deleted produces no partition dir in
+      // the dynamic write — its replacement is an EMPTY directory
+      if (!fs.exists(leafTmpP)) { fs.mkdirs(leafTmpP); () }
+      // install each replacement under the standard marker protocol:
+      // a crash between any leaf's renames heals on the next read
+      IndexSwap.swap(spark, s"$indexDir/$rel", s"$tmpRoot/$rel")
       rows += r.getLong(partCols.length)
     }
     val tmpRootP = new Path(tmpRoot)

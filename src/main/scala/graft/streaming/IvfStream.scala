@@ -443,6 +443,66 @@ object IvfStream {
     out
   }
 
+  /** ONE-PASS fusion of [[quantizerStaleness]] and
+    * [[refreshCentroids]] — the form a live ingest wires per trigger
+    * when it wants the drift reading AND the quantizer nudge for the
+    * price of one aggregate (r12): a single (list, pos)-keyed partial
+    * pass computes n, Σx and Σx² per cell, from which
+    *
+    *   - per-list squared distance: Σ(x−c)² = Σx² − 2c·Σx + n·c²
+    *     → `mean_d2` (and `max_list_frac` from the per-list n) — the
+    *     staleness reading;
+    *   - the blended center update (priorWeight·c + Σx)/(priorWeight
+    *     + n) — the mini-batch refresh.
+    *
+    * Cost: one narrow assignment map + one explode to batch·dim rows
+    * shuffled into ≤ nLists·dim groups — more than the staleness
+    * reading alone (which needs no explode), less than running both
+    * helpers; the batch here is a MICRO-BATCH, never the corpus.
+    * Returns (one-row staleness frame in [[quantizerStaleness]]'s
+    * schema — readings agree within float-summation tolerance, spec-
+    * pinned — , refreshed centers ≡ [[refreshCentroids]]). */
+  def stalenessAndRefresh(vecs: DataFrame, centers: Array[Array[Double]],
+                          priorWeight: Double = 0.0,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Double]]) = {
+    require(priorWeight >= 0.0, s"priorWeight must be >= 0, got $priorWeight")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centers)
+    val cells = vecs
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (_, v) =>
+        (Similarity.ivfNearest(bc.value, v, 1)(0), v.map(_.toDouble)) }
+      .toDF("list", "v")
+      .select(col("list"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("list", "pos")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("s2"))
+      .collect()
+    val out = centers.map(_.clone())
+    val nOf = Array.fill(centers.length)(0L)
+    var totalD2 = 0.0
+    cells.foreach { r =>
+      val l = r.getInt(0); val pos = r.getInt(1)
+      val n = r.getLong(2); val s = r.getDouble(3); val s2 = r.getDouble(4)
+      val c = centers(l)(pos)
+      nOf(l) = n
+      totalD2 += s2 - 2.0 * c * s + n * c * c
+      out(l)(pos) = (priorWeight * c + s) / (priorWeight + n)
+    }
+    val nVecs = nOf.sum
+    val round6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    val staleness = Seq((nVecs,
+      if (nVecs == 0L) 0.0 else round6(totalD2 / nVecs),
+      if (nVecs == 0L) 0.0 else round6(nOf.max.toDouble / nVecs),
+      centers.length))
+      .toDF("n_vecs", "mean_d2", "max_list_frac", "n_lists")
+    (staleness, out)
+  }
+
   /** WHEN-to-maintain thresholds for [[maintain]]/[[maintainSq]]/
     * [[maintainBq]] — the decision the r11 staleness log recorded but
     * nothing consumed (r11 verdict #5): fire when the volume-weighted

@@ -61,6 +61,35 @@ class IvfMaintainSpec extends SparkSpec {
       f"refresh must at least halve drifted mean_d2: $before%.3f -> $after%.3f")
   }
 
+  test("stalenessAndRefresh: the one-pass fusion agrees with both " +
+    "standalone helpers; empty input short-circuits") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val drifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    val (st, refreshed) = IvfStream.stalenessAndRefresh(drifted, centers)
+    val want = IvfStream.quantizerStaleness(drifted, centers).collect()(0)
+    val got = st.collect()(0)
+    assert(got.getLong(0) === want.getLong(0))
+    assert(math.abs(got.getDouble(1) - want.getDouble(1)) <=
+      1e-6 * math.max(1.0, want.getDouble(1)) + 2e-6,
+      s"mean_d2 ${got.getDouble(1)} vs ${want.getDouble(1)}")
+    assert(math.abs(got.getDouble(2) - want.getDouble(2)) <= 2e-6)
+    assert(got.getInt(3) === want.getInt(3))
+    val expect = IvfStream.refreshCentroids(drifted, centers)
+    refreshed.indices.foreach(l =>
+      assert(d2(refreshed(l), expect(l)) < 1e-9,
+        s"fused center $l diverges from refreshCentroids"))
+    // empty trigger: all-zero reading, centers unchanged
+    val (st0, c0) = IvfStream.stalenessAndRefresh(
+      e.filter(col("vec_id") < 0), centers)
+    val r0 = st0.collect()(0)
+    assert(r0.getLong(0) === 0L && r0.getDouble(1) === 0.0 &&
+      r0.getDouble(2) === 0.0)
+    c0.indices.foreach(l => assert(c0(l).sameElements(centers(l))))
+    e.unpersist()
+  }
+
   test("maintain: no-op without evidence or under threshold; fires on " +
     "breach, reassigns, returns new centers, clears the log") {
     val e = Tables.embeddings(spark, sf).cache()
