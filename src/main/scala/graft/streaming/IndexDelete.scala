@@ -61,9 +61,15 @@ object IndexDelete {
 
   /** Delete every row whose `idCol` appears in `ids` (a 1-column
     * frame; extra columns are ignored) from the index at `indexDir`.
-    * No-op (and no markers) when nothing matches. */
+    * No-op (and no markers) when nothing matches.
+    *
+    * `maxExactLeafPredicates` bounds the exact affected-leaf OR-chain;
+    * past it the scan filter degrades to per-column `isin` sets (a
+    * superset of the affected leaves may be READ, but only affected
+    * leaves are ever installed — see the rewrite-job comment below). */
   def deleteIds(spark: SparkSession, indexDir: String, ids: DataFrame,
-                idCol: String = "vec_id"): DeleteReport = {
+                idCol: String = "vec_id",
+                maxExactLeafPredicates: Int = 1000): DeleteReport = {
     IndexSwap.requireLive(spark, indexDir, "IndexDelete.deleteIds")
     val live = new Path(indexDir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
@@ -112,10 +118,22 @@ object IndexDelete {
     // scan-and-write job pays one). The affected-leaf predicate is an
     // OR-chain of partition-column equalities, so the scan carries
     // PartitionFilters and reads only the affected leaves' bytes.
-    val leafPred = affected.map { r =>
-      partCols.indices.map(i => col(partCols(i)) === lit(r.get(i)))
-        .reduce(_ && _)
-    }.reduce(_ || _)
+    // Past `maxExactLeafPredicates` leaves the OR-chain itself would
+    // strain the analyzer, so the filter degrades to per-column isin
+    // sets — a SUPERSET of the affected leaves may be read and
+    // written into the temp tree, but only the affected leaves are
+    // ever INSTALLED, so the byte-identity contract for untouched
+    // leaves holds in both regimes.
+    val leafPred =
+      if (affected.length <= maxExactLeafPredicates)
+        affected.map { r =>
+          partCols.indices.map(i => col(partCols(i)) === lit(r.get(i)))
+            .reduce(_ && _)
+        }.reduce(_ || _)
+      else
+        partCols.indices.map { i =>
+          col(partCols(i)).isin(affected.map(_.get(i)).distinct: _*)
+        }.reduce(_ && _)
     spark.read.option("basePath", indexDir).parquet(indexDir)
       .filter(leafPred)
       .join(idsN, col(idCol) === col("_del_id"), "left_anti")

@@ -265,6 +265,53 @@ class IndexDeleteSpec extends SparkSpec {
     assert(dec.filter(col("keep")).count() === 1L)
   }
 
+  test("past the exact-predicate valve the isin superset scan still " +
+    "installs ONLY affected leaves — untouched leaves byte-identical") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delvalve").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    IvfStream.assignOnIngest(e.filter(col("vec_id") % 2 === 0), centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$tmp/idx/batch=0")
+    IvfStream.assignOnIngest(e.filter(col("vec_id") % 2 =!= 0), centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$tmp/idx/batch=1")
+    val doomed = Seq(1L, 2L, 5L, 8L)
+    val before = IvfStream.readIndex(spark, s"$tmp/idx")
+    val doomedLeaves = before
+      .filter(col("vec_id").isin(doomed: _*))
+      .select((col("vec_id") % 2).cast("int").as("b"), col("list"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // with >1 affected leaf the valve (forced to 1) takes the isin
+    // branch whose (batch × list) cross product strictly contains the
+    // affected set — the interesting regime
+    assert(doomedLeaves.size > 1)
+    val untouchedBefore = (for {
+      b <- 0 to 1; l <- centers.indices
+      if !doomedLeaves.contains((b, l)) &&
+        fsFor(tmp).exists(new Path(s"$tmp/idx/batch=$b/list=$l"))
+    } yield fileSet(s"$tmp/idx/batch=$b/list=$l")).toSet
+
+    import spark.implicits._
+    val report = IndexDelete.deleteIds(spark, s"$tmp/idx",
+      doomed.toDF("_del_id"), "vec_id", maxExactLeafPredicates = 1)
+    assert(report.rowsDeleted === doomed.length.toLong)
+    assert(report.partitionsRewritten === doomedLeaves.size)
+
+    val after = IvfStream.readIndex(spark, s"$tmp/idx")
+    assert(after.filter(col("vec_id").isin(doomed: _*)).count() === 0L)
+    // survivor parity with the exact-predicate regime's contract
+    assert(after.count() === e.count() - doomed.length)
+    val untouchedAfter = (for {
+      b <- 0 to 1; l <- centers.indices
+      if !doomedLeaves.contains((b, l)) &&
+        fsFor(tmp).exists(new Path(s"$tmp/idx/batch=$b/list=$l"))
+    } yield fileSet(s"$tmp/idx/batch=$b/list=$l")).toSet
+    assert(untouchedAfter === untouchedBefore,
+      "the isin superset regime installed a leaf holding no deleted row")
+    e.unpersist()
+  }
+
   test("deleteIds refuses a flat (non-partitioned) directory") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_delfl").toString
