@@ -128,6 +128,38 @@ object IvfStream {
       .toDF(idCol, "codes", "list")
   }
 
+  /** [[assignAndEncodeOnIngest]] KEEPING metadata columns — the codes
+    * twin of [[assignOnIngestWithMeta]], closing the filtered-ANN
+    * story for the COMPRESSED tiers: (idCol, codes, metaCols…, list)
+    * written `partitionBy("list")` gives an
+    * [[graft.pipeline.Similarity.ivfSqTopKFromIndexFiltered]] probe
+    * `PartitionFilters` on the probed lists AND `PushedFilters` on
+    * the metadata predicate in one scan of the 4×-compressed index
+    * (without this, a streamed codes index could only be filtered by
+    * an id set collected to the driver). Same assignment + encode
+    * arithmetic as [[assignAndEncodeOnIngest]], as UDFs so arbitrary
+    * extra columns pass through untouched (spec-pinned equal). */
+  def assignAndEncodeOnIngestWithMeta(vecs: DataFrame,
+                                      centers: Array[Array[Double]],
+                                      codec: Similarity.SqCodec,
+                                      idCol: String = "vec_id",
+                                      vecCol: String = "embedding",
+                                      metaCols: Seq[String] = Seq.empty)
+      : DataFrame = {
+    val spark = vecs.sparkSession
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcQ = spark.sparkContext.broadcast(codec)
+    val enc = udf((v: Seq[Float]) => bcQ.value.encode(v.toArray))
+    val assign = udf((v: Seq[Float]) =>
+      Similarity.ivfNearest(bcC.value, v.toArray, 1)(0))
+    vecs.select(col(idCol).cast("long").as(idCol) +:
+        col(vecCol) +: metaCols.map(col): _*)
+      .withColumn("codes", enc(col(vecCol)))
+      .withColumn("list", assign(col(vecCol)))
+      .select(col(idCol) +: col("codes") +: metaCols.map(col) :+
+        col("list"): _*)
+  }
+
   /** Wire CODES ingest into a running stream — the [[attach]] layout
     * (idempotent `batch=<id>` partitions, sub-partitioned by list) with
     * int8 codes as the stored payload. Search the accrued directory
@@ -139,12 +171,17 @@ object IvfStream {
                codec: Similarity.SqCodec, indexDir: String,
                checkpointDir: String, idCol: String = "vec_id",
                vecCol: String = "embedding",
-               stalenessDir: Option[String] = None): StreamingQuery =
+               stalenessDir: Option[String] = None,
+               metaCols: Seq[String] = Seq.empty): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        assignAndEncodeOnIngest(batch, centers, codec, idCol, vecCol)
+        (if (metaCols.isEmpty)
+           assignAndEncodeOnIngest(batch, centers, codec, idCol, vecCol)
+         else
+           assignAndEncodeOnIngestWithMeta(batch, centers, codec, idCol,
+             vecCol, metaCols))
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
         stalenessDir.foreach { dir =>
@@ -177,6 +214,30 @@ object IvfStream {
       .toDF(idCol, "codes", "list")
   }
 
+  /** [[assignAndBqEncodeOnIngest]] KEEPING metadata columns — the
+    * 1-bit member of the WithMeta ingest family (see
+    * [[assignAndEncodeOnIngestWithMeta]]): the predicate of an
+    * [[graft.pipeline.Similarity.ivfBqTopKFromIndexFiltered]] probe
+    * pushes into the scan of the 32×-compressed index. */
+  def assignAndBqEncodeOnIngestWithMeta(vecs: DataFrame,
+                                        centers: Array[Array[Double]],
+                                        idCol: String = "vec_id",
+                                        vecCol: String = "embedding",
+                                        metaCols: Seq[String] = Seq.empty)
+      : DataFrame = {
+    val spark = vecs.sparkSession
+    val bc = spark.sparkContext.broadcast(centers)
+    val enc = udf((v: Seq[Float]) => Similarity.bqBits(v.toArray))
+    val assign = udf((v: Seq[Float]) =>
+      Similarity.ivfNearest(bc.value, v.toArray, 1)(0))
+    vecs.select(col(idCol).cast("long").as(idCol) +:
+        col(vecCol) +: metaCols.map(col): _*)
+      .withColumn("codes", enc(col(vecCol)))
+      .withColumn("list", assign(col(vecCol)))
+      .select(col(idCol) +: col("codes") +: metaCols.map(col) :+
+        col("list"): _*)
+  }
+
   /** Wire 1-BIT codes ingest into a running stream — the [[attachSq]]
     * layout (idempotent `batch=<id>` partitions, sub-partitioned by
     * list) with sign codes as the stored payload: at dim=64 the
@@ -190,12 +251,17 @@ object IvfStream {
                indexDir: String, checkpointDir: String,
                idCol: String = "vec_id",
                vecCol: String = "embedding",
-               stalenessDir: Option[String] = None): StreamingQuery =
+               stalenessDir: Option[String] = None,
+               metaCols: Seq[String] = Seq.empty): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        assignAndBqEncodeOnIngest(batch, centers, idCol, vecCol)
+        (if (metaCols.isEmpty)
+           assignAndBqEncodeOnIngest(batch, centers, idCol, vecCol)
+         else
+           assignAndBqEncodeOnIngestWithMeta(batch, centers, idCol,
+             vecCol, metaCols))
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
         stalenessDir.foreach { dir =>

@@ -78,6 +78,71 @@ class FilteredAnnSpec extends SparkSpec {
       .forall(r => allowedIds.contains(r.getLong(0))))
   }
 
+  test("codes WithMeta ingest twins: same (id, codes, list) as the " +
+    "plain twins, metadata rides along") {
+    val e = Tables.embeddings(spark, sf)
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val codec = Similarity.sqTrain(spark, e)
+
+    val plainSq = IvfStream.assignAndEncodeOnIngest(e, centers, codec)
+    val metaSq = IvfStream.assignAndEncodeOnIngestWithMeta(e, centers,
+      codec, metaCols = Seq("label"))
+    assert(metaSq.columns.toSeq === Seq("vec_id", "codes", "label", "list"))
+    val aSq = metaSq.select("vec_id", "codes", "list")
+    assert(aSq.exceptAll(plainSq).isEmpty && plainSq.exceptAll(aSq).isEmpty)
+
+    val plainBq = IvfStream.assignAndBqEncodeOnIngest(e, centers)
+    val metaBq = IvfStream.assignAndBqEncodeOnIngestWithMeta(e, centers,
+      metaCols = Seq("label"))
+    assert(metaBq.columns.toSeq === Seq("vec_id", "codes", "label", "list"))
+    val aBq = metaBq.select("vec_id", "codes", "list")
+    assert(aBq.exceptAll(plainBq).isEmpty && plainBq.exceptAll(aBq).isEmpty)
+
+    // the label column is the table's own, untouched
+    val lbl = metaSq.select("vec_id", "label")
+    val src = e.select("vec_id", "label")
+    assert(lbl.exceptAll(src).isEmpty && src.exceptAll(lbl).isEmpty)
+  }
+
+  test("metadata predicate on a DISK-BACKED codes index: the SQ and BQ " +
+    "filtered rungs run a real label filter, ≡ pre-filtered route") {
+    val e = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fcodes").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val codec = Similarity.sqTrain(spark, e)
+    val pred = col("label") === 2
+    val qs = e.filter(col("vec_id") < 20)
+
+    IvfStream.assignAndEncodeOnIngestWithMeta(e, centers, codec,
+        metaCols = Seq("label"))
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$tmp/sq/batch=0")
+    val sqIdx = spark.read.parquet(s"$tmp/sq")
+    val gotSq = Similarity.ivfSqTopKFromIndexFiltered(spark, qs, sqIdx,
+      centers, codec, e, 3, pred, shortlist = 10, nProbe = 4)
+    val wantSq = Similarity.ivfSqTopKFromIndex(spark, qs,
+      sqIdx.filter(pred), centers, codec, e.filter(pred), k = 3,
+      shortlist = 10, nProbe = 4)
+    assert(gotSq.exceptAll(wantSq).isEmpty && wantSq.exceptAll(gotSq).isEmpty)
+    val labels = e.select(col("vec_id").as("rid"), col("label"))
+    assert(gotSq.join(labels, "rid").filter(col("label") =!= 2)
+      .count() === 0L)
+
+    IvfStream.assignAndBqEncodeOnIngestWithMeta(e, centers,
+        metaCols = Seq("label"))
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$tmp/bq/batch=0")
+    val bqIdx = spark.read.parquet(s"$tmp/bq")
+    val gotBq = Similarity.ivfBqTopKFromIndexFiltered(spark, qs, bqIdx,
+      centers, e, 3, pred, shortlist = 10, nProbe = 4, asymmetric = true)
+    val wantBq = Similarity.ivfBqTopKFromIndex(spark, qs,
+      bqIdx.filter(pred), centers, e.filter(pred), k = 3,
+      shortlist = 10, nProbe = 4, asymmetric = true)
+    assert(gotBq.exceptAll(wantBq).isEmpty && wantBq.exceptAll(gotBq).isEmpty)
+    assert(gotBq.join(labels, "rid").filter(col("label") =!= 2)
+      .count() === 0L)
+  }
+
   test("ivfSqTopKFromIndexFiltered / ivfBqTopKFromIndexFiltered: " +
     "≡ the unfiltered rung over pre-filtered frames") {
     val e = Tables.embeddings(spark, sf)

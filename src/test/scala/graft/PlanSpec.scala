@@ -474,6 +474,36 @@ class PlanSpec extends SparkSpec {
       s"metadata predicate must reach the parquet scan as PushedFilters:\n$p")
   }
 
+  test("ivfSqTopKFromIndexFiltered on a meta-carrying CODES index: " +
+    "list PartitionFilters + label PushedFilters in the stage-1 scan") {
+    // the compressed-tier member of the filtered-ANN physical
+    // contract: the metadata predicate row-group-skips inside the
+    // probed lists of the 4×-compressed codes index — the stage-1
+    // scan never reads disallowed codes
+    import graft.pipeline.Similarity
+    import graft.streaming.IvfStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fcplan").toString
+    val e = Tables.embeddings(spark, sf)
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+    val codec = Similarity.sqTrain(spark, e)
+    IvfStream.assignAndEncodeOnIngestWithMeta(e, centers, codec,
+        metaCols = Seq("label"))
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=0")
+    val index = spark.read.parquet(tmp)
+    val p = Similarity.ivfSqTopKFromIndexFiltered(spark,
+        e.filter(col("vec_id") < 3), index, centers, codec, e, 5,
+        col("label") === 2, shortlist = 10, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("list") &&
+      !l.contains("PartitionFilters: []")),
+      s"filtered codes scan must keep the list partition filter:\n$p")
+    val pushedLines = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushedLines.exists(l => l.contains("label") &&
+      !l.contains("PushedFilters: []")),
+      s"metadata predicate must reach the codes scan as PushedFilters:\n$p")
+  }
+
   test("matryoshkaIvfTopKFromIndex prunes the prefix index and group-limits both stages") {
     // the r10 production rung: the prefix-IVF probe must read only the
     // probed list partitions of the on-disk prefix index (the
