@@ -655,10 +655,13 @@ object Similarity extends Serializable {
   }
 
   /** Load a persisted IVF-PQ index: (model, codes frame). Self-heals
-    * an interrupted [[ivfPqRefreshIndex]] swap first. */
+    * an interrupted [[ivfPqRefreshIndex]] swap first — at the
+    * directory AND codes levels (a delete on `<dir>/codes` marks one
+    * level down). */
   def ivfPqReadIndex(spark: SparkSession, dir: String,
                      idCol: String = "vec_id"): (IvfPqModel, DataFrame) = {
     graft.streaming.IndexSwap.restoreIfInterrupted(spark, dir)
+    graft.streaming.IndexSwap.restoreIfInterrupted(spark, s"$dir/codes")
     val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray)
     val bookRows = spark.read.parquet(s"$dir/books").orderBy("s", "c")
@@ -1136,12 +1139,15 @@ object Similarity extends Serializable {
   }
 
   /** Load a persisted Matryoshka prefix index: (centers, index frame).
-    * Self-heals an interrupted maintenance swap first. */
+    * Self-heals an interrupted maintenance swap first — at the
+    * directory AND prefix levels (a delete on `<dir>/prefix` marks
+    * one level down). */
   def matryoshkaIvfReadIndex(spark: SparkSession, dir: String,
                              idCol: String = "vec_id",
                              vecCol: String = "embedding")
       : (Array[Array[Double]], DataFrame) = {
     graft.streaming.IndexSwap.restoreIfInterrupted(spark, dir)
+    graft.streaming.IndexSwap.restoreIfInterrupted(spark, s"$dir/prefix")
     val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray)
     (centers,
@@ -1601,11 +1607,13 @@ object Similarity extends Serializable {
   }
 
   /** Load a persisted IVF-BQ index: (centers, codes frame). Self-heals
-    * an interrupted maintenance swap first. */
+    * an interrupted maintenance swap first — at the directory AND
+    * codes levels (a delete on `<dir>/codes` marks one level down). */
   def ivfBqReadIndex(spark: SparkSession, dir: String,
                      idCol: String = "vec_id")
       : (Array[Array[Double]], DataFrame) = {
     graft.streaming.IndexSwap.restoreIfInterrupted(spark, dir)
+    graft.streaming.IndexSwap.restoreIfInterrupted(spark, s"$dir/codes")
     val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray)
     (centers,
@@ -1738,11 +1746,15 @@ object Similarity extends Serializable {
   }
 
   /** Load a persisted IVF-SQ8 index: (centers, codec, codes frame).
-    * Self-heals an interrupted maintenance swap first. */
+    * Self-heals an interrupted maintenance swap first — at the
+    * directory level (whole-layout refresh) AND at the codes level
+    * (an [[graft.streaming.IndexDelete.deleteIds]] on `<dir>/codes`
+    * leaves its markers one level down). */
   def ivfSqReadIndex(spark: SparkSession, dir: String,
                      idCol: String = "vec_id")
       : (Array[Array[Double]], SqCodec, DataFrame) = {
     graft.streaming.IndexSwap.restoreIfInterrupted(spark, dir)
+    graft.streaming.IndexSwap.restoreIfInterrupted(spark, s"$dir/codes")
     val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray)
     val stats = spark.read.parquet(s"$dir/codec").orderBy("pos").collect()

@@ -698,6 +698,78 @@ object PipelineSimilarityQueries {
           "untouched_leaves_ok", "cost_tracks_deleted", "readd_searchable")
     }),
 
+    // Document TAKEDOWN composition (r12): the right-to-be-forgotten
+    // request end-to-end over the documents table — a doc leaves
+    // traces in EVERY text gate's accrued state, so forgetting it
+    // means sweeping the exact-dup fingerprint index AND the near-dup
+    // band-key index in one forgetDocs call. The subject's full
+    // near-dup FAMILY (candidates from its band buckets verified at
+    // the gate threshold — the gate's own matching rule) is forgotten
+    // together, because deleting only the doc would leave its
+    // siblings gating a re-arriving copy. Contract booleans:
+    //  - pre_gated: before the takedown, a byte-identical copy is
+    //    caught by BOTH gates (the fixture is live);
+    //  - fp_forgotten: post-delete the copy's fingerprint no longer
+    //    collides (the exact gate re-admits);
+    //  - band_readmits: the near-dup gate keeps the copy (no family
+    //    member remains to match it);
+    //  - control_still_gated: a copy of a doc OUTSIDE the family is
+    //    still caught by both gates — the delete touched only the
+    //    family's rows;
+    //  - reports_ok: the per-index DeleteReports count real rows.
+    "q214_doc_takedown" -> ((s, d) => {
+      import graft.streaming.{CurateStream, IndexDelete, NearDupStream}
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q214").toString
+      docs.select(md5(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(s"$root/fp/batch=0")
+      NearDupStream.bandKeys(docs).select("doc_id", "band", "bucket", "sig")
+        .write.mode("overwrite").parquet(s"$root/band/batch=0")
+      val target = docs.orderBy("doc_id").limit(1).collect()(0)
+      import s.implicits._
+      val probe = Seq((10000000L, target.getString(1))).toDF("doc_id", "text")
+      val probeFp = probe.select(col("doc_id"), md5(col("text")).as("fp"))
+      def fpHit(p: DataFrame): Long = p
+        .join(CurateStream.readFpIndex(s, s"$root/fp"), Seq("fp"),
+          "left_semi").count()
+      def bandKeep(p: DataFrame): Long = NearDupStream
+        .dedupAgainstIndex(s, p, s"$root/band", n = 3, k = 64,
+          bands = 16, threshold = 0.5)
+        .filter(col("keep")).count()
+      val preGated = fpHit(probeFp) == 1L && bandKeep(probe) == 0L
+      val idx = NearDupStream.readIndex(s, s"$root/band", k = 64)
+      // materialized to the driver BEFORE the delete (bounded: one
+      // doc's verified band-bucket family) — the lazy plan reads the
+      // band directory the delete is about to rewrite
+      val family = NearDupStream.bandKeys(probe)
+        .join(idx.select(col("band"), col("bucket"),
+          col("doc_id").as("_pid"), col("sig").as("_psig")),
+          Seq("band", "bucket"))
+        .filter(round(graft.pipeline.Dedup
+          .sigJaccard(col("sig"), col("_psig")), 6) >= 0.5)
+        .select(col("_pid")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val reports = IndexDelete.forgetDocs(s,
+        docs.filter(col("doc_id").isin(family: _*)),
+        fpIndexDir = Some(s"$root/fp"),
+        bandIndexDir = Some(s"$root/band"))
+      val fpForgotten = fpHit(probeFp) == 0L
+      val bandReadmits = bandKeep(probe) == 1L
+      val controlText = docs.filter(!col("doc_id").isin(family: _*))
+        .orderBy(desc("doc_id")).limit(1).collect()(0).getString(1)
+      val control = Seq((20000000L, controlText)).toDF("doc_id", "text")
+      val controlStillGated =
+        fpHit(control.select(col("doc_id"), md5(col("text")).as("fp"))) == 1L &&
+          bandKeep(control) == 0L
+      val reportsOk = reports("band").rowsDeleted > 0L &&
+        reports("fp").rowsDeleted >= 1L
+      Seq((preGated, fpForgotten, bandReadmits, controlStillGated,
+        reportsOk))
+        .toDF("pre_gated", "fp_forgotten", "band_readmits",
+          "control_still_gated", "reports_ok")
+    }),
+
     // Metadata-FILTERED ANN (r12, r11 verdict #4): "top-k among refs
     // WHERE label = 2" — the filter-then-search problem every
     // production vector store solves. The index is WRITTEN with the
@@ -855,6 +927,15 @@ object PipelineSimilarityQueries {
       """SELECT TRUE AS delete_removes, TRUE AS survivors_identical,
         |  TRUE AS untouched_leaves_ok, TRUE AS cost_tracks_deleted,
         |  TRUE AS readd_searchable""".stripMargin,
+
+    // Document-takedown invariant oracle: one row, every contract
+    // boolean pinned TRUE (see the q214 query body — both gates catch
+    // the copy pre-delete, re-admit it post-delete, a non-family
+    // control stays gated, reports count real rows).
+    "q214_doc_takedown" ->
+      """SELECT TRUE AS pre_gated, TRUE AS fp_forgotten,
+        |  TRUE AS band_readmits, TRUE AS control_still_gated,
+        |  TRUE AS reports_ok""".stripMargin,
 
     // Filtered ANN: the q204-family contract booleans plus the
     // predicate guarantee (filter_ok) the operator enforces.

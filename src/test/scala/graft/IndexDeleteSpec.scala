@@ -312,6 +312,57 @@ class IndexDeleteSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("deleteIds on the PERSISTED ivfSqWriteIndex / ivfBqWriteIndex " +
+    "layouts (<dir>/codes): probe parity, crash heals through the " +
+    "persisted reader") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delpers").toString
+    val doomed = Seq(3L, 4L, 7L)
+
+    val (centersW, codecW) = Similarity.ivfSqWriteIndex(spark, e,
+      s"$tmp/sq", nLists = 4)
+    IndexDelete.deleteIds(spark, s"$tmp/sq/codes", doomed, "vec_id")
+    val (centers, codec, codes) = Similarity.ivfSqReadIndex(spark, s"$tmp/sq")
+    assert(centers.zip(centersW).forall(p => p._1.sameElements(p._2)))
+    assert(codes.filter(col("vec_id").isin(doomed: _*)).count() === 0L)
+    val qs = e.filter(col("vec_id") < 20)
+    val refs = e.filter(!col("vec_id").isin(doomed: _*))
+    val got = Similarity.ivfSqTopKFromIndex(spark, qs, codes, centers,
+      codec, refs, k = 3, shortlist = 10, nProbe = 2)
+    val want = Similarity.ivfSqTopKFromIndex(spark, qs,
+      Similarity.ivfSqBuildIndex(spark, e, nLists = 4)._3
+        .filter(!col("vec_id").isin(doomed: _*)),
+      centersW, codecW, refs, k = 3, shortlist = 10, nProbe = 2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // forge a delete crashed mid-leaf-swap UNDER the codes subdir: the
+    // persisted reader must heal it (the markers live one level below
+    // the layout root the reader is given)
+    val fs = fsFor(tmp)
+    val leaf = s"$tmp/sq/codes/batch=0/list=1"
+    val total = codes.count()
+    fs.create(new Path(s"$tmp/sq/codes.deleting"), true).close()
+    fs.mkdirs(new Path(s"$tmp/sq/codes.delete/batch=0"))
+    fs.create(new Path(s"$leaf.swapping"), true).close()
+    assert(fs.rename(new Path(leaf), new Path(s"$leaf.old")))
+    fs.create(new Path(s"$leaf.old.complete"), true).close()
+    val (_, _, healed) = Similarity.ivfSqReadIndex(spark, s"$tmp/sq")
+    assert(healed.count() === total)
+    assert(!fs.exists(new Path(s"$tmp/sq/codes.deleting")))
+    assert(!fs.exists(new Path(s"$leaf.swapping")))
+
+    val centersB = Similarity.ivfBqWriteIndex(spark, e, s"$tmp/bq",
+      nLists = 4)
+    IndexDelete.deleteIds(spark, s"$tmp/bq/codes", doomed, "vec_id")
+    val (centersBr, bqCodes) = Similarity.ivfBqReadIndex(spark, s"$tmp/bq")
+    assert(centersBr.zip(centersB).forall(p => p._1.sameElements(p._2)))
+    assert(bqCodes.filter(col("vec_id").isin(doomed: _*)).count() === 0L)
+    val gotBq = Similarity.ivfBqTopKFromIndex(spark, qs, bqCodes,
+      centersB, refs, k = 3, shortlist = 10, nProbe = 2)
+    assert(gotBq.filter(col("rid").isin(doomed: _*)).count() === 0L)
+    e.unpersist()
+  }
+
   test("deleteIds refuses a flat (non-partitioned) directory") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_delfl").toString
