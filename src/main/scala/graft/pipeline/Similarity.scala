@@ -564,6 +564,31 @@ object Similarity extends Serializable {
                       seed: Long = 42, idCol: String = "vec_id",
                       vecCol: String = "embedding", dim: Int = 64,
                       trainCap: Int = 20000): (IvfPqModel, DataFrame) = {
+    val model = ivfPqTrainModel(spark, refs, nLists, m, nCodes, seed,
+      idCol, vecCol, dim, trainCap)
+    import spark.implicits._
+    val src = refs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val bc = spark.sparkContext.broadcast(model)
+    val index = src.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val mm = bc.value
+        val u = mm.unit(v)
+        val list = mm.argminCenter(u)
+        (id, list, mm.encode(u, list))
+      }.toDF(idCol, "list", "codes")
+    (model, index)
+  }
+
+  /** Train ONLY the IVF-PQ quantizer pair (coarse k-means over unit
+    * vectors + per-subspace residual codebooks) — the build's training
+    * half factored out so a maintenance retrain
+    * ([[graft.streaming.IvfStream.maintainPq]]) doesn't pay a corpus
+    * encode it immediately redoes on the index's id subset. */
+  def ivfPqTrainModel(spark: SparkSession, refs: DataFrame,
+                      nLists: Int = 16, m: Int = 8, nCodes: Int = 32,
+                      seed: Long = 42, idCol: String = "vec_id",
+                      vecCol: String = "embedding", dim: Int = 64,
+                      trainCap: Int = 20000): IvfPqModel = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     require(nCodes <= 256, "one-byte codes: nCodes must be ≤ 256")
     val dsub = dim / m
@@ -584,16 +609,7 @@ object Similarity extends Serializable {
         java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
       lloydKMeans(sub, nCodes, seed + s + 1)
     }
-    val model = IvfPqModel(dim, m, centers, codebooks)
-    val bc = spark.sparkContext.broadcast(model)
-    val index = src.as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val mm = bc.value
-        val u = mm.unit(v)
-        val list = mm.argminCenter(u)
-        (id, list, mm.encode(u, list))
-      }.toDF(idCol, "list", "codes")
-    (model, index)
+    IvfPqModel(dim, m, centers, codebooks)
   }
 
   /** Persist the IVF-PQ index: codes list-partitioned

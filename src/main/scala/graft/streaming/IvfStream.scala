@@ -302,6 +302,190 @@ object IvfStream {
     IndexSwap.swap(spark, indexDir, tmp)
   }
 
+  /** Stateless assign-and-PQ-encode: (idCol, list, codes) — the
+    * [[assignAndEncodeOnIngest]] twin for the top compression rung
+    * ([[Similarity.ivfPqBuildIndex]]'s frame shape: m one-byte
+    * residual codes per vector, 8 bytes/row at m=8). The frozen model
+    * is the full quantizer PAIR (coarse centers + per-subspace
+    * residual codebooks, one broadcast); every arithmetic step is the
+    * model's own ([[Similarity.IvfPqModel]].unit/argminCenter/encode
+    * — the batch build's exact map body), so streamed rows are
+    * row-identical to [[Similarity.ivfPqBuildIndex]] on the same
+    * corpus. */
+  def assignAndPqEncodeOnIngest(vecs: DataFrame,
+                                model: Similarity.IvfPqModel,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    vecs.select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val mm = bc.value
+        val u = mm.unit(v)
+        val list = mm.argminCenter(u)
+        (id, list, mm.encode(u, list))
+      }.toDF(idCol, "list", "codes")
+  }
+
+  /** [[assignAndPqEncodeOnIngest]] KEEPING metadata columns — the PQ
+    * member of the WithMeta ingest family (see
+    * [[assignAndEncodeOnIngestWithMeta]]): the predicate of an
+    * [[graft.pipeline.Similarity.ivfPqTopKFromIndexFiltered]] probe
+    * pushes into the scan of the m-bytes-per-vector index. */
+  def assignAndPqEncodeOnIngestWithMeta(vecs: DataFrame,
+                                        model: Similarity.IvfPqModel,
+                                        idCol: String = "vec_id",
+                                        vecCol: String = "embedding",
+                                        metaCols: Seq[String] = Seq.empty)
+      : DataFrame = {
+    val spark = vecs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val assign = udf { (v: Seq[Float]) =>
+      val mm = bc.value; mm.argminCenter(mm.unit(v.toArray)) }
+    val enc = udf { (v: Seq[Float], list: Int) =>
+      val mm = bc.value; mm.encode(mm.unit(v.toArray), list) }
+    vecs.select(col(idCol).cast("long").as(idCol) +:
+        col(vecCol) +: metaCols.map(col): _*)
+      .withColumn("list", assign(col(vecCol)))
+      .withColumn("codes", enc(col(vecCol), col("list")))
+      .select(col(idCol) +: col("codes") +: metaCols.map(col) :+
+        col("list"): _*)
+  }
+
+  /** Wire PQ codes ingest into a running stream — the [[attachSq]]
+    * layout (idempotent `batch=<id>` partitions, sub-partitioned by
+    * list) with m residual bytes as the stored payload: the LAST rung
+    * of the ingest family (float / SQ8 / BQ / PQ — every codec tier
+    * now accrues from a stream). Search the accrued directory with
+    * [[Similarity.ivfPqTopKFromIndex]] over [[readCodesIndex]];
+    * maintain with [[reassignPq]]/[[maintainPq]]/
+    * [[compactCodesIndex]]. The per-trigger staleness log uses the
+    * UNIT-space reading ([[quantizerStalenessPq]]) — PQ assigns on
+    * normalized vectors, so a raw-space mean_d2 would drift with
+    * arriving magnitudes, not with the quantizer's fit. */
+  def attachPq(stream: DataFrame, model: Similarity.IvfPqModel,
+               indexDir: String, checkpointDir: String,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               stalenessDir: Option[String] = None,
+               metaCols: Seq[String] = Seq.empty): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        (if (metaCols.isEmpty)
+           assignAndPqEncodeOnIngest(batch, model, idCol, vecCol)
+         else
+           assignAndPqEncodeOnIngestWithMeta(batch, model, idCol,
+             vecCol, metaCols))
+          .write.partitionBy("list").mode("overwrite")
+          .parquet(s"$indexDir/batch=$batchId")
+        stalenessDir.foreach { dir =>
+          quantizerStalenessPq(batch, model, idCol, vecCol)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$dir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** [[quantizerStaleness]] in the PQ model's UNIT space: mean squared
+    * L2 from each NORMALIZED vector to its assigned coarse centroid
+    * (the model's own [[Similarity.IvfPqModel]].unit/argminCenter
+    * geometry — first strict min, identical tie-break) + the list-skew
+    * reading. Same output schema, so the [[MaintainPolicy]] machinery
+    * consumes both logs identically. */
+  def quantizerStalenessPq(vecs: DataFrame, model: Similarity.IvfPqModel,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val nLists = model.centers.length
+    val assigned = vecs
+      .select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (_, v) =>
+        val mm = bc.value
+        val u = mm.unit(v)
+        val cs = mm.centers
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          var s = 0.0; var i = 0
+          while (i < u.length) { val d = u(i) - cs(c)(i); s += d * d; i += 1 }
+          if (s < bd) { bd = s; best = c } // first strict min ≡ argminCenter
+          c += 1
+        }
+        (best, bd)
+      }.toDF("list", "d2")
+    assigned.groupBy("list")
+      .agg(count(lit(1)).as("_n"), sum("d2").as("_s"))
+      .agg(coalesce(sum("_n"), lit(0L)).as("n_vecs"),
+        coalesce(sum("_s") / sum("_n"), lit(0.0)).as("mean_d2"),
+        coalesce(max("_n") / sum("_n"), lit(0.0)).as("max_list_frac"))
+      .select(col("n_vecs"), round(col("mean_d2"), 6).as("mean_d2"),
+        round(col("max_list_frac"), 6).as("max_list_frac"),
+        lit(nLists).as("n_lists"))
+  }
+
+  /** Offline quantizer refresh for the accrued PQ codes index — the
+    * [[reassignSq]] twin for the top rung (PQ codes are lossy: the
+    * stored residual bytes cannot recover the float vector either the
+    * re-LISTING or the re-ENCODE needs). Same loud incomplete-refs
+    * valve, same single narrow re-encode pass under the NEW model
+    * (coarse centers + codebooks move TOGETHER — a swapped index can
+    * never hold codes under mismatched books), same atomic
+    * [[IndexSwap]] (also compacts trigger litter into `batch=-1`).
+    * Run while the ingest stream is quiesced; resume [[attachPq]]
+    * with the new model. */
+  def reassignPq(spark: SparkSession, indexDir: String, refs: DataFrame,
+                 newModel: Similarity.IvfPqModel,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Unit = {
+    IndexSwap.requireLive(spark, indexDir, "IvfStream.reassignPq")
+    val tmp = indexDir + ".compact"
+    val indexedIds = readCodesIndex(spark, indexDir, idCol).select(idCol)
+    val src = refs.select(col(idCol).cast("long").as(idCol), col(vecCol))
+    val missing = indexedIds.join(src.select(idCol), Seq(idCol), "left_anti")
+      .count()
+    require(missing == 0L,
+      s"reassignPq: $missing indexed ids are absent from refs — " +
+        "refreshing from an incomplete corpus would silently drop " +
+        "indexed vectors. Pass the full original corpus (PQ codes " +
+        "are lossy; the index cannot re-encode itself).")
+    assignAndPqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
+        newModel, idCol, vecCol)
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
+    IndexSwap.swap(spark, indexDir, tmp)
+  }
+
+  /** [[maintain]] for the PQ codes tier: fires [[reassignPq]] with
+    * the full quantizer PAIR retrained on `refs`
+    * ([[Similarity.ivfPqTrainModel]]). No mini-batch rung here ON
+    * PURPOSE: the residual codebooks are trained AGAINST the coarse
+    * centers, so the cheap coarse-only nudge the other tiers offer
+    * would silently mis-pair codes with books — PQ drift repair is a
+    * pair retrain or nothing. */
+  def maintainPq(spark: SparkSession, indexDir: String,
+                 stalenessDir: String, refs: DataFrame,
+                 model: Similarity.IvfPqModel, policy: MaintainPolicy,
+                 seed: Long = 42, idCol: String = "vec_id",
+                 vecCol: String = "embedding")
+      : (MaintainReport, Option[Similarity.IvfPqModel]) =
+    decide(spark, stalenessDir, policy) match {
+      case Left(report) => (report, None)
+      case Right(report) =>
+        val newModel = Similarity.ivfPqTrainModel(spark, refs,
+          model.centers.length, model.m,
+          model.codebooks.headOption.map(_.length).getOrElse(32),
+          seed, idCol, vecCol, model.dim)
+        reassignPq(spark, indexDir, refs, newModel, idCol, vecCol)
+        clearStaleness(spark, stalenessDir)
+        (report, Some(newModel))
+    }
+
   /** Accumulated CODES index rows (idCol, codes, list), or an empty
     * typed frame before the first write. */
   def readCodesIndex(spark: SparkSession, indexDir: String,

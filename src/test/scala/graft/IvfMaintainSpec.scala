@@ -222,4 +222,63 @@ class IvfMaintainSpec extends SparkSpec {
     assert(rows(gotB) == rows(wantB))
     e.unpersist()
   }
+
+  test("maintainPq fires reassignPq with the retrained quantizer PAIR; " +
+    "unit-space staleness drives the decision; healthy no-ops") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_mntpq").toString
+    val model = Similarity.ivfPqTrainModel(spark, e, nLists = 4, m = 8,
+      nCodes = 16)
+    // a constant offset barely moves unit-space mean_d2 (normalized
+    // vectors collapse toward one direction) but that is EXACTLY the
+    // probe-cost failure mode the skew arm watches: one list absorbs
+    // the drifted corpus — drive the max_list_frac arm of the policy
+    val drifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    IvfStream.assignAndPqEncodeOnIngest(drifted, model)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/pq/batch=0")
+    def skewOf(df: org.apache.spark.sql.DataFrame,
+               m: Similarity.IvfPqModel): Double =
+      IvfStream.quantizerStalenessPq(df, m).collect()(0).getDouble(2)
+    val healthySkew = skewOf(e, model)
+    val driftedSkew = skewOf(drifted, model)
+    assert(driftedSkew > (healthySkew + driftedSkew) / 2,
+      s"fixture: drift must funnel lists ($healthySkew vs $driftedSkew)")
+    val policy = IvfStream.MaintainPolicy(meanD2Max = Double.MaxValue,
+      maxListFracMax = (healthySkew + driftedSkew) / 2)
+
+    // healthy reading → no-op, index and log untouched
+    IvfStream.quantizerStalenessPq(e, model).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/plog/batch=0")
+    val (r0, m0) = IvfStream.maintainPq(spark, s"$root/pq",
+      s"$root/plog", drifted, model, policy)
+    assert(!r0.fired && m0.isEmpty)
+
+    // drifted reading → fires: pair retrained on refs, codes
+    // re-encoded under the NEW model, consumed log cleared
+    IvfStream.quantizerStalenessPq(drifted, model).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/plog/batch=1")
+    val (rep, out) = IvfStream.maintainPq(spark, s"$root/pq",
+      s"$root/plog", drifted, model, policy)
+    assert(rep.fired && out.nonEmpty)
+    val newModel = out.get
+    assert(newModel.m == model.m &&
+      newModel.centers.length == model.centers.length &&
+      newModel.codebooks(0).length == model.codebooks(0).length,
+      "retrained pair must keep the index's geometry parameters")
+    val got = IvfStream.readCodesIndex(spark, s"$root/pq")
+      .select("vec_id", "list", "codes")
+    val want = IvfStream.assignAndPqEncodeOnIngest(drifted, newModel)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/plog")))
+    // the refreshed quantizer re-balances the lists it retrained on —
+    // the skew signal drops back under the firing threshold
+    val afterSkew = skewOf(drifted, newModel)
+    assert(afterSkew <= policy.maxListFracMax,
+      s"retrain must repair the skew ($driftedSkew -> $afterSkew)")
+    e.unpersist()
+  }
 }

@@ -2364,6 +2364,147 @@ class PipelineSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("IvfStream.attachPq: streamed PQ index ≡ batch ivfPqBuildIndex; " +
+    "reassignPq refresh + valve; unit-space staleness flows") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqstream").toString
+    val e = Tables.embeddings(spark, sf).cache()
+    val (model, batchIndex) = Similarity.ivfPqBuildIndex(spark, e,
+      nLists = 8, m = 8, nCodes = 16)
+    e.select("vec_id", "embedding").filter(col("vec_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = e.select("vec_id", "embedding").schema
+    val q = IvfStream.attachPq(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), model,
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt",
+      stalenessDir = Some(s"$tmp/stale"))
+    q.processAllAvailable()
+    e.select("vec_id", "embedding").filter(col("vec_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    // accrued residual-code rows ≡ the batch build's frame, row for row
+    val streamed = IvfStream.readCodesIndex(spark, s"$tmp/idx")
+      .select("vec_id", "list", "codes")
+    assert(streamed.exceptAll(batchIndex).isEmpty &&
+      batchIndex.exceptAll(streamed).isEmpty,
+      "streamed PQ codes index diverges from the batch build")
+    // search route over the streamed directory ≡ the inline operator
+    val qs = e.filter(col("vec_id") < 20)
+    val got = Similarity.ivfPqTopKFromIndex(spark, qs, streamed, model,
+      e, k = 5, nProbe = 4, refine = 4)
+    val want = Similarity.ivfPqTopKFromIndex(spark, qs, batchIndex, model,
+      e, k = 5, nProbe = 4, refine = 4)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // unit-space staleness: one row per trigger, counts sum to the
+    // corpus, mean_d2 in the unit-sphere healthy regime (≤ 4 = the
+    // diameter² bound on normalized vectors)
+    val stale = spark.read.parquet(s"$tmp/stale")
+    assert(stale.count() == 2L, "one staleness row per trigger")
+    assert(stale.agg(sum("n_vecs")).head.getLong(0) == e.count())
+    stale.collect().foreach { r =>
+      val d2 = r.getAs[Double]("mean_d2")
+      assert(d2 > 0 && d2 <= 4.0, s"unit-sphere mean_d2 bound, got $d2")
+    }
+    // reassignPq: refresh under a NEW model ≡ a fresh batch build
+    val (model7, fresh7) = Similarity.ivfPqBuildIndex(spark, e,
+      nLists = 8, m = 8, nCodes = 16, seed = 7)
+    IvfStream.reassignPq(spark, s"$tmp/idx", e, model7)
+    val refreshed = IvfStream.readCodesIndex(spark, s"$tmp/idx")
+      .select("vec_id", "list", "codes")
+    assert(refreshed.exceptAll(fresh7).isEmpty &&
+      fresh7.exceptAll(refreshed).isEmpty,
+      "reassignPq diverges from a fresh build under the new model")
+    // loud valve: refs missing an indexed id refuse, index untouched
+    val before = refreshed.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+      .toSet
+    val err = intercept[IllegalArgumentException] {
+      IvfStream.reassignPq(spark, s"$tmp/idx",
+        e.filter(col("vec_id") =!= 3), model)
+    }
+    assert(err.getMessage.contains("absent from refs"))
+    val after = IvfStream.readCodesIndex(spark, s"$tmp/idx")
+      .select("vec_id", "list", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+      .toSet
+    assert(after == before, "refused refresh must leave the index untouched")
+    e.unpersist()
+  }
+
+  test("IvfStream.attachPq with metaCols ≡ plain PQ ingest; filtered " +
+    "probe runs directly on the meta-carrying codes frame") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val (model, _) = Similarity.ivfPqBuildIndex(spark, e,
+      nLists = 4, m = 8, nCodes = 16)
+    val plain = IvfStream.assignAndPqEncodeOnIngest(e, model)
+    val meta = IvfStream.assignAndPqEncodeOnIngestWithMeta(e, model,
+      metaCols = Seq("label"))
+    assert(meta.columns.toSeq === Seq("vec_id", "codes", "label", "list"))
+    val a = meta.select("vec_id", "list", "codes")
+    val p = plain.select("vec_id", "list", "codes")
+    assert(a.exceptAll(p).isEmpty && p.exceptAll(a).isEmpty)
+    val pred = col("label") === 2
+    val qs = e.filter(col("vec_id") < 20)
+    val got = Similarity.ivfPqTopKFromIndexFiltered(spark, qs, meta,
+      model, e, 3, pred, nProbe = 4, refine = 4)
+    val want = Similarity.ivfPqTopKFromIndex(spark, qs, meta.filter(pred),
+      model, e.filter(pred), k = 3, nProbe = 4, refine = 4)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val labels = e.select(col("vec_id").as("rid"), col("label"))
+    assert(got.join(labels, "rid").filter(col("label") =!= 2)
+      .count() === 0L)
+    e.unpersist()
+  }
+
+  test("IvfStream.attachSq with metaCols: the streamed codes index " +
+    "carries the metadata and serves a filtered probe directly") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqmeta").toString
+    val e = Tables.embeddings(spark, sf).cache()
+    val (centers, codec, _) = Similarity.ivfSqBuildIndex(spark, e,
+      nLists = 8)
+    val cols = Seq("vec_id", "embedding", "label")
+    e.select(cols.map(col): _*).filter(col("vec_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = e.select(cols.map(col): _*).schema
+    val q = IvfStream.attachSq(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), centers, codec,
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt",
+      metaCols = Seq("label"))
+    q.processAllAvailable()
+    e.select(cols.map(col): _*).filter(col("vec_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    // the accrued directory carries the metadata column...
+    val idx = spark.read.parquet(s"$tmp/idx")
+    assert(idx.columns.contains("label"))
+    // ...and the (id, codes, list) payload ≡ the batch twin's
+    val streamed = idx.select("vec_id", "codes", "list")
+    val want = IvfStream.assignAndEncodeOnIngest(e, centers, codec)
+    assert(streamed.exceptAll(want).isEmpty &&
+      want.exceptAll(streamed).isEmpty)
+    // a metadata-filtered probe runs DIRECTLY on the streamed index
+    val qs = e.filter(col("vec_id") < 20)
+    val pred = col("label") === 2
+    val got = Similarity.ivfSqTopKFromIndexFiltered(spark, qs, idx,
+      centers, codec, e, 3, pred, shortlist = 10, nProbe = 4)
+    val ref = Similarity.ivfSqTopKFromIndex(spark, qs, idx.filter(pred),
+      centers, codec, e.filter(pred), k = 3, shortlist = 10, nProbe = 4)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    val labels = e.select(col("vec_id").as("rid"), col("label"))
+    assert(got.join(labels, "rid").filter(col("label") =!= 2)
+      .count() === 0L)
+    e.unpersist()
+  }
+
   test("IvfStream.attachBq: streamed 1-bit index ≡ batch ivfBqBuildIndex; reassignBq refresh + valve") {
     import graft.streaming.IvfStream
     import graft.pipeline.Similarity
