@@ -475,7 +475,9 @@ object IvfStream {
                  vecCol: String = "embedding")
       : (MaintainReport, Option[Similarity.IvfPqModel]) =
     decide(spark, stalenessDir, policy) match {
-      case Left(report) => (report, None)
+      case Left(report) =>
+        (fragmentationPass(spark, indexDir, policy, report)(
+          compactCodesIndex(spark, indexDir, idCol)), None)
       case Right(report) =>
         val newModel = Similarity.ivfPqTrainModel(spark, refs,
           model.centers.length, model.m,
@@ -483,7 +485,7 @@ object IvfStream {
           seed, idCol, vecCol, model.dim)
         reassignPq(spark, indexDir, refs, newModel, idCol, vecCol)
         clearStaleness(spark, stalenessDir)
-        (report, Some(newModel))
+        (report.copy(compacted = true), Some(newModel))
     }
 
   /** Accumulated CODES index rows (idCol, codes, list), or an empty
@@ -587,6 +589,33 @@ object IvfStream {
       .repartition(col("list"))
       .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
     IndexSwap.swap(spark, indexDir, tmp)
+  }
+
+  /** [[compactCodesIndex]] for the FLOAT layout: fold the per-trigger
+    * `batch=<id>` litter into one `batch=-1` list-partitioned layout
+    * WITHOUT touching the quantizer — a pure read+rewrite (no
+    * assignment recompute: the stored lists are already correct),
+    * cheaper than [[reassign]] when only fragmentation, not drift, is
+    * the problem. Same [[IndexSwap]] crash discipline; run quiesced. */
+  def compactIndex(spark: SparkSession, indexDir: String,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    IndexSwap.requireLive(spark, indexDir, "IvfStream.compactIndex")
+    val tmp = indexDir + ".compact"
+    readIndex(spark, indexDir, idCol, vecCol)
+      .repartition(col("list"))
+      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
+    IndexSwap.swap(spark, indexDir, tmp)
+  }
+
+  /** Top-level `batch=` directory count — the fragmentation reading
+    * the [[MaintainPolicy.maxBatches]] arm consumes (one directory
+    * listing, no data read). */
+  def countBatches(spark: SparkSession, indexDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
   }
 
   /** Quantizer-staleness signal — the metric that tells a deployment
@@ -754,22 +783,39 @@ object IvfStream {
   }
 
   /** WHEN-to-maintain thresholds for [[maintain]]/[[maintainSq]]/
-    * [[maintainBq]] — the decision the r11 staleness log recorded but
-    * nothing consumed (r11 verdict #5): fire when the volume-weighted
-    * `mean_d2` since the last maintenance exceeds `meanD2Max`, or any
-    * trigger's `max_list_frac` exceeded `maxListFracMax` (the probe-
-    * cost failure mode: one list absorbing the corpus). `minVecs`
-    * refuses to decide on thin evidence. Calibrate `meanD2Max` from a
-    * healthy reading (e.g. 2× the post-train mean_d2 — the r11c
-    * drift/reset measurements: 0.887 healthy vs 572.4 drifted). */
+    * [[maintainBq]]/[[maintainPq]] — the decision the r11 staleness
+    * log recorded but nothing consumed (r11 verdict #5): fire when the
+    * volume-weighted `mean_d2` since the last maintenance exceeds
+    * `meanD2Max`, or any trigger's `max_list_frac` exceeded
+    * `maxListFracMax` (the probe-cost failure mode: one list absorbing
+    * the corpus). `minVecs` refuses to decide on thin evidence.
+    * Calibrate `meanD2Max` from a healthy reading (e.g. 2× the
+    * post-train mean_d2 — the r11c drift/reset measurements: 0.887
+    * healthy vs 572.4 drifted).
+    *
+    * `maxBatches` is the FRAGMENTATION arm (r12): streamed ingest
+    * writes one `batch=<id>` directory per trigger, so a long-lived
+    * index accumulates thousands of small files — the classic
+    * small-files failure mode where the probe's scan wall grows with
+    * trigger count, not data size. When the quantizer is healthy but
+    * the batch-directory count exceeds `maxBatches`, maintenance runs
+    * a pure COMPACTION (one `batch=-1` layout, quantizers untouched,
+    * staleness log KEPT — its rows still measure the live quantizer). */
   final case class MaintainPolicy(meanD2Max: Double,
                                   maxListFracMax: Double = 1.0,
-                                  minVecs: Long = 1L)
+                                  minVecs: Long = 1L,
+                                  maxBatches: Int = Int.MaxValue)
 
-  /** What [[maintain]] decided and the reading it decided on. */
+  /** What [[maintain]] decided and the reading it decided on.
+    * `fired` = the quantizer was refreshed (reassign ran, new
+    * quantizers returned); `compacted` = the layout was rewritten
+    * (true for both a reassign — which compacts as a side effect —
+    * and a fragmentation-only compaction, where `fired` stays
+    * false and the quantizers are unchanged). */
   final case class MaintainReport(fired: Boolean, reason: String,
                                   nVecs: Long, meanD2: Double,
-                                  maxListFrac: Double)
+                                  maxListFrac: Double,
+                                  compacted: Boolean = false)
 
   /** Volume-weighted reading of everything logged since the last
     * maintenance (firing CLEARS the log, so "all current rows" IS
@@ -816,7 +862,9 @@ object IvfStream {
                vecCol: String = "embedding", miniBatch: Boolean = false)
       : (MaintainReport, Option[Array[Array[Double]]]) =
     decide(spark, stalenessDir, policy) match {
-      case Left(report) => (report, None)
+      case Left(report) =>
+        (fragmentationPass(spark, indexDir, policy, report)(
+          compactIndex(spark, indexDir, idCol, vecCol)), None)
       case Right(report) =>
         val idx = readIndex(spark, indexDir, idCol, vecCol)
         val newCenters =
@@ -828,7 +876,7 @@ object IvfStream {
               idCol, vecCol)
         reassign(spark, indexDir, newCenters, idCol, vecCol)
         clearStaleness(spark, stalenessDir)
-        (report, Some(newCenters))
+        (report.copy(compacted = true), Some(newCenters))
     }
 
   /** [[maintain]] for the SQ8 codes tier: fires
@@ -842,7 +890,9 @@ object IvfStream {
                  vecCol: String = "embedding", miniBatch: Boolean = false)
       : (MaintainReport, Option[(Array[Array[Double]], Similarity.SqCodec)]) =
     decide(spark, stalenessDir, policy) match {
-      case Left(report) => (report, None)
+      case Left(report) =>
+        (fragmentationPass(spark, indexDir, policy, report)(
+          compactCodesIndex(spark, indexDir, idCol)), None)
       case Right(report) =>
         val newCenters =
           if (miniBatch) refreshCentroids(refs, centers, 0.0, idCol, vecCol)
@@ -851,7 +901,7 @@ object IvfStream {
         val newCodec = Similarity.sqTrain(spark, refs, vecCol)
         reassignSq(spark, indexDir, refs, newCenters, newCodec, idCol, vecCol)
         clearStaleness(spark, stalenessDir)
-        (report, Some((newCenters, newCodec)))
+        (report.copy(compacted = true), Some((newCenters, newCodec)))
     }
 
   /** [[maintain]] for the 1-bit codes tier: fires [[reassignBq]]
@@ -864,7 +914,9 @@ object IvfStream {
                  vecCol: String = "embedding", miniBatch: Boolean = false)
       : (MaintainReport, Option[Array[Array[Double]]]) =
     decide(spark, stalenessDir, policy) match {
-      case Left(report) => (report, None)
+      case Left(report) =>
+        (fragmentationPass(spark, indexDir, policy, report)(
+          compactCodesIndex(spark, indexDir, idCol)), None)
       case Right(report) =>
         val newCenters =
           if (miniBatch) refreshCentroids(refs, centers, 0.0, idCol, vecCol)
@@ -872,8 +924,26 @@ object IvfStream {
             seed, idCol, vecCol)
         reassignBq(spark, indexDir, refs, newCenters, idCol, vecCol)
         clearStaleness(spark, stalenessDir)
-        (report, Some(newCenters))
+        (report.copy(compacted = true), Some(newCenters))
     }
+
+  /** Healthy-quantizer fragmentation arm (shared by the four maintain
+    * tiers): when the drift decision no-oped but the index's
+    * `batch=` directory count breaches [[MaintainPolicy.maxBatches]],
+    * run the tier's pure compaction. The staleness log is KEPT — its
+    * rows still measure the live (untouched) quantizer. */
+  private def fragmentationPass(spark: SparkSession, indexDir: String,
+                                policy: MaintainPolicy,
+                                report: MaintainReport)(compact: => Unit)
+      : MaintainReport = {
+    val batches = countBatches(spark, indexDir)
+    if (batches > policy.maxBatches) {
+      compact
+      report.copy(compacted = true,
+        reason = report.reason + s"; fragmentation: $batches batches > " +
+          s"maxBatches=${policy.maxBatches} — compacted")
+    } else report
+  }
 
   /** Shared policy evaluation: Left = no-op (with why), Right = fire
     * (with the breaching reading). */

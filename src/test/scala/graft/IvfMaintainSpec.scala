@@ -223,6 +223,64 @@ class IvfMaintainSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("fragmentation arm: healthy quantizer + batch litter past " +
+    "maxBatches compacts WITHOUT firing; log kept; next call no-ops") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_mntfrag").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    // five trigger partitions of litter — the streamed-ingest shape
+    (0 until 5).foreach { b =>
+      IvfStream.assignOnIngest(e.filter(col("vec_id") % 5 === b), centers)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=$b")
+    }
+    assert(IvfStream.countBatches(spark, s"$root/idx") === 5)
+    val beforeRows = IvfStream.readIndex(spark, s"$root/idx").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSet
+    IvfStream.quantizerStaleness(e, centers).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/log/batch=0")
+    val healthy = IvfStream.quantizerStaleness(e, centers)
+      .collect()(0).getDouble(1)
+    val policy = IvfStream.MaintainPolicy(meanD2Max = healthy * 2,
+      maxBatches = 3)
+
+    val (rep, newC) = IvfStream.maintain(spark, s"$root/idx", s"$root/log",
+      centers, policy)
+    assert(!rep.fired && rep.compacted && newC.isEmpty,
+      s"fragmentation must compact without a quantizer refresh: $rep")
+    assert(rep.reason.contains("fragmentation"))
+    assert(IvfStream.countBatches(spark, s"$root/idx") === 1,
+      "compaction must fold the litter into one batch")
+    val afterRows = IvfStream.readIndex(spark, s"$root/idx").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSet
+    assert(afterRows === beforeRows, "compaction must preserve every row")
+    // the log still measures the live quantizer — it must be KEPT
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/log")),
+      "a fragmentation-only compaction must not clear the drift log")
+    // defragmented: the next call does nothing
+    val (rep2, _) = IvfStream.maintain(spark, s"$root/idx", s"$root/log",
+      centers, policy)
+    assert(!rep2.fired && !rep2.compacted)
+
+    // codes tier: same arm through maintainSq's compactCodesIndex
+    val codec = Similarity.sqTrain(spark, e)
+    (0 until 5).foreach { b =>
+      IvfStream.assignAndEncodeOnIngest(
+          e.filter(col("vec_id") % 5 === b), centers, codec)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/sq/batch=$b")
+    }
+    IvfStream.quantizerStaleness(e, centers).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/slog/batch=0")
+    val (repSq, outSq) = IvfStream.maintainSq(spark, s"$root/sq",
+      s"$root/slog", e, centers, policy)
+    assert(!repSq.fired && repSq.compacted && outSq.isEmpty)
+    assert(IvfStream.countBatches(spark, s"$root/sq") === 1)
+    e.unpersist()
+  }
+
   test("maintainPq fires reassignPq with the retrained quantizer PAIR; " +
     "unit-space staleness drives the decision; healthy no-ops") {
     val e = Tables.embeddings(spark, sf).cache()
