@@ -229,6 +229,52 @@ object ProbeIndexMaint {
         f"rows=${r2.rowsDeleted}; full-rewrite yardstick=$tFull%.2fs")
       repE.unpersist()
     }
+
+    // G) fragmentation (r12): the SAME corpus laid out as 1 / 16 / 64
+    // trigger batches — probe wall must grow with batch count at
+    // fixed data size (the small-files physics the maxBatches arm
+    // exists for), and ONE compactIndex must restore the 1-batch wall.
+    {
+      val corpus = e.cache(); corpus.count()
+      val centers = Similarity.ivfTrainCentroids(spark, corpus, nLists = 32)
+      val assigned = IvfStream.assignOnIngest(corpus, centers).cache()
+      assigned.count()
+      val qs = corpus.limit(50)
+      def probeWall(dir: String): Double = {
+        val (_, t) = time {
+          Similarity.ivfTopKFromIndex(spark, qs,
+            IvfStream.readIndex(spark, dir), centers, k = 5, nProbe = 4)
+            .count()
+        }
+        t
+      }
+      def layout(nb: Int): String = {
+        val dir = java.nio.file.Files.createTempDirectory("frag_pr")
+          .toString + "/idx"
+        (0 until nb).foreach { b =>
+          assigned.filter(pmod(col("vec_id"), lit(nb)) === b)
+            .write.partitionBy("list").mode("overwrite")
+            .parquet(s"$dir/batch=$b")
+        }
+        dir
+      }
+      // warm the probe plan (codegen + shuffle setup) so the timed
+      // walls measure the LAYOUT difference, not first-run JIT
+      probeWall(layout(1))
+      val walls = Seq(1, 16, 64).map { nb =>
+        val dir = layout(nb)
+        (nb, dir, probeWall(dir))
+      }
+      val (_, dir64, w64) = walls.last
+      val (_, tc) = time(IvfStream.compactIndex(spark, dir64))
+      val wAfter = probeWall(dir64)
+      println(f"[fragment] probe walls " +
+        walls.map { case (nb, _, w) => f"$nb%d-batch=$w%.2fs" }
+          .mkString(" ") +
+        f"; compact(64-batch) wall=$tc%.2fs, probe after=$wAfter%.2fs " +
+        f"(batches now ${IvfStream.countBatches(spark, dir64)})")
+      assigned.unpersist(); corpus.unpersist()
+    }
     spark.stop()
   }
 }
