@@ -164,21 +164,30 @@ object IndexDelete {
     deleteIds(spark, indexDir, ids.toDF("_del_id"), idCol)
   }
 
-  /** Document-level takedown across the TEXT-side indexes in one
-    * call — the "forget these documents" composition a
-    * right-to-be-forgotten request actually needs (a doc leaves
-    * traces in every gate's state, not just one): the curation
+  /** Document-level takedown across EVERY index a doc leaves traces
+    * in — the "forget these documents" composition a
+    * right-to-be-forgotten request actually needs: the curation
     * fingerprint index keys on `md5(text)`, the near-dup band index
-    * on `doc_id`; each present index gets its own [[deleteIds]] (same
-    * partition-scoped rewrite, same crash discipline). Embedding-side
-    * indexes key on `vec_id` — delete those directly with
-    * [[deleteIds]] under the pipeline's doc→vec id mapping. Returns
-    * one report per swept index. */
+    * on `doc_id`, and the EMBEDDING-side indexes (streamed IVF
+    * float/SQ8/BQ/PQ directories, persisted `<dir>/codes` layouts) on
+    * `vec_id` — reached through the pipeline's doc→vec mapping
+    * (`docVec`: a (idCol, vecIdCol) frame; a doc may map to MANY
+    * vectors — chunk/passage embeddings — and every one is swept).
+    * Each present index gets its own [[deleteIds]] (same
+    * partition-scoped rewrite, same crash discipline). Returns one
+    * report per swept index: "fp", "band", and "vec:<dir>" keys. */
   def forgetDocs(spark: SparkSession, docs: DataFrame,
                  fpIndexDir: Option[String] = None,
                  bandIndexDir: Option[String] = None,
                  idCol: String = "doc_id",
-                 textCol: String = "text"): Map[String, DeleteReport] = {
+                 textCol: String = "text",
+                 vecIndexDirs: Seq[String] = Seq.empty,
+                 docVec: Option[DataFrame] = None,
+                 vecIdCol: String = "vec_id"): Map[String, DeleteReport] = {
+    require(vecIndexDirs.isEmpty || docVec.nonEmpty,
+      "forgetDocs: vecIndexDirs given without a docVec mapping — the " +
+        "embedding indexes key on vec_id, so sweeping them needs the " +
+        s"pipeline's ($idCol, $vecIdCol) frame")
     val out = Map.newBuilder[String, DeleteReport]
     fpIndexDir.foreach { d =>
       out += "fp" -> deleteIds(spark, d,
@@ -186,6 +195,14 @@ object IndexDelete {
     }
     bandIndexDir.foreach { d =>
       out += "band" -> deleteIds(spark, d, docs.select(col(idCol)), idCol)
+    }
+    if (vecIndexDirs.nonEmpty) {
+      val vecIds = docVec.get
+        .join(docs.select(col(idCol)), Seq(idCol), "left_semi")
+        .select(col(vecIdCol))
+      vecIndexDirs.foreach { d =>
+        out += s"vec:$d" -> deleteIds(spark, d, vecIds, vecIdCol)
+      }
     }
     out.result()
   }

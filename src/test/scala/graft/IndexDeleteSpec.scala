@@ -265,6 +265,41 @@ class IndexDeleteSpec extends SparkSpec {
     assert(dec.filter(col("keep")).count() === 1L)
   }
 
+  test("forgetDocs sweeps EMBEDDING-side indexes through the doc→vec " +
+    "mapping; refuses vecIndexDirs without a mapping") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forgetv").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val codec = Similarity.sqTrain(spark, e)
+    IvfStream.assignOnIngest(e, centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$tmp/vf/batch=0")
+    IvfStream.assignAndEncodeOnIngest(e, centers, codec)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$tmp/vq/batch=0")
+    // doc 0 chunks into vectors 0 and 1, doc 1 into vector 2 — a
+    // doc-level takedown must sweep EVERY vector of the doomed doc
+    val docVec = Seq((0L, 0L), (0L, 1L), (1L, 2L))
+      .toDF("doc_id", "vec_id")
+    val docs = Seq((0L, "doomed text")).toDF("doc_id", "text")
+    val reports = IndexDelete.forgetDocs(spark, docs,
+      vecIndexDirs = Seq(s"$tmp/vf", s"$tmp/vq"), docVec = Some(docVec))
+    assert(reports.keySet === Set(s"vec:$tmp/vf", s"vec:$tmp/vq"))
+    assert(reports.values.forall(_.rowsDeleted === 2L))
+    Seq(IvfStream.readIndex(spark, s"$tmp/vf"),
+        IvfStream.readCodesIndex(spark, s"$tmp/vq")).foreach { idx =>
+      assert(idx.filter(col("vec_id").isin(0L, 1L)).count() === 0L,
+        "every vector of the forgotten doc must be gone")
+      assert(idx.filter(col("vec_id") === 2L).count() === 1L,
+        "the other doc's vectors must survive")
+    }
+    val err = intercept[IllegalArgumentException] {
+      IndexDelete.forgetDocs(spark, docs, vecIndexDirs = Seq(s"$tmp/vf"))
+    }
+    assert(err.getMessage.contains("docVec"))
+  }
+
   test("past the exact-predicate valve the isin superset scan still " +
     "installs ONLY affected leaves — untouched leaves byte-identical") {
     val e = Tables.embeddings(spark, sf).cache()
@@ -360,6 +395,22 @@ class IndexDeleteSpec extends SparkSpec {
     val gotBq = Similarity.ivfBqTopKFromIndex(spark, qs, bqCodes,
       centersB, refs, k = 3, shortlist = 10, nProbe = 2)
     assert(gotBq.filter(col("rid").isin(doomed: _*)).count() === 0L)
+
+    // the remaining two persisted layouts share the shape — one
+    // delete + read-back assertion each closes the family
+    Similarity.ivfPqWriteIndex(spark, e, s"$tmp/pq", nLists = 4,
+      m = 8, nCodes = 16)
+    IndexDelete.deleteIds(spark, s"$tmp/pq/codes", doomed, "vec_id")
+    val (_, pqCodes) = Similarity.ivfPqReadIndex(spark, s"$tmp/pq")
+    assert(pqCodes.filter(col("vec_id").isin(doomed: _*)).count() === 0L)
+    assert(pqCodes.count() === e.count() - doomed.length)
+
+    Similarity.matryoshkaIvfWriteIndex(spark, e, s"$tmp/mrl",
+      dims = 32, nLists = 4)
+    IndexDelete.deleteIds(spark, s"$tmp/mrl/prefix", doomed, "vec_id")
+    val (_, mrlIdx) = Similarity.matryoshkaIvfReadIndex(spark, s"$tmp/mrl")
+    assert(mrlIdx.filter(col("vec_id").isin(doomed: _*)).count() === 0L)
+    assert(mrlIdx.count() === e.count() - doomed.length)
     e.unpersist()
   }
 
