@@ -12,8 +12,15 @@ import json
 import sys
 
 def load(p):
+    # Bench emits two JSON lines since r12 (per-query totals + a
+    # summary line carrying medians/loadavg); pick the line that
+    # actually has the per-query map.
     with open(p) as f:
-        return json.loads(f.read().strip().splitlines()[-1])
+        lines = [json.loads(l) for l in f.read().strip().splitlines()]
+    for j in reversed(lines):
+        if j.get("queries"):
+            return j
+    return lines[-1]
 
 def main():
     a, b = load(sys.argv[1]), load(sys.argv[2])
