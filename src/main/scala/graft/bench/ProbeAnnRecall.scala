@@ -111,6 +111,33 @@ object ProbeAnnRecall {
         println(f"fivf8x$np%-2s filtered recall@5 = " +
           f"${nh.toDouble / nfb}%.4f ($nh/$nfb)")
       }
+      // codes-tier filtered routes (r12g): the metadata rides inside
+      // the COMPRESSED index (assignAndEncodeOnIngestWithMeta /
+      // assignAndBqEncodeOnIngestWithMeta) — recall vs the same
+      // brute-on-filtered twin, so the filtered compressed rungs'
+      // operating points are measured, not inferred from the float row
+      val codec = Similarity.sqTrain(spark, e)
+      val sqIdx = graft.streaming.IvfStream
+        .assignAndEncodeOnIngestWithMeta(e, centers, codec,
+          metaCols = Seq("label"))
+      val bqIdx = graft.streaming.IvfStream
+        .assignAndBqEncodeOnIngestWithMeta(e, centers,
+          metaCols = Seq("label"))
+      for (np <- Seq(4, 6)) {
+        val fsq = Similarity.ivfSqTopKFromIndexFiltered(spark, q50,
+          sqIdx, centers, codec, e, 5, pred, shortlist = 30, nProbe = np)
+        val nhSq = fsq.select("qid", "rid")
+          .join(fb, Seq("qid", "rid"), "left_semi").count()
+        println(f"fivfsq8x$np%-2s filtered recall@5 = " +
+          f"${nhSq.toDouble / nfb}%.4f ($nhSq/$nfb)")
+        val fbq = Similarity.ivfBqTopKFromIndexFiltered(spark, q50,
+          bqIdx, centers, e, 5, pred, shortlist = 50, nProbe = np,
+          asymmetric = true)
+        val nhBq = fbq.select("qid", "rid")
+          .join(fb, Seq("qid", "rid"), "left_semi").count()
+        println(f"fivfbqa8x$np%-1s filtered recall@5 = " +
+          f"${nhBq.toDouble / nfb}%.4f ($nhBq/$nfb)")
+      }
       fb.unpersist()
     }
 
