@@ -247,6 +247,18 @@ object CurateStream {
     * per-batch left_semi probe; the swap is the [[IndexSwap]] crash
     * discipline (an interrupted run self-heals on the next read).
     * Run while the stream is quiesced. */
+  /** Fragmentation-driven compaction for the fingerprint index — the
+    * [[NearDupStream.compactIndexIfFragmented]] twin: compacts when
+    * the `batch=` count exceeds `maxBatches`, no-ops otherwise;
+    * returns whether it compacted. Run quiesced. */
+  def compactFpIndexIfFragmented(spark: SparkSession, fpIndexDir: String,
+                                 maxBatches: Int,
+                                 partitions: Int = 32): Boolean = {
+    val batches = IndexSwap.countBatches(spark, fpIndexDir)
+    if (batches > maxBatches) { compactFpIndex(spark, fpIndexDir, partitions); true }
+    else false
+  }
+
   def compactFpIndex(spark: SparkSession, fpIndexDir: String,
                      partitions: Int = 32): Unit = {
     IndexSwap.requireLive(spark, fpIndexDir, "compactFpIndex")

@@ -165,6 +165,17 @@ private[graft] object IndexSwap {
     ()
   }
 
+  /** Top-level `batch=` directory count of an accrued index — the
+    * fragmentation reading shared by every tier's maxBatches arm
+    * (one directory listing, no data read). */
+  private[graft] def countBatches(spark: SparkSession,
+                                  indexDir: String): Int = {
+    val p = new Path(indexDir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+  }
+
   /** Maintenance-helper precondition: heal if needed, then require the
     * live directory exists BEFORE the caller spends a job writing its
     * temp replacement (an absent index used to surface as a confusing

@@ -610,13 +610,9 @@ object IvfStream {
 
   /** Top-level `batch=` directory count — the fragmentation reading
     * the [[MaintainPolicy.maxBatches]] arm consumes (one directory
-    * listing, no data read). */
-  def countBatches(spark: SparkSession, indexDir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
-  }
+    * listing, no data read; the shared [[IndexSwap.countBatches]]). */
+  def countBatches(spark: SparkSession, indexDir: String): Int =
+    IndexSwap.countBatches(spark, indexDir)
 
   /** Quantizer-staleness signal — the metric that tells a deployment
     * WHEN to schedule [[reassign]]/[[reassignSq]] (r10 verdict: the

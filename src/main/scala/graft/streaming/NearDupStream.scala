@@ -241,6 +241,20 @@ object NearDupStream {
     * compacted one is renamed into place: write tmp → rename live to
     * `.old` → rename tmp to live → delete `.old`. A crash between the
     * renames leaves `.old` intact and [[readIndex]] restores it. */
+  /** Fragmentation-driven compaction for the band-key index (the
+    * [[graft.streaming.IvfStream.MaintainPolicy]].maxBatches arm for
+    * the index families with no quantizer to drift): compacts when
+    * the `batch=` directory count exceeds `maxBatches`, no-ops
+    * otherwise. Returns whether it compacted. One directory listing
+    * to decide; run quiesced, like [[compactIndex]]. */
+  def compactIndexIfFragmented(spark: SparkSession, indexDir: String,
+                               k: Int, maxBatches: Int,
+                               partitions: Int = 32): Boolean = {
+    val batches = IndexSwap.countBatches(spark, indexDir)
+    if (batches > maxBatches) { compactIndex(spark, indexDir, k, partitions); true }
+    else false
+  }
+
   def compactIndex(spark: SparkSession, indexDir: String, k: Int,
                    partitions: Int = 32): Unit = {
     IndexSwap.requireLive(spark, indexDir, "compactIndex")

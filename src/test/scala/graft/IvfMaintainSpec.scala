@@ -281,6 +281,55 @@ class IvfMaintainSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("band/fp fragmentation twins: compactIfFragmented folds litter " +
+    "past maxBatches, preserves gate state, no-ops when tidy") {
+    import spark.implicits._
+    import graft.streaming.{CurateStream, NearDupStream}
+    val root = java.nio.file.Files.createTempDirectory("graft_bfrag").toString
+    val docs = (0L until 40L).map(i =>
+      (i, s"document number $i about topic ${i % 7} with shared filler"))
+      .toDF("doc_id", "text")
+    (0 until 5).foreach { b =>
+      NearDupStream.bandKeys(docs.filter(col("doc_id") % 5 === b))
+        .select("doc_id", "band", "bucket", "sig")
+        .write.mode("overwrite").parquet(s"$root/band/batch=$b")
+      docs.filter(col("doc_id") % 5 === b)
+        .select(md5(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(s"$root/fp/batch=$b")
+    }
+    val bandBefore = NearDupStream.readIndex(spark, s"$root/band", k = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val fpBefore = CurateStream.readFpIndex(spark, s"$root/fp")
+      .collect().map(_.getString(0)).toSet
+
+    assert(NearDupStream.compactIndexIfFragmented(spark, s"$root/band",
+      k = 64, maxBatches = 3))
+    assert(CurateStream.compactFpIndexIfFragmented(spark, s"$root/fp",
+      maxBatches = 3))
+    assert(graft.streaming.IvfStream.countBatches(spark, s"$root/band") === 1)
+    assert(graft.streaming.IvfStream.countBatches(spark, s"$root/fp") === 1)
+    val bandAfter = NearDupStream.readIndex(spark, s"$root/band", k = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val fpAfter = CurateStream.readFpIndex(spark, s"$root/fp")
+      .collect().map(_.getString(0)).toSet
+    assert(bandAfter === bandBefore && fpAfter === fpBefore,
+      "compaction must preserve every gate row")
+    // tidy now: both no-op
+    assert(!NearDupStream.compactIndexIfFragmented(spark, s"$root/band",
+      k = 64, maxBatches = 3))
+    assert(!CurateStream.compactFpIndexIfFragmented(spark, s"$root/fp",
+      maxBatches = 3))
+    // and the gates still fire: a byte-identical copy is caught
+    val probe = docs.filter(col("doc_id") === 0L)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val dec = NearDupStream.dedupAgainstIndex(spark, probe, s"$root/band",
+      n = 3, k = 64, bands = 16, threshold = 0.5)
+    assert(dec.filter(col("keep")).count() === 0L)
+    assert(probe.select(md5(col("text")).as("fp"))
+      .join(CurateStream.readFpIndex(spark, s"$root/fp"), Seq("fp"),
+        "left_semi").count() === 1L)
+  }
+
   test("maintainPq fires reassignPq with the retrained quantizer PAIR; " +
     "unit-space staleness drives the decision; healthy no-ops") {
     val e = Tables.embeddings(spark, sf).cache()
