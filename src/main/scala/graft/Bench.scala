@@ -41,8 +41,14 @@ object Bench {
     // artifact's sub-second headline tiers have swung 14× on untouched
     // code under ambient load — record the signal that explains it so
     // the judge never re-adjudicates noise from prose)
-    def loadavg(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // getSystemLoadAverage returns -1.0 where the reading is
+    // unavailable — write JSON null instead of a plausible-looking
+    // number a diff tool would treat as a real load (r12 ADVICE)
+    def loadavg(): String = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (l < 0) "null" else l.toString
+    }
     val loadStart = loadavg()
 
     // tier 1: the full query surface. Failures are LOUD: the stack
@@ -293,9 +299,19 @@ object Bench {
     val cD = s"""{"n":4039,"m":${centDist._1},"sources_cap":256,""" +
       s""""time":${centDist._2},"routed_time":$centRouted}"""
     val icD = s"""{"n":200,"spread":${icDist._1},"time":${icDist._2}}"""
+    // ONE merged line carries everything: per-query map + the summary
+    // fields (layout/influence medians, counts, loadavg). It is
+    // printed LAST so a parser that takes the final stdout JSON line
+    // gets the structured per-query data (r12 verdict #8: the driver's
+    // `parsed` field has been null every round because the summary
+    // line it saw last had no queries map); tools/bench_diff.py picks
+    // the last line WITH a queries map, so both readers agree on this
+    // line.
     val fullLine =
       s"""{"metric":"total","value":$total,"core_total":$coreTotal,"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,""" +
+      s""""layout":${erRow._4},"influence":$inflTotal,""" +
+      s""""n_queries":${results.size},"n_errors":${errors.size},""" +
       s""""layout_bench":$layout,"influence_bench":$infl,""" +
       s""""dataset_bench":$ds,""" +
       s""""dataset_bench_distributed":$dsD,"layout_lsh":$dsL,""" +
@@ -303,6 +319,15 @@ object Bench {
       s""""generator_sweep":$genSweepJson,"influence_sweep":$inflSweepJson,""" +
       s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
       s""""sf":"$sfDir"}"""
+    // A compact headline summary FIRST, for humans reading a short
+    // stdout tail window mid-run (no queries map, so neither parser
+    // above can confuse it for the data line).
+    println(s"""{"metric":"summary","value":$total,"unit":"sec",""" +
+      s""""core_total":$coreTotal,"layout":${erRow._4},""" +
+      s""""influence":$inflTotal,"n_queries":${results.size},""" +
+      s""""n_errors":${errors.size},""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
+      s""""sf":"$sfDir"}""")
     println(fullLine)
     // Persist the FULL per-query line when asked (r8 verdict: BENCH_r*
     // artifacts keep only a 2000-char stdout tail, so round-over-round
@@ -312,16 +337,6 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
       ()
     }
-    // The full line above is ~6 kB; harnesses that keep only a short
-    // tail of stdout truncate its head and can no longer parse it. Emit
-    // a compact headline summary LAST so the final line always fits a
-    // ~2000-char tail window and parses on its own.
-    println(s"""{"metric":"summary","value":$total,"unit":"sec",""" +
-      s""""core_total":$coreTotal,"layout":${erRow._4},""" +
-      s""""influence":$inflTotal,"n_queries":${results.size},""" +
-      s""""n_errors":${errors.size},""" +
-      s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
-      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,11 +75,23 @@ object IndexDelete {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
 
     val df = spark.read.parquet(indexDir)
+    // the documented contract is a 1-column id frame; a multi-column
+    // frame is accepted ONLY when it carries a column named idCol (an
+    // un-projected (doc_id, vec_id) mapping with the id NOT first used
+    // to delete by the wrong column silently, since the cast to the
+    // index key type often succeeds — r12 ADVICE)
+    require(ids.columns.length == 1 || ids.columns.contains(idCol),
+      s"IndexDelete.deleteIds: ids has ${ids.columns.length} columns " +
+        s"(${ids.columns.mkString(", ")}) and none is named '$idCol' — " +
+        "pass a 1-column id frame, or include the id under the index's " +
+        "key column name so the right column is unambiguous")
+    val idColIn =
+      if (ids.columns.contains(idCol)) idCol else ids.columns.head
     // key type comes from the INDEX, so a long-keyed vector index and
     // a string-keyed fingerprint index (CurateStream's fp column)
     // both delete through the one code path
     val idsN = ids
-      .select(col(ids.columns.head).cast(df.schema(idCol).dataType)
+      .select(col(idColIn).cast(df.schema(idCol).dataType)
         .as("_del_id"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

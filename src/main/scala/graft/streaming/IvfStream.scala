@@ -58,17 +58,28 @@ object IvfStream {
     * `batch=<id>` partition there — the per-trigger drift log a
     * deployment alerts on to schedule [[reassign]] (one extra narrow
     * map + ≤nLists-row aggregate per trigger, the signal's documented
-    * price). */
+    * price).
+    *
+    * `metaCols`: extra columns to carry into the index rows
+    * ([[assignOnIngestWithMeta]]) so a
+    * [[graft.pipeline.Similarity.ivfTopKFromIndexFiltered]] probe gets
+    * `PushedFilters` on them — the same parameter the codec tiers
+    * ([[attachSq]]/[[attachBq]]/[[attachPq]]) take (r12 ADVICE: the
+    * float tier was the only wire-in without it). */
   def attach(stream: DataFrame, centers: Array[Array[Double]],
              indexDir: String, checkpointDir: String,
              idCol: String = "vec_id",
              vecCol: String = "embedding",
-             stalenessDir: Option[String] = None): StreamingQuery =
+             stalenessDir: Option[String] = None,
+             metaCols: Seq[String] = Seq.empty): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        assignOnIngest(batch, centers, idCol, vecCol)
+        (if (metaCols.isEmpty)
+           assignOnIngest(batch, centers, idCol, vecCol)
+         else
+           assignOnIngestWithMeta(batch, centers, idCol, vecCol, metaCols))
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
         stalenessDir.foreach { dir =>
@@ -764,7 +775,14 @@ object IvfStream {
       val l = r.getInt(0); val pos = r.getInt(1)
       val n = r.getLong(2); val s = r.getDouble(3); val s2 = r.getDouble(4)
       val c = centers(l)(pos)
-      nOf(l) = n
+      // max over the list's cells, NOT "any cell's n" (r12 ADVICE): an
+      // under-length embedding — accepted silently by ivfNearest, which
+      // loops over v.length — contributes to low positions only, so
+      // per-pos counts can differ within a list and an arbitrary cell
+      // would silently skew n_vecs/max_list_frac. The max matches
+      // quantizerStaleness's per-ROW count semantics (every vector
+      // counts once, at the positions it has).
+      nOf(l) = math.max(nOf(l), n)
       totalD2 += s2 - 2.0 * c * s + n * c * c
       out(l)(pos) = (priorWeight * c + s) / (priorWeight + n)
     }

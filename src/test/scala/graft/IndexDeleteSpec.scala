@@ -424,4 +424,35 @@ class IndexDeleteSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("batch="))
   }
+
+  test("deleteIds id-frame contract: a multi-column frame uses the " +
+    "column NAMED idCol; one with no such column refuses loudly") {
+    // the failure this closes (r12 ADVICE): an un-projected
+    // (doc_id, vec_id) mapping with the id NOT first used to delete by
+    // doc_id silently, since the cast to the key type succeeds
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delcol").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    IvfStream.assignOnIngest(e, centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$tmp/idx/batch=0")
+    import spark.implicits._
+    // doc_id FIRST, vec_id second — the delete must key on vec_id
+    // (doc ids 5/9 also exist as vec_ids: keying on the wrong column
+    // would delete THEM instead)
+    val mapping = Seq((5L, 3L), (9L, 7L)).toDF("doc_id", "vec_id")
+    val rep = IndexDelete.deleteIds(spark, s"$tmp/idx", mapping, "vec_id")
+    assert(rep.rowsDeleted === 2L, s"deleted by the wrong column: $rep")
+    val left = IvfStream.readIndex(spark, s"$tmp/idx")
+    assert(left.filter(col("vec_id").isin(3L, 7L)).count() === 0L)
+    assert(left.filter(col("vec_id").isin(5L, 9L)).count() === 2L,
+      "rows whose vec_id matches the mapping's DOC ids must survive")
+    // a multi-column frame with NO column named idCol is ambiguous
+    val err = intercept[IllegalArgumentException] {
+      IndexDelete.deleteIds(spark, s"$tmp/idx",
+        Seq((3L, 4L)).toDF("a", "b"), "vec_id")
+    }
+    assert(err.getMessage.contains("none is named"))
+    e.unpersist()
+  }
 }

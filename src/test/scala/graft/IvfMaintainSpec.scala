@@ -90,6 +90,31 @@ class IvfMaintainSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("stalenessAndRefresh counts rows, not cells: an under-length " +
+    "embedding in the batch must not skew n_vecs/max_list_frac") {
+    // ivfNearest accepts a short vector silently (it loops over
+    // v.length), so per-(list,pos) cell counts DIFFER within the
+    // short vector's list; nOf(l) must take the max over the list's
+    // cells to match quantizerStaleness's per-row count semantics
+    // (r12 ADVICE — the old code took an arbitrary cell's n).
+    val e = Tables.embeddings(spark, sf).cache()
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    import org.apache.spark.sql.functions.slice
+    val mixed = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        when(col("vec_id") === 0, slice(col("embedding"), 1, 8))
+          .otherwise(col("embedding")).as("embedding"))
+    val want = IvfStream.quantizerStaleness(mixed, centers).collect()(0)
+    val (st, _) = IvfStream.stalenessAndRefresh(mixed, centers)
+    val got = st.collect()(0)
+    assert(got.getLong(0) === want.getLong(0),
+      s"n_vecs ${got.getLong(0)} vs per-row ${want.getLong(0)}")
+    assert(got.getLong(0) === 100L)
+    assert(math.abs(got.getDouble(2) - want.getDouble(2)) <= 2e-6,
+      s"max_list_frac ${got.getDouble(2)} vs ${want.getDouble(2)}")
+    e.unpersist()
+  }
+
   test("maintain: no-op without evidence or under threshold; fires on " +
     "breach, reassigns, returns new centers, clears the log") {
     val e = Tables.embeddings(spark, sf).cache()

@@ -2505,6 +2505,52 @@ class PipelineSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("IvfStream.attach with metaCols: the streamed FLOAT index " +
+    "carries the metadata and serves a filtered probe directly") {
+    // the float tier was the only streaming wire-in without a metaCols
+    // parameter (r12 ADVICE) — q213 had to write batch partitions by
+    // hand; this pins the documented attach route end-to-end
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_flmeta").toString
+    val e = Tables.embeddings(spark, sf).cache()
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+    val cols = Seq("vec_id", "embedding", "label")
+    e.select(cols.map(col): _*).filter(col("vec_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = e.select(cols.map(col): _*).schema
+    val q = IvfStream.attach(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), centers,
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt",
+      metaCols = Seq("label"))
+    q.processAllAvailable()
+    e.select(cols.map(col): _*).filter(col("vec_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    // the accrued directory carries the metadata column...
+    val idx = spark.read.parquet(s"$tmp/idx")
+    assert(idx.columns.contains("label"))
+    // ...and the (id, vec, list) payload ≡ the plain ingest's
+    val streamed = idx.select("vec_id", "embedding", "list")
+    val want = IvfStream.assignOnIngest(e, centers)
+    assert(streamed.exceptAll(want).isEmpty &&
+      want.exceptAll(streamed).isEmpty)
+    // a metadata-filtered probe runs DIRECTLY on the streamed index
+    val qs = e.filter(col("vec_id") < 20)
+    val pred = col("label") === 2
+    val got = Similarity.ivfTopKFromIndexFiltered(spark, qs, idx,
+      centers, 3, pred, nProbe = 4)
+    val ref = Similarity.ivfTopKFromIndex(spark, qs, idx.filter(pred),
+      centers, k = 3, nProbe = 4)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    val labels = e.select(col("vec_id").as("rid"), col("label"))
+    assert(got.join(labels, "rid").filter(col("label") =!= 2)
+      .count() === 0L)
+    e.unpersist()
+  }
+
   test("IvfStream.attachBq: streamed 1-bit index ≡ batch ivfBqBuildIndex; reassignBq refresh + valve") {
     import graft.streaming.IvfStream
     import graft.pipeline.Similarity
