@@ -688,7 +688,8 @@ object Similarity extends Serializable {
       bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
     val dim = centers(0).length
     (IvfPqModel(dim, m, centers, books),
-      spark.read.parquet(s"$dir/codes").select(idCol, "list", "codes"))
+      routedIndexRead(spark, s"$dir/codes", "ivfPqReadIndex")
+        .select(idCol, "list", "codes"))
   }
 
   /** The probe half of [[ivfPqTopK]] over a PRE-BUILT codes index:
@@ -1167,7 +1168,8 @@ object Similarity extends Serializable {
     val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray)
     (centers,
-      spark.read.parquet(s"$dir/prefix").select(idCol, vecCol, "list"))
+      routedIndexRead(spark, s"$dir/prefix", "matryoshkaIvfReadIndex")
+        .select(idCol, vecCol, "list"))
   }
 
   /** Matryoshka-IVF two-stage retrieval over a PRE-BUILT prefix index
@@ -1279,6 +1281,21 @@ object Similarity extends Serializable {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codec")
     codec
   }
+
+  /** Manifest-routed read of a persisted accrued subdirectory
+    * (`<dir>/codes`, `<dir>/prefix`): enrolled indexes
+    * ([[graft.streaming.IndexManifest.enroll]]) plan from the pinned
+    * snapshot so a probe running WHILE a delete or compaction rewrites
+    * underneath sees one consistent generation; un-enrolled indexes
+    * read the directory exactly as before. Loud on the one state a
+    * probe cannot serve: an enrolled index whose every row was
+    * deleted. */
+  private def routedIndexRead(spark: SparkSession, dir: String,
+                              op: String): DataFrame =
+    graft.streaming.IndexManifest.routedRead(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: index data at $dir is manifested and EMPTY (every row " +
+          "deleted) — rebuild or re-ingest before probing"))
 
   /** Loud layout-version guard for persisted codes indexes (r11
     * ADVICE): r10 changed codes from `array<int>` to BinaryType with
@@ -1633,8 +1650,8 @@ object Similarity extends Serializable {
     val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray)
     (centers,
-      requireBinaryCodes(spark.read.parquet(s"$dir/codes"),
-        "ivfBqReadIndex").select(idCol, "codes", "list"))
+      requireBinaryCodes(routedIndexRead(spark, s"$dir/codes",
+        "ivfBqReadIndex"), "ivfBqReadIndex").select(idCol, "codes", "list"))
   }
 
   /** [[ivfBqTopKFromIndex]] with the index built inline — the
@@ -1776,8 +1793,8 @@ object Similarity extends Serializable {
     val stats = spark.read.parquet(s"$dir/codec").orderBy("pos").collect()
     (centers,
       SqCodec(stats.map(_.getDouble(1)), stats.map(_.getDouble(2))),
-      requireBinaryCodes(spark.read.parquet(s"$dir/codes"),
-        "ivfSqReadIndex").select(idCol, "codes", "list"))
+      requireBinaryCodes(routedIndexRead(spark, s"$dir/codes",
+        "ivfSqReadIndex"), "ivfSqReadIndex").select(idCol, "codes", "list"))
   }
 
   /** [[ivfSqTopKFromIndex]] with the index built inline — the

@@ -692,10 +692,115 @@ object PipelineSimilarityQueries {
       val readdOk = reProbe
         .filter(col("rid") === col("qid") + 20000000L)
         .count() == doomed.length
+      // concurrent_read_ok (r13, r12 verdict #1): enroll the index in
+      // the snapshot manifest, pin a reader, delete MORE ids while the
+      // pin is held — the pinned plan must read byte-stable pre-delete
+      // data (its leaves are retained, not swapped), while the current
+      // generation excludes the newly deleted ids. This is the
+      // takedown-while-serving scenario q214 implies, gated here.
+      val concurrentReadOk = {
+        import graft.streaming.IndexManifest
+        IndexManifest.enroll(s, s"$root/idx")
+        val pinned = IndexManifest.pin(s, s"$root/idx")
+        val pinnedDf = IndexManifest.readSnapshot(s, s"$root/idx", pinned)
+          .get.select("vec_id", "list")
+        val before = pinnedDf.collect().map(r => (r.getLong(0), r.getInt(1)))
+          .toSet
+        val doomed2 = Seq(4L, 6L, 9L)
+        IndexDelete.deleteIds(s, s"$root/idx", doomed2, "vec_id")
+        val stable = pinnedDf.collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet == before
+        val current = IvfStream.readIndex(s, s"$root/idx")
+        stable &&
+          current.filter(col("vec_id").isin(doomed2: _*)).count() == 0L &&
+          IndexManifest.vacuum(s, s"$root/idx") > 0 &&
+          IvfStream.readIndex(s, s"$root/idx")
+            .filter(col("vec_id").isin(doomed2: _*)).count() == 0L
+      }
       import s.implicits._
-      Seq((deleteRemoves, survivorsIdentical, untouchedOk, costOk, readdOk))
+      Seq((deleteRemoves, survivorsIdentical, untouchedOk, costOk, readdOk,
+        concurrentReadOk))
         .toDF("delete_removes", "survivors_identical",
-          "untouched_leaves_ok", "cost_tracks_deleted", "readd_searchable")
+          "untouched_leaves_ok", "cost_tracks_deleted", "readd_searchable",
+          "concurrent_read_ok")
+    }),
+
+    // SNAPSHOT-manifest lifecycle audit (r13, r12 verdict #1): the
+    // Iceberg-style manifest layer that turns the crash-safe
+    // maintenance ops into CONCURRENT-READER-safe ones. Contract
+    // booleans over one enroll → pin → delete → compact → vacuum
+    // cycle on the streamed-float layout:
+    //  - pinned_stable: a reader pinned to the pre-delete generation
+    //    re-reads byte-identical rows while the delete AND a
+    //    compaction install underneath it (its leaves are retained,
+    //    never renamed or swapped);
+    //  - current_excludes: the post-delete generation holds none of
+    //    the deleted ids and equals the in-memory minus-doomed twin;
+    //  - probe_parity: an ivfTopKFromIndex probe over the current
+    //    generation ≡ the same probe over the in-memory twin;
+    //  - gen_monotone: every commit advances the generation, and the
+    //    rewrite batch ids derived from it never collide;
+    //  - vacuum_reclaims: vacuum removes the retired generation's
+    //    leaves (reclaim > 0) and an orphan rewrite directory, while
+    //    the live generation re-reads bit-identically after it.
+    "q215_snapshot_index" -> ((s, d) => {
+      import graft.streaming.{IndexDelete, IndexManifest, IvfStream}
+      import org.apache.hadoop.fs.Path
+      val e = Tables.embeddings(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q215").toString
+      val centers = Similarity.ivfTrainCentroids(s, e, nLists = 8)
+      IvfStream.assignOnIngest(e.filter(col("vec_id") % 2 === 0), centers)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=0")
+      IvfStream.assignOnIngest(e.filter(col("vec_id") % 2 =!= 0), centers)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=1")
+      val g0 = IndexManifest.enroll(s, s"$root/idx")
+      val pinned = IndexManifest.pin(s, s"$root/idx")
+      val pinnedDf = IndexManifest.readSnapshot(s, s"$root/idx", pinned)
+        .get.select("vec_id", "list")
+      def snapRows(): Set[(Long, Int)] = pinnedDf.collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val before = snapRows()
+      val doomed = Seq(1L, 2L, 5L, 8L, 13L)
+      IndexDelete.deleteIds(s, s"$root/idx", doomed, "vec_id")
+      val stableAfterDelete = snapRows() == before
+      IvfStream.compactIndex(s, s"$root/idx")
+      val pinnedStable = stableAfterDelete && snapRows() == before
+      val current = IvfStream.readIndex(s, s"$root/idx").cache()
+      val want = IvfStream.assignOnIngest(e, centers)
+        .filter(!col("vec_id").isin(doomed: _*))
+      val currentExcludes =
+        current.filter(col("vec_id").isin(doomed: _*)).count() == 0L &&
+          current.exceptAll(want).isEmpty && want.exceptAll(current).isEmpty
+      val qs = e.filter(col("vec_id") < 50)
+      val got = Similarity.ivfTopKFromIndex(s, qs, current, centers,
+        k = 5, nProbe = 3)
+      val wantProbe = Similarity.ivfTopKFromIndex(s, qs, want, centers,
+        k = 5, nProbe = 3)
+      val probeParity = got.exceptAll(wantProbe).isEmpty &&
+        wantProbe.exceptAll(got).isEmpty
+      val g2 = IndexManifest.pin(s, s"$root/idx")
+      val genMonotone = g0.gen == 0L && g2.gen == 2L &&
+        g2.leaves.nonEmpty && g2.leaves.toSet != pinned.leaves.toSet
+      // a forged crashed rewrite: data written, never committed
+      IvfStream.assignOnIngest(e.filter(col("vec_id") < 5), centers)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=-777")
+      val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
+      val currentRows = current.collect().length
+      val removed = IndexManifest.vacuum(s, s"$root/idx", keepGens = 1)
+      val vacuumReclaims = removed > 0 &&
+        !fs.exists(new Path(s"$root/idx/batch=-777")) &&
+        IvfStream.readIndex(s, s"$root/idx").collect().length ==
+          currentRows &&
+        IndexManifest.pin(s, s"$root/idx").gen == g2.gen
+      import s.implicits._
+      Seq((pinnedStable, currentExcludes, probeParity, genMonotone,
+        vacuumReclaims))
+        .toDF("pinned_stable", "current_excludes", "probe_parity",
+          "gen_monotone", "vacuum_reclaims")
     }),
 
     // Document TAKEDOWN composition (r12): the right-to-be-forgotten
@@ -926,7 +1031,16 @@ object PipelineSimilarityQueries {
     "q212_index_delete" ->
       """SELECT TRUE AS delete_removes, TRUE AS survivors_identical,
         |  TRUE AS untouched_leaves_ok, TRUE AS cost_tracks_deleted,
-        |  TRUE AS readd_searchable""".stripMargin,
+        |  TRUE AS readd_searchable, TRUE AS concurrent_read_ok""".stripMargin,
+
+    // Snapshot-manifest invariant oracle: one row, every contract
+    // boolean pinned TRUE (see the q215 query body — pinned reads
+    // byte-stable under delete+compaction, current generation exact,
+    // probe parity, generation monotonicity, vacuum reclaim).
+    "q215_snapshot_index" ->
+      """SELECT TRUE AS pinned_stable, TRUE AS current_excludes,
+        |  TRUE AS probe_parity, TRUE AS gen_monotone,
+        |  TRUE AS vacuum_reclaims""".stripMargin,
 
     // Document-takedown invariant oracle: one row, every contract
     // boolean pinned TRUE (see the q214 query body — both gates catch

@@ -119,6 +119,8 @@ object CurateStream {
           .write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
         bandAdd.select("doc_id", "band", "bucket", "sig")
           .write.mode("overwrite").parquet(s"$bandIndexDir/batch=$batchId")
+        IndexManifest.commitBatch(spark, fpIndexDir, batchId)
+        IndexManifest.commitBatch(spark, bandIndexDir, batchId)
         // unpersist BOTH per-batch caches (r9 ADVICE: fp leaked one
         // cached frame per trigger — over the millions of triggers a
         // 100 TB ingest implies, unbounded block-manager growth)
@@ -170,10 +172,13 @@ object CurateStream {
             kept.select(col(idCol), col(embedCol)), centers, idCol, embedCol)
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$ivfIndexDir/batch=$batchId")
+        IndexManifest.commitBatch(batch.sparkSession, ivfIndexDir, batchId)
         fpAdd.select("fp")
           .write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
         bandAdd.select("doc_id", "band", "bucket", "sig")
           .write.mode("overwrite").parquet(s"$bandIndexDir/batch=$batchId")
+        IndexManifest.commitBatch(batch.sparkSession, fpIndexDir, batchId)
+        IndexManifest.commitBatch(batch.sparkSession, bandIndexDir, batchId)
         kept.unpersist()
         fpAdd.unpersist()
         bandAdd.unpersist()
@@ -227,10 +232,13 @@ object CurateStream {
             idCol, embedCol)
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$ivfIndexDir/batch=$batchId")
+        IndexManifest.commitBatch(batch.sparkSession, ivfIndexDir, batchId)
         fpAdd.select("fp")
           .write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
         bandAdd.select("doc_id", "band", "bucket", "sig")
           .write.mode("overwrite").parquet(s"$bandIndexDir/batch=$batchId")
+        IndexManifest.commitBatch(batch.sparkSession, fpIndexDir, batchId)
+        IndexManifest.commitBatch(batch.sparkSession, bandIndexDir, batchId)
         kept.unpersist()
         fpAdd.unpersist()
         bandAdd.unpersist()
@@ -262,12 +270,22 @@ object CurateStream {
   def compactFpIndex(spark: SparkSession, fpIndexDir: String,
                      partitions: Int = 32): Unit = {
     IndexSwap.requireLive(spark, fpIndexDir, "compactFpIndex")
-    val tmp = fpIndexDir + ".compact"
-    readFpIndex(spark, fpIndexDir)
+    val content = readFpIndex(spark, fpIndexDir)
       .repartitionByRange(partitions, col("fp"))
       .sortWithinPartitions("fp")
-      .write.mode("overwrite").parquet(s"$tmp/batch=-1")
-    IndexSwap.swap(spark, fpIndexDir, tmp)
+    IndexManifest.current(spark, fpIndexDir) match {
+      case Some(snap) =>
+        // copy-on-write + commit (the [[NearDupStream.compactIndex]]
+        // manifested route): pinned readers stay byte-stable
+        content.write.mode("overwrite")
+          .parquet(s"$fpIndexDir/batch=${snap.rewriteBatchId}")
+        IndexManifest.commitRewrite(spark, fpIndexDir, snap, snap.leaves)
+        ()
+      case None =>
+        val tmp = fpIndexDir + ".compact"
+        content.write.mode("overwrite").parquet(s"$tmp/batch=-1")
+        IndexSwap.swap(spark, fpIndexDir, tmp)
+    }
   }
 
   /** Accumulated fingerprint rows (`fp`), or an empty typed frame
@@ -277,6 +295,18 @@ object CurateStream {
   def readFpIndex(spark: SparkSession, fpIndexDir: String,
                   excludeBatch: Long = Long.MinValue): DataFrame = {
     IndexSwap.restoreIfInterrupted(spark, fpIndexDir)
+    // manifested index: plan from the pinned snapshot, never a listing
+    IndexManifest.current(spark, fpIndexDir).foreach { snap =>
+      return IndexManifest.readSnapshot(spark, fpIndexDir, snap)
+        .map { raw =>
+          val scoped =
+            if (raw.columns.contains("batch"))
+              raw.filter(col("batch") =!= lit(excludeBatch))
+            else raw
+          scoped.select("fp")
+        }
+        .getOrElse(emptyFpFrame(spark))
+    }
     val path = new org.apache.hadoop.fs.Path(fpIndexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
@@ -286,11 +316,13 @@ object CurateStream {
           raw.filter(col("batch") =!= lit(excludeBatch))
         else raw
       scoped.select("fp")
-    } else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("fp",
-            org.apache.spark.sql.types.StringType))))
+    } else emptyFpFrame(spark)
   }
+
+  private def emptyFpFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.StringType))))
 }

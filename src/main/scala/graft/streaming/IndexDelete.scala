@@ -71,22 +71,38 @@ object IndexDelete {
                 idCol: String = "vec_id",
                 maxExactLeafPredicates: Int = 1000): DeleteReport = {
     IndexSwap.requireLive(spark, indexDir, "IndexDelete.deleteIds")
-    val live = new Path(indexDir)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    IndexManifest.current(spark, indexDir) match {
+      case Some(snap) =>
+        deleteIdsSnapshot(spark, indexDir, snap, ids, idCol,
+          maxExactLeafPredicates)
+      case None =>
+        deleteIdsInPlace(spark, indexDir, ids, idCol,
+          maxExactLeafPredicates)
+    }
+  }
 
-    val df = spark.read.parquet(indexDir)
-    // the documented contract is a 1-column id frame; a multi-column
-    // frame is accepted ONLY when it carries a column named idCol (an
-    // un-projected (doc_id, vec_id) mapping with the id NOT first used
-    // to delete by the wrong column silently, since the cast to the
-    // index key type often succeeds — r12 ADVICE)
+  /** The documented contract is a 1-column id frame; a multi-column
+    * frame is accepted ONLY when it carries a column named idCol (an
+    * un-projected (doc_id, vec_id) mapping with the id NOT first used
+    * to delete by the wrong column silently, since the cast to the
+    * index key type often succeeds — r12 ADVICE). */
+  private def idColumnOf(ids: DataFrame, idCol: String): String = {
     require(ids.columns.length == 1 || ids.columns.contains(idCol),
       s"IndexDelete.deleteIds: ids has ${ids.columns.length} columns " +
         s"(${ids.columns.mkString(", ")}) and none is named '$idCol' — " +
         "pass a 1-column id frame, or include the id under the index's " +
         "key column name so the right column is unambiguous")
-    val idColIn =
-      if (ids.columns.contains(idCol)) idCol else ids.columns.head
+    if (ids.columns.contains(idCol)) idCol else ids.columns.head
+  }
+
+  private def deleteIdsInPlace(spark: SparkSession, indexDir: String,
+                               ids: DataFrame, idCol: String,
+                               maxExactLeafPredicates: Int): DeleteReport = {
+    val live = new Path(indexDir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+
+    val df = spark.read.parquet(indexDir)
+    val idColIn = idColumnOf(ids, idCol)
     // key type comes from the INDEX, so a long-keyed vector index and
     // a string-keyed fingerprint index (CurateStream's fp column)
     // both delete through the one code path
@@ -167,6 +183,92 @@ object IndexDelete {
     fs.delete(deleting, false)
     idsN.unpersist()
     DeleteReport(rows, affected.length, totalParts)
+  }
+
+  /** The MANIFESTED route ([[IndexManifest]], r12 verdict #1): the
+    * same discovery + one partition-pruned survivors job, but
+    * copy-on-write — survivors land in a fresh
+    * `batch=<snap.rewriteBatchId>` tree, the commit retires exactly
+    * the leaves the scan consumed, and the retired leaf directories
+    * STAY on disk untouched, so a probe pinned to the pre-delete
+    * snapshot keeps reading byte-stable data while this runs (reclaim
+    * later with [[IndexManifest.vacuum]]). No marker files: the
+    * manifest commit IS the atomic install, a crash before it leaves
+    * an orphan directory no reader sees, and a re-run overwrites the
+    * orphan (the rewrite batch id is a function of the unchanged
+    * generation).
+    *
+    * Past `maxExactLeafPredicates` the scan filter degrades to
+    * per-column isin sets exactly as in the in-place route; the
+    * SUPERSET of leaves it reads is then also the set the commit
+    * retires (their rows — deleted ids excepted — were all rewritten
+    * into the new batch), so the live row set is identical in both
+    * regimes. */
+  private def deleteIdsSnapshot(spark: SparkSession, indexDir: String,
+                                snap: IndexManifest.Snapshot,
+                                ids: DataFrame, idCol: String,
+                                maxExactLeafPredicates: Int)
+      : DeleteReport = {
+    val df = IndexManifest.readSnapshot(spark, indexDir, snap)
+      .getOrElse(return DeleteReport(0L, 0, 0))
+    val idColIn = idColumnOf(ids, idCol)
+    val idsN = ids
+      .select(col(idColIn).cast(df.schema(idCol).dataType).as("_del_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idsN.count()
+    val partCols = Seq("batch", "list").filter(df.columns.contains)
+    require(partCols.nonEmpty,
+      s"IndexDelete.deleteIds: $indexDir has neither a batch= nor a " +
+        "list= partition level — not an accrued index layout (a flat " +
+        "directory would need a full rewrite; use the compaction path)")
+    val affected = df.select((partCols :+ idCol).map(col): _*)
+      .join(idsN, col(idCol) === col("_del_id"), "left_semi")
+      .groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+    if (affected.isEmpty) {
+      idsN.unpersist()
+      return DeleteReport(0L, 0, snap.leaves.size)
+    }
+    def leafRel(r: org.apache.spark.sql.Row): String =
+      partCols.indices.map(i => s"${partCols(i)}=${r.get(i)}").mkString("/")
+    // the predicate the survivors scan carries, and — the manifest
+    // twin of "only affected leaves are installed" — the EXACT set of
+    // leaves the commit must retire: every leaf the scan reads is
+    // rewritten into the new batch, so retiring fewer would duplicate
+    // rows and retiring more would lose them
+    val (leafPred, replaced) =
+      if (affected.length <= maxExactLeafPredicates)
+        (affected.map { r =>
+          partCols.indices.map(i => col(partCols(i)) === lit(r.get(i)))
+            .reduce(_ && _)
+        }.reduce(_ || _),
+          affected.map(leafRel).toSeq)
+      else {
+        val valSets = partCols.indices
+          .map(i => affected.map(_.get(i).toString).distinct.toSet)
+        (partCols.indices.map { i =>
+          col(partCols(i)).isin(affected.map(_.get(i)).distinct: _*)
+        }.reduce(_ && _),
+          snap.leaves.filter { leaf =>
+            val vals = leaf.split("/").map(_.split("=", 2)(1))
+            vals.length == partCols.length &&
+              vals.indices.forall(i => valSets(i).contains(vals(i)))
+          })
+      }
+    val survivors = df.filter(leafPred)
+      .join(idsN, col(idCol) === col("_del_id"), "left_anti")
+      .drop("batch")
+    val target = s"$indexDir/batch=${snap.rewriteBatchId}"
+    if (partCols.contains("list"))
+      survivors.write.partitionBy("list").mode("overwrite").parquet(target)
+    else
+      survivors.write.mode("overwrite").parquet(target)
+    IndexManifest.commitRewrite(spark, indexDir, snap, replaced)
+    idsN.unpersist()
+    DeleteReport(affected.map(_.getLong(partCols.length)).sum,
+      affected.length, snap.leaves.size)
   }
 
   /** [[deleteIds]] for a driver-side id set. */

@@ -1,0 +1,283 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** SNAPSHOT manifests for the accrued parquet indexes — the last
+  * object-store gap in the maintenance story (r12 verdict #1): the
+  * [[IndexSwap]] marker protocol makes every rewrite CRASH-safe, but a
+  * probe that lists an index directory WHILE a delete installs leaves,
+  * a compaction swaps `batch=-1`, or an attach trigger lands can read
+  * a torn view, because the directory listing itself is the snapshot
+  * boundary. The fix is the one every table format (Iceberg, Delta)
+  * ships: data files are immutable once written, every rewrite writes
+  * NEW leaf directories and commits a tiny manifest naming the live
+  * set, and readers plan from a pinned manifest — never from a
+  * listing. A reader pinned to generation g keeps reading generation
+  * g's bytes unchanged while generation g+1 installs underneath it.
+  *
+  * Layout: `indexDir/_manifests/gen-<%09d>.txt`, one RELATIVE leaf
+  * directory path per line (`batch=3/list=5`, or `batch=3` for the
+  * single-level band/fp layouts). The `_manifests` name starts with an
+  * underscore, so Spark's parquet discovery ignores it — a legacy
+  * whole-directory read of a never-rewritten manifested index still
+  * sees exactly the data. Manifest files are immutable: a commit
+  * writes `.tmp-gen-N` and renames it to its final name (atomic
+  * visibility on HDFS/local; on S3 the copy of one small object is a
+  * single atomic PUT), and the CURRENT manifest is simply the highest
+  * generation present — no pointer file to flip, so there is no
+  * pointer-flip window to race.
+  *
+  * Contracts:
+  *  - ONE writer at a time (the existing quiesced-maintenance
+  *    contract); readers are unrestricted and need no coordination.
+  *  - Once enrolled ([[enroll]]), ALL reads must go through the
+  *    manifest (the library's readers do this automatically): a
+  *    rewrite RETAINS the replaced leaves for pinned readers, so a
+  *    directory listing would double-count them.
+  *  - [[vacuum]] reclaims leaves unreferenced by the kept generations;
+  *    run it quiesced, and no more often than the longest probe you
+  *    allow to stay pinned.
+  *  - A crash between a rewrite's data write and its commit leaves an
+  *    orphan leaf directory that no manifest references: readers never
+  *    see it, the re-run overwrites it (rewrite batch ids are derived
+  *    from the generation, so the retry targets the same directory),
+  *    and [[vacuum]] sweeps it if the operation is never retried.
+  */
+object IndexManifest {
+
+  /** A pinned view of the index: manifest generation + the relative
+    * leaf directory paths that were live when it was committed. */
+  final case class Snapshot(gen: Long, leaves: Seq[String]) {
+    /** The `batch=<id>` top-level id a rewrite at THIS generation
+      * writes its replacement leaves under: strictly negative and
+      * strictly decreasing with generation, so it can never collide
+      * with a streamed trigger id (≥ 0), the legacy compaction id
+      * (−1), or any earlier rewrite. A retry of a crashed rewrite
+      * recomputes the same id (the generation did not advance) and
+      * overwrites the orphan. */
+    def rewriteBatchId: Long = -(gen + 2)
+  }
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestDir(dir: String) = new Path(dir, "_manifests")
+
+  private val GenName = "gen-(\\d{9})\\.txt".r
+
+  private def genOf(name: String): Option[Long] = name match {
+    case GenName(n) => Some(n.toLong)
+    case _ => None
+  }
+
+  private def nameOf(gen: Long): String = f"gen-$gen%09d.txt"
+
+  /** Has this index opted into manifest-routed reads? One listing of
+    * the (tiny) `_manifests` directory. */
+  def isManifested(spark: SparkSession, dir: String): Boolean =
+    current(spark, dir).nonEmpty
+
+  /** The current snapshot — the highest committed generation — or
+    * None when the index is not enrolled. */
+  def current(spark: SparkSession, dir: String): Option[Snapshot] = {
+    val md = manifestDir(dir)
+    val fs = fsOf(spark, md)
+    if (!fs.exists(md)) None
+    else {
+      val gens = fs.listStatus(md).flatMap(s => genOf(s.getPath.getName))
+      if (gens.isEmpty) None
+      else {
+        val g = gens.max
+        val in = fs.open(new Path(md, nameOf(g)))
+        val txt = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192)
+          out.toString("UTF-8")
+        } finally in.close()
+        Some(Snapshot(g, txt.split("\n").map(_.trim).filter(_.nonEmpty)
+          .toSeq.sorted))
+      }
+    }
+  }
+
+  /** [[current]] that REQUIRES enrollment — the pin a concurrent
+    * reader takes before planning. */
+  def pin(spark: SparkSession, dir: String): Snapshot =
+    current(spark, dir).getOrElse(throw new IllegalArgumentException(
+      s"IndexManifest.pin: $dir has no manifest — enroll the index " +
+        "first (IndexManifest.enroll)"))
+
+  /** The leaf data directories of an accrued layout, RELATIVE to
+    * `dir`: each top-level `batch=<id>` directory's `list=<l>`
+    * children when it has them, else the batch directory itself (the
+    * band/fp single-level layouts). One or two directory listings per
+    * batch — no data read. */
+  def listLeafDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap { b =>
+        val lists = fs.listStatus(b.getPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("list="))
+        if (lists.isEmpty) Seq(b.getPath.getName)
+        else lists.map(l => s"${b.getPath.getName}/${l.getPath.getName}")
+      }.sorted
+  }
+
+  /** Opt the index in: heal any interrupted legacy swap, then commit
+    * generation max(existing)+1 (0 on first enrollment) holding the
+    * CURRENT live leaf set from one directory walk. From here every
+    * library reader routes through the manifest and every rewrite is
+    * copy-on-write + commit. */
+  def enroll(spark: SparkSession, dir: String): Snapshot = {
+    IndexSwap.restoreIfInterrupted(spark, dir)
+    commit(spark, dir,
+      listLeafDirs(spark, dir).filter(hasDataFile(spark, dir, _)))
+  }
+
+  /** Commit the next generation with exactly `leaves` live. Single
+    * writer (quiesced-maintenance contract); atomic visibility via
+    * write-temp-then-rename. */
+  def commit(spark: SparkSession, dir: String,
+             leaves: Seq[String]): Snapshot = {
+    val md = manifestDir(dir)
+    val fs = fsOf(spark, md)
+    if (!fs.exists(md)) { fs.mkdirs(md); () }
+    val gen = current(spark, dir).map(_.gen + 1).getOrElse(0L)
+    val sorted = leaves.distinct.sorted
+    val tmp = new Path(md, s".tmp-${nameOf(gen)}")
+    val out = fs.create(tmp, true)
+    try out.write(sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new Path(md, nameOf(gen))),
+      s"IndexManifest.commit: rename of generation $gen failed for $dir")
+    Snapshot(gen, sorted)
+  }
+
+  /** The per-trigger commit a streamed attach makes after its
+    * idempotent `batch=<id>` write: current leaves MINUS any previous
+    * attempt's leaves for this batch (a crash-replayed trigger may
+    * produce a different list split) PLUS the batch's just-written
+    * leaves. No-op (None) when the index is not enrolled, so the
+    * attach wire-ins call it unconditionally. */
+  def commitBatch(spark: SparkSession, dir: String,
+                  batchId: Long): Option[Snapshot] =
+    current(spark, dir).map { snap =>
+      val prefix = s"batch=$batchId"
+      val fresh = dataLeaves(spark, dir, prefix)
+      commit(spark, dir, snap.leaves
+        .filterNot(l => l == prefix || l.startsWith(prefix + "/")) ++ fresh)
+    }
+
+  /** The just-written leaves under one `batch=<id>` prefix that
+    * actually hold data files — a write whose every row was filtered
+    * away leaves only `_SUCCESS` litter, and committing that shell
+    * would later fail schema inference on an otherwise-empty
+    * snapshot. */
+  private def dataLeaves(spark: SparkSession, dir: String,
+                         prefix: String): Seq[String] =
+    listLeafDirs(spark, dir)
+      .filter(l => l == prefix || l.startsWith(prefix + "/"))
+      .filter(hasDataFile(spark, dir, _))
+
+  private def hasDataFile(spark: SparkSession, dir: String,
+                          leaf: String): Boolean =
+    fsOf(spark, new Path(dir)).listStatus(new Path(dir, leaf)).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Commit a rewrite: `replaced` leaves leave the live set (their
+    * rows were rewritten into the `batch=<snap.rewriteBatchId>`
+    * directory), that batch's just-written leaves join it. Pass
+    * `snap.leaves` as `replaced` for a full rewrite (compaction /
+    * reassign). */
+  def commitRewrite(spark: SparkSession, dir: String, snap: Snapshot,
+                    replaced: Seq[String]): Snapshot = {
+    val fresh = dataLeaves(spark, dir, s"batch=${snap.rewriteBatchId}")
+    val dead = replaced.toSet
+    commit(spark, dir, snap.leaves.filterNot(dead) ++ fresh)
+  }
+
+  /** Plan a read of the pinned snapshot: the listed leaf directories
+    * as explicit paths under `basePath = dir`, so the partition
+    * columns (`batch`, `list`) are still derived from the paths and a
+    * probed-list filter still prunes to `PartitionFilters` — the scan
+    * shape is identical to the listing-based read, only the file
+    * universe is pinned. None when the snapshot is empty (every row
+    * deleted): parquet cannot type a zero-path read, so callers
+    * substitute their typed empty frame. */
+  def readSnapshot(spark: SparkSession, dir: String,
+                   snap: Snapshot): Option[DataFrame] =
+    if (snap.leaves.isEmpty) None
+    else Some(spark.read.option("basePath", dir)
+      .parquet(snap.leaves.map(l => s"$dir/$l"): _*))
+
+  /** Route a read: pinned to the current snapshot when enrolled, the
+    * plain directory read otherwise. None ONLY when enrolled-and-empty
+    * (the caller's typed-empty-frame case). Callers that never enroll
+    * see exactly the old behavior. */
+  def routedRead(spark: SparkSession, dir: String): Option[DataFrame] =
+    current(spark, dir) match {
+      case Some(snap) => readSnapshot(spark, dir, snap)
+      case None => Some(spark.read.parquet(dir))
+    }
+
+  /** Reclaim space: keep the newest `keepGens` manifest generations,
+    * delete every leaf directory (and emptied `batch=` parent) that
+    * none of them references — retired leaves AND orphans from
+    * never-retried crashed rewrites — plus the retired manifest
+    * files. Returns the number of leaf directories removed. Run
+    * quiesced, and no more often than the longest pin you allow: a
+    * reader pinned to a vacuumed generation loses its files. */
+  def vacuum(spark: SparkSession, dir: String, keepGens: Int = 1): Int = {
+    require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
+    val md = manifestDir(dir)
+    val fs = fsOf(spark, md)
+    if (!fs.exists(md)) return 0
+    val gens = fs.listStatus(md).flatMap(s => genOf(s.getPath.getName))
+      .sorted.toSeq
+    if (gens.isEmpty) return 0
+    val kept = gens.takeRight(keepGens)
+    val live: Set[String] = kept.flatMap { g =>
+      val in = fs.open(new Path(md, nameOf(g)))
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192)
+        out.toString("UTF-8")
+      } finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty)
+    }.toSet
+    var removed = 0
+    listLeafDirs(spark, dir).foreach { leaf =>
+      if (!live.contains(leaf)) {
+        fs.delete(new Path(dir, leaf), true)
+        removed += 1
+      }
+    }
+    // sweep batch dirs with no live leaf left: a two-level batch whose
+    // lists were all vacuumed keeps only write litter (_SUCCESS), and
+    // a single-level batch is itself the leaf — remove the shell when
+    // neither it nor any `list=` child survives
+    val p = new Path(dir)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .foreach { b =>
+        val name = b.getPath.getName
+        val hasLiveSelf = live.contains(name)
+        val hasListChild = fs.listStatus(b.getPath)
+          .exists(c => c.isDirectory && c.getPath.getName.startsWith("list="))
+        if (!hasLiveSelf && !hasListChild) { fs.delete(b.getPath, true); () }
+      }
+    gens.dropRight(keepGens).foreach(g =>
+      fs.delete(new Path(md, nameOf(g)), false))
+    // tmp litter from crashed commits
+    fs.listStatus(md).toSeq
+      .filter(_.getPath.getName.startsWith(".tmp-"))
+      .foreach(s => fs.delete(s.getPath, false))
+    removed
+  }
+}

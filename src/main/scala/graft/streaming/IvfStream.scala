@@ -87,6 +87,7 @@ object IvfStream {
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
+        IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
         ()
       }
       .start()
@@ -200,6 +201,7 @@ object IvfStream {
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
+        IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
         ()
       }
       .start()
@@ -280,6 +282,7 @@ object IvfStream {
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
+        IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
         ()
       }
       .start()
@@ -297,7 +300,6 @@ object IvfStream {
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): Unit = {
     IndexSwap.requireLive(spark, indexDir, "IvfStream.reassignBq")
-    val tmp = indexDir + ".compact"
     val indexedIds = readCodesIndex(spark, indexDir, idCol).select(idCol)
     val src = refs.select(col(idCol).cast("long").as(idCol), col(vecCol))
     val missing = indexedIds.join(src.select(idCol), Seq(idCol), "left_anti")
@@ -307,10 +309,9 @@ object IvfStream {
         "refreshing from an incomplete corpus would silently drop " +
         "indexed vectors. Pass the full original corpus (sign codes " +
         "are lossy; the index cannot re-list itself).")
-    assignAndBqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
-        newCenters, idCol, vecCol)
-      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
-    IndexSwap.swap(spark, indexDir, tmp)
+    fullRewrite(spark, indexDir)(
+      assignAndBqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
+        newCenters, idCol, vecCol))
   }
 
   /** Stateless assign-and-PQ-encode: (idCol, list, codes) — the
@@ -398,6 +399,7 @@ object IvfStream {
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
+        IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
         ()
       }
       .start()
@@ -456,7 +458,6 @@ object IvfStream {
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): Unit = {
     IndexSwap.requireLive(spark, indexDir, "IvfStream.reassignPq")
-    val tmp = indexDir + ".compact"
     val indexedIds = readCodesIndex(spark, indexDir, idCol).select(idCol)
     val src = refs.select(col(idCol).cast("long").as(idCol), col(vecCol))
     val missing = indexedIds.join(src.select(idCol), Seq(idCol), "left_anti")
@@ -466,10 +467,9 @@ object IvfStream {
         "refreshing from an incomplete corpus would silently drop " +
         "indexed vectors. Pass the full original corpus (PQ codes " +
         "are lossy; the index cannot re-encode itself).")
-    assignAndPqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
-        newModel, idCol, vecCol)
-      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
-    IndexSwap.swap(spark, indexDir, tmp)
+    fullRewrite(spark, indexDir)(
+      assignAndPqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
+        newModel, idCol, vecCol))
   }
 
   /** [[maintain]] for the PQ codes tier: fires [[reassignPq]] with
@@ -504,12 +504,24 @@ object IvfStream {
   def readCodesIndex(spark: SparkSession, indexDir: String,
                      idCol: String = "vec_id"): DataFrame = {
     IndexSwap.restoreIfInterrupted(spark, indexDir)
+    // manifested index: plan from the pinned snapshot, never a listing
+    // (retained pre-rewrite leaves would double-count in a listing)
+    IndexManifest.current(spark, indexDir).foreach { snap =>
+      return IndexManifest.readSnapshot(spark, indexDir, snap)
+        .map(df => Similarity.requireBinaryCodes(df,
+          "IvfStream.readCodesIndex").select(idCol, "codes", "list"))
+        .getOrElse(emptyCodesFrame(spark, idCol))
+    }
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path) && fs.listStatus(path).nonEmpty)
       Similarity.requireBinaryCodes(spark.read.parquet(indexDir),
         "IvfStream.readCodesIndex").select(idCol, "codes", "list")
-    else
+    else emptyCodesFrame(spark, idCol)
+  }
+
+  private def emptyCodesFrame(spark: SparkSession,
+                              idCol: String): DataFrame =
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -519,7 +531,6 @@ object IvfStream {
             org.apache.spark.sql.types.BinaryType),
           org.apache.spark.sql.types.StructField("list",
             org.apache.spark.sql.types.IntegerType))))
-  }
 
   /** Offline quantizer refresh for the ACCRUED index — the re-train
     * path the frozen-quantizer design prescribes (quantizer drift is
@@ -541,12 +552,32 @@ object IvfStream {
                idCol: String = "vec_id",
                vecCol: String = "embedding"): Unit = {
     IndexSwap.requireLive(spark, indexDir, "IvfStream.reassign")
-    val tmp = indexDir + ".compact"
-    assignOnIngest(readIndex(spark, indexDir, idCol, vecCol)
-        .select(idCol, vecCol), newCenters, idCol, vecCol)
-      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
-    IndexSwap.swap(spark, indexDir, tmp)
+    fullRewrite(spark, indexDir)(
+      assignOnIngest(readIndex(spark, indexDir, idCol, vecCol)
+        .select(idCol, vecCol), newCenters, idCol, vecCol))
   }
+
+  /** Install a complete replacement of an accrued list-partitioned
+    * index — BOTH routes behind one door: a manifested index
+    * ([[IndexManifest]]) gets the copy-on-write path (write the new
+    * content as a fresh `batch=<rewriteId>` tree, commit a manifest
+    * naming only it; pinned readers keep the retained old leaves
+    * byte-stable until [[IndexManifest.vacuum]]), a legacy index gets
+    * the quiesced [[IndexSwap]] rename discipline exactly as before. */
+  private def fullRewrite(spark: SparkSession, indexDir: String)
+                         (content: DataFrame): Unit =
+    IndexManifest.current(spark, indexDir) match {
+      case Some(snap) =>
+        content.write.partitionBy("list").mode("overwrite")
+          .parquet(s"$indexDir/batch=${snap.rewriteBatchId}")
+        IndexManifest.commitRewrite(spark, indexDir, snap, snap.leaves)
+        ()
+      case None =>
+        val tmp = indexDir + ".compact"
+        content.write.partitionBy("list").mode("overwrite")
+          .parquet(s"$tmp/batch=-1")
+        IndexSwap.swap(spark, indexDir, tmp)
+    }
 
   /** Offline quantizer refresh for the accrued CODES index — the
     * [[reassign]] twin the compressed tier needs (r10 verdict: codes
@@ -569,7 +600,6 @@ object IvfStream {
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): Unit = {
     IndexSwap.requireLive(spark, indexDir, "IvfStream.reassignSq")
-    val tmp = indexDir + ".compact"
     val indexedIds = readCodesIndex(spark, indexDir, idCol).select(idCol)
     val src = refs.select(col(idCol).cast("long").as(idCol), col(vecCol))
     val missing = indexedIds.join(src.select(idCol), Seq(idCol), "left_anti")
@@ -579,10 +609,9 @@ object IvfStream {
         "refreshing from an incomplete corpus would silently drop " +
         "indexed vectors. Pass the full original corpus (codes are " +
         "lossy; the index cannot re-encode itself).")
-    assignAndEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
-        newCenters, newCodec, idCol, vecCol)
-      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
-    IndexSwap.swap(spark, indexDir, tmp)
+    fullRewrite(spark, indexDir)(
+      assignAndEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
+        newCenters, newCodec, idCol, vecCol))
   }
 
   /** Compact the accrued codes directory's per-batch partition litter
@@ -595,11 +624,8 @@ object IvfStream {
   def compactCodesIndex(spark: SparkSession, indexDir: String,
                         idCol: String = "vec_id"): Unit = {
     IndexSwap.requireLive(spark, indexDir, "IvfStream.compactCodesIndex")
-    val tmp = indexDir + ".compact"
-    readCodesIndex(spark, indexDir, idCol)
-      .repartition(col("list"))
-      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
-    IndexSwap.swap(spark, indexDir, tmp)
+    fullRewrite(spark, indexDir)(
+      readCodesIndex(spark, indexDir, idCol).repartition(col("list")))
   }
 
   /** [[compactCodesIndex]] for the FLOAT layout: fold the per-trigger
@@ -612,11 +638,8 @@ object IvfStream {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): Unit = {
     IndexSwap.requireLive(spark, indexDir, "IvfStream.compactIndex")
-    val tmp = indexDir + ".compact"
-    readIndex(spark, indexDir, idCol, vecCol)
-      .repartition(col("list"))
-      .write.partitionBy("list").mode("overwrite").parquet(s"$tmp/batch=-1")
-    IndexSwap.swap(spark, indexDir, tmp)
+    fullRewrite(spark, indexDir)(
+      readIndex(spark, indexDir, idCol, vecCol).repartition(col("list")))
   }
 
   /** Top-level `batch=` directory count — the fragmentation reading
@@ -994,20 +1017,29 @@ object IvfStream {
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     IndexSwap.restoreIfInterrupted(spark, indexDir)
+    // manifested index: plan from the pinned snapshot, never a listing
+    IndexManifest.current(spark, indexDir).foreach { snap =>
+      return IndexManifest.readSnapshot(spark, indexDir, snap)
+        .map(_.select(idCol, vecCol, "list"))
+        .getOrElse(emptyFloatFrame(spark, idCol, vecCol))
+    }
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path) && fs.listStatus(path).nonEmpty)
       spark.read.parquet(indexDir).select(idCol, vecCol, "list")
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField(vecCol,
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("list",
-            org.apache.spark.sql.types.IntegerType))))
+    else emptyFloatFrame(spark, idCol, vecCol)
   }
+
+  private def emptyFloatFrame(spark: SparkSession, idCol: String,
+                              vecCol: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(vecCol,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("list",
+          org.apache.spark.sql.types.IntegerType))))
 }

@@ -132,6 +132,7 @@ object NearDupStream {
           .parquet(s"$outDir/batch=$batchId")
         indexAdd.select("doc_id", "band", "bucket", "sig")
           .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
         indexAdd.unpersist()
         ()
       }
@@ -209,6 +210,18 @@ object NearDupStream {
   def readIndex(spark: SparkSession, indexDir: String, k: Int,
                 excludeBatch: Long = Long.MinValue): DataFrame = {
     IndexSwap.restoreIfInterrupted(spark, indexDir)
+    // manifested index: plan from the pinned snapshot, never a listing
+    IndexManifest.current(spark, indexDir).foreach { snap =>
+      return IndexManifest.readSnapshot(spark, indexDir, snap)
+        .map { raw =>
+          val scoped =
+            if (raw.columns.contains("batch"))
+              raw.filter(col("batch") =!= lit(excludeBatch))
+            else raw
+          scoped.select("doc_id", "band", "bucket", "sig")
+        }
+        .getOrElse(emptyBandFrame(spark))
+    }
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
@@ -218,7 +231,10 @@ object NearDupStream {
           raw.filter(col("batch") =!= lit(excludeBatch))
         else raw
       scoped.select("doc_id", "band", "bucket", "sig")
-    } else
+    } else emptyBandFrame(spark)
+  }
+
+  private def emptyBandFrame(spark: SparkSession): DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
@@ -230,7 +246,6 @@ object NearDupStream {
           org.apache.spark.sql.types.StructField("sig",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.LongType)))))
-  }
 
   /** Rewrite the per-batch partition litter as one bucket-sorted file
     * set under `batch=-1` — the periodic compaction a long-running
@@ -258,11 +273,22 @@ object NearDupStream {
   def compactIndex(spark: SparkSession, indexDir: String, k: Int,
                    partitions: Int = 32): Unit = {
     IndexSwap.requireLive(spark, indexDir, "compactIndex")
-    val tmp = indexDir + ".compact"
-    readIndex(spark, indexDir, k)
+    val content = readIndex(spark, indexDir, k)
       .repartitionByRange(partitions, col("bucket"))
       .sortWithinPartitions("bucket")
-      .write.mode("overwrite").parquet(s"$tmp/batch=-1")
-    IndexSwap.swap(spark, indexDir, tmp)
+    IndexManifest.current(spark, indexDir) match {
+      case Some(snap) =>
+        // copy-on-write: the compacted rows land in a fresh batch dir,
+        // the commit retires every old leaf, pinned readers keep the
+        // retained bytes until IndexManifest.vacuum
+        content.write.mode("overwrite")
+          .parquet(s"$indexDir/batch=${snap.rewriteBatchId}")
+        IndexManifest.commitRewrite(spark, indexDir, snap, snap.leaves)
+        ()
+      case None =>
+        val tmp = indexDir + ".compact"
+        content.write.mode("overwrite").parquet(s"$tmp/batch=-1")
+        IndexSwap.swap(spark, indexDir, tmp)
+    }
   }
 }

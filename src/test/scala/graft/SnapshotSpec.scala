@@ -1,0 +1,318 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+import graft.streaming.{IndexDelete, IndexManifest, IvfStream, NearDupStream}
+
+/** [[graft.streaming.IndexManifest]]: snapshot-isolated index reads —
+  * the r12-verdict-#1 contract. A reader pinned to the pre-rewrite
+  * manifest must see BYTE-STABLE data while deleteIds / compaction /
+  * reassign / streamed attach rewrite the index underneath it, the
+  * post-rewrite manifest must see exactly the new live set, and
+  * vacuum must reclaim precisely the unreferenced leaves. */
+class SnapshotSpec extends SparkSpec {
+  import org.apache.hadoop.fs.Path
+
+  private def fsFor(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq.toString
+      case x => String.valueOf(x)
+    }.mkString("|")).toSet
+
+  /** Build the two-trigger float-IVF fixture and enroll it. */
+  private def floatFixture(root: String, e: DataFrame,
+                           centers: Array[Array[Double]]): Unit = {
+    IvfStream.assignOnIngest(e.filter(col("vec_id") % 2 === 0), centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/idx/batch=0")
+    IvfStream.assignOnIngest(e.filter(col("vec_id") % 2 =!= 0), centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/idx/batch=1")
+    IndexManifest.enroll(spark, s"$root/idx")
+    ()
+  }
+
+  test("deleteIds on a manifested index: a reader pinned to the " +
+    "pre-delete snapshot stays byte-stable while the delete installs; " +
+    "the current snapshot excludes the deleted ids") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    floatFixture(root, e, centers)
+    val pinned = IndexManifest.pin(spark, s"$root/idx")
+    // the CONCURRENT reader: planned (files resolved) before the delete
+    val pinnedDf = IndexManifest.readSnapshot(spark, s"$root/idx", pinned).get
+      .select("vec_id", "embedding", "list")
+    val before = rowSet(pinnedDf)
+    val doomed = Seq(1L, 2L, 5L, 8L, 13L)
+    val rep = IndexDelete.deleteIds(spark, s"$root/idx", doomed, "vec_id")
+    assert(rep.rowsDeleted === doomed.length.toLong)
+    assert(rep.partitionsTotal === pinned.leaves.size)
+    assert(rep.partitionsRewritten < rep.partitionsTotal)
+    // 1. the pinned plan re-reads identically — its files were retained
+    assert(rowSet(pinnedDf) === before,
+      "pre-delete snapshot must stay byte-stable under the delete")
+    // ...even a FRESH plan of the old generation (new file listing)
+    val repinned = IndexManifest.readSnapshot(spark, s"$root/idx", pinned)
+      .get.select("vec_id", "embedding", "list")
+    assert(rowSet(repinned) === before)
+    // 2. the current generation excludes the doomed ids and nothing else
+    val after = IvfStream.readIndex(spark, s"$root/idx")
+    assert(after.filter(col("vec_id").isin(doomed: _*)).count() === 0L)
+    val want = IvfStream.assignOnIngest(e, centers)
+      .filter(!col("vec_id").isin(doomed: _*))
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty)
+    // 3. probes over the current snapshot never return a deleted id and
+    //    match the in-memory minus-doomed twin
+    val qs = e.filter(col("vec_id") < 30)
+    val got = Similarity.ivfTopKFromIndex(spark, qs, after, centers,
+      k = 5, nProbe = 2)
+    val wantProbe = Similarity.ivfTopKFromIndex(spark, qs, want, centers,
+      k = 5, nProbe = 2)
+    assert(got.exceptAll(wantProbe).isEmpty &&
+      wantProbe.exceptAll(got).isEmpty)
+    // 4. the retired generation's directories are still on disk
+    //    (reclaim is vacuum's job, not the delete's)
+    val fs = fsFor(root)
+    assert(pinned.leaves.forall(l =>
+      fs.exists(new Path(s"$root/idx/$l"))),
+      "retired leaves must be retained for pinned readers")
+    e.unpersist()
+  }
+
+  test("superset (isin) regime on a manifested index ≡ the exact " +
+    "OR-chain regime: same survivors, no duplicated rows") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val rootA = java.nio.file.Files.createTempDirectory("graft_snapA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft_snapB").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    floatFixture(rootA, e, centers)
+    floatFixture(rootB, e, centers)
+    val doomed = Seq(1L, 2L, 5L, 8L, 13L)
+    IndexDelete.deleteIds(spark, s"$rootA/idx", doomed, "vec_id")
+    // force the per-column isin degrade on B
+    import spark.implicits._
+    IndexDelete.deleteIds(spark, s"$rootB/idx", doomed.toDF("vec_id"),
+      "vec_id", maxExactLeafPredicates = 0)
+    val a = IvfStream.readIndex(spark, s"$rootA/idx")
+    val b = IvfStream.readIndex(spark, s"$rootB/idx")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "isin-superset route diverges from the exact route")
+    assert(b.count() === b.select("vec_id").distinct().count(),
+      "superset rewrite must not duplicate rows")
+    e.unpersist()
+  }
+
+  test("compaction and reassign on a manifested index are " +
+    "copy-on-write: pinned reader stable, row set preserved, manifest " +
+    "collapses to the rewrite batch") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapc").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    floatFixture(root, e, centers)
+    val pinned = IndexManifest.pin(spark, s"$root/idx")
+    val before = rowSet(IndexManifest
+      .readSnapshot(spark, s"$root/idx", pinned).get
+      .select("vec_id", "embedding", "list"))
+    IvfStream.compactIndex(spark, s"$root/idx")
+    val snap2 = IndexManifest.pin(spark, s"$root/idx")
+    assert(snap2.gen > pinned.gen)
+    assert(snap2.leaves.forall(_.startsWith(s"batch=${pinned.rewriteBatchId}/")),
+      s"compacted manifest must hold only the rewrite batch: ${snap2.leaves}")
+    // pinned reader byte-stable; current row set identical
+    assert(rowSet(IndexManifest.readSnapshot(spark, s"$root/idx", pinned)
+      .get.select("vec_id", "embedding", "list")) === before)
+    assert(rowSet(IvfStream.readIndex(spark, s"$root/idx")) === before)
+    // reassign: copy-on-write too, probe route equality preserved
+    val centers7 = Similarity.ivfTrainCentroids(spark, e, nLists = 4,
+      seed = 7)
+    IvfStream.reassign(spark, s"$root/idx", centers7)
+    val want = IvfStream.assignOnIngest(e, centers7)
+    val got = IvfStream.readIndex(spark, s"$root/idx")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the compaction generation is STILL readable (not vacuumed)
+    assert(rowSet(IndexManifest.readSnapshot(spark, s"$root/idx", snap2)
+      .get.select("vec_id", "embedding", "list")) === before)
+    e.unpersist()
+  }
+
+  test("vacuum reclaims retired and orphan leaves, keeps the current " +
+    "generation intact") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapv").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    floatFixture(root, e, centers)
+    IndexDelete.deleteIds(spark, s"$root/idx", Seq(1L, 2L, 5L), "vec_id")
+    val current = IndexManifest.pin(spark, s"$root/idx")
+    val currentRows = rowSet(IvfStream.readIndex(spark, s"$root/idx"))
+    // an orphan from a forged crashed rewrite: data written, no commit
+    val fs = fsFor(root)
+    IvfStream.assignOnIngest(e.filter(col("vec_id") < 5), centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/idx/batch=-777")
+    val removed = IndexManifest.vacuum(spark, s"$root/idx", keepGens = 1)
+    assert(removed > 0, "retired gen-0 leaves must be reclaimed")
+    assert(!fs.exists(new Path(s"$root/idx/batch=-777")),
+      "orphan rewrite directories must be swept")
+    // the live set survives, bit for bit
+    assert(rowSet(IvfStream.readIndex(spark, s"$root/idx")) === currentRows)
+    assert(IndexManifest.pin(spark, s"$root/idx").gen === current.gen)
+    assert(current.leaves.forall(l => fs.exists(new Path(s"$root/idx/$l"))))
+    e.unpersist()
+  }
+
+  test("streamed attach on an enrolled index commits per trigger; a " +
+    "reader pinned between triggers holds its generation") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snaps").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    // enroll BEFORE any data: gen 0 is the empty index
+    IndexManifest.enroll(spark, s"$tmp/idx")
+    assert(IvfStream.readIndex(spark, s"$tmp/idx").count() === 0L,
+      "enrolled-empty index must read as the typed empty frame")
+    e.select("vec_id", "embedding").filter(col("vec_id") < 250).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = e.select("vec_id", "embedding").schema
+    val q = IvfStream.attach(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), centers,
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt")
+    q.processAllAvailable()
+    val afterOne = IndexManifest.pin(spark, s"$tmp/idx")
+    val oneRows = rowSet(IndexManifest
+      .readSnapshot(spark, s"$tmp/idx", afterOne).get
+      .select("vec_id", "embedding", "list"))
+    e.select("vec_id", "embedding").filter(col("vec_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    // the pinned generation still reads exactly trigger 1's rows
+    assert(rowSet(IndexManifest.readSnapshot(spark, s"$tmp/idx", afterOne)
+      .get.select("vec_id", "embedding", "list")) === oneRows)
+    // the current generation carries both triggers ≡ the batch build
+    val want = IvfStream.assignOnIngest(e, centers)
+    val got = IvfStream.readIndex(spark, s"$tmp/idx")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    e.unpersist()
+  }
+
+  test("manifested CODES tier: deleteIds + compactCodesIndex + " +
+    "reassignSq all run copy-on-write with stable pinned reads") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapq").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val codec = Similarity.sqTrain(spark, e)
+    IvfStream.assignAndEncodeOnIngest(e, centers, codec)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/idx/batch=0")
+    IndexManifest.enroll(spark, s"$root/idx")
+    val pinned = IndexManifest.pin(spark, s"$root/idx")
+    def codeRows(df: DataFrame): Set[(Long, Seq[Byte], Int)] =
+      df.collect().map(r => (r.getLong(0),
+        r.getAs[Array[Byte]](1).toSeq, r.getInt(2))).toSet
+    val before = codeRows(IvfStream.readCodesIndex(spark, s"$root/idx"))
+    IndexDelete.deleteIds(spark, s"$root/idx", Seq(3L, 4L), "vec_id")
+    // pinned read still sees the pre-delete codes
+    assert(codeRows(IndexManifest.readSnapshot(spark, s"$root/idx", pinned)
+      .get.select("vec_id", "codes", "list")) === before)
+    assert(IvfStream.readCodesIndex(spark, s"$root/idx")
+      .filter(col("vec_id").isin(3L, 4L)).count() === 0L)
+    IvfStream.compactCodesIndex(spark, s"$root/idx")
+    // refresh under epoch B ≡ fresh encode of the surviving ids
+    val centersB = Similarity.ivfTrainCentroids(spark, e, nLists = 4,
+      seed = 7)
+    val codecB = Similarity.sqTrain(spark, e)
+    IvfStream.reassignSq(spark, s"$root/idx", e, centersB, codecB)
+    val want = codeRows(IvfStream.assignAndEncodeOnIngest(
+      e.filter(!col("vec_id").isin(3L, 4L)), centersB, codecB))
+    assert(codeRows(IvfStream.readCodesIndex(spark, s"$root/idx")) === want)
+    // the ORIGINAL pin still reads its bytes through all three rewrites
+    assert(codeRows(IndexManifest.readSnapshot(spark, s"$root/idx", pinned)
+      .get.select("vec_id", "codes", "list")) === before)
+    e.unpersist()
+  }
+
+  test("manifested band-key index (single-level leaves): takedown " +
+    "keeps a pinned gate stable; the current gate re-admits") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapb").toString
+    NearDupStream.bandKeys(docs).select("doc_id", "band", "bucket", "sig")
+      .write.mode("overwrite").parquet(s"$root/band/batch=0")
+    IndexManifest.enroll(spark, s"$root/band")
+    val pinned = IndexManifest.pin(spark, s"$root/band")
+    val target = docs.orderBy("doc_id").limit(1).collect()(0)
+    import spark.implicits._
+    val probe = Seq((10000000L, target.getString(1))).toDF("doc_id", "text")
+    def keepCount(): Long = NearDupStream
+      .dedupAgainstIndex(spark, probe, s"$root/band", n = 3, k = 64,
+        bands = 16, threshold = 0.5)
+      .filter(col("keep")).count()
+    assert(keepCount() === 0L, "fixture: the copy must be gated")
+    val before = rowSet(IndexManifest
+      .readSnapshot(spark, s"$root/band", pinned).get
+      .select("doc_id", "band", "bucket"))
+    // forget the target's whole VERIFIED near-dup family (the q214
+    // posture): deleting only the doc would leave a sibling gating the
+    // re-arriving copy and the re-admit assertion would read a family
+    // fact, not a delete fact
+    val idx = NearDupStream.readIndex(spark, s"$root/band", k = 64)
+    val family = NearDupStream.bandKeys(probe)
+      .join(idx.select(col("band"), col("bucket"),
+        col("doc_id").as("_pid"), col("sig").as("_psig")),
+        Seq("band", "bucket"))
+      .filter(round(graft.pipeline.Dedup
+        .sigJaccard(col("sig"), col("_psig")), 6) >= 0.5)
+      .select(col("_pid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(family.contains(target.getLong(0)))
+    IndexDelete.deleteIds(spark, s"$root/band", family, "doc_id")
+    // pinned reader byte-stable; current gate re-admits the copy
+    assert(rowSet(IndexManifest.readSnapshot(spark, s"$root/band", pinned)
+      .get.select("doc_id", "band", "bucket")) === before)
+    assert(keepCount() === 1L,
+      "post-takedown the current gate must re-admit the copy")
+    docs.unpersist()
+  }
+
+  test("manifested probe keeps the PartitionFilters pruning of the " +
+    "listing-based read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapp").toString
+    val e = Tables.embeddings(spark, sf)
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
+    IvfStream.assignOnIngest(e, centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$tmp/idx/batch=0")
+    IndexManifest.enroll(spark, s"$tmp/idx")
+    val index = IvfStream.readIndex(spark, s"$tmp/idx")
+    val p = Similarity.ivfTopKFromIndex(spark,
+        e.filter(col("vec_id") < 3), index, centers, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("list") &&
+      !l.contains("PartitionFilters: []")),
+      s"manifest-routed index scan must keep the list partition filter:\n$p")
+  }
+
+  test("persisted IVF-SQ layout: enrolling <dir>/codes routes " +
+    "ivfSqReadIndex through the manifest; delete-while-pinned holds") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapw").toString
+    val dir = s"$root/sq"
+    Similarity.ivfSqWriteIndex(spark, e, dir, nLists = 4)
+    IndexManifest.enroll(spark, s"$dir/codes")
+    val pinned = IndexManifest.pin(spark, s"$dir/codes")
+    val before = rowSet(IndexManifest
+      .readSnapshot(spark, s"$dir/codes", pinned).get
+      .select("vec_id", "codes", "list"))
+    IndexDelete.deleteIds(spark, s"$dir/codes", Seq(2L, 6L), "vec_id")
+    val (_, _, codes) = Similarity.ivfSqReadIndex(spark, dir)
+    assert(codes.filter(col("vec_id").isin(2L, 6L)).count() === 0L)
+    assert(rowSet(IndexManifest.readSnapshot(spark, s"$dir/codes", pinned)
+      .get.select("vec_id", "codes", "list")) === before)
+    e.unpersist()
+  }
+}
