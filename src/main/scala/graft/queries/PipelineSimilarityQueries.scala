@@ -605,12 +605,48 @@ object PipelineSimilarityQueries {
         !repCalm.fired && repDrift.fired && logCleared &&
           postD2.exists(_ < shiftedD2 / 2) && !repAfter.fired
       }
+      // the policy gated through the STREAMED route (r13, r12 verdict
+      // #2): attach with maintainEvery=2 on a real file-source stream —
+      // trigger 1 healthy, trigger 2 drifted, the cadence check at
+      // trigger 2 consumes the log, fires, and the index comes out
+      // re-listed under the retrained quantizer, hands-free
+      val cadenceFired = {
+        val base = e.filter(col("vec_id") < 1000)
+          .select("vec_id", "embedding")
+        val dsub2 = drifted.filter(col("vec_id") < 1000)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        base.coalesce(1).write.mode("overwrite").parquet(s"$root/c/in")
+        val reports = scala.collection.mutable.ArrayBuffer
+          .empty[IvfStream.MaintainReport]
+        val q = IvfStream.attach(
+          s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/c/in"),
+          centersA, indexDir = s"$root/c/idx",
+          checkpointDir = s"$root/c/ckpt",
+          stalenessDir = Some(s"$root/c/stale"),
+          maintainEvery = Some(2),
+          maintainPolicy = Some(IvfStream.MaintainPolicy(
+            meanD2Max = healthy * 2)),
+          onMaintain = r => { reports += r; () })
+        q.processAllAvailable()
+        dsub2.coalesce(1).write.mode("append").parquet(s"$root/c/in")
+        q.processAllAvailable()
+        q.stop()
+        val expectC = Similarity.ivfTrainCentroids(s,
+          base.unionByName(dsub2), nLists = 8)
+        val idx = IvfStream.readIndex(s, s"$root/c/idx")
+        val want = IvfStream.assignOnIngest(base.unionByName(dsub2),
+          expectC)
+        reports.toList.map(_.fired) == List(true) &&
+          idx.exceptAll(want).isEmpty && want.exceptAll(idx).isEmpty
+      }
       import s.implicits._
       Seq((refreshEq, valveOk, compactOk, healOk, pqEq,
-        shiftedD2 > healthy * 2, resetD2 < shiftedD2 / 2, policyFired))
+        shiftedD2 > healthy * 2, resetD2 < shiftedD2 / 2, policyFired,
+        cadenceFired))
         .toDF("refresh_eq_fresh", "refresh_valve_ok", "compact_preserves",
           "heal_ok", "pq_refresh_eq_fresh", "staleness_rises",
-          "staleness_resets", "policy_fired")
+          "staleness_resets", "policy_fired", "cadence_fired")
     }),
 
     // Index DELETION cycle audit (r12, r11 verdict #1): the takedown /
@@ -1022,7 +1058,8 @@ object PipelineSimilarityQueries {
       """SELECT TRUE AS refresh_eq_fresh, TRUE AS refresh_valve_ok,
         |  TRUE AS compact_preserves, TRUE AS heal_ok,
         |  TRUE AS pq_refresh_eq_fresh, TRUE AS staleness_rises,
-        |  TRUE AS staleness_resets, TRUE AS policy_fired""".stripMargin,
+        |  TRUE AS staleness_resets, TRUE AS policy_fired,
+        |  TRUE AS cadence_fired""".stripMargin,
 
     // Index-deletion invariant oracle: one row, every contract
     // boolean pinned TRUE (see the q212 query body — delete removes,

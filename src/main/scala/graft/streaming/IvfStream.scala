@@ -65,32 +65,96 @@ object IvfStream {
     * [[graft.pipeline.Similarity.ivfTopKFromIndexFiltered]] probe gets
     * `PushedFilters` on them — the same parameter the codec tiers
     * ([[attachSq]]/[[attachBq]]/[[attachPq]]) take (r12 ADVICE: the
-    * float tier was the only wire-in without it). */
+    * float tier was the only wire-in without it).
+    *
+    * `maintainEvery` (r12 verdict #2): the hands-free maintenance
+    * cadence — every N triggers, AFTER the idempotent batch write,
+    * [[maintain]] consumes the staleness log against `maintainPolicy`
+    * and, when it fires, the RETURNED centroids replace the frozen
+    * quantizer for every subsequent trigger (assignment re-broadcasts
+    * per trigger, so the swap is a driver-side variable). Requires
+    * `stalenessDir` (the decision's evidence) and `maintainPolicy`.
+    * The cadence counts THIS RUN's triggers — a restart resets the
+    * phase, not the policy (the staleness log persists, so the
+    * decision inputs survive restarts; only the modulo phase moves).
+    * `onMaintain` sees every report a cadence check produces — wire
+    * it to metrics in a deployment. Runs inside foreachBatch, so
+    * triggers serialize with it; concurrent PROBES need the index
+    * enrolled in [[IndexManifest]] (then the rewrite is copy-on-write
+    * and pinned readers hold their snapshot — q215's contract). */
   def attach(stream: DataFrame, centers: Array[Array[Double]],
              indexDir: String, checkpointDir: String,
              idCol: String = "vec_id",
              vecCol: String = "embedding",
              stalenessDir: Option[String] = None,
-             metaCols: Seq[String] = Seq.empty): StreamingQuery =
+             metaCols: Seq[String] = Seq.empty,
+             maintainEvery: Option[Int] = None,
+             maintainPolicy: Option[MaintainPolicy] = None,
+             maintainMiniBatch: Boolean = false,
+             maintainSeed: Long = 42,
+             onMaintain: MaintainReport => Unit = _ => ()): StreamingQuery = {
+    requireCadenceArgs("attach", maintainEvery, maintainPolicy,
+      stalenessDir, refsNeeded = false, refsGiven = true)
+    var curCenters = centers
+    val triggers = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         (if (metaCols.isEmpty)
-           assignOnIngest(batch, centers, idCol, vecCol)
+           assignOnIngest(batch, curCenters, idCol, vecCol)
          else
-           assignOnIngestWithMeta(batch, centers, idCol, vecCol, metaCols))
+           assignOnIngestWithMeta(batch, curCenters, idCol, vecCol,
+             metaCols))
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
         stalenessDir.foreach { dir =>
-          quantizerStaleness(batch, centers, idCol, vecCol)
+          quantizerStaleness(batch, curCenters, idCol, vecCol)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
         IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
+        if (cadenceDue(triggers, maintainEvery)) {
+          val (report, newCenters) = maintain(batch.sparkSession, indexDir,
+            stalenessDir.get, curCenters, maintainPolicy.get, maintainSeed,
+            idCol, vecCol, maintainMiniBatch)
+          newCenters.foreach(curCenters = _)
+          onMaintain(report)
+        }
         ()
       }
       .start()
+  }
+
+  /** Shared cadence-argument valve for the four attach wire-ins:
+    * `maintainEvery` needs the policy, the staleness log it decides
+    * on, and — for the lossy codes tiers — the refs supplier the
+    * re-encode needs. */
+  private def requireCadenceArgs(op: String, maintainEvery: Option[Int],
+                                 policy: Option[MaintainPolicy],
+                                 stalenessDir: Option[String],
+                                 refsNeeded: Boolean,
+                                 refsGiven: Boolean): Unit =
+    maintainEvery.foreach { n =>
+      require(n >= 1, s"$op: maintainEvery must be >= 1, got $n")
+      require(policy.nonEmpty,
+        s"$op: maintainEvery set without a maintainPolicy — the cadence " +
+          "needs thresholds to decide with")
+      require(stalenessDir.nonEmpty,
+        s"$op: maintainEvery set without a stalenessDir — the decision " +
+          "consumes the per-trigger drift log")
+      require(!refsNeeded || refsGiven,
+        s"$op: maintainEvery set without maintainRefs — codes are lossy, " +
+          "so a firing refresh must re-encode from the original corpus")
+    }
+
+  /** One trigger's cadence check: count this run's triggers, fire on
+    * every `maintainEvery`-th. */
+  private def cadenceDue(triggers: java.util.concurrent.atomic.AtomicLong,
+                         maintainEvery: Option[Int]): Boolean = {
+    val n = triggers.incrementAndGet()
+    maintainEvery.exists(e => n % e == 0L)
+  }
 
   /** [[assignOnIngest]] KEEPING metadata columns (r11 verdict #4):
     * (idCol, vecCol, metaCols…, list) — the frame shape a
@@ -184,27 +248,49 @@ object IvfStream {
                checkpointDir: String, idCol: String = "vec_id",
                vecCol: String = "embedding",
                stalenessDir: Option[String] = None,
-               metaCols: Seq[String] = Seq.empty): StreamingQuery =
+               metaCols: Seq[String] = Seq.empty,
+               maintainEvery: Option[Int] = None,
+               maintainPolicy: Option[MaintainPolicy] = None,
+               maintainRefs: Option[() => DataFrame] = None,
+               maintainMiniBatch: Boolean = false,
+               maintainSeed: Long = 42,
+               onMaintain: MaintainReport => Unit = _ => ())
+      : StreamingQuery = {
+    requireCadenceArgs("attachSq", maintainEvery, maintainPolicy,
+      stalenessDir, refsNeeded = true, refsGiven = maintainRefs.nonEmpty)
+    var curCenters = centers
+    var curCodec = codec
+    val triggers = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         (if (metaCols.isEmpty)
-           assignAndEncodeOnIngest(batch, centers, codec, idCol, vecCol)
+           assignAndEncodeOnIngest(batch, curCenters, curCodec, idCol,
+             vecCol)
          else
-           assignAndEncodeOnIngestWithMeta(batch, centers, codec, idCol,
-             vecCol, metaCols))
+           assignAndEncodeOnIngestWithMeta(batch, curCenters, curCodec,
+             idCol, vecCol, metaCols))
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
         stalenessDir.foreach { dir =>
-          quantizerStaleness(batch, centers, idCol, vecCol)
+          quantizerStaleness(batch, curCenters, idCol, vecCol)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
         IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
+        if (cadenceDue(triggers, maintainEvery)) {
+          val (report, newQ) = maintainSq(batch.sparkSession, indexDir,
+            stalenessDir.get, maintainRefs.get(), curCenters,
+            maintainPolicy.get, maintainSeed, idCol, vecCol,
+            maintainMiniBatch)
+          newQ.foreach { case (c, q) => curCenters = c; curCodec = q }
+          onMaintain(report)
+        }
         ()
       }
       .start()
+  }
 
   /** Stateless assign-and-SIGN-encode: (idCol, codes, list) — the
     * [[assignAndEncodeOnIngest]] twin for the 32×-compressed IVF-BQ
@@ -265,27 +351,47 @@ object IvfStream {
                idCol: String = "vec_id",
                vecCol: String = "embedding",
                stalenessDir: Option[String] = None,
-               metaCols: Seq[String] = Seq.empty): StreamingQuery =
+               metaCols: Seq[String] = Seq.empty,
+               maintainEvery: Option[Int] = None,
+               maintainPolicy: Option[MaintainPolicy] = None,
+               maintainRefs: Option[() => DataFrame] = None,
+               maintainMiniBatch: Boolean = false,
+               maintainSeed: Long = 42,
+               onMaintain: MaintainReport => Unit = _ => ())
+      : StreamingQuery = {
+    requireCadenceArgs("attachBq", maintainEvery, maintainPolicy,
+      stalenessDir, refsNeeded = true, refsGiven = maintainRefs.nonEmpty)
+    var curCenters = centers
+    val triggers = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         (if (metaCols.isEmpty)
-           assignAndBqEncodeOnIngest(batch, centers, idCol, vecCol)
+           assignAndBqEncodeOnIngest(batch, curCenters, idCol, vecCol)
          else
-           assignAndBqEncodeOnIngestWithMeta(batch, centers, idCol,
+           assignAndBqEncodeOnIngestWithMeta(batch, curCenters, idCol,
              vecCol, metaCols))
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
         stalenessDir.foreach { dir =>
-          quantizerStaleness(batch, centers, idCol, vecCol)
+          quantizerStaleness(batch, curCenters, idCol, vecCol)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
         IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
+        if (cadenceDue(triggers, maintainEvery)) {
+          val (report, newCenters) = maintainBq(batch.sparkSession,
+            indexDir, stalenessDir.get, maintainRefs.get(), curCenters,
+            maintainPolicy.get, maintainSeed, idCol, vecCol,
+            maintainMiniBatch)
+          newCenters.foreach(curCenters = _)
+          onMaintain(report)
+        }
         ()
       }
       .start()
+  }
 
   /** Offline quantizer refresh for the accrued 1-BIT codes index —
     * the [[reassignSq]] twin (sign codes are lossy too: the stored
@@ -382,27 +488,45 @@ object IvfStream {
                idCol: String = "vec_id",
                vecCol: String = "embedding",
                stalenessDir: Option[String] = None,
-               metaCols: Seq[String] = Seq.empty): StreamingQuery =
+               metaCols: Seq[String] = Seq.empty,
+               maintainEvery: Option[Int] = None,
+               maintainPolicy: Option[MaintainPolicy] = None,
+               maintainRefs: Option[() => DataFrame] = None,
+               maintainSeed: Long = 42,
+               onMaintain: MaintainReport => Unit = _ => ())
+      : StreamingQuery = {
+    requireCadenceArgs("attachPq", maintainEvery, maintainPolicy,
+      stalenessDir, refsNeeded = true, refsGiven = maintainRefs.nonEmpty)
+    var curModel = model
+    val triggers = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         (if (metaCols.isEmpty)
-           assignAndPqEncodeOnIngest(batch, model, idCol, vecCol)
+           assignAndPqEncodeOnIngest(batch, curModel, idCol, vecCol)
          else
-           assignAndPqEncodeOnIngestWithMeta(batch, model, idCol,
+           assignAndPqEncodeOnIngestWithMeta(batch, curModel, idCol,
              vecCol, metaCols))
           .write.partitionBy("list").mode("overwrite")
           .parquet(s"$indexDir/batch=$batchId")
         stalenessDir.foreach { dir =>
-          quantizerStalenessPq(batch, model, idCol, vecCol)
+          quantizerStalenessPq(batch, curModel, idCol, vecCol)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
         IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
+        if (cadenceDue(triggers, maintainEvery)) {
+          val (report, newModel) = maintainPq(batch.sparkSession, indexDir,
+            stalenessDir.get, maintainRefs.get(), curModel,
+            maintainPolicy.get, maintainSeed, idCol, vecCol)
+          newModel.foreach(curModel = _)
+          onMaintain(report)
+        }
         ()
       }
       .start()
+  }
 
   /** [[quantizerStaleness]] in the PQ model's UNIT space: mean squared
     * L2 from each NORMALIZED vector to its assigned coarse centroid
@@ -487,7 +611,7 @@ object IvfStream {
       : (MaintainReport, Option[Similarity.IvfPqModel]) =
     decide(spark, stalenessDir, policy) match {
       case Left(report) =>
-        (fragmentationPass(spark, indexDir, policy, report)(
+        (fragmentationPass(spark, indexDir, stalenessDir, policy, report)(
           compactCodesIndex(spark, indexDir, idCol)), None)
       case Right(report) =>
         val newModel = Similarity.ivfPqTrainModel(spark, refs,
@@ -881,6 +1005,33 @@ object IvfStream {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
+  /** Staleness-log RETENTION (r12 verdict #5): the log accrues one
+    * `batch=<id>` directory per trigger forever on a healthy index
+    * ([[maintain]] clears it only when it FIRES), which is the same
+    * small-files arithmetic the data-side fragmentation arm fixes —
+    * a year of 1-minute triggers is half a million directories the
+    * next [[maintain]] call must list and read. Fold the whole log
+    * into ONE row that preserves the volume-weighted decision inputs
+    * EXACTLY: n_vecs = Σn, mean_d2 = Σ(d2·n)/Σn (what the policy
+    * reads), max_list_frac = max (ditto), n_lists = max (constant
+    * within a quantizer epoch). Same [[IndexSwap]] discipline as the
+    * data compactions; run quiesced. No-op on a missing/empty log. */
+  def compactStalenessLog(spark: SparkSession,
+                          stalenessDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stalenessDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) return
+    val tmp = stalenessDir + ".compact"
+    spark.read.parquet(stalenessDir).agg(
+        coalesce(sum("n_vecs"), lit(0L)).as("n_vecs"),
+        round(coalesce(sum(col("mean_d2") * col("n_vecs")) / sum("n_vecs"),
+          lit(0.0)), 6).as("mean_d2"),
+        coalesce(max("max_list_frac"), lit(0.0)).as("max_list_frac"),
+        coalesce(max("n_lists"), lit(0)).as("n_lists"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    IndexSwap.swap(spark, stalenessDir, tmp)
+  }
+
   /** Staleness-DRIVEN maintenance for the float index: read the
     * [[attach]] drift log at `stalenessDir`, fire
     * [[reassign]] when `policy` is breached, no-op otherwise — the
@@ -900,7 +1051,7 @@ object IvfStream {
       : (MaintainReport, Option[Array[Array[Double]]]) =
     decide(spark, stalenessDir, policy) match {
       case Left(report) =>
-        (fragmentationPass(spark, indexDir, policy, report)(
+        (fragmentationPass(spark, indexDir, stalenessDir, policy, report)(
           compactIndex(spark, indexDir, idCol, vecCol)), None)
       case Right(report) =>
         val idx = readIndex(spark, indexDir, idCol, vecCol)
@@ -928,7 +1079,7 @@ object IvfStream {
       : (MaintainReport, Option[(Array[Array[Double]], Similarity.SqCodec)]) =
     decide(spark, stalenessDir, policy) match {
       case Left(report) =>
-        (fragmentationPass(spark, indexDir, policy, report)(
+        (fragmentationPass(spark, indexDir, stalenessDir, policy, report)(
           compactCodesIndex(spark, indexDir, idCol)), None)
       case Right(report) =>
         val newCenters =
@@ -952,7 +1103,7 @@ object IvfStream {
       : (MaintainReport, Option[Array[Array[Double]]]) =
     decide(spark, stalenessDir, policy) match {
       case Left(report) =>
-        (fragmentationPass(spark, indexDir, policy, report)(
+        (fragmentationPass(spark, indexDir, stalenessDir, policy, report)(
           compactCodesIndex(spark, indexDir, idCol)), None)
       case Right(report) =>
         val newCenters =
@@ -970,16 +1121,27 @@ object IvfStream {
     * run the tier's pure compaction. The staleness log is KEPT — its
     * rows still measure the live (untouched) quantizer. */
   private def fragmentationPass(spark: SparkSession, indexDir: String,
+                                stalenessDir: String,
                                 policy: MaintainPolicy,
                                 report: MaintainReport)(compact: => Unit)
       : MaintainReport = {
     val batches = countBatches(spark, indexDir)
-    if (batches > policy.maxBatches) {
-      compact
-      report.copy(compacted = true,
-        reason = report.reason + s"; fragmentation: $batches batches > " +
-          s"maxBatches=${policy.maxBatches} — compacted")
-    } else report
+    val r1 =
+      if (batches > policy.maxBatches) {
+        compact
+        report.copy(compacted = true,
+          reason = report.reason + s"; fragmentation: $batches batches > " +
+            s"maxBatches=${policy.maxBatches} — compacted")
+      } else report
+    // the LOG's own fragmentation (r12 verdict #5): a healthy index
+    // never clears it, so fold the trigger litter into the one
+    // aggregated row that preserves the decision inputs exactly
+    val logBatches = countBatches(spark, stalenessDir)
+    if (logBatches > policy.maxBatches) {
+      compactStalenessLog(spark, stalenessDir)
+      r1.copy(reason = r1.reason + s"; staleness log: $logBatches " +
+        s"batches > maxBatches=${policy.maxBatches} — compacted")
+    } else r1
   }
 
   /** Shared policy evaluation: Left = no-op (with why), Right = fire

@@ -413,4 +413,139 @@ class IvfMaintainSpec extends SparkSpec {
       s"retrain must repair the skew ($driftedSkew -> $afterSkew)")
     e.unpersist()
   }
+
+  test("staleness-log retention: compaction folds trigger litter to " +
+    "one row preserving the volume-weighted decision inputs; the " +
+    "fragmentation arm fires it past maxBatches") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_slog").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    IvfStream.assignOnIngest(e, centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/idx/batch=0")
+    // five trigger rows with DIFFERENT volumes, so a wrong aggregate
+    // (unweighted mean, sum of fracs, ...) cannot pass by accident
+    import spark.implicits._
+    (0 until 5).foreach { i =>
+      Seq(((i + 1) * 100L, 0.5 + i, 0.25 + 0.01 * i, 4))
+        .toDF("n_vecs", "mean_d2", "max_list_frac", "n_lists")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/log/batch=$i")
+    }
+    val n = (1 to 5).map(_ * 100L).sum
+    val d2 = (0 until 5).map(i => (0.5 + i) * (i + 1) * 100).sum / n
+    val frac = 0.29
+    // a no-op-threshold policy whose maxBatches the 5-dir log breaches
+    val policy = IvfStream.MaintainPolicy(meanD2Max = 1e9,
+      maxBatches = 3)
+    val (r1, none1) = IvfStream.maintain(spark, s"$root/idx",
+      s"$root/log", centers, policy)
+    assert(!r1.fired && none1.isEmpty)
+    assert(r1.nVecs === n)
+    assert(math.abs(r1.meanD2 - d2) < 1e-6)
+    assert(math.abs(r1.maxListFrac - frac) < 1e-9)
+    assert(r1.reason.contains("staleness log"),
+      s"log compaction must be reported: ${r1.reason}")
+    assert(IvfStream.countBatches(spark, s"$root/log") === 1,
+      "five trigger dirs must fold into one")
+    // the folded row feeds the NEXT decision with identical inputs
+    val (r2, _) = IvfStream.maintain(spark, s"$root/idx",
+      s"$root/log", centers, policy)
+    assert(r2.nVecs === r1.nVecs)
+    assert(math.abs(r2.meanD2 - r1.meanD2) < 1e-6)
+    assert(math.abs(r2.maxListFrac - r1.maxListFrac) < 1e-12)
+    assert(!r2.reason.contains("staleness log"),
+      "a tidy log must not re-compact")
+    e.unpersist()
+  }
+
+  test("attach with maintainEvery: a drifted stream fires maintenance " +
+    "hands-free mid-attach; later triggers assign with the returned " +
+    "quantizer; probe parity holds end-to-end") {
+    // the r12-verdict-#2 scenario: the policy, log, and refresh rungs
+    // all existed but nothing called them — here the cadence wired
+    // into foreachBatch consumes the log every 2nd trigger, fires on
+    // the drifted reading, and the NEXT trigger's assignments use the
+    // centers maintain returned (re-broadcast via the driver variable)
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cad").toString
+    val base = e.select("vec_id", "embedding")
+    val centersA = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    val healthy = IvfStream.quantizerStaleness(e, centersA)
+      .collect()(0).getDouble(1)
+    val policy = IvfStream.MaintainPolicy(meanD2Max = healthy * 2)
+    def drifted(offset: Long) = e.select(
+      (col("vec_id") + offset).as("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    val t2 = drifted(100000L)
+    val t3 = drifted(200000L)
+    base.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[IvfStream.MaintainReport]
+    val schema = base.schema
+    val q = IvfStream.attach(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in"), centersA,
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt",
+      stalenessDir = Some(s"$tmp/stale"),
+      maintainEvery = Some(2),
+      maintainPolicy = Some(policy),
+      onMaintain = r => { reports += r; () })
+    q.processAllAvailable() // trigger 1 (healthy): no cadence check yet
+    t2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable() // trigger 2 (drifted): cadence fires
+    t3.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable() // trigger 3: must assign with NEW centers
+    q.stop()
+    // exactly one cadence check ran (trigger 2) and it FIRED
+    assert(reports.toList.map(_.fired) === List(true),
+      s"expected one fired report, got $reports")
+    // the centers maintain returned are deterministic: a full retrain
+    // on the index's own contents at fire time (triggers 1+2)
+    val expectCenters = Similarity.ivfTrainCentroids(spark,
+      base.unionByName(t2), nLists = 4)
+    // trigger 3 must be assigned under them (the re-broadcast check:
+    // a stream still frozen on centersA would list these differently)
+    val idx = IvfStream.readIndex(spark, s"$tmp/idx")
+    val gotT3 = idx.filter(col("vec_id") >= 200000L)
+    val wantT3 = IvfStream.assignOnIngest(t3, expectCenters)
+    assert(gotT3.exceptAll(wantT3).isEmpty &&
+      wantT3.exceptAll(gotT3).isEmpty,
+      "post-fire trigger must assign with the returned quantizer")
+    // and the whole index ≡ the batch twin under the new quantizer
+    // (the fire re-listed triggers 1+2; trigger 3 arrived assigned)
+    val want = IvfStream.assignOnIngest(
+      base.unionByName(t2).unionByName(t3), expectCenters)
+    assert(idx.exceptAll(want).isEmpty && want.exceptAll(idx).isEmpty)
+    // probe parity over the maintained directory vs the in-memory twin
+    val qs = e.filter(col("vec_id") < 20)
+    val got = Similarity.ivfTopKFromIndex(spark, qs, idx, expectCenters,
+      k = 5, nProbe = 2)
+    val wantProbe = Similarity.ivfTopKFromIndex(spark, qs, want,
+      expectCenters, k = 5, nProbe = 2)
+    assert(got.exceptAll(wantProbe).isEmpty &&
+      wantProbe.exceptAll(got).isEmpty)
+    // the consumed log was cleared at the fire; trigger 3 re-seeded it
+    // with ONE row measuring the NEW quantizer
+    val stale = spark.read.parquet(s"$tmp/stale")
+    assert(stale.count() === 1L,
+      "fire must clear the consumed log; the next trigger re-seeds it")
+    // cadence argument valve: maintainEvery without policy or log
+    intercept[IllegalArgumentException] {
+      IvfStream.attach(
+        spark.readStream.schema(schema).parquet(s"$tmp/in"), centersA,
+        indexDir = s"$tmp/idx2", checkpointDir = s"$tmp/ckpt2",
+        maintainEvery = Some(2))
+    }
+    intercept[IllegalArgumentException] {
+      IvfStream.attachSq(
+        spark.readStream.schema(schema).parquet(s"$tmp/in"), centersA,
+        Similarity.sqTrain(spark, e), indexDir = s"$tmp/idx3",
+        checkpointDir = s"$tmp/ckpt3",
+        stalenessDir = Some(s"$tmp/stale3"),
+        maintainEvery = Some(2),
+        maintainPolicy = Some(policy)) // codes tier: refs missing
+    }
+    e.unpersist()
+  }
 }
