@@ -415,9 +415,9 @@ object IvfStream {
         "refreshing from an incomplete corpus would silently drop " +
         "indexed vectors. Pass the full original corpus (sign codes " +
         "are lossy; the index cannot re-list itself).")
-    fullRewrite(spark, indexDir)(
+    fullRewrite(spark, indexDir)(withIndexMeta(spark, indexDir, idCol,
       assignAndBqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
-        newCenters, idCol, vecCol))
+        newCenters, idCol, vecCol), "IvfStream.reassignBq"))
   }
 
   /** Stateless assign-and-PQ-encode: (idCol, list, codes) — the
@@ -591,9 +591,9 @@ object IvfStream {
         "refreshing from an incomplete corpus would silently drop " +
         "indexed vectors. Pass the full original corpus (PQ codes " +
         "are lossy; the index cannot re-encode itself).")
-    fullRewrite(spark, indexDir)(
+    fullRewrite(spark, indexDir)(withIndexMeta(spark, indexDir, idCol,
       assignAndPqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
-        newModel, idCol, vecCol))
+        newModel, idCol, vecCol), "IvfStream.reassignPq"))
   }
 
   /** [[maintain]] for the PQ codes tier: fires [[reassignPq]] with
@@ -676,10 +676,32 @@ object IvfStream {
                idCol: String = "vec_id",
                vecCol: String = "embedding"): Unit = {
     IndexSwap.requireLive(spark, indexDir, "IvfStream.reassign")
+    // metadata columns ride through the rewrite (r13): an index
+    // ingested WithMeta must keep serving filtered probes after a
+    // quantizer refresh — dropping them here would silently break the
+    // PushedFilters route the metadata exists for
+    val full = readAll(spark, indexDir, "IvfStream.reassign")
+    val metaCols = full.columns.toSeq
+      .filterNot(Seq(idCol, vecCol, "list").contains)
     fullRewrite(spark, indexDir)(
-      assignOnIngest(readIndex(spark, indexDir, idCol, vecCol)
-        .select(idCol, vecCol), newCenters, idCol, vecCol))
+      if (metaCols.isEmpty)
+        assignOnIngest(full.select(idCol, vecCol), newCenters, idCol,
+          vecCol)
+      else
+        assignOnIngestWithMeta(full.drop("list"), newCenters, idCol,
+          vecCol, metaCols))
   }
+
+  /** Every column of the accrued index (manifest-routed when
+    * enrolled), minus the top-level `batch` partition id — the frame
+    * the full-rewrite maintenance ops consume so NON-payload columns
+    * (filtered-ANN metadata) survive compaction and refresh. */
+  private def readAll(spark: SparkSession, indexDir: String,
+                      op: String): DataFrame =
+    IndexManifest.routedRead(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: index at $indexDir is manifested and EMPTY — nothing " +
+          "to rewrite")).drop("batch")
 
   /** Install a complete replacement of an accrued list-partitioned
     * index — BOTH routes behind one door: a manifested index
@@ -733,9 +755,27 @@ object IvfStream {
         "refreshing from an incomplete corpus would silently drop " +
         "indexed vectors. Pass the full original corpus (codes are " +
         "lossy; the index cannot re-encode itself).")
-    fullRewrite(spark, indexDir)(
+    fullRewrite(spark, indexDir)(withIndexMeta(spark, indexDir, idCol,
       assignAndEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
-        newCenters, newCodec, idCol, vecCol))
+        newCenters, newCodec, idCol, vecCol), "IvfStream.reassignSq"))
+  }
+
+  /** Re-attach the index's metadata columns to a freshly re-encoded
+    * (id, codes, list) frame — the codes-tier counterpart of
+    * [[reassign]]'s pass-through: the stored codes cannot carry the
+    * metadata through a re-encode (it is re-derived from `refs`), so
+    * a refresh takes it from the INDEX by id. One id-keyed join, only
+    * when metadata exists. */
+  private def withIndexMeta(spark: SparkSession, indexDir: String,
+                            idCol: String, encoded: DataFrame,
+                            op: String): DataFrame = {
+    val full = readAll(spark, indexDir, op)
+    val metaCols = full.columns.toSeq
+      .filterNot(Seq(idCol, "codes", "list").contains)
+    if (metaCols.isEmpty) encoded
+    else encoded
+      .join(full.select((idCol +: metaCols).map(col): _*), Seq(idCol))
+      .select((Seq(idCol, "codes") ++ metaCols :+ "list").map(col): _*)
   }
 
   /** Compact the accrued codes directory's per-batch partition litter
@@ -748,8 +788,12 @@ object IvfStream {
   def compactCodesIndex(spark: SparkSession, indexDir: String,
                         idCol: String = "vec_id"): Unit = {
     IndexSwap.requireLive(spark, indexDir, "IvfStream.compactCodesIndex")
+    // ALL columns ride through (metadata included), not just the
+    // (id, codes, list) payload — see [[reassign]]
     fullRewrite(spark, indexDir)(
-      readCodesIndex(spark, indexDir, idCol).repartition(col("list")))
+      Similarity.requireBinaryCodes(
+        readAll(spark, indexDir, "IvfStream.compactCodesIndex"),
+        "IvfStream.compactCodesIndex").repartition(col("list")))
   }
 
   /** [[compactCodesIndex]] for the FLOAT layout: fold the per-trigger
@@ -762,8 +806,10 @@ object IvfStream {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): Unit = {
     IndexSwap.requireLive(spark, indexDir, "IvfStream.compactIndex")
+    // ALL columns ride through (metadata included) — see [[reassign]]
     fullRewrite(spark, indexDir)(
-      readIndex(spark, indexDir, idCol, vecCol).repartition(col("list")))
+      readAll(spark, indexDir, "IvfStream.compactIndex")
+        .repartition(col("list")))
   }
 
   /** Top-level `batch=` directory count — the fragmentation reading

@@ -2502,6 +2502,113 @@ class PipelineSpec extends SparkSpec {
     val labels = e.select(col("vec_id").as("rid"), col("label"))
     assert(got.join(labels, "rid").filter(col("label") =!= 2)
       .count() === 0L)
+    // the metadata survives BOTH codes-tier rewrites (r13): compaction
+    // passes every column through; a quantizer refresh re-encodes from
+    // refs (codes are lossy) and re-attaches the metadata from the
+    // index by id — filtered probes keep working after maintenance
+    IvfStream.compactCodesIndex(spark, s"$tmp/idx")
+    val compacted = spark.read.parquet(s"$tmp/idx")
+    assert(compacted.columns.contains("label"),
+      "compaction must carry the metadata columns through")
+    assert(compacted.select("vec_id", "label")
+      .exceptAll(e.select("vec_id", "label")).isEmpty)
+    val centersB = Similarity.ivfTrainCentroids(spark, e, nLists = 8,
+      seed = 7)
+    val codecB = Similarity.sqTrain(spark, e)
+    IvfStream.reassignSq(spark, s"$tmp/idx", e, centersB, codecB)
+    val refreshed = spark.read.parquet(s"$tmp/idx")
+    assert(refreshed.columns.contains("label"),
+      "reassignSq must re-attach the metadata columns")
+    val got2 = Similarity.ivfSqTopKFromIndexFiltered(spark, qs, refreshed,
+      centersB, codecB, e, 3, pred, shortlist = 10, nProbe = 4)
+    val ref2 = Similarity.ivfSqTopKFromIndex(spark, qs,
+      refreshed.filter(pred), centersB, codecB, e.filter(pred), k = 3,
+      shortlist = 10, nProbe = 4)
+    assert(got2.exceptAll(ref2).isEmpty && ref2.exceptAll(got2).isEmpty)
+    e.unpersist()
+  }
+
+  test("matryoshka prefix tier inherits the FULL ingest/maintenance " +
+    "family through the float tier: metadata-carrying ingest, " +
+    "filtered probe, delete, staleness-driven maintain") {
+    // the r12 additions (WithMeta ingest, maintain/fragmentation,
+    // deletion) were specified per codec tier; the prefix index is a
+    // float IVF index over sliced vectors, so it JOINS the family by
+    // construction — this pins that claim end-to-end rather than
+    // documenting it as an exclusion (r12 verdict #7)
+    import graft.streaming.{IndexDelete, IvfStream}
+    import graft.pipeline.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mrlfam").toString
+    val e = Tables.embeddings(spark, sf).cache()
+    val dims = 32
+    val pref = e.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"), col("label"))
+    val (centers, _) = Similarity.matryoshkaIvfBuildIndex(spark, e,
+      dims = dims, nLists = 8)
+    // 1. metadata-carrying streamed ingest of the prefix column
+    pref.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    val q = IvfStream.attach(
+      spark.readStream.schema(pref.schema).parquet(s"$tmp/in"), centers,
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt",
+      stalenessDir = Some(s"$tmp/stale"), metaCols = Seq("label"))
+    q.processAllAvailable()
+    q.stop()
+    val idx = spark.read.parquet(s"$tmp/idx")
+    assert(idx.columns.contains("label"))
+    // 2. metadata-FILTERED matryoshka probe directly on the streamed
+    //    prefix index ≡ the filter-then-probe twin
+    val qs = e.filter(col("vec_id") < 20)
+    val predQ = col("label") === 2
+    val got = Similarity.matryoshkaIvfTopKFromIndexFiltered(spark, qs,
+      idx, centers, e, 3, predQ, dims = dims, shortlist = 30, nProbe = 4)
+    val want = Similarity.matryoshkaIvfTopKFromIndex(spark, qs,
+      idx.filter(predQ), centers, e.filter(predQ), k = 3, dims = dims,
+      shortlist = 30, nProbe = 4)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // 3. targeted deletion sweeps the prefix index like any other
+    val doomed = Seq(3L, 7L)
+    val rep = IndexDelete.deleteIds(spark, s"$tmp/idx", doomed, "vec_id")
+    assert(rep.rowsDeleted === 2L)
+    val afterDel = Similarity.matryoshkaIvfTopKFromIndex(spark, qs,
+      IvfStream.readIndex(spark, s"$tmp/idx"), centers, e, k = 3,
+      dims = dims, shortlist = 30, nProbe = 4)
+    assert(afterDel.filter(col("rid").isin(doomed: _*)).count() === 0L)
+    // 4. staleness-driven maintain: drifted PREFIX arrivals breach the
+    //    policy, the fire re-trains in prefix space and re-lists
+    val healthy = IvfStream.quantizerStaleness(pref, centers)
+      .collect()(0).getDouble(1)
+    val driftedPref = pref.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    IvfStream.quantizerStaleness(driftedPref, centers).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/stale/batch=99")
+    val (repM, newC) = IvfStream.maintain(spark, s"$tmp/idx",
+      s"$tmp/stale", centers,
+      IvfStream.MaintainPolicy(meanD2Max = healthy * 2))
+    assert(repM.fired && newC.nonEmpty,
+      s"drifted prefix log must fire maintain: $repM")
+    // the re-listed index under the new prefix-space quantizer is
+    // search-equivalent to a fresh assignment of the same rows
+    val survivors = pref.filter(!col("vec_id").isin(doomed: _*))
+      .select("vec_id", "embedding")
+    val wantIdx = IvfStream.assignOnIngest(survivors, newC.get)
+    val gotIdx = IvfStream.readIndex(spark, s"$tmp/idx")
+    assert(gotIdx.exceptAll(wantIdx).isEmpty &&
+      wantIdx.exceptAll(gotIdx).isEmpty)
+    // 5. the metadata SURVIVED the maintain rewrite (r13: reassign and
+    //    compaction carry non-payload columns through, so filtered
+    //    probes keep working after a refresh — they used to be
+    //    silently dropped) and the filtered probe still runs directly
+    val idxAfter = spark.read.parquet(s"$tmp/idx")
+    assert(idxAfter.columns.contains("label"),
+      "reassign must carry the metadata columns through the rewrite")
+    val gotAfter = Similarity.matryoshkaIvfTopKFromIndexFiltered(spark,
+      qs, idxAfter, newC.get, e, 3, predQ, dims = dims, shortlist = 30,
+      nProbe = 4)
+    val wantAfter = Similarity.matryoshkaIvfTopKFromIndex(spark, qs,
+      idxAfter.filter(predQ), newC.get, e.filter(predQ), k = 3,
+      dims = dims, shortlist = 30, nProbe = 4)
+    assert(gotAfter.exceptAll(wantAfter).isEmpty &&
+      wantAfter.exceptAll(gotAfter).isEmpty)
     e.unpersist()
   }
 
