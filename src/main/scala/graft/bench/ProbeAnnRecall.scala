@@ -38,6 +38,23 @@ object ProbeAnnRecall {
       nProbe = 6, m = 16, nCodes = 32, refine = 40))
     // two-stage rungs (r9): prefix-dim / SQ8-code shortlist + exact re-rank
     val q50 = e.filter(col("vec_id") < 50)
+    // OPQ (r13): learned rotation before the subspace split vs the
+    // unrotated rung at IDENTICAL index bytes (same nLists/m/nCodes/
+    // probe/refine). Low refine values expose stage-1 code quality —
+    // a large exact re-rank would mask the difference the rotation
+    // makes.
+    for ((mm, rf) <- Seq((8, 2), (8, 4), (16, 2), (16, 4))) {
+      val (pm, pidx) = Similarity.ivfPqBuildIndex(spark, e, nLists = 8,
+        m = mm, nCodes = 32)
+      recallOf(f"pq_m${mm}%-2dr$rf",
+        Similarity.ivfPqTopKFromIndex(spark, q50, pidx, pm, e, k = 5,
+          nProbe = 6, refine = rf))
+      val (om, oidx) = Similarity.ivfOpqBuildIndex(spark, e, nLists = 8,
+        m = mm, nCodes = 32)
+      recallOf(f"opq_m${mm}%-1dr$rf",
+        Similarity.ivfPqTopKFromIndex(spark, q50, oidx, om, e, k = 5,
+          nProbe = 6, refine = rf))
+    }
     for (sl <- Seq(15, 30, 50)) {
       recallOf(s"mrl16s$sl", Similarity.matryoshkaTopK(q50, e, k = 5,
         dims = 16, shortlist = sl))

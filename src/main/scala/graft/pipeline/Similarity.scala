@@ -484,9 +484,23 @@ object Similarity extends Serializable {
     * encode, ADC) for the build, the probe, and any streamed ingest. */
   case class IvfPqModel(dim: Int, m: Int,
                         centers: Array[Array[Double]],
-                        codebooks: Array[Array[Array[Double]]]) {
+                        codebooks: Array[Array[Array[Double]]],
+                        rotation: Option[Array[Array[Double]]] = None) {
     val dsub: Int = dim / m
-    private[graft] def unit(v: Array[Float]): Array[Double] = unitOf(v, dim)
+    /** Normalize, then (OPQ) rotate. The rotation is orthogonal, so
+      * every distance the model computes is preserved — it exists only
+      * to re-balance variance across the m subspace splits (Ge et al.,
+      * CVPR 2013), which is where PQ loses recall on correlated dims.
+      * Folding it HERE means every consumer (batch build, streamed
+      * ingest, probe, staleness reading) applies it identically with
+      * no second code path. */
+    private[graft] def unit(v: Array[Float]): Array[Double] = {
+      val u = unitOf(v, dim)
+      rotation match {
+        case Some(r) => rotateVec(r, u)
+        case None => u
+      }
+    }
     /** First strict minimum — the assignment tie-break (lowest id). */
     private[graft] def argminCenter(u: Array[Double]): Int = {
       var best = 0; var bd = Double.MaxValue; var c = 0
@@ -566,17 +580,7 @@ object Similarity extends Serializable {
                       trainCap: Int = 20000): (IvfPqModel, DataFrame) = {
     val model = ivfPqTrainModel(spark, refs, nLists, m, nCodes, seed,
       idCol, vecCol, dim, trainCap)
-    import spark.implicits._
-    val src = refs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val bc = spark.sparkContext.broadcast(model)
-    val index = src.as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val mm = bc.value
-        val u = mm.unit(v)
-        val list = mm.argminCenter(u)
-        (id, list, mm.encode(u, list))
-      }.toDF(idCol, "list", "codes")
-    (model, index)
+    (model, ivfPqEncodeAll(spark, refs, model, idCol, vecCol))
   }
 
   /** Train ONLY the IVF-PQ quantizer pair (coarse k-means over unit
@@ -612,6 +616,134 @@ object Similarity extends Serializable {
     IvfPqModel(dim, m, centers, codebooks)
   }
 
+  /** OPQ: learn an orthogonal ROTATION before the subspace split
+    * (Ge, He, Ke & Sun, "Optimized Product Quantization", CVPR 2013 —
+    * the standard recall lift at identical index bytes). PQ's loss is
+    * dominated by variance imbalance and correlation ACROSS the m
+    * subspaces; an orthogonal R redistributes both without changing
+    * any distance, so quantizing R·x loses less than quantizing x.
+    * The non-parametric alternation (the paper's OPQ_NP, the faiss
+    * `OPQMatrix` recipe) on the driver-side training sample:
+    *
+    *  1. fix R, train the quantizer PAIR in rotated space — the exact
+    *     [[ivfPqTrainModel]] arithmetic on R·x;
+    *  2. fix the quantizers, reconstruct x̂ = center + decoded
+    *     residual for each training vector and solve the orthogonal
+    *     Procrustes problem min_R ‖R·X − X̂‖_F: with M = Σ x̂ xᵀ and
+    *     SVD M = U·S·Vᵀ, the minimizer is R = U·Vᵀ (d×d SVD on the
+    *     driver — breeze, the EigenInit dependency).
+    *
+    * Each half-step is a coordinate descent on the shared
+    * quantization error, so the objective is non-increasing. The
+    * returned model carries the rotation INSIDE `unit` — every
+    * consumer (batch build, [[graft.streaming.IvfStream.attachPq]]
+    * ingest, probe, unit-space staleness) applies it with no second
+    * code path, and [[graft.streaming.IvfStream.maintainPq]] retrains
+    * WITH rotation when the live model has one. */
+  def ivfOpqTrainModel(spark: SparkSession, refs: DataFrame,
+                       nLists: Int = 16, m: Int = 8, nCodes: Int = 32,
+                       iters: Int = 6, seed: Long = 42,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding", dim: Int = 64,
+                       trainCap: Int = 20000): IvfPqModel = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(nCodes <= 256, "one-byte codes: nCodes must be ≤ 256")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import spark.implicits._
+    val dsub = dim / m
+    val src = refs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val train0 = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(trainCap).as[(Long, Array[Float])].collect()
+      .map(t => unitOf(t._2, dim))
+    var rot: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var model: IvfPqModel = null
+    var it = 0
+    while (it < iters) {
+      val x = train0.map(rotateVec(rot, _))
+      // step 1: the quantizer pair in the current rotated space —
+      // ivfPqTrainModel's exact arithmetic, seed-stable across rounds
+      val centers = lloydKMeans(x, nLists, seed)
+      val coarse = IvfPqModel(dim, m, centers, Array.empty)
+      val residuals = x.map { v =>
+        val c = centers(coarse.argminCenter(v))
+        Array.tabulate(dim)(i => v(i) - c(i))
+      }
+      val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+        val sub = residuals.map(r =>
+          java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
+        lloydKMeans(sub, nCodes, seed + s + 1)
+      }
+      model = IvfPqModel(dim, m, centers, codebooks)
+      if (it < iters - 1) {
+        // step 2: Procrustes — M = Σ x̂ uᵀ over the UNROTATED sample
+        val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+        var n = 0
+        while (n < train0.length) {
+          val xr = x(n)
+          val l = model.argminCenter(xr)
+          val codes = model.encode(xr, l)
+          val xhat = model.centers(l).clone()
+          var s = 0
+          while (s < m) {
+            val cb = model.codebooks(s)(codes(s) & 0xff)
+            var j = 0
+            while (j < dsub) { xhat(s * dsub + j) += cb(j); j += 1 }
+            s += 1
+          }
+          val u0 = train0(n)
+          var i = 0
+          while (i < dim) {
+            var j = 0
+            while (j < dim) { mMat(i, j) += xhat(i) * u0(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        val decomp = breeze.linalg.svd(mMat)
+        val rNew = decomp.U * decomp.Vt
+        rot = Array.tabulate(dim, dim)((i, j) => rNew(i, j))
+      }
+      it += 1
+    }
+    model.copy(rotation = Some(rot))
+  }
+
+  /** [[ivfPqBuildIndex]] with the OPQ-rotated model: train
+    * ([[ivfOpqTrainModel]]) and encode the corpus in the one narrow
+    * pass — the encode map is the model's own arithmetic, so the
+    * rotation rides inside `unit` and the index frame shape is
+    * byte-compatible with the unrotated layout. */
+  def ivfOpqBuildIndex(spark: SparkSession, refs: DataFrame,
+                       nLists: Int = 16, m: Int = 8, nCodes: Int = 32,
+                       iters: Int = 6, seed: Long = 42,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding", dim: Int = 64,
+                       trainCap: Int = 20000): (IvfPqModel, DataFrame) = {
+    val model = ivfOpqTrainModel(spark, refs, nLists, m, nCodes, iters,
+      seed, idCol, vecCol, dim, trainCap)
+    (model, ivfPqEncodeAll(spark, refs, model, idCol, vecCol))
+  }
+
+  /** One encode pass of `refs` under an existing model — the build's
+    * second half factored out so the PQ and OPQ builds share it
+    * byte-for-byte (and it IS [[graft.streaming.IvfStream
+    * .assignAndPqEncodeOnIngest]]'s map, spec-pinned equal). */
+  private def ivfPqEncodeAll(spark: SparkSession, refs: DataFrame,
+                             model: IvfPqModel, idCol: String,
+                             vecCol: String): DataFrame = {
+    import spark.implicits._
+    val src = refs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val bc = spark.sparkContext.broadcast(model)
+    src.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val mm = bc.value
+        val u = mm.unit(v)
+        val list = mm.argminCenter(u)
+        (id, list, mm.encode(u, list))
+      }.toDF(idCol, "list", "codes")
+  }
+
   /** Persist the IVF-PQ index: codes list-partitioned
     * (`dir/codes/batch=0/list=*` — the [[ivfTopKFromIndex]] pruning
     * layout), coarse centers and codebooks as plain rows. Returns the
@@ -623,6 +755,22 @@ object Similarity extends Serializable {
                       trainCap: Int = 20000): IvfPqModel = {
     val (model, index) = ivfPqBuildIndex(spark, refs, nLists, m, nCodes,
       seed, idCol, vecCol, dim, trainCap)
+    ivfPqWriteLayout(spark, model, index, dir)
+    model
+  }
+
+  /** [[ivfPqWriteIndex]] for the OPQ-rotated rung: same layout plus a
+    * `rotation` subdirectory, read back transparently by
+    * [[ivfPqReadIndex]] (absent for unrotated models, so the two
+    * layouts interoperate). */
+  def ivfOpqWriteIndex(spark: SparkSession, refs: DataFrame, dir: String,
+                       nLists: Int = 16, m: Int = 8, nCodes: Int = 32,
+                       iters: Int = 6, seed: Long = 42,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding", dim: Int = 64,
+                       trainCap: Int = 20000): IvfPqModel = {
+    val (model, index) = ivfOpqBuildIndex(spark, refs, nLists, m, nCodes,
+      iters, seed, idCol, vecCol, dim, trainCap)
     ivfPqWriteLayout(spark, model, index, dir)
     model
   }
@@ -643,6 +791,13 @@ object Similarity extends Serializable {
       yield (s, c, model.codebooks(s)(c)))
       .toDF("s", "c", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    // OPQ rotation rows (i, row) — absent for an unrotated model, so
+    // pre-r13 directories read back unchanged
+    model.rotation.foreach { r =>
+      r.indices.map(i => (i, r(i))).toDF("i", "row")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+      ()
+    }
   }
 
   /** Quantizer refresh for a PERSISTED IVF-PQ index (the
@@ -687,7 +842,14 @@ object Similarity extends Serializable {
     val books = Array.tabulate(m)(s =>
       bookRows.filter(_._1 == s).sortBy(_._2).map(_._3))
     val dim = centers(0).length
-    (IvfPqModel(dim, m, centers, books),
+    val rotP = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    val rotation =
+      if (rotP.getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(rotP))
+        Some(spark.read.parquet(s"$dir/rotation").orderBy("i")
+          .collect().map(_.getSeq[Double](1).toArray))
+      else None
+    (IvfPqModel(dim, m, centers, books, rotation),
       routedIndexRead(spark, s"$dir/codes", "ivfPqReadIndex")
         .select(idCol, "list", "codes"))
   }
@@ -2225,6 +2387,24 @@ object Similarity extends Serializable {
     while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
     val n = math.sqrt(s) + 1e-12
     Array.tabulate(dim)(j => v(j) / n)
+  }
+
+  /** Dense rotate: out = R·u (row-major R). The OPQ hot-path kernel —
+    * dim² multiply-adds per vector, ~4k flops at dim=64, dwarfed by
+    * the m·nCodes·dsub encode that follows it. */
+  private[graft] def rotateVec(r: Array[Array[Double]],
+                               u: Array[Double]): Array[Double] = {
+    val d = u.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val ri = r(i)
+      var s = 0.0; var j = 0
+      while (j < d) { s += ri(j) * u(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
   }
 
   /** Train the seeded coarse quantizer on a deterministic hash-ordered

@@ -1,0 +1,283 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.{IndexDelete, IndexManifest, IvfStream}
+
+/** ONE façade over the vector-index tier matrix (r12 verdict #6): the
+  * four codec tiers — float, SQ8 (4×), BQ (32×, asymmetric scoring),
+  * PQ (m bytes/vector, optionally OPQ-rotated) — share the same
+  * lifecycle (train → ingest/attach → probe → filtered probe →
+  * maintain → delete → compact/vacuum) but historically spanned ~40
+  * entry points with per-tier call conventions. `VectorIndex` pins the
+  * conventions once: tier and parameters are chosen at [[VectorIndex
+  * .train]], and every subsequent call is tier-agnostic, so the whole
+  * family is testable as ONE contract (VectorIndexSpec runs the same
+  * scenario across all four tiers) and a deployment can switch
+  * compression rungs by changing one constructor argument.
+  *
+  * NO new behavior lives here: every method delegates to the exact
+  * operator the per-tier call sites use ([[Similarity]],
+  * [[graft.streaming.IvfStream]], [[graft.streaming.IndexDelete]],
+  * [[graft.streaming.IndexManifest]]), so the facade inherits their
+  * specs, plans, and crash/snapshot discipline unchanged.
+  *
+  * The quantizer state (coarse centers / SQ codec / PQ model) rides
+  * IN the immutable facade value; operations that retrain
+  * ([[VectorIndex#maintain]]) return an UPDATED facade — the same
+  * convention as the underlying maintain* helpers, made unmissable by
+  * the type.
+  */
+object VectorIndex {
+
+  /** Compression rung. The PQ tier optionally trains the OPQ rotation
+    * (Ge et al., CVPR 2013) — same index bytes, better recall where
+    * codes are the bottleneck. */
+  sealed trait Tier
+  case object FloatTier extends Tier
+  case object Sq8Tier extends Tier
+  case object BqTier extends Tier
+  final case class PqTier(m: Int = 8, nCodes: Int = 32,
+                          opq: Boolean = false, opqIters: Int = 6)
+      extends Tier
+
+  /** Everything chosen ONCE, at train time. `asymmetric` applies to
+    * the BQ tier's stage-1 scoring (the measured-better default);
+    * `metaCols` ride into the index for filtered probes. */
+  final case class Params(tier: Tier,
+                          nLists: Int = 16,
+                          nProbe: Int = 2,
+                          shortlist: Int = 50,
+                          refine: Int = 4,
+                          seed: Long = 42,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          dim: Int = 64,
+                          trainCap: Int = 20000,
+                          asymmetric: Boolean = true,
+                          metaCols: Seq[String] = Seq.empty)
+
+  /** Train the tier's quantizers on `refs` and return the facade
+    * (nothing is written until [[VectorIndex#ingest]] /
+    * [[VectorIndex#attach]]). */
+  def train(spark: SparkSession, refs: DataFrame, params: Params,
+            indexDir: String): VectorIndex = {
+    val p = params
+    p.tier match {
+      case FloatTier =>
+        new VectorIndex(p, indexDir,
+          centers = Similarity.ivfTrainCentroids(spark, refs, p.nLists,
+            p.seed, p.idCol, p.vecCol, p.trainCap))
+      case Sq8Tier =>
+        new VectorIndex(p, indexDir,
+          centers = Similarity.ivfTrainCentroids(spark, refs, p.nLists,
+            p.seed, p.idCol, p.vecCol, p.trainCap),
+          codec = Similarity.sqTrain(spark, refs, p.vecCol))
+      case BqTier =>
+        new VectorIndex(p, indexDir,
+          centers = Similarity.ivfTrainCentroids(spark, refs, p.nLists,
+            p.seed, p.idCol, p.vecCol, p.trainCap))
+      case PqTier(m, nCodes, opq, opqIters) =>
+        val model =
+          if (opq) Similarity.ivfOpqTrainModel(spark, refs, p.nLists, m,
+            nCodes, opqIters, p.seed, p.idCol, p.vecCol, p.dim, p.trainCap)
+          else Similarity.ivfPqTrainModel(spark, refs, p.nLists, m,
+            nCodes, p.seed, p.idCol, p.vecCol, p.dim, p.trainCap)
+        new VectorIndex(p, indexDir, model = model)
+    }
+  }
+}
+
+final class VectorIndex private (val params: VectorIndex.Params,
+                                 val indexDir: String,
+                                 val centers: Array[Array[Double]] = null,
+                                 val codec: Similarity.SqCodec = null,
+                                 val model: Similarity.IvfPqModel = null)
+    extends Serializable {
+  import VectorIndex._
+  private def p = params
+
+  private def copyWith(centers: Array[Array[Double]] = this.centers,
+                       codec: Similarity.SqCodec = this.codec,
+                       model: Similarity.IvfPqModel = this.model) =
+    new VectorIndex(params, indexDir, centers, codec, model)
+
+  /** The tier's per-batch encode/assign frame — the one arithmetic the
+    * batch write and the streamed attach share. */
+  private def encode(batch: DataFrame): DataFrame = p.tier match {
+    case FloatTier =>
+      if (p.metaCols.isEmpty)
+        IvfStream.assignOnIngest(batch, centers, p.idCol, p.vecCol)
+      else IvfStream.assignOnIngestWithMeta(batch, centers, p.idCol,
+        p.vecCol, p.metaCols)
+    case Sq8Tier =>
+      if (p.metaCols.isEmpty)
+        IvfStream.assignAndEncodeOnIngest(batch, centers, codec, p.idCol,
+          p.vecCol)
+      else IvfStream.assignAndEncodeOnIngestWithMeta(batch, centers,
+        codec, p.idCol, p.vecCol, p.metaCols)
+    case BqTier =>
+      if (p.metaCols.isEmpty)
+        IvfStream.assignAndBqEncodeOnIngest(batch, centers, p.idCol,
+          p.vecCol)
+      else IvfStream.assignAndBqEncodeOnIngestWithMeta(batch, centers,
+        p.idCol, p.vecCol, p.metaCols)
+    case _: PqTier =>
+      if (p.metaCols.isEmpty)
+        IvfStream.assignAndPqEncodeOnIngest(batch, model, p.idCol,
+          p.vecCol)
+      else IvfStream.assignAndPqEncodeOnIngestWithMeta(batch, model,
+        p.idCol, p.vecCol, p.metaCols)
+  }
+
+  /** Write one idempotent `batch=<id>` partition (the attach layout,
+    * usable for batch backfills) and commit it to the snapshot
+    * manifest when the index is enrolled. */
+  def ingest(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {
+    encode(batch).write.partitionBy("list").mode("overwrite")
+      .parquet(s"$indexDir/batch=$batchId")
+    IndexManifest.commitBatch(spark, indexDir, batchId)
+    ()
+  }
+
+  /** Wire a stream into the index — the tier's attach* with the same
+    * staleness-log and hands-free-maintenance cadence options. For
+    * the codes tiers a firing cadence needs `maintainRefs` (codes are
+    * lossy); the float tier retrains from the index itself. */
+  def attach(stream: DataFrame, checkpointDir: String,
+             stalenessDir: Option[String] = None,
+             maintainEvery: Option[Int] = None,
+             maintainPolicy: Option[IvfStream.MaintainPolicy] = None,
+             maintainRefs: Option[() => DataFrame] = None,
+             onMaintain: IvfStream.MaintainReport => Unit = _ => ())
+      : StreamingQuery = p.tier match {
+    case FloatTier =>
+      IvfStream.attach(stream, centers, indexDir, checkpointDir, p.idCol,
+        p.vecCol, stalenessDir, p.metaCols, maintainEvery, maintainPolicy,
+        maintainSeed = p.seed, onMaintain = onMaintain)
+    case Sq8Tier =>
+      IvfStream.attachSq(stream, centers, codec, indexDir, checkpointDir,
+        p.idCol, p.vecCol, stalenessDir, p.metaCols, maintainEvery,
+        maintainPolicy, maintainRefs, maintainSeed = p.seed,
+        onMaintain = onMaintain)
+    case BqTier =>
+      IvfStream.attachBq(stream, centers, indexDir, checkpointDir,
+        p.idCol, p.vecCol, stalenessDir, p.metaCols, maintainEvery,
+        maintainPolicy, maintainRefs, maintainSeed = p.seed,
+        onMaintain = onMaintain)
+    case _: PqTier =>
+      IvfStream.attachPq(stream, model, indexDir, checkpointDir, p.idCol,
+        p.vecCol, stalenessDir, p.metaCols, maintainEvery, maintainPolicy,
+        maintainRefs, maintainSeed = p.seed, onMaintain = onMaintain)
+  }
+
+  /** The accrued index frame (manifest-routed when enrolled). */
+  def read(spark: SparkSession): DataFrame = p.tier match {
+    case FloatTier => IvfStream.readIndex(spark, indexDir, p.idCol, p.vecCol)
+    case _ => IvfStream.readCodesIndex(spark, indexDir, p.idCol)
+  }
+
+  /** Top-k over the accrued index at the params' operating point.
+    * `refs` supplies the true vectors for the codes tiers' exact
+    * re-rank (and the float tier ignores it). */
+  def topK(spark: SparkSession, queries: DataFrame, refs: DataFrame,
+           k: Int): DataFrame = p.tier match {
+    case FloatTier =>
+      Similarity.ivfTopKFromIndex(spark, queries,
+        read(spark), centers, k, p.nProbe, p.idCol, p.vecCol)
+    case Sq8Tier =>
+      Similarity.ivfSqTopKFromIndex(spark, queries, read(spark), centers,
+        codec, refs, k, p.shortlist, p.nProbe, p.idCol, p.vecCol)
+    case BqTier =>
+      Similarity.ivfBqTopKFromIndex(spark, queries, read(spark), centers,
+        refs, k, p.shortlist, p.nProbe, p.idCol, p.vecCol, p.asymmetric)
+    case _: PqTier =>
+      Similarity.ivfPqTopKFromIndex(spark, queries, read(spark), model,
+        refs, k, p.nProbe, p.refine, p.idCol, p.vecCol)
+  }
+
+  /** Metadata-FILTERED top-k: the predicate reaches the index scan
+    * (PushedFilters next to the probed-list PartitionFilters) and the
+    * under-fill pad runs against the filtered universe — the per-tier
+    * *FromIndexFiltered contract. Requires the index to have been
+    * ingested with the predicate's columns in `params.metaCols` (the
+    * float tier evaluates it on the index alone; codes tiers also on
+    * `refs`). */
+  def topKFiltered(spark: SparkSession, queries: DataFrame,
+                   refs: DataFrame, k: Int, refFilter: Column)
+      : DataFrame = {
+    // the FULL index frame (not read()'s payload projection): the
+    // filtered probes evaluate the predicate on the metadata columns
+    // riding in the index
+    graft.streaming.IndexSwap.restoreIfInterrupted(spark, indexDir)
+    val idx = IndexManifest.routedRead(spark, indexDir)
+      .getOrElse(read(spark))
+    p.tier match {
+      case FloatTier =>
+        Similarity.ivfTopKFromIndexFiltered(spark, queries, idx, centers,
+          k, refFilter, p.nProbe, p.idCol, p.vecCol)
+      case Sq8Tier =>
+        Similarity.ivfSqTopKFromIndexFiltered(spark, queries, idx,
+          centers, codec, refs, k, refFilter, p.shortlist, p.nProbe,
+          p.idCol, p.vecCol)
+      case BqTier =>
+        Similarity.ivfBqTopKFromIndexFiltered(spark, queries, idx,
+          centers, refs, k, refFilter, p.shortlist, p.nProbe, p.idCol,
+          p.vecCol, p.asymmetric)
+      case _: PqTier =>
+        Similarity.ivfPqTopKFromIndexFiltered(spark, queries, idx, model,
+          refs, k, refFilter, p.nProbe, p.refine, p.idCol, p.vecCol)
+    }
+  }
+
+  /** Staleness-driven maintenance — the tier's maintain* consuming the
+    * drift log at `stalenessDir` against `policy`; `refs` feeds the
+    * lossy tiers' re-encode (the float tier retrains from the index).
+    * Returns the report and the facade to use from here on (updated
+    * quantizers when it fired, `this` otherwise). */
+  def maintain(spark: SparkSession, stalenessDir: String, refs: DataFrame,
+               policy: IvfStream.MaintainPolicy)
+      : (IvfStream.MaintainReport, VectorIndex) = p.tier match {
+    case FloatTier =>
+      val (r, c) = IvfStream.maintain(spark, indexDir, stalenessDir,
+        centers, policy, p.seed, p.idCol, p.vecCol)
+      (r, c.map(nc => copyWith(centers = nc)).getOrElse(this))
+    case Sq8Tier =>
+      val (r, q) = IvfStream.maintainSq(spark, indexDir, stalenessDir,
+        refs, centers, policy, p.seed, p.idCol, p.vecCol)
+      (r, q.map { case (nc, nq) => copyWith(centers = nc, codec = nq) }
+        .getOrElse(this))
+    case BqTier =>
+      val (r, c) = IvfStream.maintainBq(spark, indexDir, stalenessDir,
+        refs, centers, policy, p.seed, p.idCol, p.vecCol)
+      (r, c.map(nc => copyWith(centers = nc)).getOrElse(this))
+    case _: PqTier =>
+      val (r, nm) = IvfStream.maintainPq(spark, indexDir, stalenessDir,
+        refs, model, policy, p.seed, p.idCol, p.vecCol)
+      (r, nm.map(m2 => copyWith(model = m2)).getOrElse(this))
+  }
+
+  /** Targeted deletion ([[graft.streaming.IndexDelete.deleteIds]] —
+    * partition-scoped, crash-safe, copy-on-write when enrolled). */
+  def delete(spark: SparkSession, ids: DataFrame)
+      : IndexDelete.DeleteReport =
+    IndexDelete.deleteIds(spark, indexDir, ids, p.idCol)
+
+  /** Fold the per-trigger batch litter into one layout (the tier's
+    * pure compaction — quantizers untouched). */
+  def compact(spark: SparkSession): Unit = p.tier match {
+    case FloatTier => IvfStream.compactIndex(spark, indexDir, p.idCol,
+      p.vecCol)
+    case _ => IvfStream.compactCodesIndex(spark, indexDir, p.idCol)
+  }
+
+  /** Opt into snapshot-manifest reads ([[IndexManifest.enroll]]):
+    * rewrites become copy-on-write and concurrent probes hold their
+    * pinned generation. */
+  def enrollSnapshots(spark: SparkSession): IndexManifest.Snapshot =
+    IndexManifest.enroll(spark, indexDir)
+
+  /** Reclaim leaves unreferenced by the kept generations. */
+  def vacuum(spark: SparkSession, keepGens: Int = 1): Int =
+    IndexManifest.vacuum(spark, indexDir, keepGens)
+}

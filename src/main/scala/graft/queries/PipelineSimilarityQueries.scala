@@ -194,6 +194,40 @@ object PipelineSimilarityQueries {
       annTopKAudit(e, pq, k = 5, recall, floor = 0.8)
     }),
 
+    // IVF-OPQ (r13, r12 verdict #3): a learned orthogonal rotation
+    // before the subspace split (Ge et al., CVPR 2013) — the standard
+    // recall lift at IDENTICAL index bytes where PQ is code-quality-
+    // bound. Operating point from ProbeAnnRecall (r13) at m=8 (8-byte
+    // codes, the code-bound rung), nLists=8/nProbe=6/refine=4:
+    // rotated 0.656 (sf0.01) / 0.468 (sf0.1) vs unrotated 0.592 /
+    // 0.380 — the +8-10pt lift concentrates exactly where the split
+    // is coarse (dsub=8); at m=16 (dsub=4, codes already
+    // near-faithful) the rotation buys nothing on this data and q56
+    // keeps the unrotated rung. Floor 0.42 sits ABOVE the unrotated
+    // rung's measured ceiling at sf0.1, so a silent regression to an
+    // identity rotation fails the gate (the q210/q211 posture);
+    // rotation_ok additionally pins RᵀR = I.
+    "q216_ivfopq_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (model, index) = Similarity.ivfOpqBuildIndex(s, e, nLists = 8,
+        m = 8, nCodes = 32, iters = 4)
+      val r = model.rotation.get
+      val dd = r.length
+      val rotOk = (0 until dd).forall(i => (i until dd).forall { j =>
+        val dot = (0 until dd).map(k => r(k)(i) * r(k)(j)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
+      })
+      val opq = Similarity.ivfPqTopKFromIndex(s, e, index, model, e,
+        k = 5, nProbe = 6, refine = 4).cache()
+      val (bruteFull, nb) = BruteTruth.topK(s, d)
+      val brute = bruteFull.select("qid", "rid")
+      val nh = opq.filter(col("qid") < 50).select("qid", "rid")
+        .join(brute, Seq("qid", "rid"), "left_semi").count()
+      val recall = if (nb == 0) 1.0 else nh.toDouble / nb
+      annTopKAudit(e, opq, k = 5, recall, floor = 0.42)
+        .withColumn("rotation_ok", lit(rotOk))
+    }),
+
     // Distributed PCA: one treeAggregate moment pass + driver Jacobi
     // (the EigenInit driver-route reasoning), then the codegen'd
     // broadcast projection — emitted coords are the distributed
@@ -1094,6 +1128,14 @@ object PipelineSimilarityQueries {
       """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
         |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
         |  TRUE AS recall_ok, TRUE AS filter_ok
+        |FROM embeddings""".stripMargin,
+
+    // IVF-OPQ: the q204-family contract booleans plus the rotation
+    // orthogonality pin.
+    "q216_ivfopq_topk" ->
+      """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
+        |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
+        |  TRUE AS recall_ok, TRUE AS rotation_ok
         |FROM embeddings""".stripMargin,
 
     // IVF-BQ composition: the same per-query contract booleans.

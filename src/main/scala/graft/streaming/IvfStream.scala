@@ -614,10 +614,19 @@ object IvfStream {
         (fragmentationPass(spark, indexDir, stalenessDir, policy, report)(
           compactCodesIndex(spark, indexDir, idCol)), None)
       case Right(report) =>
-        val newModel = Similarity.ivfPqTrainModel(spark, refs,
-          model.centers.length, model.m,
-          model.codebooks.headOption.map(_.length).getOrElse(32),
-          seed, idCol, vecCol, model.dim)
+        // an OPQ model retrains WITH a fresh rotation (the rotation is
+        // part of the quantizer pair's fit — keeping the old one under
+        // new codebooks would silently re-create the drift the retrain
+        // is repairing); a plain model retrains plain
+        val nCodes = model.codebooks.headOption.map(_.length).getOrElse(32)
+        val newModel =
+          if (model.rotation.nonEmpty)
+            Similarity.ivfOpqTrainModel(spark, refs, model.centers.length,
+              model.m, nCodes, seed = seed, idCol = idCol, vecCol = vecCol,
+              dim = model.dim)
+          else
+            Similarity.ivfPqTrainModel(spark, refs, model.centers.length,
+              model.m, nCodes, seed, idCol, vecCol, model.dim)
         reassignPq(spark, indexDir, refs, newModel, idCol, vecCol)
         clearStaleness(spark, stalenessDir)
         (report.copy(compacted = true), Some(newModel))

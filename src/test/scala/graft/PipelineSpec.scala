@@ -2528,6 +2528,107 @@ class PipelineSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("OPQ: the learned rotation is orthogonal, never raises the " +
+    "training quantization error vs plain PQ, round-trips through the " +
+    "persisted layout, and streams bit-identically to the batch build") {
+    import graft.streaming.IvfStream
+    import graft.pipeline.Similarity
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_opq").toString
+    val pq = Similarity.ivfPqTrainModel(spark, e, nLists = 4, m = 8,
+      nCodes = 16)
+    val opq = Similarity.ivfOpqTrainModel(spark, e, nLists = 4, m = 8,
+      nCodes = 16, iters = 4)
+    // 1. orthogonality: RᵀR = I (distances preserved — the rotation
+    //    can only re-balance the subspace split, never distort space)
+    val r = opq.rotation.get
+    val d = r.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => r(k)(i) * r(k)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RtR($i,$j) = $dot — rotation must be orthogonal")
+    }
+    // 2. alternation never loses to the R = I start (= plain PQ with
+    //    the same seeds): mean reconstruction error on the corpus is
+    //    ≤ the unrotated model's
+    def reconErr(model: Similarity.IvfPqModel): Double = {
+      val vs = e.select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      vs.map { v =>
+        val u = model.unit(v)
+        val l = model.argminCenter(u)
+        val codes = model.encode(u, l)
+        val dsub = model.dsub
+        var err = 0.0
+        var s = 0
+        while (s < model.m) {
+          val cb = model.codebooks(s)(codes(s) & 0xff)
+          var j = 0
+          while (j < dsub) {
+            val x = u(s * dsub + j) - model.centers(l)(s * dsub + j) - cb(j)
+            err += x * x; j += 1
+          }
+          s += 1
+        }
+        err
+      }.sum / vs.length
+    }
+    val errPq = reconErr(pq)
+    val errOpq = reconErr(opq)
+    assert(errOpq <= errPq * 1.02,
+      f"OPQ must not raise quantization error: $errPq%.6f -> $errOpq%.6f")
+    // 3. persisted round-trip: rotation survives write/read and the
+    //    probe over the read-back layout ≡ the in-memory build
+    val written = Similarity.ivfOpqWriteIndex(spark, e, s"$tmp/opq",
+      nLists = 4, m = 8, nCodes = 16, iters = 4)
+    val (readModel, readCodes) = Similarity.ivfPqReadIndex(spark, s"$tmp/opq")
+    assert(readModel.rotation.nonEmpty, "rotation must round-trip")
+    readModel.rotation.get.zip(written.rotation.get).foreach {
+      case (a, b) => assert(a.sameElements(b)) }
+    val qs = e.filter(col("vec_id") < 20)
+    val viaDisk = Similarity.ivfPqTopKFromIndex(spark, qs, readCodes,
+      readModel, e, k = 5, nProbe = 3, refine = 4)
+    val (bm, bidx) = Similarity.ivfOpqBuildIndex(spark, e, nLists = 4,
+      m = 8, nCodes = 16, iters = 4)
+    val inMem = Similarity.ivfPqTopKFromIndex(spark, qs, bidx, bm, e,
+      k = 5, nProbe = 3, refine = 4)
+    assert(viaDisk.exceptAll(inMem).isEmpty &&
+      inMem.exceptAll(viaDisk).isEmpty)
+    // 4. streamed ingest under the OPQ model ≡ the batch encode (the
+    //    rotation rides inside unit, so attachPq needed no changes)
+    val batch = Similarity.ivfOpqBuildIndex(spark, e, nLists = 4, m = 8,
+      nCodes = 16, iters = 4)._2
+    val streamed = IvfStream.assignAndPqEncodeOnIngest(e,
+      Similarity.ivfOpqTrainModel(spark, e, nLists = 4, m = 8,
+        nCodes = 16, iters = 4)).select("vec_id", "list", "codes")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed OPQ ingest diverges from the batch build")
+    // 5. maintainPq on an OPQ index retrains WITH a rotation
+    IvfStream.assignAndPqEncodeOnIngest(e, opq)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$tmp/idx/batch=0")
+    // drift in UNIT space shows as SKEW (the +3.0 shift funnels the
+    // normalized vectors toward the all-ones direction and into few
+    // lists) — the existing maintainPq fixture's firing arm
+    val drifted = e.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    IvfStream.quantizerStalenessPq(drifted, opq).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/stale/batch=0")
+    val healthySkew = IvfStream.quantizerStalenessPq(e, opq)
+      .collect()(0).getDouble(2)
+    val driftedSkew = IvfStream.quantizerStalenessPq(drifted, opq)
+      .collect()(0).getDouble(2)
+    assert(driftedSkew > healthySkew, "fixture: the shift must skew")
+    val (repM, newM) = IvfStream.maintainPq(spark, s"$tmp/idx",
+      s"$tmp/stale", drifted, opq,
+      IvfStream.MaintainPolicy(meanD2Max = 1e9,
+        maxListFracMax = (healthySkew + driftedSkew) / 2))
+    assert(repM.fired && newM.exists(_.rotation.nonEmpty),
+      "maintainPq on an OPQ model must retrain with a rotation")
+    e.unpersist()
+  }
+
   test("matryoshka prefix tier inherits the FULL ingest/maintenance " +
     "family through the float tier: metadata-carrying ingest, " +
     "filtered probe, delete, staleness-driven maintain") {

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Similarity, VectorIndex}
+import graft.streaming.{IndexManifest, IvfStream}
+
+/** [[graft.pipeline.VectorIndex]]: the tier matrix as ONE contract —
+  * the identical lifecycle scenario (train → enroll → ingest → probe →
+  * filtered probe → maintain-fire → delete → compact) runs across all
+  * five tier configurations (float / SQ8 / BQ / PQ / OPQ-PQ) with the
+  * same assertions, pinning that the facade's per-tier delegation is
+  * complete and convention-true (r12 verdict #6: no behavior change,
+  * one door). */
+class VectorIndexSpec extends SparkSpec {
+
+  private def assertTopKShape(name: String, topk: DataFrame, qs: DataFrame,
+                              k: Int): Unit = {
+    val rows = topk.groupBy("qid").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("rid")).as("nd"),
+      max(col("rid") === col("qid")).as("self")).collect()
+    assert(rows.length === qs.count(),
+      s"$name: every query must be answered")
+    rows.foreach { r =>
+      assert(r.getLong(1) === k.toLong, s"$name: k rows per query, got $r")
+      assert(r.getLong(2) === k.toLong, s"$name: distinct rids, got $r")
+      assert(!r.getBoolean(3), s"$name: no self match, got $r")
+    }
+  }
+
+  test("one lifecycle scenario, five tier configurations, identical " +
+    "assertions: ingest, probe, filtered probe, maintain fire, delete, " +
+    "compact") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val cols = e.select("vec_id", "embedding", "label")
+    import spark.implicits._
+    val tiers: Seq[(String, VectorIndex.Tier)] = Seq(
+      ("float", VectorIndex.FloatTier),
+      ("sq8", VectorIndex.Sq8Tier),
+      ("bq", VectorIndex.BqTier),
+      ("pq", VectorIndex.PqTier(m = 8, nCodes = 16)),
+      ("opq", VectorIndex.PqTier(m = 8, nCodes = 16, opq = true,
+        opqIters = 3)))
+    tiers.foreach { case (name, tier) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_vi_$name").toString
+      val params = VectorIndex.Params(tier, nLists = 4, nProbe = 4,
+        shortlist = 30, refine = 6, metaCols = Seq("label"))
+      val vi0 = VectorIndex.train(spark, e, params, s"$tmp/idx")
+      vi0.enrollSnapshots(spark)
+      // two idempotent batch ingests (the attach layout)
+      vi0.ingest(spark, cols.filter(col("vec_id") % 2 === 0), 0L)
+      vi0.ingest(spark, cols.filter(col("vec_id") % 2 =!= 0), 1L)
+      val total = vi0.read(spark).count()
+      assert(total === e.count(), s"$name: both batches indexed")
+      // probe
+      val qs = e.filter(col("vec_id") < 10)
+      assertTopKShape(name, vi0.topK(spark, qs, e, k = 3), qs, 3)
+      // filtered probe: the predicate is a hard guarantee
+      val labels = e.select(col("vec_id").as("rid"), col("label"))
+      val filtered = vi0.topKFiltered(spark, qs, e.filter(col("label") === 2),
+        k = 3, col("label") === 2)
+      assertTopKShape(s"$name-filtered", filtered, qs, 3)
+      assert(filtered.join(labels, "rid").filter(col("label") =!= 2)
+        .count() === 0L, s"$name: filtered probe leaked a disallowed ref")
+      // maintain: a breaching synthetic log row fires the tier's
+      // refresh; the facade hands back the updated quantizers
+      Seq((1000L, 999.0, 0.5, 4))
+        .toDF("n_vecs", "mean_d2", "max_list_frac", "n_lists")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/stale/batch=0")
+      val (rep, vi1) = vi0.maintain(spark, s"$tmp/stale", e,
+        IvfStream.MaintainPolicy(meanD2Max = 1.0))
+      assert(rep.fired, s"$name: breaching log must fire maintenance")
+      assert(vi1 ne vi0, s"$name: a fired maintain returns new quantizers")
+      assert(vi1.read(spark).count() === total,
+        s"$name: refresh must keep the indexed id set")
+      assertTopKShape(s"$name-postmaint", vi1.topK(spark, qs, e, k = 3),
+        qs, 3)
+      // the metadata survived the refresh (r13 contract)
+      val postMaintFiltered = vi1.topKFiltered(spark, qs,
+        e.filter(col("label") === 2), k = 3, col("label") === 2)
+      assert(postMaintFiltered.join(labels, "rid")
+        .filter(col("label") =!= 2).count() === 0L,
+        s"$name: filtered probe must survive the refresh")
+      // targeted delete
+      val doomed = Seq(2L, 4L)
+      val delRep = vi1.delete(spark, doomed.toDF("vec_id"))
+      assert(delRep.rowsDeleted === 2L, s"$name: $delRep")
+      assert(vi1.read(spark).filter(col("vec_id").isin(doomed: _*))
+        .count() === 0L, s"$name: deleted ids must vanish")
+      val postDel = vi1.topK(spark, qs, e, k = 3)
+      assert(postDel.filter(col("rid").isin(doomed: _*)).count() === 0L,
+        s"$name: probes must never return a deleted id")
+      // compact: row set preserved, manifest generation advanced
+      val genBefore = IndexManifest.pin(spark, s"$tmp/idx").gen
+      vi1.compact(spark)
+      assert(vi1.read(spark).count() === total - doomed.length,
+        s"$name: compaction must preserve the live rows")
+      assert(IndexManifest.pin(spark, s"$tmp/idx").gen > genBefore,
+        s"$name: compaction must commit a new generation")
+      // and vacuum reclaims the retired generations
+      assert(vi1.vacuum(spark) > 0, s"$name: vacuum must reclaim leaves")
+      assert(vi1.read(spark).count() === total - doomed.length,
+        s"$name: vacuum must not touch the live generation")
+    }
+    e.unpersist()
+  }
+
+  test("facade delegation is exact: facade topK ≡ the direct per-tier " +
+    "operator call on the same directory") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vieq").toString
+    val params = VectorIndex.Params(VectorIndex.Sq8Tier, nLists = 4,
+      nProbe = 4, shortlist = 30)
+    val vi = VectorIndex.train(spark, e, params, s"$tmp/idx")
+    vi.ingest(spark, e.select("vec_id", "embedding"), 0L)
+    val qs = e.filter(col("vec_id") < 10)
+    val got = vi.topK(spark, qs, e, k = 3)
+    val want = Similarity.ivfSqTopKFromIndex(spark, qs,
+      IvfStream.readCodesIndex(spark, s"$tmp/idx"), vi.centers, vi.codec,
+      e, k = 3, shortlist = 30, nProbe = 4)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "facade probe diverges from the direct operator")
+    e.unpersist()
+  }
+}
