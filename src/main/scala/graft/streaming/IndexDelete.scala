@@ -95,6 +95,26 @@ object IndexDelete {
     if (ids.columns.contains(idCol)) idCol else ids.columns.head
   }
 
+  /** Balanced OR/AND trees: a linear `reduce` nests 500 predicates
+    * 500 levels deep and overflows the analyzer's recursion (measured
+    * in the r13 1M-scale probe at ~500 leaves); a balanced tree is
+    * log₂-deep, so the exact-predicate regime actually reaches the
+    * documented maxExactLeafPredicates bound. */
+  private def balanced(cs: IndexedSeq[org.apache.spark.sql.Column],
+                       op: (org.apache.spark.sql.Column,
+                            org.apache.spark.sql.Column)
+                         => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    if (cs.length == 1) cs(0)
+    else balanced(cs.grouped(2).map(g =>
+      if (g.length == 2) op(g(0), g(1)) else g(0)).toIndexedSeq, op)
+
+  private def balancedOr(cs: Seq[org.apache.spark.sql.Column]) =
+    balanced(cs.toIndexedSeq, _ || _)
+
+  private def balancedAnd(cs: Seq[org.apache.spark.sql.Column]) =
+    balanced(cs.toIndexedSeq, _ && _)
+
   private def deleteIdsInPlace(spark: SparkSession, indexDir: String,
                                ids: DataFrame, idCol: String,
                                maxExactLeafPredicates: Int): DeleteReport = {
@@ -154,14 +174,14 @@ object IndexDelete {
     // leaves holds in both regimes.
     val leafPred =
       if (affected.length <= maxExactLeafPredicates)
-        affected.map { r =>
-          partCols.indices.map(i => col(partCols(i)) === lit(r.get(i)))
-            .reduce(_ && _)
-        }.reduce(_ || _)
+        balancedOr(affected.toIndexedSeq.map { r =>
+          balancedAnd(partCols.indices
+            .map(i => col(partCols(i)) === lit(r.get(i))))
+        })
       else
-        partCols.indices.map { i =>
+        balancedAnd(partCols.indices.map { i =>
           col(partCols(i)).isin(affected.map(_.get(i)).distinct: _*)
-        }.reduce(_ && _)
+        })
     spark.read.option("basePath", indexDir).parquet(indexDir)
       .filter(leafPred)
       .join(idsN, col(idCol) === col("_del_id"), "left_anti")
@@ -240,17 +260,17 @@ object IndexDelete {
     // rows and retiring more would lose them
     val (leafPred, replaced) =
       if (affected.length <= maxExactLeafPredicates)
-        (affected.map { r =>
-          partCols.indices.map(i => col(partCols(i)) === lit(r.get(i)))
-            .reduce(_ && _)
-        }.reduce(_ || _),
+        (balancedOr(affected.toIndexedSeq.map { r =>
+          balancedAnd(partCols.indices
+            .map(i => col(partCols(i)) === lit(r.get(i))))
+        }),
           affected.map(leafRel).toSeq)
       else {
         val valSets = partCols.indices
           .map(i => affected.map(_.get(i).toString).distinct.toSet)
-        (partCols.indices.map { i =>
+        (balancedAnd(partCols.indices.map { i =>
           col(partCols(i)).isin(affected.map(_.get(i)).distinct: _*)
-        }.reduce(_ && _),
+        }),
           snap.leaves.filter { leaf =>
             val vals = leaf.split("/").map(_.split("=", 2)(1))
             vals.length == partCols.length &&
