@@ -816,7 +816,11 @@ object PipelineSimilarityQueries {
     "q215_snapshot_index" -> ((s, d) => {
       import graft.streaming.{IndexDelete, IndexManifest, IvfStream}
       import org.apache.hadoop.fs.Path
-      val e = Tables.embeddings(s, d)
+      // bounded fixture slice: this audit gates the snapshot CONTRACTS
+      // (booleans), not scale — ProbeDeleteScale carries the n=1M
+      // measurement, and an unbounded slice made the sf0.1 bench row
+      // pay ~55 s for no extra contract coverage
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 20000)
       val root = java.nio.file.Files
         .createTempDirectory("graft_q215").toString
       val centers = Similarity.ivfTrainCentroids(s, e, nLists = 8)

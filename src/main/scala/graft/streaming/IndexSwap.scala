@@ -165,16 +165,24 @@ private[graft] object IndexSwap {
     ()
   }
 
-  /** Top-level `batch=` directory count of an accrued index — the
-    * fragmentation reading shared by every tier's maxBatches arm
-    * (one directory listing, no data read). */
+  /** Top-level `batch=` count of an accrued index — the fragmentation
+    * reading shared by every tier's maxBatches arm (one directory
+    * listing, no data read). On a MANIFESTED index the reading is the
+    * LIVE batch count from the current snapshot, not the physical dir
+    * count: retained dead leaves awaiting [[IndexManifest.vacuum]]
+    * would otherwise re-trigger compaction on every maintain call —
+    * each one adding a generation — until someone vacuums. */
   private[graft] def countBatches(spark: SparkSession,
-                                  indexDir: String): Int = {
-    val p = new Path(indexDir)
-    val fs = fsOf(spark, p)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
-  }
+                                  indexDir: String): Int =
+    IndexManifest.current(spark, indexDir) match {
+      case Some(snap) =>
+        snap.leaves.map(_.split("/")(0)).distinct.size
+      case None =>
+        val p = new Path(indexDir)
+        val fs = fsOf(spark, p)
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+    }
 
   /** Maintenance-helper precondition: heal if needed, then require the
     * live directory exists BEFORE the caller spends a job writing its

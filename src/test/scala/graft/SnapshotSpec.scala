@@ -297,6 +297,45 @@ class SnapshotSpec extends SparkSpec {
       s"manifest-routed index scan must keep the list partition filter:\n$p")
   }
 
+  test("fragmentation reading on a manifested index counts LIVE " +
+    "batches: retained dead leaves must not re-trigger compaction " +
+    "before vacuum") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapf").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    IndexManifest.enroll(spark, s"$root/idx")
+    (0 until 5).foreach { b =>
+      IvfStream.assignOnIngest(e.filter(col("vec_id") % 5 === b), centers)
+        .write.partitionBy("list").mode("overwrite")
+        .parquet(s"$root/idx/batch=$b")
+      IndexManifest.commitBatch(spark, s"$root/idx", b.toLong)
+    }
+    // healthy reading, litter past maxBatches → compacts once
+    IvfStream.quantizerStaleness(e, centers).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/log/batch=0")
+    val healthy = IvfStream.quantizerStaleness(e, centers)
+      .collect()(0).getDouble(1)
+    val policy = IvfStream.MaintainPolicy(meanD2Max = healthy * 2,
+      maxBatches = 3)
+    val (r1, _) = IvfStream.maintain(spark, s"$root/idx", s"$root/log",
+      centers, policy)
+    assert(!r1.fired && r1.compacted, s"litter must compact: $r1")
+    val genAfter = IndexManifest.pin(spark, s"$root/idx").gen
+    // the five dead batch dirs are STILL on disk (no vacuum yet)...
+    val fs = fsFor(root)
+    assert((0 until 5).forall(b =>
+      fs.exists(new Path(s"$root/idx/batch=$b"))))
+    // ...but the fragmentation reading is the LIVE count, so the next
+    // call must NOT compact again (each re-compaction would add a
+    // generation forever until someone vacuums)
+    val (r2, _) = IvfStream.maintain(spark, s"$root/idx", s"$root/log",
+      centers, policy)
+    assert(!r2.compacted, s"dead leaves re-triggered compaction: $r2")
+    assert(IndexManifest.pin(spark, s"$root/idx").gen === genAfter,
+      "a no-op maintain must not commit a generation")
+    e.unpersist()
+  }
+
   test("persisted IVF-SQ layout: enrolling <dir>/codes routes " +
     "ivfSqReadIndex through the manifest; delete-while-pinned holds") {
     val e = Tables.embeddings(spark, sf).cache()
