@@ -817,11 +817,24 @@ object Similarity extends Serializable {
                         vecCol: String = "embedding", dim: Int = 64,
                         trainCap: Int = 20000): IvfPqModel = {
     graft.streaming.IndexSwap.requireLive(spark, dir, "ivfPqRefreshIndex")
+    // the whole-directory swap replaces <dir>/codes INCLUDING its
+    // _manifests — if the codes were enrolled for snapshot reads, the
+    // refreshed index must come out enrolled too (generation 0 of the
+    // new model's epoch), or the snapshot property would silently
+    // vanish on the first model refresh. Pins across the refresh are
+    // NOT honored (the model itself is not versioned; refresh runs
+    // quiesced, as documented).
+    val wasEnrolled = graft.streaming.IndexManifest
+      .isManifested(spark, s"$dir/codes")
     val tmp = dir + ".compact"
     val (model, index) = ivfPqBuildIndex(spark, refs, nLists, m, nCodes,
       seed, idCol, vecCol, dim, trainCap)
     ivfPqWriteLayout(spark, model, index, tmp)
     graft.streaming.IndexSwap.swap(spark, dir, tmp)
+    if (wasEnrolled) {
+      graft.streaming.IndexManifest.enroll(spark, s"$dir/codes")
+      ()
+    }
     model
   }
 

@@ -178,10 +178,23 @@ object IndexManifest {
     * would later fail schema inference on an otherwise-empty
     * snapshot. */
   private def dataLeaves(spark: SparkSession, dir: String,
-                         prefix: String): Seq[String] =
-    listLeafDirs(spark, dir)
-      .filter(l => l == prefix || l.startsWith(prefix + "/"))
-      .filter(hasDataFile(spark, dir, _))
+                         prefix: String): Seq[String] = {
+    // list ONLY under the just-written batch prefix — a per-trigger
+    // commit must cost O(new batch), not O(all leaves): at a million
+    // accrued leaves a full listLeafDirs walk per trigger would be the
+    // same small-files wall the manifest exists to avoid
+    val p = new Path(dir, prefix)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val lists = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("list="))
+      val cands =
+        if (lists.isEmpty) Seq(prefix)
+        else lists.map(l => s"$prefix/${l.getPath.getName}")
+      cands.filter(hasDataFile(spark, dir, _))
+    }
+  }
 
   private def hasDataFile(spark: SparkSession, dir: String,
                           leaf: String): Boolean =

@@ -297,6 +297,43 @@ class SnapshotSpec extends SparkSpec {
       s"manifest-routed index scan must keep the list partition filter:\n$p")
   }
 
+  test("ivfPqRefreshIndex on an ENROLLED codes layout re-enrolls the " +
+    "refreshed index: the snapshot property survives a model refresh") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapr").toString
+    val dir = s"$root/pq"
+    Similarity.ivfPqWriteIndex(spark, e, dir, nLists = 4, m = 8,
+      nCodes = 16)
+    IndexManifest.enroll(spark, s"$dir/codes")
+    // the refresh swaps the WHOLE layout (codes + centers + books move
+    // together) — the new codes directory must come out enrolled at
+    // generation 0 of the new epoch, not silently un-manifested
+    Similarity.ivfPqRefreshIndex(spark, e, dir, nLists = 4, m = 8,
+      nCodes = 16, seed = 7)
+    assert(IndexManifest.isManifested(spark, s"$dir/codes"),
+      "model refresh must not drop the snapshot enrollment")
+    assert(IndexManifest.pin(spark, s"$dir/codes").gen === 0L,
+      "the refreshed epoch starts at generation 0")
+    // the re-enrolled index serves reads + copy-on-write deletes
+    val (model, codes) = Similarity.ivfPqReadIndex(spark, dir)
+    val (fm, fcodes) = Similarity.ivfPqBuildIndex(spark, e, nLists = 4,
+      m = 8, nCodes = 16, seed = 7)
+    assert(model.centers.zip(fm.centers).forall(p =>
+      p._1.sameElements(p._2)))
+    assert(codes.exceptAll(fcodes).isEmpty &&
+      fcodes.exceptAll(codes).isEmpty)
+    val pinned = IndexManifest.pin(spark, s"$dir/codes")
+    val before = rowSet(IndexManifest
+      .readSnapshot(spark, s"$dir/codes", pinned).get
+      .select("vec_id", "codes", "list"))
+    IndexDelete.deleteIds(spark, s"$dir/codes", Seq(1L, 2L), "vec_id")
+    assert(rowSet(IndexManifest.readSnapshot(spark, s"$dir/codes", pinned)
+      .get.select("vec_id", "codes", "list")) === before)
+    val (_, after) = Similarity.ivfPqReadIndex(spark, dir)
+    assert(after.filter(col("vec_id").isin(1L, 2L)).count() === 0L)
+    e.unpersist()
+  }
+
   test("fragmentation reading on a manifested index counts LIVE " +
     "batches: retained dead leaves must not re-trigger compaction " +
     "before vacuum") {
