@@ -278,6 +278,37 @@ class SnapshotSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("manifested STRING-keyed fp index: takedown through the " +
+    "type-generic cast path, pinned gate stable, current re-admits") {
+    import graft.streaming.CurateStream
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapg").toString
+    docs.select(md5(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$root/fp/batch=0")
+    IndexManifest.enroll(spark, s"$root/fp")
+    val pinned = IndexManifest.pin(spark, s"$root/fp")
+    val target = docs.orderBy("doc_id").limit(1).collect()(0)
+    import spark.implicits._
+    val probeFp = Seq((10000000L, target.getString(1)))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    def hit(): Long = probeFp
+      .join(CurateStream.readFpIndex(spark, s"$root/fp"), Seq("fp"),
+        "left_semi").count()
+    assert(hit() === 1L, "fixture: the copy's fingerprint must collide")
+    val before = rowSet(IndexManifest
+      .readSnapshot(spark, s"$root/fp", pinned).get.select("fp"))
+    val rep = IndexDelete.deleteIds(spark, s"$root/fp",
+      docs.filter(col("doc_id") === target.getLong(0))
+        .select(md5(col("text")).as("fp")), "fp")
+    assert(rep.rowsDeleted >= 1L, s"fp delete removed nothing: $rep")
+    assert(rowSet(IndexManifest.readSnapshot(spark, s"$root/fp", pinned)
+      .get.select("fp")) === before,
+      "pinned fp reader must stay byte-stable")
+    assert(hit() === 0L, "post-takedown the exact gate must re-admit")
+    docs.unpersist()
+  }
+
   test("manifested probe keeps the PartitionFilters pruning of the " +
     "listing-based read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_snapp").toString
@@ -295,6 +326,72 @@ class SnapshotSpec extends SparkSpec {
     assert(scanLines.exists(l => l.contains("list") &&
       !l.contains("PartitionFilters: []")),
       s"manifest-routed index scan must keep the list partition filter:\n$p")
+  }
+
+  test("GENUINELY concurrent reader vs maintainer: a reader thread " +
+    "pinning and reading while a writer thread deletes and compacts " +
+    "always sees exactly one committed generation") {
+    // the specs above forge sequential interleavings; this drives the
+    // real race — reads planned and collected WHILE rewrites install.
+    // Invariant: every (pinned gen, rows read) pair observed by the
+    // reader must equal that generation's expected row set, computed
+    // by replaying the writer's deterministic op sequence afterwards.
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapx").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    floatFixture(root, e, centers)
+    val allIds = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    // writer plan: alternating deletes and compactions
+    val deletes: Seq[Seq[Long]] = Seq(
+      Seq(1L, 2L, 3L), Seq(10L, 11L), Seq(20L, 21L, 22L), Seq(30L))
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        deletes.zipWithIndex.foreach { case (ids, i) =>
+          IndexDelete.deleteIds(spark, s"$root/idx", ids, "vec_id")
+          if (i % 2 == 1) IvfStream.compactIndex(spark, s"$root/idx")
+        }
+      } catch { case t: Throwable => writerErr.set(t) }
+    })
+    // reader loop: pin → plan → collect, concurrently with the writer
+    val observed = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[Long])]
+    writer.start()
+    var spins = 0
+    while (writer.isAlive || spins == 0) {
+      val snap = IndexManifest.pin(spark, s"$root/idx")
+      IndexManifest.readSnapshot(spark, s"$root/idx", snap).foreach { df =>
+        observed += ((snap.gen,
+          df.select("vec_id").collect().map(_.getLong(0)).toSet))
+      }
+      spins += 1
+    }
+    writer.join()
+    assert(writerErr.get() == null,
+      s"writer thread failed: ${writerErr.get()}")
+    assert(spins >= 2, "the reader must have raced the writer")
+    // replay the op sequence to the expected row set per generation:
+    // gen 0 = enroll; each delete commits one gen; each compaction
+    // commits one gen (set unchanged)
+    val expected = scala.collection.mutable.Map(0L -> allIds)
+    var gen = 0L
+    var live = allIds
+    deletes.zipWithIndex.foreach { case (ids, i) =>
+      live = live -- ids
+      gen += 1; expected(gen) = live           // the delete's commit
+      if (i % 2 == 1) { gen += 1; expected(gen) = live } // compaction
+    }
+    observed.foreach { case (g, rows) =>
+      assert(expected.contains(g), s"reader pinned unknown generation $g")
+      assert(rows === expected(g),
+        s"generation $g read ${rows.size} rows, expected " +
+          s"${expected(g).size} — a torn or mixed-generation view")
+    }
+    // and the final state is the fully-deleted set
+    assert(IvfStream.readIndex(spark, s"$root/idx")
+      .select("vec_id").collect().map(_.getLong(0)).toSet ===
+      allIds -- deletes.flatten)
+    e.unpersist()
   }
 
   test("ivfPqRefreshIndex on an ENROLLED codes layout re-enrolls the " +
