@@ -148,7 +148,11 @@ object IndexDelete {
       .groupBy(partCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
       .collect()
-    val totalParts = df.select(partCols.map(col): _*).distinct().count().toInt
+    // the report denominator comes from a directory LISTING, not a
+    // second full data scan (r13g: the distinct-over-the-corpus query
+    // was a third of the in-place delete's wall at 1M×2048 leaves —
+    // the leaf directories ARE the partitions)
+    val totalParts = IndexManifest.listLeafDirs(spark, indexDir).size
     if (affected.isEmpty) {
       idsN.unpersist()
       return DeleteReport(0L, 0, totalParts)
