@@ -133,12 +133,8 @@ final class VectorIndex private (val params: VectorIndex.Params,
   /** Write one idempotent `batch=<id>` partition (the attach layout,
     * usable for batch backfills) and commit it to the snapshot
     * manifest when the index is enrolled. */
-  def ingest(spark: SparkSession, batch: DataFrame, batchId: Long): Unit = {
-    encode(batch).write.partitionBy("list").mode("overwrite")
-      .parquet(s"$indexDir/batch=$batchId")
-    IndexManifest.commitBatch(spark, indexDir, batchId)
-    ()
-  }
+  def ingest(spark: SparkSession, batch: DataFrame, batchId: Long): Unit =
+    IvfStream.installBatch(spark, indexDir, batchId, encode(batch))
 
   /** Wire a stream into the index — the tier's attach* with the same
     * staleness-log and hands-free-maintenance cadence options. For
@@ -208,10 +204,16 @@ final class VectorIndex private (val params: VectorIndex.Params,
       : DataFrame = {
     // the FULL index frame (not read()'s payload projection): the
     // filtered probes evaluate the predicate on the metadata columns
-    // riding in the index
+    // riding in the index. Enrolled-and-empty is LOUD (r13 ADVICE):
+    // falling back to read(spark)'s typed empty payload frame would
+    // drop params.metaCols and fail later with an unresolved-column
+    // AnalysisException instead of saying what happened.
     graft.streaming.IndexSwap.restoreIfInterrupted(spark, indexDir)
     val idx = IndexManifest.routedRead(spark, indexDir)
-      .getOrElse(read(spark))
+      .getOrElse(throw new IllegalArgumentException(
+        s"VectorIndex.topKFiltered: index data at $indexDir is " +
+          "manifested and EMPTY (every row deleted) — rebuild or " +
+          "re-ingest before probing"))
     p.tier match {
       case FloatTier =>
         Similarity.ivfTopKFromIndexFiltered(spark, queries, idx, centers,

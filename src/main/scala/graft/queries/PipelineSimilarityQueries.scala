@@ -666,8 +666,11 @@ object PipelineSimilarityQueries {
         dsub2.coalesce(1).write.mode("append").parquet(s"$root/c/in")
         q.processAllAvailable()
         q.stop()
-        val expectC = Similarity.ivfTrainCentroids(s,
-          base.unionByName(dsub2), nLists = 8)
+        // the cadence fires at trigger 2 BEFORE its batch write (r14,
+        // r13 ADVICE idempotency order): the retrain sees the INDEX —
+        // trigger 1's rows only — and trigger 2 then lands already
+        // assigned under the refreshed quantizer
+        val expectC = Similarity.ivfTrainCentroids(s, base, nLists = 8)
         val idx = IvfStream.readIndex(s, s"$root/c/idx")
         val want = IvfStream.assignOnIngest(base.unionByName(dsub2),
           expectC)

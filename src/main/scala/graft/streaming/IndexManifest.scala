@@ -78,6 +78,17 @@ object IndexManifest {
   def isManifested(spark: SparkSession, dir: String): Boolean =
     current(spark, dir).nonEmpty
 
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+                               md: Path, gen: Long): Seq[String] = {
+    val in = fs.open(new Path(md, nameOf(gen)))
+    val txt = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192)
+      out.toString("UTF-8")
+    } finally in.close()
+    txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** The current snapshot — the highest committed generation — or
     * None when the index is not enrolled. */
   def current(spark: SparkSession, dir: String): Option[Snapshot] = {
@@ -89,16 +100,27 @@ object IndexManifest {
       if (gens.isEmpty) None
       else {
         val g = gens.max
-        val in = fs.open(new Path(md, nameOf(g)))
-        val txt = try {
-          val out = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192)
-          out.toString("UTF-8")
-        } finally in.close()
-        Some(Snapshot(g, txt.split("\n").map(_.trim).filter(_.nonEmpty)
-          .toSeq.sorted))
+        Some(Snapshot(g, readManifestFile(fs, md, g).sorted))
       }
     }
+  }
+
+  /** Did ANY retained manifest generation ever reference a leaf under
+    * `prefix`? The rare-path probe behind [[graft.streaming.IvfStream
+    * .installBatch]]'s replay detection: a `batch=<id>` directory that
+    * exists on disk but is referenced by no generation, past or
+    * present, is an uncommitted orphan (safe to overwrite); one that
+    * WAS referenced had its rows folded into a rewrite leaf, so a
+    * replay must not re-add them. O(retained generations) small-file
+    * reads — called only on the crash-replay path, never per trigger. */
+  def everReferenced(spark: SparkSession, dir: String,
+                     prefix: String): Boolean = {
+    val md = manifestDir(dir)
+    val fs = fsOf(spark, md)
+    if (!fs.exists(md)) return false
+    fs.listStatus(md).flatMap(s => genOf(s.getPath.getName)).sorted
+      .exists(g => readManifestFile(fs, md, g)
+        .exists(l => l == prefix || l.startsWith(prefix + "/")))
   }
 
   /** [[current]] that REQUIRES enrollment — the pin a concurrent
@@ -255,15 +277,8 @@ object IndexManifest {
       .sorted.toSeq
     if (gens.isEmpty) return 0
     val kept = gens.takeRight(keepGens)
-    val live: Set[String] = kept.flatMap { g =>
-      val in = fs.open(new Path(md, nameOf(g)))
-      val txt = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192)
-        out.toString("UTF-8")
-      } finally in.close()
-      txt.split("\n").map(_.trim).filter(_.nonEmpty)
-    }.toSet
+    val live: Set[String] =
+      kept.flatMap(g => readManifestFile(fs, md, g)).toSet
     var removed = 0
     listLeafDirs(spark, dir).foreach { leaf =>
       if (!live.contains(leaf)) {

@@ -68,11 +68,16 @@ object IvfStream {
     * float tier was the only wire-in without it).
     *
     * `maintainEvery` (r12 verdict #2): the hands-free maintenance
-    * cadence — every N triggers, AFTER the idempotent batch write,
-    * [[maintain]] consumes the staleness log against `maintainPolicy`
-    * and, when it fires, the RETURNED centroids replace the frozen
-    * quantizer for every subsequent trigger (assignment re-broadcasts
-    * per trigger, so the swap is a driver-side variable). Requires
+    * cadence — every N triggers, BEFORE the trigger's batch write
+    * (r13 ADVICE: running it after folded the just-written batch into
+    * the rewrite, so a crash-replayed trigger re-added its rows —
+    * maintenance now folds only previously committed batches and the
+    * replay stays idempotent), [[maintain]] consumes the staleness log
+    * against `maintainPolicy` — this trigger's drift reading included,
+    * its rows not yet indexed — and, when it fires, the RETURNED
+    * centroids replace the frozen quantizer starting with THIS
+    * trigger's write (assignment re-broadcasts per trigger, so the
+    * swap is a driver-side variable). Requires
     * `stalenessDir` (the decision's evidence) and `maintainPolicy`.
     * The cadence counts THIS RUN's triggers — a restart resets the
     * phase, not the policy (the staleness log persists, so the
@@ -101,19 +106,20 @@ object IvfStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        (if (metaCols.isEmpty)
-           assignOnIngest(batch, curCenters, idCol, vecCol)
-         else
-           assignOnIngestWithMeta(batch, curCenters, idCol, vecCol,
-             metaCols))
-          .write.partitionBy("list").mode("overwrite")
-          .parquet(s"$indexDir/batch=$batchId")
+        // trigger order (r13 ADVICE, idempotency): (1) staleness — this
+        // trigger's drift evidence enters the log BEFORE the cadence
+        // decision reads it; (2) cadence/maintain — a firing rewrite
+        // folds only PREVIOUSLY COMMITTED batches, so a crash-replayed
+        // trigger never finds its own rows already folded (the old
+        // write-then-maintain order silently duplicated every row of a
+        // replayed trigger); (3) the batch write — assigned under the
+        // possibly-just-refreshed quantizer, via the replay-safe
+        // [[installBatch]].
         stalenessDir.foreach { dir =>
           quantizerStaleness(batch, curCenters, idCol, vecCol)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
-        IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
         if (cadenceDue(triggers, maintainEvery)) {
           val (report, newCenters) = maintain(batch.sparkSession, indexDir,
             stalenessDir.get, curCenters, maintainPolicy.get, maintainSeed,
@@ -121,10 +127,71 @@ object IvfStream {
           newCenters.foreach(curCenters = _)
           onMaintain(report)
         }
+        installBatch(batch.sparkSession, indexDir, batchId,
+          if (metaCols.isEmpty)
+            assignOnIngest(batch, curCenters, idCol, vecCol)
+          else
+            assignOnIngestWithMeta(batch, curCenters, idCol, vecCol,
+              metaCols))
         ()
       }
       .start()
   }
+
+  /** Install one trigger's (or batch backfill's) `batch=<id>` tree
+    * idempotently — the ONE write path all four attach wire-ins and
+    * [[graft.pipeline.VectorIndex#ingest]] share. Un-manifested
+    * indexes get the plain overwrite (replay rewrites the same files —
+    * the original idempotency design). A MANIFESTED index whose
+    * current manifest still references `batch=<id>` is seeing a
+    * crash-REPLAYED committed trigger (r13 ADVICE: overwriting that
+    * leaf in place would mutate live-referenced files, tearing a
+    * reader pinned across the replay window and violating the
+    * manifest's data-files-are-immutable contract) — the replay is
+    * routed copy-on-write instead: the re-attempt lands in the
+    * generation's fresh `batch=<rewriteId>` directory and a
+    * commitRewrite retires the prior attempt's leaves, so pinned
+    * readers keep their bytes and the current generation holds exactly
+    * one copy of the trigger's rows. */
+  def installBatch(spark: SparkSession, indexDir: String, batchId: Long,
+                   content: DataFrame): Unit =
+    IndexManifest.current(spark, indexDir) match {
+      case Some(snap) =>
+        val prefix = s"batch=$batchId"
+        val prior = snap.leaves
+          .filter(l => l == prefix || l.startsWith(prefix + "/"))
+        lazy val dirExists = {
+          val p = new org.apache.hadoop.fs.Path(indexDir, prefix)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        }
+        if (prior.nonEmpty) {
+          // replay of a COMMITTED trigger: re-attempt copy-on-write
+          content.write.partitionBy("list").mode("overwrite")
+            .parquet(s"$indexDir/batch=${snap.rewriteBatchId}")
+          IndexManifest.commitRewrite(spark, indexDir, snap, prior)
+          ()
+        } else if (dirExists &&
+            IndexManifest.everReferenced(spark, indexDir, prefix)) {
+          // replay of a trigger whose rows were ALREADY FOLDED into a
+          // rewrite leaf (a prior replay's own copy-on-write commit, or
+          // a compaction that ran between the trigger's commit and the
+          // crash): the current generation holds the rows exactly once
+          // — re-adding them would duplicate every row of the trigger,
+          // so the replay is a no-op. (Rare path: one manifest-history
+          // scan, only when the batch dir exists un-referenced.)
+          ()
+        } else {
+          // fresh trigger, or a first attempt that crashed before its
+          // commit (the orphan dir was never referenced by any reader)
+          content.write.partitionBy("list").mode("overwrite")
+            .parquet(s"$indexDir/$prefix")
+          IndexManifest.commitBatch(spark, indexDir, batchId)
+          ()
+        }
+      case None =>
+        content.write.partitionBy("list").mode("overwrite")
+          .parquet(s"$indexDir/batch=$batchId")
+    }
 
   /** Shared cadence-argument valve for the four attach wire-ins:
     * `maintainEvery` needs the policy, the staleness log it decides
@@ -265,20 +332,13 @@ object IvfStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        (if (metaCols.isEmpty)
-           assignAndEncodeOnIngest(batch, curCenters, curCodec, idCol,
-             vecCol)
-         else
-           assignAndEncodeOnIngestWithMeta(batch, curCenters, curCodec,
-             idCol, vecCol, metaCols))
-          .write.partitionBy("list").mode("overwrite")
-          .parquet(s"$indexDir/batch=$batchId")
+        // staleness → cadence/maintain → replay-safe write: see
+        // [[attach]]'s trigger-order note (r13 ADVICE idempotency fix)
         stalenessDir.foreach { dir =>
           quantizerStaleness(batch, curCenters, idCol, vecCol)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
-        IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
         if (cadenceDue(triggers, maintainEvery)) {
           val (report, newQ) = maintainSq(batch.sparkSession, indexDir,
             stalenessDir.get, maintainRefs.get(), curCenters,
@@ -287,6 +347,13 @@ object IvfStream {
           newQ.foreach { case (c, q) => curCenters = c; curCodec = q }
           onMaintain(report)
         }
+        installBatch(batch.sparkSession, indexDir, batchId,
+          if (metaCols.isEmpty)
+            assignAndEncodeOnIngest(batch, curCenters, curCodec, idCol,
+              vecCol)
+          else
+            assignAndEncodeOnIngestWithMeta(batch, curCenters, curCodec,
+              idCol, vecCol, metaCols))
         ()
       }
       .start()
@@ -367,19 +434,13 @@ object IvfStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        (if (metaCols.isEmpty)
-           assignAndBqEncodeOnIngest(batch, curCenters, idCol, vecCol)
-         else
-           assignAndBqEncodeOnIngestWithMeta(batch, curCenters, idCol,
-             vecCol, metaCols))
-          .write.partitionBy("list").mode("overwrite")
-          .parquet(s"$indexDir/batch=$batchId")
+        // staleness → cadence/maintain → replay-safe write: see
+        // [[attach]]'s trigger-order note (r13 ADVICE idempotency fix)
         stalenessDir.foreach { dir =>
           quantizerStaleness(batch, curCenters, idCol, vecCol)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
-        IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
         if (cadenceDue(triggers, maintainEvery)) {
           val (report, newCenters) = maintainBq(batch.sparkSession,
             indexDir, stalenessDir.get, maintainRefs.get(), curCenters,
@@ -388,6 +449,12 @@ object IvfStream {
           newCenters.foreach(curCenters = _)
           onMaintain(report)
         }
+        installBatch(batch.sparkSession, indexDir, batchId,
+          if (metaCols.isEmpty)
+            assignAndBqEncodeOnIngest(batch, curCenters, idCol, vecCol)
+          else
+            assignAndBqEncodeOnIngestWithMeta(batch, curCenters, idCol,
+              vecCol, metaCols))
         ()
       }
       .start()
@@ -503,19 +570,13 @@ object IvfStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        (if (metaCols.isEmpty)
-           assignAndPqEncodeOnIngest(batch, curModel, idCol, vecCol)
-         else
-           assignAndPqEncodeOnIngestWithMeta(batch, curModel, idCol,
-             vecCol, metaCols))
-          .write.partitionBy("list").mode("overwrite")
-          .parquet(s"$indexDir/batch=$batchId")
+        // staleness → cadence/maintain → replay-safe write: see
+        // [[attach]]'s trigger-order note (r13 ADVICE idempotency fix)
         stalenessDir.foreach { dir =>
           quantizerStalenessPq(batch, curModel, idCol, vecCol)
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$dir/batch=$batchId")
         }
-        IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)
         if (cadenceDue(triggers, maintainEvery)) {
           val (report, newModel) = maintainPq(batch.sparkSession, indexDir,
             stalenessDir.get, maintainRefs.get(), curModel,
@@ -523,6 +584,12 @@ object IvfStream {
           newModel.foreach(curModel = _)
           onMaintain(report)
         }
+        installBatch(batch.sparkSession, indexDir, batchId,
+          if (metaCols.isEmpty)
+            assignAndPqEncodeOnIngest(batch, curModel, idCol, vecCol)
+          else
+            assignAndPqEncodeOnIngestWithMeta(batch, curModel, idCol,
+              vecCol, metaCols))
         ()
       }
       .start()
@@ -613,6 +680,10 @@ object IvfStream {
       case Left(report) =>
         (fragmentationPass(spark, indexDir, stalenessDir, policy, report)(
           compactCodesIndex(spark, indexDir, idCol)), None)
+      case Right(report) if readCodesIndex(spark, indexDir, idCol)
+          .isEmpty =>
+        (report.copy(fired = false,
+          reason = report.reason + "; index empty — deferred"), None)
       case Right(report) =>
         // an OPQ model retrains WITH a fresh rotation (the rotation is
         // part of the quantizer pair's fit — keeping the old one under
@@ -1108,6 +1179,13 @@ object IvfStream {
       case Left(report) =>
         (fragmentationPass(spark, indexDir, stalenessDir, policy, report)(
           compactIndex(spark, indexDir, idCol, vecCol)), None)
+      case Right(report) if readIndex(spark, indexDir, idCol, vecCol)
+          .isEmpty =>
+        // fires-before-first-write guard (the cadence now runs BEFORE
+        // the trigger's batch write): an empty index has nothing to
+        // retrain from or rewrite — defer to the next cadence check
+        (report.copy(fired = false,
+          reason = report.reason + "; index empty — deferred"), None)
       case Right(report) =>
         val idx = readIndex(spark, indexDir, idCol, vecCol)
         val newCenters =
@@ -1136,6 +1214,10 @@ object IvfStream {
       case Left(report) =>
         (fragmentationPass(spark, indexDir, stalenessDir, policy, report)(
           compactCodesIndex(spark, indexDir, idCol)), None)
+      case Right(report) if readCodesIndex(spark, indexDir, idCol)
+          .isEmpty =>
+        (report.copy(fired = false,
+          reason = report.reason + "; index empty — deferred"), None)
       case Right(report) =>
         val newCenters =
           if (miniBatch) refreshCentroids(refs, centers, 0.0, idCol, vecCol)
@@ -1160,6 +1242,10 @@ object IvfStream {
       case Left(report) =>
         (fragmentationPass(spark, indexDir, stalenessDir, policy, report)(
           compactCodesIndex(spark, indexDir, idCol)), None)
+      case Right(report) if readCodesIndex(spark, indexDir, idCol)
+          .isEmpty =>
+        (report.copy(fired = false,
+          reason = report.reason + "; index empty — deferred"), None)
       case Right(report) =>
         val newCenters =
           if (miniBatch) refreshCentroids(refs, centers, 0.0, idCol, vecCol)

@@ -501,11 +501,14 @@ class IvfMaintainSpec extends SparkSpec {
     assert(reports.toList.map(_.fired) === List(true),
       s"expected one fired report, got $reports")
     // the centers maintain returned are deterministic: a full retrain
-    // on the index's own contents at fire time (triggers 1+2)
-    val expectCenters = Similarity.ivfTrainCentroids(spark,
-      base.unionByName(t2), nLists = 4)
-    // trigger 3 must be assigned under them (the re-broadcast check:
-    // a stream still frozen on centersA would list these differently)
+    // on the index's own contents at fire time — the cadence runs
+    // BEFORE the trigger's batch write (r14 idempotency order), so at
+    // trigger 2 the index holds trigger 1 only
+    val expectCenters = Similarity.ivfTrainCentroids(spark, base,
+      nLists = 4)
+    // triggers 2 and 3 must be assigned under them (the re-broadcast
+    // check: a stream still frozen on centersA would list these
+    // differently)
     val idx = IvfStream.readIndex(spark, s"$tmp/idx")
     val gotT3 = idx.filter(col("vec_id") >= 200000L)
     val wantT3 = IvfStream.assignOnIngest(t3, expectCenters)
@@ -513,7 +516,7 @@ class IvfMaintainSpec extends SparkSpec {
       wantT3.exceptAll(gotT3).isEmpty,
       "post-fire trigger must assign with the returned quantizer")
     // and the whole index ≡ the batch twin under the new quantizer
-    // (the fire re-listed triggers 1+2; trigger 3 arrived assigned)
+    // (the fire re-listed trigger 1; triggers 2 and 3 arrived assigned)
     val want = IvfStream.assignOnIngest(
       base.unionByName(t2).unionByName(t3), expectCenters)
     assert(idx.exceptAll(want).isEmpty && want.exceptAll(idx).isEmpty)

@@ -394,6 +394,68 @@ class SnapshotSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("installBatch: a crash-replayed committed trigger routes " +
+    "copy-on-write (committed leaves never mutate, rows never " +
+    "duplicate); a replay of already-folded rows is a no-op") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapi").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    IndexManifest.enroll(spark, s"$root/idx")
+    val b0 = e.filter(col("vec_id") < 100)
+    val b1 = e.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    IvfStream.installBatch(spark, s"$root/idx", 0L,
+      IvfStream.assignOnIngest(b0, centers))
+    IvfStream.installBatch(spark, s"$root/idx", 1L,
+      IvfStream.assignOnIngest(b1, centers))
+    val pinned = IndexManifest.pin(spark, s"$root/idx")
+    val before = rowSet(IndexManifest
+      .readSnapshot(spark, s"$root/idx", pinned).get
+      .select("vec_id", "embedding", "list"))
+    val fs = fsFor(root)
+    def filesOf(dir: String): Set[(String, Long, Long)] = {
+      val it = fs.listFiles(new Path(dir), true)
+      val b = Set.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        b += ((f.getPath.toString, f.getLen, f.getModificationTime))
+      }
+      b.result()
+    }
+    val batch1Files = filesOf(s"$root/idx/batch=1")
+    // REPLAY of committed trigger 1 (the crash-after-commit window):
+    // the r13 ADVICE hazard was an in-place overwrite of the
+    // live-referenced batch=1 leaves — the copy-on-write route must
+    // leave them untouched and keep exactly one copy of the rows
+    IvfStream.installBatch(spark, s"$root/idx", 1L,
+      IvfStream.assignOnIngest(b1, centers))
+    assert(filesOf(s"$root/idx/batch=1") === batch1Files,
+      "replay must never touch committed leaf files")
+    assert(rowSet(IndexManifest.readSnapshot(spark, s"$root/idx", pinned)
+      .get.select("vec_id", "embedding", "list")) === before)
+    val current = IvfStream.readIndex(spark, s"$root/idx")
+    assert(rowSet(current) === before, "replay duplicated or lost rows")
+    // SECOND replay: trigger 1's rows now live under a rewrite leaf —
+    // must be detected via the manifest history and become a no-op
+    // (neither a duplicate row nor a new generation)
+    val genAfter = IndexManifest.pin(spark, s"$root/idx").gen
+    IvfStream.installBatch(spark, s"$root/idx", 1L,
+      IvfStream.assignOnIngest(b1, centers))
+    assert(IndexManifest.pin(spark, s"$root/idx").gen === genAfter,
+      "an already-folded replay must not commit")
+    assert(rowSet(IvfStream.readIndex(spark, s"$root/idx")) === before)
+    // an UNCOMMITTED orphan (first attempt crashed before its commit):
+    // plain overwrite is safe — no reader ever referenced the dir
+    IvfStream.assignOnIngest(b1.limit(3), centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/idx/batch=7")
+    IvfStream.installBatch(spark, s"$root/idx", 7L,
+      IvfStream.assignOnIngest(
+        e.filter(col("vec_id") >= 200 && col("vec_id") < 210), centers))
+    assert(IvfStream.readIndex(spark, s"$root/idx").count() ===
+      before.size + 10L)
+    e.unpersist()
+  }
+
   test("ivfPqRefreshIndex on an ENROLLED codes layout re-enrolls the " +
     "refreshed index: the snapshot property survives a model refresh") {
     val e = Tables.embeddings(spark, sf).cache()
