@@ -273,13 +273,87 @@ final class VectorIndex private (val params: VectorIndex.Params,
     case _ => IvfStream.compactCodesIndex(spark, indexDir, p.idCol)
   }
 
+  /** The facade's live quantizer state as a [[graft.streaming
+    * .ModelStore.QuantizerModel]] — what enrollment persists and a
+    * pinned probe resolves per generation. */
+  private def quantizerModel: graft.streaming.ModelStore.QuantizerModel =
+    p.tier match {
+      case FloatTier => graft.streaming.ModelStore.FloatCenters(centers)
+      case Sq8Tier => graft.streaming.ModelStore.SqQuantizer(centers, codec)
+      case BqTier => graft.streaming.ModelStore.BqCenters(centers)
+      case _: PqTier => graft.streaming.ModelStore.PqQuantizer(model)
+    }
+
   /** Opt into snapshot-manifest reads ([[IndexManifest.enroll]]):
     * rewrites become copy-on-write and concurrent probes hold their
-    * pinned generation. */
-  def enrollSnapshots(spark: SparkSession): IndexManifest.Snapshot =
-    IndexManifest.enroll(spark, indexDir)
+    * pinned generation. The CURRENT quantizer is persisted at the
+    * enrollment generation ([[graft.streaming.ModelStore]], r13
+    * verdict #1), so from here every generation resolves the model
+    * that listed its leaves — [[pin]]/[[topKPinned]] survive a
+    * quantizer refresh byte-identically. */
+  def enrollSnapshots(spark: SparkSession): IndexManifest.Snapshot = {
+    val snap = IndexManifest.enroll(spark, indexDir)
+    graft.streaming.ModelStore.write(spark, indexDir, snap.gen,
+      quantizerModel)
+    snap
+  }
 
-  /** Reclaim leaves unreferenced by the kept generations. */
-  def vacuum(spark: SparkSession, keepGens: Int = 1): Int =
-    IndexManifest.vacuum(spark, indexDir, keepGens)
+  /** Pin the current generation for a long-lived concurrent probe. */
+  def pin(spark: SparkSession): IndexManifest.Snapshot =
+    IndexManifest.pin(spark, indexDir)
+
+  /** Top-k AS OF a pinned generation: the probe plans over exactly the
+    * snapshot's leaves AND the quantizer epoch that listed them — the
+    * highest [[graft.streaming.ModelStore]] generation ≤ the pin. A
+    * maintenance refresh installing a new model underneath changes
+    * NOTHING this probe reads (r13 verdict #1: previously the pinned
+    * leaves were served under the live — wrong — model, silently
+    * probing lists the old quantizer never assigned). `refs` supplies
+    * the codes tiers' exact re-rank vectors (the one input outside the
+    * snapshot's control — hold it stable for byte-identical replays);
+    * the float tier ignores it. */
+  def topKPinned(spark: SparkSession, snap: IndexManifest.Snapshot,
+                 queries: DataFrame, refs: DataFrame, k: Int): DataFrame = {
+    import graft.streaming.ModelStore
+    val m = ModelStore.readAt(spark, indexDir, snap.gen).getOrElse(
+      throw new IllegalArgumentException(
+        s"VectorIndex.topKPinned: no model epoch at or below generation " +
+          s"${snap.gen} for $indexDir — enroll through " +
+          "VectorIndex.enrollSnapshots (which persists the quantizer) " +
+          "rather than IndexManifest.enroll"))
+    val idx = IndexManifest.readSnapshot(spark, indexDir, snap).getOrElse(
+      throw new IllegalArgumentException(
+        s"VectorIndex.topKPinned: pinned generation ${snap.gen} of " +
+          s"$indexDir is EMPTY — nothing to probe"))
+    (p.tier, m) match {
+      case (FloatTier, ModelStore.FloatCenters(cs)) =>
+        Similarity.ivfTopKFromIndex(spark, queries,
+          idx.select(p.idCol, p.vecCol, "list"), cs, k, p.nProbe,
+          p.idCol, p.vecCol)
+      case (Sq8Tier, ModelStore.SqQuantizer(cs, cc)) =>
+        Similarity.ivfSqTopKFromIndex(spark, queries,
+          idx.select(p.idCol, "codes", "list"), cs, cc, refs, k,
+          p.shortlist, p.nProbe, p.idCol, p.vecCol)
+      case (BqTier, ModelStore.BqCenters(cs)) =>
+        Similarity.ivfBqTopKFromIndex(spark, queries,
+          idx.select(p.idCol, "codes", "list"), cs, refs, k, p.shortlist,
+          p.nProbe, p.idCol, p.vecCol, p.asymmetric)
+      case (_: PqTier, ModelStore.PqQuantizer(mm)) =>
+        Similarity.ivfPqTopKFromIndex(spark, queries,
+          idx.select(p.idCol, "list", "codes"), mm, refs, k, p.nProbe,
+          p.refine, p.idCol, p.vecCol)
+      case (tier, other) => throw new IllegalStateException(
+        s"VectorIndex.topKPinned: tier $tier cannot serve the stored " +
+          s"model ${other.getClass.getSimpleName} at generation " +
+          s"${snap.gen} of $indexDir — the index was written by a " +
+          "different tier's facade")
+    }
+  }
+
+  /** Reclaim leaves unreferenced by the kept generations. `minAgeMs`
+    * spares every generation younger than the pin horizon
+    * ([[IndexManifest.vacuum]]). */
+  def vacuum(spark: SparkSession, keepGens: Int = 1,
+             minAgeMs: Long = 0L): Int =
+    IndexManifest.vacuum(spark, indexDir, keepGens, minAgeMs)
 }

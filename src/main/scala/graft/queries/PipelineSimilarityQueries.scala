@@ -815,7 +815,11 @@ object PipelineSimilarityQueries {
     //    rewrite batch ids derived from it never collide;
     //  - vacuum_reclaims: vacuum removes the retired generation's
     //    leaves (reclaim > 0) and an orphan rewrite directory, while
-    //    the live generation re-reads bit-identically after it.
+    //    the live generation re-reads bit-identically after it;
+    //  - refresh_pin_ok (r14): quantizer epochs are versioned with the
+    //    manifest generation — a probe pinned before a quantizer
+    //    refresh replays byte-identically under the OLD model+leaves
+    //    while the current generation serves the new.
     "q215_snapshot_index" -> ((s, d) => {
       import graft.streaming.{IndexDelete, IndexManifest, IvfStream}
       import org.apache.hadoop.fs.Path
@@ -873,11 +877,41 @@ object PipelineSimilarityQueries {
         IvfStream.readIndex(s, s"$root/idx").collect().length ==
           currentRows &&
         IndexManifest.pin(s, s"$root/idx").gen == g2.gen
+      // refresh_pin_ok (r14, r13 verdict #1): quantizer epochs are
+      // versioned WITH the manifest generation (ModelStore), so a
+      // probe pinned BEFORE a quantizer refresh replays byte-
+      // identically under the OLD model + OLD leaves while the current
+      // generation serves the retrained quantizer — previously the
+      // pinned leaves were probed under the live (wrong) model.
+      val refreshPinOk = {
+        import graft.pipeline.VectorIndex
+        // a lean fixture slice: this arm gates the epoch-resolution
+        // CONTRACT, not scale — SnapshotSpec carries the full scenario
+        val pe = e.filter(col("vec_id") < 4000)
+        val params = VectorIndex.Params(VectorIndex.FloatTier,
+          nLists = 8, nProbe = 3)
+        val vi = VectorIndex.train(s, pe, params, s"$root/pin")
+        vi.ingest(s, pe, 0L)
+        vi.enrollSnapshots(s)
+        val pinB = vi.pin(s)
+        def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+          df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+        val beforeP = rows(vi.topKPinned(s, pinB, qs, pe, 5))
+        val centersB = Similarity.ivfTrainCentroids(s, pe, nLists = 8,
+          seed = 7)
+        IvfStream.reassign(s, s"$root/pin", centersB)
+        val stablePin = rows(vi.topKPinned(s, pinB, qs, pe, 5)) == beforeP
+        val wantNew = rows(Similarity.ivfTopKFromIndex(s, qs,
+          IvfStream.assignOnIngest(pe, centersB), centersB, k = 5,
+          nProbe = 3))
+        stablePin &&
+          rows(vi.topKPinned(s, vi.pin(s), qs, pe, 5)) == wantNew
+      }
       import s.implicits._
       Seq((pinnedStable, currentExcludes, probeParity, genMonotone,
-        vacuumReclaims))
+        vacuumReclaims, refreshPinOk))
         .toDF("pinned_stable", "current_excludes", "probe_parity",
-          "gen_monotone", "vacuum_reclaims")
+          "gen_monotone", "vacuum_reclaims", "refresh_pin_ok")
     }),
 
     // Document TAKEDOWN composition (r12): the right-to-be-forgotten
@@ -1118,7 +1152,7 @@ object PipelineSimilarityQueries {
     "q215_snapshot_index" ->
       """SELECT TRUE AS pinned_stable, TRUE AS current_excludes,
         |  TRUE AS probe_parity, TRUE AS gen_monotone,
-        |  TRUE AS vacuum_reclaims""".stripMargin,
+        |  TRUE AS vacuum_reclaims, TRUE AS refresh_pin_ok""".stripMargin,
 
     // Document-takedown invariant oracle: one row, every contract
     // boolean pinned TRUE (see the q214 query body — both gates catch

@@ -162,20 +162,46 @@ object IndexManifest {
 
   /** Commit the next generation with exactly `leaves` live. Single
     * writer (quiesced-maintenance contract); atomic visibility via
-    * write-temp-then-rename. */
+    * write-temp-then-rename. A duplicate-generation commit — two
+    * writers racing to the same next generation, the contract
+    * violation the single-writer rule exists to prevent — fails LOUDLY
+    * (r13 verdict #6) instead of letting the second rename silently
+    * win or clobber depending on the filesystem. */
   def commit(spark: SparkSession, dir: String,
-             leaves: Seq[String]): Snapshot = {
+             leaves: Seq[String]): Snapshot =
+    commitAt(spark, dir,
+      current(spark, dir).map(_.gen + 1).getOrElse(0L), leaves)
+
+  /** [[commit]] at an EXPLICIT generation — package-private so specs
+    * can forge the duplicate-generation race the loud-fail guards. */
+  private[graft] def commitAt(spark: SparkSession, dir: String,
+                                  gen: Long,
+                                  leaves: Seq[String]): Snapshot = {
     val md = manifestDir(dir)
     val fs = fsOf(spark, md)
     if (!fs.exists(md)) { fs.mkdirs(md); () }
-    val gen = current(spark, dir).map(_.gen + 1).getOrElse(0L)
     val sorted = leaves.distinct.sorted
     val tmp = new Path(md, s".tmp-${nameOf(gen)}")
     val out = fs.create(tmp, true)
     try out.write(sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, new Path(md, nameOf(gen))),
-      s"IndexManifest.commit: rename of generation $gen failed for $dir")
+    val dest = new Path(md, nameOf(gen))
+    // create-exclusive assertion: generation files are immutable, so a
+    // pre-existing target means a concurrent writer already committed
+    // this generation — failing here keeps the index intact (the tmp
+    // file is litter vacuum sweeps) and names the contract violated
+    if (fs.exists(dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"IndexManifest.commit: generation $gen already exists at $dir " +
+          "— a concurrent writer violated the single-writer contract " +
+          "(quiesce maintenance, or serialize writers); the existing " +
+          "manifest was left untouched")
+    }
+    require(fs.rename(tmp, dest),
+      s"IndexManifest.commit: rename of generation $gen failed for $dir " +
+        "— likely a concurrent commit won the race; the index manifest " +
+        "was left untouched")
     Snapshot(gen, sorted)
   }
 
@@ -264,19 +290,36 @@ object IndexManifest {
   /** Reclaim space: keep the newest `keepGens` manifest generations,
     * delete every leaf directory (and emptied `batch=` parent) that
     * none of them references — retired leaves AND orphans from
-    * never-retried crashed rewrites — plus the retired manifest
-    * files. Returns the number of leaf directories removed. Run
-    * quiesced, and no more often than the longest pin you allow: a
-    * reader pinned to a vacuumed generation loses its files. */
-  def vacuum(spark: SparkSession, dir: String, keepGens: Int = 1): Int = {
+    * never-retried crashed rewrites — plus the retired manifest files
+    * and any [[ModelStore]] model epochs no kept generation resolves
+    * to. Returns the number of leaf directories removed. Run quiesced.
+    *
+    * `minAgeMs` (r13 verdict #5): the pin-horizon guard — "no more
+    * often than the longest pin you allow" was only a doc convention,
+    * so a mis-scheduled vacuum could reclaim a generation a reader
+    * pinned seconds ago. With `minAgeMs` set, every generation whose
+    * manifest file is younger than `now − minAgeMs` is KEPT (its
+    * leaves retained) regardless of `keepGens`: size it to the longest
+    * probe you allow to stay pinned and a vacuum can never reclaim a
+    * generation inside that horizon. Ages come from the manifest
+    * files' modification times — the commit instant. Default 0
+    * preserves the pure keepGens behavior. */
+  def vacuum(spark: SparkSession, dir: String, keepGens: Int = 1,
+             minAgeMs: Long = 0L): Int = {
     require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
+    require(minAgeMs >= 0L, s"minAgeMs must be >= 0, got $minAgeMs")
     val md = manifestDir(dir)
     val fs = fsOf(spark, md)
     if (!fs.exists(md)) return 0
-    val gens = fs.listStatus(md).flatMap(s => genOf(s.getPath.getName))
-      .sorted.toSeq
+    val mtimes: Map[Long, Long] = fs.listStatus(md).toSeq
+      .flatMap(s => genOf(s.getPath.getName)
+        .map(g => g -> s.getModificationTime)).toMap
+    val gens = mtimes.keys.toSeq.sorted
     if (gens.isEmpty) return 0
-    val kept = gens.takeRight(keepGens)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val kept = (gens.takeRight(keepGens) ++
+      (if (minAgeMs > 0L) gens.filter(g => mtimes(g) > cutoff)
+       else Seq.empty)).distinct.sorted
     val live: Set[String] =
       kept.flatMap(g => readManifestFile(fs, md, g)).toSet
     var removed = 0
@@ -300,12 +343,14 @@ object IndexManifest {
           .exists(c => c.isDirectory && c.getPath.getName.startsWith("list="))
         if (!hasLiveSelf && !hasListChild) { fs.delete(b.getPath, true); () }
       }
-    gens.dropRight(keepGens).foreach(g =>
+    gens.filterNot(kept.contains).foreach(g =>
       fs.delete(new Path(md, nameOf(g)), false))
     // tmp litter from crashed commits
     fs.listStatus(md).toSeq
       .filter(_.getPath.getName.startsWith(".tmp-"))
       .foreach(s => fs.delete(s.getPath, false))
+    // model epochs no kept generation resolves to (r13 verdict #1)
+    ModelStore.vacuumModels(spark, dir, kept)
     removed
   }
 }

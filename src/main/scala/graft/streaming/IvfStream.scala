@@ -482,9 +482,11 @@ object IvfStream {
         "refreshing from an incomplete corpus would silently drop " +
         "indexed vectors. Pass the full original corpus (sign codes " +
         "are lossy; the index cannot re-list itself).")
-    fullRewrite(spark, indexDir)(withIndexMeta(spark, indexDir, idCol,
-      assignAndBqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
-        newCenters, idCol, vecCol), "IvfStream.reassignBq"))
+    fullRewrite(spark, indexDir,
+      Some(ModelStore.BqCenters(newCenters)))(
+      withIndexMeta(spark, indexDir, idCol,
+        assignAndBqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
+          newCenters, idCol, vecCol), "IvfStream.reassignBq"))
   }
 
   /** Stateless assign-and-PQ-encode: (idCol, list, codes) — the
@@ -658,9 +660,11 @@ object IvfStream {
         "refreshing from an incomplete corpus would silently drop " +
         "indexed vectors. Pass the full original corpus (PQ codes " +
         "are lossy; the index cannot re-encode itself).")
-    fullRewrite(spark, indexDir)(withIndexMeta(spark, indexDir, idCol,
-      assignAndPqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
-        newModel, idCol, vecCol), "IvfStream.reassignPq"))
+    fullRewrite(spark, indexDir,
+      Some(ModelStore.PqQuantizer(newModel)))(
+      withIndexMeta(spark, indexDir, idCol,
+        assignAndPqEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
+          newModel, idCol, vecCol), "IvfStream.reassignPq"))
   }
 
   /** [[maintain]] for the PQ codes tier: fires [[reassignPq]] with
@@ -763,7 +767,8 @@ object IvfStream {
     val full = readAll(spark, indexDir, "IvfStream.reassign")
     val metaCols = full.columns.toSeq
       .filterNot(Seq(idCol, vecCol, "list").contains)
-    fullRewrite(spark, indexDir)(
+    fullRewrite(spark, indexDir,
+      Some(ModelStore.FloatCenters(newCenters)))(
       if (metaCols.isEmpty)
         assignOnIngest(full.select(idCol, vecCol), newCenters, idCol,
           vecCol)
@@ -789,13 +794,25 @@ object IvfStream {
     * content as a fresh `batch=<rewriteId>` tree, commit a manifest
     * naming only it; pinned readers keep the retained old leaves
     * byte-stable until [[IndexManifest.vacuum]]), a legacy index gets
-    * the quiesced [[IndexSwap]] rename discipline exactly as before. */
-  private def fullRewrite(spark: SparkSession, indexDir: String)
+    * the quiesced [[IndexSwap]] rename discipline exactly as before.
+    *
+    * `newModel` (r13 verdict #1): a rewrite that CHANGES the quantizer
+    * (the reassign* family) passes the new model, persisted via
+    * [[ModelStore]] at the generation this commit creates — BEFORE the
+    * commit, so a pin at that generation always resolves its model.
+    * Pure compactions pass None (the prior epoch's model still
+    * governs; the ≤generation resolution rule finds it). Legacy
+    * (un-manifested) indexes have no generations to version against —
+    * the model stays the caller's variable, refreshes run quiesced. */
+  private def fullRewrite(spark: SparkSession, indexDir: String,
+                          newModel: Option[ModelStore.QuantizerModel] = None)
                          (content: DataFrame): Unit =
     IndexManifest.current(spark, indexDir) match {
       case Some(snap) =>
         content.write.partitionBy("list").mode("overwrite")
           .parquet(s"$indexDir/batch=${snap.rewriteBatchId}")
+        newModel.foreach(m =>
+          ModelStore.write(spark, indexDir, snap.gen + 1, m))
         IndexManifest.commitRewrite(spark, indexDir, snap, snap.leaves)
         ()
       case None =>
@@ -835,9 +852,11 @@ object IvfStream {
         "refreshing from an incomplete corpus would silently drop " +
         "indexed vectors. Pass the full original corpus (codes are " +
         "lossy; the index cannot re-encode itself).")
-    fullRewrite(spark, indexDir)(withIndexMeta(spark, indexDir, idCol,
-      assignAndEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
-        newCenters, newCodec, idCol, vecCol), "IvfStream.reassignSq"))
+    fullRewrite(spark, indexDir,
+      Some(ModelStore.SqQuantizer(newCenters, newCodec)))(
+      withIndexMeta(spark, indexDir, idCol,
+        assignAndEncodeOnIngest(src.join(indexedIds, Seq(idCol), "left_semi"),
+          newCenters, newCodec, idCol, vecCol), "IvfStream.reassignSq"))
   }
 
   /** Re-attach the index's metadata columns to a freshly re-encoded

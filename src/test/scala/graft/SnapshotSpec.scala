@@ -493,6 +493,127 @@ class SnapshotSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("pin-across-refresh: a pinned probe resolves the quantizer " +
+    "epoch that listed its leaves — byte-identical under the OLD " +
+    "model+leaves while the current generation serves the new") {
+    import graft.pipeline.VectorIndex
+    import graft.streaming.ModelStore
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapm").toString
+    val params = VectorIndex.Params(VectorIndex.FloatTier, nLists = 4,
+      nProbe = 2)
+    val vi = VectorIndex.train(spark, e, params, s"$root/idx")
+    vi.ingest(spark, e, 0L)
+    vi.enrollSnapshots(spark) // gen 0 + the epoch-0 model
+    val snap = vi.pin(spark)
+    val qs = e.filter(col("vec_id") < 30)
+    val before = rowSet(vi.topKPinned(spark, snap, qs, e, 5))
+    // fire the quantizer refresh underneath the pin (the r13 hole:
+    // the pinned leaves would have been probed under the NEW model)
+    val centersB = Similarity.ivfTrainCentroids(spark, e, nLists = 4,
+      seed = 7)
+    IvfStream.reassign(spark, s"$root/idx", centersB)
+    // 1. the pinned probe replays byte-identically: old leaves AND the
+    //    old model epoch, resolved by generation
+    assert(rowSet(vi.topKPinned(spark, snap, qs, e, 5)) === before,
+      "pinned probe must survive a refresh byte-identically")
+    // ...and it equals the in-memory twin under the OLD quantizer
+    val wantOld = Similarity.ivfTopKFromIndex(spark, qs,
+      IvfStream.assignOnIngest(e, vi.centers), vi.centers, k = 5,
+      nProbe = 2)
+    assert(rowSet(vi.topKPinned(spark, snap, qs, e, 5)) ===
+      rowSet(wantOld))
+    // 2. the CURRENT generation serves the new epoch: its model
+    //    resolves to centersB and the probe matches the fresh twin
+    val snap2 = vi.pin(spark)
+    assert(snap2.gen > snap.gen)
+    val wantNew = Similarity.ivfTopKFromIndex(spark, qs,
+      IvfStream.assignOnIngest(e, centersB), centersB, k = 5, nProbe = 2)
+    assert(rowSet(vi.topKPinned(spark, snap2, qs, e, 5)) ===
+      rowSet(wantNew))
+    // 3. a compaction commits a generation WITHOUT a model epoch — the
+    //    ≤generation resolution walks back to the refresh's epoch
+    IvfStream.compactIndex(spark, s"$root/idx")
+    val snap3 = vi.pin(spark)
+    assert(ModelStore.listGens(spark, s"$root/idx") ===
+      Seq(snap.gen, snap2.gen),
+      "a pure compaction must not mint a model epoch")
+    assert(rowSet(vi.topKPinned(spark, snap3, qs, e, 5)) ===
+      rowSet(wantNew))
+    // 4. vacuum sweeps the retired epoch with its generation — the
+    //    kept generations' resolving epoch survives
+    IndexManifest.vacuum(spark, s"$root/idx", keepGens = 1)
+    assert(ModelStore.listGens(spark, s"$root/idx") === Seq(snap2.gen),
+      "vacuum must keep exactly the resolving model epoch")
+    assert(rowSet(vi.topKPinned(spark, vi.pin(spark), qs, e, 5)) ===
+      rowSet(wantNew))
+    e.unpersist()
+  }
+
+  test("pin-across-refresh on the PQ tier: the stored epoch carries " +
+    "the full quantizer pair (centers + codebooks + rotation)") {
+    import graft.pipeline.VectorIndex
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapn").toString
+    val params = VectorIndex.Params(
+      VectorIndex.PqTier(m = 8, nCodes = 16, opq = true), nLists = 4,
+      nProbe = 2, refine = 4)
+    val vi = VectorIndex.train(spark, e, params, s"$root/idx")
+    vi.ingest(spark, e, 0L)
+    vi.enrollSnapshots(spark)
+    val snap = vi.pin(spark)
+    val qs = e.filter(col("vec_id") < 20)
+    val before = rowSet(vi.topKPinned(spark, snap, qs, e, 5))
+    // refresh to a NEW pair (different seed: new centers, books, and
+    // rotation move together)
+    val newModel = Similarity.ivfOpqTrainModel(spark, e, nLists = 4,
+      m = 8, nCodes = 16, seed = 7)
+    IvfStream.reassignPq(spark, s"$root/idx", e, newModel)
+    assert(rowSet(vi.topKPinned(spark, snap, qs, e, 5)) === before,
+      "pinned PQ probe must replay under the OLD pair")
+    // the current epoch round-trips the rotation: probe ≡ the
+    // in-memory twin under newModel
+    val want = Similarity.ivfPqTopKFromIndex(spark, qs,
+      graft.streaming.IvfStream.assignAndPqEncodeOnIngest(e, newModel),
+      newModel, e, k = 5, nProbe = 2, refine = 4)
+    assert(rowSet(vi.topKPinned(spark, vi.pin(spark), qs, e, 5)) ===
+      rowSet(want))
+    e.unpersist()
+  }
+
+  test("vacuum minAgeMs spares generations inside the pin horizon; " +
+    "a duplicate-generation commit fails loudly, index intact") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapa").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    floatFixture(root, e, centers)
+    val g0 = IndexManifest.pin(spark, s"$root/idx")
+    IvfStream.compactIndex(spark, s"$root/idx") // retires gen 0's leaves
+    val fs = fsFor(root)
+    // minAge of an hour: gen 0 committed seconds ago → NOTHING
+    // reclaimed, even though keepGens=1 alone would retire it
+    assert(IndexManifest.vacuum(spark, s"$root/idx", keepGens = 1,
+      minAgeMs = 3600L * 1000L) === 0,
+      "a generation younger than the pin horizon must be spared")
+    assert(g0.leaves.forall(l => fs.exists(new Path(s"$root/idx/$l"))))
+    // ...and the spared generation is still pinnable end-to-end
+    assert(IndexManifest.readSnapshot(spark, s"$root/idx", g0).get
+      .count() > 0)
+    // minAge 0 restores the pure keepGens behavior
+    assert(IndexManifest.vacuum(spark, s"$root/idx", keepGens = 1) > 0)
+    // duplicate-generation commit: forge a second writer racing to the
+    // current generation — must fail LOUDLY and leave the index as-is
+    val cur = IndexManifest.pin(spark, s"$root/idx")
+    val err = intercept[IllegalStateException] {
+      IndexManifest.commitAt(spark, s"$root/idx", cur.gen,
+        Seq("batch=666/list=0"))
+    }
+    assert(err.getMessage.contains("single-writer"))
+    assert(IndexManifest.pin(spark, s"$root/idx") === cur,
+      "the losing commit must not perturb the manifest")
+    e.unpersist()
+  }
+
   test("fragmentation reading on a manifested index counts LIVE " +
     "batches: retained dead leaves must not re-trigger compaction " +
     "before vacuum") {
