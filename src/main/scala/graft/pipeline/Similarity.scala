@@ -709,6 +709,94 @@ object Similarity extends Serializable {
     model.copy(rotation = Some(rot))
   }
 
+  /** AUTO-routed PQ training (r13 verdict #8): train BOTH the plain
+    * and the OPQ-rotated model, A/B them on the train sample, and keep
+    * the rotation only when it measurably pays.
+    *
+    * The A/B criterion is CODE RECALL, not reconstruction error — a
+    * measured necessity, not a taste choice: the verdict suggested
+    * comparing reconstruction error, but OPQ coordinate-descends
+    * exactly that objective, and on THIS round's two probe corpora it
+    * wins it by 22–33 % on BOTH — including the isotropic-blobs
+    * control where the r13g probe measured the recall payoff as
+    * neutral-to-negative. Reconstruction error cannot discriminate
+    * (it improves by construction); what the rotation must actually
+    * buy is ranking quality. So the A/B replays r13g's measurement in
+    * miniature: exact top-`abK` neighbors of `abQueries` sample
+    * vectors in unit space vs each model's full-ADC ranking over the
+    * sample (full ADC on purpose — no probe term, so the reading
+    * isolates the CODES, the r13g lesson about coverage-bound
+    * readings). Rotated wins only when its recall beats plain by more
+    * than `margin` ABSOLUTE recall points — 0.03 by default, because
+    * the rotation costs a d×d multiply on every `unit` call forever
+    * and r13g graded a ~1-point lift "neutral"; measured on the two
+    * probe corpora: anisotropic +8.3 pt (routes rotated), isotropic
+    * +1.1 pt (routes plain). Driver-side, deterministic,
+    * train-time-only: ~|Q|·|sample|·dim flops, capped by `abRefCap`. */
+  def ivfPqTrainModelAuto(spark: SparkSession, refs: DataFrame,
+                          nLists: Int = 16, m: Int = 8, nCodes: Int = 32,
+                          iters: Int = 6, seed: Long = 42,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding", dim: Int = 64,
+                          trainCap: Int = 20000,
+                          margin: Double = 0.03,
+                          abQueries: Int = 64, abK: Int = 10,
+                          abRefCap: Int = 4096): IvfPqModel = {
+    require(margin >= 0.0, s"margin must be >= 0, got $margin")
+    require(abQueries >= 1 && abK >= 1 && abRefCap > abK,
+      s"bad A/B dims: queries=$abQueries k=$abK refCap=$abRefCap")
+    import spark.implicits._
+    val src = refs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sample = src.orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(math.min(trainCap, abRefCap))
+      .as[(Long, Array[Float])].collect()
+      .map(t => unitOf(t._2, dim))
+    val plain = ivfPqTrainModel(spark, refs, nLists, m, nCodes, seed,
+      idCol, vecCol, dim, trainCap)
+    val rotated = ivfOpqTrainModel(spark, refs, nLists, m, nCodes, iters,
+      seed, idCol, vecCol, dim, trainCap)
+    val nQ = math.min(abQueries, sample.length)
+    val k = math.min(abK, math.max(1, sample.length - 1))
+    // exact ground truth in unit space (self excluded)
+    def topSet(scores: Array[Double], self: Int): Set[Int] =
+      scores.indices.filter(_ != self).sortBy(i => (scores(i), i))
+        .take(k).toSet
+    val truth = Array.tabulate(nQ) { q =>
+      val d2 = Array.tabulate(sample.length) { r =>
+        var s = 0.0; var i = 0
+        while (i < dim) {
+          val d = sample(q)(i) - sample(r)(i); s += d * d; i += 1 }
+        s
+      }
+      topSet(d2, q)
+    }
+    def recallOf(model: IvfPqModel): Double = {
+      // every sample vector encoded under the model, in model space
+      val x = sample.map(v => model.rotation match {
+        case Some(r) => rotateVec(r, v)
+        case None => v
+      })
+      val lists = x.map(model.argminCenter)
+      val codes = Array.tabulate(sample.length)(i =>
+        model.encode(x(i), lists(i)))
+      var hits = 0L
+      var q = 0
+      while (q < nQ) {
+        val scores = Array.tabulate(sample.length)(r =>
+          model.adc(x(q), lists(r), codes(r)))
+        hits += (topSet(scores, q) & truth(q)).size
+        q += 1
+      }
+      hits.toDouble / (nQ.toLong * k)
+    }
+    val rp = recallOf(plain)
+    val rr = recallOf(rotated)
+    System.err.println(f"[opq-auto] code recall@$k plain=$rp%.4f " +
+      f"rotated=$rr%.4f margin=$margin%.4f -> " +
+      s"${if (rr > rp + margin) "rotated" else "plain"}")
+    if (rr > rp + margin) rotated else plain
+  }
+
   /** [[ivfPqBuildIndex]] with the OPQ-rotated model: train
     * ([[ivfOpqTrainModel]]) and encode the corpus in the one narrow
     * pass — the encode map is the model's own arithmetic, so the

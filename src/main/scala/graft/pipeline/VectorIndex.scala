@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, slice}
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.streaming.{IndexDelete, IndexManifest, IvfStream}
 
@@ -32,14 +33,23 @@ object VectorIndex {
 
   /** Compression rung. The PQ tier optionally trains the OPQ rotation
     * (Ge et al., CVPR 2013) — same index bytes, better recall where
-    * codes are the bottleneck. */
+    * codes are the bottleneck; `opqAuto` (r13 verdict #8) trains BOTH
+    * and keeps the rotation only when its reconstruction error beats
+    * plain by a margin on the train sample — anisotropic corpora pick
+    * rotated, isotropic ones plain ([[Similarity.ivfPqTrainModelAuto]]).
+    * [[MatryoshkaTier]] stores the `prefixDims`-float PREFIX of every
+    * vector (Kusupati et al. 2022): stage 1 probes the prefix index
+    * (`prefixDims/dim` of the float bytes), stage 2 re-ranks the
+    * shortlist at full dimension. */
   sealed trait Tier
   case object FloatTier extends Tier
   case object Sq8Tier extends Tier
   case object BqTier extends Tier
   final case class PqTier(m: Int = 8, nCodes: Int = 32,
-                          opq: Boolean = false, opqIters: Int = 6)
+                          opq: Boolean = false, opqIters: Int = 6,
+                          opqAuto: Boolean = false)
       extends Tier
+  final case class MatryoshkaTier(prefixDims: Int = 32) extends Tier
 
   /** Everything chosen ONCE, at train time. `asymmetric` applies to
     * the BQ tier's stage-1 scoring (the measured-better default);
@@ -77,13 +87,25 @@ object VectorIndex {
         new VectorIndex(p, indexDir,
           centers = Similarity.ivfTrainCentroids(spark, refs, p.nLists,
             p.seed, p.idCol, p.vecCol, p.trainCap))
-      case PqTier(m, nCodes, opq, opqIters) =>
+      case PqTier(m, nCodes, opq, opqIters, opqAuto) =>
         val model =
-          if (opq) Similarity.ivfOpqTrainModel(spark, refs, p.nLists, m,
-            nCodes, opqIters, p.seed, p.idCol, p.vecCol, p.dim, p.trainCap)
+          if (opqAuto) Similarity.ivfPqTrainModelAuto(spark, refs,
+            p.nLists, m, nCodes, opqIters, p.seed, p.idCol, p.vecCol,
+            p.dim, p.trainCap)
+          else if (opq) Similarity.ivfOpqTrainModel(spark, refs, p.nLists,
+            m, nCodes, opqIters, p.seed, p.idCol, p.vecCol, p.dim,
+            p.trainCap)
           else Similarity.ivfPqTrainModel(spark, refs, p.nLists, m,
             nCodes, p.seed, p.idCol, p.vecCol, p.dim, p.trainCap)
         new VectorIndex(p, indexDir, model = model)
+      case MatryoshkaTier(dims) =>
+        // the prefix tier's quantizer is a FLOAT coarse quantizer over
+        // the first-`dims` slice (matryoshkaIvfBuildIndex's training)
+        new VectorIndex(p, indexDir,
+          centers = Similarity.ivfTrainCentroids(spark,
+            refs.select(col(p.idCol),
+              slice(col(p.vecCol), 1, dims).as(p.vecCol)),
+            p.nLists, p.seed, p.idCol, p.vecCol, p.trainCap))
     }
   }
 }
@@ -104,12 +126,23 @@ final class VectorIndex private (val params: VectorIndex.Params,
 
   /** The tier's per-batch encode/assign frame — the one arithmetic the
     * batch write and the streamed attach share. */
+  /** The prefix-sliced twin of `batch` — the Matryoshka tier's stored
+    * shape (the index holds `prefixDims` floats per vector). */
+  private def sliced(batch: DataFrame, dims: Int): DataFrame =
+    batch.withColumn(p.vecCol, slice(col(p.vecCol), 1, dims))
+
   private def encode(batch: DataFrame): DataFrame = p.tier match {
     case FloatTier =>
       if (p.metaCols.isEmpty)
         IvfStream.assignOnIngest(batch, centers, p.idCol, p.vecCol)
       else IvfStream.assignOnIngestWithMeta(batch, centers, p.idCol,
         p.vecCol, p.metaCols)
+    case MatryoshkaTier(dims) =>
+      if (p.metaCols.isEmpty)
+        IvfStream.assignOnIngest(sliced(batch, dims), centers, p.idCol,
+          p.vecCol)
+      else IvfStream.assignOnIngestWithMeta(sliced(batch, dims), centers,
+        p.idCol, p.vecCol, p.metaCols)
     case Sq8Tier =>
       if (p.metaCols.isEmpty)
         IvfStream.assignAndEncodeOnIngest(batch, centers, codec, p.idCol,
@@ -151,6 +184,13 @@ final class VectorIndex private (val params: VectorIndex.Params,
       IvfStream.attach(stream, centers, indexDir, checkpointDir, p.idCol,
         p.vecCol, stalenessDir, p.metaCols, maintainEvery, maintainPolicy,
         maintainSeed = p.seed, onMaintain = onMaintain)
+    case MatryoshkaTier(dims) =>
+      // slice BEFORE the wire-in: staleness, maintenance retrains, and
+      // assignment all see the prefix space the quantizer lives in
+      IvfStream.attach(sliced(stream, dims), centers, indexDir,
+        checkpointDir, p.idCol, p.vecCol, stalenessDir, p.metaCols,
+        maintainEvery, maintainPolicy, maintainSeed = p.seed,
+        onMaintain = onMaintain)
     case Sq8Tier =>
       IvfStream.attachSq(stream, centers, codec, indexDir, checkpointDir,
         p.idCol, p.vecCol, stalenessDir, p.metaCols, maintainEvery,
@@ -169,7 +209,8 @@ final class VectorIndex private (val params: VectorIndex.Params,
 
   /** The accrued index frame (manifest-routed when enrolled). */
   def read(spark: SparkSession): DataFrame = p.tier match {
-    case FloatTier => IvfStream.readIndex(spark, indexDir, p.idCol, p.vecCol)
+    case FloatTier | _: MatryoshkaTier =>
+      IvfStream.readIndex(spark, indexDir, p.idCol, p.vecCol)
     case _ => IvfStream.readCodesIndex(spark, indexDir, p.idCol)
   }
 
@@ -181,6 +222,9 @@ final class VectorIndex private (val params: VectorIndex.Params,
     case FloatTier =>
       Similarity.ivfTopKFromIndex(spark, queries,
         read(spark), centers, k, p.nProbe, p.idCol, p.vecCol)
+    case MatryoshkaTier(dims) =>
+      Similarity.matryoshkaIvfTopKFromIndex(spark, queries, read(spark),
+        centers, refs, k, dims, p.shortlist, p.nProbe, p.idCol, p.vecCol)
     case Sq8Tier =>
       Similarity.ivfSqTopKFromIndex(spark, queries, read(spark), centers,
         codec, refs, k, p.shortlist, p.nProbe, p.idCol, p.vecCol)
@@ -218,6 +262,10 @@ final class VectorIndex private (val params: VectorIndex.Params,
       case FloatTier =>
         Similarity.ivfTopKFromIndexFiltered(spark, queries, idx, centers,
           k, refFilter, p.nProbe, p.idCol, p.vecCol)
+      case MatryoshkaTier(dims) =>
+        Similarity.matryoshkaIvfTopKFromIndexFiltered(spark, queries,
+          idx, centers, refs, k, refFilter, dims, p.shortlist, p.nProbe,
+          p.idCol, p.vecCol)
       case Sq8Tier =>
         Similarity.ivfSqTopKFromIndexFiltered(spark, queries, idx,
           centers, codec, refs, k, refFilter, p.shortlist, p.nProbe,
@@ -240,7 +288,9 @@ final class VectorIndex private (val params: VectorIndex.Params,
   def maintain(spark: SparkSession, stalenessDir: String, refs: DataFrame,
                policy: IvfStream.MaintainPolicy)
       : (IvfStream.MaintainReport, VectorIndex) = p.tier match {
-    case FloatTier =>
+    case FloatTier | _: MatryoshkaTier =>
+      // the Matryoshka index stores prefix vectors, so the float-tier
+      // maintain retrains the prefix quantizer from the index itself
       val (r, c) = IvfStream.maintain(spark, indexDir, stalenessDir,
         centers, policy, p.seed, p.idCol, p.vecCol)
       (r, c.map(nc => copyWith(centers = nc)).getOrElse(this))
@@ -268,8 +318,8 @@ final class VectorIndex private (val params: VectorIndex.Params,
   /** Fold the per-trigger batch litter into one layout (the tier's
     * pure compaction — quantizers untouched). */
   def compact(spark: SparkSession): Unit = p.tier match {
-    case FloatTier => IvfStream.compactIndex(spark, indexDir, p.idCol,
-      p.vecCol)
+    case FloatTier | _: MatryoshkaTier =>
+      IvfStream.compactIndex(spark, indexDir, p.idCol, p.vecCol)
     case _ => IvfStream.compactCodesIndex(spark, indexDir, p.idCol)
   }
 
@@ -278,7 +328,8 @@ final class VectorIndex private (val params: VectorIndex.Params,
     * pinned probe resolves per generation. */
   private def quantizerModel: graft.streaming.ModelStore.QuantizerModel =
     p.tier match {
-      case FloatTier => graft.streaming.ModelStore.FloatCenters(centers)
+      case FloatTier | _: MatryoshkaTier =>
+        graft.streaming.ModelStore.FloatCenters(centers)
       case Sq8Tier => graft.streaming.ModelStore.SqQuantizer(centers, codec)
       case BqTier => graft.streaming.ModelStore.BqCenters(centers)
       case _: PqTier => graft.streaming.ModelStore.PqQuantizer(model)
@@ -330,6 +381,10 @@ final class VectorIndex private (val params: VectorIndex.Params,
         Similarity.ivfTopKFromIndex(spark, queries,
           idx.select(p.idCol, p.vecCol, "list"), cs, k, p.nProbe,
           p.idCol, p.vecCol)
+      case (MatryoshkaTier(dims), ModelStore.FloatCenters(cs)) =>
+        Similarity.matryoshkaIvfTopKFromIndex(spark, queries,
+          idx.select(p.idCol, p.vecCol, "list"), cs, refs, k, dims,
+          p.shortlist, p.nProbe, p.idCol, p.vecCol)
       case (Sq8Tier, ModelStore.SqQuantizer(cs, cc)) =>
         Similarity.ivfSqTopKFromIndex(spark, queries,
           idx.select(p.idCol, "codes", "list"), cs, cc, refs, k,

@@ -581,6 +581,65 @@ class SnapshotSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("delta manifests: incremental commits write O(changed) bytes, " +
+    "a full snapshot re-anchors every fullEvery generations, " +
+    "resolution is exact, and vacuum keeps whole chains") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapd").toString
+    val dir = s"$root/idx"
+    val base = (0 until 1000).map(i => f"batch=0/list=$i")
+    var snap = IndexManifest.commitAt(spark, dir, 0L, base)
+    var expected = base.toSet
+    (1 to 20).foreach { b =>
+      val adds = Seq(s"batch=$b/list=0", s"batch=$b/list=1")
+      snap = IndexManifest.commitDelta(spark, dir, snap, adds, Seq.empty)
+      expected ++= adds
+      assert(snap.leaves.toSet === expected,
+        s"commitDelta at gen $b returned a wrong resolved set")
+    }
+    // a fresh resolution from disk agrees with the incrementally
+    // tracked one — the chain replay is exact
+    val cur = IndexManifest.current(spark, dir).get
+    assert(cur.gen === 20L)
+    assert(cur.leaves.toSet === expected)
+    val fs = fsFor(root)
+    val md = s"$dir/_manifests"
+    def has(name: String) = fs.exists(new Path(md, name))
+    // kinds: gen 0 full (anchor), gens 1-15 and 17-20 delta, gen 16
+    // re-anchored full (fullEvery = 16)
+    assert(has("gen-000000000.txt") && has("gen-000000016.txt"))
+    assert(!has("gen-000000016.delta.txt"))
+    assert(has("gen-000000001.delta.txt") && has("gen-000000017.delta.txt"))
+    // the per-trigger write is O(changed): a 2-line delta vs the
+    // 1000+-line full anchor
+    val deltaLen = fs.getFileStatus(new Path(md, "gen-000000001.delta.txt"))
+      .getLen
+    val fullLen = fs.getFileStatus(new Path(md, "gen-000000000.txt")).getLen
+    assert(deltaLen * 10 < fullLen,
+      s"delta commit wrote $deltaLen bytes vs full $fullLen — not O(Δ)")
+    // a delta that would be no smaller than the full list re-anchors:
+    // replace everything
+    val snapR = IndexManifest.commitDelta(spark, dir, cur,
+      adds = Seq("batch=99/list=0"), removes = cur.leaves)
+    assert(has("gen-000000021.txt") && !has("gen-000000021.delta.txt"),
+      "a whole-set rewrite must anchor a full snapshot, not a huge delta")
+    assert(snapR.leaves === Seq("batch=99/list=0"))
+    // vacuum keeps the kept generation's WHOLE resolution chain: roll
+    // forward a few deltas, then vacuum to 1 generation
+    var s2 = snapR
+    (1 to 3).foreach { i =>
+      s2 = IndexManifest.commitDelta(spark, dir, s2,
+        Seq(s"batch=${100 + i}/list=0"), Seq.empty)
+    }
+    IndexManifest.vacuum(spark, dir, keepGens = 1)
+    val names = fs.listStatus(new Path(md)).map(_.getPath.getName).sorted
+    assert(names.toSeq === Seq("gen-000000021.txt",
+      "gen-000000022.delta.txt", "gen-000000023.delta.txt",
+      "gen-000000024.delta.txt"),
+      s"vacuum must keep exactly the kept gen's chain, got: $names")
+    assert(IndexManifest.current(spark, dir).get.leaves.toSet ===
+      s2.leaves.toSet, "the kept generation must stay resolvable")
+  }
+
   test("vacuum minAgeMs spares generations inside the pin horizon; " +
     "a duplicate-generation commit fails loudly, index intact") {
     val e = Tables.embeddings(spark, sf).cache()

@@ -8,10 +8,10 @@ import graft.streaming.{IndexManifest, IvfStream}
 /** [[graft.pipeline.VectorIndex]]: the tier matrix as ONE contract —
   * the identical lifecycle scenario (train → enroll → ingest → probe →
   * filtered probe → maintain-fire → delete → compact) runs across all
-  * five tier configurations (float / SQ8 / BQ / PQ / OPQ-PQ) with the
-  * same assertions, pinning that the facade's per-tier delegation is
-  * complete and convention-true (r12 verdict #6: no behavior change,
-  * one door). */
+  * six tier configurations (float / SQ8 / BQ / PQ / OPQ-PQ /
+  * Matryoshka-prefix) with the same assertions, pinning that the
+  * facade's per-tier delegation is complete and convention-true (r12
+  * verdict #6: no behavior change, one door). */
 class VectorIndexSpec extends SparkSpec {
 
   private def assertTopKShape(name: String, topk: DataFrame, qs: DataFrame,
@@ -41,7 +41,8 @@ class VectorIndexSpec extends SparkSpec {
       ("bq", VectorIndex.BqTier),
       ("pq", VectorIndex.PqTier(m = 8, nCodes = 16)),
       ("opq", VectorIndex.PqTier(m = 8, nCodes = 16, opq = true,
-        opqIters = 3)))
+        opqIters = 3)),
+      ("matryoshka", VectorIndex.MatryoshkaTier(prefixDims = 32)))
     tiers.foreach { case (name, tier) =>
       val tmp = java.nio.file.Files
         .createTempDirectory(s"graft_vi_$name").toString
@@ -124,5 +125,104 @@ class VectorIndexSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "facade probe diverges from the direct operator")
     e.unpersist()
+  }
+
+  test("Matryoshka tier facade ≡ the direct matryoshkaIvf* operator: " +
+    "stored rows are the prefix index, topK matches exactly") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vim").toString
+    val dims = 32
+    val params = VectorIndex.Params(VectorIndex.MatryoshkaTier(dims),
+      nLists = 4, nProbe = 4, shortlist = 30)
+    val vi = VectorIndex.train(spark, e, params, s"$tmp/idx")
+    vi.ingest(spark, e.select("vec_id", "embedding"), 0L)
+    // the stored frame IS the prefix index: dims floats per vector,
+    // listed under the prefix-trained quantizer
+    val idx = IvfStream.readIndex(spark, s"$tmp/idx")
+    assert(idx.select(size(col("embedding"))).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(dims),
+      "matryoshka tier must store the prefix, not the full vector")
+    val (wantCenters, wantIdx) = Similarity.matryoshkaIvfBuildIndex(
+      spark, e, dims, nLists = 4)
+    assert(vi.centers.zip(wantCenters).forall(p =>
+      p._1.sameElements(p._2)),
+      "facade training must equal matryoshkaIvfBuildIndex's")
+    assert(idx.exceptAll(wantIdx).isEmpty && wantIdx.exceptAll(idx).isEmpty,
+      "facade ingest must equal the batch prefix index")
+    val qs = e.filter(col("vec_id") < 10)
+    val got = vi.topK(spark, qs, e, k = 3)
+    val want = Similarity.matryoshkaIvfTopKFromIndex(spark, qs, idx,
+      vi.centers, e, k = 3, dims = dims, shortlist = 30, nProbe = 4)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "facade matryoshka probe diverges from the direct operator")
+    e.unpersist()
+  }
+
+  test("PqTier opqAuto routes by measured code recall (recon error " +
+    "cannot discriminate — OPQ descends it on every corpus): the " +
+    "cross-dim-correlated corpus picks the rotation, isotropic blobs " +
+    "pick plain") {
+    import spark.implicits._
+    val dim = 64
+    val n = 3000L
+    val latent = 32
+    val centers = Array.tabulate(latent) { c =>
+      val r = new java.util.Random(1000L + c)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    // the ProbeOpqScale corpus pair (r13g): isotropic latent blobs —
+    // where the optimal rotation is the identity — vs the same blobs
+    // pushed through a hidden orthogonal mix with exp-decaying per-dim
+    // variance, the anisotropic shape OPQ exists for
+    val mix: Array[Array[Double]] = {
+      val r = new java.util.Random(77L)
+      val a = Array.fill(dim, dim)(r.nextGaussian())
+      for (i <- 0 until dim) {
+        for (j <- 0 until i) {
+          val d = (0 until dim).map(k => a(i)(k) * a(j)(k)).sum
+          for (k <- 0 until dim) a(i)(k) -= d * a(j)(k)
+        }
+        val nn = math.sqrt((0 until dim).map(k => a(i)(k) * a(i)(k)).sum)
+        for (k <- 0 until dim) a(i)(k) /= nn
+      }
+      a
+    }
+    val sigmas = Array.tabulate(dim)(j => math.exp(-3.0 * j / dim))
+    val bc = spark.sparkContext.broadcast(centers)
+    val bcMix = spark.sparkContext.broadcast(mix)
+    val bcSig = spark.sparkContext.broadcast(sigmas)
+    val blobs = spark.range(n).map { id =>
+      val r = new java.util.Random(id * 2654435761L + 7L)
+      val c = bc.value((id % latent).toInt)
+      (id, Array.tabulate(dim)(i => c(i) + 0.35f * r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val correlated = spark.range(n).map { id =>
+      val r = new java.util.Random(id * 2654435761L + 7L)
+      val c = bc.value((id % latent).toInt)
+      val q = bcMix.value; val sg = bcSig.value
+      val z = Array.tabulate(dim)(j =>
+        (0.5 * c(j) + 0.35 * r.nextGaussian()) * sg(j))
+      (id, Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += q(j)(i) * z(j); j += 1 }
+        s.toFloat
+      })
+    }.toDF("vec_id", "embedding").cache()
+    val auto = (refs: DataFrame) => Similarity.ivfPqTrainModelAuto(spark,
+      refs, nLists = 8, m = 8, nCodes = 16, iters = 3,
+      trainCap = n.toInt)
+    assert(auto(correlated).rotation.nonEmpty,
+      "auto must pick the rotation on the anisotropic corpus")
+    assert(auto(blobs).rotation.isEmpty,
+      "auto must pick plain on isotropic blobs (the r13g finding: the " +
+        "rotation is a noise fit there)")
+    // and the facade constructor routes through it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_viauto").toString
+    val viC = VectorIndex.train(spark, correlated,
+      VectorIndex.Params(VectorIndex.PqTier(m = 8, nCodes = 16,
+        opqIters = 3, opqAuto = true), nLists = 8,
+        trainCap = n.toInt), s"$tmp/c")
+    assert(viC.model.rotation.nonEmpty)
+    blobs.unpersist(); correlated.unpersist()
   }
 }
