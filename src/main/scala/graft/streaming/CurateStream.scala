@@ -115,6 +115,9 @@ object CurateStream {
           fpIdx, bandIdx, minScore, n, k, bands, threshold, pTrain, pVal,
           md5Based)
         curated.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // gate indexes stay IN-PLACE on replay — see the
+        // [[NearDupStream.attach]] note: excludeBatch's self-gating
+        // defense needs the prior attempt under its own `batch=` value
         fpAdd.select("fp")
           .write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
         bandAdd.select("doc_id", "band", "bucket", "sig")
@@ -168,11 +171,14 @@ object CurateStream {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         kept.drop(embedCol).write.mode("overwrite")
           .parquet(s"$outDir/batch=$batchId")
-        graft.streaming.IvfStream.assignOnIngest(
-            kept.select(col(idCol), col(embedCol)), centers, idCol, embedCol)
-          .write.partitionBy("list").mode("overwrite")
-          .parquet(s"$ivfIndexDir/batch=$batchId")
-        IndexManifest.commitBatch(batch.sparkSession, ivfIndexDir, batchId)
+        // the ivf index has no self-read inside the trigger, so its
+        // replay routes copy-on-write (r14 installBatch); the two gate
+        // indexes stay IN-PLACE — see the [[NearDupStream.attach]]
+        // note on excludeBatch's self-gating defense
+        graft.streaming.IvfStream.installBatch(batch.sparkSession,
+          ivfIndexDir, batchId, graft.streaming.IvfStream.assignOnIngest(
+            kept.select(col(idCol), col(embedCol)), centers, idCol,
+            embedCol))
         fpAdd.select("fp")
           .write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
         bandAdd.select("doc_id", "band", "bucket", "sig")
@@ -227,12 +233,13 @@ object CurateStream {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         kept.drop(embedCol).write.mode("overwrite")
           .parquet(s"$outDir/batch=$batchId")
-        graft.streaming.IvfStream.assignAndEncodeOnIngest(
+        // ivf replay copy-on-write; gate indexes in-place — see the
+        // [[NearDupStream.attach]] excludeBatch note
+        graft.streaming.IvfStream.installBatch(batch.sparkSession,
+          ivfIndexDir, batchId,
+          graft.streaming.IvfStream.assignAndEncodeOnIngest(
             kept.select(col(idCol), col(embedCol)), centers, codec,
-            idCol, embedCol)
-          .write.partitionBy("list").mode("overwrite")
-          .parquet(s"$ivfIndexDir/batch=$batchId")
-        IndexManifest.commitBatch(batch.sparkSession, ivfIndexDir, batchId)
+            idCol, embedCol))
         fpAdd.select("fp")
           .write.mode("overwrite").parquet(s"$fpIndexDir/batch=$batchId")
         bandAdd.select("doc_id", "band", "bucket", "sig")

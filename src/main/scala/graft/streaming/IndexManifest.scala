@@ -258,6 +258,59 @@ object IndexManifest {
     Snapshot(gen, sorted)
   }
 
+  /** The REPLAY-SAFE trigger install — one door for every streamed
+    * attach and batch backfill, any leaf layout (`partitionCols =
+    * Seq("list")` for the vector tiers, empty for the single-level
+    * band/fp layouts). Un-manifested indexes get the plain idempotent
+    * overwrite (replay rewrites the same files — the original
+    * design). On a MANIFESTED index the three replay cases are told
+    * apart (r13 ADVICE: an in-place overwrite of a committed leaf
+    * mutates live-referenced files under a pinned reader):
+    *
+    *  1. the current manifest references `batch=<id>` → a replay of a
+    *     COMMITTED trigger: the re-attempt writes copy-on-write into
+    *     the generation's fresh rewrite leaf and [[commitRewrite]]
+    *     retires the prior attempt's leaves;
+    *  2. the batch dir exists, unreferenced NOW but referenced by
+    *     SOME generation ([[everReferenced]]) → the rows were already
+    *     folded into a rewrite leaf (case 1's own commit, or a
+    *     compaction): re-adding would duplicate them, so the replay
+    *     is a no-op;
+    *  3. otherwise (fresh trigger, or an orphan first attempt that
+    *     crashed before its commit — no reader ever referenced it) →
+    *     plain write + [[commitBatch]]. */
+  def installBatch(spark: SparkSession, dir: String, batchId: Long,
+                   content: DataFrame,
+                   partitionCols: Seq[String]): Unit = {
+    def writeTo(target: String): Unit = {
+      val w = content.write.mode("overwrite")
+      (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+        .parquet(target)
+    }
+    current(spark, dir) match {
+      case Some(snap) =>
+        val prefix = s"batch=$batchId"
+        val prior = snap.leaves
+          .filter(l => l == prefix || l.startsWith(prefix + "/"))
+        lazy val dirExists = {
+          val p = new Path(dir, prefix)
+          fsOf(spark, p).exists(p)
+        }
+        if (prior.nonEmpty) {
+          writeTo(s"$dir/batch=${snap.rewriteBatchId}")
+          commitRewrite(spark, dir, snap, prior)
+          ()
+        } else if (dirExists && everReferenced(spark, dir, prefix)) {
+          ()
+        } else {
+          writeTo(s"$dir/$prefix")
+          commitBatch(spark, dir, batchId)
+          ()
+        }
+      case None => writeTo(s"$dir/batch=$batchId")
+    }
+  }
+
   /** Commit the next generation INCREMENTALLY: `base` must be the
     * current snapshot (single-writer contract), `removes` the leaves
     * leaving the live set, `adds` those joining it. Writes O(changed
@@ -281,7 +334,12 @@ object IndexManifest {
         l.asInstanceOf[AnyRef]) >= 0
     val remS = removes.distinct.sorted.filter(inBase)
     val remSet = remS.toSet
-    val addNew = addS.filterNot(inBase)
+    // an add must survive unless it is ALREADY in the post-removal
+    // set: an add that is in base AND in removes is a remove-then-
+    // re-add (a replayed commitBatch re-committing its own leaf) and
+    // must stay — dropping it as an "idempotent re-commit" would
+    // silently retire the leaf
+    val addNew = addS.filter(a => !inBase(a) || remSet(a))
     // linear MERGE of two sorted runs (base.leaves is sorted by
     // invariant — every commit emits sorted): a re-sort would make the
     // driver CPU O(live·log live) per trigger, which at 10⁶ leaves is

@@ -155,43 +155,8 @@ object IvfStream {
     * one copy of the trigger's rows. */
   def installBatch(spark: SparkSession, indexDir: String, batchId: Long,
                    content: DataFrame): Unit =
-    IndexManifest.current(spark, indexDir) match {
-      case Some(snap) =>
-        val prefix = s"batch=$batchId"
-        val prior = snap.leaves
-          .filter(l => l == prefix || l.startsWith(prefix + "/"))
-        lazy val dirExists = {
-          val p = new org.apache.hadoop.fs.Path(indexDir, prefix)
-          p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-        }
-        if (prior.nonEmpty) {
-          // replay of a COMMITTED trigger: re-attempt copy-on-write
-          content.write.partitionBy("list").mode("overwrite")
-            .parquet(s"$indexDir/batch=${snap.rewriteBatchId}")
-          IndexManifest.commitRewrite(spark, indexDir, snap, prior)
-          ()
-        } else if (dirExists &&
-            IndexManifest.everReferenced(spark, indexDir, prefix)) {
-          // replay of a trigger whose rows were ALREADY FOLDED into a
-          // rewrite leaf (a prior replay's own copy-on-write commit, or
-          // a compaction that ran between the trigger's commit and the
-          // crash): the current generation holds the rows exactly once
-          // — re-adding them would duplicate every row of the trigger,
-          // so the replay is a no-op. (Rare path: one manifest-history
-          // scan, only when the batch dir exists un-referenced.)
-          ()
-        } else {
-          // fresh trigger, or a first attempt that crashed before its
-          // commit (the orphan dir was never referenced by any reader)
-          content.write.partitionBy("list").mode("overwrite")
-            .parquet(s"$indexDir/$prefix")
-          IndexManifest.commitBatch(spark, indexDir, batchId)
-          ()
-        }
-      case None =>
-        content.write.partitionBy("list").mode("overwrite")
-          .parquet(s"$indexDir/batch=$batchId")
-    }
+    IndexManifest.installBatch(spark, indexDir, batchId, content,
+      partitionCols = Seq("list"))
 
   /** Shared cadence-argument valve for the four attach wire-ins:
     * `maintainEvery` needs the policy, the staleness log it decides

@@ -130,6 +130,21 @@ object NearDupStream {
           filterBatch(batch, index, n, k, bands, threshold, md5Based)
         survivors.write.mode("overwrite")
           .parquet(s"$outDir/batch=$batchId")
+        // deliberately IN-PLACE on replay (not IndexManifest
+        // .installBatch): the gate's replay defense is readIndex's
+        // `excludeBatch = batchId`, which scopes out the trigger's own
+        // prior attempt BY ITS `batch=` PARTITION VALUE — a
+        // copy-on-write re-attempt would move those rows to a rewrite
+        // leaf the exclusion cannot see, and a second replay would
+        // then gate the batch against its own rows (every doc
+        // self-matches → survivors empty → output data loss). The
+        // value-based alternative is impossible for gates: excluding
+        // by content (fp/signature) would also exclude GENUINE earlier
+        // copies, breaking the dedup decision itself. Price: a reader
+        // pinned across the replay window may see this one trigger's
+        // leaf rewritten in place (bytes identical for a deterministic
+        // batch); commitBatch re-commits the same leaf, so the
+        // manifest stays exact.
         indexAdd.select("doc_id", "band", "bucket", "sig")
           .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
         IndexManifest.commitBatch(batch.sparkSession, indexDir, batchId)

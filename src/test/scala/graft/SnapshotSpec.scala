@@ -616,11 +616,21 @@ class SnapshotSpec extends SparkSpec {
     val fullLen = fs.getFileStatus(new Path(md, "gen-000000000.txt")).getLen
     assert(deltaLen * 10 < fullLen,
       s"delta commit wrote $deltaLen bytes vs full $fullLen — not O(Δ)")
+    // remove-then-re-add of the SAME leaf (a crash-replayed
+    // commitBatch re-committing its own batch in place — the gate
+    // indexes' replay route): the leaf must stay live, not be dropped
+    // as an "idempotent" add
+    val replayed = IndexManifest.commitDelta(spark, dir, cur,
+      adds = Seq("batch=7/list=0", "batch=7/list=1"),
+      removes = Seq("batch=7/list=0", "batch=7/list=1"))
+    assert(replayed.leaves.toSet === expected,
+      "a replayed commitBatch must keep its re-committed leaves live")
+    assert(IndexManifest.current(spark, dir).get.leaves.toSet === expected)
     // a delta that would be no smaller than the full list re-anchors:
     // replace everything
-    val snapR = IndexManifest.commitDelta(spark, dir, cur,
-      adds = Seq("batch=99/list=0"), removes = cur.leaves)
-    assert(has("gen-000000021.txt") && !has("gen-000000021.delta.txt"),
+    val snapR = IndexManifest.commitDelta(spark, dir, replayed,
+      adds = Seq("batch=99/list=0"), removes = replayed.leaves)
+    assert(has("gen-000000022.txt") && !has("gen-000000022.delta.txt"),
       "a whole-set rewrite must anchor a full snapshot, not a huge delta")
     assert(snapR.leaves === Seq("batch=99/list=0"))
     // vacuum keeps the kept generation's WHOLE resolution chain: roll
@@ -632,9 +642,9 @@ class SnapshotSpec extends SparkSpec {
     }
     IndexManifest.vacuum(spark, dir, keepGens = 1)
     val names = fs.listStatus(new Path(md)).map(_.getPath.getName).sorted
-    assert(names.toSeq === Seq("gen-000000021.txt",
-      "gen-000000022.delta.txt", "gen-000000023.delta.txt",
-      "gen-000000024.delta.txt"),
+    assert(names.toSeq === Seq("gen-000000022.txt",
+      "gen-000000023.delta.txt", "gen-000000024.delta.txt",
+      "gen-000000025.delta.txt"),
       s"vacuum must keep exactly the kept gen's chain, got: $names")
     assert(IndexManifest.current(spark, dir).get.leaves.toSet ===
       s2.leaves.toSet, "the kept generation must stay resolvable")
