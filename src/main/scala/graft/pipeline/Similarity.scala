@@ -893,47 +893,123 @@ object Similarity extends Serializable {
     * path (r10 verdict: PQ codes are lossy, so drift repair needs the
     * ORIGINAL corpus, exactly like [[graft.streaming.IvfStream
     * .reassignSq]]): retrain both quantizers on `refs` under the new
-    * parameters/seed, re-encode in the one narrow build pass, write
-    * the complete replacement layout to a temp root, and atomically
-    * swap the WHOLE directory (codes + centers + books move together —
-    * a reader can never see new codes under old codebooks). A crash
-    * mid-swap self-heals on the next [[ivfPqReadIndex]]. Run while
-    * probes are quiesced. */
+    * parameters/seed and re-encode in the one narrow build pass.
+    *
+    * Installation has two routes (r14, closing the last
+    * documented-quiesce refresh):
+    *  - an ENROLLED codes layout ([[ivfPqEnrollIndex]]) refreshes
+    *    COPY-ON-WRITE: the new codes land in the generation's rewrite
+    *    leaf, the new model persists as a [[graft.streaming
+    *    .ModelStore]] epoch at the commit's generation (written
+    *    BEFORE the commit), and the manifest generation ADVANCES — a
+    *    reader pinned pre-refresh keeps its leaves AND its model
+    *    epoch ([[ivfPqReadIndexAt]] replays byte-identically), while
+    *    [[ivfPqReadIndex]] serves the new pair. The top-level
+    *    centers/books/rotation mirror is refreshed too, but it is
+    *    authoritative only for un-enrolled layouts.
+    *  - an un-enrolled layout keeps the original whole-directory
+    *    [[graft.streaming.IndexSwap]] (codes + centers + books move
+    *    together atomically); a crash mid-swap self-heals on the next
+    *    [[ivfPqReadIndex]]. Run THAT route while probes are
+    *    quiesced, as before. */
   def ivfPqRefreshIndex(spark: SparkSession, refs: DataFrame, dir: String,
                         nLists: Int = 16, m: Int = 8, nCodes: Int = 32,
                         seed: Long = 42, idCol: String = "vec_id",
                         vecCol: String = "embedding", dim: Int = 64,
                         trainCap: Int = 20000): IvfPqModel = {
     graft.streaming.IndexSwap.requireLive(spark, dir, "ivfPqRefreshIndex")
-    // the whole-directory swap replaces <dir>/codes INCLUDING its
-    // _manifests — if the codes were enrolled for snapshot reads, the
-    // refreshed index must come out enrolled too (generation 0 of the
-    // new model's epoch), or the snapshot property would silently
-    // vanish on the first model refresh. Pins across the refresh are
-    // NOT honored (the model itself is not versioned; refresh runs
-    // quiesced, as documented).
-    val wasEnrolled = graft.streaming.IndexManifest
-      .isManifested(spark, s"$dir/codes")
-    val tmp = dir + ".compact"
-    val (model, index) = ivfPqBuildIndex(spark, refs, nLists, m, nCodes,
-      seed, idCol, vecCol, dim, trainCap)
-    ivfPqWriteLayout(spark, model, index, tmp)
-    graft.streaming.IndexSwap.swap(spark, dir, tmp)
-    if (wasEnrolled) {
-      graft.streaming.IndexManifest.enroll(spark, s"$dir/codes")
-      ()
+    val codesDir = s"$dir/codes"
+    graft.streaming.IndexManifest.current(spark, codesDir) match {
+      case Some(snap) =>
+        val (model, index) = ivfPqBuildIndex(spark, refs, nLists, m,
+          nCodes, seed, idCol, vecCol, dim, trainCap)
+        index.write.partitionBy("list").mode("overwrite")
+          .parquet(s"$codesDir/batch=${snap.rewriteBatchId}")
+        graft.streaming.ModelStore.write(spark, codesDir, snap.gen + 1,
+          graft.streaming.ModelStore.PqQuantizer(model))
+        graft.streaming.IndexManifest.commitRewrite(spark, codesDir,
+          snap, snap.leaves)
+        ivfPqWriteModelMirror(spark, model, dir)
+        model
+      case None =>
+        val tmp = dir + ".compact"
+        val (model, index) = ivfPqBuildIndex(spark, refs, nLists, m,
+          nCodes, seed, idCol, vecCol, dim, trainCap)
+        ivfPqWriteLayout(spark, model, index, tmp)
+        graft.streaming.IndexSwap.swap(spark, dir, tmp)
+        model
     }
-    model
   }
 
-  /** Load a persisted IVF-PQ index: (model, codes frame). Self-heals
-    * an interrupted [[ivfPqRefreshIndex]] swap first — at the
-    * directory AND codes levels (a delete on `<dir>/codes` marks one
-    * level down). */
+  /** Refresh the top-level centers/books/rotation rows in place — the
+    * legacy mirror an enrolled refresh keeps roughly current for
+    * tooling that inspects the layout; enrolled READERS resolve the
+    * model from the generation-keyed [[graft.streaming.ModelStore]]
+    * epoch instead, so the mirror's non-atomic update window never
+    * feeds a probe. A now-unrotated model removes the stale rotation
+    * dir. */
+  private def ivfPqWriteModelMirror(spark: SparkSession,
+                                    model: IvfPqModel,
+                                    dir: String): Unit = {
+    import spark.implicits._
+    model.centers.indices.map(c => (c, model.centers(c)))
+      .toDF("list", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    (for (s <- model.codebooks.indices; c <- model.codebooks(s).indices)
+      yield (s, c, model.codebooks(s)(c)))
+      .toDF("s", "c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    val rotP = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    val fs = rotP.getFileSystem(spark.sessionState.newHadoopConf())
+    model.rotation match {
+      case Some(r) =>
+        r.indices.map(i => (i, r(i))).toDF("i", "row")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+        ()
+      case None => if (fs.exists(rotP)) { fs.delete(rotP, true); () }
+    }
+  }
+
+  /** Opt a persisted IVF-PQ layout into snapshot reads WITH model
+    * versioning: enroll `<dir>/codes` in [[graft.streaming
+    * .IndexManifest]] and persist the current quantizer pair as the
+    * enrollment generation's [[graft.streaming.ModelStore]] epoch —
+    * the precondition for [[ivfPqReadIndexAt]] pins to survive an
+    * [[ivfPqRefreshIndex]]. */
+  def ivfPqEnrollIndex(spark: SparkSession, dir: String)
+      : graft.streaming.IndexManifest.Snapshot = {
+    val (model, _) = ivfPqReadIndex(spark, dir)
+    val snap = graft.streaming.IndexManifest.enroll(spark, s"$dir/codes")
+    graft.streaming.ModelStore.write(spark, s"$dir/codes", snap.gen,
+      graft.streaming.ModelStore.PqQuantizer(model))
+    snap
+  }
+
+  /** Load a persisted IVF-PQ index: (model, codes frame). On an
+    * enrolled layout with model epochs the PAIR is resolved from ONE
+    * pinned generation (model epoch ≤ gen + that generation's leaves)
+    * — a refresh committing between two separate reads can never
+    * produce new-model/old-codes or the reverse. Falls back to the
+    * top-level model rows for legacy layouts. Self-heals an
+    * interrupted un-enrolled [[ivfPqRefreshIndex]] swap first — at
+    * the directory AND codes levels (a delete on `<dir>/codes` marks
+    * one level down). */
   def ivfPqReadIndex(spark: SparkSession, dir: String,
                      idCol: String = "vec_id"): (IvfPqModel, DataFrame) = {
     graft.streaming.IndexSwap.restoreIfInterrupted(spark, dir)
     graft.streaming.IndexSwap.restoreIfInterrupted(spark, s"$dir/codes")
+    graft.streaming.IndexManifest.current(spark, s"$dir/codes")
+      .foreach { snap =>
+        graft.streaming.ModelStore.readAt(spark, s"$dir/codes", snap.gen)
+          .foreach {
+            case graft.streaming.ModelStore.PqQuantizer(mm) =>
+              return (mm, ivfPqCodesAt(spark, dir, snap, idCol))
+            case other => throw new IllegalStateException(
+              s"ivfPqReadIndex: $dir/codes stores a " +
+                s"${other.getClass.getSimpleName} model epoch — not an " +
+                "IVF-PQ layout")
+          }
+      }
     val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray)
     val bookRows = spark.read.parquet(s"$dir/books").orderBy("s", "c")
@@ -954,6 +1030,41 @@ object Similarity extends Serializable {
       routedIndexRead(spark, s"$dir/codes", "ivfPqReadIndex")
         .select(idCol, "list", "codes"))
   }
+
+  /** [[ivfPqReadIndex]] AS OF a pinned generation: the model epoch
+    * that listed the pinned leaves + those leaves — byte-identical
+    * replays across an [[ivfPqRefreshIndex]] (r14; requires
+    * [[ivfPqEnrollIndex]]). */
+  def ivfPqReadIndexAt(spark: SparkSession, dir: String,
+                       snap: graft.streaming.IndexManifest.Snapshot,
+                       idCol: String = "vec_id")
+      : (IvfPqModel, DataFrame) = {
+    val model = graft.streaming.ModelStore
+      .readAt(spark, s"$dir/codes", snap.gen) match {
+      case Some(graft.streaming.ModelStore.PqQuantizer(mm)) => mm
+      case Some(other) => throw new IllegalStateException(
+        s"ivfPqReadIndexAt: $dir/codes stores a " +
+          s"${other.getClass.getSimpleName} model epoch — not an " +
+          "IVF-PQ layout")
+      case None => throw new IllegalArgumentException(
+        s"ivfPqReadIndexAt: no model epoch at or below generation " +
+          s"${snap.gen} for $dir/codes — enroll via ivfPqEnrollIndex " +
+          "(which persists the quantizer) rather than " +
+          "IndexManifest.enroll")
+    }
+    (model, ivfPqCodesAt(spark, dir, snap, idCol))
+  }
+
+  private def ivfPqCodesAt(spark: SparkSession, dir: String,
+                           snap: graft.streaming.IndexManifest.Snapshot,
+                           idCol: String): DataFrame =
+    graft.streaming.IndexManifest
+      .readSnapshot(spark, s"$dir/codes", snap)
+      .map(_.select(idCol, "list", "codes"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ivfPqReadIndex: generation ${snap.gen} of $dir/codes is " +
+          "EMPTY (every row deleted) — rebuild or re-ingest before " +
+          "probing"))
 
   /** The probe half of [[ivfPqTopK]] over a PRE-BUILT codes index:
     * queries probe `nProbe` lists, the index is FILTERED to the probed

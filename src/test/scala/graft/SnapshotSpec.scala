@@ -456,24 +456,42 @@ class SnapshotSpec extends SparkSpec {
     e.unpersist()
   }
 
-  test("ivfPqRefreshIndex on an ENROLLED codes layout re-enrolls the " +
-    "refreshed index: the snapshot property survives a model refresh") {
+  test("ivfPqRefreshIndex on an ENROLLED codes layout is " +
+    "copy-on-write with a versioned model epoch: a pre-refresh pin " +
+    "replays byte-identically while the current pair is the new one") {
     val e = Tables.embeddings(spark, sf).cache()
     val root = java.nio.file.Files.createTempDirectory("graft_snapr").toString
     val dir = s"$root/pq"
     Similarity.ivfPqWriteIndex(spark, e, dir, nLists = 4, m = 8,
       nCodes = 16)
-    IndexManifest.enroll(spark, s"$dir/codes")
-    // the refresh swaps the WHOLE layout (codes + centers + books move
-    // together) — the new codes directory must come out enrolled at
-    // generation 0 of the new epoch, not silently un-manifested
+    val g0 = Similarity.ivfPqEnrollIndex(spark, dir)
+    assert(g0.gen === 0L)
+    val qs = e.filter(col("vec_id") < 20)
+    def probeAt(snap: IndexManifest.Snapshot) = {
+      val (mm, codes) = Similarity.ivfPqReadIndexAt(spark, dir, snap)
+      Similarity.ivfPqTopKFromIndex(spark, qs, codes, mm, e, k = 5,
+        nProbe = 2, refine = 4)
+    }
+    val pinned = IndexManifest.pin(spark, s"$dir/codes")
+    val beforeProbe = rowSet(probeAt(pinned))
+    val beforeCodes = rowSet(IndexManifest
+      .readSnapshot(spark, s"$dir/codes", pinned).get
+      .select("vec_id", "codes", "list"))
+    // refresh UNDER the pin: generation advances (no re-enroll reset),
+    // the new model is the new generation's epoch
     Similarity.ivfPqRefreshIndex(spark, e, dir, nLists = 4, m = 8,
       nCodes = 16, seed = 7)
     assert(IndexManifest.isManifested(spark, s"$dir/codes"),
       "model refresh must not drop the snapshot enrollment")
-    assert(IndexManifest.pin(spark, s"$dir/codes").gen === 0L,
-      "the refreshed epoch starts at generation 0")
-    // the re-enrolled index serves reads + copy-on-write deletes
+    assert(IndexManifest.pin(spark, s"$dir/codes").gen === g0.gen + 1,
+      "an enrolled refresh must ADVANCE the generation, not reset it")
+    // 1. the pinned pair replays byte-identically (old leaves + the
+    //    old model epoch), and its codes bytes are untouched
+    assert(rowSet(probeAt(pinned)) === beforeProbe,
+      "a pre-refresh pin must replay byte-identically")
+    assert(rowSet(IndexManifest.readSnapshot(spark, s"$dir/codes", pinned)
+      .get.select("vec_id", "codes", "list")) === beforeCodes)
+    // 2. the current pair is the refreshed one ≡ a fresh seed-7 build
     val (model, codes) = Similarity.ivfPqReadIndex(spark, dir)
     val (fm, fcodes) = Similarity.ivfPqBuildIndex(spark, e, nLists = 4,
       m = 8, nCodes = 16, seed = 7)
@@ -481,15 +499,25 @@ class SnapshotSpec extends SparkSpec {
       p._1.sameElements(p._2)))
     assert(codes.exceptAll(fcodes).isEmpty &&
       fcodes.exceptAll(codes).isEmpty)
-    val pinned = IndexManifest.pin(spark, s"$dir/codes")
-    val before = rowSet(IndexManifest
-      .readSnapshot(spark, s"$dir/codes", pinned).get
+    // 3. copy-on-write deletes still hold on the refreshed epoch
+    val pinned2 = IndexManifest.pin(spark, s"$dir/codes")
+    val before2 = rowSet(IndexManifest
+      .readSnapshot(spark, s"$dir/codes", pinned2).get
       .select("vec_id", "codes", "list"))
     IndexDelete.deleteIds(spark, s"$dir/codes", Seq(1L, 2L), "vec_id")
-    assert(rowSet(IndexManifest.readSnapshot(spark, s"$dir/codes", pinned)
-      .get.select("vec_id", "codes", "list")) === before)
+    assert(rowSet(IndexManifest.readSnapshot(spark, s"$dir/codes", pinned2)
+      .get.select("vec_id", "codes", "list")) === before2)
     val (_, after) = Similarity.ivfPqReadIndex(spark, dir)
     assert(after.filter(col("vec_id").isin(1L, 2L)).count() === 0L)
+    // 4. the un-enrolled route still whole-swaps (run quiesced)
+    val dir2 = s"$root/pq2"
+    Similarity.ivfPqWriteIndex(spark, e, dir2, nLists = 4, m = 8,
+      nCodes = 16)
+    Similarity.ivfPqRefreshIndex(spark, e, dir2, nLists = 4, m = 8,
+      nCodes = 16, seed = 7)
+    val (m2, c2) = Similarity.ivfPqReadIndex(spark, dir2)
+    assert(m2.centers.zip(fm.centers).forall(p => p._1.sameElements(p._2)))
+    assert(c2.exceptAll(fcodes).isEmpty && fcodes.exceptAll(c2).isEmpty)
     e.unpersist()
   }
 
