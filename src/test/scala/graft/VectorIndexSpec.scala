@@ -65,6 +65,13 @@ class VectorIndexSpec extends SparkSpec {
       assertTopKShape(s"$name-filtered", filtered, qs, 3)
       assert(filtered.join(labels, "rid").filter(col("label") =!= 2)
         .count() === 0L, s"$name: filtered probe leaked a disallowed ref")
+      // pin BEFORE the refresh: the pinned probe must replay
+      // byte-identically across the maintain-fire below — for every
+      // tier, which round-trips every ModelStore epoch shape (float /
+      // SQ codec / BQ / PQ books+rotation / matryoshka prefix)
+      val pinPre = vi0.pin(spark)
+      val pinnedBefore = vi0.topKPinned(spark, pinPre, qs, e, 3)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
       // maintain: a breaching synthetic log row fires the tier's
       // refresh; the facade hands back the updated quantizers
       Seq((1000L, 999.0, 0.5, 4))
@@ -79,6 +86,19 @@ class VectorIndexSpec extends SparkSpec {
         s"$name: refresh must keep the indexed id set")
       assertTopKShape(s"$name-postmaint", vi1.topK(spark, qs, e, k = 3),
         qs, 3)
+      // 1. the pre-refresh pin replays byte-identically (old leaves +
+      //    the old model epoch)
+      assert(vi1.topKPinned(spark, pinPre, qs, e, 3)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+        === pinnedBefore,
+        s"$name: a pinned probe must survive the refresh byte-identically")
+      // 2. a fresh pin under the NEW epoch ≡ the facade's own topK
+      //    (the stored epoch round-trips the refreshed quantizers)
+      val gotPinnedNew = vi1.topKPinned(spark, vi1.pin(spark), qs, e, 3)
+      val wantNew = vi1.topK(spark, qs, e, 3)
+      assert(gotPinnedNew.exceptAll(wantNew).isEmpty &&
+        wantNew.exceptAll(gotPinnedNew).isEmpty,
+        s"$name: the current epoch's pinned probe must equal topK")
       // the metadata survived the refresh (r13 contract)
       val postMaintFiltered = vi1.topKFiltered(spark, qs,
         e.filter(col("label") === 2), k = 3, col("label") === 2)
