@@ -205,6 +205,101 @@ object PipelineSimilarityQueries {
     // near-faithful) the rotation buys nothing on this data and q56
     // keeps the unrotated rung. Floor 0.42 sits ABOVE the unrotated
     // rung's measured ceiling at sf0.1, so a silent regression to an
+    // DELTA-manifest layer audit (r14, r13 verdict #4): the
+    // O(changed)-bytes commit machinery every per-trigger and
+    // partition-scoped commit now rides, gated as contract booleans
+    // on a synthetic manifest (pure manifest arithmetic — leaf names
+    // are data-free, exactly what commit writes):
+    //  - delta_resolves: 30 incremental commits resolve EXACTLY (the
+    //    returned snapshot and a fresh from-disk resolution both
+    //    equal the tracked set at every step);
+    //  - reanchor_ok: every fullEvery-th generation re-anchors a full
+    //    snapshot, other commits are O(Δ) delta files, and a
+    //    whole-set rewrite anchors full rather than a giant delta;
+    //  - replay_readd_ok: a replayed commitBatch's remove+re-add of
+    //    its own leaf keeps the leaf live (the r14g latent-bug fix);
+    //  - chain_vacuum_ok: vacuum keeps each kept generation's WHOLE
+    //    resolution chain and the generation stays resolvable;
+    //  - min_age_ok: a pin-horizon vacuum spares generations younger
+    //    than minAgeMs regardless of keepGens;
+    //  - dup_commit_loud: a forged duplicate-generation commit fails
+    //    loudly naming the single-writer contract, manifest intact.
+    "q217_delta_manifest" -> ((s, d) => {
+      import graft.streaming.IndexManifest
+      import org.apache.hadoop.fs.Path
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q217").toString
+      val dir = s"$root/idx"
+      val fs = new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+      val md = s"$dir/_manifests"
+      def has(n: String) = fs.exists(new Path(md, n))
+      val base = (0 until 500).map(i => f"batch=0/list=$i")
+      var snap = IndexManifest.commitAt(s, dir, 0L, base)
+      var expected = base.toSet
+      var deltaResolves = true
+      (1 to 30).foreach { b =>
+        val adds = Seq(s"batch=$b/list=0", s"batch=$b/list=1")
+        snap = IndexManifest.commitDelta(s, dir, snap, adds, Seq.empty)
+        expected ++= adds
+        deltaResolves &&= snap.leaves.toSet == expected &&
+          IndexManifest.current(s, dir).get.leaves.toSet == expected
+      }
+      val deltaLen = fs.getFileStatus(
+        new Path(md, "gen-000000001.delta.txt")).getLen
+      val fullLen = fs.getFileStatus(new Path(md, "gen-000000000.txt"))
+        .getLen
+      val rewrite = IndexManifest.commitDelta(s, dir, snap,
+        adds = Seq("batch=99/list=0"), removes = snap.leaves)
+      val reanchorOk = has("gen-000000016.txt") &&
+        !has("gen-000000016.delta.txt") &&
+        has("gen-000000017.delta.txt") && deltaLen * 10 < fullLen &&
+        has("gen-000000031.txt") && !has("gen-000000031.delta.txt") &&
+        rewrite.leaves == Seq("batch=99/list=0")
+      val replayed = IndexManifest.commitDelta(s, dir, rewrite,
+        adds = Seq("batch=99/list=0"), removes = Seq("batch=99/list=0"))
+      val replayReaddOk =
+        replayed.leaves == Seq("batch=99/list=0") &&
+          IndexManifest.current(s, dir).get.leaves ==
+            Seq("batch=99/list=0")
+      var s2 = replayed
+      (1 to 3).foreach { i =>
+        s2 = IndexManifest.commitDelta(s, dir, s2,
+          Seq(s"batch=${100 + i}/list=0"), Seq.empty)
+      }
+      // minAge FIRST (everything is seconds old → nothing reclaimed,
+      // every manifest file still present)...
+      val before = fs.listStatus(new Path(md)).length
+      IndexManifest.vacuum(s, dir, keepGens = 1,
+        minAgeMs = 3600L * 1000L)
+      val minAgeOk = fs.listStatus(new Path(md)).length == before &&
+        IndexManifest.current(s, dir).get.leaves.toSet ==
+          s2.leaves.toSet
+      // ...then the real vacuum: keep gen 35 and its chain back to
+      // the nearest full anchor (gen 32 — the replayed commit's
+      // 2-line delta was no smaller than its 1-leaf set, so it
+      // re-anchored full)
+      IndexManifest.vacuum(s, dir, keepGens = 1)
+      val names = fs.listStatus(new Path(md))
+        .map(_.getPath.getName).sorted.toSeq
+      val chainVacuumOk = names == Seq("gen-000000032.txt",
+        "gen-000000033.delta.txt", "gen-000000034.delta.txt",
+        "gen-000000035.delta.txt") &&
+        IndexManifest.current(s, dir).get.leaves.toSet ==
+          s2.leaves.toSet
+      val cur = IndexManifest.pin(s, dir)
+      val dupCommitLoud =
+        try { IndexManifest.commitAt(s, dir, cur.gen, Seq("batch=7"))
+              false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("single-writer") &&
+            IndexManifest.pin(s, dir) == cur }
+      import s.implicits._
+      Seq((deltaResolves, reanchorOk, replayReaddOk, chainVacuumOk,
+        minAgeOk, dupCommitLoud))
+        .toDF("delta_resolves", "reanchor_ok", "replay_readd_ok",
+          "chain_vacuum_ok", "min_age_ok", "dup_commit_loud")
+    }),
+
     // identity rotation fails the gate (the q210/q211 posture);
     // rotation_ok additionally pins RᵀR = I.
     "q216_ivfopq_topk" -> ((s, d) => {
@@ -1173,6 +1268,16 @@ object PipelineSimilarityQueries {
 
     // IVF-OPQ: the q204-family contract booleans plus the rotation
     // orthogonality pin.
+    // Delta-manifest invariant oracle: one row, every contract
+    // boolean pinned TRUE (see the q217 query body — exact
+    // incremental resolution, fullEvery re-anchors, replayed
+    // remove+re-add keeps the leaf, vacuum keeps whole chains,
+    // minAge pin horizon, duplicate-commit loud-fail).
+    "q217_delta_manifest" ->
+      """SELECT TRUE AS delta_resolves, TRUE AS reanchor_ok,
+        |  TRUE AS replay_readd_ok, TRUE AS chain_vacuum_ok,
+        |  TRUE AS min_age_ok, TRUE AS dup_commit_loud""".stripMargin,
+
     "q216_ivfopq_topk" ->
       """SELECT vec_id AS qid, TRUE AS k_ok, TRUE AS distinct_ok,
         |  TRUE AS no_self_ok, TRUE AS range_ok, TRUE AS sorted_ok,
