@@ -488,6 +488,14 @@ object IndexManifest {
     * and any [[ModelStore]] model epochs no kept generation resolves
     * to. Returns the number of leaf directories removed. Run quiesced.
     *
+    * Run it quiesced AND with the stream's last trigger fully
+    * committed (streaming offsets included): vacuuming between a
+    * trigger's manifest commit and its offset commit erases both the
+    * retired batch directory and the manifest history that
+    * [[installBatch]]'s replay detection reads, so the replay after
+    * restart would re-add rows that already live in a folded rewrite
+    * leaf.
+    *
     * `minAgeMs` (r13 verdict #5): the pin-horizon guard — "no more
     * often than the longest pin you allow" was only a doc convention,
     * so a mis-scheduled vacuum could reclaim a generation a reader

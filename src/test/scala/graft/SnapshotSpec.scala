@@ -609,6 +609,54 @@ class SnapshotSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("18-trigger streamed attach on an enrolled index: per-trigger " +
+    "delta commits, the fullEvery re-anchor lands mid-stream, and the " +
+    "index reads ≡ the batch twin through it all") {
+    val e = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 1800).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snapt").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    IndexManifest.enroll(spark, s"$tmp/idx") // gen 0 (empty, full)
+    val cols = e.select("vec_id", "embedding")
+    // 18 one-file micro-batches → 18 trigger commits → generations
+    // 1..18, crossing the fullEvery=16 re-anchor
+    (0 until 18).foreach { i =>
+      cols.filter(col("vec_id") % 18 === i).coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(s"$tmp/in")
+    }
+    val q = IvfStream.attach(
+      spark.readStream.schema(cols.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"), centers,
+      indexDir = s"$tmp/idx", checkpointDir = s"$tmp/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val cur = IndexManifest.pin(spark, s"$tmp/idx")
+    assert(cur.gen === 18L, s"18 triggers must commit 18 generations")
+    val fs = fsFor(tmp)
+    val md = s"$tmp/idx/_manifests"
+    assert(fs.exists(new Path(md, "gen-000000016.txt")) &&
+      !fs.exists(new Path(md, "gen-000000016.delta.txt")),
+      "the fullEvery-th generation must re-anchor a full snapshot")
+    assert(fs.exists(new Path(md, "gen-000000017.delta.txt")),
+      "post-anchor triggers must go back to O(Δ) deltas")
+    // the resolved index ≡ the batch build, through the whole chain
+    val want = IvfStream.assignOnIngest(e, centers)
+    val got = IvfStream.readIndex(spark, s"$tmp/idx")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // vacuum to one generation: the chain back to the gen-16 anchor
+    // survives, everything older is reclaimed, the index still reads
+    IndexManifest.vacuum(spark, s"$tmp/idx", keepGens = 1)
+    val names = fs.listStatus(new Path(md)).map(_.getPath.getName)
+      .sorted.toSeq
+    assert(names === Seq("gen-000000016.txt", "gen-000000017.delta.txt",
+      "gen-000000018.delta.txt"),
+      s"vacuum must keep the kept gen's chain to its anchor, got $names")
+    val got2 = IvfStream.readIndex(spark, s"$tmp/idx")
+    assert(got2.exceptAll(want).isEmpty && want.exceptAll(got2).isEmpty)
+    e.unpersist()
+  }
+
   test("delta manifests: incremental commits write O(changed) bytes, " +
     "a full snapshot re-anchors every fullEvery generations, " +
     "resolution is exact, and vacuum keeps whole chains") {
