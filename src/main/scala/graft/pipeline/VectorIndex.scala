@@ -405,6 +405,55 @@ final class VectorIndex private (val params: VectorIndex.Params,
     }
   }
 
+  /** [[topKFiltered]] AS OF a pinned generation — the filtered-probe
+    * twin of [[topKPinned]]: the metadata predicate evaluates against
+    * the pinned leaves (their metaCols ride in the snapshot) and the
+    * probe runs under the quantizer epoch that listed them, so a
+    * filtered probe replays byte-identically across a refresh too.
+    * Same `refs` caveat as [[topKPinned]] for the codes tiers. */
+  def topKFilteredPinned(spark: SparkSession,
+                         snap: IndexManifest.Snapshot,
+                         queries: DataFrame, refs: DataFrame, k: Int,
+                         refFilter: Column): DataFrame = {
+    import graft.streaming.ModelStore
+    val m = ModelStore.readAt(spark, indexDir, snap.gen).getOrElse(
+      throw new IllegalArgumentException(
+        s"VectorIndex.topKFilteredPinned: no model epoch at or below " +
+          s"generation ${snap.gen} for $indexDir — enroll through " +
+          "VectorIndex.enrollSnapshots (which persists the quantizer) " +
+          "rather than IndexManifest.enroll"))
+    // the FULL pinned frame: the predicate needs the metadata columns
+    val idx = IndexManifest.readSnapshot(spark, indexDir, snap).getOrElse(
+      throw new IllegalArgumentException(
+        s"VectorIndex.topKFilteredPinned: pinned generation ${snap.gen} " +
+          s"of $indexDir is EMPTY — nothing to probe"))
+    (p.tier, m) match {
+      case (FloatTier, ModelStore.FloatCenters(cs)) =>
+        Similarity.ivfTopKFromIndexFiltered(spark, queries, idx, cs, k,
+          refFilter, p.nProbe, p.idCol, p.vecCol)
+      case (MatryoshkaTier(dims), ModelStore.FloatCenters(cs)) =>
+        Similarity.matryoshkaIvfTopKFromIndexFiltered(spark, queries,
+          idx, cs, refs, k, refFilter, dims, p.shortlist, p.nProbe,
+          p.idCol, p.vecCol)
+      case (Sq8Tier, ModelStore.SqQuantizer(cs, cc)) =>
+        Similarity.ivfSqTopKFromIndexFiltered(spark, queries, idx, cs,
+          cc, refs, k, refFilter, p.shortlist, p.nProbe, p.idCol,
+          p.vecCol)
+      case (BqTier, ModelStore.BqCenters(cs)) =>
+        Similarity.ivfBqTopKFromIndexFiltered(spark, queries, idx, cs,
+          refs, k, refFilter, p.shortlist, p.nProbe, p.idCol, p.vecCol,
+          p.asymmetric)
+      case (_: PqTier, ModelStore.PqQuantizer(mm)) =>
+        Similarity.ivfPqTopKFromIndexFiltered(spark, queries, idx, mm,
+          refs, k, refFilter, p.nProbe, p.refine, p.idCol, p.vecCol)
+      case (tier, other) => throw new IllegalStateException(
+        s"VectorIndex.topKFilteredPinned: tier $tier cannot serve the " +
+          s"stored model ${other.getClass.getSimpleName} at generation " +
+          s"${snap.gen} of $indexDir — the index was written by a " +
+          "different tier's facade")
+    }
+  }
+
   /** Reclaim leaves unreferenced by the kept generations. `minAgeMs`
     * spares every generation younger than the pin horizon
     * ([[IndexManifest.vacuum]]). */

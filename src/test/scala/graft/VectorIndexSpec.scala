@@ -72,6 +72,9 @@ class VectorIndexSpec extends SparkSpec {
       val pinPre = vi0.pin(spark)
       val pinnedBefore = vi0.topKPinned(spark, pinPre, qs, e, 3)
         .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      val pinnedFilteredBefore = vi0.topKFilteredPinned(spark, pinPre,
+          qs, e.filter(col("label") === 2), 3, col("label") === 2)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
       // maintain: a breaching synthetic log row fires the tier's
       // refresh; the facade hands back the updated quantizers
       Seq((1000L, 999.0, 0.5, 4))
@@ -99,6 +102,17 @@ class VectorIndexSpec extends SparkSpec {
       assert(gotPinnedNew.exceptAll(wantNew).isEmpty &&
         wantNew.exceptAll(gotPinnedNew).isEmpty,
         s"$name: the current epoch's pinned probe must equal topK")
+      // 3. the FILTERED pinned probe replays too, and never leaks a
+      //    disallowed ref (the predicate meets the pinned metadata)
+      assert(vi1.topKFilteredPinned(spark, pinPre, qs,
+          e.filter(col("label") === 2), 3, col("label") === 2)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+        === pinnedFilteredBefore,
+        s"$name: a pinned filtered probe must survive the refresh")
+      assert(vi1.topKFilteredPinned(spark, vi1.pin(spark), qs,
+          e.filter(col("label") === 2), 3, col("label") === 2)
+        .join(labels, "rid").filter(col("label") =!= 2).count() === 0L,
+        s"$name: pinned filtered probe leaked a disallowed ref")
       // the metadata survived the refresh (r13 contract)
       val postMaintFiltered = vi1.topKFiltered(spark, qs,
         e.filter(col("label") === 2), k = 3, col("label") === 2)
