@@ -310,7 +310,8 @@ class SnapshotSpec extends SparkSpec {
   }
 
   test("manifested probe keeps the PartitionFilters pruning of the " +
-    "listing-based read") {
+    "listing-based read — on the live route AND the pinned route") {
+    import graft.pipeline.VectorIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft_snapp").toString
     val e = Tables.embeddings(spark, sf)
     val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 8)
@@ -318,14 +319,30 @@ class SnapshotSpec extends SparkSpec {
       .write.partitionBy("list").mode("overwrite")
       .parquet(s"$tmp/idx/batch=0")
     IndexManifest.enroll(spark, s"$tmp/idx")
+    def prunes(p: String, what: String): Unit = {
+      val scanLines = p.linesIterator
+        .filter(_.contains("PartitionFilters")).toSeq
+      assert(scanLines.exists(l => l.contains("list") &&
+        !l.contains("PartitionFilters: []")),
+        s"$what must keep the list partition filter:\n$p")
+    }
     val index = IvfStream.readIndex(spark, s"$tmp/idx")
-    val p = Similarity.ivfTopKFromIndex(spark,
+    prunes(Similarity.ivfTopKFromIndex(spark,
         e.filter(col("vec_id") < 3), index, centers, k = 5, nProbe = 2)
-      .queryExecution.executedPlan.toString
-    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
-    assert(scanLines.exists(l => l.contains("list") &&
-      !l.contains("PartitionFilters: []")),
-      s"manifest-routed index scan must keep the list partition filter:\n$p")
+      .queryExecution.executedPlan.toString,
+      "manifest-routed index scan")
+    // the PINNED route plans from explicit snapshot paths — the probed
+    // -list filter must still reach the scan as PartitionFilters (the
+    // basePath read derives the partition columns from the leaf paths)
+    val params = VectorIndex.Params(VectorIndex.FloatTier, nLists = 8,
+      nProbe = 2)
+    val vi = VectorIndex.train(spark, e, params, s"$tmp/idx")
+    graft.streaming.ModelStore.write(spark, s"$tmp/idx", 0L,
+      graft.streaming.ModelStore.FloatCenters(centers))
+    prunes(vi.topKPinned(spark, vi.pin(spark),
+        e.filter(col("vec_id") < 3), e, 5)
+      .queryExecution.executedPlan.toString,
+      "pinned-probe scan")
   }
 
   test("GENUINELY concurrent reader vs maintainer: a reader thread " +
