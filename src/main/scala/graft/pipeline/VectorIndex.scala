@@ -67,6 +67,119 @@ object VectorIndex {
                           asymmetric: Boolean = true,
                           metaCols: Seq[String] = Seq.empty)
 
+  /** Reconstruct a facade from its index directory in a FRESH session
+    * (r14): [[VectorIndex#save]] (called by
+    * [[VectorIndex#enrollSnapshots]]) persists the Params next to the
+    * index and the quantizers already live as the current
+    * [[graft.streaming.ModelStore]] epoch, so a deployment restarts,
+    * calls `load`, and probes/maintains/attaches without retraining —
+    * previously the quantizer state died with the training JVM even
+    * though every byte of it was on disk. Loud when either half is
+    * missing. */
+  def load(spark: SparkSession, indexDir: String): VectorIndex = {
+    import graft.streaming.ModelStore
+    val p = readParams(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VectorIndex.load: no persisted params at $indexDir — save the " +
+          "facade first (VectorIndex.save, or enrollSnapshots which " +
+          "saves automatically)"))
+    val model = ModelStore.currentModel(spark, indexDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VectorIndex.load: no quantizer epoch at $indexDir — enroll " +
+          "through VectorIndex.enrollSnapshots (which persists the " +
+          "quantizer)"))
+    (p.tier, model) match {
+      case (FloatTier | _: MatryoshkaTier, ModelStore.FloatCenters(cs)) =>
+        new VectorIndex(p, indexDir, centers = cs)
+      case (Sq8Tier, ModelStore.SqQuantizer(cs, cc)) =>
+        new VectorIndex(p, indexDir, centers = cs, codec = cc)
+      case (BqTier, ModelStore.BqCenters(cs)) =>
+        new VectorIndex(p, indexDir, centers = cs)
+      case (_: PqTier, ModelStore.PqQuantizer(mm)) =>
+        new VectorIndex(p, indexDir, model = mm)
+      case (tier, other) => throw new IllegalStateException(
+        s"VectorIndex.load: persisted params say tier $tier but the " +
+          s"stored model epoch is a ${other.getClass.getSimpleName} — " +
+          s"$indexDir was written inconsistently")
+    }
+  }
+
+  /** The params file: `indexDir/_vectorindex.properties`, plain
+    * java.util.Properties — engine-neutral, humanly editable, ignored
+    * by parquet discovery (underscore prefix). */
+  private def paramsPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "_vectorindex.properties")
+
+  private[pipeline] def writeParams(spark: SparkSession, indexDir: String,
+                                    p: Params): Unit = {
+    val props = new java.util.Properties()
+    val tierName = p.tier match {
+      case FloatTier => "float"
+      case Sq8Tier => "sq8"
+      case BqTier => "bq"
+      case PqTier(m, nCodes, opq, opqIters, opqAuto) =>
+        props.setProperty("pq.m", m.toString)
+        props.setProperty("pq.nCodes", nCodes.toString)
+        props.setProperty("pq.opq", opq.toString)
+        props.setProperty("pq.opqIters", opqIters.toString)
+        props.setProperty("pq.opqAuto", opqAuto.toString)
+        "pq"
+      case MatryoshkaTier(dims) =>
+        props.setProperty("matryoshka.prefixDims", dims.toString)
+        "matryoshka"
+    }
+    props.setProperty("tier", tierName)
+    props.setProperty("nLists", p.nLists.toString)
+    props.setProperty("nProbe", p.nProbe.toString)
+    props.setProperty("shortlist", p.shortlist.toString)
+    props.setProperty("refine", p.refine.toString)
+    props.setProperty("seed", p.seed.toString)
+    props.setProperty("idCol", p.idCol)
+    props.setProperty("vecCol", p.vecCol)
+    props.setProperty("dim", p.dim.toString)
+    props.setProperty("trainCap", p.trainCap.toString)
+    props.setProperty("asymmetric", p.asymmetric.toString)
+    props.setProperty("metaCols", p.metaCols.mkString(","))
+    val path = paramsPath(indexDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(indexDir,
+      "._vectorindex.properties.tmp")
+    val out = fs.create(tmp, true)
+    try props.store(out, "graft VectorIndex params") finally out.close()
+    if (fs.exists(path)) { fs.delete(path, false); () }
+    require(fs.rename(tmp, path),
+      s"VectorIndex.save: rename of params failed for $indexDir")
+  }
+
+  private def readParams(spark: SparkSession,
+                         indexDir: String): Option[Params] = {
+    val path = paramsPath(indexDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return None
+    val props = new java.util.Properties()
+    val in = fs.open(path)
+    try props.load(in) finally in.close()
+    def p(k: String) = Option(props.getProperty(k)).getOrElse(
+      throw new IllegalStateException(
+        s"VectorIndex.load: params at $indexDir missing key '$k'"))
+    val tier = p("tier") match {
+      case "float" => FloatTier
+      case "sq8" => Sq8Tier
+      case "bq" => BqTier
+      case "pq" => PqTier(p("pq.m").toInt, p("pq.nCodes").toInt,
+        p("pq.opq").toBoolean, p("pq.opqIters").toInt,
+        p("pq.opqAuto").toBoolean)
+      case "matryoshka" => MatryoshkaTier(p("matryoshka.prefixDims").toInt)
+      case other => throw new IllegalStateException(
+        s"VectorIndex.load: unknown tier '$other' at $indexDir")
+    }
+    Some(Params(tier, p("nLists").toInt, p("nProbe").toInt,
+      p("shortlist").toInt, p("refine").toInt, p("seed").toLong,
+      p("idCol"), p("vecCol"), p("dim").toInt, p("trainCap").toInt,
+      p("asymmetric").toBoolean,
+      p("metaCols").split(",").toSeq.filter(_.nonEmpty)))
+  }
+
   /** Train the tier's quantizers on `refs` and return the facade
     * (nothing is written until [[VectorIndex#ingest]] /
     * [[VectorIndex#attach]]). */
@@ -346,8 +459,18 @@ final class VectorIndex private (val params: VectorIndex.Params,
     val snap = IndexManifest.enroll(spark, indexDir)
     graft.streaming.ModelStore.write(spark, indexDir, snap.gen,
       quantizerModel)
+    save(spark) // params beside the epoch: VectorIndex.load needs both
     snap
   }
+
+  /** Persist the facade's Params next to the index
+    * (`_vectorindex.properties`) so [[VectorIndex.load]] can
+    * reconstruct it in a fresh session. The quantizers themselves ride
+    * in [[graft.streaming.ModelStore]] epochs — [[enrollSnapshots]]
+    * writes both; call this directly only for an un-enrolled layout
+    * you still want loadable (pair it with a ModelStore.write). */
+  def save(spark: SparkSession): Unit =
+    VectorIndex.writeParams(spark, indexDir, params)
 
   /** Pin the current generation for a long-lived concurrent probe. */
   def pin(spark: SparkSession): IndexManifest.Snapshot =

@@ -192,6 +192,67 @@ class VectorIndexSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("VectorIndex.load reconstructs the facade from disk in a " +
+    "fresh-session posture: probes identical across all six tiers, " +
+    "and a reload after a fired maintain picks up the new epoch") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).cache()
+    val tiers: Seq[(String, VectorIndex.Tier)] = Seq(
+      ("float", VectorIndex.FloatTier),
+      ("sq8", VectorIndex.Sq8Tier),
+      ("bq", VectorIndex.BqTier),
+      ("pq", VectorIndex.PqTier(m = 8, nCodes = 16)),
+      ("opq", VectorIndex.PqTier(m = 8, nCodes = 16, opq = true,
+        opqIters = 3)),
+      ("matryoshka", VectorIndex.MatryoshkaTier(prefixDims = 32)))
+    val qs = e.filter(col("vec_id") < 10)
+    tiers.foreach { case (name, tier) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_vl_$name").toString
+      val params = VectorIndex.Params(tier, nLists = 4, nProbe = 4,
+        shortlist = 30, refine = 6, metaCols = Seq("label"))
+      val vi = VectorIndex.train(spark, e, params, s"$tmp/idx")
+      vi.ingest(spark, e.select("vec_id", "embedding", "label"), 0L)
+      vi.enrollSnapshots(spark)
+      val loaded = VectorIndex.load(spark, s"$tmp/idx")
+      assert(loaded.params === params,
+        s"$name: params must round-trip through the properties file")
+      val got = loaded.topK(spark, qs, e, k = 3)
+      val want = vi.topK(spark, qs, e, k = 3)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$name: the loaded facade must probe identically")
+      // filtered probes too — metaCols survived the round-trip
+      val gotF = loaded.topKFiltered(spark, qs,
+        e.filter(col("label") === 2), 3, col("label") === 2)
+      val wantF = vi.topKFiltered(spark, qs,
+        e.filter(col("label") === 2), 3, col("label") === 2)
+      assert(gotF.exceptAll(wantF).isEmpty &&
+        wantF.exceptAll(gotF).isEmpty, s"$name: filtered probe parity")
+    }
+    // reload after a fired maintain: the newest epoch wins
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vlm").toString
+    val vi = VectorIndex.train(spark, e,
+      VectorIndex.Params(VectorIndex.FloatTier, nLists = 4, nProbe = 4),
+      s"$tmp/idx")
+    vi.ingest(spark, e.select("vec_id", "embedding"), 0L)
+    vi.enrollSnapshots(spark)
+    Seq((1000L, 999.0, 0.5, 4))
+      .toDF("n_vecs", "mean_d2", "max_list_frac", "n_lists")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/stale/batch=0")
+    val (rep, vi1) = vi.maintain(spark, s"$tmp/stale", e,
+      IvfStream.MaintainPolicy(meanD2Max = 1.0))
+    assert(rep.fired)
+    val reloaded = VectorIndex.load(spark, s"$tmp/idx")
+    assert(reloaded.centers.zip(vi1.centers).forall(p =>
+      p._1.sameElements(p._2)),
+      "a reload after a fired maintain must carry the refreshed epoch")
+    // loud on a half-persisted layout
+    intercept[IllegalArgumentException] {
+      VectorIndex.load(spark, s"$tmp/nowhere")
+    }
+    e.unpersist()
+  }
+
   test("PqTier opqAuto routes by measured code recall (recon error " +
     "cannot discriminate — OPQ descends it on every corpus): the " +
     "cross-dim-correlated corpus picks the rotation, isotropic blobs " +
