@@ -15,6 +15,10 @@ run / fork := true
 // stdout line; sbt's "[success] Total time: …" epilogue would land
 // after it and break the driver's tail-parse.
 Global / showSuccess := false
+// …and sbt's logger would prefix every forked-run stdout line with
+// "[info] ", which equally defeats a tail JSON parse. Pass the child
+// process's stdout through raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
