@@ -34,9 +34,13 @@ object VectorIndex {
   /** Compression rung. The PQ tier optionally trains the OPQ rotation
     * (Ge et al., CVPR 2013) — same index bytes, better recall where
     * codes are the bottleneck; `opqAuto` (r13 verdict #8) trains BOTH
-    * and keeps the rotation only when its reconstruction error beats
-    * plain by a margin on the train sample — anisotropic corpora pick
-    * rotated, isotropic ones plain ([[Similarity.ivfPqTrainModelAuto]]).
+    * and keeps the rotation only when its code recall@k (vs an exact
+    * unit-space twin under full ADC, on the train sample) beats plain
+    * by a margin — NOT reconstruction error, which OPQ descends by
+    * construction and therefore always "wins" even on isotropic
+    * corpora where the rotation buys no recall. Anisotropic corpora
+    * pick rotated, isotropic ones plain
+    * ([[Similarity.ivfPqTrainModelAuto]] documents the measured A/B).
     * [[MatryoshkaTier]] stores the `prefixDims`-float PREFIX of every
     * vector (Kusupati et al. 2022): stage 1 probes the prefix index
     * (`prefixDims/dim` of the float bytes), stage 2 re-ranks the
@@ -139,7 +143,12 @@ object VectorIndex {
     props.setProperty("dim", p.dim.toString)
     props.setProperty("trainCap", p.trainCap.toString)
     props.setProperty("asymmetric", p.asymmetric.toString)
-    props.setProperty("metaCols", p.metaCols.mkString(","))
+    // Count + indexed keys, NOT a comma-join: a metadata column name
+    // containing ',' must round-trip through load unchanged.
+    props.setProperty("metaCols.count", p.metaCols.size.toString)
+    p.metaCols.zipWithIndex.foreach { case (c, i) =>
+      props.setProperty(s"metaCols.$i", c)
+    }
     val path = paramsPath(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(indexDir,
@@ -151,8 +160,8 @@ object VectorIndex {
       s"VectorIndex.save: rename of params failed for $indexDir")
   }
 
-  private def readParams(spark: SparkSession,
-                         indexDir: String): Option[Params] = {
+  private[pipeline] def readParams(spark: SparkSession,
+                                   indexDir: String): Option[Params] = {
     val path = paramsPath(indexDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) return None
@@ -177,7 +186,12 @@ object VectorIndex {
       p("shortlist").toInt, p("refine").toInt, p("seed").toLong,
       p("idCol"), p("vecCol"), p("dim").toInt, p("trainCap").toInt,
       p("asymmetric").toBoolean,
-      p("metaCols").split(",").toSeq.filter(_.nonEmpty)))
+      // Indexed keys since r15; fall back to the r14 comma-join for
+      // indexes saved before the format change.
+      Option(props.getProperty("metaCols.count")) match {
+        case Some(n) => (0 until n.toInt).map(i => p(s"metaCols.$i"))
+        case None => p("metaCols").split(",").toSeq.filter(_.nonEmpty)
+      }))
   }
 
   /** Train the tier's quantizers on `refs` and return the facade
@@ -581,6 +595,6 @@ final class VectorIndex private (val params: VectorIndex.Params,
     * spares every generation younger than the pin horizon
     * ([[IndexManifest.vacuum]]). */
   def vacuum(spark: SparkSession, keepGens: Int = 1,
-             minAgeMs: Long = 0L): Int =
-    IndexManifest.vacuum(spark, indexDir, keepGens, minAgeMs)
+             minAgeMs: Long = 0L, pendingOk: Boolean = false): Int =
+    IndexManifest.vacuum(spark, indexDir, keepGens, minAgeMs, pendingOk)
 }

@@ -267,11 +267,14 @@ object PipelineSimilarityQueries {
           Seq(s"batch=${100 + i}/list=0"), Seq.empty)
       }
       // minAge FIRST (everything is seconds old → nothing reclaimed,
-      // every manifest file still present)...
-      val before = fs.listStatus(new Path(md)).length
+      // every GENERATION file still present — the r15 tombstone file
+      // vacuum writes alongside them is bookkeeping, not a reclaim)...
+      def genFiles() = fs.listStatus(new Path(md))
+        .count(_.getPath.getName.startsWith("gen-"))
+      val before = genFiles()
       IndexManifest.vacuum(s, dir, keepGens = 1,
         minAgeMs = 3600L * 1000L)
-      val minAgeOk = fs.listStatus(new Path(md)).length == before &&
+      val minAgeOk = genFiles() == before &&
         IndexManifest.current(s, dir).get.leaves.toSet ==
           s2.leaves.toSet
       // ...then the real vacuum: keep gen 35 and its chain back to
@@ -280,7 +283,7 @@ object PipelineSimilarityQueries {
       // re-anchored full)
       IndexManifest.vacuum(s, dir, keepGens = 1)
       val names = fs.listStatus(new Path(md))
-        .map(_.getPath.getName).sorted.toSeq
+        .map(_.getPath.getName).filter(_.startsWith("gen-")).sorted.toSeq
       val chainVacuumOk = names == Seq("gen-000000032.txt",
         "gen-000000033.delta.txt", "gen-000000034.delta.txt",
         "gen-000000035.delta.txt") &&
@@ -967,7 +970,12 @@ object PipelineSimilarityQueries {
       val fs = new Path(root).getFileSystem(s.sessionState.newHadoopConf())
       val currentRows = current.collect().length
       val removed = IndexManifest.vacuum(s, s"$root/idx", keepGens = 1)
+      // default vacuum keeps the uncommitted orphan (a pending replay
+      // may be mid-flight on it — r14 verdict #3); pendingOk reclaims
       val vacuumReclaims = removed > 0 &&
+        fs.exists(new Path(s"$root/idx/batch=-777")) &&
+        IndexManifest.vacuum(s, s"$root/idx", keepGens = 1,
+          pendingOk = true) > 0 &&
         !fs.exists(new Path(s"$root/idx/batch=-777")) &&
         IvfStream.readIndex(s, s"$root/idx").collect().length ==
           currentRows &&

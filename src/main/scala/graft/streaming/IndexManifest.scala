@@ -196,7 +196,53 @@ object IndexManifest {
       .filter(n => kindOf(n).nonEmpty)
       .exists(n => readManifestLines(fs, md, n)
         .filterNot(_.startsWith("-")).map(_.stripPrefix("+"))
-        .exists(l => l == prefix || l.startsWith(prefix + "/")))
+        .exists(l => l == prefix || l.startsWith(prefix + "/"))) ||
+      readTombstones(fs, md).contains(prefix)
+  }
+
+  /** `_manifests/committed-batches.txt`: the top-level `batch=<id>`
+    * prefixes ever referenced by a manifest generation, persisted so
+    * the knowledge SURVIVES [[vacuum]] pruning the generation files
+    * themselves (r14 ADVICE). Without it, the crash window "manifest
+    * committed, streaming offset not yet committed, then a vacuum
+    * reclaims both the generation files and the batch dir" made the
+    * post-restart replay look like a FRESH trigger ([[installBatch]]
+    * case 3) and re-add rows already folded into a rewrite leaf —
+    * silent duplicates. [[vacuum]] folds every referenced prefix into
+    * this file BEFORE deleting any manifest file; [[everReferenced]]
+    * consults it after the retained-history scan. Grows one short line
+    * per distinct trigger ever committed (~12 B/trigger — 1e6 triggers
+    * ≈ 12 MB, read only on the crash-replay path). */
+  private def tombstonePath(md: Path) = new Path(md, "committed-batches.txt")
+
+  /** Is `prefix` in the persistent tombstone list alone? The CHEAP
+    * probe (one small-file read) [[installBatch]] runs on the
+    * fresh-trigger path — a dir-less prefix that is not tombstoned
+    * was never committed (only [[vacuum]] deletes batch dirs, and it
+    * tombstones every referenced prefix first). */
+  private[graft] def tombstoned(spark: SparkSession, dir: String,
+                                prefix: String): Boolean = {
+    val md = manifestDir(dir)
+    readTombstones(fsOf(spark, md), md).contains(prefix)
+  }
+
+  private def readTombstones(fs: org.apache.hadoop.fs.FileSystem,
+                             md: Path): Set[String] = {
+    val p = tombstonePath(md)
+    if (!fs.exists(p)) Set.empty
+    else readManifestLines(fs, md, p.getName).toSet
+  }
+
+  private def writeTombstones(fs: org.apache.hadoop.fs.FileSystem,
+                              md: Path, prefixes: Set[String]): Unit = {
+    val tmp = new Path(md, ".tmp-committed-batches.txt")
+    val out = fs.create(tmp, true)
+    try out.write(prefixes.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = tombstonePath(md)
+    if (fs.exists(dst)) { fs.delete(dst, false); () }
+    require(fs.rename(tmp, dst),
+      s"IndexManifest: rename of $tmp -> $dst failed")
   }
 
   /** [[current]] that REQUIRES enrollment — the pin a concurrent
@@ -276,6 +322,12 @@ object IndexManifest {
     *     folded into a rewrite leaf (case 1's own commit, or a
     *     compaction): re-adding would duplicate them, so the replay
     *     is a no-op;
+    *  2b. the batch dir is GONE but its prefix is in the persistent
+    *     tombstone list — committed in history a [[vacuum]] has since
+    *     pruned, dir reclaimed with it (r14 ADVICE: this replay used
+    *     to fall through to case 3 and silently duplicate the folded
+    *     rows). One small-file read on the fresh-trigger path; the
+    *     O(retained-history) scan stays on the dir-exists crash path;
     *  3. otherwise (fresh trigger, or an orphan first attempt that
     *     crashed before its commit — no reader ever referenced it) →
     *     plain write + [[commitBatch]]. */
@@ -301,6 +353,8 @@ object IndexManifest {
           commitRewrite(spark, dir, snap, prior)
           ()
         } else if (dirExists && everReferenced(spark, dir, prefix)) {
+          ()
+        } else if (tombstoned(spark, dir, prefix)) {
           ()
         } else {
           writeTo(s"$dir/$prefix")
@@ -374,7 +428,15 @@ object IndexManifest {
     val md = manifestDir(dir)
     val fs = fsOf(spark, md)
     if (!fs.exists(md)) { fs.mkdirs(md); () }
-    val tmp = new Path(md, s".tmp-${nameOf(gen, delta)}")
+    // UNIQUE staging name per writer (CrossProcessSpec finding): with
+    // a fixed `.tmp-gen-N` name, two processes racing the same
+    // generation collide on the STAGE file itself — the loser dies in
+    // filesystem noise instead of the contract message, and a racer
+    // could overwrite the winner's staged bytes between its write and
+    // its install. Unique names make the install link/rename the only
+    // contended step; orphaned stage files are vacuum's `.tmp-` litter.
+    val tmp = new Path(md, s".tmp-${java.util.UUID.randomUUID().toString
+      .take(8)}-${nameOf(gen, delta)}")
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -387,17 +449,45 @@ object IndexManifest {
     // contract violated
     if (fs.exists(dest) || fs.exists(twin)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"IndexManifest.commit: generation $gen already exists at $dir " +
-          "— a concurrent writer violated the single-writer contract " +
-          "(quiesce maintenance, or serialize writers); the existing " +
+      throw new IllegalStateException(duplicateGenMsg(dir, gen))
+    }
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      // The exists-check above has a TOCTOU window, and beneath
+      // Hadoop's local rename sits POSIX rename(2), which silently
+      // REPLACES an existing destination — two simultaneous writers
+      // (separate processes; CrossProcessSpec drives the real race)
+      // could both "win" and the later one clobber the earlier.
+      // link(2) is atomic AND fails with EEXIST, which is exactly
+      // create-exclusive with full-content visibility.
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        ()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw new IllegalStateException(duplicateGenMsg(dir, gen))
+      }
+    } else {
+      // HDFS rename fails on an existing destination (atomic
+      // create-exclusive already); object stores are covered by the
+      // documented single-writer contract plus the exists-check above
+      require(fs.rename(tmp, dest),
+        s"IndexManifest.commit: rename of generation $gen failed for " +
+          s"$dir — likely a concurrent commit won the race; the index " +
           "manifest was left untouched")
     }
-    require(fs.rename(tmp, dest),
-      s"IndexManifest.commit: rename of generation $gen failed for $dir " +
-        "— likely a concurrent commit won the race; the index manifest " +
-        "was left untouched")
   }
+
+  private def duplicateGenMsg(dir: String, gen: Long): String =
+    s"IndexManifest.commit: generation $gen already exists at $dir " +
+      "— a concurrent writer violated the single-writer contract " +
+      "(quiesce maintenance, or serialize writers); the existing " +
+      "manifest was left untouched"
 
   /** The per-trigger commit a streamed attach makes after its
     * idempotent `batch=<id>` write: current leaves MINUS any previous
@@ -505,9 +595,26 @@ object IndexManifest {
     * probe you allow to stay pinned and a vacuum can never reclaim a
     * generation inside that horizon. Ages come from the manifest
     * files' modification times — the commit instant. Default 0
-    * preserves the pure keepGens behavior. */
+    * preserves the pure keepGens behavior.
+    *
+    * Two replay-safety guards (r14 verdict #3 / ADVICE — both were doc
+    * conventions before, with nothing at runtime enforcing them):
+    *
+    *  - an UNCOMMITTED `batch=` directory (its top-level prefix never
+    *    referenced by any manifest generation, past or present) is a
+    *    crashed trigger's first attempt that the stream's restart
+    *    replay will complete — a vacuum racing that replay must not
+    *    reclaim it mid-flight, so such leaves are SKIPPED by default.
+    *    Pass `pendingOk = true` only when no stream can replay into
+    *    this index (e.g. the checkpoint was discarded) to reclaim
+    *    genuinely dead orphans.
+    *  - before deleting any manifest generation file, every batch
+    *    prefix those files reference is folded into the persistent
+    *    tombstone list ([[everReferenced]]'s backstop), so a replay
+    *    arriving AFTER history pruning still resolves as "already
+    *    folded" instead of re-adding duplicate rows. */
   def vacuum(spark: SparkSession, dir: String, keepGens: Int = 1,
-             minAgeMs: Long = 0L): Int = {
+             minAgeMs: Long = 0L, pendingOk: Boolean = false): Int = {
     require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
     require(minAgeMs >= 0L, s"minAgeMs must be >= 0, got $minAgeMs")
     val md = manifestDir(dir)
@@ -526,6 +633,19 @@ object IndexManifest {
        else Seq.empty)).distinct.sorted
     val live: Set[String] =
       kept.flatMap(g => resolveLeaves(fs, md, ks, g)).toSet
+    // fold every batch prefix any RETAINED manifest file references
+    // into the persistent tombstone list BEFORE deleting anything —
+    // monotone, idempotent, and it must land first so a crash mid-
+    // vacuum can only over-remember (harmless: a tombstoned prefix
+    // merely routes a replay to the no-op arm), never forget
+    val priorTombstones = readTombstones(fs, md)
+    val tombstones = priorTombstones ++
+      fs.listStatus(md).toSeq.map(_.getPath.getName)
+        .filter(n => kindOf(n).nonEmpty)
+        .flatMap(n => readManifestLines(fs, md, n)
+          .filterNot(_.startsWith("-")).map(_.stripPrefix("+"))
+          .map(_.split('/').head))
+    if (tombstones != priorTombstones) writeTombstones(fs, md, tombstones)
     // a kept DELTA generation resolves through its chain back to the
     // nearest full snapshot — every manifest file on that chain must
     // survive, or the kept generation becomes unreadable
@@ -537,8 +657,13 @@ object IndexManifest {
     var removed = 0
     listLeafDirs(spark, dir).foreach { leaf =>
       if (!live.contains(leaf)) {
-        fs.delete(new Path(dir, leaf), true)
-        removed += 1
+        // a never-committed batch is a pending first attempt a restart
+        // replay will complete — reclaiming it would race the replay
+        val pending = !tombstones.contains(leaf.split('/').head)
+        if (!pending || pendingOk) {
+          fs.delete(new Path(dir, leaf), true)
+          removed += 1
+        }
       }
     }
     // sweep batch dirs with no live leaf left: a two-level batch whose
@@ -553,7 +678,10 @@ object IndexManifest {
         val hasLiveSelf = live.contains(name)
         val hasListChild = fs.listStatus(b.getPath)
           .exists(c => c.isDirectory && c.getPath.getName.startsWith("list="))
-        if (!hasLiveSelf && !hasListChild) { fs.delete(b.getPath, true); () }
+        val pending = !tombstones.contains(name)
+        if (!hasLiveSelf && !hasListChild && (!pending || pendingOk)) {
+          fs.delete(b.getPath, true); ()
+        }
       }
     gens.filterNot(keptFiles.contains).foreach { g =>
       fs.delete(new Path(md, nameOf(g, delta = false)), false)

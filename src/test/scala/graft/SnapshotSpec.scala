@@ -140,7 +140,8 @@ class SnapshotSpec extends SparkSpec {
     e.unpersist()
   }
 
-  test("vacuum reclaims retired and orphan leaves, keeps the current " +
+  test("vacuum reclaims retired leaves, KEEPS uncommitted orphans " +
+    "(pending replays) unless pendingOk, keeps the current " +
     "generation intact") {
     val e = Tables.embeddings(spark, sf).cache()
     val root = java.nio.file.Files.createTempDirectory("graft_snapv").toString
@@ -156,8 +157,15 @@ class SnapshotSpec extends SparkSpec {
       .parquet(s"$root/idx/batch=-777")
     val removed = IndexManifest.vacuum(spark, s"$root/idx", keepGens = 1)
     assert(removed > 0, "retired gen-0 leaves must be reclaimed")
+    // the never-committed orphan is a PENDING first attempt a restart
+    // replay may be mid-flight on (r14 verdict #3): the default vacuum
+    // must leave it alone; pendingOk reclaims it explicitly
+    assert(fs.exists(new Path(s"$root/idx/batch=-777")),
+      "a default vacuum must keep uncommitted orphan directories")
+    assert(IndexManifest.vacuum(spark, s"$root/idx", keepGens = 1,
+      pendingOk = true) > 0, "pendingOk must reclaim the orphan")
     assert(!fs.exists(new Path(s"$root/idx/batch=-777")),
-      "orphan rewrite directories must be swept")
+      "pendingOk vacuum must sweep orphan rewrite directories")
     // the live set survives, bit for bit
     assert(rowSet(IvfStream.readIndex(spark, s"$root/idx")) === currentRows)
     assert(IndexManifest.pin(spark, s"$root/idx").gen === current.gen)
@@ -535,6 +543,25 @@ class SnapshotSpec extends SparkSpec {
     val (m2, c2) = Similarity.ivfPqReadIndex(spark, dir2)
     assert(m2.centers.zip(fm.centers).forall(p => p._1.sameElements(p._2)))
     assert(c2.exceptAll(fcodes).isEmpty && fcodes.exceptAll(c2).isEmpty)
+    // 5. a TORN model mirror (a crash mid rewrite-sequence leaves the
+    //    _modelmirror.inprogress marker) must fail the LEGACY read
+    //    loudly instead of serving new-centers/old-books (r14 ADVICE);
+    //    the enrolled layout keeps reading — ModelStore is authoritative
+    val fs = fsFor(root)
+    val marker = new Path(s"$dir2/_modelmirror.inprogress")
+    fs.create(marker, true).close()
+    val torn = intercept[IllegalArgumentException] {
+      Similarity.ivfPqReadIndex(spark, dir2)
+    }
+    assert(torn.getMessage.contains("TORN"),
+      s"the torn-mirror failure must name the condition: $torn")
+    fs.delete(marker, false)
+    assert(rowSet(Similarity.ivfPqReadIndex(spark, dir2)._2) ===
+      rowSet(c2), "marker removed: the legacy read must recover")
+    fs.create(new Path(s"$dir/_modelmirror.inprogress"), true).close()
+    assert(Similarity.ivfPqReadIndex(spark, dir)._1 != null,
+      "an enrolled read resolves via ModelStore and must ignore the " +
+        "legacy mirror's torn marker")
     e.unpersist()
   }
 
@@ -665,10 +692,12 @@ class SnapshotSpec extends SparkSpec {
     // survives, everything older is reclaimed, the index still reads
     IndexManifest.vacuum(spark, s"$tmp/idx", keepGens = 1)
     val names = fs.listStatus(new Path(md)).map(_.getPath.getName)
-      .sorted.toSeq
+      .filter(_.startsWith("gen-")).sorted.toSeq
     assert(names === Seq("gen-000000016.txt", "gen-000000017.delta.txt",
       "gen-000000018.delta.txt"),
       s"vacuum must keep the kept gen's chain to its anchor, got $names")
+    assert(fs.exists(new Path(md, "committed-batches.txt")),
+      "vacuum must persist the committed-batch tombstones it pruned")
     val got2 = IvfStream.readIndex(spark, s"$tmp/idx")
     assert(got2.exceptAll(want).isEmpty && want.exceptAll(got2).isEmpty)
     e.unpersist()
@@ -734,7 +763,8 @@ class SnapshotSpec extends SparkSpec {
         Seq(s"batch=${100 + i}/list=0"), Seq.empty)
     }
     IndexManifest.vacuum(spark, dir, keepGens = 1)
-    val names = fs.listStatus(new Path(md)).map(_.getPath.getName).sorted
+    val names = fs.listStatus(new Path(md)).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).sorted
     assert(names.toSeq === Seq("gen-000000022.txt",
       "gen-000000023.delta.txt", "gen-000000024.delta.txt",
       "gen-000000025.delta.txt"),
@@ -831,6 +861,86 @@ class SnapshotSpec extends SparkSpec {
     assert(codes.filter(col("vec_id").isin(2L, 6L)).count() === 0L)
     assert(rowSet(IndexManifest.readSnapshot(spark, s"$dir/codes", pinned)
       .get.select("vec_id", "codes", "list")) === before)
+    e.unpersist()
+  }
+
+  test("vacuum during a half-replayed trigger (r14 verdict #3): the " +
+    "uncommitted orphan leaf survives the vacuum and the replay then " +
+    "completes correctly") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapp").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    IndexManifest.enroll(spark, s"$root/idx")
+    val b0 = e.filter(col("vec_id") < 100)
+    IvfStream.installBatch(spark, s"$root/idx", 0L,
+      IvfStream.assignOnIngest(b0, centers))
+    // retire something so the vacuum has real work: fold trigger 0
+    // copy-on-write via a committed replay
+    IvfStream.installBatch(spark, s"$root/idx", 0L,
+      IvfStream.assignOnIngest(b0, centers))
+    // forge trigger 5 crashed BETWEEN its leaf write and its commit —
+    // the restart replay is conceptually mid-flight from here
+    val b5 = e.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    IvfStream.assignOnIngest(b5, centers)
+      .write.partitionBy("list").mode("overwrite")
+      .parquet(s"$root/idx/batch=5")
+    val fs = fsFor(root)
+    val removed = IndexManifest.vacuum(spark, s"$root/idx", keepGens = 1)
+    assert(removed > 0, "the folded trigger-0 leaves must be reclaimed")
+    assert(fs.exists(new Path(s"$root/idx/batch=5")),
+      "vacuum must NOT reclaim the pending trigger's uncommitted leaf")
+    // the replay now completes: same write + commit, exactly-once rows
+    IvfStream.installBatch(spark, s"$root/idx", 5L,
+      IvfStream.assignOnIngest(b5, centers))
+    val got = IvfStream.readIndex(spark, s"$root/idx")
+    val want = IvfStream.assignOnIngest(
+      e.filter(col("vec_id") < 150), centers)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "the completed replay must yield exactly-once rows")
+    e.unpersist()
+  }
+
+  test("tombstoned replay (r14 ADVICE): a trigger committed, folded, " +
+    "then history-pruned and dir-vacuumed must replay as a no-op, " +
+    "not re-add folded rows") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_snapt").toString
+    val centers = Similarity.ivfTrainCentroids(spark, e, nLists = 4)
+    IndexManifest.enroll(spark, s"$root/idx")
+    val b0 = e.filter(col("vec_id") < 100)
+    val b1 = e.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    IvfStream.installBatch(spark, s"$root/idx", 0L,
+      IvfStream.assignOnIngest(b0, centers))
+    IvfStream.installBatch(spark, s"$root/idx", 1L,
+      IvfStream.assignOnIngest(b1, centers))
+    // fold trigger 1 into a rewrite leaf (a committed replay), then
+    // vacuum: the retired batch=1 dir AND the generations that
+    // referenced it are both reclaimed — exactly the window the r14
+    // ADVICE named, where the next replay used to look "fresh"
+    IvfStream.installBatch(spark, s"$root/idx", 1L,
+      IvfStream.assignOnIngest(b1, centers))
+    IndexManifest.vacuum(spark, s"$root/idx", keepGens = 1)
+    val fs = fsFor(root)
+    assert(!fs.exists(new Path(s"$root/idx/batch=1")),
+      "precondition: the folded trigger's dir is vacuumed away")
+    val gen = IndexManifest.pin(spark, s"$root/idx").gen
+    val before = rowSet(IvfStream.readIndex(spark, s"$root/idx"))
+    // post-restart replay of trigger 1: no dir, no manifest reference
+    // in retained history — only the tombstone knows. Must be a no-op.
+    IvfStream.installBatch(spark, s"$root/idx", 1L,
+      IvfStream.assignOnIngest(b1, centers))
+    assert(IndexManifest.pin(spark, s"$root/idx").gen === gen,
+      "a tombstoned replay must not commit a generation")
+    assert(rowSet(IvfStream.readIndex(spark, s"$root/idx")) === before,
+      "a tombstoned replay must not duplicate folded rows")
+    assert(!fs.exists(new Path(s"$root/idx/batch=1")),
+      "a tombstoned replay must not rewrite the reclaimed dir")
+    // a genuinely fresh trigger still lands normally
+    IvfStream.installBatch(spark, s"$root/idx", 2L,
+      IvfStream.assignOnIngest(
+        e.filter(col("vec_id") >= 200 && col("vec_id") < 210), centers))
+    assert(IvfStream.readIndex(spark, s"$root/idx").count() ===
+      before.size + 10L)
     e.unpersist()
   }
 }
