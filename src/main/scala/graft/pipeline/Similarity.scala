@@ -947,20 +947,30 @@ object Similarity extends Serializable {
     * model from the generation-keyed [[graft.streaming.ModelStore]]
     * epoch instead, so the mirror's non-atomic update window never
     * feeds a probe. A now-unrotated model removes the stale rotation
-    * dir. */
+    * dir.
+    *
+    * The three overwrites are sequential and independently non-atomic,
+    * so a crash mid-sequence would leave a TORN mirror (new centers
+    * with old books, or a stale rotation) that the legacy
+    * [[ivfPqReadIndex]] fallback and external tooling would read as
+    * consistent. A marker file (`_modelmirror.inprogress`) brackets
+    * the sequence: created before the first write, removed after the
+    * last, and the legacy read path refuses — loudly — while it
+    * exists. Rotation is rewritten FIRST so even a pre-marker-aware
+    * reader sees rotation-vs-books skew (detectable: codebooks are
+    * trained in the rotated space) rather than the silent
+    * centers-vs-books tear. */
+  private[pipeline] def modelMirrorMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/_modelmirror.inprogress")
+
   private def ivfPqWriteModelMirror(spark: SparkSession,
                                     model: IvfPqModel,
                                     dir: String): Unit = {
     import spark.implicits._
-    model.centers.indices.map(c => (c, model.centers(c)))
-      .toDF("list", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
-    (for (s <- model.codebooks.indices; c <- model.codebooks(s).indices)
-      yield (s, c, model.codebooks(s)(c)))
-      .toDF("s", "c", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    val marker = modelMirrorMarker(dir)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(marker, true).close()
     val rotP = new org.apache.hadoop.fs.Path(s"$dir/rotation")
-    val fs = rotP.getFileSystem(spark.sessionState.newHadoopConf())
     model.rotation match {
       case Some(r) =>
         r.indices.map(i => (i, r(i))).toDF("i", "row")
@@ -968,6 +978,15 @@ object Similarity extends Serializable {
         ()
       case None => if (fs.exists(rotP)) { fs.delete(rotP, true); () }
     }
+    model.centers.indices.map(c => (c, model.centers(c)))
+      .toDF("list", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centers")
+    (for (s <- model.codebooks.indices; c <- model.codebooks(s).indices)
+      yield (s, c, model.codebooks(s)(c)))
+      .toDF("s", "c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    fs.delete(marker, false)
+    ()
   }
 
   /** Opt a persisted IVF-PQ layout into snapshot reads WITH model
@@ -1010,6 +1029,16 @@ object Similarity extends Serializable {
                 "IVF-PQ layout")
           }
       }
+    val mirrorMarker = modelMirrorMarker(dir)
+    require(!mirrorMarker.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(mirrorMarker),
+      s"ivfPqReadIndex: the top-level model mirror at $dir is TORN — " +
+        "a mirror rewrite crashed mid-sequence (centers/books/rotation " +
+        "are updated sequentially; the _modelmirror.inprogress marker " +
+        "is still present). Enrolled layouts resolve the model from " +
+        "the ModelStore epoch and are unaffected; for this legacy " +
+        "read, re-run the refresh (which rewrites the mirror) or " +
+        "enroll via ivfPqEnrollIndex.")
     val centers = spark.read.parquet(s"$dir/centers").orderBy("list")
       .collect().map(_.getSeq[Double](1).toArray)
     val bookRows = spark.read.parquet(s"$dir/books").orderBy("s", "c")
