@@ -15,7 +15,47 @@ import graft.pipeline.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis, Unigram
   */
 object PipelineQueries {
 
+  // q218 script alphabets, shared by the query and its oracle so both
+  // engines build the SAME four-script corpus (q159 literal-sharing
+  // pattern). Each target maps the 26 latin letters 1:1 into another
+  // writing system via translate(); lengths are asserted so a silent
+  // editor mangling can't turn translate into char deletion.
+  private[queries] val latinAz = "abcdefghijklmnopqrstuvwxyz"
+  private[queries] val scriptTargets: Seq[(Int, String, String)] = Seq(
+    (0, "lat", latinAz),
+    (1, "cyr", "абвгдежзийклмнопрстуфхцчшщ"),
+    (2, "gre", "αβγδεζηθικλμνξοπρστυφχψωάέ"),
+    (3, "dev", "कखगघङचछजझञटठडढणतथदधनपफबभमय"))
+  require(scriptTargets.forall(_._3.length == 26),
+    "q218 script alphabets must be 26 chars for a 1:1 translate")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TRAINED char-bigram language ID (r14 verdict #8): a four-script
+    // corpus is forged from `documents` by 1:1 alphabet translation
+    // (latin/cyrillic/greek/devanagari), the NB gram profile is
+    // TRAINED on even doc_ids and the odd half is held out — the
+    // output is the held-out prediction table, so the oracle replays
+    // the training aggregation AND the argmax scoring. Scores are
+    // compared only through the argmax (ties broken by language
+    // code), keeping the row hash free of float-sum-order hazards.
+    "q218_langid_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val variants = scriptTargets.map { case (idx, lang, target) =>
+        docs.select((col("doc_id") * 4 + lit(idx)).as("vid"),
+          col("doc_id"), lit(lang).as("lang"),
+          translate(lower(col("text")), latinAz, target).as("text"))
+      }.reduce(_ unionByName _)
+      val train = variants.filter(col("doc_id") % 2 === 0)
+      val test = variants.filter(col("doc_id") % 2 =!= 0)
+      val profile = TextAnalysis.langProfileTrain(train)
+      TextAnalysis.langProfileId(test, profile, idCol = "vid")
+        .join(test.select("vid", "lang"), "vid")
+        .select(col("vid"), col("lang").as("lang_true"),
+          col("lang_pred"),
+          (col("lang_pred") === col("lang")).as("correct"))
+        .orderBy("vid")
+    }),
+
     // CCNet head/middle/tail perplexity bucketing: per SOURCE, docs
     // split into LM-quality tertiles by the q64 unigram NLL (CCNet
     // §4.2 does exactly this per language with a KenLM score — head =
@@ -721,6 +761,49 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Full training + scoring replay: same four-script corpus (the
+    // SAME alphabet literals via scriptTargets), same Laplace-smoothed
+    // char-bigram NB profile on the even half, same floor for unseen
+    // grams, same (score DESC, lang) argmax on the held-out half.
+    "q218_langid_profile" -> {
+      val values = scriptTargets.map { case (idx, lang, target) =>
+        s"($idx,'$lang','$target')"
+      }.mkString(", ")
+      s"""WITH v AS (
+         |  SELECT doc_id * 4 + s.idx AS vid, doc_id, s.lang,
+         |    translate(lower(text), '$latinAz', s.target) AS text
+         |  FROM documents,
+         |    (VALUES $values) AS s(idx, lang, target)),
+         |tr AS (SELECT * FROM v WHERE doc_id % 2 = 0),
+         |te AS (SELECT * FROM v WHERE doc_id % 2 = 1),
+         |trg AS (SELECT lang, substr(text, CAST(i AS INT), 2) AS gram
+         |  FROM (SELECT lang, text,
+         |          unnest(range(1, length(text))) AS i FROM tr)),
+         |cnt AS (SELECT lang, gram, count(*) AS c FROM trg GROUP BY 1, 2),
+         |tot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+         |voc AS (SELECT count(DISTINCT gram) AS v FROM cnt),
+         |prof AS (SELECT lang, gram, ln((c + 1) / (tot + v)) AS logp
+         |  FROM cnt JOIN tot USING (lang), voc),
+         |flo AS (SELECT lang, ln(1.0 / (tot + v)) AS floor_logp
+         |  FROM tot, voc),
+         |teg AS (SELECT vid, substr(text, CAST(i AS INT), 2) AS gram
+         |  FROM (SELECT vid, text,
+         |          unnest(range(1, length(text))) AS i FROM te)),
+         |tf AS (SELECT vid, gram, count(*) AS c FROM teg GROUP BY 1, 2),
+         |sc AS (SELECT tf.vid, f.lang,
+         |    sum(tf.c * coalesce(p.logp, f.floor_logp)) AS score
+         |  FROM tf CROSS JOIN flo f
+         |  LEFT JOIN prof p ON p.lang = f.lang AND p.gram = tf.gram
+         |  GROUP BY 1, 2),
+         |pred AS (SELECT vid, lang AS lang_pred,
+         |    row_number() OVER (PARTITION BY vid
+         |      ORDER BY score DESC, lang) AS rn
+         |  FROM sc)
+         |SELECT te.vid, te.lang AS lang_true, pred.lang_pred,
+         |  pred.lang_pred = te.lang AS correct
+         |FROM te JOIN pred ON te.vid = pred.vid AND pred.rn = 1""".stripMargin
+    },
+
     // The same chunk grid: token list, last-start = clamped
     // ceil((n-64)/48), list_slice per start (1-based, end-clamped like
     // Spark's slice), md5 of the re-joined window. Trunc-vs-floor
