@@ -1071,11 +1071,20 @@ object IvfStream {
     * trigger count, not data size. When the quantizer is healthy but
     * the batch-directory count exceeds `maxBatches`, maintenance runs
     * a pure COMPACTION (one `batch=-1` layout, quantizers untouched,
-    * staleness log KEPT — its rows still measure the live quantizer). */
+    * staleness log KEPT — its rows still measure the live quantizer).
+    *
+    * The 256 default is tuned from measurement (r15,
+    * ProbeGateIndexScale): compacting a 10⁷-row accrued index costs
+    * ~28 s + ~17 s vacuum on 16 cores — pennies at any sane cadence —
+    * while the accrued-leaf probe penalty is ~nil on a local FS at 64
+    * leaf sets (r8b measured ~1.2× drift at 50) and the real pressure
+    * is object-store LISTing, which grows with every leaf set. 256
+    * keeps a trigger-per-minute ingest compacting ~6×/day. Set
+    * Int.MaxValue to restore the pure drift-only policy. */
   final case class MaintainPolicy(meanD2Max: Double,
                                   maxListFracMax: Double = 1.0,
                                   minVecs: Long = 1L,
-                                  maxBatches: Int = Int.MaxValue)
+                                  maxBatches: Int = 256)
 
   /** What [[maintain]] decided and the reading it decided on.
     * `fired` = the quantizer was refreshed (reassign ran, new
