@@ -215,15 +215,46 @@ object IndexManifest {
     * ≈ 12 MB, read only on the crash-replay path). */
   private def tombstonePath(md: Path) = new Path(md, "committed-batches.txt")
 
-  /** Is `prefix` in the persistent tombstone list alone? The CHEAP
-    * probe (one small-file read) [[installBatch]] runs on the
-    * fresh-trigger path — a dir-less prefix that is not tombstoned
-    * was never committed (only [[vacuum]] deletes batch dirs, and it
-    * tombstones every referenced prefix first). */
+  /** Is `prefix` in the persistent tombstone list alone? Runs on
+    * [[installBatch]]'s fresh-trigger path — a dir-less prefix that is
+    * not tombstoned was never committed (only [[vacuum]] deletes batch
+    * dirs, and it tombstones every referenced prefix first).
+    *
+    * O(1) for genuinely fresh triggers: the tombstone list grows one
+    * line per trigger EVER committed, so parsing it per trigger would
+    * re-grow the O(history) per-trigger cost the delta manifests
+    * removed. Streamed batch ids are monotone, so a sibling max-id
+    * file (written by vacuum BEFORE the list, keeping it ≥ the list's
+    * max) lets `batchId > max` answer "not tombstoned" from one
+    * ~16-byte read; only a replay of pruned history (id ≤ max — the
+    * rare crash path) parses the full list. A missing max file (pre-
+    * r15g vacuum, or a crash between the two writes... which can only
+    * leave max HIGH, never low) falls back to the full read —
+    * correct, just slower. */
   private[graft] def tombstoned(spark: SparkSession, dir: String,
                                 prefix: String): Boolean = {
     val md = manifestDir(dir)
-    readTombstones(fsOf(spark, md), md).contains(prefix)
+    val fs = fsOf(spark, md)
+    prefix match {
+      case BatchPrefix(n) =>
+        readTombstoneMax(fs, md) match {
+          case Some(max) if n.toLong > max => false
+          case _ => readTombstones(fs, md).contains(prefix)
+        }
+      case _ => readTombstones(fs, md).contains(prefix)
+    }
+  }
+
+  private val BatchPrefix = "batch=(-?\\d+)".r
+
+  private def tombstoneMaxPath(md: Path) =
+    new Path(md, "committed-batches.max")
+
+  private def readTombstoneMax(fs: org.apache.hadoop.fs.FileSystem,
+                               md: Path): Option[Long] = {
+    val p = tombstoneMaxPath(md)
+    if (!fs.exists(p)) None
+    else readManifestLines(fs, md, p.getName).headOption.map(_.toLong)
   }
 
   private def readTombstones(fs: org.apache.hadoop.fs.FileSystem,
@@ -235,6 +266,23 @@ object IndexManifest {
 
   private def writeTombstones(fs: org.apache.hadoop.fs.FileSystem,
                               md: Path, prefixes: Set[String]): Unit = {
+    // max FIRST: tombstoned()'s fast path is only sound while the max
+    // file is ≥ the list's max id, so a crash between the two writes
+    // must leave max high (skips nothing wrongly), never low
+    val newMax = prefixes.collect { case BatchPrefix(n) => n.toLong }
+    if (newMax.nonEmpty) {
+      val keep = readTombstoneMax(fs, md) match {
+        case Some(old) => math.max(old, newMax.max)
+        case None => newMax.max
+      }
+      val tmpM = new Path(md, ".tmp-committed-batches.max")
+      val outM = fs.create(tmpM, true)
+      try outM.write(keep.toString.getBytes("UTF-8")) finally outM.close()
+      val dstM = tombstoneMaxPath(md)
+      if (fs.exists(dstM)) { fs.delete(dstM, false); () }
+      require(fs.rename(tmpM, dstM),
+        s"IndexManifest: rename of $tmpM -> $dstM failed")
+    }
     val tmp = new Path(md, ".tmp-committed-batches.txt")
     val out = fs.create(tmp, true)
     try out.write(prefixes.toSeq.sorted.mkString("\n").getBytes("UTF-8"))

@@ -925,6 +925,11 @@ class SnapshotSpec extends SparkSpec {
       "precondition: the folded trigger's dir is vacuumed away")
     val gen = IndexManifest.pin(spark, s"$root/idx").gen
     val before = rowSet(IvfStream.readIndex(spark, s"$root/idx"))
+    // the O(1) fast path's companion file exists and is ≥ the list's
+    // max id (r15g: without it every fresh trigger would parse the
+    // whole ever-committed list)
+    assert(fs.exists(new Path(s"$root/idx/_manifests/committed-batches.max")),
+      "vacuum must write the tombstone max-id file")
     // post-restart replay of trigger 1: no dir, no manifest reference
     // in retained history — only the tombstone knows. Must be a no-op.
     IvfStream.installBatch(spark, s"$root/idx", 1L,
