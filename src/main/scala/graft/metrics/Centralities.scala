@@ -197,10 +197,20 @@ object Centralities {
                            seeds: Seq[Long], alpha: Double = 0.85,
                            iters: Int = 3): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
-    val sym = symmetrize(edges).persist()
+    // The graph side is STATIC across iterations while only the rank
+    // frame evolves: fold the out-degree onto each arc in ONE
+    // window pass (exchange by src + sort — the same single shuffle the
+    // old degree aggregate paid, now also yielding the layout the loop
+    // needs) and persist; each round's sort-merge join then reuses the
+    // cached hash(src) partitioning and src ordering, so only the
+    // (small) rank frame is ever exchanged (guide §2.4 — measured: the
+    // old shape re-exchanged + re-sorted all 2·m arcs every round and
+    // ran a separate degree join beside it).
+    val sym = symmetrize(edges)
+      .withColumn("deg", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist()
     val m2 = sym.count()
-    val (deg, degH) = graft.util.Iterate.checkpoint(spark,
-      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
     import spark.implicits._
     val s0 = seeds.distinct.sorted.toDF("id")
       .select(col("id"), lit(1.0 / seeds.distinct.size).as("s"))
@@ -210,7 +220,6 @@ object Centralities {
       for (_ <- 1 to iters) {
         val contrib = sym
           .join(x.select(col("id").as("src"), col("v")), "src")
-          .join(deg.select(col("id").as("src"), col("deg")), "src")
           .groupBy(col("dst").as("id"))
           .agg(sum(col("v") / col("deg")).as("c"))
         val nextRaw = contrib.join(s0, Seq("id"), "full_outer")
@@ -226,7 +235,6 @@ object Centralities {
     val out = x.select(col("id"), col("v").as("ppr")).persist()
     out.count()
     handle.foreach(_.unpersist(blocking = false))
-    degH.unpersist(blocking = false)
     sym.unpersist()
     out
   }

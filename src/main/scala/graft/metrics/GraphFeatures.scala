@@ -35,7 +35,13 @@ object GraphFeatures {
     * and `b < c` by id. Two shuffles on vertex keys + one on the
     * closing-edge pair key. */
   def triangles(edges: DataFrame): DataFrame = {
+    // deg feeds two attach joins and arcs feeds both sides of the wedge
+    // self-join; Catalyst duplicates unshared subtrees (it plans a tree,
+    // not a DAG), so without the persists the degree aggregate ran twice
+    // and the whole deg-attach pipeline four times (measured: 4×
+    // exchanges of the same frame in one q156 run — guide §2.4).
     val deg = GraphOps.degrees(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // direct each edge from its lower-(degree, id) endpoint; src<dst
     // canonical input makes the tie case u=src
     val arcs = edges
@@ -44,6 +50,7 @@ object GraphFeatures {
       .select(
         when(col("sdeg") <= col("ddeg"), col("src")).otherwise(col("dst")).as("u"),
         when(col("sdeg") <= col("ddeg"), col("dst")).otherwise(col("src")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedges at u over its (bounded) out-neighborhood, closed by the
     // canonical edge (x, y), x<y by id
     val a1 = arcs.select(col("u"), col("v").as("x"))
@@ -55,9 +62,11 @@ object GraphFeatures {
   }
 
   /** Per-vertex triangle participation count: each triangle counted at
-    * all three corners. */
-  def triangleCounts(edges: DataFrame): DataFrame =
-    triangles(edges)
+    * all three corners. `tri` lets a caller that already materialized
+    * [[triangles]] for the same graph reuse it (the q156/q157/q80
+    * family shares one enumeration per session that way). */
+  def triangleCounts(edges: DataFrame, tri: Option[DataFrame] = None): DataFrame =
+    tri.getOrElse(triangles(edges))
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
 
@@ -65,9 +74,9 @@ object GraphFeatures {
     * `2·T(v) / (deg(v)·(deg(v)−1))`, 0 for degree < 2. Emits every
     * vertex with its degree and triangle count (coefficient rounded to
     * 6 so the double division hashes stably across engines). */
-  def localClustering(edges: DataFrame): DataFrame = {
+  def localClustering(edges: DataFrame, tri: Option[DataFrame] = None): DataFrame = {
     val deg = GraphOps.degrees(edges)
-    deg.join(triangleCounts(edges), Seq("id"), "left_outer")
+    deg.join(triangleCounts(edges, tri), Seq("id"), "left_outer")
       .select(col("id"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         round(
@@ -84,8 +93,8 @@ object GraphFeatures {
     * one degree aggregate; both collapse to single-row frames before
     * the final broadcast-tiny cross join. Integer counts, one rounded
     * double division — engine-exact. */
-  def transitivity(edges: DataFrame): DataFrame = {
-    val tri = triangles(edges).agg(count(lit(1)).as("n_triangles"))
+  def transitivity(edges: DataFrame, triOpt: Option[DataFrame] = None): DataFrame = {
+    val tri = triOpt.getOrElse(triangles(edges)).agg(count(lit(1)).as("n_triangles"))
     val wedges = GraphOps.degrees(edges)
       .agg(sum(expr("degree * (degree - 1) div 2")).as("n_wedges"))
     tri.crossJoin(broadcast(wedges))
@@ -105,9 +114,9 @@ object GraphFeatures {
     * its three canonical edges + one pair-keyed count) instead of a
     * raw wedge self-join — hub degrees never square. Two broadcast-
     * eligible degree joins finish; edges on no triangle score 0. */
-  def edgeJaccard(edges: DataFrame): DataFrame = {
+  def edgeJaccard(edges: DataFrame, tri: Option[DataFrame] = None): DataFrame = {
     val deg = GraphOps.degrees(edges)
-    val common = triangles(edges)
+    val common = tri.getOrElse(triangles(edges))
       .select(explode(array(
         array(col("a"), col("b")), array(col("a"), col("c")),
         array(col("b"), col("c")))).as("p"))
@@ -299,11 +308,28 @@ object GraphFeatures {
     require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
     val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    // The ranked adjacency is STATIC across steps while only the walk
+    // state evolves; persist it pre-partitioned and pre-sorted on the
+    // step join's exact key (id, rk) so every step's sort-merge join
+    // reuses the cached layout and only the k-rows walk state is ever
+    // exchanged (guide §2.4 — measured: the old layout re-exchanged
+    // and re-sorted all 2·m ranked rows on every step).
     val ranked = adj
       .withColumn("rk",
         row_number().over(Window.partitionBy("id").orderBy("nbr")).cast("long") - 1)
+      // partition on BOTH join keys: co-partition reuse requires the
+      // cached partitioning to cover ALL of the step join's keys
+      // (spark.sql.requireAllClusterKeysForCoPartition defaults true —
+      // hash(id) alone measured as NOT reused: every step re-exchanged
+      // the full ranked frame), and the local (id, rk) sort order lets
+      // the sort-merge join skip re-sorting the cached side too
+      .repartition(col("id"), col("rk"))
+      .sortWithinPartitions("id", "rk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = ranked.groupBy("id").agg(count(lit(1)).as("deg"))
+    // degrees persisted once (already hash-partitioned by id from the
+    // aggregation) instead of re-aggregating the ranked frame per step
+    val deg = adj.groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def draw(step: Int): Column =
       conv(substring(md5(concat_ws(":", lit(seed.toString),
         col("walk_id").cast("string"), lit(step.toString))), 1, 13), 16, 10)
