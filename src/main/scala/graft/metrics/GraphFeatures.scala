@@ -315,6 +315,10 @@ object GraphFeatures {
     // exchanged (guide §2.4 — measured: the old layout re-exchanged
     // and re-sorted all 2·m ranked rows on every step).
     val ranked = adj
+      // user-specified repartition: without it AQE coalesces the few-MB
+      // window exchange to ~1 partition and the window + cache build
+      // run near-single-threaded (see personalizedPageRank note)
+      .repartition(col("id"))
       .withColumn("rk",
         row_number().over(Window.partitionBy("id").orderBy("nbr")).cast("long") - 1)
       // partition on BOTH join keys: co-partition reuse requires the
@@ -734,7 +738,8 @@ object GraphFeatures {
     * that keeps the accumulated set a forest.
     */
   def mstBoruvka(spark: org.apache.spark.sql.SparkSession,
-                 edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+                 edges: DataFrame, maxRounds: Int = 40,
+                 contractCap: Long = 5000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val e0 = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -742,13 +747,10 @@ object GraphFeatures {
     var (labels, lh) = graft.util.Iterate.checkpoint(spark,
       GraphOps.vertices(e0.select("src", "dst"))
         .select(col("id"), col("id").as("comp")))
-    var mst = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("dst", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType))))
-    var mh: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    // selected edges accrue per round; the union is materialized ONCE
+    // at the end (one checkpoint job) instead of a per-round checkpoint
+    // — the frame is only read after the loop (guide §1.2: fewer jobs)
+    val picked = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var round = 0
     var done = false
     graft.util.Iterate.withSizedShuffle(spark, m) {
@@ -770,26 +772,69 @@ object GraphFeatures {
           .persist(StorageLevel.MEMORY_AND_DISK)
         if (sel.isEmpty) { done = true; sel.unpersist() }
         else {
-          // contract: CC over the selected component-pair graph
+          // contract: CC over the selected component-pair graph. One
+          // Borůvka selection per component keeps this frame at most
+          // one row per live component, and components at least halve
+          // per round, so after round 1 it is far below the edge count
+          // — small enough that a driver union-find (min-label roots,
+          // the exact labeling connectedComponentsDF produces) replaces
+          // the nested distributed CC loop's ~10 jobs per round with
+          // one bounded collect. Above `contractCap` pairs the
+          // distributed CC runs unchanged (the 100 TB early rounds).
           val compEdges = sel.select(
             least(col("_cs"), col("_cd")).as("src"),
             greatest(col("_cs"), col("_cd")).as("dst")).distinct()
-          val remap = GraphOps.connectedComponentsDF(spark, compEdges)
+          val remap = graft.util.DriverRoute
+            .probePairs(compEdges, "src", "dst", contractCap) match {
+            case Some(arr) =>
+              val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+              def find(x: Long): Long = {
+                var r = x
+                while (parent.getOrElse(r, r) != r) r = parent(r)
+                var c = x
+                while (parent.getOrElse(c, c) != c) {
+                  val n = parent(c); parent(c) = r; c = n
+                }
+                r
+              }
+              arr.foreach { case (a, b) =>
+                val (ra, rb) = (find(a), find(b))
+                // link larger root under smaller: every root stays the
+                // MIN id of its component, matching connectedComponentsDF
+                if (ra != rb) {
+                  if (ra < rb) parent(rb) = ra else parent(ra) = rb
+                }
+              }
+              val ids = arr.iterator
+                .flatMap(p => Iterator(p._1, p._2)).toSet
+              import spark.implicits._
+              broadcast(ids.toSeq.sorted
+                .map(i => (i, find(i))).toDF("id", "component"))
+            case None => GraphOps.connectedComponentsDF(spark, compEdges)
+          }
           val (nl, nlh) = graft.util.Iterate.checkpoint(spark,
             labels.join(remap.select(col("id").as("comp"),
                 col("component").as("_nc")), Seq("comp"), "left")
               .select(col("id"), coalesce(col("_nc"), col("comp")).as("comp")))
           lh.unpersist(); labels = nl; lh = nlh
-          val (nm, nmh) = graft.util.Iterate.checkpoint(spark,
-            mst.unionByName(sel.select("src", "dst", "w")))
-          if (mh != null) mh.unpersist()
-          mst = nm; mh = nmh
-          sel.unpersist()
+          picked += sel // the persisted frame itself, for exact unpersist
         }
       }
     }
     e0.unpersist(); lh.unpersist()
-    mst
+    if (picked.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dst", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType))))
+    else {
+      val (mst, _) = graft.util.Iterate.checkpoint(spark,
+        picked.map(_.select("src", "dst", "w")).reduce(_ unionByName _))
+      picked.foreach(_.unpersist(blocking = false))
+      mst
+    }
   }
 
   /** k-truss decomposition (Cohen 2008): the maximal subgraph in which

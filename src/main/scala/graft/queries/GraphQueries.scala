@@ -80,17 +80,13 @@ object GraphQueries {
 
     "q16_gen_caveman" -> ((s, _) => Generators.caveman(s, 5, 6)),
 
-    // Triangle count by double edge self-join on the canonical a<b<c
-    // orientation — each triangle counted exactly once; the join keys
-    // shuffle-partition by vertex so the plan scales with edge count.
-    "q17_triangles" -> ((s, d) => {
-      val e = lineitemGraph(s, d) // memo-persisted
-      val e1 = e.select(col("src").as("a"), col("dst").as("b"))
-      val e2 = e.select(col("src").as("b"), col("dst").as("c"))
-      val e3 = e.select(col("src").as("a"), col("dst").as("c"))
-      e1.join(e2, "b").join(e3, Seq("a", "c"))
-        .agg(count(lit(1)).as("n_triangles"))
-    }),
+    // Triangle count over the shared degree-oriented enumeration
+    // (lineitemTriangles — each triangle emitted exactly once, so the
+    // count is identical to the old canonical-a<b<c double self-join
+    // this query ran privately; one m^1.5-bounded enumeration per
+    // session now serves q17/q80/q156/q157).
+    "q17_triangles" -> ((s, d) =>
+      lineitemTriangles(s, d).agg(count(lit(1)).as("n_triangles"))),
 
     // GraphX connected components on the supplier–nation graph; the
     // oracle is the closed form valid for this diameter-2 topology

@@ -47,7 +47,12 @@ object PipelineQueries {
       }.reduce(_ unionByName _)
       val train = variants.filter(col("doc_id") % 2 === 0)
       val test = variants.filter(col("doc_id") % 2 =!= 0)
+      // the profile is broadcast twice by langProfileId (floors +
+      // gram weights); persisting stops Catalyst replaying the whole
+      // train-corpus gram aggregation once per broadcast (plan-tree
+      // duplication, the lineitemGraph-memo rationale)
       val profile = TextAnalysis.langProfileTrain(train)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       TextAnalysis.langProfileId(test, profile, idCol = "vid")
         .join(test.select("vid", "lang"), "vid")
         .select(col("vid"), col("lang").as("lang_true"),

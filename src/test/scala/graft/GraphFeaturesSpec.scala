@@ -335,6 +335,23 @@ class GraphFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("mstBoruvka: driver-routed contraction equals the distributed CC route") {
+    // contractCap=0 forces every round's contraction through the
+    // distributed connectedComponentsDF path (the 100 TB early-round
+    // posture); the default routes the small component-pair frame to
+    // the driver union-find — the MST must be identical either way
+    val g = Generators.erdosRenyi(spark, 90, 0.06, 5L)
+      .withColumn("w", (xxhash64(col("src"), col("dst")) % 99991)
+        .cast("double") / 99991.0)
+    def mstSet(cap: Long) =
+      GraphFeatures.mstBoruvka(spark, g, contractCap = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val routed = mstSet(5000000L)
+    assert(routed == mstSet(0L))
+    val es = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(routed == kruskal(es))
+  }
+
   test("mstBoruvka: forest on a disconnected graph, spanning and acyclic") {
     val g = Generators.caveman(spark, 3, 5) // 3 disjoint 5-cliques
       .withColumn("w", (col("src") * 31 + col("dst")).cast("double"))
