@@ -39,11 +39,27 @@ object Generators {
       greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") < col("dst")).distinct()
 
+  /** Data-sized id range: ~10k ids per slice, capped at the cluster's
+    * default parallelism. `spark.range`'s default slice count is the
+    * core count, so a 30-vertex fixture graph otherwise becomes a
+    * 32-partition frame whose every downstream union/reference costs a
+    * full wide stage of empty tasks (measured: a 6×5-grid BFS query ran
+    * 128-task generator scans — pure scheduler latency). Content is
+    * partition-invariant: every generator derives edges from (id, seed)
+    * hashes, never from row order. */
+  private def range(spark: SparkSession, start: Long, end: Long): DataFrame = {
+    val slices = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, (end - start) / 10000 + 1))
+    spark.range(start, end, 1, slices.toInt).toDF("id")
+  }
+  private def range(spark: SparkSession, n: Long): DataFrame =
+    range(spark, 0L, n)
+
   /** G(n,p) Erdős–Rényi (generators.py:32-49). Candidate space is the
     * upper triangle; O(n²) candidates is inherent to dense-p ER. */
   def erdosRenyi(spark: SparkSession, n: Long, p: Double, seed: Long): DataFrame = {
-    val a = spark.range(n).toDF("src")
-    val b = spark.range(n).toDF("dst")
+    val a = range(spark, n).toDF("src")
+    val b = range(spark, n).toDF("dst")
     a.crossJoin(b).filter(col("src") < col("dst"))
       .filter(hashUniform(seed, col("src"), col("dst")) < p)
   }
@@ -53,8 +69,8 @@ object Generators {
   def sbm(spark: SparkSession, nPerBlock: Long, numBlocks: Long,
           pIn: Double, pOut: Double, seed: Long): DataFrame = {
     val n = nPerBlock * numBlocks
-    val a = spark.range(n).toDF("src")
-    val b = spark.range(n).toDF("dst")
+    val a = range(spark, n).toDF("src")
+    val b = range(spark, n).toDF("dst")
     val sameBlock = floor(col("src") / nPerBlock) === floor(col("dst") / nPerBlock)
     a.crossJoin(b).filter(col("src") < col("dst"))
       .filter(hashUniform(seed, col("src"), col("dst")) <
@@ -63,13 +79,13 @@ object Generators {
 
   /** SBM block labels: floor(id / nPerBlock) (generators.py:106). */
   def sbmLabels(spark: SparkSession, nPerBlock: Long, numBlocks: Long): DataFrame =
-    spark.range(nPerBlock * numBlocks).toDF("id")
+    range(spark, nPerBlock * numBlocks)
       .withColumn("label", floor(col("id") / nPerBlock).cast("int"))
 
   /** 2D grid / road network, exact (generators.py:176-196): node (r,c) →
     * id r*w+c; right neighbor when c<w-1, down neighbor when r<h-1. */
   def roadNetwork(spark: SparkSession, width: Long, height: Long): DataFrame = {
-    val ids = spark.range(width * height).toDF("src")
+    val ids = range(spark, width * height).toDF("src")
     val right = ids.filter(col("src") % width < width - 1)
       .select(col("src"), (col("src") + 1).as("dst"))
     val down = ids.filter(col("src") < width * (height - 1))
@@ -83,7 +99,7 @@ object Generators {
     // n = (r^(h+1)-1)/(r-1) nodes for r>1, h+1 for r==1
     val n = if (r == 1) h.toLong + 1
     else (0 to h).map(i => math.pow(r.toDouble, i.toDouble).toLong).sum
-    spark.range(1, n).toDF("dst")
+    range(spark, 1, n).toDF("dst")
       .select(((col("dst") - 1) / r).cast("long").as("src"), col("dst"))
   }
 
@@ -92,8 +108,8 @@ object Generators {
     * clique to the next; we emit the plain caveman cliques (the
     * reference uses nx.caveman_graph at generators.py:318). */
   def caveman(spark: SparkSession, l: Long, k: Long): DataFrame = {
-    val ids = spark.range(l * k).toDF("src")
-    val b = spark.range(l * k).toDF("dst")
+    val ids = range(spark, l * k).toDF("src")
+    val b = range(spark, l * k).toDF("dst")
     ids.crossJoin(b)
       .filter(col("src") < col("dst") &&
         floor(col("src") / k) === floor(col("dst") / k))
@@ -117,8 +133,8 @@ object Generators {
   /** Ring lattice: each node connected to k/2 neighbors on each side —
     * the Watts–Strogatz substrate (generators.py:132-151), exact. */
   def ringLattice(spark: SparkSession, n: Long, k: Int): DataFrame = {
-    val ids = spark.range(n).toDF("src")
-    val offsets = spark.range(1, k / 2 + 1).toDF("off")
+    val ids = range(spark, n).toDF("src")
+    val offsets = range(spark, 1, k / 2 + 1).toDF("off")
     canon(ids.crossJoin(offsets)
       .select(col("src"), ((col("src") + col("off")) % n).as("dst")))
   }
@@ -139,8 +155,8 @@ object Generators {
     * bottom ids offset by nTop. */
   def bipartite(spark: SparkSession, nTop: Long, nBottom: Long,
                 p: Double = 0.1, seed: Long = 42): DataFrame = {
-    val top = spark.range(nTop).toDF("src")
-    val bot = spark.range(nTop, nTop + nBottom).toDF("dst")
+    val top = range(spark, nTop).toDF("src")
+    val bot = range(spark, nTop, nTop + nBottom).toDF("dst")
     top.crossJoin(bot).filter(hashUniform(seed, col("src"), col("dst")) < p)
   }
 
@@ -155,7 +171,7 @@ object Generators {
     require(dim == 2 || dim == 3, "grid join implemented for dim 2 or 3")
     val coords = (0 until dim).map(d =>
       hashUniform(seed + d, col("id")).as(s"c$d"))
-    val pts = spark.range(n).toDF("id").select(col("id") +: coords: _*)
+    val pts = range(spark, n).select(col("id") +: coords: _*)
     val cells = (0 until dim).map(d => floor(col(s"c$d") / radius).as(s"cell$d"))
     val ptsC = pts.select((col("id") +: (0 until dim).map(d => col(s"c$d"))) ++ cells: _*)
 

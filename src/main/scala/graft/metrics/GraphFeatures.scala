@@ -206,17 +206,33 @@ object GraphFeatures {
   def linkPrediction(edges: DataFrame, minCommon: Int = 2,
                      maxCenterDeg: Int = 10000): DataFrame = {
     val deg = GraphOps.degrees(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = edges.select(col("src").as("w"), col("dst").as("n"))
       .union(edges.select(col("dst").as("w"), col("src").as("n")))
+    // centers feeds BOTH sides of the wedge self-join: persisted (else
+    // Catalyst duplicates the whole adj+degree pipeline per side) and
+    // pre-partitioned + sorted on the join key so the self-join runs
+    // exchange-free and sort-free against the cache. The Adamic–Adar
+    // term 1/ln(deg) is evaluated once per ARC here instead of once
+    // per WEDGE row downstream — identical per-row doubles, Σdeg²/2 ≫
+    // 2m evaluations saved.
     val centers = adj
       .join(deg.withColumnRenamed("id", "w"), "w")
       .filter(col("degree") <= maxCenterDeg)
-    val n1 = centers.select(col("w"), col("n").as("u"), col("degree").as("wdeg"))
+      // degree-1 centers produce no u<v pair, so their _aaw value is
+      // never summed — but ANSI mode evaluates the division on every
+      // arc, so guard ln(1)=0 (the old per-wedge form only ever saw
+      // wdeg ≥ 2)
+      .withColumn("_aaw", when(col("degree") > 1,
+        lit(1.0) / log(col("degree"))).otherwise(lit(0.0)))
+      .repartition(col("w")).sortWithinPartitions("w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = centers.select(col("w"), col("n").as("u"), col("_aaw"))
     val n2 = centers.select(col("w"), col("n").as("v"))
     val pairs = n1.join(n2, "w").filter(col("u") < col("v"))
       .groupBy("u", "v")
       .agg(count(lit(1)).as("n_common"),
-        sum(lit(1.0) / log(col("wdeg"))).as("aa"))
+        sum(col("_aaw")).as("aa"))
       .filter(col("n_common") >= minCommon)
       // candidates only: drop pairs already linked (canonical u<v
       // matches the src<dst edge key directly)
@@ -338,8 +354,12 @@ object GraphFeatures {
       conv(substring(md5(concat_ws(":", lit(seed.toString),
         col("walk_id").cast("string"), lit(step.toString))), 1, 13), 16, 10)
         .cast("long")
+    // persisted like every later step: step 0 is read twice (step-1
+    // input AND the final union's first leg) and the vertex distinct
+    // would otherwise run once per reader
     var state = GraphOps.vertices(edges)
       .select(col("id").as("walk_id"), col("id").as("cur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var out = state.select(col("walk_id"), lit(0).as("step"),
       col("cur").as("node"))
     for (t <- 1 until walkLen) {
