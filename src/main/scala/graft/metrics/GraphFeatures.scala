@@ -34,7 +34,14 @@ object GraphFeatures {
     * wedge center first (the triangle's (degree, id)-minimum vertex)
     * and `b < c` by id. Two shuffles on vertex keys + one on the
     * closing-edge pair key. */
-  def triangles(edges: DataFrame): DataFrame = {
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesWithHandles(edges)._1
+
+  /** [[triangles]] plus the internally persisted frames, so an
+    * ITERATIVE caller (kTruss re-enumerates per peel round) can
+    * unpersist them once the round's aggregate is materialized. */
+  private[metrics] def trianglesWithHandles(
+      edges: DataFrame): (DataFrame, Seq[DataFrame]) = {
     // deg feeds two attach joins and arcs feeds both sides of the wedge
     // self-join; Catalyst duplicates unshared subtrees (it plans a tree,
     // not a DAG), so without the persists the degree aggregate ran twice
@@ -55,10 +62,11 @@ object GraphFeatures {
     // canonical edge (x, y), x<y by id
     val a1 = arcs.select(col("u"), col("v").as("x"))
     val a2 = arcs.select(col("u"), col("v").as("y"))
-    a1.join(a2, "u").filter(col("x") < col("y"))
+    val tri = a1.join(a2, "u").filter(col("x") < col("y"))
       .join(edges.withColumnRenamed("src", "x").withColumnRenamed("dst", "y"),
         Seq("x", "y"), "left_semi")
       .select(col("u").as("a"), col("x").as("b"), col("y").as("c"))
+    (tri, Seq(deg, arcs))
   }
 
   /** Per-vertex triangle participation count: each triangle counted at
@@ -156,8 +164,13 @@ object GraphFeatures {
                            edges: DataFrame, maxR: Int,
                            lgK: Int = 12, tol: Double = 0.05): DataFrame = {
     require(maxR >= 1, s"neighborhoodFunction needs maxR >= 1, got $maxR")
+    // static across rounds — partitioned + sorted on the sketch/ball
+    // join's key (dst), so rounds exchange only the evolving state
+    // (guide §2.4); persisted because TWO joins read it per round
     val adj = edges.union(edges.select(col("dst").as("src"),
-      col("src").as("dst")))
+        col("src").as("dst")))
+      .repartition(col("dst")).sortWithinPartitions("dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vertices = adj.select(col("src").as("id")).distinct()
     var sk = vertices.groupBy("id")
       .agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
@@ -266,8 +279,12 @@ object GraphFeatures {
   def coreNumbers(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
                   maxIter: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // static across rounds; persisted pre-partitioned + sorted on the
+    // round join's key so only the evolving H-index frame is ever
+    // exchanged (the personalizedPageRank treatment, guide §2.4)
     val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .repartition(col("nbr")).sortWithinPartitions("nbr")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m2 = adj.count()
     var (c, handle) = graft.util.Iterate.checkpoint(spark,
@@ -408,8 +425,11 @@ object GraphFeatures {
   def bfsDistancesFrom(spark: org.apache.spark.sql.SparkSession,
                        edges: DataFrame, sources: DataFrame,
                        maxIter: Int = 200): DataFrame = {
+    // static across rounds — partitioned + sorted on the frontier
+    // join's key, so rounds exchange only the frontier (guide §2.4)
     val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .repartition(col("id")).sortWithinPartitions("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m2 = adj.count() // materialize + size the loop's shuffles
     val init = sources.select(col("id")).distinct()
@@ -506,8 +526,11 @@ object GraphFeatures {
   def labelPropagation(spark: org.apache.spark.sql.SparkSession,
                        edges: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // static across rounds — partitioned + sorted on the vote join's
+    // key (nbr), so rounds exchange only the labels frame (guide §2.4)
     val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .repartition(col("nbr")).sortWithinPartitions("nbr")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m2 = adj.count()
     var (labels, handle) = graft.util.Iterate.checkpoint(spark,
@@ -547,7 +570,10 @@ object GraphFeatures {
   def ssspWeighted(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
                    source: Long, maxIter: Int = 200): DataFrame = {
     import spark.implicits._
+    // static across rounds — partitioned + sorted on the relax join's
+    // key (src), so rounds exchange only the frontier (guide §2.4)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = e.count()
     def initFrame() = Seq(source).toDF("id").withColumn("dist", lit(0L))
@@ -637,8 +663,9 @@ object GraphFeatures {
           color = next.select("id", "color"); ch = nh
         }
         // 2. backward confirmation within one color, all roots at once
-        var (conf, fh) = graft.util.Iterate.checkpoint(spark,
-          color.filter(col("id") === col("color")).select("id", "color"))
+        var (conf, fh, confCount) = graft.util.Iterate.checkpointWith(spark,
+          color.filter(col("id") === col("color")).select("id", "color"))(
+          _.count())
         var grown = true
         while (grown) {
           val step = e.join(conf.withColumnRenamed("id", "dst"), "dst")
@@ -648,7 +675,10 @@ object GraphFeatures {
             .select("id", "color")
           val (next, nh, added) = graft.util.Iterate.checkpointWith(spark,
             conf.unionByName(step).distinct())(_.count())
-          grown = added > conf.count()
+          // tracked count: a re-count job per round over the cached
+          // frame is pure latency
+          grown = added > confCount
+          confCount = added
           fh.unpersist()
           conf = next; fh = nh
         }
@@ -666,15 +696,16 @@ object GraphFeatures {
         val confirmedIds = conf.select("id")
         val (nextVerts, nvh, left) = graft.util.Iterate.checkpointWith(spark,
           verts.join(confirmedIds, Seq("id"), "left_anti"))(_.count())
-        val (nextE, neh) = graft.util.Iterate.checkpoint(spark,
-          e.join(confirmedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-            .join(confirmedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-            .select("src", "dst"))
-        ch.unpersist(); fh.unpersist()
-        vh.unpersist(); eh.unpersist()
-        verts = nextVerts; vh = nvh
-        e = nextE; eh = neh
+        vh.unpersist(); verts = nextVerts; vh = nvh
         nLeft = left
+        if (nLeft > 0) { // the last peel never reads the filtered edges
+          val (nextE, neh) = graft.util.Iterate.checkpoint(spark,
+            e.join(confirmedIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+              .join(confirmedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+              .select("src", "dst"))
+          eh.unpersist(); e = nextE; eh = neh
+        }
+        ch.unpersist(); fh.unpersist()
       }
     }
     vh.unpersist(); eh.unpersist()
@@ -886,7 +917,13 @@ object GraphFeatures {
     graft.util.Iterate.withSizedShuffle(spark, cur) {
       while (cur != prev && cur > 0 && round < maxRounds) {
         round += 1
-        val tri = triangles(e)
+        // tri feeds THREE union legs: persist it per round (else the
+        // whole wedge enumeration replays once per leg) and drop it —
+        // and the enumeration's internal frames — once the round's
+        // support aggregate is materialized
+        val (triRaw, triHandles) = trianglesWithHandles(e)
+        val tri = triRaw
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val support = tri.select(
             array(least(col("a"), col("b")), greatest(col("a"), col("b"))).as("_e"))
           .union(tri.select(
@@ -899,6 +936,8 @@ object GraphFeatures {
           e.join(support, Seq("src", "dst"), "left")
             .filter(coalesce(col("_supp"), lit(0L)) >= k - 2)
             .select("src", "dst"))(_.count())
+        tri.unpersist(blocking = false)
+        triHandles.foreach(_.unpersist(blocking = false))
         h.unpersist()
         e = next; h = nh
         prev = cur; cur = cnt
