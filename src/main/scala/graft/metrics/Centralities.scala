@@ -198,25 +198,30 @@ object Centralities {
                            iters: Int = 3): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
     // The graph side is STATIC across iterations while only the rank
-    // frame evolves: fold the out-degree onto each arc in ONE
-    // window pass (exchange by src + sort — the same single shuffle the
-    // old degree aggregate paid, now also yielding the layout the loop
-    // needs) and persist; each round's sort-merge join then reuses the
-    // cached hash(src) partitioning and src ordering, so only the
-    // (small) rank frame is ever exchanged (guide §2.4 — measured: the
-    // old shape re-exchanged + re-sorted all 2·m arcs every round and
-    // ran a separate degree join beside it).
-    // explicit repartition rather than the window's own exchange: AQE
-    // coalesces a few-MB exchange to ~1 partition (advisory 64 MB) and
-    // the window + cache build then run near-single-threaded (measured
-    // 7.3 s vs 2.9 s on the 1.2M-row lineitem adjacency); a
-    // user-specified repartition is exempt from coalescing
-    val sym = symmetrize(edges)
-      .repartition(col("src"))
-      .withColumn("deg", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+    // frame evolves: ONE hash aggregate folds the whole arc list into a
+    // neighbor array per source (no window sort — the old shape paid an
+    // exchange + a full per-partition sort to fold the degree onto each
+    // of the 2·m arcs, and every round's sort-merge join then
+    // merge-scanned all 2·m cached arc rows). The array frame is n rows
+    // (~2·m/n ≈ 14× smaller here), degree is `size(nbrs)`, and each
+    // round joins the (small) rank frame against it and explodes only
+    // the MATCHED sources' arcs — per-round work scales with the rank
+    // support's incident arcs, not the graph (guide §2.3/§2.4).
+    val adjArr = symmetrize(edges)
+      .groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+      .sortWithinPartitions("src")
       .persist()
-    val m2 = sym.count()
+    // one materializing job yields both loop-sizing numbers: arc count
+    // (shuffle sizing — the explode re-creates up to 2·m rows) and the
+    // cache build. The build runs under a raised ObjectHashAggregate
+    // fallback threshold: the default (128 distinct keys) silently
+    // degrades every >128-vertex-per-partition collect_list to a
+    // SORT-based aggregate — the exact window sort this layout removes
+    // (measured: 21 s CPU map side at the default, hash path below it).
+    val m2 = graft.util.Iterate.withObjectAggHash(spark) {
+      adjArr.agg(sum(size(col("nbrs")))).head.getLong(0)
+    }
     import spark.implicits._
     val s0 = seeds.distinct.sorted.toDF("id")
       .select(col("id"), lit(1.0 / seeds.distinct.size).as("s"))
@@ -224,10 +229,12 @@ object Centralities {
     var handle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     graft.util.Iterate.withSizedShuffle(spark, m2) {
       for (_ <- 1 to iters) {
-        val contrib = sym
+        val contrib = adjArr
           .join(x.select(col("id").as("src"), col("v")), "src")
-          .groupBy(col("dst").as("id"))
-          .agg(sum(col("v") / col("deg")).as("c"))
+          .select(explode(col("nbrs")).as("id"),
+            (col("v") / size(col("nbrs"))).as("_c"))
+          .groupBy(col("id"))
+          .agg(sum(col("_c")).as("c"))
         val nextRaw = contrib.join(s0, Seq("id"), "full_outer")
           .select(col("id"),
             (lit(1.0 - alpha) * coalesce(col("s"), lit(0.0)) +
@@ -241,7 +248,7 @@ object Centralities {
     val out = x.select(col("id"), col("v").as("ppr")).persist()
     out.count()
     handle.foreach(_.unpersist(blocking = false))
-    sym.unpersist()
+    adjArr.unpersist()
     out
   }
 

@@ -330,64 +330,54 @@ object GraphFeatures {
     * bit-for-bit on any cluster shape AND expressible in SQL for the
     * oracle gate.
     *
-    * Shape: one ranked adjacency build (per-vertex neighbor index via
-    * a vertex-keyed window), then per step one join on the current
-    * vertex + chosen rank — walkLen × one equi-join, all keyed on
-    * vertex ids, no driver state. Emits the long format
-    * (walk_id, step, node). */
+    * Shape: ONE hash aggregate folds the whole adjacency into a sorted
+    * neighbor array per vertex (no window sort, no separate degree
+    * frame — degree is `size(nbrs)` and the old rank-rk row is
+    * `element_at(nbrs, rk+1)`, identical ascending-neighbor indexing),
+    * then per step one equi-join of the walk state against that n-row
+    * cached frame. The previous layout materialized a RANKED 2·m-row
+    * frame plus a degree frame and ran TWO joins per step, each
+    * merge-scanning all 2·m ranked rows; the array frame shrinks the
+    * static side ~2·m/n ≈ 14× and halves the per-step joins.
+    * Emits the long format (walk_id, step, node). */
   def randomWalks(edges: DataFrame, walkLen: Int,
                   seed: Long = 42): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
     val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
-    // The ranked adjacency is STATIC across steps while only the walk
-    // state evolves; persist it pre-partitioned and pre-sorted on the
-    // step join's exact key (id, rk) so every step's sort-merge join
-    // reuses the cached layout and only the k-rows walk state is ever
-    // exchanged (guide §2.4 — measured: the old layout re-exchanged
-    // and re-sorted all 2·m ranked rows on every step).
-    val ranked = adj
-      // user-specified repartition: without it AQE coalesces the few-MB
-      // window exchange to ~1 partition and the window + cache build
-      // run near-single-threaded (see personalizedPageRank note)
-      .repartition(col("id"))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("id").orderBy("nbr")).cast("long") - 1)
-      // partition on BOTH join keys: co-partition reuse requires the
-      // cached partitioning to cover ALL of the step join's keys
-      // (spark.sql.requireAllClusterKeysForCoPartition defaults true —
-      // hash(id) alone measured as NOT reused: every step re-exchanged
-      // the full ranked frame), and the local (id, rk) sort order lets
-      // the sort-merge join skip re-sorting the cached side too
-      .repartition(col("id"), col("rk"))
-      .sortWithinPartitions("id", "rk")
+    // static across steps: persisted partitioned + locally sorted on
+    // the step join's key so each step's sort-merge join reuses the
+    // cached layout and only the walk state is ever exchanged
+    // (guide §2.4)
+    val adjArr = adj.groupBy("id")
+      .agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
+      .sortWithinPartitions("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // degrees persisted once (already hash-partitioned by id from the
-    // aggregation) instead of re-aggregating the ranked frame per step
-    val deg = adj.groupBy("id").agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the build eagerly under the raised ObjectHashAggregate
+    // fallback threshold (see Iterate.withObjectAggHash: the default 128
+    // turns this collect_list into a per-partition sort)
+    graft.util.Iterate.withObjectAggHash(edges.sparkSession) {
+      adjArr.count()
+    }
     def draw(step: Int): Column =
       conv(substring(md5(concat_ws(":", lit(seed.toString),
         col("walk_id").cast("string"), lit(step.toString))), 1, 13), 16, 10)
         .cast("long")
-    // persisted like every later step: step 0 is read twice (step-1
-    // input AND the final union's first leg) and the vertex distinct
-    // would otherwise run once per reader
-    var state = GraphOps.vertices(edges)
+    // step 0 is every distinct endpoint — exactly adjArr's key set, so
+    // both its readers (step 1 and the final union) are cheap cache
+    // projections; no separate vertex-distinct job
+    var state: DataFrame = adjArr
       .select(col("id").as("walk_id"), col("id").as("cur"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var out = state.select(col("walk_id"), lit(0).as("step"),
       col("cur").as("node"))
     for (t <- 1 until walkLen) {
       // persist each step: the final union reads every step's frame
       // once, and step t+1 extends step t without replaying its joins
       state = state
-        .join(deg.withColumnRenamed("id", "cur"), "cur")
-        .withColumn("rk", draw(t) % col("deg"))
-        .join(ranked.withColumnRenamed("id", "cur")
-          .withColumnRenamed("nbr", "next"), Seq("cur", "rk"))
-        .select(col("walk_id"), col("next").as("cur"))
+        .join(adjArr.withColumnRenamed("id", "cur"), "cur")
+        .select(col("walk_id"),
+          element_at(col("nbrs"),
+            (draw(t) % size(col("nbrs"))).cast("int") + 1).as("cur"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out = out.unionByName(
         state.select(col("walk_id"), lit(t).as("step"), col("cur").as("node")))

@@ -95,6 +95,23 @@ object Iterate {
     }
   }
 
+  /** Run `body` with ObjectHashAggregate's sort-based fallback
+    * effectively disabled. TypedImperative aggregates (collect_list /
+    * collect_set) abandon their hash map for a per-partition SORT once
+    * a task sees more than `spark.sql.objectHashAggregate.sortBased.
+    * fallbackThreshold` distinct keys — and the default is 128, so any
+    * realistic adjacency/grouping build silently pays the very sort a
+    * hash aggregate exists to avoid. The hash path's memory is the
+    * grouped data itself (spillable via the task memory manager), so a
+    * large threshold is safe; only safe around EAGER work, like
+    * [[withSizedShuffle]]. */
+  def withObjectAggHash[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key, "128")
+    spark.conf.set(key, Int.MaxValue.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run `body` for `iters` iterations starting from `init`, with
     * materialization and previous-state cleanup each step. */
   def loop(spark: SparkSession, init: DataFrame, iters: Int)
