@@ -218,34 +218,69 @@ object GraphFeatures {
     */
   def linkPrediction(edges: DataFrame, minCommon: Int = 2,
                      maxCenterDeg: Int = 10000): DataFrame = {
-    val deg = GraphOps.degrees(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adj = edges.select(col("src").as("w"), col("dst").as("n"))
       .union(edges.select(col("dst").as("w"), col("src").as("n")))
-    // centers feeds BOTH sides of the wedge self-join: persisted (else
-    // Catalyst duplicates the whole adj+degree pipeline per side) and
-    // pre-partitioned + sorted on the join key so the self-join runs
-    // exchange-free and sort-free against the cache. The Adamic–Adar
-    // term 1/ln(deg) is evaluated once per ARC here instead of once
-    // per WEDGE row downstream — identical per-row doubles, Σdeg²/2 ≫
-    // 2m evaluations saved.
-    val centers = adj
-      .join(deg.withColumnRenamed("id", "w"), "w")
-      .filter(col("degree") <= maxCenterDeg)
+    // ONE hash aggregate folds the adjacency into a sorted neighbor
+    // array per center; degree is size(ns), so no separate degree
+    // aggregate or degree join. Wedge pairs are then enumerated by two
+    // CHAINED generators over each array — the intermediate slice per
+    // (center, u) row is ≤ deg elements, so memory stays bounded under
+    // hub skew — replacing the old cached self-join (measured: the
+    // centers repartition+sort+persist and the merge scan together
+    // cost ~28 s CPU at sf0.1; the Σdeg²/2 pair rows and the pair
+    // aggregate are unchanged — that volume is the algorithm). The
+    // ascending array order makes u < v structural (slice starts past
+    // u's position), and the Adamic–Adar term 1/ln(deg) is evaluated
+    // once per CENTER, not once per wedge row.
+    val deg = GraphOps.degrees(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LOSSLESS endpoint prune: n_common(u,v) ≤ min(deg(u), deg(v)), so
+    // an entry whose own degree is < minCommon can never appear in a
+    // surviving pair — drop it from every center's array BEFORE pair
+    // enumeration (here ~1/7 of the order-side entries are degree-1
+    // line items, and the wedge volume falls quadratically in the kept
+    // fraction). Centers keep their FULL degree for the cap filter and
+    // the Adamic–Adar weight via the deg join below.
+    val adjF =
+      if (minCommon > 1)
+        adj.join(broadcast(deg.withColumnRenamed("id", "n")), "n")
+          .filter(col("degree") >= minCommon).select(col("w"), col("n"))
+      else adj
+    val base = adjF.groupBy(col("w"))
+      .agg(sort_array(collect_list(col("n"))).as("ns"))
+      .join(broadcast(deg.withColumnRenamed("id", "w")), "w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Iterate.withObjectAggHash(edges.sparkSession) {
+      base.count()
+    }
+    val ctr = base.filter(col("degree") <= maxCenterDeg)
       // degree-1 centers produce no u<v pair, so their _aaw value is
       // never summed — but ANSI mode evaluates the division on every
-      // arc, so guard ln(1)=0 (the old per-wedge form only ever saw
-      // wdeg ≥ 2)
+      // center, so guard ln(1)=0
       .withColumn("_aaw", when(col("degree") > 1,
-        lit(1.0) / log(col("degree"))).otherwise(lit(0.0)))
-      .repartition(col("w")).sortWithinPartitions("w")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n1 = centers.select(col("w"), col("n").as("u"), col("_aaw"))
-    val n2 = centers.select(col("w"), col("n").as("v"))
-    val pairs = n1.join(n2, "w").filter(col("u") < col("v"))
-      .groupBy("u", "v")
-      .agg(count(lit(1)).as("n_common"),
-        sum(col("_aaw")).as("aa"))
+        lit(1.0) / log(col("degree").cast("double"))).otherwise(lit(0.0)))
+    // pack the pair key into ONE long when ids fit 32 bits (shuffle
+    // rows shrink 32 → 24 B and the aggregate compares one word);
+    // arbitrary id spaces take the generic two-column key
+    val idRange = deg.agg(min(col("id")), max(col("id"))).head
+    val packable = idRange.getLong(0) >= 0 && idRange.getLong(1) < (1L << 31)
+    val wedgesRaw = ctr
+      .select(col("_aaw"), col("ns"), posexplode(col("ns")).as(Seq("i", "u")))
+      .select(col("_aaw"), col("u"),
+        explode(slice(col("ns"), col("i") + 2, size(col("ns")))).as("v"))
+    val aggregated =
+      if (packable)
+        wedgesRaw
+          .select((shiftleft(col("u"), 32) + col("v")).as("_k"), col("_aaw"))
+          .groupBy("_k")
+          .agg(count(lit(1)).as("n_common"), sum(col("_aaw")).as("aa"))
+          .select(shiftright(col("_k"), 32).as("u"),
+            col("_k").bitwiseAND(lit(0xFFFFFFFFL)).as("v"),
+            col("n_common"), col("aa"))
+      else
+        wedgesRaw.groupBy("u", "v")
+          .agg(count(lit(1)).as("n_common"), sum(col("_aaw")).as("aa"))
+    val pairs = aggregated
       .filter(col("n_common") >= minCommon)
       // candidates only: drop pairs already linked (canonical u<v
       // matches the src<dst edge key directly)
