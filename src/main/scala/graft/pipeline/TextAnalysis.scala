@@ -1922,14 +1922,27 @@ object TextAnalysis {
                        textCol: String = "text", n: Int = 2): DataFrame = {
     val grams = train.select(col(langCol).as("lang"),
         explode(charNgrams(col(textCol), n)).as("gram"))
+    // the gram count table feeds THREE readers (profile rows, per-lang
+    // totals, vocabulary size); persisted, or Catalyst replays the
+    // whole train-corpus explode+aggregate once per reader (measured:
+    // 3 full corpus passes at sf0.1). Both it and the returned model
+    // are bounded by charset^n × languages — model-sized, not
+    // corpus-sized — so the model materializes EAGERLY here and the
+    // count cache is dropped before returning; scoring-side readers
+    // (broadcast twice by langProfileId) then hit the model cache.
     val counts = grams.groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.groupBy("lang").agg(sum("c").as("tot"))
     val vocab = counts.select("gram").distinct()
       .agg(count(lit(1)).as("v"))
-    counts.join(totals, "lang").crossJoin(broadcast(vocab))
+    val profile = counts.join(totals, "lang").crossJoin(broadcast(vocab))
       .select(col("lang"), col("gram"),
         log((col("c") + lit(1)) / (col("tot") + col("v"))).as("logp"),
         log(lit(1) / (col("tot") + col("v"))).as("floor_logp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    profile.count()
+    counts.unpersist(blocking = false)
+    profile
   }
 
   /** Score `docs` against a [[langProfileTrain]] profile and emit the

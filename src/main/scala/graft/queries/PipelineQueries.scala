@@ -40,19 +40,36 @@ object PipelineQueries {
     // code), keeping the row hash free of float-sum-order hazards.
     "q218_langid_profile" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val variants = scriptTargets.map { case (idx, lang, target) =>
-        docs.select((col("doc_id") * 4 + lit(idx)).as("vid"),
-          col("doc_id"), lit(lang).as("lang"),
-          translate(lower(col("text")), latinAz, target).as("text"))
-      }.reduce(_ unionByName _)
+      // ONE corpus scan forges all four script variants (explode over
+      // the script index, literal-argument translate per branch)
+      // instead of a 4-leg union that re-scanned the corpus per leg;
+      // the round-robin repartition spreads the translate+gram work
+      // over the session's cores (the parquet layout is 4 row groups,
+      // so the heavy map stages otherwise run 4-wide).
+      val langCase = scriptTargets.map { case (idx, lang, _) =>
+        when(col("_i") === idx, lit(lang)) }.reduceRight(_ otherwise _)
+      val textCase = scriptTargets.map { case (idx, _, target) =>
+        when(col("_i") === idx,
+          translate(lower(col("text")), latinAz, target)) }
+        .reduceRight(_ otherwise _)
+      // numbered repartition (REPARTITION_BY_NUM is the one origin AQE
+      // never coalesces — both the bare and the expression-only form
+      // were sized down to ONE partition on this few-hundred-KB corpus
+      // and the gram stages ran serial); sized to the cluster, keyed on
+      // the unique doc_id for an even spread — the stage is CPU-bound
+      // per row, not byte-bound, so core count is the right scale
+      val variants = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          explode(array(scriptTargets.map(t => lit(t._1)): _*)).as("_i"))
+        .select((col("doc_id") * 4 + col("_i")).as("vid"), col("doc_id"),
+          langCase.as("lang"), textCase.as("text"))
       val train = variants.filter(col("doc_id") % 2 === 0)
       val test = variants.filter(col("doc_id") % 2 =!= 0)
-      // the profile is broadcast twice by langProfileId (floors +
-      // gram weights); persisting stops Catalyst replaying the whole
-      // train-corpus gram aggregation once per broadcast (plan-tree
-      // duplication, the lineitemGraph-memo rationale)
+      // langProfileTrain materializes the (bounded) model eagerly, so
+      // the broadcast-twice read pattern of langProfileId hits its
+      // cache instead of replaying the train-corpus gram aggregation
       val profile = TextAnalysis.langProfileTrain(train)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       TextAnalysis.langProfileId(test, profile, idCol = "vid")
         .join(test.select("vid", "lang"), "vid")
         .select(col("vid"), col("lang").as("lang_true"),
