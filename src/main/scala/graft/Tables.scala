@@ -50,5 +50,18 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Every embeddings consumer is vector-math-heavy per row (distance
+    * scans, quantizer encodes, md5-derived projections), and the local
+    * table is ONE small parquet split — so the whole ANN family was
+    * measured running its map stages 1-task serial. Spread the scan to
+    * the cluster when (and only when) the file layout under-splits:
+    * at production scale the table is many splits and no exchange is
+    * added. Row content is untouched; vec_id keying spreads evenly. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val df = apply(spark, dir, "embeddings")
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.col("vec_id"))
+  }
 }

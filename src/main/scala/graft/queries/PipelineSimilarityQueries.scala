@@ -1043,7 +1043,14 @@ object PipelineSimilarityQueries {
         .createTempDirectory("graft_q214").toString
       docs.select(md5(col("text")).as("fp"))
         .write.mode("overwrite").parquet(s"$root/fp/batch=0")
-      NearDupStream.bandKeys(docs).select("doc_id", "band", "bucket", "sig")
+      // the k=64 minhash signature is the per-doc hot map and the doc
+      // scan is one small parquet split — numbered repartition (never
+      // AQE-coalesced) spreads the measured 6 s serial stage across the
+      // cluster; index CONTENT is per-row md5-derived, so partitioning
+      // cannot change it
+      NearDupStream.bandKeys(
+          docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+        .select("doc_id", "band", "bucket", "sig")
         .write.mode("overwrite").parquet(s"$root/band/batch=0")
       val target = docs.orderBy("doc_id").limit(1).collect()(0)
       import s.implicits._
