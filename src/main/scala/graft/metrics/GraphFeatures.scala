@@ -42,34 +42,31 @@ object GraphFeatures {
     * unpersist them once the round's aggregate is materialized. */
   private[metrics] def trianglesWithHandles(
       edges: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    // deg feeds two attach joins; Catalyst duplicates unshared subtrees
-    // (it plans a tree, not a DAG), so without the persist the degree
-    // aggregate ran twice (guide §2.4).
+    // deg feeds two attach joins and arcs feeds both sides of the wedge
+    // self-join; Catalyst duplicates unshared subtrees (it plans a tree,
+    // not a DAG), so without the persists the degree aggregate ran twice
+    // and the whole deg-attach pipeline four times (measured: 4×
+    // exchanges of the same frame in one q156 run — guide §2.4).
     val deg = GraphOps.degrees(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // direct each edge from its lower-(degree, id) endpoint (src<dst
-    // canonical input makes the tie case u=src), then fold each u's
-    // bounded out-neighborhood into ONE sorted array — the wedge pairs
-    // come from two chained generators over that array (x<y structural:
-    // the inner slice starts past x's position) instead of a cached
-    // self-join, so the arcs frame, its persist, and the merge scan of
-    // both self-join legs all disappear; the Σ outdeg² candidate volume
-    // and the closing edge semi-join are the algorithm and stay.
-    val arcsArr = edges
+    // direct each edge from its lower-(degree, id) endpoint; src<dst
+    // canonical input makes the tie case u=src
+    val arcs = edges
       .join(deg.withColumnRenamed("id", "src").withColumnRenamed("degree", "sdeg"), "src")
       .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("degree", "ddeg"), "dst")
       .select(
         when(col("sdeg") <= col("ddeg"), col("src")).otherwise(col("dst")).as("u"),
         when(col("sdeg") <= col("ddeg"), col("dst")).otherwise(col("src")).as("v"))
-      .groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("vs"))
-    val tri = arcsArr
-      .select(col("u"), col("vs"), posexplode(col("vs")).as(Seq("i", "x")))
-      .select(col("u"), col("x"),
-        explode(slice(col("vs"), col("i") + 2, size(col("vs")))).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wedges at u over its (bounded) out-neighborhood, closed by the
+    // canonical edge (x, y), x<y by id
+    val a1 = arcs.select(col("u"), col("v").as("x"))
+    val a2 = arcs.select(col("u"), col("v").as("y"))
+    val tri = a1.join(a2, "u").filter(col("x") < col("y"))
       .join(edges.withColumnRenamed("src", "x").withColumnRenamed("dst", "y"),
         Seq("x", "y"), "left_semi")
       .select(col("u").as("a"), col("x").as("b"), col("y").as("c"))
-    (tri, Seq(deg))
+    (tri, Seq(deg, arcs))
   }
 
   /** Per-vertex triangle participation count: each triangle counted at
@@ -942,9 +939,6 @@ object GraphFeatures {
     var prev = -1L
     var cur = e.count()
     var round = 0
-    // hash path for the per-round triangle collect_list (see
-    // Iterate.withObjectAggHash)
-    graft.util.Iterate.withObjectAggHash(spark) {
     graft.util.Iterate.withSizedShuffle(spark, cur) {
       while (cur != prev && cur > 0 && round < maxRounds) {
         round += 1
@@ -973,7 +967,6 @@ object GraphFeatures {
         e = next; h = nh
         prev = cur; cur = cnt
       }
-    }
     }
     if (cur != prev && cur > 0)
       throw new IllegalStateException(

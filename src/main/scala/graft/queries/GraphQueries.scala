@@ -48,16 +48,9 @@ object GraphQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def lineitemTriangles(s: SparkSession, d: String): DataFrame =
-    triMemo.computeIfAbsent((s, d), _ => {
-      val t = graft.metrics.GraphFeatures.triangles(lineitemGraph(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize eagerly under the hash-aggregate path (the
-      // enumeration's neighbor-array collect_list otherwise falls back
-      // to a per-partition sort — Iterate.withObjectAggHash); still
-      // inside the first consumer's timed region
-      graft.util.Iterate.withObjectAggHash(s) { t.count() }
-      t
-    })
+    triMemo.computeIfAbsent((s, d), _ =>
+      graft.metrics.GraphFeatures.triangles(lineitemGraph(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Supplier–nation bipartite graph with disjoint id spaces. */
   def supplierGraph(s: SparkSession, d: String): DataFrame =
