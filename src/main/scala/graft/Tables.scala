@@ -51,16 +51,29 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
 
+  /** Spread parallelism for a small, under-split, CPU-heavy scan.
+    * Full cluster width is measurably the WRONG target on a table this
+    * small: a 32-wide spread cut the ANN family's wall 82 → 49 s but
+    * charged +157 cpu-s of per-task/per-stage overhead across the
+    * many-tiny-stage index-audit queries that read the same table
+    * (~130 stages each × 32 near-empty tasks). A bounded quantum keeps
+    * most of the wall win at a fraction of the task overhead; override
+    * with `spark.graft.smallScan.parallelism` where the per-row work
+    * justifies full width. */
+  def smallScanParallelism(spark: SparkSession): Int =
+    math.min(spark.conf.get("spark.graft.smallScan.parallelism", "8").toInt,
+      spark.sparkContext.defaultParallelism)
+
   /** Every embeddings consumer is vector-math-heavy per row (distance
     * scans, quantizer encodes, md5-derived projections), and the local
     * table is ONE small parquet split — so the whole ANN family was
-    * measured running its map stages 1-task serial. Spread the scan to
-    * the cluster when (and only when) the file layout under-splits:
-    * at production scale the table is many splits and no exchange is
-    * added. Row content is untouched; vec_id keying spreads evenly. */
+    * measured running its map stages 1-task serial. Spread the scan
+    * when (and only when) the file layout under-splits: at production
+    * scale the table is many splits and no exchange is added. Row
+    * content is untouched; vec_id keying spreads evenly. */
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
     val df = apply(spark, dir, "embeddings")
-    val target = spark.sparkContext.defaultParallelism
+    val target = smallScanParallelism(spark)
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, org.apache.spark.sql.functions.col("vec_id"))
   }

@@ -59,7 +59,7 @@ object PipelineQueries {
       // the unique doc_id for an even spread — the stage is CPU-bound
       // per row, not byte-bound, so core count is the right scale
       val variants = docs
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .repartition(Tables.smallScanParallelism(s), col("doc_id"))
         .select(col("doc_id"), col("text"),
           explode(array(scriptTargets.map(t => lit(t._1)): _*)).as("_i"))
         .select((col("doc_id") * 4 + col("_i")).as("vid"), col("doc_id"),

@@ -1049,7 +1049,7 @@ object PipelineSimilarityQueries {
       // cluster; index CONTENT is per-row md5-derived, so partitioning
       // cannot change it
       NearDupStream.bandKeys(
-          docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+          docs.repartition(Tables.smallScanParallelism(s), col("doc_id")))
         .select("doc_id", "band", "bucket", "sig")
         .write.mode("overwrite").parquet(s"$root/band/batch=0")
       val target = docs.orderBy("doc_id").limit(1).collect()(0)
