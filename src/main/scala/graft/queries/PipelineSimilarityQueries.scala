@@ -631,7 +631,12 @@ object PipelineSimilarityQueries {
     //    signal moves the way the reassign scheduling loop needs.
     "q207_index_maint" -> ((s, d) => {
       import graft.streaming.IvfStream
-      val e = Tables.embeddings(s, d)
+      // index-lifecycle audits read the RAW (unspread) table: their
+      // cost is ~130 tiny orchestration stages and partitionBy index
+      // writes, and a spread source multiplies index-file counts and
+      // per-stage task counts (measured +15-17 cpu-s each) for no wall
+      // gain — the opposite trade of the scan-heavy top-k family
+      val e = Tables(s, d, "embeddings")
       val root = java.nio.file.Files
         .createTempDirectory("graft_q207").toString
       def codeRows(df: DataFrame): Set[(Long, Seq[Byte], Int)] =
@@ -803,7 +808,12 @@ object PipelineSimilarityQueries {
     "q212_index_delete" -> ((s, d) => {
       import graft.streaming.{IndexDelete, IvfStream}
       import org.apache.hadoop.fs.Path
-      val e = Tables.embeddings(s, d)
+      // index-lifecycle audits read the RAW (unspread) table: their
+      // cost is ~130 tiny orchestration stages and partitionBy index
+      // writes, and a spread source multiplies index-file counts and
+      // per-stage task counts (measured +15-17 cpu-s each) for no wall
+      // gain — the opposite trade of the scan-heavy top-k family
+      val e = Tables(s, d, "embeddings")
       val root = java.nio.file.Files
         .createTempDirectory("graft_q212").toString
       val centers = Similarity.ivfTrainCentroids(s, e, nLists = 8)
@@ -925,7 +935,12 @@ object PipelineSimilarityQueries {
       // (booleans), not scale — ProbeDeleteScale carries the n=1M
       // measurement, and an unbounded slice made the sf0.1 bench row
       // pay ~55 s for no extra contract coverage
-      val e = Tables.embeddings(s, d).filter(col("vec_id") < 20000)
+      // index-lifecycle audits read the RAW (unspread) table: their
+      // cost is ~130 tiny orchestration stages and partitionBy index
+      // writes, and a spread source multiplies index-file counts and
+      // per-stage task counts (measured +15-17 cpu-s each) for no wall
+      // gain — the opposite trade of the scan-heavy top-k family
+      val e = Tables(s, d, "embeddings").filter(col("vec_id") < 20000)
       val root = java.nio.file.Files
         .createTempDirectory("graft_q215").toString
       val centers = Similarity.ivfTrainCentroids(s, e, nLists = 8)
