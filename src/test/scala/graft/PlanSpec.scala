@@ -158,13 +158,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q90 PCA projection is a narrow map over the scan (no shuffle)") {
+    // the RAW scan: the pinned claim is that the Pca OPERATOR adds no
+    // shuffle. Tables.embeddings may additionally spread an under-split
+    // local file (one bounded REPARTITION_BY_NUM exchange, r15) — a
+    // loader property, conditional on file layout, not an operator one.
+    val raw = Tables(spark, sf, "embeddings")
     val m = graft.linalg.Pca.fit(
-      Tables.embeddings(spark, sf)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      raw.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       "v", r = 2)
     val p = graft.linalg.Pca.transform(
-      Tables.embeddings(spark, sf)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      raw.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       m, "v").queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"PCA projection must not shuffle:\n$p")
   }
