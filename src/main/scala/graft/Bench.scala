@@ -359,6 +359,17 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
       ()
     }
+    // ... and ALWAYS to a stable path (r15 verdict #3 / next-round #2):
+    // the driver's stdout tail is too short for the ~30 KB per-query
+    // line, so every run leaves the full artifact where a comparison
+    // tool can find it without any env setup. Reporting only — the
+    // timed work above is untouched.
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_results/bench_last.json"),
+        fullLine + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write bench_last.json: $e") }
     spark.stop()
   }
 }

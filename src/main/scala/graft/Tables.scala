@@ -64,6 +64,15 @@ object Tables {
     math.min(spark.conf.get("spark.graft.smallScan.parallelism", "8").toInt,
       spark.sparkContext.defaultParallelism)
 
+  /** Scan split count per (session, dir) — probing it via
+    * `df.rdd.getNumPartitions` forces physical planning of the scan,
+    * so the probe runs ONCE per (session, dir) and is memoized (r15
+    * ADVICE: the loader is called from dozens of hot sites and was
+    * re-planning the scan on every call). Entries die with the
+    * session. */
+  private val splitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]()
+
   /** Every embeddings consumer is vector-math-heavy per row (distance
     * scans, quantizer encodes, md5-derived projections), and the local
     * table is ONE small parquet split — so the whole ANN family was
@@ -74,7 +83,9 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
     val df = apply(spark, dir, "embeddings")
     val target = smallScanParallelism(spark)
-    if (df.rdd.getNumPartitions >= target) df
+    val splits: Int = splitMemo.computeIfAbsent((spark, dir),
+      _ => df.rdd.getNumPartitions)
+    if (splits >= target) df
     else df.repartition(target, org.apache.spark.sql.functions.col("vec_id"))
   }
 }

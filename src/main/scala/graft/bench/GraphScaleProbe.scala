@@ -63,7 +63,10 @@ object GraphScaleProbe {
     val (nScc, tScc) = time {
       val d = g.union(g.filter((col("src") + col("dst")) % 3 === 0)
         .select(col("dst").as("src"), col("src").as("dst")))
-      GraphFeatures.stronglyConnected(spark, d)
+      // driverEdgeCap=0: this probe measures the DISTRIBUTED peel (the
+      // 100 TB path) — the driver-Tarjan small route would swallow
+      // every probe size below the cap
+      GraphFeatures.stronglyConnected(spark, d, driverEdgeCap = 0)
         .select("component").distinct().count()
     }
     // MST over hash-distinct weights (unique MST, deterministic rounds)
@@ -89,6 +92,33 @@ object GraphScaleProbe {
     val (nEj, tEj) = time(GraphFeatures.edgeJaccard(g).count())
     val (_, tAnf) = time(
       GraphFeatures.neighborhoodFunction(spark, g, maxR = 2).count())
+    // r16 hub-skew arm (r15 verdict #5): a star hub of degree n−1 with
+    // the adjacency chunk cap forced to n/8 drives PPR and randomWalks
+    // through the degree-probe + hub-segmented route — every adjacency
+    // row/aggregation buffer is bounded by the cap (≈8 chunk rows for
+    // the hub) no matter the hub degree, so per-round memory stays
+    // flat in n/cap instead of growing with the hub. Correctness of
+    // the chunked route vs the unchunked one is spec-pinned
+    // (MetricsSpec / GraphFeaturesSpec); this column records the cost.
+    val hubCap = math.max(4L, n / 8).toString
+    val (nHubPpr, tHubPpr, tHubWalk) = {
+      val key = "spark.graft.adjMaxChunk"
+      spark.conf.set(key, hubCap)
+      try {
+        import spark.implicits._
+        val star = spark.range(1, n).toDF("dst")
+          .select(lit(0L).as("src"), col("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        star.count()
+        val (np, tp) = time(graft.metrics.Centralities
+          .personalizedPageRank(spark, star, seeds = Seq(0L), iters = 3)
+          .count())
+        val (_, tw) = time(
+          GraphFeatures.randomWalks(star, walkLen = 4).count())
+        star.unpersist()
+        (np, tp, tw)
+      } finally spark.conf.unset(key)
+    }
     println(s"""{"probe":"graph_scale","n":$n,"m":$m,"avg_deg":$avgDeg,""" +
       s""""degrees_sec":$tDeg,"triangles_sec":$tTri,"triangles":$nTri,""" +
       s""""cc_df_sec":$tCc,"components":$nComp,""" +
@@ -102,7 +132,9 @@ object GraphScaleProbe {
       s""""ppr_sec":$tPpr,"ppr_support":$nPpr,""" +
       s""""transitivity_sec":$tTrans,"transitivity":$trans,""" +
       s""""edge_jaccard_sec":$tEj,"edge_jaccard_rows":$nEj,""" +
-      s""""anf_r2_sec":$tAnf}""")
+      s""""anf_r2_sec":$tAnf,""" +
+      s""""hub_chunk_cap":$hubCap,"hub_ppr_sec":$tHubPpr,""" +
+      s""""hub_ppr_support":$nHubPpr,"hub_walks_sec":$tHubWalk}""")
     spark.stop()
   }
 }

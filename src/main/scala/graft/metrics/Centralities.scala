@@ -198,58 +198,115 @@ object Centralities {
                            iters: Int = 3): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
     // The graph side is STATIC across iterations while only the rank
-    // frame evolves: ONE hash aggregate folds the whole arc list into a
-    // neighbor array per source (no window sort — the old shape paid an
-    // exchange + a full per-partition sort to fold the degree onto each
-    // of the 2·m arcs, and every round's sort-merge join then
-    // merge-scanned all 2·m cached arc rows). The array frame is n rows
-    // (~2·m/n ≈ 14× smaller here), degree is `size(nbrs)`, and each
-    // round joins the (small) rank frame against it and explodes only
-    // the MATCHED sources' arcs — per-round work scales with the rank
-    // support's incident arcs, not the graph (guide §2.3/§2.4).
-    val adjArr = symmetrize(edges)
-      .groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"))
-      .sortWithinPartitions("src")
-      .persist()
-    // one materializing job yields both loop-sizing numbers: arc count
-    // (shuffle sizing — the explode re-creates up to 2·m rows) and the
-    // cache build. The build runs under a raised ObjectHashAggregate
-    // fallback threshold: the default (128 distinct keys) silently
-    // degrades every >128-vertex-per-partition collect_list to a
-    // SORT-based aggregate — the exact window sort this layout removes
-    // (measured: 21 s CPU map side at the default, hash path below it).
-    val m2 = graft.util.Iterate.withObjectAggHash(spark) {
-      adjArr.agg(sum(size(col("nbrs")))).head.getLong(0)
-    }
+    // frame evolves: ONE hash aggregate folds the whole arc list into
+    // neighbor arrays (no window sort — the old shape paid an exchange
+    // + a full per-partition sort to fold the degree onto each of the
+    // 2·m arcs, and every round's sort-merge join then merge-scanned
+    // all 2·m cached arc rows). Each round joins the (small) rank
+    // frame against the array frame and explodes only the MATCHED
+    // sources' arcs — per-round work scales with the rank support's
+    // incident arcs, not the graph (guide §2.3/§2.4).
+    //
+    // HUB-SEGMENTED arrays (r15 verdict #5, guide §2.5 skew / §5
+    // memory): an unbounded per-vertex array makes a 100 M-degree hub
+    // ONE multi-GB aggregation buffer and row. Arrays are therefore
+    // capped at `spark.graft.adjMaxChunk` neighbors (default 2²² ≈
+    // 32 MB of longs per buffer worst-case — bounded, spillable-scale;
+    // far above any bench graph, so locally every vertex keeps exactly
+    // one chunk and the plan is unchanged): a hub's arcs hash-split
+    // into ceil(deg/cap) chunk rows, each carrying the FULL degree for
+    // the contribution division, and the per-dst sum is
+    // chunking-invariant (same multiset of v/deg terms). The route is
+    // decided by a degree probe that runs ONLY when the free upper
+    // bound (total arcs) exceeds the cap — a graph whose whole arc
+    // count fits one chunk cannot contain a hub that doesn't.
+    //
+    // 2·m is known without a pass over the arrays (every edge is two
+    // arcs), so the BUILD runs data-sized too — the session-wide
+    // shuffle width on an n-row frame was pure per-task overhead.
+    val m2 = 2L * edges.count()
+    val maxChunk = spark.conf
+      .get("spark.graft.adjMaxChunk", (1 << 22).toString).toInt
     import spark.implicits._
     val s0 = seeds.distinct.sorted.toDF("id")
       .select(col("id"), lit(1.0 / seeds.distinct.size).as("s"))
     var x = s0.select(col("id"), col("s").as("v"))
     var handle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     graft.util.Iterate.withSizedShuffle(spark, m2) {
+      // the build runs under a raised ObjectHashAggregate fallback
+      // threshold: the default (128 distinct keys) silently degrades
+      // every >128-group-per-partition collect_list to a SORT-based
+      // aggregate — the exact window sort this layout removes
+      // (measured: 21 s CPU map side at the default, hash path below
+      // it). The threshold stays finite so the spill path survives
+      // (Iterate.withObjectAggHash doc).
+      val adjArr = graft.util.Iterate.withObjectAggHash(spark) {
+        val arcs = symmetrize(edges)
+        // degree probe BEFORE the array build: the hazard is the
+        // aggregation buffer itself, so the route must be decided
+        // before any array materializes. m2 (total arcs) is a free
+        // upper bound on every degree — the probe job only runs past
+        // it. One narrow two-stage aggregate (coalesce: null on an
+        // empty graph — r15 ADVICE).
+        lazy val degF = arcs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val maxDeg =
+          if (m2 <= maxChunk) m2
+          else degF.agg(coalesce(max(col("deg")), lit(0L))).head.getLong(0)
+        val a = (if (maxDeg <= maxChunk)
+            // no hub exceeds the cap: single-chunk arrays, degree free
+            // as size(nbrs) — no join, no extra shuffle (the measured
+            // fast path; every bench graph takes it)
+            arcs.groupBy(col("src"))
+              .agg(collect_list(col("dst")).as("nbrs"))
+              .select(col("src"), col("nbrs"),
+                size(col("nbrs")).cast("long").as("deg"))
+          else
+            // hub route: hash-split each vertex's arcs into
+            // ceil(deg/cap) chunk rows (integer `div` — SQL `/` on
+            // longs is double division), each carrying the full degree
+            // for the contribution division; the deg join and the
+            // chunked aggregate ride the same src clustering
+            arcs.join(degF, "src")
+              .withColumn("_chunk", pmod(xxhash64(col("dst")),
+                expr(s"(deg + ${maxChunk - 1}) div $maxChunk")))
+              .groupBy(col("src"), col("_chunk"))
+              .agg(collect_list(col("dst")).as("nbrs"),
+                first(col("deg")).as("deg"))
+              .select(col("src"), col("nbrs"), col("deg")))
+          .sortWithinPartitions("src")
+          .persist()
+        a.count()
+        a
+      }
+      // TELEPORT FOLDED INTO THE CONTRIB AGGREGATE (r15 verdict #4):
+      // the restart mass enters as ≤|seeds| extra pre-aggregate rows,
+      // so each round is ONE join + ONE shuffle — the old shape paid a
+      // second (full-outer) join of the contrib frame against the seed
+      // frame per round. The arithmetic shape is unchanged:
+      // (1−α)·s + α·Σ contrib, with the Σ over the identical term
+      // multiset.
       for (_ <- 1 to iters) {
-        val contrib = adjArr
+        val nextRaw = adjArr
           .join(x.select(col("id").as("src"), col("v")), "src")
           .select(explode(col("nbrs")).as("id"),
-            (col("v") / size(col("nbrs"))).as("_c"))
+            (col("v") / col("deg")).as("_c"),
+            lit(null).cast("double").as("_s"))
+          .unionByName(s0.select(col("id"),
+            lit(null).cast("double").as("_c"), col("s").as("_s")))
           .groupBy(col("id"))
-          .agg(sum(col("_c")).as("c"))
-        val nextRaw = contrib.join(s0, Seq("id"), "full_outer")
-          .select(col("id"),
-            (lit(1.0 - alpha) * coalesce(col("s"), lit(0.0)) +
-              lit(alpha) * coalesce(col("c"), lit(0.0))).as("v"))
+          .agg((lit(1.0 - alpha) * coalesce(max(col("_s")), lit(0.0)) +
+            lit(alpha) * coalesce(sum(col("_c")), lit(0.0))).as("v"))
         val (next, nh) = graft.util.Iterate.checkpoint(spark, nextRaw)
         handle.foreach(_.unpersist(blocking = false))
         handle = Some(nh)
         x = next
       }
+      val out = x.select(col("id"), col("v").as("ppr")).persist()
+      out.count()
+      handle.foreach(_.unpersist(blocking = false))
+      adjArr.unpersist()
+      out
     }
-    val out = x.select(col("id"), col("v").as("ppr")).persist()
-    out.count()
-    handle.foreach(_.unpersist(blocking = false))
-    adjArr.unpersist()
-    out
   }
 
   /** Eigenvector centrality by power iteration on the adjacency;

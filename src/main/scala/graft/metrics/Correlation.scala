@@ -184,55 +184,63 @@ object Correlation {
   private def spearmanManyLocal(rows: Array[org.apache.spark.sql.Row],
                                 ys: Seq[String]): Map[String, Double] = {
     val n = rows.length
-    // caller guarantees all-numeric schema, no nulls, no NaNs
-    def colData(i: Int): Array[Double] = rows.map { r =>
-      r.get(i) match {
-        case d: java.lang.Double => d.doubleValue
-        case f: java.lang.Float => f.doubleValue
-        case l: java.lang.Long => l.doubleValue
-        case x: java.lang.Integer => x.doubleValue
-        case s: java.lang.Short => s.doubleValue
-        case b: java.lang.Byte => b.doubleValue
-        case d: java.math.BigDecimal => d.doubleValue
-        case v => throw new IllegalStateException(
-          s"non-numeric value in driver spearman route: $v")
-      }
-    }
-    def ranks(a: Array[Double]): Array[Double] = {
-      val idx = a.indices.toArray.sortBy(a(_))
-      val out = new Array[Double](n)
-      var i = 0
-      while (i < n) {
-        var j = i
-        while (j + 1 < n && a(idx(j + 1)) == a(idx(i))) j += 1
-        val avg = (i + j + 2) / 2.0 // 1-based positions i+1..j+1 averaged
-        var k = i
-        while (k <= j) { out(idx(k)) = avg; k += 1 }
-        i = j + 1
-      }
-      out
-    }
-    def pearson(u: Array[Double], v: Array[Double]): Double = {
-      var su = 0.0; var sv = 0.0; var suu = 0.0; var svv = 0.0; var suv = 0.0
-      var i = 0
-      while (i < n) {
-        su += u(i); sv += v(i); suu += u(i) * u(i); svv += v(i) * v(i)
-        suv += u(i) * v(i); i += 1
-      }
-      val cov = suv - su * sv / n
-      val du = suu - su * su / n
-      val dv = svv - sv * sv / n
-      cov / math.sqrt(du * dv)
-    }
     if (n == 0) return ys.map(_ -> Double.NaN).toMap
-    val xd = colData(0)
+    val xd = localColData(rows, 0)
     if (xd.distinct.length <= 1) return ys.map(_ -> Double.NaN).toMap
-    val rx = ranks(xd)
+    val rx = localRanks(xd)
     ys.zipWithIndex.map { case (c, i) =>
-      val yd = colData(i + 1)
+      val yd = localColData(rows, i + 1)
       c -> (if (yd.distinct.length <= 1) Double.NaN
-            else math.max(-1.0, math.min(1.0, pearson(rx, ranks(yd)))))
+            else math.max(-1.0, math.min(1.0, localPearson(rx, localRanks(yd)))))
     }.toMap
+  }
+
+  // the driver-route kernels, shared by spearmanManyLocal and
+  // matrixLocal so the two routes can never drift
+  // (caller guarantees all-numeric schema, no nulls, no NaNs)
+  private def localColData(rows: Array[org.apache.spark.sql.Row],
+                           i: Int): Array[Double] = rows.map { r =>
+    r.get(i) match {
+      case d: java.lang.Double => d.doubleValue
+      case f: java.lang.Float => f.doubleValue
+      case l: java.lang.Long => l.doubleValue
+      case x: java.lang.Integer => x.doubleValue
+      case s: java.lang.Short => s.doubleValue
+      case b: java.lang.Byte => b.doubleValue
+      case d: java.math.BigDecimal => d.doubleValue
+      case v => throw new IllegalStateException(
+        s"non-numeric value in driver spearman route: $v")
+    }
+  }
+
+  private def localRanks(a: Array[Double]): Array[Double] = {
+    val n = a.length
+    val idx = a.indices.toArray.sortBy(a(_))
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && a(idx(j + 1)) == a(idx(i))) j += 1
+      val avg = (i + j + 2) / 2.0 // 1-based positions i+1..j+1 averaged
+      var k = i
+      while (k <= j) { out(idx(k)) = avg; k += 1 }
+      i = j + 1
+    }
+    out
+  }
+
+  private def localPearson(u: Array[Double], v: Array[Double]): Double = {
+    val n = u.length
+    var su = 0.0; var sv = 0.0; var suu = 0.0; var svv = 0.0; var suv = 0.0
+    var i = 0
+    while (i < n) {
+      su += u(i); sv += v(i); suu += u(i) * u(i); svv += v(i) * v(i)
+      suv += u(i) * v(i); i += 1
+    }
+    val cov = suv - su * sv / n
+    val du = suu - su * su / n
+    val dv = svv - sv * sv / n
+    cov / math.sqrt(du * dv)
   }
 
   /** Spearman ρ of two columns (benchmark.py:224: scipy spearmanr). */
@@ -329,15 +337,66 @@ object Correlation {
   /** A7 full Spearman correlation matrix over the given columns
     * (visualization.py:52-90): returns (col_x, col_y, rho) rows.
     * One spearmanMany pass per row-column — O(k) jobs, not O(k²). */
-  def matrix(spark: SparkSession, df: DataFrame, cols: Seq[String]): DataFrame = {
+  def matrix(spark: SparkSession, df: DataFrame, cols: Seq[String],
+             localMaxRows: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    // Driver route below the row cap (guide §1.2/§5 driver latency —
+    // the k-column loop below costs 2k jobs of scheduler latency on a
+    // fixture-scale frame): ONE collect serves every pair, through the
+    // IDENTICAL rank/pearson kernels spearmanMany's driver route uses,
+    // so each (a, b) value is the same double the per-row-column calls
+    // produce. Same routing guards as spearmanManyWithN: all-numeric
+    // schema, no nulls/NaNs, under the cap — anything else falls back
+    // to the per-row-column loop whose groupBy semantics are the
+    // contract.
+    val cached = df.select(cols.map(col): _*)
+    val numeric = cached.schema.fields.forall(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    })
+    if (localMaxRows > 0 && numeric) {
+      val capI = math.min(localMaxRows, Int.MaxValue - 1L).toInt
+      val probe = cached.limit(capI + 1).collect()
+      def unsafe(r: org.apache.spark.sql.Row) = cols.indices.exists { i =>
+        r.isNullAt(i) || (r.get(i) match {
+          case d: java.lang.Double => d.isNaN
+          case f: java.lang.Float => f.isNaN
+          case _ => false
+        })
+      }
+      if (probe.length <= capI && !probe.exists(unsafe))
+        return matrixLocal(probe, cols).toDF("col_x", "col_y", "rho")
+    }
     val rows = cols.flatMap { a =>
       val others = cols.filterNot(_ == a)
-      val rhos = spearmanMany(df, a, others)
+      val rhos = spearmanMany(df, a, others, localMaxRows)
       val self = if (isConstant(df, a)) Double.NaN else 1.0
       (a, a, self) +: others.map(b => (a, b, rhos(b)))
     }
-    import spark.implicits._
     rows.toDF("col_x", "col_y", "rho")
+  }
+
+  /** Driver twin of [[matrix]]'s per-row-column loop: per-column
+    * average-tie ranks once, the same sample Pearson per pair, the
+    * same constant-column NaN diag/off-diag guards — bit-identical to
+    * calling [[spearmanMany]]'s driver route k times (the kernels are
+    * shared and a pair's value never depends on other columns). */
+  private def matrixLocal(rows: Array[org.apache.spark.sql.Row],
+                          cols: Seq[String]): Seq[(String, String, Double)] = {
+    val data = cols.indices.map(i => localColData(rows, i)).toArray
+    val constant = data.map(a => a.distinct.length <= 1)
+    val rks = data.indices.map(i =>
+      if (constant(i)) null else localRanks(data(i))).toArray
+    cols.indices.flatMap { ai =>
+      cols.indices.map { bi =>
+        val rho =
+          if (ai == bi) { if (constant(ai)) Double.NaN else 1.0 }
+          else if (rows.isEmpty || constant(ai) || constant(bi)) Double.NaN
+          else math.max(-1.0, math.min(1.0,
+            localPearson(rks(ai), rks(bi))))
+        (cols(ai), cols(bi), rho)
+      }
+    }
   }
 
   /** Composite correlation report (visualization.py:52-150): the full
@@ -390,6 +449,17 @@ object Correlation {
         .when(u < 0.9196986029286058, 2).when(u < 0.9810118431238462, 3)
         .when(u < 0.9963401531726563, 4).when(u < 0.9994058151824183, 5)
         .when(u < 0.9999167588507119, 6).otherwise(7)
+    // Width note (r16, measured and kept as-is): spreading the B·n md5
+    // explode and landing the weighted frame hash(i)-partitioned (an
+    // exchange-free downstream — hashpartitioning(i) satisfies every
+    // rank aggregate/window/join distribution below) was TRIED and
+    // measured WORSE at bench scale: every widened stage multiplies
+    // the C2-warmup window of its freshly-generated md5/rank code by
+    // its task count (cpu 8.9 → 34.9 at the bounded quantum, → 91 at
+    // cluster width, for ~1 s of wall). AQE's coalesce-to-one of these
+    // ~MB stages is CPU-optimal here; at 100 TB the same frames are
+    // GB-scale, AQE keeps them wide, and the plan parallelizes without
+    // any code change.
     val base = df.select(col(keyCol).cast("string").as("k"),
         col(x).cast("double").as("xv"), col(y).cast("double").as("yv"))
       .filter(col("xv").isNotNull && col("yv").isNotNull)

@@ -215,6 +215,13 @@ object GraphFeatures {
     * Shuffle structure: one (center)-keyed self-join, one (u, v) pair
     * aggregation with map-side partials, two broadcast-eligible degree
     * joins, one anti-join against the edge set on the pair key.
+    *
+    * PRECONDITION (like [[GraphOps.degrees]]): `edges` must be a
+    * deduplicated, self-loop-free undirected edge list in the src<dst
+    * canonical form ([[GraphOps.undirect]] produces exactly this).
+    * The slice-based wedge enumeration relies on it: a duplicate
+    * neighbor in a center's sorted array would emit u==v and repeated
+    * pairs that the canonical edge set excludes by construction.
     */
   def linkPrediction(edges: DataFrame, minCommon: Int = 2,
                      maxCenterDeg: Int = 10000): DataFrame = {
@@ -262,8 +269,12 @@ object GraphFeatures {
     // pack the pair key into ONE long when ids fit 32 bits (shuffle
     // rows shrink 32 → 24 B and the aggregate compares one word);
     // arbitrary id spaces take the generic two-column key
+    // null-guarded (r15 ADVICE): min/max aggregate to null on an empty
+    // edge frame — route the empty case through the generic key path,
+    // which correctly yields an empty result
     val idRange = deg.agg(min(col("id")), max(col("id"))).head
-    val packable = idRange.getLong(0) >= 0 && idRange.getLong(1) < (1L << 31)
+    val packable = !idRange.isNullAt(0) && !idRange.isNullAt(1) &&
+      idRange.getLong(0) >= 0 && idRange.getLong(1) < (1L << 31)
     val wedgesRaw = ctr
       .select(col("_aaw"), col("ns"), posexplode(col("ns")).as(Seq("i", "u")))
       .select(col("_aaw"), col("u"),
@@ -378,20 +389,61 @@ object GraphFeatures {
   def randomWalks(edges: DataFrame, walkLen: Int,
                   seed: Long = 42): DataFrame = {
     require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    val spark = edges.sparkSession
     val adj = edges.select(col("src").as("id"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    // HUB-SEGMENTED arrays past `spark.graft.adjMaxChunk` neighbors
+    // (r15 verdict #5, guide §2.5/§5): an unbounded per-vertex array
+    // makes a 100 M-degree hub one multi-GB aggregation buffer and
+    // row. The walk selects by RANK in ascending neighbor order, so
+    // hub arrays split into rank-CONTIGUOUS chunks (row_number over
+    // the hub's sorted arcs — a one-time spillable sort of only the
+    // hub rows), each carrying (deg, offset); the draw lands in
+    // exactly one chunk and `element_at(chunk, draw − offset + 1)`
+    // reproduces the unchunked selection bit-for-bit. The route is
+    // decided by a degree probe that only runs when the free upper
+    // bound (total arcs = 2·|edges|) exceeds the cap — every bench
+    // graph takes the probe-free unchunked path with the identical
+    // plan as before.
+    val maxChunk = spark.conf
+      .get("spark.graft.adjMaxChunk", (1 << 22).toString).toInt
+    val m2 = 2L * edges.count()
+    lazy val degF = adj.groupBy("id").agg(count(lit(1)).as("deg"))
+    val maxDeg =
+      if (m2 <= maxChunk) m2
+      else degF.agg(coalesce(max(col("deg")), lit(0L))).head.getLong(0)
+    val chunked = maxDeg > maxChunk
     // static across steps: persisted partitioned + locally sorted on
     // the step join's key so each step's sort-merge join reuses the
     // cached layout and only the walk state is ever exchanged
     // (guide §2.4)
-    val adjArr = adj.groupBy("id")
-      .agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
+    val adjArr = (if (!chunked)
+        adj.groupBy("id")
+          .agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val withDeg = adj.join(degF, "id")
+        val small = withDeg.filter(col("deg") <= maxChunk)
+          .groupBy("id")
+          .agg(sort_array(collect_list(col("nbr"))).as("nbrs"),
+            first(col("deg")).as("deg"))
+          .select(col("id"), col("nbrs"), col("deg"), lit(0L).as("offset"))
+        val hubs = withDeg.filter(col("deg") > maxChunk)
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("id").orderBy("nbr")).cast("long") - 1)
+          .groupBy(col("id"), expr(s"_rn div $maxChunk").as("_chunk"))
+          .agg(sort_array(collect_list(col("nbr"))).as("nbrs"),
+            first(col("deg")).as("deg"))
+          .select(col("id"), col("nbrs"), col("deg"),
+            (col("_chunk") * maxChunk).as("offset"))
+        small.unionByName(hubs)
+      })
       .sortWithinPartitions("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the build eagerly under the raised ObjectHashAggregate
     // fallback threshold (see Iterate.withObjectAggHash: the default 128
     // turns this collect_list into a per-partition sort)
-    graft.util.Iterate.withObjectAggHash(edges.sparkSession) {
+    graft.util.Iterate.withObjectAggHash(spark) {
       adjArr.count()
     }
     def draw(step: Int): Column =
@@ -400,19 +452,29 @@ object GraphFeatures {
         .cast("long")
     // step 0 is every distinct endpoint — exactly adjArr's key set, so
     // both its readers (step 1 and the final union) are cheap cache
-    // projections; no separate vertex-distinct job
-    var state: DataFrame = adjArr
-      .select(col("id").as("walk_id"), col("id").as("cur"))
+    // projections; no separate vertex-distinct job (the chunked route
+    // must dedupe: a hub key holds one row per chunk)
+    var state: DataFrame =
+      if (!chunked) adjArr.select(col("id").as("walk_id"), col("id").as("cur"))
+      else adjArr.select(col("id").as("walk_id"), col("id").as("cur")).distinct()
     var out = state.select(col("walk_id"), lit(0).as("step"),
       col("cur").as("node"))
     for (t <- 1 until walkLen) {
       // persist each step: the final union reads every step's frame
       // once, and step t+1 extends step t without replaying its joins
-      state = state
-        .join(adjArr.withColumnRenamed("id", "cur"), "cur")
-        .select(col("walk_id"),
-          element_at(col("nbrs"),
-            (draw(t) % size(col("nbrs"))).cast("int") + 1).as("cur"))
+      val joined = state.join(adjArr.withColumnRenamed("id", "cur"), "cur")
+      state = (if (!chunked)
+          joined.select(col("walk_id"),
+            element_at(col("nbrs"),
+              (draw(t) % size(col("nbrs"))).cast("int") + 1).as("cur"))
+        else
+          joined
+            .withColumn("_draw", draw(t) % col("deg"))
+            .filter(col("_draw") >= col("offset") &&
+              col("_draw") < col("offset") + size(col("nbrs")))
+            .select(col("walk_id"),
+              element_at(col("nbrs"),
+                (col("_draw") - col("offset")).cast("int") + 1).as("cur")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out = out.unionByName(
         state.select(col("walk_id"), lit(t).as("step"), col("cur").as("node")))
@@ -657,9 +719,27 @@ object GraphFeatures {
     * — they don't change components).
     */
   def stronglyConnected(spark: org.apache.spark.sql.SparkSession,
-                        edges: DataFrame, maxIter: Int = 50): DataFrame = {
+                        edges: DataFrame, maxIter: Int = 50,
+                        driverEdgeCap: Long = 5000000L): DataFrame = {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst")).distinct()
+    // Size-guarded driver route (r16; the mstBoruvka contraction
+    // precedent, guide §5 driver latency): the distributed
+    // forward/backward peel costs tens of checkpoint jobs of pure
+    // scheduler latency, which on a fixture-scale graph IS the whole
+    // query (q102: a 13-edge graph paid ~6 s of wall). Up to
+    // `driverEdgeCap` canonical arcs (collect bounded by limit(cap+1);
+    // 5M pairs ≈ 80 MB), an iterative driver Tarjan emits the
+    // identical (id, min-member component) labeling; above the cap the
+    // distributed peel runs unchanged — the 100 TB path. Spec-pinned
+    // equal to the forced-distributed route.
+    graft.util.DriverRoute.probePairs(e0, "src", "dst", driverEdgeCap) match {
+      case Some(arr) =>
+        import spark.implicits._
+        return sccTarjanLocal(arr).toSeq.sortBy(_._1)
+          .toDF("id", "component")
+      case None => ()
+    }
     var (e, eh) = graft.util.Iterate.checkpoint(spark, e0)
     var (verts, vh) = graft.util.Iterate.checkpoint(spark,
       GraphOps.vertices(e0).select(col("id")))
@@ -740,6 +820,73 @@ object GraphFeatures {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("id", LongType), StructField("component", LongType))))
     }
+  }
+
+  /** Driver kernel of [[stronglyConnected]]'s small route: ITERATIVE
+    * Tarjan (explicit work stack — a 5M-edge chain would blow the JVM
+    * call stack recursive) over the collected canonical arcs, each SCC
+    * labeled by its MINIMUM member id (the distributed peel's and
+    * GraphX's labeling). Returns one (id, component) per endpoint
+    * vertex. */
+  private def sccTarjanLocal(arr: Array[(Long, Long)]): Array[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    val verts = mutable.LinkedHashSet.empty[Long]
+    arr.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+      verts += s; verts += d
+    }
+    val index = mutable.HashMap.empty[Long, Int]
+    val lowlink = mutable.HashMap.empty[Long, Int]
+    val onStack = mutable.HashSet.empty[Long]
+    val stack = mutable.ArrayBuffer.empty[Long]
+    val comp = mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    val empty = mutable.ArrayBuffer.empty[Long]
+    verts.foreach { root =>
+      if (!index.contains(root)) {
+        // work frames: (vertex, next child offset)
+        val work = mutable.ArrayBuffer[(Long, Int)]((root, 0))
+        while (work.nonEmpty) {
+          val (v, ci) = work.remove(work.length - 1)
+          if (ci == 0) {
+            index(v) = counter; lowlink(v) = counter; counter += 1
+            stack += v; onStack += v
+          }
+          val ns = adj.getOrElse(v, empty)
+          var i = ci
+          var descended = false
+          while (i < ns.length && !descended) {
+            val w = ns(i)
+            if (!index.contains(w)) {
+              work += ((v, i + 1)); work += ((w, 0)); descended = true
+            } else {
+              if (onStack(w)) lowlink(v) = math.min(lowlink(v), index(w))
+              i += 1
+            }
+          }
+          if (!descended) {
+            if (lowlink(v) == index(v)) {
+              // pop the SCC, label by its min member
+              val members = mutable.ArrayBuffer.empty[Long]
+              var w = 0L
+              do {
+                w = stack.remove(stack.length - 1); onStack -= w
+                members += w
+              } while (w != v)
+              val minId = members.min
+              members.foreach(m => comp(m) = minId)
+            }
+            // propagate lowlink to the parent frame, if any
+            if (work.nonEmpty) {
+              val (p, _) = work(work.length - 1)
+              lowlink(p) = math.min(lowlink(p), lowlink(v))
+            }
+          }
+        }
+      }
+    }
+    verts.iterator.map(v => (v, comp(v))).toArray
   }
 
   /** Degree assortativity: Pearson correlation of endpoint degrees over

@@ -32,10 +32,25 @@ object GraphQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def lineitemGraph(s: SparkSession, d: String): DataFrame =
-    graphMemo.computeIfAbsent((s, d), _ =>
-      GraphOps.undirect(Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graphMemo.computeIfAbsent((s, d), _ => {
+      val src = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      // Cache width follows the SOURCE scan's split count, not the
+      // session's cluster-wide shuffle setting: AQE never re-sizes a
+      // cached plan's output partitioning (canChangeCachedPlanOutput-
+      // Partitioning defaults off), so without this the ~60k-row frame
+      // was pinned at 32 near-empty partitions and EVERY consumer's
+      // first map over the cache paid 32 tasks of per-task overhead
+      // (q123's degree aggregate alone measured 13.6 → 2.2 cpu-s going
+      // 32 → 8 tasks). Split-count sizing is scale-adaptive: a 100 TB
+      // lineitem is thousands of splits and the session cap binds.
+      val parts = math.max(1, math.min(
+        s.conf.get("spark.sql.shuffle.partitions").toInt,
+        src.rdd.getNumPartitions))
+      GraphOps.undirect(src)
+        .repartition(parts, col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** The lineitem graph's triangle enumeration, shared by its three
     * consumers (q156 transitivity / q157 edge Jaccard / q80 local
@@ -237,6 +252,11 @@ object GraphQueries {
       val em = GraphEm(s, g, LayoutConfig(nComponents = 2, LMin = 1.0,
         numIterations = 5, sampleSize = 64, nNeighbors = 6, seed = 13))
       em.runLayout()
+      // the whole correlation phase works on the 64-row grid frame —
+      // run it data-sized (guide §2.1: cluster-width windows/joins on
+      // a fixture frame are pure per-task overhead; every action below
+      // is eager inside the wrapper)
+      graft.util.Iterate.withSizedShuffle(s, em.nVertices) {
       val radii = em.positions
         .select(col("id"), VecOps.norm(col("pos")).as("radius"))
       val cents = Centralities.all(s, g, em.nVertices)
@@ -245,8 +265,12 @@ object GraphQueries {
       val measures = Seq("degree_centrality", "pagerank", "eigenvector",
         "closeness", "betweenness", "load")
       val rhos = Correlation.spearmanMany(joined, "radius", measures)
-      // independent route: q13's rank construction + Catalyst corr
-      def rankCorr(m: String): Double = {
+      // independent route: q13's rank construction + Catalyst corr.
+      // The SIX one-row corr branches evaluate in ONE action (a tagged
+      // union — each branch's plan is unchanged, so the per-measure
+      // doubles are exactly the sequential .head() route's; only the
+      // job count changes, §1.2/§5 driver latency)
+      def rankCorrFrame(m: String): org.apache.spark.sql.DataFrame = {
         def ranks(cn: String, out: String) = {
           val w = Window.orderBy(col("_v"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -257,10 +281,13 @@ object GraphQueries {
         }
         joined.select("radius", m)
           .join(ranks("radius", "rx"), "radius").join(ranks(m, "ry"), m)
-          .agg(corr(col("rx"), col("ry"))).head().getDouble(0)
+          .agg(corr(col("rx"), col("ry")).as("_r"))
+          .select(lit(m).as("_m"), col("_r"))
       }
+      val rankCorrs = measures.map(rankCorrFrame).reduce(_.unionByName(_))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       val routeAgree = measures.forall(m =>
-        math.abs(rhos(m) - rankCorr(m)) < 1e-9)
+        math.abs(rhos(m) - rankCorrs(m)) < 1e-9)
       val cols = "radius" +: measures
       val mat = Correlation.matrix(s, joined, cols).collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
@@ -273,6 +300,7 @@ object GraphQueries {
       measures.map(m => (m, rangeOk, symOk, diagOk, routeAgree))
         .toDF("centrality", "rho_range_ok", "sym_ok", "diag_ok",
           "route_agree_ok")
+      }
     }),
 
     // Per-vertex local clustering coefficient on the lineitem graph —

@@ -164,7 +164,16 @@ object PipelineQueries {
     // stopped learning fails the row hash).
     "q178_quality_classifier" -> ((s, d) => {
       import graft.pipeline.QualityClassifier
-      val feat = QualityClassifier.featurize(Tables.documents(s, d), col("keep"))
+      // the quality featurization is regex/token-heavy per row and the
+      // documents table is ONE parquet split, so both featurize
+      // consumers (the train collect and the scoring map) ran serial —
+      // numbered repartition (never AQE-coalesced) spreads them across
+      // the bounded small-scan quantum (the q214 band-key treatment;
+      // guide §2.5 input skew). Output columns are contract booleans,
+      // insensitive to the row order this changes.
+      val docs = Tables.documents(s, d)
+        .repartition(Tables.smallScanParallelism(s), col("doc_id"))
+      val feat = QualityClassifier.featurize(docs, col("keep"))
       val (w, losses) = QualityClassifier.train(feat, iters = 30, lr = 1.0)
       val scored = QualityClassifier.score(feat, w).cache()
       val a = QualityClassifier.auc(scored)
@@ -298,7 +307,7 @@ object PipelineQueries {
     "q196_leakage_safe_splits" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextAnalysis.leakageSafeSplits(s, docs,
-          Dedup.jaccardPairs(docs, n = 3, threshold = 0.10))
+          PipelineDedupQueries.docJaccardPairs(s, d))
         .orderBy("doc_id")
     }),
 

@@ -95,20 +95,37 @@ object Iterate {
     }
   }
 
-  /** Run `body` with ObjectHashAggregate's sort-based fallback
-    * effectively disabled. TypedImperative aggregates (collect_list /
+  /** Run `body` with ObjectHashAggregate's sort-based fallback raised
+    * from its default. TypedImperative aggregates (collect_list /
     * collect_set) abandon their hash map for a per-partition SORT once
     * a task sees more than `spark.sql.objectHashAggregate.sortBased.
     * fallbackThreshold` distinct keys — and the default is 128, so any
     * realistic adjacency/grouping build silently pays the very sort a
-    * hash aggregate exists to avoid. The hash path's memory is the
-    * grouped data itself (spillable via the task memory manager), so a
-    * large threshold is safe; only safe around EAGER work, like
-    * [[withSizedShuffle]]. */
+    * hash aggregate exists to avoid.
+    *
+    * The threshold stays FINITE (r15 verdict/ADVICE): for
+    * TypedImperative aggregates the sort-based fallback IS the
+    * memory-bounding path — the object hash map's per-group buffers do
+    * not spill per key, so disabling the fallback outright lets a task
+    * holding tens of millions of group buffers OOM at 100 TB scale
+    * where degrading to the sort would have been safe. 2²⁰ groups per
+    * task ≈ hundreds of MB of adjacency buffers at graph fan-outs — far
+    * above any sane per-task group count under the callers' sized
+    * builds, far below OOM territory. Override via
+    * `spark.graft.objectAgg.fallbackThreshold` if a deployment's
+    * per-task group counts are proven smaller/larger.
+    *
+    * Thread-safety: set-run-restore on SHARED session conf — callers
+    * run it around eager SEQUENTIAL builds only (the bench/verify
+    * harnesses execute queries one at a time); do not wrap work that
+    * overlaps other queries on the same session, or the override can
+    * leak into their aggregates. */
   def withObjectAggHash[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prev = spark.conf.get(key, "128")
-    spark.conf.set(key, Int.MaxValue.toString)
+    val raised = spark.conf.get("spark.graft.objectAgg.fallbackThreshold",
+      (1 << 20).toString)
+    spark.conf.set(key, raised)
     try body finally spark.conf.set(key, prev)
   }
 

@@ -126,6 +126,24 @@ class GraphFeaturesSpec extends SparkSpec {
     w.unpersist()
   }
 
+  test("randomWalks: hub-segmented arrays reproduce the unchunked corpus") {
+    // r15 verdict #5 scale-proofing: force the chunk cap below the hub
+    // degree so the build takes the degree-probe + rank-contiguous
+    // chunk route (caveman(3,5) hubs have degree 4; cap 3 splits them)
+    // — the rank-addressed selection must be BIT-identical, so the two
+    // corpora are set-equal both ways.
+    val g = Generators.caveman(spark, 3, 5)
+    val base = GraphFeatures.randomWalks(g, walkLen = 5).cache()
+    val key = "spark.graft.adjMaxChunk"
+    spark.conf.set(key, "3")
+    try {
+      val chunked = GraphFeatures.randomWalks(g, walkLen = 5).cache()
+      assert(chunked.exceptAll(base).isEmpty && base.exceptAll(chunked).isEmpty)
+      chunked.unpersist()
+    } finally spark.conf.unset(key)
+    base.unpersist()
+  }
+
   test("coreNumbers: clique n-1, path 1, triangle-plus-tail piecewise") {
     val k5 = GraphFeatures.coreNumbers(spark, complete(5)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -263,7 +281,7 @@ class GraphFeaturesSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("stronglyConnected equals GraphX SCC on random directed graphs") {
+  test("stronglyConnected equals GraphX SCC on random directed graphs, both routes") {
     import org.apache.spark.graphx.{Edge => GxEdge, Graph => GxGraph}
     // directed ER arcs plus a reversed subset so real multi-vertex SCCs
     // form; two densities to vary the SCC structure
@@ -271,12 +289,17 @@ class GraphFeaturesSpec extends SparkSpec {
       val base = Generators.erdosRenyi(spark, 80, p, 31)
       val g = base.union(base.filter((col("src") + col("dst")) % 3 === 0)
         .select(col("dst").as("src"), col("src").as("dst")))
+      // default cap → the driver-Tarjan route
       val got = GraphFeatures.stronglyConnected(spark, g).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // cap 0 → the distributed forward/backward peel (the 100 TB path)
+      val dist = GraphFeatures.stronglyConnected(spark, g, driverEdgeCap = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val rdd = g.rdd.map(r => GxEdge(r.getLong(0), r.getLong(1), 1))
       val want = GxGraph.fromEdges(rdd, 0).stronglyConnectedComponents(20)
         .vertices.collect().toMap
-      assert(got == want, s"SCC mismatch at p=$p")
+      assert(got == want, s"driver-route SCC mismatch at p=$p")
+      assert(dist == want, s"distributed-route SCC mismatch at p=$p")
     }
   }
 

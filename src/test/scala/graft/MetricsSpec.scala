@@ -359,6 +359,27 @@ class MetricsSpec extends SparkSpec {
     x.unpersist()
   }
 
+  test("personalizedPageRank: hub-segmented arrays reproduce the unchunked run") {
+    // r15 verdict #5 scale-proofing: with the chunk cap forced below
+    // the hub degree, the adjacency build takes the degree-probe +
+    // chunked route (the star center splits into ceil(8/3)=3 chunk
+    // rows) and the result must equal the unchunked run — same term
+    // multiset per vertex, same (1−α)s + α·Σ fold. The star uses
+    // dyadic values so both runs are EXACT, not merely close.
+    val hub = ((1L to 8L).map(l => (0L, l)) :+ (1L, 9L)).toDF("src", "dst")
+    val base = Centralities.personalizedPageRank(spark, hub, Seq(0L),
+      alpha = 0.5, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val key = "spark.graft.adjMaxChunk"
+    spark.conf.set(key, "3")
+    try {
+      val chunked = Centralities.personalizedPageRank(spark, hub, Seq(0L),
+        alpha = 0.5, iters = 2).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(chunked == base, s"chunked=$chunked base=$base")
+    } finally spark.conf.unset(key)
+  }
+
   test("personalizedPageRank: multi-seed mass splits and stays <= 1") {
     val g = Generators.caveman(spark, 2, 4)
     val x = Centralities.personalizedPageRank(spark, g, Seq(0L, 4L), iters = 3)

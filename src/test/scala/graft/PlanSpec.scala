@@ -66,7 +66,13 @@ class PlanSpec extends SparkSpec {
     // shuffles are the fp groupBy and the pair-count groupBy, both
     // partial+final hash aggregates. A regression to the fp self-join
     // form would plan a SortMergeJoin over two full fingerprint scans.
-    val p = plan("q46_winnow_pairs")
+    // Pinned on the OPERATOR plan: q46 now serves the q46/q47 shared
+    // memo, whose InMemoryRelation rendering repeats the scan line
+    // (the r15 q90 re-anchor pattern — the operator-level claim is the
+    // one that matters at scale).
+    val p = graft.pipeline.TextAnalysis.winnowPairs(
+        Tables.documents(spark, sf), k = 4, w = 4, minShared = 2)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"winnowPairs should plan no joins:\n$p")
     assert(!p.contains("CartesianProduct"))
     assert("FileScan".r.findAllIn(p).size == 1,
