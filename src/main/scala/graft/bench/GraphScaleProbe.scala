@@ -43,7 +43,8 @@ object GraphScaleProbe {
     val (maxCore, tCore) = time(
       GraphFeatures.coreNumbers(spark, g).agg(max("core")).head.getLong(0))
     val (ecc, tBfs) = time {
-      val d = GraphFeatures.bfsDistances(spark, g, Seq(0L))
+      // driverEdgeCap=0: measure the DISTRIBUTED expansion (100 TB path)
+      val d = GraphFeatures.bfsDistances(spark, g, Seq(0L), driverEdgeCap = 0)
       d.agg(max("dist")).head.getLong(0)
     }
     val (_, tLpa) = time(
@@ -77,7 +78,8 @@ object GraphScaleProbe {
       GraphFeatures.mstBoruvka(spark, w).count()
     }
     val (lb, tDiam) = time(
-      GraphFeatures.pseudoDiameter(spark, g, start = 0L)
+      // driverEdgeCap=0: measure the DISTRIBUTED sweeps (100 TB path)
+      GraphFeatures.pseudoDiameter(spark, g, start = 0L, driverEdgeCap = 0)
         .head.getLong(3))
     val (nPpr, tPpr) = time(
       graft.metrics.Centralities.personalizedPageRank(spark, g,

@@ -617,7 +617,56 @@ object Centralities {
     * (s, v, dist) levels, so the marginal cost over closeness is one
     * job. Returned frame is PERSISTED; callers may unpersist. */
   def harmonicDistributed(spark: SparkSession, edges: DataFrame, n: Long,
-                          sourcesCap: Int = 256, seed: Long = 42): DataFrame = {
+                          sourcesCap: Int = 256, seed: Long = 42,
+                          driverEdgeCap: Long = 5000000L): DataFrame = {
+    // Size-guarded driver route (r16; the bfsDistances/stronglyConnected
+    // precedent): in EXACT mode (n ≤ sourcesCap — every vertex is a
+    // source, no sampling to replay) on a ≤driverEdgeCap-edge graph,
+    // n driver BFS sweeps replace ~diameter checkpoint jobs of pure
+    // scheduler latency. Identical output frame: one row per id in
+    // [0, n), h = Σ_{d(s,v)>0} 1/d (unreachable → 0.0), scale 1.
+    // Sampled mode (n > sourcesCap) always runs distributed.
+    if (n <= sourcesCap) {
+      graft.util.DriverRoute.probePairs(
+        edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")),
+        "src", "dst", driverEdgeCap) match {
+        case Some(arr) =>
+          import scala.collection.mutable
+          val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+          arr.foreach { case (s, d) =>
+            adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+            adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+          }
+          val h = new Array[Double](n.toInt)
+          val empty = mutable.ArrayBuffer.empty[Long]
+          var s = 0L
+          while (s < n) {
+            val dist = mutable.HashMap.empty[Long, Long]
+            dist(s) = 0L
+            var frontier: Seq[Long] = Seq(s)
+            var round = 0L
+            while (frontier.nonEmpty) {
+              round += 1
+              val next = mutable.ArrayBuffer.empty[Long]
+              frontier.foreach { v =>
+                adj.getOrElse(v, empty).foreach { nb =>
+                  if (!dist.contains(nb)) { dist(nb) = round; next += nb }
+                }
+              }
+              frontier = next.toSeq
+            }
+            dist.foreach { case (v, d) =>
+              if (d > 0 && v >= 0 && v < n) h(v.toInt) += 1.0 / d
+            }
+            s += 1
+          }
+          import spark.implicits._
+          return (0L until n).map(i => (i, h(i.toInt)))
+            .toDF("id", "harmonic").persist()
+        case None => ()
+      }
+    }
     val sym = symmetrize(edges).persist()
     val (sources, nS) = pickSources(spark, n, sourcesCap, seed)
     val (levels, handles) = multiSourceBfs(spark, sym, sources)

@@ -499,10 +499,50 @@ object GraphFeatures {
     * single-frame variant a feature pipeline joins FROM.)
     */
   def bfsDistances(spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
-                   sources: Seq[Long], maxIter: Int = 200): DataFrame = {
+                   sources: Seq[Long], maxIter: Int = 200,
+                   driverEdgeCap: Long = 5000000L): DataFrame = {
     require(sources.nonEmpty, "bfsDistances needs at least one source")
     import spark.implicits._
-    bfsDistancesFrom(spark, edges, sources.distinct.toDF("id"), maxIter)
+    // Size-guarded driver route (r16; the stronglyConnected/mstBoruvka
+    // precedent, guide §5 driver latency): the distributed expansion
+    // pays one checkpoint job per ROUND (= source-set eccentricity),
+    // which on a small graph is the whole cost. Up to `driverEdgeCap`
+    // edges (collect bounded by limit(cap+1)) a driver level-BFS emits
+    // the identical (id, dist) frame — sources at 0 (present in the
+    // graph or not, as the distributed init does), levels capped at
+    // maxIter; above the cap the distributed loop runs unchanged (the
+    // 100 TB path; this Seq-sources form already implies driver-known
+    // sources). Spec-pinned equal to the forced-distributed route.
+    graft.util.DriverRoute.probePairs(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")),
+      "src", "dst", driverEdgeCap) match {
+      case Some(arr) =>
+        import scala.collection.mutable
+        val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+        arr.foreach { case (s, d) =>
+          adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+          adj.getOrElseUpdate(d, mutable.ArrayBuffer.empty) += s
+        }
+        val dist = mutable.LinkedHashMap.empty[Long, Long]
+        sources.distinct.foreach(s => dist(s) = 0L)
+        var frontier: Seq[Long] = sources.distinct
+        var round = 0
+        val empty = mutable.ArrayBuffer.empty[Long]
+        while (frontier.nonEmpty && round < maxIter) {
+          round += 1
+          val next = mutable.ArrayBuffer.empty[Long]
+          frontier.foreach { v =>
+            adj.getOrElse(v, empty).foreach { n =>
+              if (!dist.contains(n)) { dist(n) = round.toLong; next += n }
+            }
+          }
+          frontier = next.toSeq
+        }
+        dist.toSeq.toDF("id", "dist")
+      case None =>
+        bfsDistancesFrom(spark, edges, sources.distinct.toDF("id"), maxIter)
+    }
   }
 
   /** [[bfsDistances]] with the source set as a DataFrame — the form a
@@ -926,12 +966,13 @@ object GraphFeatures {
     * collects, the EigenInit contract).
     */
   def pseudoDiameter(spark: org.apache.spark.sql.SparkSession,
-                     edges: DataFrame, start: Long): DataFrame = {
-    val sweep1 = bfsDistances(spark, edges, Seq(start))
+                     edges: DataFrame, start: Long,
+                     driverEdgeCap: Long = 5000000L): DataFrame = {
+    val sweep1 = bfsDistances(spark, edges, Seq(start), driverEdgeCap = driverEdgeCap)
     val peak = sweep1.orderBy(col("dist").desc, col("id").desc)
       .limit(1).collect()(0)
     val (peripheral, ecc1) = (peak.getLong(0), peak.getLong(1))
-    val sweep2 = bfsDistances(spark, edges, Seq(peripheral))
+    val sweep2 = bfsDistances(spark, edges, Seq(peripheral), driverEdgeCap = driverEdgeCap)
     sweep2.agg(max(col("dist")).as("diameter_lb"),
         count(lit(1)).as("n_reachable"))
       .select(lit(start).as("start"), lit(ecc1).as("ecc_start"),

@@ -231,12 +231,12 @@ object PipelineDedupQueries {
     // approaches the whole set and the algorithm degenerates to q26's
     // brute form by design (SimJoinSpec pins equality at τ=0.10 too).
     "q96_setsim_join" -> ((s, d) =>
-      // spread the shingle/prefix maps over the one-split scan (the
-      // q27 note; prefix ordering is a (df, term) total order —
-      // partitioning-invariant)
-      Dedup.setSimilarityJoin(
-        Tables.documents(s, d)
-          .repartition(Tables.smallScanParallelism(s), col("doc_id")),
+      // NO spread here (r16, measured): the q27-style input spread was
+      // tried and in-bench cpu DOUBLED (16.2 → 35.8 s, its windowed
+      // prefix/verify stages each pay the C2-warmup window per task)
+      // for ~1 s of wall — the one dedup-family site where the trade
+      // inverts. Reads the raw one-split scan.
+      Dedup.setSimilarityJoin(Tables.documents(s, d),
         threshold = 0.5, n = 3)),
 
     // Blocked Jaro-Winkler fuzzy join on part names (record linkage

@@ -1170,18 +1170,23 @@ object PipelineSimilarityQueries {
       // frame here is bounded by the documents table; the k=64 band
       // map keeps its explicit numbered repartition below
       graft.util.Iterate.withSizedShuffle(s, docs.count()) {
-      docs.select(md5(col("text")).as("fp"))
-        .write.mode("overwrite").parquet(s"$root/fp/batch=0")
-      // the k=64 minhash signature is the per-doc hot map and the doc
-      // scan is one small parquet split — numbered repartition (never
-      // AQE-coalesced) spreads the measured 6 s serial stage across the
-      // cluster; index CONTENT is per-row md5-derived, so partitioning
-      // cannot change it
-      NearDupStream.bandKeys(
-          docs.repartition(Tables.smallScanParallelism(s), col("doc_id")))
-        .select("doc_id", "band", "bucket", "sig")
-        .write.mode("overwrite").parquet(s"$root/band/batch=0")
-      val target = docs.orderBy("doc_id").limit(1).collect()(0)
+      // the three setup reads (exact-fp index write, band-key index
+      // write, the takedown target row) share no state — concurrent
+      // jobs (guide §2.6), each internally unchanged. The k=64 minhash
+      // signature is the per-doc hot map and the doc scan is one small
+      // parquet split — numbered repartition (never AQE-coalesced)
+      // spreads the measured 6 s serial stage across the cluster;
+      // index CONTENT is per-row md5-derived, so partitioning cannot
+      // change it
+      val (_, _, target, _) = concurrently4(
+        () => docs.select(md5(col("text")).as("fp"))
+          .write.mode("overwrite").parquet(s"$root/fp/batch=0"),
+        () => NearDupStream.bandKeys(
+            docs.repartition(Tables.smallScanParallelism(s), col("doc_id")))
+          .select("doc_id", "band", "bucket", "sig")
+          .write.mode("overwrite").parquet(s"$root/band/batch=0"),
+        () => docs.orderBy("doc_id").limit(1).collect()(0),
+        () => ())
       import s.implicits._
       val probe = Seq((10000000L, target.getString(1))).toDF("doc_id", "text")
       val probeFp = probe.select(col("doc_id"), md5(col("text")).as("fp"))

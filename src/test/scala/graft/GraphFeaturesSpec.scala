@@ -213,6 +213,12 @@ class GraphFeaturesSpec extends SparkSpec {
     val got = GraphFeatures.bfsDistances(spark, g, Seq(0L, 1L)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == dist.toMap)
+    // route parity: the distributed expansion (cap 0, the 100 TB path)
+    // emits the identical frame as the size-guarded driver route above
+    val distRoute = GraphFeatures.bfsDistances(spark, g, Seq(0L, 1L),
+      driverEdgeCap = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distRoute == dist.toMap)
   }
 
   test("labelPropagation: disjoint cliques converge to clique minima; deterministic") {

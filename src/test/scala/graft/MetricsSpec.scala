@@ -404,5 +404,13 @@ class MetricsSpec extends SparkSpec {
     val h2 = Centralities.harmonicDistributed(spark, two, n = 4)
     assert(h2.collect().forall(_.getDouble(1) == 1.0))
     h2.unpersist()
+    // route parity: the distributed multi-source BFS (cap 0, the
+    // 100 TB path) emits the identical frame as the size-guarded
+    // driver route above (exact dyadic values on the path fixture)
+    val hd = Centralities.harmonicDistributed(spark, path, n = 3,
+      driverEdgeCap = 0)
+    val md = hd.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(md == Map(0L -> 1.5, 1L -> 2.0, 2L -> 1.5))
+    hd.unpersist()
   }
 }

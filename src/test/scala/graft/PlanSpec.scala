@@ -69,9 +69,11 @@ class PlanSpec extends SparkSpec {
     // Pinned on the OPERATOR plan: q46 now serves the q46/q47 shared
     // memo, whose InMemoryRelation rendering repeats the scan line
     // (the r15 q90 re-anchor pattern — the operator-level claim is the
-    // one that matters at scale).
+    // one that matters at scale). w=5 (not the memo's w=4) so the
+    // CacheManager never substitutes a suite-order-dependent cached
+    // fragment into this plan; the operator shape is identical.
     val p = graft.pipeline.TextAnalysis.winnowPairs(
-        Tables.documents(spark, sf), k = 4, w = 4, minShared = 2)
+        Tables.documents(spark, sf), k = 4, w = 5, minShared = 2)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"winnowPairs should plan no joins:\n$p")
     assert(!p.contains("CartesianProduct"))
